@@ -57,8 +57,57 @@ object CoreQueries {
           round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
           round(avg("l_discount"), 6).as("avg_disc"),
           count(lit(1)).as("count_order"))
+    },
+    // J1/J2: full reconciliation report — source vs deterministically
+    // perturbed target (the 'R' partition loses every 97th order's rows),
+    // one full outer join over per-partition count records.
+    "reconcile_report" -> { (s, dir) =>
+      val li = Tables.lineitem(s, dir)
+      val src = PartitionCounts.perPartition(li, "lineitem", Seq("l_returnflag"))
+      val tgt = PartitionCounts.perPartition(perturbed(li), "lineitem", Seq("l_returnflag"))
+      Reconcile.counts(src, tgt)
+        .withColumnRenamed("table", "table_name")
+        .withColumnRenamed("partition", "partition_spec")
+    },
+    // J1: matched subset of the same report.
+    "reconcile_matched" -> { (s, dir) =>
+      val li = Tables.lineitem(s, dir)
+      val src = PartitionCounts.perPartition(li, "lineitem", Seq("l_returnflag"))
+      val tgt = PartitionCounts.perPartition(perturbed(li), "lineitem", Seq("l_returnflag"))
+      Reconcile.matched(Reconcile.counts(src, tgt))
+        .withColumnRenamed("table", "table_name")
+        .withColumnRenamed("partition", "partition_spec")
+    },
+    // A3: per-partition integrity check via order-insensitive digests
+    // (count + bit_xor of row hashes); the digest columns themselves are
+    // engine-internal, only the consistent verdict is exposed.
+    "integrity_by_partition" -> { (s, dir) =>
+      val li = Tables.lineitem(s, dir)
+      Fingerprint.compare(li, perturbed(li), Seq("l_returnflag"))
+    },
+    // L1: deterministic sample — LIMIT n over a total order on all
+    // columns (TakeOrdered: per-partition top-N, only n rows shuffled).
+    "sample_limit" -> { (s, dir) =>
+      Sample.limitN(Tables.lineitem(s, dir), 10)
+    },
+    // S4/P1/T7: compare_tables.sh — split pipe-delimited lines into 3
+    // fields, re-project space-separated; short rows give empty fields.
+    "delim_scan_project" -> { (s, dir) =>
+      val n = Tables.nation(s, dir)
+      val lines = n.select(concat_ws("|",
+          col("n_name"), col("n_nationkey").cast("string"), col("n_regionkey").cast("string"))
+        .as("line"))
+        .unionByName(n.select(col("n_name").as("line"))) // short rows: fields 2,3 missing
+      Delim.scanAndProject(lines, "line")
     }
   )
+
+  /** Deterministic target-side perturbation for reconcile/integrity
+    * demos: drop rows of every 97th order within the 'R' return flag.
+    * SQL-expressible so the same relation is reproducible in DuckDB.
+    */
+  private def perturbed(li: DataFrame): DataFrame =
+    li.filter(!(col("l_returnflag") === "R" && col("l_orderkey") % 97 === 0))
 
   def oracleSql: Map[String, String] = Map(
     "rowcount_by_partition" ->
@@ -82,6 +131,61 @@ object CoreQueries {
         |       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
         |       round(avg(l_discount), 6) AS avg_disc,
         |       count(*) AS count_order
-        |FROM lineitem GROUP BY 1, 2""".stripMargin
+        |FROM lineitem GROUP BY 1, 2""".stripMargin,
+    "reconcile_report" ->
+      s"""WITH src AS (SELECT 'lineitem' AS table_name,
+         |                    'l_returnflag=' || l_returnflag AS partition_spec,
+         |                    count(*) AS src_cnt FROM lineitem GROUP BY 1, 2),
+         |     tgt AS (SELECT 'lineitem' AS table_name,
+         |                    'l_returnflag=' || l_returnflag AS partition_spec,
+         |                    count(*) AS tgt_cnt FROM lineitem
+         |             WHERE NOT (l_returnflag = 'R' AND l_orderkey % 97 = 0)
+         |             GROUP BY 1, 2)
+         |SELECT coalesce(s.table_name, t.table_name) AS table_name,
+         |       coalesce(s.partition_spec, t.partition_spec) AS partition_spec,
+         |       s.src_cnt, t.tgt_cnt,
+         |       CASE WHEN s.src_cnt IS NULL THEN 'missing_in_source'
+         |            WHEN t.tgt_cnt IS NULL THEN 'missing_in_target'
+         |            WHEN s.src_cnt = t.tgt_cnt THEN 'matched'
+         |            ELSE 'mismatched' END AS status
+         |FROM src s FULL JOIN tgt t
+         |  ON s.table_name = t.table_name
+         | AND s.partition_spec IS NOT DISTINCT FROM t.partition_spec""".stripMargin,
+    "reconcile_matched" ->
+      """WITH src AS (SELECT 'l_returnflag=' || l_returnflag AS partition_spec,
+        |                    count(*) AS cnt FROM lineitem GROUP BY 1),
+        |     tgt AS (SELECT 'l_returnflag=' || l_returnflag AS partition_spec,
+        |                    count(*) AS cnt FROM lineitem
+        |             WHERE NOT (l_returnflag = 'R' AND l_orderkey % 97 = 0)
+        |             GROUP BY 1)
+        |SELECT 'lineitem' AS table_name, s.partition_spec, s.cnt
+        |FROM src s JOIN tgt t
+        |  ON s.partition_spec = t.partition_spec AND s.cnt = t.cnt""".stripMargin,
+    // The perturbed target is a subset of the source within each group,
+    // so multiset equality <=> equal counts; the engine verifies it with
+    // xxhash64 digests, the oracle with the subset shortcut.
+    "integrity_by_partition" ->
+      """SELECT s.l_returnflag,
+        |       s.src_cnt, t.tgt_cnt,
+        |       s.src_cnt = t.tgt_cnt AS consistent
+        |FROM (SELECT l_returnflag, count(*) AS src_cnt FROM lineitem GROUP BY 1) s
+        |JOIN (SELECT l_returnflag, count(*) AS tgt_cnt FROM lineitem
+        |      WHERE NOT (l_returnflag = 'R' AND l_orderkey % 97 = 0) GROUP BY 1) t
+        |  ON s.l_returnflag = t.l_returnflag""".stripMargin,
+    "sample_limit" ->
+      """SELECT * FROM lineitem
+        |ORDER BY l_discount, l_extendedprice, l_linenumber, l_linestatus,
+        |         l_orderkey, l_partkey, l_quantity, l_returnflag, l_shipdate,
+        |         l_suppkey, l_tax
+        |LIMIT 10""".stripMargin,
+    "delim_scan_project" ->
+      """SELECT concat_ws(' ',
+        |         string_split(line, '|')[1],
+        |         coalesce(string_split(line, '|')[2], ''),
+        |         coalesce(string_split(line, '|')[3], '')) AS projected
+        |FROM (
+        |  SELECT n_name || '|' || CAST(n_nationkey AS VARCHAR) || '|' ||
+        |         CAST(n_regionkey AS VARCHAR) AS line FROM nation
+        |  UNION ALL SELECT n_name FROM nation)""".stripMargin
   )
 }

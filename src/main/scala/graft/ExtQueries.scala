@@ -1,0 +1,154 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.ext._
+
+/** North-star extension queries (SURVEY.md §2b): dedup, similarity
+  * search, and text analysis over the documents/embeddings fixtures.
+  *
+  * Oracle notes:
+  *  - LSH-based queries (minhash) get an exact-SQL oracle because the
+  *    verification step makes output = { pairs with true jaccard >= t
+  *    that were LSH candidates }, and at 16 bands × 2 rows the candidate
+  *    recall at t=0.9 is 1 - (1-0.9²)^16 ≈ 1 - 3e-12 — deterministic data,
+  *    so if it matches once at sf0.01 it matches every round.
+  *  - Hash-native queries (simhash, ANN top-k) are engine-internal and
+  *    have no SQL equivalent → rows-only checks; their correctness is
+  *    unit-tested against in-engine exact baselines instead.
+  */
+object ExtQueries {
+
+  private val TokensSql =
+    """list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0)"""
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // X1: exact dedup with lineage — one hash aggregation on the text key.
+    "dedup_exact" -> { (s, dir) =>
+      Dedup.exactByKey(Tables.documents(s, dir), "doc_id", "text")
+    },
+    // X2 (exact form): all-pairs n-gram Jaccard with size-ratio blocking.
+    "dedup_ngram_jaccard" -> { (s, dir) =>
+      Dedup.jaccardPairsExact(Tables.documents(s, dir), "doc_id", "text", 0.95)
+    },
+    // X2 (scale form): MinHash banding → bucket join → exact verification.
+    "dedup_minhash" -> { (s, dir) =>
+      Dedup.minhashNearDupPairs(Tables.documents(s, dir), "doc_id", "text", 0.9,
+        Dedup.MinHashParams(numBands = 16, rowsPerBand = 2))
+    },
+    // X2 (bit-sketch form): SimHash Hamming-ball pairs via pigeonhole
+    // block joins; the sketch is a custom codegen'd Catalyst expression.
+    "dedup_simhash" -> { (s, dir) =>
+      Dedup.simhashNearDupPairs(s, Tables.documents(s, dir), "doc_id", "text", maxHamming = 3)
+    },
+    // X3 near-dup: exact cosine pairs at a dedup-grade threshold.
+    "dedup_embedding_cosine" -> { (s, dir) =>
+      SimSearch.cosinePairs(Tables.embeddings(s, dir), "vec_id", "embedding", 0.45)
+    },
+    // X3 search: threshold similarity join (exact baseline path).
+    "similarity_threshold" -> { (s, dir) =>
+      SimSearch.cosinePairs(Tables.embeddings(s, dir), "vec_id", "embedding", 0.4)
+    },
+    // X3 top-k: brute-force ranked neighbors (WindowGroupLimit top-k).
+    "similarity_topk" -> { (s, dir) =>
+      val e = Tables.embeddings(s, dir)
+      SimSearch.topKBruteForce(e.filter(col("vec_id") < 100), e, "vec_id", "embedding", 3)
+    },
+    // X3 ANN: random-hyperplane LSH buckets, exact scoring of bucket-mates.
+    "similarity_ann_topk" -> { (s, dir) =>
+      SimSearch.annTopK(Tables.embeddings(s, dir), "vec_id", "embedding", 3)
+    },
+    // X4: per-language corpus stats.
+    "text_stats_by_lang" -> { (s, dir) =>
+      TextStats.statsByLang(Tables.documents(s, dir), "lang", "text")
+    },
+    // X4: token totals per source (whitespace tokenizer).
+    "text_token_counts" -> { (s, dir) =>
+      Tables.documents(s, dir).groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(TextStats.tokenCount(col("text"))).as("n_tokens"))
+    },
+    // X4: heuristic language ID (stopword-hit argmax).
+    "text_langid" -> { (s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"), TextStats.langId(col("text")).as("lang_pred"))
+    },
+    // X4: content fingerprint (md5 exact-dup key).
+    "text_fingerprint" -> { (s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"), TextStats.fingerprint(col("text")).as("fp"))
+    }
+  )
+
+  def oracleSql: Map[String, String] = {
+    val jaccardSql = (threshold: String) =>
+      s"""WITH tok AS (
+         |  SELECT DISTINCT doc_id, unnest($TokensSql) AS tok FROM documents),
+         |sz AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY 1),
+         |inter AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+         |  FROM tok a JOIN tok b ON a.tok = b.tok AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT id_a, id_b, round(i / (sa.n + sb.n - i), 6) AS jaccard
+         |FROM inter
+         |JOIN sz sa ON sa.doc_id = id_a
+         |JOIN sz sb ON sb.doc_id = id_b
+         |WHERE i / (sa.n + sb.n - i) >= $threshold""".stripMargin
+    Map(
+      "dedup_exact" ->
+        "SELECT min(doc_id) AS kept_doc_id, count(*) AS n_copies FROM documents GROUP BY text",
+      "dedup_ngram_jaccard" -> jaccardSql("0.95"),
+      "dedup_minhash" -> jaccardSql("0.9"),
+      "dedup_embedding_cosine" ->
+        """SELECT a.vec_id AS id_a, b.vec_id AS id_b
+          |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+          |WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.45""".stripMargin,
+      "similarity_threshold" ->
+        """SELECT a.vec_id AS id_a, b.vec_id AS id_b
+          |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+          |WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.4""".stripMargin,
+      "text_stats_by_lang" ->
+        s"""WITH t AS (SELECT lang, n_chars, $TokensSql AS toks FROM documents),
+           |q AS (SELECT lang, n_chars, len(toks) AS n,
+           |  CASE WHEN len(toks) > 0
+           |       THEN list_sum(list_transform(toks, x -> len(x))) / len(toks)
+           |       ELSE 0.0 END AS avg_len,
+           |  CASE WHEN len(toks) > 0
+           |       THEN len(list_filter(toks, x -> list_contains(
+           |            ['the','of','and','to','in','is','a','on','for','with'], x))) / len(toks)
+           |       ELSE 0.0 END AS sw_ratio
+           |  FROM t)
+           |SELECT lang, count(*) AS n_docs,
+           |       round(avg(n_chars), 2) AS avg_chars,
+           |       round(avg(n), 2) AS avg_tokens,
+           |       round(avg(round(
+           |         0.4 * least(1.0, n / 100.0) +
+           |         0.3 * sw_ratio +
+           |         0.3 * least(1.0, avg_len / 8.0), 6)), 6) AS avg_quality
+           |FROM q GROUP BY 1""".stripMargin,
+      "text_token_counts" ->
+        s"""SELECT source, count(*) AS n_docs,
+           |       sum(len($TokensSql)) AS n_tokens
+           |FROM documents GROUP BY 1""".stripMargin,
+      "text_langid" ->
+        s"""WITH t AS (SELECT doc_id, $TokensSql AS toks FROM documents),
+           |s AS (SELECT doc_id,
+           |  len(list_filter(toks, x -> list_contains(['the','of','and','to','in','is','a','on','for','with'], x))) AS s_en,
+           |  len(list_filter(toks, x -> list_contains(['der','die','das','und','ist','nicht','ein','zu'], x))) AS s_de,
+           |  len(list_filter(toks, x -> list_contains(['el','la','que','los','una','por','como'], x))) AS s_es,
+           |  len(list_filter(toks, x -> list_contains(['le','les','des','est','dans','pour','une'], x))) AS s_fr
+           |  FROM t)
+           |SELECT doc_id, CASE
+           |  WHEN s_en > 0 AND s_en >= greatest(s_en, s_de, s_es, s_fr) THEN 'en'
+           |  WHEN s_de > 0 AND s_de >= greatest(s_en, s_de, s_es, s_fr) THEN 'de'
+           |  WHEN s_es > 0 AND s_es >= greatest(s_en, s_de, s_es, s_fr) THEN 'es'
+           |  WHEN s_fr > 0 AND s_fr >= greatest(s_en, s_de, s_es, s_fr) THEN 'fr'
+           |  ELSE 'und' END AS lang_pred
+           |FROM s""".stripMargin,
+      "text_fingerprint" ->
+        "SELECT doc_id, md5(text) AS fp FROM documents"
+    )
+  }
+}

@@ -1,0 +1,211 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.GraftFunctions
+
+/** Deduplication operators for large-scale text corpora
+  * (SURVEY.md §2b X1/X2; BASELINE.json north-star).
+  *
+  * Four families, in increasing fuzziness:
+  *  - [[exact]] / [[exactByKey]] — hash-groupBy exact dedup (X1)
+  *  - [[jaccardPairsExact]]      — exact n-gram Jaccard over all pairs
+  *  - MinHash + LSH ([[minhashNearDupPairs]]) — the 100 TB path: banding
+  *    turns the O(N²) pair space into per-bucket joins
+  *  - SimHash ([[simhashNearDupPairs]]) — Hamming-ball near-dup via a
+  *    custom codegen'd Catalyst expression
+  *
+  * Scale notes (100 TB posture):
+  *  - Every candidate generator is a shuffle-on-key join, never a cross
+  *    join; the only cross join in this file is the small-N exact-pair
+  *    oracle path, which prunes by the size-ratio bound first.
+  *  - Oversized LSH buckets (degenerate bands: empty docs, boilerplate)
+  *    are dropped with a documented cap instead of letting one hot key
+  *    produce quadratic work — the standard skew guard for LSH joins.
+  */
+object Dedup {
+
+  // ---------------------------------------------------------------- exact
+
+  /** X1: exact dedup on the given key columns (whole row if empty). */
+  def exact(df: DataFrame, keyCols: Seq[String] = Nil): DataFrame =
+    if (keyCols.isEmpty) df.dropDuplicates() else df.dropDuplicates(keyCols)
+
+  /** X1 with lineage: one row per distinct key with the minimum id kept
+    * and the duplicate count — one hash aggregation.
+    */
+  def exactByKey(df: DataFrame, idCol: String, keyCol: String): DataFrame =
+    df.groupBy(col(keyCol))
+      .agg(min(col(idCol)).as("kept_" + idCol), count(lit(1)).as("n_copies"))
+      .select(col("kept_" + idCol), col("n_copies"))
+
+  // ------------------------------------------------------ exact Jaccard
+
+  /** Exact n-gram Jaccard near-dup pairs (id_a < id_b, jaccard >= threshold).
+    *
+    * All-pairs comparison pruned by the size-ratio bound: J(A,B) <=
+    * min(|A|,|B|)/max(|A|,|B|), so pairs failing the ratio test are
+    * skipped without touching the arrays. Still O(N²) worst case — this
+    * is the small-N / oracle path; use MinHash at scale.
+    */
+  def jaccardPairsExact(
+      docs: DataFrame, idCol: String, textCol: String,
+      threshold: Double, shingleN: Int = 1): DataFrame = {
+    val sets = docs.select(
+        col(idCol).as("id"),
+        Text.shingleSet(col(textCol), shingleN).as("s"))
+      .withColumn("sz", size(col("s")))
+      .filter(col("sz") > 0)
+    val a = sets.select(col("id").as("id_a"), col("s").as("s_a"), col("sz").as("sz_a"))
+    val b = sets.select(col("id").as("id_b"), col("s").as("s_b"), col("sz").as("sz_b"))
+    a.join(b,
+        col("id_a") < col("id_b") &&
+        least(col("sz_a"), col("sz_b")).cast("double") >=
+          lit(threshold) * greatest(col("sz_a"), col("sz_b")))
+      .withColumn("jaccard", Text.jaccard(col("s_a"), col("s_b")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
+  // ----------------------------------------------------------- MinHash
+
+  /** MinHash parameters: k = numBands * rowsPerBand hash functions. */
+  final case class MinHashParams(
+      numBands: Int = 8,
+      rowsPerBand: Int = 2,
+      shingleN: Int = 1,
+      seed: Long = 42L,
+      /** LSH buckets larger than this are dropped as degenerate (skew
+        * guard); at threshold-worthy similarity real clusters are small.
+        */
+      maxBucketSize: Int = 1000) {
+    def k: Int = numBands * rowsPerBand
+  }
+
+  private val Prime = 2147483647L // 2^31 - 1, Mersenne
+
+  /** k-permutation MinHash signature of a string array, as array<bigint>.
+    * Universal hashing (a*h + b) mod p over 31-bit reduced xxhash64 values
+    * — products stay < 2^62, no overflow under ANSI mode.
+    *
+    * Single-pass formulation: ONE `aggregate` over the shingles whose
+    * accumulator is the k-vector of running minima, merged per shingle
+    * with `zip_with` against the constant (a,b) coefficient array. The
+    * naive k × array_min(transform(...)) form builds a k-times-larger
+    * expression tree that CollapseProject then inlines once per LSH band
+    * — planning and execution both blow up (measured 120s+ at sf0.01
+    * for the banded join; this form plans flat and runs in seconds).
+    */
+  def minhashSignature(shingleSet: Column, params: MinHashParams): Column = {
+    val rnd = new scala.util.Random(params.seed)
+    val ab = Seq.fill(params.k)((1L + rnd.nextLong(Prime - 1), rnd.nextLong(Prime)))
+    val coef = typedLit(ab.map { case (a, b) => (a, b) })
+    val init = typedLit(Seq.fill(params.k)(Prime))
+    aggregate(
+      shingleSet,
+      init,
+      (acc, s) => {
+        val h = pmod(xxhash64(s), lit(Prime))
+        zip_with(acc, coef, (m, c) =>
+          least(m, pmod(h * c.getField("_1") + c.getField("_2"), lit(Prime))))
+      })
+  }
+
+  /** (id, band, band_hash) — one row per band per doc; the LSH index. */
+  def minhashBands(
+      docs: DataFrame, idCol: String, textCol: String,
+      params: MinHashParams): DataFrame = {
+    val sig = minhashSignature(
+      Text.shingleSet(col(textCol), params.shingleN), params)
+    val bandKeys = array((0 until params.numBands).map { j =>
+      xxhash64(lit(j), slice(col("sig"), j * params.rowsPerBand + 1, params.rowsPerBand))
+    }: _*)
+    docs.select(col(idCol).as("id"), sig.as("sig"))
+      .filter(size(col("sig")) > 0 && !array_contains(transform(col("sig"), x => isnull(x)), true))
+      .select(col("id"), posexplode(bandKeys).as(Seq("band", "band_hash")))
+  }
+
+  /** Candidate pairs from banded MinHash: docs sharing any band bucket.
+    * One shuffle to size buckets (skew guard), one shuffle-join per side
+    * on (band, band_hash), then pair-level distinct.
+    */
+  def minhashCandidatePairs(
+      docs: DataFrame, idCol: String, textCol: String,
+      params: MinHashParams = MinHashParams()): DataFrame = {
+    // The band index feeds three consumers (bucket sizing + both join
+    // sides); caching avoids recomputing signatures and stops the
+    // optimizer from inlining the signature expression into each.
+    val bands = minhashBands(docs, idCol, textCol, params).cache()
+    val okBuckets = bands.groupBy("band", "band_hash")
+      .agg(count(lit(1)).as("bucket_n"))
+      .filter(col("bucket_n") >= 2 && col("bucket_n") <= params.maxBucketSize)
+      .select("band", "band_hash")
+    val pruned = bands.join(okBuckets, Seq("band", "band_hash"))
+    val l = pruned.select(col("band"), col("band_hash"), col("id").as("id_a"))
+    val r = pruned.select(col("band"), col("band_hash"), col("id").as("id_b"))
+    l.join(r, Seq("band", "band_hash"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      .distinct()
+  }
+
+  /** X2 end-to-end: LSH candidates verified with exact shingle Jaccard.
+    * Verification joins the (small) candidate pair set back to the
+    * shingle sets — broadcast-able when candidates fit, shuffle join
+    * otherwise; Catalyst/AQE picks.
+    */
+  def minhashNearDupPairs(
+      docs: DataFrame, idCol: String, textCol: String,
+      threshold: Double,
+      params: MinHashParams = MinHashParams()): DataFrame = {
+    val cand = minhashCandidatePairs(docs, idCol, textCol, params)
+    val sets = docs.select(
+      col(idCol).as("id"), Text.shingleSet(col(textCol), params.shingleN).as("s"))
+    cand
+      .join(sets.select(col("id").as("id_a"), col("s").as("s_a")), Seq("id_a"))
+      .join(sets.select(col("id").as("id_b"), col("s").as("s_b")), Seq("id_b"))
+      .withColumn("jaccard", Text.jaccard(col("s_a"), col("s_b")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
+  // ----------------------------------------------------------- SimHash
+
+  /** (id, simhash) per document via the codegen'd SimHash64 expression. */
+  def simhashes(
+      spark: SparkSession, docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(
+      col(idCol).as("id"),
+      GraftFunctions.simhash64(spark, Text.hashed(Text.tokenSet(col(textCol)))).as("simhash"))
+
+  /** Near-dup pairs at Hamming distance <= maxHamming, using the
+    * pigeonhole block trick: split 64 bits into (maxHamming+1) blocks —
+    * any pair within the ball agrees exactly on at least one block, so
+    * exact-match joins on block values find all candidates. Same
+    * shuffle-on-key shape as MinHash banding; no cross join.
+    */
+  def simhashNearDupPairs(
+      spark: SparkSession, docs: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    val nBlocks = maxHamming + 1
+    val width = 64 / nBlocks
+    val sh = simhashes(spark, docs, idCol, textCol)
+    val blockKeys = array((0 until nBlocks).map { j =>
+      val shifted = shiftrightunsigned(col("simhash"), j * width)
+      val w = if (j == nBlocks - 1) 64 - j * width else width
+      val mask = if (w >= 64) -1L else (1L << w) - 1L
+      struct(lit(j).as("block"), shifted.bitwiseAND(lit(mask)).as("v"))
+    }: _*)
+    val blocks = sh.select(col("id"), col("simhash"), explode(blockKeys).as("b"))
+      .select(col("id"), col("simhash"), col("b.block").as("block"), col("b.v").as("v"))
+    val l = blocks.select(col("block"), col("v"), col("id").as("id_a"), col("simhash").as("sh_a"))
+    val r = blocks.select(col("block"), col("v"), col("id").as("id_b"), col("simhash").as("sh_b"))
+    l.join(r, Seq("block", "v"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+}

@@ -1,0 +1,155 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over embedding columns (SURVEY.md §2b X3;
+  * north-star ANN requirement).
+  *
+  * Two paths:
+  *  - [[cosinePairs]] / [[topKBruteForce]] — exact, O(N·M) pair space.
+  *    Baseline and verification path; also correct choice when one side
+  *    is small enough to broadcast (query batches).
+  *  - Random-hyperplane LSH ([[rhpBands]], [[annPairs]], [[annTopK]]) —
+  *    the 100 TB path: sign-pattern bands turn all-pairs cosine into
+  *    exact-match bucket joins, then only bucket-mates get scored.
+  *
+  * All vector math is `zip_with`/`aggregate` over array<float> — codegen'd
+  * built-ins, no UDF serialization on the hot path.
+  */
+object SimSearch {
+
+  /** dot(a, b) in double precision. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, x) => acc + x)
+
+  def l2Norm(v: Column): Column =
+    sqrt(aggregate(transform(v, x => x * x), lit(0.0d), (acc, x) => acc + x))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (l2Norm(a) * l2Norm(b))
+
+  /** Vectors with pre-computed norms — compute the norm once per vector,
+    * not once per pair (N·k times cheaper on the pair side).
+    */
+  private def withNorm(df: DataFrame, idCol: String, vecCol: String, suffix: String): DataFrame =
+    df.select(
+      col(idCol).as(s"id$suffix"),
+      col(vecCol).as(s"v$suffix"),
+      l2Norm(col(vecCol)).as(s"n$suffix"))
+      .filter(col(s"n$suffix") > 0)
+
+  /** Exact: all pairs (id_a < id_b) with cosine >= threshold. */
+  def cosinePairs(emb: DataFrame, idCol: String, vecCol: String, threshold: Double): DataFrame = {
+    val a = withNorm(emb, idCol, vecCol, "_a")
+    val b = withNorm(emb, idCol, vecCol, "_b")
+    a.join(b, col("id_a") < col("id_b"))
+      .withColumn("cos", dot(col("v_a"), col("v_b")) / (col("n_a") * col("n_b")))
+      .filter(col("cos") >= threshold)
+      .select(col("id_a"), col("id_b"))
+  }
+
+  /** Exact top-k neighbors for each query vector against the corpus.
+    * Per-query ranking is a window over the scored pairs; Catalyst plans
+    * rank<=k as a per-partition top-k (WindowGroupLimit), so only k rows
+    * per query survive the shuffle.
+    */
+  def topKBruteForce(
+      queries: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, k: Int): DataFrame = {
+    val q = withNorm(queries, idCol, vecCol, "_q")
+    val c = withNorm(corpus, idCol, vecCol, "_c")
+    val scored = q.join(c, col("id_q") =!= col("id_c"))
+      .withColumn("cos", dot(col("v_q"), col("v_c")) / (col("n_q") * col("n_c")))
+    val w = Window.partitionBy(col("id_q")).orderBy(col("cos").desc, col("id_c"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("id_q"), col("id_c").as("neighbor_id"), col("rank"))
+  }
+
+  /** Deterministic pseudo-random unit hyperplanes (driver-side constants,
+    * seeded — same planes on every executor, every run).
+    */
+  private def planes(nPlanes: Int, dim: Int, seed: Long): Seq[Seq[Float]] = {
+    val rnd = new scala.util.Random(seed)
+    Seq.fill(nPlanes)(Seq.fill(dim)(rnd.nextGaussian().toFloat))
+  }
+
+  /** (id, band, band_hash): random-hyperplane sign-pattern LSH index.
+    * numBands bands × bitsPerBand hyperplanes; band key packs the sign
+    * bits of its hyperplane block into a long.
+    */
+  def rhpBands(
+      emb: DataFrame, idCol: String, vecCol: String,
+      numBands: Int = 8, bitsPerBand: Int = 8, dim: Int = 64,
+      seed: Long = 42L): DataFrame = {
+    val ps = planes(numBands * bitsPerBand, dim, seed)
+    val bandKeys = array((0 until numBands).map { j =>
+      val bits = (0 until bitsPerBand).map { i =>
+        val p = ps(j * bitsPerBand + i)
+        when(dot(col(vecCol), typedLit(p)) > 0, lit(1L << i)).otherwise(lit(0L))
+      }
+      bits.reduce(_ + _)
+    }: _*)
+    emb.select(col(idCol).as("id"), col(vecCol).as("v"),
+        posexplode(bandKeys).as(Seq("band", "band_hash")))
+      .select("id", "band", "band_hash")
+  }
+
+  /** ANN candidate pairs: bucket-mates in any band (skew-capped), scored
+    * and thresholded exactly. Recall < 1 by construction; tune bands/bits
+    * against the threshold.
+    */
+  def annPairs(
+      emb: DataFrame, idCol: String, vecCol: String, threshold: Double,
+      numBands: Int = 8, bitsPerBand: Int = 8, dim: Int = 64,
+      maxBucketSize: Int = 10000): DataFrame = {
+    // three consumers (bucket sizing + both join sides): cache the index
+    val bands = rhpBands(emb, idCol, vecCol, numBands, bitsPerBand, dim).cache()
+    val okBuckets = bands.groupBy("band", "band_hash")
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") >= 2 && col("n") <= maxBucketSize)
+      .select("band", "band_hash")
+    val pruned = bands.join(okBuckets, Seq("band", "band_hash"))
+    val cand = pruned.select(col("band"), col("band_hash"), col("id").as("id_a"))
+      .join(pruned.select(col("band"), col("band_hash"), col("id").as("id_b")),
+        Seq("band", "band_hash"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    val vecs = withNorm(emb, idCol, vecCol, "")
+    cand
+      .join(vecs.select(col("id").as("id_a"), col("v").as("v_a"), col("n").as("n_a")), Seq("id_a"))
+      .join(vecs.select(col("id").as("id_b"), col("v").as("v_b"), col("n").as("n_b")), Seq("id_b"))
+      .withColumn("cos", dot(col("v_a"), col("v_b")) / (col("n_a") * col("n_b")))
+      .filter(col("cos") >= threshold)
+      .select(col("id_a"), col("id_b"))
+  }
+
+  /** ANN top-k: exact scoring restricted to LSH bucket-mates. */
+  def annTopK(
+      emb: DataFrame, idCol: String, vecCol: String, k: Int,
+      numBands: Int = 16, bitsPerBand: Int = 6, dim: Int = 64,
+      maxBucketSize: Int = 10000): DataFrame = {
+    // three consumers (bucket sizing + both join sides): cache the index
+    val bands = rhpBands(emb, idCol, vecCol, numBands, bitsPerBand, dim).cache()
+    val okBuckets = bands.groupBy("band", "band_hash")
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") >= 2 && col("n") <= maxBucketSize)
+      .select("band", "band_hash")
+    val pruned = bands.join(okBuckets, Seq("band", "band_hash"))
+    val cand = pruned.select(col("band"), col("band_hash"), col("id").as("id_q"))
+      .join(pruned.select(col("band"), col("band_hash"), col("id").as("id_c")),
+        Seq("band", "band_hash"))
+      .filter(col("id_q") =!= col("id_c"))
+      .select("id_q", "id_c").distinct()
+    val vecs = withNorm(emb, idCol, vecCol, "")
+    val scored = cand
+      .join(vecs.select(col("id").as("id_q"), col("v").as("v_q"), col("n").as("n_q")), Seq("id_q"))
+      .join(vecs.select(col("id").as("id_c"), col("v").as("v_c"), col("n").as("n_c")), Seq("id_c"))
+      .withColumn("cos", dot(col("v_q"), col("v_c")) / (col("n_q") * col("n_c")))
+    val w = Window.partitionBy(col("id_q")).orderBy(col("cos").desc, col("id_c"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("id_q"), col("id_c").as("neighbor_id"), col("rank"))
+  }
+}

@@ -1,0 +1,44 @@
+package graft.ext
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Tokenization and shingling column builders shared by the dedup and
+  * text-analysis operators. Everything here is built-in `functions._`
+  * (codegen'd, no UDFs) so it survives whole-stage codegen at 100 TB.
+  */
+object Text {
+
+  /** Lowercased whitespace tokens; empty strings filtered (leading/
+    * trailing whitespace produces them).
+    */
+  def tokens(text: Column): Column =
+    filter(split(lower(text), "\\s+"), t => length(t) > 0)
+
+  /** Distinct token set (unigram shingles). */
+  def tokenSet(text: Column): Column = array_distinct(tokens(text))
+
+  /** Word n-gram shingles: overlapping windows of n tokens re-joined with
+    * a single space. Documents with fewer than n tokens yield the whole
+    * token sequence as one shingle (so short docs still fingerprint).
+    */
+  def shingles(text: Column, n: Int): Column = {
+    val ts = tokens(text)
+    when(size(ts) >= n,
+      transform(sequence(lit(0), size(ts) - n),
+        i => array_join(slice(ts, i + 1, lit(n)), " ")))
+      .otherwise(array(array_join(ts, " ")))
+  }
+
+  /** Distinct shingle set. */
+  def shingleSet(text: Column, n: Int): Column = array_distinct(shingles(text, n))
+
+  /** 64-bit hashes of a string array's elements. */
+  def hashed(arr: Column): Column = transform(arr, s => xxhash64(s))
+
+  /** Exact Jaccard similarity of two pre-distinct string arrays. */
+  def jaccard(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(a, b)).cast("double")
+    inter / (size(a) + size(b) - inter)
+  }
+}

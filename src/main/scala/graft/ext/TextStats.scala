@@ -1,0 +1,79 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text analysis for training-data pipelines (SURVEY.md §2b X4):
+  * token counting, quality scoring, heuristic language ID, and content
+  * fingerprinting. All built-in `functions._` — codegen'd end-to-end, and
+  * every operator here is embarrassingly parallel (per-row map, no
+  * shuffle), so it scales linearly with input splits.
+  */
+object TextStats {
+
+  // Small stopword lists for the hit-count language heuristic. The
+  // heuristic is deterministic (argmax with fixed tie-break order), which
+  // is what makes it differentially testable against the SQL oracle.
+  val Stopwords: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "of", "and", "to", "in", "is", "a", "on", "for", "with"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "zu"),
+    "es" -> Seq("el", "la", "que", "los", "una", "por", "como"),
+    "fr" -> Seq("le", "les", "des", "est", "dans", "pour", "une"))
+
+  def tokenCount(text: Column): Column = size(Text.tokens(text))
+
+  /** Mean token length: sum(len(token)) / n, null-safe on empty docs. */
+  def avgTokenLen(text: Column): Column = {
+    val ts = Text.tokens(text)
+    when(size(ts) > 0,
+      aggregate(ts, lit(0L), (acc, t) => acc + length(t)).cast("double") / size(ts))
+      .otherwise(lit(0.0d))
+  }
+
+  def stopwordHits(text: Column, stopwords: Seq[String]): Column =
+    size(filter(Text.tokens(text), t => array_contains(typedLit(stopwords), t)))
+
+  /** Fraction of tokens that are (English) stopwords. */
+  def stopwordRatio(text: Column): Column = {
+    val ts = Text.tokens(text)
+    when(size(ts) > 0,
+      stopwordHits(text, Stopwords.head._2).cast("double") / size(ts))
+      .otherwise(lit(0.0d))
+  }
+
+  /** Composite quality score in [0,1]: length signal, stopword signal,
+    * token-shape signal — the standard cheap pre-filter shape for corpus
+    * curation (each component clamped, weights sum to 1).
+    */
+  def qualityScore(text: Column): Column =
+    round(
+      lit(0.4) * least(lit(1.0), tokenCount(text).cast("double") / 100.0) +
+      lit(0.3) * stopwordRatio(text) +
+      lit(0.3) * least(lit(1.0), avgTokenLen(text) / 8.0),
+      6)
+
+  /** Heuristic language ID: stopword-hit argmax, ties broken by list
+    * order (en, de, es, fr), "und" (undetermined) when nothing hits.
+    */
+  def langId(text: Column): Column = {
+    val scores = Stopwords.map { case (lang, words) => lang -> stopwordHits(text, words) }
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    scores.foldRight(lit("und")) { case ((lang, s), acc) =>
+      when(s > 0 && s === best, lang).otherwise(acc)
+    }
+  }
+
+  /** Content fingerprint: md5 of the raw text (exact-dup key; also the
+    * DuckDB-checkable stand-in for a rolling hash).
+    */
+  def fingerprint(text: Column): Column = md5(text)
+
+  /** Per-language corpus stats in one aggregation. */
+  def statsByLang(docs: DataFrame, langCol: String, textCol: String): DataFrame =
+    docs.groupBy(col(langCol))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        round(avg(col("n_chars")), 2).as("avg_chars"),
+        round(avg(tokenCount(col(textCol))), 2).as("avg_tokens"),
+        round(avg(qualityScore(col(textCol))), 6).as("avg_quality"))
+}

@@ -1,0 +1,109 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.functions.call_function
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+
+/** 64-bit SimHash of a bag of 64-bit token hashes.
+  *
+  * Bit b of the result is 1 iff more than half of the (non-null) input
+  * hashes have bit b set — the classic Charikar sketch: near-duplicate
+  * documents get simhashes at small Hamming distance.
+  *
+  * Implemented as a native Catalyst `Expression` with `doGenCode` (not a
+  * Scala UDF) so it stays inside whole-stage codegen: no
+  * serialization boundary, no boxing per row — this runs over every
+  * document at 100 TB, so the hot path matters.
+  */
+case class SimHash64(child: Expression)
+    extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_simhash64"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<bigint>, got ${other.catalogString}")
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val cnt = new Array[Int](64)
+    var m = 0
+    var k = 0
+    while (k < n) {
+      if (!arr.isNullAt(k)) {
+        m += 1
+        val h = arr.getLong(k)
+        var b = 0
+        while (b < 64) {
+          if (((h >>> b) & 1L) == 1L) cnt(b) += 1
+          b += 1
+        }
+      }
+      k += 1
+    }
+    var r = 0L
+    var b = 0
+    while (b < 64) {
+      if (2 * cnt(b) > m) r |= (1L << b)
+      b += 1
+    }
+    java.lang.Long.valueOf(r)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, arr => {
+      val n = ctx.freshName("n")
+      val m = ctx.freshName("m")
+      val cnt = ctx.freshName("cnt")
+      val k = ctx.freshName("k")
+      val h = ctx.freshName("h")
+      val b = ctx.freshName("b")
+      val r = ctx.freshName("r")
+      s"""
+         |int $n = $arr.numElements();
+         |int $m = 0;
+         |int[] $cnt = new int[64];
+         |for (int $k = 0; $k < $n; $k++) {
+         |  if (!$arr.isNullAt($k)) {
+         |    $m++;
+         |    long $h = $arr.getLong($k);
+         |    for (int $b = 0; $b < 64; $b++) {
+         |      if ((($h >>> $b) & 1L) == 1L) $cnt[$b]++;
+         |    }
+         |  }
+         |}
+         |long $r = 0L;
+         |for (int $b = 0; $b < 64; $b++) {
+         |  if (2 * $cnt[$b] > $m) $r |= (1L << $b);
+         |}
+         |${ev.value} = $r;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash64 =
+    copy(child = newChild)
+}
+
+/** Session registration + Column-level access for graft's custom
+  * expressions. `call_function` after registry insertion avoids any
+  * dependence on non-public Column constructors.
+  */
+object GraftFunctions {
+
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_simhash64", exprs => SimHash64(exprs.head), "built-in")
+
+  def simhash64(spark: SparkSession, tokenHashes: Column): Column = {
+    register(spark)
+    call_function("graft_simhash64", tokenHashes)
+  }
+}

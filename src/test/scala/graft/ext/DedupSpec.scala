@@ -1,0 +1,92 @@
+package graft.ext
+
+import graft.SparkFunSuite
+import graft.core.Tables
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkFunSuite {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "the quick brown fox jumps over the lazy dog"), // exact dup of 1
+    (3L, "the quick brown fox jumps over the lazy cat"), // near dup of 1
+    (4L, "completely different content about spark engines"),
+    (5L, "")).toDF("doc_id", "text")
+
+  test("exact dedup drops duplicate rows") {
+    assert(Dedup.exact(docs).count() == 5) // ids differ → all distinct
+    assert(Dedup.exact(docs, Seq("text")).count() == 4)
+  }
+
+  test("exactByKey keeps min id and counts copies") {
+    val got = Dedup.exactByKey(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got(1L) == 2L) // doc 1 kept, 2 copies
+    assert(got(3L) == 1L)
+  }
+
+  test("jaccardPairsExact finds exact and near duplicates with correct jaccard") {
+    val got = Dedup.jaccardPairsExact(docs, "doc_id", "text", 0.5)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(got.contains((1L, 2L)) && got((1L, 2L)) == 1.0)
+    assert(got.contains((1L, 3L)) && got((1L, 3L)) > 0.7 && got((1L, 3L)) < 1.0)
+    assert(got.contains((2L, 3L)))
+    assert(!got.keys.exists { case (a, b) => a == 4L || b == 4L })
+  }
+
+  test("minhash near-dup finds the same clusters as exact jaccard at high threshold") {
+    val exact = Dedup.jaccardPairsExact(docs, "doc_id", "text", 0.8)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.minhashNearDupPairs(docs, "doc_id", "text", 0.8,
+        Dedup.MinHashParams(numBands = 16, rowsPerBand = 2))
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // LSH candidates are verified exactly → lsh ⊆ exact; with 16 bands at
+    // j>=0.8 recall should be complete on this fixture.
+    assert(lsh == exact)
+    assert(lsh.contains((1L, 2L)))
+  }
+
+  test("minhash signature is deterministic and k-long") {
+    val p = Dedup.MinHashParams(numBands = 4, rowsPerBand = 3)
+    val sig = docs.filter($"doc_id" === 1L)
+      .select(Dedup.minhashSignature(Text.tokenSet($"text"), p).as("s"))
+      .head.getSeq[Long](0)
+    assert(sig.length == p.k)
+    val sig2 = docs.filter($"doc_id" === 2L)
+      .select(Dedup.minhashSignature(Text.tokenSet($"text"), p).as("s"))
+      .head.getSeq[Long](0)
+    assert(sig == sig2) // identical text → identical signature
+  }
+
+  test("simhash: identical texts collide, near texts are close, different texts far") {
+    val sh = Dedup.simhashes(spark, docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(sh(1L) == sh(2L))
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(hamming(sh(1L), sh(3L)) < hamming(sh(1L), sh(4L)))
+  }
+
+  test("simhashNearDupPairs finds the duplicate pair via block join") {
+    val got = Dedup.simhashNearDupPairs(spark, docs, "doc_id", "text", maxHamming = 3)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.contains((1L, 2L)))
+  }
+
+  test("shingles produce n-grams and handle short docs") {
+    val s = Seq("a b c d").toDF("t")
+      .select(Text.shingles($"t", 3).as("s")).head.getSeq[String](0)
+    assert(s == Seq("a b c", "b c d"))
+    val short = Seq("a b").toDF("t")
+      .select(Text.shingles($"t", 3).as("s")).head.getSeq[String](0)
+    assert(short == Seq("a b"))
+  }
+
+  test("minhash scales structurally: fixture documents run end-to-end") {
+    val d = Tables.documents(spark, sf001)
+    val pairs = Dedup.minhashNearDupPairs(d, "doc_id", "text", 0.9)
+    assert(pairs.count() > 0) // fixture has token-set-identical docs
+    // verified pairs must satisfy the threshold exactly
+    assert(pairs.filter(col("jaccard") < 0.9).count() == 0)
+  }
+}

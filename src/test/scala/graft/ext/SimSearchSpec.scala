@@ -1,0 +1,63 @@
+package graft.ext
+
+import graft.SparkFunSuite
+import graft.core.Tables
+import org.apache.spark.sql.functions._
+
+class SimSearchSpec extends SparkFunSuite {
+  import spark.implicits._
+
+  private val vecs = Seq(
+    (1L, Seq(1.0f, 0.0f, 0.0f)),
+    (2L, Seq(0.9f, 0.1f, 0.0f)),  // close to 1
+    (3L, Seq(0.0f, 1.0f, 0.0f)),  // orthogonal to 1
+    (4L, Seq(-1.0f, 0.0f, 0.0f)), // opposite of 1
+    (5L, Seq(0.0f, 0.0f, 0.0f))   // zero vector: filtered
+  ).toDF("vec_id", "embedding")
+
+  test("cosine math: identical=1, orthogonal=0, opposite=-1") {
+    val c = vecs.alias("a").join(vecs.alias("b"),
+        col("a.vec_id") === 1L && col("b.vec_id").isin(1L, 3L, 4L))
+      .select(col("b.vec_id"),
+        SimSearch.cosine(col("a.embedding"), col("b.embedding")).as("cos"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    assert(math.abs(c(1L) - 1.0) < 1e-6)
+    assert(math.abs(c(3L)) < 1e-6)
+    assert(math.abs(c(4L) + 1.0) < 1e-6)
+  }
+
+  test("cosinePairs finds only the close pair at 0.9") {
+    val got = SimSearch.cosinePairs(vecs, "vec_id", "embedding", 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((1L, 2L)))
+  }
+
+  test("topKBruteForce ranks the close vector first and excludes self") {
+    val q = vecs.filter($"vec_id" === 1L)
+    val got = SimSearch.topKBruteForce(q, vecs, "vec_id", "embedding", 2)
+      .collect().map(r => (r.getLong(1), r.getInt(2)))
+    assert(got.length == 2)
+    assert(got.contains((2L, 1))) // nearest neighbor of 1 is 2
+    assert(!got.map(_._1).contains(1L))
+  }
+
+  test("ANN pairs on fixture embeddings: subset of exact with decent recall") {
+    val e = Tables.embeddings(spark, sf001)
+    val exact = SimSearch.cosinePairs(e, "vec_id", "embedding", 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ann = SimSearch.annPairs(e, "vec_id", "embedding", 0.4,
+        numBands = 24, bitsPerBand = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(ann.subsetOf(exact)) // verification is exact → no false positives
+    assert(exact.isEmpty || ann.size.toDouble / exact.size >= 0.5,
+      s"ANN recall too low: ${ann.size}/${exact.size}")
+  }
+
+  test("annTopK returns ranked bucket-mate neighbors") {
+    val e = Tables.embeddings(spark, sf001)
+    val got = SimSearch.annTopK(e, "vec_id", "embedding", 3)
+    val counts = got.groupBy("id_q").count()
+    assert(counts.filter(col("count") > 3).count() == 0)
+    assert(got.count() > 0)
+  }
+}

@@ -22,10 +22,79 @@ object SparkEntry {
     queries("q1_agg")(spark, "/root/testdata/sf0.001")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    CoreQueries.queries ++ ExtQueries.queries
+    CoreQueries.queries ++ ExtQueries.queries ++ StreamQueries.queries
 
   def oracleSql: Map[String, String] =
-    CoreQueries.oracleSql ++ ExtQueries.oracleSql
+    CoreQueries.oracleSql ++ ExtQueries.oracleSql ++ StreamQueries.oracleSql
+}
+
+/** Event-window and multimodal queries (SURVEY.md §2b X5/X6). Windowed
+  * aggregations run in batch mode here — identical code paths serve the
+  * streaming variants (see graft.stream.EventWindows) — because batch
+  * results are what DuckDB can oracle-check.
+  */
+object StreamQueries {
+  import graft.stream.EventWindows
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // X6: tumbling window aggregation (epoch-aligned, oracle: time_bucket).
+    "events_windowed" -> { (s, dir) =>
+      EventWindows.tumbling(Tables.events(s, dir), "1 hour")
+    },
+    // X6: session windows per user, 30-minute inactivity gap.
+    "events_sessions" -> { (s, dir) =>
+      EventWindows.sessions(Tables.events(s, dir), "30 minutes")
+    },
+    // X6: sliding windows (1h window, 30m slide → every event in 2 windows).
+    "events_sliding" -> { (s, dir) =>
+      EventWindows.sliding(Tables.events(s, dir), "1 hour", "30 minutes")
+    },
+    // X5: binary media column plumbing — byte length + frame count stay
+    // in whole-stage codegen.
+    "multimodal_stats" -> { (s, dir) =>
+      Multimodal.mediaStats(Multimodal.withSyntheticMedia(Tables.documents(s, dir)))
+    },
+    // X5: batched stub decode via mapPartitions (features engine-only →
+    // rows-only check).
+    "multimodal_decode" -> { (s, dir) =>
+      Multimodal.decodeFeatures(s, Multimodal.withSyntheticMedia(Tables.documents(s, dir))).toDF()
+    }
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "events_windowed" ->
+      """SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+        |       event_type, count(*) AS n_events, round(sum(value), 2) AS sum_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
+    "events_sessions" ->
+      """WITH marked AS (
+        |  SELECT user_id, ts, value,
+        |         CASE WHEN lag(ts) OVER w IS NULL
+        |                OR ts - lag(ts) OVER w > INTERVAL '30 minutes'
+        |              THEN 1 ELSE 0 END AS new_session
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |numbered AS (
+        |  SELECT user_id, ts, value,
+        |         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+        |           ROWS UNBOUNDED PRECEDING) AS session_id
+        |  FROM marked)
+        |SELECT min(ts) AS session_start, user_id,
+        |       count(*) AS n_events, round(sum(value), 2) AS sum_value
+        |FROM numbered GROUP BY user_id, session_id""".stripMargin,
+    "events_sliding" ->
+      """SELECT time_bucket(INTERVAL '30 minutes', ts)
+        |         - INTERVAL '30 minutes' * k.k AS window_start,
+        |       event_type, count(*) AS n_events
+        |FROM events CROSS JOIN (VALUES (0), (1)) AS k(k)
+        |GROUP BY 1, 2""".stripMargin,
+    "multimodal_stats" ->
+      """SELECT doc_id,
+        |       CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+        |            ELSE 'video' END AS kind,
+        |       octet_length(encode(text)) AS media_len,
+        |       CAST(ceil(octet_length(encode(text)) / 256.0) AS INT) AS n_frames
+        |FROM documents""".stripMargin
+  )
 }
 
 /** Core relational operators (SURVEY.md §2a) exposed as driver queries. */

@@ -1,0 +1,85 @@
+package graft.stream
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Event-stream operators (SURVEY.md §2b X6).
+  *
+  * Every transform is defined ONCE over a DataFrame and works in both
+  * batch and streaming mode — the batch form is what the DuckDB oracle
+  * checks; the streaming form is the same function applied to a
+  * `readStream` source with a watermark. That symmetry is the point:
+  * Structured Streaming treats a stream as an unbounded table, so a
+  * correct batch aggregation IS the streaming aggregation.
+  *
+  * Scale notes: tumbling windows and session windows are grouped
+  * aggregations — partial aggregation map-side, one shuffle on
+  * (window/user) keys. Watermarks bound state: late events beyond the
+  * watermark are dropped (documented policy, SURVEY.md §7.4 #6).
+  */
+object EventWindows {
+
+  /** Tumbling-window counts/sums per event type. Epoch-aligned windows
+    * (same origin as DuckDB's time_bucket, so oracle-comparable).
+    */
+  def tumbling(events: DataFrame, width: String): DataFrame =
+    events
+      .groupBy(window(col("ts"), width), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), round(sum("value"), 2).as("sum_value"))
+      .select(col("window.start").as("window_start"),
+        col("event_type"), col("n_events"), col("sum_value"))
+
+  /** Session windows per user: a session closes after `gap` of
+    * inactivity. The boundary is inclusive — an event at exactly
+    * last_ts + gap still merges into the running session (verified
+    * against Spark's session_window in EventWindowsSpec).
+    */
+  def sessions(events: DataFrame, gap: String): DataFrame =
+    events
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), round(sum("value"), 2).as("sum_value"))
+      .select(col("session_window.start").as("session_start"),
+        col("user_id"), col("n_events"), col("sum_value"))
+
+  /** Sliding-window event rate (window/slide), for monitoring-style
+    * queries.
+    */
+  def sliding(events: DataFrame, width: String, slide: String): DataFrame =
+    events
+      .groupBy(window(col("ts"), width, slide), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("window.start").as("window_start"),
+        col("event_type"), col("n_events"))
+
+  /** The events parquet path as an unbounded source (file-stream).
+    * The schema is taken from a batch read of the same path (streaming
+    * file sources require a declared schema), then normalized the same
+    * way as the batch loader (nanos → µs timestamps).
+    */
+  def readEventStream(spark: SparkSession, path: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(path).schema
+    // Streaming file sources require a directory; the fixture is a single
+    // file, so stream its parent with a glob restricted to that file.
+    val f = new java.io.File(path)
+    val (dir, glob) =
+      if (f.isFile) (f.getParent, f.getName) else (path, "*")
+    graft.core.Tables.normalizeEvents(
+      spark.readStream.schema(schema)
+        .option("pathGlobFilter", glob)
+        .parquet(dir))
+  }
+
+  /** Streaming tumbling aggregation with a watermark: state for a window
+    * is dropped once the watermark passes its end; events later than
+    * `lateness` beyond max(ts) seen are discarded.
+    */
+  def tumblingStream(events: DataFrame, width: String, lateness: String): DataFrame =
+    tumbling(events.withWatermark("ts", lateness), width)
+
+  /** Streaming sessionization with a watermark (state cleanup for
+    * closed sessions).
+    */
+  def sessionsStream(events: DataFrame, gap: String, lateness: String): DataFrame =
+    sessions(events.withWatermark("ts", lateness), gap)
+}

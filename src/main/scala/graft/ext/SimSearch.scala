@@ -1,8 +1,10 @@
 package graft.ext
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+
+import graft.functions.GraftFunctions
 
 /** Similarity search over embedding columns (SURVEY.md §2b X3;
   * north-star ANN requirement).
@@ -20,12 +22,17 @@ import org.apache.spark.sql.functions._
   */
 object SimSearch {
 
-  /** dot(a, b) in double precision. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, x) => acc + x)
+  /** dot(a, b) in double precision — the codegen'd ArrayDotProduct
+    * kernel (an fma loop; the `aggregate(zip_with(...))` built-in form
+    * allocates an intermediate array per pair, which dominated the
+    * all-pairs similarity queries at sf0.1).
+    */
+  def dot(a: Column, b: Column): Column = {
+    SparkSession.getActiveSession.foreach(GraftFunctions.register)
+    call_function("graft_dot", a, b)
+  }
 
-  def l2Norm(v: Column): Column =
-    sqrt(aggregate(transform(v, x => x * x), lit(0.0d), (acc, x) => acc + x))
+  def l2Norm(v: Column): Column = sqrt(dot(v, v))
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (l2Norm(a) * l2Norm(b))
 

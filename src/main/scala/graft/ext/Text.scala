@@ -15,8 +15,11 @@ object Text {
   def tokens(text: Column): Column =
     filter(split(lower(text), "\\s+"), t => length(t) > 0)
 
-  /** Distinct token set (unigram shingles). */
-  def tokenSet(text: Column): Column = array_distinct(tokens(text))
+  /** Distinct token set (unigram shingles), SORTED — sortedness costs one
+    * array_sort per document and buys the merge-loop intersection kernel
+    * on every candidate pair (see functions.SortedIntersectCount).
+    */
+  def tokenSet(text: Column): Column = array_sort(array_distinct(tokens(text)))
 
   /** Word n-gram shingles: overlapping windows of n tokens re-joined with
     * a single space. Documents with fewer than n tokens yield the whole
@@ -30,15 +33,28 @@ object Text {
       .otherwise(array(array_join(ts, " ")))
   }
 
-  /** Distinct shingle set. */
-  def shingleSet(text: Column, n: Int): Column = array_distinct(shingles(text, n))
+  /** Distinct shingle set, sorted (see [[tokenSet]]). */
+  def shingleSet(text: Column, n: Int): Column =
+    array_sort(array_distinct(shingles(text, n)))
 
   /** 64-bit hashes of a string array's elements. */
   def hashed(arr: Column): Column = transform(arr, s => xxhash64(s))
 
-  /** Exact Jaccard similarity of two pre-distinct string arrays. */
+  /** Exact Jaccard similarity of two pre-distinct string arrays
+    * (built-in array_intersect — allocates a hash set per pair; use
+    * [[jaccardSorted]] on hot paths).
+    */
   def jaccard(a: Column, b: Column): Column = {
     val inter = size(array_intersect(a, b)).cast("double")
+    inter / (size(a) + size(b) - inter)
+  }
+
+  /** Exact Jaccard over SORTED distinct arrays via the allocation-free
+    * merge kernel. Same value as [[jaccard]], ~10-30x cheaper per pair.
+    * Requires graft.functions.GraftFunctions.register on the session.
+    */
+  def jaccardSorted(a: Column, b: Column): Column = {
+    val inter = call_function("graft_sorted_intersect_count", a, b).cast("double")
     inter / (size(a) + size(b) - inter)
   }
 }

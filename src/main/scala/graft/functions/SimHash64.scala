@@ -98,12 +98,31 @@ case class SimHash64(child: Expression)
   */
 object GraftFunctions {
 
-  def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction(
       "graft_simhash64", exprs => SimHash64(exprs.head), "built-in")
+    reg.createOrReplaceTempFunction(
+      "graft_sorted_intersect_count",
+      exprs => SortedIntersectCount(exprs(0), exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction(
+      "graft_dot", exprs => ArrayDotProduct(exprs(0), exprs(1)), "built-in")
+  }
 
   def simhash64(spark: SparkSession, tokenHashes: Column): Column = {
     register(spark)
     call_function("graft_simhash64", tokenHashes)
+  }
+
+  /** Intersection size of two sorted distinct string arrays. */
+  def sortedIntersectCount(spark: SparkSession, a: Column, b: Column): Column = {
+    register(spark)
+    call_function("graft_sorted_intersect_count", a, b)
+  }
+
+  /** Double-precision dot product over float/double arrays. */
+  def dot(spark: SparkSession, a: Column, b: Column): Column = {
+    register(spark)
+    call_function("graft_dot", a, b)
   }
 }

@@ -1,0 +1,52 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Dumps the formatted physical plan of every SparkEntry query plus a
+  * quick scan for the plan properties that matter at scale:
+  * parquet pushdown (PushedFilters / ReadSchema), broadcast joins,
+  * whole-stage codegen coverage, and partial (map-side) aggregation.
+  *
+  * Usage: runMain graft.tools.PlanDump [sfDir] [outFile]
+  */
+object PlanDump {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val outFile = args.lift(1).getOrElse("/tmp/plans.txt")
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val sb = new StringBuilder
+    val summary = new StringBuilder
+    graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      try {
+        val df = fn(spark, sfDir)
+        val plan = df.queryExecution.explainString(
+          org.apache.spark.sql.execution.FormattedMode)
+        sb.append(s"\n===== $name =====\n").append(plan)
+        val markers = Seq(
+          "codegen" -> (plan.contains("codegen id") || plan.contains("WholeStageCodegen")),
+          "broadcast_join" -> plan.contains("BroadcastHashJoin"),
+          "smj" -> plan.contains("SortMergeJoin"),
+          "partial_agg" -> plan.contains("partial_"),
+          "pushed_filters" -> "PushedFilters: \\[[^\\]]".r.findFirstIn(plan).isDefined,
+          "cartesian" -> (plan.contains("CartesianProduct") ||
+            plan.contains("BroadcastNestedLoopJoin")))
+        summary.append(f"$name%-28s ")
+          .append(markers.collect { case (m, true) => m }.mkString(" "))
+          .append("\n")
+      } catch {
+        case e: Throwable =>
+          summary.append(f"$name%-28s ERROR ${e.getMessage.take(80)}\n")
+      }
+    }
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), sb.toString)
+    println(summary.toString)
+    spark.stop()
+  }
+}

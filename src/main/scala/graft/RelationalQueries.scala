@@ -1,0 +1,203 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+
+/** General relational coverage: joins (broadcast / shuffle / semi /
+  * anti), window functions, rollup, distinct aggregation, top-k. The
+  * reference delegates all of this to Hive (SURVEY.md §2c documents the
+  * absence of joins/windows in its own code); a complete replacement
+  * engine has to answer the same query classes, so each is exposed and
+  * oracle-checked here.
+  *
+  * Scale idioms on display, chosen deliberately:
+  *  - dimension joins take `broadcast()` hints (no shuffle of the fact
+  *    table's join input; only the dim table travels);
+  *  - fact-fact joins shuffle on the join key and pre-aggregate where
+  *    the grouping allows;
+  *  - top-k = orderBy+limit → TakeOrdered (per-partition top-k, k rows
+  *    to the driver, never a full sort);
+  *  - rank-per-group ≤ k → WindowGroupLimit pushes the limit below the
+  *    shuffle;
+  *  - doubles that feed rankings are rounded before comparison so
+  *    engine-vs-oracle summation noise cannot reorder results.
+  */
+object RelationalQueries {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // S1 analogue: partition-value discovery as a distinct projection
+    // (the generic form of SHOW PARTITIONS for path tables).
+    "show_partitions" -> { (s, dir) =>
+      Tables.lineitem(s, dir)
+        .select(col("l_returnflag"), col("l_linestatus")).distinct()
+    },
+    // Broadcast dimension join: part is small → broadcast hash join,
+    // lineitem never shuffles for the join.
+    "join_broadcast_dim" -> { (s, dir) =>
+      Tables.lineitem(s, dir)
+        .join(broadcast(Tables.part(s, dir)),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"))
+        .agg(
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+          count(lit(1)).as("n_items"))
+    },
+    // TPC-H Q3 shape: 3-way join, per-order revenue, deterministic top 10.
+    "q3_shipping" -> { (s, dir) =>
+      val c = Tables.customer(s, dir).filter(col("c_mktsegment") === "BUILDING")
+      val o = Tables.orders(s, dir)
+      val l = Tables.lineitem(s, dir)
+      c.join(o, col("c_custkey") === col("o_custkey"))
+        .join(l, col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("o_orderkey"), col("o_orderdate"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+        .orderBy(col("revenue").desc, col("o_orderkey"))
+        .limit(10)
+    },
+    // TPC-H Q5 shape: 6-way join through the star schema, revenue per
+    // nation within one region; dims broadcast, facts shuffle on keys.
+    "q5_region_revenue" -> { (s, dir) =>
+      val c = Tables.customer(s, dir)
+      val o = Tables.orders(s, dir)
+      val l = Tables.lineitem(s, dir)
+      val su = Tables.supplier(s, dir)
+      val n = Tables.nation(s, dir)
+      val r = Tables.region(s, dir).filter(col("r_name") === "ASIA")
+      c.join(o, col("c_custkey") === col("o_custkey"))
+        .join(l, col("o_orderkey") === col("l_orderkey"))
+        .join(su, col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("n_name"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+    },
+    // Running total per supplier over a total order (unique tiebreak) —
+    // quantities are small integers in doubles, so running sums are
+    // exact and oracle-identical.
+    "window_running_total" -> { (s, dir) =>
+      val w = Window.partitionBy(col("l_suppkey"))
+        .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.lineitem(s, dir)
+        .filter(col("l_suppkey") < 50)
+        .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+          sum(col("l_quantity")).over(w).as("running_qty"))
+    },
+    // Rank-within-group top-N: top 3 parts by revenue per brand
+    // (rounded before ranking; row_number with id tiebreak).
+    "window_rank_topn" -> { (s, dir) =>
+      val rev = Tables.lineitem(s, dir)
+        .join(broadcast(Tables.part(s, dir)), col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"), col("p_partkey"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+      val w = Window.partitionBy(col("p_brand"))
+        .orderBy(col("revenue").desc, col("p_partkey"))
+      rev.withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 3)
+        .select(col("p_brand"), col("p_partkey"), col("revenue"), col("rnk"))
+    },
+    // Rollup: subtotals + grand total in one pass.
+    "agg_rollup" -> { (s, dir) =>
+      Tables.lineitem(s, dir)
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"), round(sum("l_quantity"), 2).as("sum_qty"))
+    },
+    // Exact multi-column distinct counts (expand + two-phase agg).
+    "distinct_counts" -> { (s, dir) =>
+      Tables.lineitem(s, dir).agg(
+        countDistinct(col("l_partkey")).as("d_parts"),
+        countDistinct(col("l_suppkey")).as("d_supps"),
+        countDistinct(col("l_orderkey")).as("d_orders"))
+    },
+    // Anti join: customers with no finished ('F') order, per nation
+    // (left_anti keeps the probe side only — no row widening; the filter
+    // on orders is pushed to its scan).
+    "anti_join_customers" -> { (s, dir) =>
+      Tables.customer(s, dir)
+        .join(Tables.orders(s, dir).filter(col("o_orderstatus") === "F"),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).as("n_customers"))
+    },
+    // Semi join: nations having at least one BUILDING-segment customer.
+    "semi_join_nations" -> { (s, dir) =>
+      Tables.nation(s, dir)
+        .join(Tables.customer(s, dir).filter(col("c_mktsegment") === "BUILDING"),
+          col("n_nationkey") === col("c_nationkey"), "left_semi")
+        .select(col("n_nationkey"), col("n_name"))
+    }
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "show_partitions" ->
+      "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
+    "join_broadcast_dim" ->
+      """SELECT p_brand,
+        |       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        |       count(*) AS n_items
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY 1""".stripMargin,
+    "q3_shipping" ->
+      """SELECT o_orderkey, o_orderdate,
+        |       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |GROUP BY 1, 2
+        |ORDER BY revenue DESC, o_orderkey
+        |LIMIT 10""".stripMargin,
+    "q5_region_revenue" ->
+      """SELECT n_name,
+        |       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |GROUP BY 1""".stripMargin,
+    "window_running_total" ->
+      """SELECT l_suppkey, l_orderkey, l_linenumber,
+        |       sum(l_quantity) OVER (
+        |         PARTITION BY l_suppkey
+        |         ORDER BY l_shipdate, l_orderkey, l_linenumber
+        |         ROWS UNBOUNDED PRECEDING) AS running_qty
+        |FROM lineitem WHERE l_suppkey < 50""".stripMargin,
+    "window_rank_topn" ->
+      """SELECT p_brand, p_partkey, revenue, rnk FROM (
+        |  SELECT p_brand, p_partkey, revenue,
+        |         row_number() OVER (PARTITION BY p_brand
+        |           ORDER BY revenue DESC, p_partkey) AS rnk
+        |  FROM (
+        |    SELECT p_brand, p_partkey,
+        |           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |    FROM lineitem JOIN part ON l_partkey = p_partkey
+        |    GROUP BY 1, 2))
+        |WHERE rnk <= 3""".stripMargin,
+    "agg_rollup" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+        |       round(sum(l_quantity), 2) AS sum_qty
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
+    "distinct_counts" ->
+      """SELECT count(DISTINCT l_partkey) AS d_parts,
+        |       count(DISTINCT l_suppkey) AS d_supps,
+        |       count(DISTINCT l_orderkey) AS d_orders
+        |FROM lineitem""".stripMargin,
+    "anti_join_customers" ->
+      """SELECT c_nationkey, count(*) AS n_customers
+        |FROM customer
+        |WHERE c_custkey NOT IN (
+        |  SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
+        |GROUP BY 1""".stripMargin,
+    "semi_join_nations" ->
+      """SELECT n_nationkey, n_name FROM nation
+        |WHERE n_nationkey IN (
+        |  SELECT c_nationkey FROM customer WHERE c_mktsegment = 'BUILDING')""".stripMargin
+  )
+}

@@ -22,10 +22,12 @@ object SparkEntry {
     queries("q1_agg")(spark, "/root/testdata/sf0.001")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    CoreQueries.queries ++ ExtQueries.queries ++ StreamQueries.queries
+    CoreQueries.queries ++ ExtQueries.queries ++ StreamQueries.queries ++
+      RelationalQueries.queries
 
   def oracleSql: Map[String, String] =
-    CoreQueries.oracleSql ++ ExtQueries.oracleSql ++ StreamQueries.oracleSql
+    CoreQueries.oracleSql ++ ExtQueries.oracleSql ++ StreamQueries.oracleSql ++
+      RelationalQueries.oracleSql
 }
 
 /** Event-window and multimodal queries (SURVEY.md §2b X5/X6). Windowed

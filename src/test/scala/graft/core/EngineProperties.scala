@@ -1,0 +1,84 @@
+package graft.core
+
+import org.scalacheck.{Gen, Properties, Test}
+import org.scalacheck.Prop.forAll
+
+import graft.TestSpark
+import graft.ext.{Dedup, Text}
+import graft.functions.GraftFunctions
+import org.apache.spark.sql.functions._
+
+/** Property-based invariants (SURVEY.md §5.3). Each property runs Spark
+  * jobs, so sample counts are kept small — the point is shrinkable
+  * structural counterexamples, not volume.
+  */
+object EngineProperties extends Properties("graft") {
+
+  override def overrideParameters(p: Test.Parameters): Test.Parameters =
+    p.withMinSuccessfulTests(5)
+
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val rowsGen: Gen[List[(Int, String)]] =
+    Gen.listOfN(20, Gen.zip(Gen.chooseNum(0, 100), Gen.alphaNumStr.map(_.take(8))))
+
+  property("fingerprint is invariant under row permutation") =
+    forAll(rowsGen) { rows =>
+      rows.isEmpty || {
+        val a = rows.toDF("id", "s")
+        val b = scala.util.Random.shuffle(rows).toDF("id", "s").repartition(3)
+        val da = Fingerprint.table(a, "t").select("digest").head.getString(0)
+        val db = Fingerprint.table(b, "t").select("digest").head.getString(0)
+        da == db
+      }
+    }
+
+  property("fingerprint detects any single-cell mutation") =
+    forAll(rowsGen.suchThat(_.nonEmpty)) { rows =>
+      // index-prefix makes rows unique, so the mutated multiset differs
+      val indexed = rows.zipWithIndex.map { case ((i, s), ix) => (ix, s"$ix-$s-$i") }
+      val mutated = indexed.updated(0, (indexed.head._1, indexed.head._2 + "!"))
+      val da = Fingerprint.table(indexed.toDF("id", "s"), "t").select("digest").head.getString(0)
+      val db = Fingerprint.table(mutated.toDF("id", "s"), "t").select("digest").head.getString(0)
+      da != db
+    }
+
+  property("reconcile of a count set with itself is all matched") =
+    forAll(Gen.listOfN(10,
+      Gen.zip(Gen.oneOf("t1", "t2"), Gen.alphaLowerStr.map(s => "k=" + s.take(4)), Gen.chooseNum(0L, 999L)))) { rows =>
+      val distinctRows = rows.distinctBy(r => (r._1, r._2))
+      val df = distinctRows.toDF("table", "partition", "cnt")
+      Reconcile.counts(df, df).filter(col("status") =!= "matched").count() == 0
+    }
+
+  property("exact dedup is idempotent") =
+    forAll(rowsGen) { rows =>
+      val df = rows.toDF("id", "s")
+      val once = Dedup.exact(df, Seq("s"))
+      val twice = Dedup.exact(once, Seq("s"))
+      once.count() == twice.count()
+    }
+
+  property("sorted-merge jaccard kernel equals built-in array_intersect jaccard") =
+    forAll(Gen.listOfN(6,
+      Gen.zip(Gen.listOfN(12, Gen.oneOf("a", "b", "c", "dd", "ee", "f", "gg", "hh")),
+        Gen.listOfN(12, Gen.oneOf("a", "b", "c", "dd", "ee", "f", "gg", "hh"))))) { pairs =>
+      GraftFunctions.register(spark)
+      val df = pairs.map { case (x, y) =>
+        (x.distinct.sorted.mkString(" "), y.distinct.sorted.mkString(" "))
+      }.toDF("ta", "tb")
+        .select(Text.tokenSet(col("ta")).as("a"), Text.tokenSet(col("tb")).as("b"))
+      val cmp = df.select(
+        (Text.jaccardSorted(col("a"), col("b")) <=> Text.jaccard(col("a"), col("b"))).as("eq"))
+      cmp.filter(!col("eq")).count() == 0
+    }
+
+  property("limitN sample is stable across physical layouts") =
+    forAll(rowsGen.suchThat(_.size >= 5), Gen.chooseNum(2, 7)) { (rows, parts) =>
+      val df = rows.toDF("id", "s")
+      val a = Sample.limitN(df, 3).collect().toSeq
+      val b = Sample.limitN(df.repartition(parts), 3).collect().toSeq
+      a == b
+    }
+}

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.core.Tables
+import graft.core.{AsOfJoin, Tables}
 
 /** General relational coverage: joins (broadcast / shuffle / semi /
   * anti), window functions, rollup, distinct aggregation, top-k. The
@@ -129,6 +129,49 @@ object RelationalQueries {
         .join(Tables.customer(s, dir).filter(col("c_mktsegment") === "BUILDING"),
           col("n_nationkey") === col("c_nationkey"), "left_semi")
         .select(col("n_nationkey"), col("n_name"))
+    },
+    // As-of join: each event matched to the latest order of the same
+    // key at-or-before its timestamp (composed union+window operator;
+    // DuckDB's native ASOF JOIN is the oracle). The payload is the
+    // matched TIME, which is deterministic under ties by construction.
+    "asof_join_events" -> { (s, dir) =>
+      val ev = Tables.events(s, dir).select("event_id", "user_id", "ts")
+      val o = Tables.orders(s, dir)
+        .select(col("o_custkey"), col("o_orderdate"),
+          col("o_orderdate").as("matched_order_date"))
+      AsOfJoin.latestPrior(ev, o, "user_id", "o_custkey", "ts", "o_orderdate",
+          Seq("matched_order_date"))
+        .select("event_id", "user_id", "matched_order_date")
+    },
+    // Exact interpolated quantiles (integer-valued doubles → exact
+    // interpolation on both engines).
+    "stats_quantiles" -> { (s, dir) =>
+      Tables.lineitem(s, dir).agg(
+        expr("percentile(l_quantity, 0.25)").as("q1"),
+        expr("percentile(l_quantity, 0.5)").as("median"),
+        expr("percentile(l_quantity, 0.75)").as("q3"))
+    },
+    // JSON extraction from the events props column.
+    "json_extract_events" -> { (s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(col("event_type"))
+        .agg(sum(get_json_object(col("props"), "$.k").cast("long")).as("sum_k"),
+          count(lit(1)).as("n"))
+    },
+    // Calendar rollup: orders per month (date_trunc alignment matches
+    // DuckDB).
+    "orders_by_month" -> { (s, dir) =>
+      Tables.orders(s, dir)
+        .groupBy(date_trunc("month", col("o_orderdate")).as("month"))
+        .agg(count(lit(1)).as("n_orders"),
+          round(sum("o_totalprice"), 2).as("total"))
+    },
+    // SQL set operation: customers having both open and finished orders
+    // (INTERSECT distinct semantics).
+    "set_ops_orders" -> { (s, dir) =>
+      val o = Tables.orders(s, dir)
+      o.filter(col("o_orderstatus") === "O").select(col("o_custkey"))
+        .intersect(o.filter(col("o_orderstatus") === "F").select(col("o_custkey")))
     }
   )
 
@@ -198,6 +241,30 @@ object RelationalQueries {
     "semi_join_nations" ->
       """SELECT n_nationkey, n_name FROM nation
         |WHERE n_nationkey IN (
-        |  SELECT c_nationkey FROM customer WHERE c_mktsegment = 'BUILDING')""".stripMargin
+        |  SELECT c_nationkey FROM customer WHERE c_mktsegment = 'BUILDING')""".stripMargin,
+    "asof_join_events" ->
+      """SELECT e.event_id, e.user_id, o.o_orderdate AS matched_order_date
+        |FROM events e
+        |ASOF LEFT JOIN orders o
+        |  ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate""".stripMargin,
+    "stats_quantiles" ->
+      """SELECT quantile_cont(l_quantity, 0.25) AS q1,
+        |       quantile_cont(l_quantity, 0.5) AS median,
+        |       quantile_cont(l_quantity, 0.75) AS q3
+        |FROM lineitem""".stripMargin,
+    "json_extract_events" ->
+      """SELECT event_type,
+        |       sum(CAST(props ->> '$.k' AS BIGINT)) AS sum_k,
+        |       count(*) AS n
+        |FROM events GROUP BY 1""".stripMargin,
+    "orders_by_month" ->
+      """SELECT date_trunc('month', o_orderdate) AS month,
+        |       count(*) AS n_orders,
+        |       round(sum(o_totalprice), 2) AS total
+        |FROM orders GROUP BY 1""".stripMargin,
+    "set_ops_orders" ->
+      """SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+        |INTERSECT
+        |SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'""".stripMargin
   )
 }

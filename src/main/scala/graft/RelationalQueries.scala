@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.core.{AsOfJoin, Tables}
+import graft.core.{AsOfJoin, PartitionCounts, Tables}
 
 /** General relational coverage: joins (broadcast / shuffle / semi /
   * anti), window functions, rollup, distinct aggregation, top-k. The
@@ -172,6 +172,41 @@ object RelationalQueries {
       val o = Tables.orders(s, dir)
       o.filter(col("o_orderstatus") === "O").select(col("o_custkey"))
         .intersect(o.filter(col("o_orderstatus") === "F").select(col("o_custkey")))
+    },
+    // Cube: all grouping-set combinations in one pass.
+    "agg_cube" -> { (s, dir) =>
+      Tables.orders(s, dir)
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("total"))
+    },
+    // Regex extraction (X4 adjacent): pull the numeric field out of the
+    // raw JSON text with a capture group.
+    "regexp_extract_events" -> { (s, dir) =>
+      Tables.events(s, dir)
+        .select(col("event_id"),
+          regexp_extract(col("props"), "\"k\":\\s*(\\d+)", 1).as("k_str"))
+    },
+    // A2 with multi-level partitions — the case the reference mis-parses
+    // (SURVEY.md §7.4 #3): one aggregation, spec rendered k1=v1/k2=v2.
+    "rowcount_multilevel" -> { (s, dir) =>
+      PartitionCounts.perPartition(Tables.lineitem(s, dir), "lineitem",
+          Seq("l_returnflag", "l_linestatus"))
+        .withColumnRenamed("table", "table_name")
+        .withColumnRenamed("partition", "partition_spec")
+    },
+    // The SQL front door: temp views + a correlated EXISTS subquery
+    // (Catalyst decorrelates it into a semi join).
+    "sql_correlated_exists" -> { (s, dir) =>
+      Tables.customer(s, dir).createOrReplaceTempView("v_customer")
+      Tables.orders(s, dir).createOrReplaceTempView("v_orders")
+      s.sql(
+        """SELECT c_nationkey, count(*) AS n_with_open
+          |FROM v_customer c
+          |WHERE EXISTS (
+          |  SELECT 1 FROM v_orders o
+          |  WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'O'
+          |    AND o.o_totalprice > 100000)
+          |GROUP BY c_nationkey""".stripMargin)
     }
   )
 
@@ -265,6 +300,28 @@ object RelationalQueries {
     "set_ops_orders" ->
       """SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
         |INTERSECT
-        |SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'""".stripMargin
+        |SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'""".stripMargin,
+    "agg_cube" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+        |       round(sum(o_totalprice), 2) AS total
+        |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)""".stripMargin,
+    "regexp_extract_events" ->
+      """SELECT event_id,
+        |       coalesce(regexp_extract(props, '"k":\s*(\d+)', 1), '') AS k_str
+        |FROM events""".stripMargin,
+    "rowcount_multilevel" ->
+      """SELECT 'lineitem' AS table_name,
+        |       'l_returnflag=' || l_returnflag ||
+        |       '/l_linestatus=' || l_linestatus AS partition_spec,
+        |       count(*) AS cnt
+        |FROM lineitem GROUP BY 1, 2""".stripMargin,
+    "sql_correlated_exists" ->
+      """SELECT c_nationkey, count(*) AS n_with_open
+        |FROM customer c
+        |WHERE EXISTS (
+        |  SELECT 1 FROM orders o
+        |  WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'O'
+        |    AND o.o_totalprice > 100000)
+        |GROUP BY c_nationkey""".stripMargin
   )
 }

@@ -200,7 +200,15 @@ object Dedup {
     */
   def simhashNearDupPairs(
       spark: SparkSession, docs: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int = 3): DataFrame = {
+      maxHamming: Int = 3,
+      /** Skew guard, same rationale as MinHash banding: low-entropy
+        * corpora make many non-near documents agree on one 16-bit block,
+        * and one hot block value produces quadratic join work. Dropping
+        * oversized blocks trades recall on degenerate buckets for
+        * bounded work — the pigeonhole guarantee still holds through the
+        * document's other blocks unless ALL of them are hot.
+        */
+      maxBucketSize: Int = 2000): DataFrame = {
     val nBlocks = maxHamming + 1
     val width = 64 / nBlocks
     val sh = simhashes(spark, docs, idCol, textCol)
@@ -210,8 +218,14 @@ object Dedup {
       val mask = if (w >= 64) -1L else (1L << w) - 1L
       struct(lit(j).as("block"), shifted.bitwiseAND(lit(mask)).as("v"))
     }: _*)
-    val blocks = sh.select(col("id"), col("simhash"), explode(blockKeys).as("b"))
+    val allBlocks = sh.select(col("id"), col("simhash"), explode(blockKeys).as("b"))
       .select(col("id"), col("simhash"), col("b.block").as("block"), col("b.v").as("v"))
+      .cache() // three consumers: bucket sizing + both join sides
+    val okBuckets = allBlocks.groupBy("block", "v")
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") >= 2 && col("n") <= maxBucketSize)
+      .select("block", "v")
+    val blocks = allBlocks.join(okBuckets, Seq("block", "v"))
     val l = blocks.select(col("block"), col("v"), col("id").as("id_a"), col("simhash").as("sh_a"))
     val r = blocks.select(col("block"), col("v"), col("id").as("id_b"), col("simhash").as("sh_b"))
     l.join(r, Seq("block", "v"))

@@ -194,6 +194,16 @@ object RelationalQueries {
         .withColumnRenamed("table", "table_name")
         .withColumnRenamed("partition", "partition_spec")
     },
+    // Salted skew join: identical results to the plain join (that IS the
+    // oracle), with hot fact keys spread over 8 reducers.
+    "skew_salted_join" -> { (s, dir) =>
+      val li = Tables.lineitem(s, dir).select("l_partkey", "l_extendedprice")
+      val p = Tables.part(s, dir).select("p_partkey", "p_brand")
+        .withColumnRenamed("p_partkey", "l_partkey")
+      graft.core.Skew.saltedJoin(li, p, "l_partkey", nSalts = 8)
+        .groupBy(col("p_brand"))
+        .agg(count(lit(1)).as("n"), round(sum("l_extendedprice"), 2).as("total"))
+    },
     // The SQL front door: temp views + a correlated EXISTS subquery
     // (Catalyst decorrelates it into a semi join).
     "sql_correlated_exists" -> { (s, dir) =>
@@ -315,6 +325,11 @@ object RelationalQueries {
         |       '/l_linestatus=' || l_linestatus AS partition_spec,
         |       count(*) AS cnt
         |FROM lineitem GROUP BY 1, 2""".stripMargin,
+    "skew_salted_join" ->
+      """SELECT p_brand, count(*) AS n,
+        |       round(sum(l_extendedprice), 2) AS total
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY 1""".stripMargin,
     "sql_correlated_exists" ->
       """SELECT c_nationkey, count(*) AS n_with_open
         |FROM customer c

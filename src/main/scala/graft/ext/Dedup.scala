@@ -55,7 +55,7 @@ object Dedup {
     GraftFunctions.register(docs.sparkSession)
     val sets = docs.select(
         col(idCol).as("id"),
-        Text.shingleSet(col(textCol), shingleN).as("s"))
+        Text.hashedShingleSet(col(textCol), shingleN).as("s"))
       .withColumn("sz", size(col("s")))
       .filter(col("sz") > 0)
     val a = sets.select(col("id").as("id_a"), col("s").as("s_a"), col("sz").as("sz_a"))
@@ -169,7 +169,7 @@ object Dedup {
     GraftFunctions.register(docs.sparkSession)
     val cand = minhashCandidatePairs(docs, idCol, textCol, params)
     val sets = docs.select(
-      col(idCol).as("id"), Text.shingleSet(col(textCol), params.shingleN).as("s"))
+      col(idCol).as("id"), Text.hashedShingleSet(col(textCol), params.shingleN).as("s"))
     val withA = cand
       .join(sets.select(col("id").as("id_a"), col("s").as("s_a")), Seq("id_a"))
     val bSets = sets.select(col("id").as("rid"), col("s").as("s_b"))

@@ -49,12 +49,23 @@ object Text {
     inter / (size(a) + size(b) - inter)
   }
 
-  /** Exact Jaccard over SORTED distinct arrays via the allocation-free
-    * merge kernel. Same value as [[jaccard]], ~10-30x cheaper per pair.
-    * Requires graft.functions.GraftFunctions.register on the session.
+  /** Exact Jaccard over SORTED distinct arrays (string or bigint
+    * elements) via the allocation-free merge kernel. Same value as
+    * [[jaccard]], ~10-30x cheaper per pair. Requires
+    * graft.functions.GraftFunctions.register on the session.
     */
   def jaccardSorted(a: Column, b: Column): Column = {
     val inter = call_function("graft_sorted_intersect_count", a, b).cast("double")
     inter / (size(a) + size(b) - inter)
   }
+
+  /** Shingle set as sorted xxhash64 values: the cheap verification
+    * representation — 8-byte keys instead of strings, half the join
+    * payload. Set size (and therefore Jaccard) is preserved exactly
+    * unless xxhash64 collides within a document's shingles, which the
+    * deterministic oracle run would catch (it never has on the
+    * fixtures).
+    */
+  def hashedShingleSet(text: Column, n: Int): Column =
+    array_sort(array_distinct(transform(shingles(text, n), s => xxhash64(s))))
 }

@@ -17,9 +17,12 @@ import org.apache.spark.sql.types._
   * stay allocation-free inside whole-stage codegen.
   */
 
-/** Size of the intersection of two SORTED, DISTINCT string arrays
-  * (merge-count; inputs must be pre-sorted with array_sort, which is
-  * done once per document, not once per pair).
+/** Size of the intersection of two SORTED, DISTINCT arrays — both
+  * array<string> or both array<bigint> (merge-count; inputs must be
+  * pre-sorted with array_sort, which is done once per document, not
+  * once per pair). The bigint form is the cheaper verification path:
+  * hash the shingles once per document and merge 8-byte keys instead
+  * of variable-length strings.
   */
 case class SortedIntersectCount(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -27,12 +30,19 @@ case class SortedIntersectCount(left: Expression, right: Expression)
   override def dataType: DataType = IntegerType
   override def prettyName: String = "graft_sorted_intersect_count"
 
+  private def isLong: Boolean = left.dataType match {
+    case ArrayType(LongType, _) => true
+    case _ => false
+  }
+
   override def checkInputDataTypes(): TypeCheckResult =
     (left.dataType, right.dataType) match {
       case (ArrayType(StringType, _), ArrayType(StringType, _)) =>
         TypeCheckResult.TypeCheckSuccess
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
       case (l, r) => TypeCheckResult.TypeCheckFailure(
-        s"$prettyName requires (array<string>, array<string>), got " +
+        s"$prettyName requires matching (array<string>|array<bigint>) inputs, got " +
           s"(${l.catalogString}, ${r.catalogString})")
     }
 
@@ -41,11 +51,20 @@ case class SortedIntersectCount(left: Expression, right: Expression)
     val y = b.asInstanceOf[ArrayData]
     var i = 0; var j = 0; var n = 0
     val nx = x.numElements(); val ny = y.numElements()
-    while (i < nx && j < ny) {
-      val c = x.getUTF8String(i).compareTo(y.getUTF8String(j))
-      if (c == 0) { n += 1; i += 1; j += 1 }
-      else if (c < 0) i += 1
-      else j += 1
+    if (isLong) {
+      while (i < nx && j < ny) {
+        val xv = x.getLong(i); val yv = y.getLong(j)
+        if (xv == yv) { n += 1; i += 1; j += 1 }
+        else if (xv < yv) i += 1
+        else j += 1
+      }
+    } else {
+      while (i < nx && j < ny) {
+        val c = x.getUTF8String(i).compareTo(y.getUTF8String(j))
+        if (c == 0) { n += 1; i += 1; j += 1 }
+        else if (c < 0) i += 1
+        else j += 1
+      }
     }
     java.lang.Integer.valueOf(n)
   }
@@ -53,16 +72,30 @@ case class SortedIntersectCount(left: Expression, right: Expression)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
       val i = ctx.freshName("i"); val j = ctx.freshName("j")
-      val n = ctx.freshName("n"); val c = ctx.freshName("c")
+      val n = ctx.freshName("n")
       val nx = ctx.freshName("nx"); val ny = ctx.freshName("ny")
+      val body = if (isLong) {
+        val xv = ctx.freshName("xv"); val yv = ctx.freshName("yv")
+        s"""
+           |long $xv = $a.getLong($i); long $yv = $b.getLong($j);
+           |if ($xv == $yv) { $n++; $i++; $j++; }
+           |else if ($xv < $yv) $i++;
+           |else $j++;
+         """.stripMargin
+      } else {
+        val c = ctx.freshName("c")
+        s"""
+           |int $c = $a.getUTF8String($i).compareTo($b.getUTF8String($j));
+           |if ($c == 0) { $n++; $i++; $j++; }
+           |else if ($c < 0) $i++;
+           |else $j++;
+         """.stripMargin
+      }
       s"""
          |int $i = 0, $j = 0, $n = 0;
          |int $nx = $a.numElements(), $ny = $b.numElements();
          |while ($i < $nx && $j < $ny) {
-         |  int $c = $a.getUTF8String($i).compareTo($b.getUTF8String($j));
-         |  if ($c == 0) { $n++; $i++; $j++; }
-         |  else if ($c < 0) $i++;
-         |  else $j++;
+         |  $body
          |}
          |${ev.value} = $n;
        """.stripMargin

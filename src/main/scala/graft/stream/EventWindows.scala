@@ -82,4 +82,15 @@ object EventWindows {
     */
   def sessionsStream(events: DataFrame, gap: String, lateness: String): DataFrame =
     sessions(events.withWatermark("ts", lateness), gap)
+
+  /** Streaming exact dedup (X1 × X6): drop repeated keys across
+    * micro-batches. The watermark bounds the dedup state — a key's
+    * entry is dropped once the watermark passes its event time, so
+    * state size tracks the lateness window, not the stream's history.
+    * Works identically on batch DataFrames (where it is a plain
+    * dropDuplicates).
+    */
+  def dedupStream(events: DataFrame, keys: Seq[String], lateness: String): DataFrame =
+    events.withWatermark("ts", lateness)
+      .dropDuplicatesWithinWatermark(keys)
 }

@@ -55,6 +55,21 @@ class EventWindowsSpec extends SparkFunSuite {
     } finally q.stop()
   }
 
+  test("streaming dedup drops repeated keys within the watermark") {
+    val ev = Tables.events(spark, sf001)
+    val stream = EventWindows.readEventStream(spark, s"$sf001/events.parquet")
+    // duplicate every event by unioning the stream with itself
+    val doubled = stream.union(stream)
+    val q = EventWindows.dedupStream(doubled, Seq("event_id"), "10 minutes")
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("dedup_out").count() == ev.count())
+      assert(spark.table("dedup_out").select("event_id").distinct().count() == ev.count())
+    } finally q.stop()
+  }
+
   test("streaming sessionization runs with watermark state cleanup") {
     val ev = Tables.events(spark, sf001)
     val stream = EventWindows.readEventStream(spark, s"$sf001/events.parquet")

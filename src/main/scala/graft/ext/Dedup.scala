@@ -58,7 +58,12 @@ object Dedup {
         Text.hashedShingleSet(col(textCol), shingleN).as("s"))
       .withColumn("sz", size(col("s")))
       .filter(col("sz") > 0)
-    val a = sets.select(col("id").as("id_a"), col("s").as("s_a"), col("sz").as("sz_a"))
+    // The streamed side of the nested-loop pair join inherits the input's
+    // split count — a single-file corpus would run the whole O(N²) loop
+    // on one core. Spread it across the cluster explicitly.
+    val par = docs.sparkSession.sparkContext.defaultParallelism
+    val a = sets.repartition(par)
+      .select(col("id").as("id_a"), col("s").as("s_a"), col("sz").as("sz_a"))
     val b = sets.select(col("id").as("id_b"), col("s").as("s_b"), col("sz").as("sz_b"))
     // The jaccard predicate lives INSIDE the join condition: a nested-loop
     // join copies both shingle arrays into an output row for every pair

@@ -46,13 +46,19 @@ object SimSearch {
       l2Norm(col(vecCol)).as(s"n$suffix"))
       .filter(col(s"n$suffix") > 0)
 
-  /** Exact: all pairs (id_a < id_b) with cosine >= threshold. */
+  /** Exact: all pairs (id_a < id_b) with cosine >= threshold. The
+    * threshold predicate lives in the join condition (pairs failing it
+    * are never materialized) and the streamed side is spread across the
+    * cluster (a single-file corpus would otherwise run the O(N²) loop
+    * on one core).
+    */
   def cosinePairs(emb: DataFrame, idCol: String, vecCol: String, threshold: Double): DataFrame = {
-    val a = withNorm(emb, idCol, vecCol, "_a")
+    val par = emb.sparkSession.sparkContext.defaultParallelism
+    val a = withNorm(emb, idCol, vecCol, "_a").repartition(par)
     val b = withNorm(emb, idCol, vecCol, "_b")
-    a.join(b, col("id_a") < col("id_b"))
-      .withColumn("cos", dot(col("v_a"), col("v_b")) / (col("n_a") * col("n_b")))
-      .filter(col("cos") >= threshold)
+    a.join(b,
+        col("id_a") < col("id_b") &&
+        dot(col("v_a"), col("v_b")) / (col("n_a") * col("n_b")) >= threshold)
       .select(col("id_a"), col("id_b"))
   }
 
@@ -64,7 +70,8 @@ object SimSearch {
   def topKBruteForce(
       queries: DataFrame, corpus: DataFrame,
       idCol: String, vecCol: String, k: Int): DataFrame = {
-    val q = withNorm(queries, idCol, vecCol, "_q")
+    val par = queries.sparkSession.sparkContext.defaultParallelism
+    val q = withNorm(queries, idCol, vecCol, "_q").repartition(par)
     val c = withNorm(corpus, idCol, vecCol, "_c")
     val scored = q.join(c, col("id_q") =!= col("id_c"))
       .withColumn("cos", dot(col("v_q"), col("v_c")) / (col("n_q") * col("n_c")))

@@ -98,43 +98,39 @@ object Dedup {
   private val Prime = 2147483647L // 2^31 - 1, Mersenne
 
   /** k-permutation MinHash signature of a string array, as array<bigint>.
-    * Universal hashing (a*h + b) mod p over 31-bit reduced xxhash64 values
-    * — products stay < 2^62, no overflow under ANSI mode.
-    *
-    * Single-pass formulation: ONE `aggregate` over the shingles whose
-    * accumulator is the k-vector of running minima, merged per shingle
-    * with `zip_with` against the constant (a,b) coefficient array. The
-    * naive k × array_min(transform(...)) form builds a k-times-larger
-    * expression tree that CollapseProject then inlines once per LSH band
-    * — planning and execution both blow up (measured 120s+ at sf0.01
-    * for the banded join; this form plans flat and runs in seconds).
+    * Universal hashing (a*h + b) mod p over 31-bit reduced xxhash64
+    * values, computed by the codegen'd MinHashSig kernel over pre-hashed
+    * shingles. Evolution (each step measured at sf0.01/sf0.1):
+    * k × array_min(transform) — inlined per band by CollapseProject,
+    * 120s+; single aggregate(zip_with) — flat plan but INTERPRETED
+    * lambda evaluation with a k-array copy per shingle, 19s of the 22s
+    * query; native expression — one primitive nested loop, sub-second.
     */
   def minhashSignature(shingleSet: Column, params: MinHashParams): Column = {
-    val rnd = new scala.util.Random(params.seed)
-    val ab = Seq.fill(params.k)((1L + rnd.nextLong(Prime - 1), rnd.nextLong(Prime)))
-    val coef = typedLit(ab.map { case (a, b) => (a, b) })
-    val init = typedLit(Seq.fill(params.k)(Prime))
-    aggregate(
-      shingleSet,
-      init,
-      (acc, s) => {
-        val h = pmod(xxhash64(s), lit(Prime))
-        zip_with(acc, coef, (m, c) =>
-          least(m, pmod(h * c.getField("_1") + c.getField("_2"), lit(Prime))))
-      })
+    SparkSession.getActiveSession.foreach(GraftFunctions.register)
+    val hashed = transform(shingleSet, s => xxhash64(s))
+    call_function("graft_minhash_sig", hashed, lit(params.k), lit(params.seed))
   }
 
-  /** (id, band, band_hash) — one row per band per doc; the LSH index. */
+  /** (id, band, band_hash) — one row per band per doc; the LSH index.
+    *
+    * The (id, signature) projection is cached BEFORE the band keys are
+    * derived: the signature expression (tokenize → shingle → hash →
+    * k-minima) would otherwise be inlined by CollapseProject into every
+    * downstream reference — one per band key — re-running the whole
+    * interpreted tokenization chain ~numBands times per document
+    * (profiled: 18s of the 22s query at sf0.1).
+    */
   def minhashBands(
       docs: DataFrame, idCol: String, textCol: String,
       params: MinHashParams): DataFrame = {
     val sig = minhashSignature(
       Text.shingleSet(col(textCol), params.shingleN), params)
+    val sigDf = docs.select(col(idCol).as("id"), sig.as("sig")).cache()
     val bandKeys = array((0 until params.numBands).map { j =>
       xxhash64(lit(j), slice(col("sig"), j * params.rowsPerBand + 1, params.rowsPerBand))
     }: _*)
-    docs.select(col(idCol).as("id"), sig.as("sig"))
-      .filter(size(col("sig")) > 0 && !array_contains(transform(col("sig"), x => isnull(x)), true))
+    sigDf.filter(size(col("sig")) > 0)
       .select(col("id"), posexplode(bandKeys).as(Seq("band", "band_hash")))
   }
 
@@ -216,7 +212,10 @@ object Dedup {
       maxBucketSize: Int = 2000): DataFrame = {
     val nBlocks = maxHamming + 1
     val width = 64 / nBlocks
-    val sh = simhashes(spark, docs, idCol, textCol)
+    // cache the sketch projection: the tokenize→hash→simhash chain would
+    // otherwise be inlined once per block key (same CollapseProject
+    // behavior as the MinHash signature)
+    val sh = simhashes(spark, docs, idCol, textCol).cache()
     val blockKeys = array((0 until nBlocks).map { j =>
       val shifted = shiftrightunsigned(col("simhash"), j * width)
       val w = if (j == nBlocks - 1) 64 - j * width else width

@@ -24,13 +24,19 @@ object Text {
   /** Word n-gram shingles: overlapping windows of n tokens re-joined with
     * a single space. Documents with fewer than n tokens yield the whole
     * token sequence as one shingle (so short docs still fingerprint).
+    * n=1 short-circuits to the token array — the general form's
+    * per-token slice+join lambdas are interpreted (higher-order
+    * functions don't codegen) and this is the default path.
     */
   def shingles(text: Column, n: Int): Column = {
-    val ts = tokens(text)
-    when(size(ts) >= n,
-      transform(sequence(lit(0), size(ts) - n),
-        i => array_join(slice(ts, i + 1, lit(n)), " ")))
-      .otherwise(array(array_join(ts, " ")))
+    if (n == 1) tokens(text)
+    else {
+      val ts = tokens(text)
+      when(size(ts) >= n,
+        transform(sequence(lit(0), size(ts) - n),
+          i => array_join(slice(ts, i + 1, lit(n)), " ")))
+        .otherwise(array(array_join(ts, " ")))
+    }
   }
 
   /** Distinct shingle set, sorted (see [[tokenSet]]). */

@@ -107,6 +107,13 @@ object GraftFunctions {
       exprs => SortedIntersectCount(exprs(0), exprs(1)), "built-in")
     reg.createOrReplaceTempFunction(
       "graft_dot", exprs => ArrayDotProduct(exprs(0), exprs(1)), "built-in")
+    // k and seed must be foldable literals: they parameterize the hash
+    // family baked into the generated code.
+    reg.createOrReplaceTempFunction(
+      "graft_minhash_sig", exprs => MinHashSig(
+        exprs(0),
+        exprs(1).eval().asInstanceOf[Number].intValue(),
+        exprs(2).eval().asInstanceOf[Number].longValue()), "built-in")
   }
 
   def simhash64(spark: SparkSession, tokenHashes: Column): Column = {

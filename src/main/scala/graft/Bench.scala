@@ -14,7 +14,7 @@ object Bench {
       .config("spark.sql.parquet.aggregatePushdown", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    spark.sparkContext.setLogLevel("ERROR")
     // JVM/session warm-up so the first measured query doesn't absorb
     // executor startup and codegen compiler initialization.
     spark.range(1000).selectExpr("sum(id)").collect()

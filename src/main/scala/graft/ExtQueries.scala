@@ -109,6 +109,18 @@ object ExtQueries {
         """SELECT a.vec_id AS id_a, b.vec_id AS id_b
           |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
           |WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.4""".stripMargin,
+      "similarity_topk" ->
+        """WITH s AS (
+          |  SELECT q.vec_id AS id_q, c.vec_id AS neighbor_id,
+          |         round(list_cosine_similarity(q.embedding, c.embedding), 6) AS cos
+          |  FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+          |  WHERE q.vec_id < 100)
+          |SELECT id_q, neighbor_id, rank FROM (
+          |  SELECT id_q, neighbor_id,
+          |         row_number() OVER (PARTITION BY id_q
+          |           ORDER BY cos DESC, neighbor_id) AS rank
+          |  FROM s)
+          |WHERE rank <= 3""".stripMargin,
       "text_stats_by_lang" ->
         s"""WITH t AS (SELECT lang, n_chars, $TokensSql AS toks FROM documents),
            |q AS (SELECT lang, n_chars, len(toks) AS n,
@@ -130,7 +142,7 @@ object ExtQueries {
            |FROM q GROUP BY 1""".stripMargin,
       "text_token_counts" ->
         s"""SELECT source, count(*) AS n_docs,
-           |       sum(len($TokensSql)) AS n_tokens
+           |       CAST(sum(len($TokensSql)) AS BIGINT) AS n_tokens
            |FROM documents GROUP BY 1""".stripMargin,
       "text_langid" ->
         s"""WITH t AS (SELECT doc_id, $TokensSql AS toks FROM documents),

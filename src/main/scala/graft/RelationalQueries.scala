@@ -299,7 +299,7 @@ object RelationalQueries {
         |FROM lineitem""".stripMargin,
     "json_extract_events" ->
       """SELECT event_type,
-        |       sum(CAST(props ->> '$.k' AS BIGINT)) AS sum_k,
+        |       CAST(sum(CAST(props ->> '$.k' AS BIGINT)) AS BIGINT) AS sum_k,
         |       count(*) AS n
         |FROM events GROUP BY 1""".stripMargin,
     "orders_by_month" ->

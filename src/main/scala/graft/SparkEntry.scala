@@ -57,9 +57,15 @@ object StreamQueries {
       Multimodal.mediaStats(Multimodal.withSyntheticMedia(Tables.documents(s, dir)))
     },
     // X5: batched stub decode via mapPartitions (features engine-only →
-    // rows-only check).
+    // rows-only check). The feature vector is flattened to scalar
+    // columns: array columns break the driver's pandas row-sort.
     "multimodal_decode" -> { (s, dir) =>
-      Multimodal.decodeFeatures(s, Multimodal.withSyntheticMedia(Tables.documents(s, dir))).toDF()
+      val feats = Multimodal
+        .decodeFeatures(s, Multimodal.withSyntheticMedia(Tables.documents(s, dir))).toDF()
+      val fCols = (0 until Multimodal.FakeCodec.FeatureDim).map(i =>
+        round(element_at(col("features"), i + 1).cast("double"), 4).as(s"f$i"))
+      feats.select(col("doc_id") +: col("kind") +: col("media_len") +:
+        col("n_frames").cast("long").as("n_frames") +: fCols: _*)
     }
   )
 

@@ -74,7 +74,10 @@ object SimSearch {
     val q = withNorm(queries, idCol, vecCol, "_q").repartition(par)
     val c = withNorm(corpus, idCol, vecCol, "_c")
     val scored = q.join(c, col("id_q") =!= col("id_c"))
-      .withColumn("cos", dot(col("v_q"), col("v_c")) / (col("n_q") * col("n_c")))
+      // rank on the 6-dp-rounded score (ties broken by neighbor id) so the
+      // ordering is reproducible across engines/float orders
+      .withColumn("cos", round(
+        dot(col("v_q"), col("v_c")) / (col("n_q") * col("n_c")), 6))
     val w = Window.partitionBy(col("id_q")).orderBy(col("cos").desc, col("id_c"))
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)

@@ -1,0 +1,210 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.{RangeJoin, Tables}
+import graft.ext.{SimSearch, Text, TextStats}
+
+/** Round-2 surface widening: classic warehouse shapes the reference's
+  * Hive substrate serves (filter-agg, having, pivot, grouping sets,
+  * lateral explode, lead/lag, arg-min/max, approx distinct), plus the
+  * non-equi range join and the IVF ANN variant.
+  *
+  * Same oracle rules as everywhere else: identical column names on both
+  * sides, doubles rounded before compare, ranks only over rounded or
+  * integer sort keys with explicit tie-breaks.
+  */
+object Round2Queries {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // TPC-H Q6 shape: tight filter + single agg — the predicate-pushdown
+    // showcase (all three filters reach the parquet scan).
+    "q6_forecast_revenue" -> { (s, dir) =>
+      Tables.lineitem(s, dir)
+        .filter(col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+        .agg(round(sum(col("l_extendedprice") * col("l_discount")), 2).as("revenue"))
+    },
+    // TPC-H Q18 shape: group-filter on an aggregate (HAVING), then join
+    // the survivors back to their order/customer rows.
+    "q18_large_orders" -> { (s, dir) =>
+      val big = Tables.lineitem(s, dir)
+        .groupBy(col("l_orderkey"))
+        .agg(round(sum("l_quantity"), 2).as("sum_qty"))
+        .filter(col("sum_qty") > 140)
+      big.join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+        .select(col("o_orderkey"), col("c_name"),
+          round(col("o_totalprice"), 2).as("o_totalprice"), col("sum_qty"))
+    },
+    // Pivot: one row per priority, one count column per order status.
+    "pivot_status_by_priority" -> { (s, dir) =>
+      Tables.orders(s, dir)
+        .groupBy(col("o_orderpriority"))
+        .pivot("o_orderstatus", Seq("O", "F", "P"))
+        .agg(count(lit(1)))
+        .select(col("o_orderpriority"),
+          coalesce(col("O"), lit(0L)).as("n_open"),
+          coalesce(col("F"), lit(0L)).as("n_finished"),
+          coalesce(col("P"), lit(0L)).as("n_pending"))
+    },
+    // GROUPING SETS: status-only and priority-only subtotals in one pass
+    // (disjoint from rollup/cube, which are also covered).
+    "grouping_sets_orders" -> { (s, dir) =>
+      Tables.orders(s, dir).createOrReplaceTempView("v_gs_orders")
+      s.sql(
+        """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+          |       round(sum(o_totalprice), 2) AS total
+          |FROM v_gs_orders
+          |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))""".stripMargin)
+    },
+    // Lateral explode: token stream → global top-20 terms (ties broken
+    // by token so the cut is deterministic).
+    "explode_top_words" -> { (s, dir) =>
+      Tables.documents(s, dir)
+        .select(explode(Text.tokens(col("text"))).as("tok"))
+        .groupBy(col("tok")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("tok"))
+        .limit(20)
+    },
+    // arg-min/arg-max: richest and poorest customer per nation
+    // (max_by/min_by — Hive's named_struct trick, native in Spark).
+    "minmax_by_nation" -> { (s, dir) =>
+      Tables.customer(s, dir)
+        .groupBy(col("c_nationkey"))
+        .agg(
+          max_by(col("c_name"), col("c_acctbal")).as("richest"),
+          min_by(col("c_name"), col("c_acctbal")).as("poorest"),
+          round(max(col("c_acctbal")), 2).as("max_bal"))
+    },
+    // Analytic lead/lag: inter-event gap per user in seconds (first event
+    // of each user has no predecessor and is dropped).
+    "lead_lag_deltas" -> { (s, dir) =>
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      Tables.events(s, dir)
+        .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+        .filter(col("prev_ts").isNotNull)
+        .select(col("user_id"), col("event_id"),
+          round((unix_micros(col("ts")) - unix_micros(col("prev_ts"))) / 1e6, 3)
+            .as("gap_s"))
+    },
+    // Non-equi range join via bucketing: events falling inside derived
+    // daily 02:00–06:00 maintenance windows (no equi key — the bucket
+    // expansion is what keeps this a hash join; see core.RangeJoin).
+    "range_join_windows" -> { (s, dir) =>
+      val ev = Tables.events(s, dir)
+      val windows = ev.select(date_trunc("day", col("ts")).as("day")).distinct()
+        .select(
+          (col("day") + expr("INTERVAL 2 HOURS")).as("w_start"),
+          (col("day") + expr("INTERVAL 6 HOURS")).as("w_end"))
+      RangeJoin.pointInInterval(ev, windows, "ts", "w_start", "w_end", 3600L)
+        .groupBy(col("w_start"))
+        .agg(count(lit(1)).as("n_events"), round(sum("value"), 2).as("sum_value"))
+    },
+    // ISO weekday distribution of orders (calendar functions beyond
+    // date_trunc).
+    "orders_weekday" -> { (s, dir) =>
+      Tables.orders(s, dir)
+        .groupBy((weekday(col("o_orderdate")) + 1).as("isodow"))
+        .agg(count(lit(1)).as("n"), round(avg("o_totalprice"), 2).as("avg_price"))
+    },
+    // X4: per-document quality score (corpus-curation pre-filter).
+    "text_quality" -> { (s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"), TextStats.qualityScore(col("text")).as("quality"))
+    },
+    // HLL sketch: approx_count_distinct vs exact — the oracle pins the
+    // exact count and asserts the sketch landed within 5% (the sketch
+    // value itself is engine-internal, like the reference's stats-served
+    // counts).
+    "approx_distinct_users" -> { (s, dir) =>
+      Tables.events(s, dir).agg(
+        countDistinct(col("user_id")).as("n_exact"),
+        (abs(approx_count_distinct(col("user_id")) - countDistinct(col("user_id")))
+          .cast("double") / countDistinct(col("user_id")) <= 0.05).as("within_5pct"))
+    },
+    // X3 scale path #2: IVF coarse-quantizer ANN (rows-only check; recall
+    // vs the exact top-k is asserted in SimSearchSpec).
+    "similarity_ivf_topk" -> { (s, dir) =>
+      SimSearch.ivfTopK(Tables.embeddings(s, dir), "vec_id", "embedding", 3)
+    }
+  )
+
+  private val TokensSql =
+    """list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0)"""
+
+  def oracleSql: Map[String, String] = Map(
+    "q6_forecast_revenue" ->
+      """SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+        |FROM lineitem
+        |WHERE l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin,
+    "q18_large_orders" ->
+      """SELECT o_orderkey, c_name,
+        |       round(o_totalprice, 2) AS o_totalprice, sum_qty
+        |FROM (SELECT l_orderkey, round(sum(l_quantity), 2) AS sum_qty
+        |      FROM lineitem GROUP BY 1 HAVING sum_qty > 140)
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey""".stripMargin,
+    "pivot_status_by_priority" ->
+      """SELECT o_orderpriority,
+        |       count(*) FILTER (WHERE o_orderstatus = 'O') AS n_open,
+        |       count(*) FILTER (WHERE o_orderstatus = 'F') AS n_finished,
+        |       count(*) FILTER (WHERE o_orderstatus = 'P') AS n_pending
+        |FROM orders GROUP BY 1""".stripMargin,
+    "grouping_sets_orders" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+        |       round(sum(o_totalprice), 2) AS total
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))""".stripMargin,
+    "explode_top_words" ->
+      s"""SELECT tok, count(*) AS n
+         |FROM (SELECT unnest($TokensSql) AS tok FROM documents)
+         |GROUP BY 1 ORDER BY n DESC, tok LIMIT 20""".stripMargin,
+    "minmax_by_nation" ->
+      """SELECT c_nationkey,
+        |       arg_max(c_name, c_acctbal) AS richest,
+        |       arg_min(c_name, c_acctbal) AS poorest,
+        |       round(max(c_acctbal), 2) AS max_bal
+        |FROM customer GROUP BY 1""".stripMargin,
+    "lead_lag_deltas" ->
+      """SELECT user_id, event_id,
+        |       round(epoch(ts - prev_ts), 3) AS gap_s
+        |FROM (SELECT user_id, event_id, ts,
+        |             lag(ts) OVER (PARTITION BY user_id
+        |                           ORDER BY ts, event_id) AS prev_ts
+        |      FROM events)
+        |WHERE prev_ts IS NOT NULL""".stripMargin,
+    "range_join_windows" ->
+      """WITH w AS (
+        |  SELECT DISTINCT date_trunc('day', ts) + INTERVAL 2 HOUR AS w_start,
+        |         date_trunc('day', ts) + INTERVAL 6 HOUR AS w_end
+        |  FROM events)
+        |SELECT w_start, count(*) AS n_events, round(sum(value), 2) AS sum_value
+        |FROM events e JOIN w ON e.ts >= w.w_start AND e.ts < w.w_end
+        |GROUP BY 1""".stripMargin,
+    "orders_weekday" ->
+      """SELECT isodow(o_orderdate) AS isodow, count(*) AS n,
+        |       round(avg(o_totalprice), 2) AS avg_price
+        |FROM orders GROUP BY 1""".stripMargin,
+    "text_quality" ->
+      s"""WITH t AS (SELECT doc_id, $TokensSql AS toks FROM documents),
+         |q AS (SELECT doc_id, len(toks) AS n,
+         |  CASE WHEN len(toks) > 0
+         |       THEN list_sum(list_transform(toks, x -> len(x))) / len(toks)
+         |       ELSE 0.0 END AS avg_len,
+         |  CASE WHEN len(toks) > 0
+         |       THEN len(list_filter(toks, x -> list_contains(
+         |            ['the','of','and','to','in','is','a','on','for','with'], x))) / len(toks)
+         |       ELSE 0.0 END AS sw_ratio
+         |  FROM t)
+         |SELECT doc_id, round(
+         |  0.4 * least(1.0, n / 100.0) +
+         |  0.3 * sw_ratio +
+         |  0.3 * least(1.0, avg_len / 8.0), 6) AS quality
+         |FROM q""".stripMargin,
+    "approx_distinct_users" ->
+      """SELECT count(DISTINCT user_id) AS n_exact, true AS within_5pct
+        |FROM events""".stripMargin
+  )
+}

@@ -23,11 +23,11 @@ object SparkEntry {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     CoreQueries.queries ++ ExtQueries.queries ++ StreamQueries.queries ++
-      RelationalQueries.queries
+      RelationalQueries.queries ++ Round2Queries.queries
 
   def oracleSql: Map[String, String] =
     CoreQueries.oracleSql ++ ExtQueries.oracleSql ++ StreamQueries.oracleSql ++
-      RelationalQueries.oracleSql
+      RelationalQueries.oracleSql ++ Round2Queries.oracleSql
 }
 
 /** Event-window and multimodal queries (SURVEY.md §2b X5/X6). Windowed

@@ -169,4 +169,53 @@ object SimSearch {
       .filter(col("rank") <= k)
       .select(col("id_q"), col("id_c").as("neighbor_id"), col("rank"))
   }
+
+  /** IVF (inverted-file) ANN: partition the corpus into Voronoi cells
+    * around `nCentroids` centroids; each query probes only its `nProbe`
+    * nearest cells and exactly scores their members — the classic
+    * coarse-quantizer index (FAISS IVF-Flat shape) expressed as two
+    * broadcast joins plus one cell-keyed equi join.
+    *
+    * Centroids are a deterministic corpus sample (every (N/nCentroids)-th
+    * vector by id) — reproducible with no RNG; a production build would
+    * refine them with seeded k-means over a sample. The centroid table is
+    * tiny and broadcast, so cell assignment never shuffles the corpus;
+    * the probe join shuffles by cell id only.
+    *
+    * Ranking uses the 6-dp-rounded cosine with id tie-break, same as
+    * [[topKBruteForce]], so results are reproducible across runs.
+    */
+  def ivfTopK(
+      emb: DataFrame, idCol: String, vecCol: String, k: Int,
+      nCentroids: Int = 16, nProbe: Int = 4): DataFrame = {
+    val vecs = withNorm(emb, idCol, vecCol, "").cache()
+    val n = vecs.count()
+    val step = math.max(1L, n / nCentroids)
+    val centroids = broadcast(
+      vecs.filter(pmod(col("id"), lit(step)) === 0)
+        .limit(nCentroids)
+        .select(col("id").as("cell"), col("v").as("cv"), col("n").as("cn")))
+    def nearestCells(keep: Int, outId: String): DataFrame = {
+      val w = Window.partitionBy(col(outId))
+        .orderBy(round(col("ccos"), 6).desc, col("cell"))
+      vecs.select(col("id").as(outId), col("v"), col("n"))
+        .join(centroids)
+        .withColumn("ccos", dot(col("v"), col("cv")) / (col("n") * col("cn")))
+        .withColumn("crank", row_number().over(w))
+        .filter(col("crank") <= keep)
+        .select(col(outId), col("cell"))
+    }
+    val corpusCells = nearestCells(1, "id_c")
+      .join(vecs.select(col("id").as("id_c"), col("v").as("v_c"), col("n").as("n_c")), Seq("id_c"))
+    val queryCells = nearestCells(nProbe, "id_q")
+      .join(vecs.select(col("id").as("id_q"), col("v").as("v_q"), col("n").as("n_q")), Seq("id_q"))
+    val scored = queryCells.join(corpusCells,
+        queryCells("cell") === corpusCells("cell") && col("id_q") =!= col("id_c"))
+      .withColumn("cos", round(
+        dot(col("v_q"), col("v_c")) / (col("n_q") * col("n_c")), 6))
+    val w = Window.partitionBy(col("id_q")).orderBy(col("cos").desc, col("id_c"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("id_q"), col("id_c").as("neighbor_id"), col("rank"))
+  }
 }

@@ -60,4 +60,17 @@ class SimSearchSpec extends SparkFunSuite {
     assert(counts.filter(col("count") > 3).count() == 0)
     assert(got.count() > 0)
   }
+
+  test("ivfTopK: ≤k ranked neighbors per query, reasonable recall@1 vs exact") {
+    val e = Tables.embeddings(spark, sf001)
+    val got = SimSearch.ivfTopK(e, "vec_id", "embedding", 3, nCentroids = 8, nProbe = 3)
+    assert(got.groupBy("id_q").count().filter(col("count") > 3).count() == 0)
+    val ivf1 = got.filter($"rank" === 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val exact1 = SimSearch.topKBruteForce(e, e, "vec_id", "embedding", 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val hits = exact1.count { case (q, n) => ivf1.get(q).contains(n) }
+    assert(hits.toDouble / exact1.size >= 0.5,
+      s"IVF recall@1 too low: $hits/${exact1.size}")
+  }
 }

@@ -91,7 +91,12 @@ object Dedup {
       /** LSH buckets larger than this are dropped as degenerate (skew
         * guard); at threshold-worthy similarity real clusters are small.
         */
-      maxBucketSize: Int = 1000) {
+      maxBucketSize: Int = 1000,
+      /** Verification joins broadcast the per-doc shingle-set table when
+        * the corpus has at most this many docs (≈ a few hundred MB of
+        * sets); larger corpora use shuffle joins on the pair ids.
+        */
+      maxBroadcastDocs: Long = 200000L) {
     def k: Int = numBands * rowsPerBand
   }
 
@@ -130,8 +135,12 @@ object Dedup {
     val bandKeys = array((0 until params.numBands).map { j =>
       xxhash64(lit(j), slice(col("sig"), j * params.rowsPerBand + 1, params.rowsPerBand))
     }: _*)
+    // each row also carries the full band-key vector ("keys"): the pair
+    // join uses it to emit a multi-band collision exactly once (at its
+    // first colliding band) without a pair-level distinct
     sigDf.filter(size(col("sig")) > 0)
-      .select(col("id"), posexplode(bandKeys).as(Seq("band", "band_hash")))
+      .select(col("id"), bandKeys.as("keys"))
+      .select(col("id"), col("keys"), posexplode(col("keys")).as(Seq("band", "band_hash")))
   }
 
   /** Candidate pairs from banded MinHash: docs sharing any band bucket.
@@ -149,13 +158,34 @@ object Dedup {
       .agg(count(lit(1)).as("bucket_n"))
       .filter(col("bucket_n") >= 2 && col("bucket_n") <= params.maxBucketSize)
       .select("band", "band_hash")
-    val pruned = bands.join(okBuckets, Seq("band", "band_hash"))
-    val l = pruned.select(col("band"), col("band_hash"), col("id").as("id_a"))
-    val r = pruned.select(col("band"), col("band_hash"), col("id").as("id_b"))
-    l.join(r, Seq("band", "band_hash"))
-      .filter(col("id_a") < col("id_b"))
+    val okRows = bands.join(okBuckets, Seq("band", "band_hash"))
+    // A pair colliding in m healthy buckets meets m times in the pair
+    // join; emitting it only at its FIRST healthy collision keeps exactly
+    // one meeting, replacing the pair-level distinct() — the pipeline's
+    // largest shuffle (3M rows at sf0.1) — with doc-level plumbing. The
+    // masked key vector holds the real band key where that doc's bucket
+    // is healthy and a per-doc sentinel elsewhere (sentinels never equal
+    // across docs), so first_equal_index finds the first HEALTHY shared
+    // bucket — identical semantics, including skew-guard recall.
+    val okMasked = okRows
+      .groupBy("id")
+      .agg(map_from_entries(collect_list(struct(col("band"), col("band_hash"))))
+        .as("okmap"))
+      .select(col("id"), transform(
+        sequence(lit(0), lit(params.numBands - 1)),
+        j => when(map_contains_key(col("okmap"), j), element_at(col("okmap"), j))
+          .otherwise(xxhash64(lit(-7L), col("id"), j))).as("mkeys"))
+    val pruned = okRows.join(okMasked, Seq("id"))
+    val l = pruned.select(col("band"), col("band_hash"),
+      col("id").as("id_a"), col("mkeys").as("mkeys_a"))
+    val r = pruned.select(col("band"), col("band_hash"),
+      col("id").as("id_b"), col("mkeys").as("mkeys_b"))
+    val first = GraftFunctions.firstEqualIndex(
+      docs.sparkSession, col("mkeys_a"), col("mkeys_b"))
+    l.join(r,
+        l("band") === r("band") && l("band_hash") === r("band_hash") &&
+        col("id_a") < col("id_b") && first === l("band"))
       .select("id_a", "id_b")
-      .distinct()
   }
 
   /** X2 end-to-end: LSH candidates verified with exact shingle Jaccard.
@@ -169,16 +199,27 @@ object Dedup {
       params: MinHashParams = MinHashParams()): DataFrame = {
     GraftFunctions.register(docs.sparkSession)
     val cand = minhashCandidatePairs(docs, idCol, textCol, params)
+    // cached: both verification join sides consume the shingle sets, and
+    // the tokenize→shingle→hash→sort chain is the expensive part
     val sets = docs.select(
       col(idCol).as("id"), Text.hashedShingleSet(col(textCol), params.shingleN).as("s"))
+      .cache()
+    // On a low-entropy corpus the candidate set is orders of magnitude
+    // larger than the true pair set, so the dominant cost is moving the
+    // candidate×shingle-set rows. When the per-doc set table fits in a
+    // broadcast, ship IT to the candidates (pairs never shuffle and the
+    // failed ones are dropped during the broadcast-hash probe); beyond
+    // broadcast size, fall back to shuffle joins on the pair ids.
+    val side = (df: DataFrame) =>
+      if (sets.count() <= params.maxBroadcastDocs) broadcast(df) else df
     val withA = cand
-      .join(sets.select(col("id").as("id_a"), col("s").as("s_a")), Seq("id_a"))
+      .join(side(sets.select(col("id").as("id_a"), col("s").as("s_a"))), Seq("id_a"))
     val bSets = sets.select(col("id").as("rid"), col("s").as("s_b"))
     // Jaccard verification inside the second join's condition: candidate
     // rows that fail the threshold are dropped before their (wide) joined
     // row is ever materialized — same copy-avoidance as jaccardPairsExact.
     withA
-      .join(bSets, withA("id_b") === bSets("rid") &&
+      .join(side(bSets), withA("id_b") === bSets("rid") &&
         Text.jaccardSorted(col("s_a"), col("s_b")) >= threshold)
       .select(col("id_a"), col("id_b"),
         round(Text.jaccardSorted(col("s_a"), col("s_b")), 6).as("jaccard"))
@@ -232,11 +273,16 @@ object Dedup {
     val blocks = allBlocks.join(okBuckets, Seq("block", "v"))
     val l = blocks.select(col("block"), col("v"), col("id").as("id_a"), col("simhash").as("sh_a"))
     val r = blocks.select(col("block"), col("v"), col("id").as("id_b"), col("simhash").as("sh_b"))
-    l.join(r, Seq("block", "v"))
-      .filter(col("id_a") < col("id_b"))
+    // id-order and the Hamming bound live INSIDE the join condition: a
+    // block-collision pair that isn't a true near-dup is rejected during
+    // the hash-join probe and never materialized, so the distinct() that
+    // merges multi-block duplicates only shuffles true near-dup pairs
+    l.join(r,
+        l("block") === r("block") && l("v") === r("v") &&
+        col("id_a") < col("id_b") &&
+        bit_count(col("sh_a").bitwiseXOR(col("sh_b"))) <= maxHamming)
       .select(col("id_a"), col("id_b"),
         bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).as("hamming"))
       .distinct()
-      .filter(col("hamming") <= maxHamming)
   }
 }

@@ -84,32 +84,21 @@ object SimSearch {
       .select(col("id_q"), col("id_c").as("neighbor_id"), col("rank"))
   }
 
-  /** Deterministic pseudo-random unit hyperplanes (driver-side constants,
-    * seeded — same planes on every executor, every run).
-    */
-  private def planes(nPlanes: Int, dim: Int, seed: Long): Seq[Seq[Float]] = {
-    val rnd = new scala.util.Random(seed)
-    Seq.fill(nPlanes)(Seq.fill(dim)(rnd.nextGaussian().toFloat))
-  }
-
   /** (id, band, band_hash): random-hyperplane sign-pattern LSH index.
     * numBands bands × bitsPerBand hyperplanes; band key packs the sign
-    * bits of its hyperplane block into a long.
+    * bits of its hyperplane block into a long. The signature is the
+    * codegen'd RhpSignature kernel — one reference-object plane matrix,
+    * one nested loop (the equivalent per-plane `dot(vec, lit) > 0`
+    * column forest cost seconds of Janino compile per query).
     */
   def rhpBands(
       emb: DataFrame, idCol: String, vecCol: String,
       numBands: Int = 8, bitsPerBand: Int = 8, dim: Int = 64,
       seed: Long = 42L): DataFrame = {
-    val ps = planes(numBands * bitsPerBand, dim, seed)
-    val bandKeys = array((0 until numBands).map { j =>
-      val bits = (0 until bitsPerBand).map { i =>
-        val p = ps(j * bitsPerBand + i)
-        when(dot(col(vecCol), typedLit(p)) > 0, lit(1L << i)).otherwise(lit(0L))
-      }
-      bits.reduce(_ + _)
-    }: _*)
-    emb.select(col(idCol).as("id"), col(vecCol).as("v"),
-        posexplode(bandKeys).as(Seq("band", "band_hash")))
+    val spark = emb.sparkSession
+    emb.select(col(idCol).as("id"),
+        posexplode(GraftFunctions.rhpSig(spark, col(vecCol),
+          numBands, bitsPerBand, dim, seed)).as(Seq("band", "band_hash")))
       .select("id", "band", "band_hash")
   }
 
@@ -184,24 +173,34 @@ object SimSearch {
     *
     * Ranking uses the 6-dp-rounded cosine with id tie-break, same as
     * [[topKBruteForce]], so results are reproducible across runs.
+    *
+    * `nCentroids = 0` (default) self-sizes to ceil(sqrt(nProbe·N)): cell
+    * assignment costs N·c dot products and probing costs N·nProbe·(N/c),
+    * so c = sqrt(nProbe·N) balances the two — the standard IVF sizing.
     */
   def ivfTopK(
       emb: DataFrame, idCol: String, vecCol: String, k: Int,
-      nCentroids: Int = 16, nProbe: Int = 4): DataFrame = {
+      nCentroids: Int = 0, nProbe: Int = 4): DataFrame = {
     val vecs = withNorm(emb, idCol, vecCol, "").cache()
     val n = vecs.count()
-    val step = math.max(1L, n / nCentroids)
+    val nCells =
+      if (nCentroids > 0) nCentroids
+      else math.max(8, math.ceil(math.sqrt(nProbe.toDouble * n)).toInt)
+    val step = math.max(1L, n / nCells)
     val centroids = broadcast(
       vecs.filter(pmod(col("id"), lit(step)) === 0)
-        .limit(nCentroids)
+        .limit(nCells)
         .select(col("id").as("cell"), col("v").as("cv"), col("n").as("cn")))
     def nearestCells(keep: Int, outId: String): DataFrame = {
-      val w = Window.partitionBy(col(outId))
-        .orderBy(round(col("ccos"), 6).desc, col("cell"))
-      vecs.select(col("id").as(outId), col("v"), col("n"))
+      // project the vector payload away BEFORE the ranking window: the
+      // N×c scored rows shuffle as (id, cell, score) triples, not with
+      // the embedding arrays attached
+      val scored = vecs.select(col("id").as(outId), col("v"), col("n"))
         .join(centroids)
-        .withColumn("ccos", dot(col("v"), col("cv")) / (col("n") * col("cn")))
-        .withColumn("crank", row_number().over(w))
+        .select(col(outId), col("cell"),
+          round(dot(col("v"), col("cv")) / (col("n") * col("cn")), 6).as("ccos"))
+      val w = Window.partitionBy(col(outId)).orderBy(col("ccos").desc, col("cell"))
+      scored.withColumn("crank", row_number().over(w))
         .filter(col("crank") <= keep)
         .select(col(outId), col("cell"))
     }

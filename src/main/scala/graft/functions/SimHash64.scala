@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.functions.call_function
+import org.apache.spark.sql.functions.{call_function, lit}
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
 
 /** 64-bit SimHash of a bag of 64-bit token hashes.
@@ -98,7 +98,14 @@ case class SimHash64(child: Expression)
   */
 object GraftFunctions {
 
+  // one registration per session — repeat calls are no-ops (and noisy:
+  // createOrReplaceTempFunction logs a WARN per replacement)
+  private val registered =
+    java.util.Collections.newSetFromMap(
+      new java.util.concurrent.ConcurrentHashMap[SparkSession, java.lang.Boolean]())
+
   def register(spark: SparkSession): Unit = {
+    if (!registered.add(spark)) return
     val reg = spark.sessionState.functionRegistry
     reg.createOrReplaceTempFunction(
       "graft_simhash64", exprs => SimHash64(exprs.head), "built-in")
@@ -114,6 +121,18 @@ object GraftFunctions {
         exprs(0),
         exprs(1).eval().asInstanceOf[Number].intValue(),
         exprs(2).eval().asInstanceOf[Number].longValue()), "built-in")
+    reg.createOrReplaceTempFunction(
+      "graft_first_equal_index",
+      exprs => FirstEqualIndex(exprs(0), exprs(1)), "built-in")
+    // band/bit/dim/seed parameterize the plane matrix baked into the
+    // generated code, so they must be foldable literals.
+    reg.createOrReplaceTempFunction(
+      "graft_rhp_sig", exprs => RhpSignature(
+        exprs(0),
+        exprs(1).eval().asInstanceOf[Number].intValue(),
+        exprs(2).eval().asInstanceOf[Number].intValue(),
+        exprs(3).eval().asInstanceOf[Number].intValue(),
+        exprs(4).eval().asInstanceOf[Number].longValue()), "built-in")
   }
 
   def simhash64(spark: SparkSession, tokenHashes: Column): Column = {
@@ -131,5 +150,19 @@ object GraftFunctions {
   def dot(spark: SparkSession, a: Column, b: Column): Column = {
     register(spark)
     call_function("graft_dot", a, b)
+  }
+
+  /** First index where two bigint arrays agree, -1 if none. */
+  def firstEqualIndex(spark: SparkSession, a: Column, b: Column): Column = {
+    register(spark)
+    call_function("graft_first_equal_index", a, b)
+  }
+
+  /** Random-hyperplane LSH band keys (array<bigint>, one per band). */
+  def rhpSig(spark: SparkSession, vec: Column, numBands: Int,
+      bitsPerBand: Int, dim: Int, seed: Long): Column = {
+    register(spark)
+    call_function("graft_rhp_sig", vec, lit(numBands), lit(bitsPerBand),
+      lit(dim), lit(seed))
   }
 }

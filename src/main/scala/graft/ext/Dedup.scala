@@ -154,38 +154,9 @@ object Dedup {
     // sides); caching avoids recomputing signatures and stops the
     // optimizer from inlining the signature expression into each.
     val bands = minhashBands(docs, idCol, textCol, params).cache()
-    val okBuckets = bands.groupBy("band", "band_hash")
-      .agg(count(lit(1)).as("bucket_n"))
-      .filter(col("bucket_n") >= 2 && col("bucket_n") <= params.maxBucketSize)
-      .select("band", "band_hash")
-    val okRows = bands.join(okBuckets, Seq("band", "band_hash"))
-    // A pair colliding in m healthy buckets meets m times in the pair
-    // join; emitting it only at its FIRST healthy collision keeps exactly
-    // one meeting, replacing the pair-level distinct() — the pipeline's
-    // largest shuffle (3M rows at sf0.1) — with doc-level plumbing. The
-    // masked key vector holds the real band key where that doc's bucket
-    // is healthy and a per-doc sentinel elsewhere (sentinels never equal
-    // across docs), so first_equal_index finds the first HEALTHY shared
-    // bucket — identical semantics, including skew-guard recall.
-    val okMasked = okRows
-      .groupBy("id")
-      .agg(map_from_entries(collect_list(struct(col("band"), col("band_hash"))))
-        .as("okmap"))
-      .select(col("id"), transform(
-        sequence(lit(0), lit(params.numBands - 1)),
-        j => when(map_contains_key(col("okmap"), j), element_at(col("okmap"), j))
-          .otherwise(xxhash64(lit(-7L), col("id"), j))).as("mkeys"))
-    val pruned = okRows.join(okMasked, Seq("id"))
-    val l = pruned.select(col("band"), col("band_hash"),
-      col("id").as("id_a"), col("mkeys").as("mkeys_a"))
-    val r = pruned.select(col("band"), col("band_hash"),
-      col("id").as("id_b"), col("mkeys").as("mkeys_b"))
-    val first = GraftFunctions.firstEqualIndex(
-      docs.sparkSession, col("mkeys_a"), col("mkeys_b"))
-    l.join(r,
-        l("band") === r("band") && l("band_hash") === r("band_hash") &&
-        col("id_a") < col("id_b") && first === l("band"))
-      .select("id_a", "id_b")
+    // each colliding pair is emitted once, at its first healthy band —
+    // no pair-level distinct() (see LshJoin for the construction)
+    LshJoin.candidatePairs(bands, params.numBands, params.maxBucketSize)
   }
 
   /** X2 end-to-end: LSH candidates verified with exact shingle Jaccard.

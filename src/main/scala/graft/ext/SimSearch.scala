@@ -96,11 +96,15 @@ object SimSearch {
       numBands: Int = 8, bitsPerBand: Int = 8, dim: Int = 64,
       seed: Long = 42L): DataFrame = {
     val spark = emb.sparkSession
+    // "keys" (the full band-key vector) rides along for the
+    // first-collision pair dedup in the candidate joins
     emb.select(col(idCol).as("id"),
-        posexplode(GraftFunctions.rhpSig(spark, col(vecCol),
-          numBands, bitsPerBand, dim, seed)).as(Seq("band", "band_hash")))
-      .select("id", "band", "band_hash")
+        GraftFunctions.rhpSig(spark, col(vecCol),
+          numBands, bitsPerBand, dim, seed).as("keys"))
+      .select(col("id"), col("keys"),
+        posexplode(col("keys")).as(Seq("band", "band_hash")))
   }
+
 
   /** ANN candidate pairs: bucket-mates in any band (skew-capped), scored
     * and thresholded exactly. Recall < 1 by construction; tune bands/bits
@@ -110,18 +114,9 @@ object SimSearch {
       emb: DataFrame, idCol: String, vecCol: String, threshold: Double,
       numBands: Int = 8, bitsPerBand: Int = 8, dim: Int = 64,
       maxBucketSize: Int = 10000): DataFrame = {
-    // three consumers (bucket sizing + both join sides): cache the index
+    // multiple consumers (bucket sizing + both join sides): cache the index
     val bands = rhpBands(emb, idCol, vecCol, numBands, bitsPerBand, dim).cache()
-    val okBuckets = bands.groupBy("band", "band_hash")
-      .agg(count(lit(1)).as("n"))
-      .filter(col("n") >= 2 && col("n") <= maxBucketSize)
-      .select("band", "band_hash")
-    val pruned = bands.join(okBuckets, Seq("band", "band_hash"))
-    val cand = pruned.select(col("band"), col("band_hash"), col("id").as("id_a"))
-      .join(pruned.select(col("band"), col("band_hash"), col("id").as("id_b")),
-        Seq("band", "band_hash"))
-      .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b").distinct()
+    val cand = LshJoin.candidatePairs(bands, numBands, maxBucketSize, ordered = true)
     val vecs = withNorm(emb, idCol, vecCol, "")
     cand
       .join(vecs.select(col("id").as("id_a"), col("v").as("v_a"), col("n").as("n_a")), Seq("id_a"))
@@ -136,18 +131,10 @@ object SimSearch {
       emb: DataFrame, idCol: String, vecCol: String, k: Int,
       numBands: Int = 16, bitsPerBand: Int = 6, dim: Int = 64,
       maxBucketSize: Int = 10000): DataFrame = {
-    // three consumers (bucket sizing + both join sides): cache the index
+    // multiple consumers (bucket sizing + both join sides): cache the index
     val bands = rhpBands(emb, idCol, vecCol, numBands, bitsPerBand, dim).cache()
-    val okBuckets = bands.groupBy("band", "band_hash")
-      .agg(count(lit(1)).as("n"))
-      .filter(col("n") >= 2 && col("n") <= maxBucketSize)
-      .select("band", "band_hash")
-    val pruned = bands.join(okBuckets, Seq("band", "band_hash"))
-    val cand = pruned.select(col("band"), col("band_hash"), col("id").as("id_q"))
-      .join(pruned.select(col("band"), col("band_hash"), col("id").as("id_c")),
-        Seq("band", "band_hash"))
-      .filter(col("id_q") =!= col("id_c"))
-      .select("id_q", "id_c").distinct()
+    val cand = LshJoin.candidatePairs(bands, numBands, maxBucketSize, ordered = false)
+      .withColumnRenamed("id_a", "id_q").withColumnRenamed("id_b", "id_c")
     val vecs = withNorm(emb, idCol, vecCol, "")
     val scored = cand
       .join(vecs.select(col("id").as("id_q"), col("v").as("v_q"), col("n").as("n_q")), Seq("id_q"))

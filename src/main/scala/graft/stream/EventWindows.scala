@@ -93,4 +93,25 @@ object EventWindows {
   def dedupStream(events: DataFrame, keys: Seq[String], lateness: String): DataFrame =
     events.withWatermark("ts", lateness)
       .dropDuplicatesWithinWatermark(keys)
+
+  /** Stream-stream interval join: pair each left event with the right
+    * events of the same `key` that arrive within `within` after it.
+    * Both sides carry watermarks so the join state is bounded — a
+    * buffered left row is dropped once the right watermark passes
+    * left.ts + within (Spark derives the state retention from the
+    * time-range condition; without it a stream-stream join would
+    * buffer forever). Works identically on batch DataFrames.
+    */
+  def correlateStreams(
+      left: DataFrame, right: DataFrame, key: String,
+      within: String, lateness: String): DataFrame = {
+    val l = left.withWatermark("ts", lateness).alias("l")
+    val r = right.withWatermark("ts", lateness).alias("r")
+    l.join(r,
+        expr(s"""l.$key = r.$key AND
+                 |r.ts >= l.ts AND r.ts <= l.ts + INTERVAL $within""".stripMargin))
+      .select(col(s"l.$key").as(key),
+        col("l.ts").as("ts_left"), col("r.ts").as("ts_right"),
+        col("l.event_type").as("type_left"), col("r.event_type").as("type_right"))
+  }
 }

@@ -1,0 +1,80 @@
+package graft.stream
+
+import java.sql.Timestamp
+
+import graft.SparkFunSuite
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+case class Ev(user_id: Long, ts: Timestamp, event_type: String, value: Double)
+
+class StreamingReconcileSpec extends SparkFunSuite {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("foreachBatch reconcile flags only diverging groups, incrementally") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Ev]
+    // target expects 2 clicks and 1 view
+    val target = Seq(("click", 2L), ("view", 1L)).toDF("event_type", "cnt")
+    val seen = scala.collection.mutable.ArrayBuffer.empty[(String, Long, Any)]
+    val dir = java.nio.file.Files.createTempDirectory("sr-ckpt").toString
+    // AvailableNow snapshots the available offsets at start() — feed the
+    // increment first, then run the query to completion.
+    input.addData(
+      Ev(1, ts("2024-01-01 10:00:00"), "click", 1.0),
+      Ev(2, ts("2024-01-01 10:01:00"), "view", 1.0))
+    val q = StreamingReconcile.start(
+      input.toDF(), "event_type", target,
+      (rows: Array[Row]) => seen.synchronized {
+        rows.foreach(r => seen += ((r.getString(0), r.getLong(1), r.get(2))))
+      }, dir)
+    try {
+      q.awaitTermination()
+      // click is at 1 of 2 → mismatch; view matches (1 of 1) → silent
+      assert(seen.toList == List(("click", 1L, 2L)))
+    } finally q.stop()
+
+    // second increment: clicks reach target, a scroll group appears that
+    // the target has never heard of
+    seen.clear()
+    input.addData(
+      Ev(3, ts("2024-01-01 10:02:00"), "click", 1.0),
+      Ev(4, ts("2024-01-01 10:03:00"), "scroll", 1.0))
+    val q2 = StreamingReconcile.start(
+      input.toDF(), "event_type", target,
+      (rows: Array[Row]) => seen.synchronized {
+        rows.foreach(r => seen += ((r.getString(0), r.getLong(1), r.get(2))))
+      }, dir)
+    try {
+      q2.awaitTermination()
+      // update mode: only changed groups surface; click now matches
+      // (silent) and the unexpected group reports a null target count
+      assert(seen.toList == List(("scroll", 1L, null)))
+    } finally q2.stop()
+  }
+
+  test("stream-stream interval join pairs events within the window, bounded state") {
+    implicit val sqlCtx = spark.sqlContext
+    val a = MemoryStream[Ev]
+    val b = MemoryStream[Ev]
+    val joined = EventWindows.correlateStreams(
+      a.toDF(), b.toDF(), "user_id", "10 MINUTES", "1 minute")
+    val q = joined.writeStream.format("memory").queryName("corr")
+      .outputMode("append").start()
+    try {
+      a.addData(Ev(1, ts("2024-01-01 10:00:00"), "login", 0))
+      b.addData(
+        Ev(1, ts("2024-01-01 10:05:00"), "purchase", 0), // within 10m
+        Ev(1, ts("2024-01-01 10:20:00"), "purchase", 0), // outside
+        Ev(2, ts("2024-01-01 10:01:00"), "purchase", 0)) // other user
+      q.processAllAvailable()
+      val got = spark.table("corr")
+        .select("user_id", "type_left", "type_right")
+        .as[(Long, String, String)].collect().toSet
+      assert(got == Set((1L, "login", "purchase")))
+      assert(spark.table("corr").count() == 1)
+    } finally q.stop()
+  }
+}

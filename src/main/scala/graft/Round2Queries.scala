@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.core.{RangeJoin, Tables}
+import graft.core.{RangeJoin, Tables, Transforms}
 import graft.ext.{SimSearch, Text, TextStats}
 
 /** Round-2 surface widening: classic warehouse shapes the reference's
@@ -128,6 +128,59 @@ object Round2Queries {
     // vs the exact top-k is asserted in SimSearchSpec).
     "similarity_ivf_topk" -> { (s, dir) =>
       SimSearch.ivfTopK(Tables.embeddings(s, dir), "vec_id", "embedding", 3)
+    },
+    // X6 batch twin of the stream-stream interval join: event-type
+    // co-occurrence within 10 minutes per user (the watermark is a
+    // no-op in batch; the same code runs streaming in
+    // StreamingReconcileSpec).
+    "events_correlated" -> { (s, dir) =>
+      val ev = Tables.events(s, dir)
+      graft.stream.EventWindows
+        .correlateStreams(ev, ev, "user_id", "10 MINUTES", "1 minute")
+        .groupBy(col("type_left"), col("type_right"))
+        .agg(count(lit(1)).as("n_pairs"))
+    },
+    // Distribution analytics: quartile bucket + percent_rank/cume_dist
+    // per priority class.
+    "window_ntile" -> { (s, dir) =>
+      val w = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(col("o_totalprice"), col("o_orderkey"))
+      Tables.orders(s, dir).select(col("o_orderkey"), col("o_orderpriority"),
+        ntile(4).over(w).as("quartile"),
+        round(percent_rank().over(w), 6).as("pct_rank"),
+        round(cume_dist().over(w), 6).as("cume"))
+    },
+    // T1–T7 string-transform chain on a count-record report line, the
+    // reference's sed pipeline as codegen'd column ops
+    // (verizon_automation_script.sh:114,164-182).
+    "transforms_report" -> { (s, dir) =>
+      val counts = Tables.lineitem(s, dir)
+        .groupBy(col("l_returnflag")).agg(count(lit(1)).as("cnt"))
+      val line = concat(lit("lineitem:"), col("cnt").cast("string"), lit(":"),
+        Transforms.kv(lit("l_returnflag"), Transforms.quoteWrap(col("l_returnflag"))),
+        lit("\r"))
+      counts.select(
+        Transforms.colonsToComma(Transforms.stripCr(line)).as("report_line"))
+    },
+    // X4: BPE-style subword pre-tokenization (letter runs / digit runs /
+    // punctuation runs — the GPT-2 pattern family minus lookahead, so
+    // RE2 engines tokenize identically) vs whitespace tokens, per doc.
+    "text_bpe_tokens" -> { (s, dir) =>
+      Tables.documents(s, dir).select(col("doc_id"),
+        TextStats.tokenCount(col("text")).cast("long").as("n_ws"),
+        size(regexp_extract_all(col("text"),
+          lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]+"), lit(0)))
+          .cast("long").as("n_bpe"))
+    },
+    // Second-moment statistics (sample variants match DuckDB's n-1
+    // definitions; skewness/kurtosis are excluded — DuckDB bias-corrects
+    // them, Spark does not).
+    "stats_moments" -> { (s, dir) =>
+      Tables.lineitem(s, dir).agg(
+        round(stddev_samp(col("l_quantity")), 4).as("sd_qty"),
+        round(var_samp(col("l_quantity")), 4).as("var_qty"),
+        round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("corr_qty_price"),
+        round(covar_samp(col("l_quantity"), col("l_extendedprice")), 4).as("covar_qty_price"))
     }
   )
 
@@ -205,6 +258,36 @@ object Round2Queries {
          |FROM q""".stripMargin,
     "approx_distinct_users" ->
       """SELECT count(DISTINCT user_id) AS n_exact, true AS within_5pct
-        |FROM events""".stripMargin
+        |FROM events""".stripMargin,
+    "events_correlated" ->
+      """SELECT l.event_type AS type_left, r.event_type AS type_right,
+        |       count(*) AS n_pairs
+        |FROM events l JOIN events r
+        |  ON l.user_id = r.user_id
+        | AND r.ts >= l.ts AND r.ts <= l.ts + INTERVAL 10 MINUTE
+        |GROUP BY 1, 2""".stripMargin,
+    "window_ntile" ->
+      """SELECT o_orderkey, o_orderpriority,
+        |       ntile(4) OVER w AS quartile,
+        |       round(percent_rank() OVER w, 6) AS pct_rank,
+        |       round(cume_dist() OVER w, 6) AS cume
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_orderpriority
+        |             ORDER BY o_totalprice, o_orderkey)""".stripMargin,
+    "transforms_report" ->
+      """SELECT 'lineitem,' || CAST(count(*) AS VARCHAR) ||
+        |       ',l_returnflag=''' || l_returnflag || '''' AS report_line
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    "text_bpe_tokens" ->
+      s"""SELECT doc_id, CAST(len($TokensSql) AS BIGINT) AS n_ws,
+         |       CAST(len(regexp_extract_all(text,
+         |         '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]+', 0)) AS BIGINT) AS n_bpe
+         |FROM documents""".stripMargin,
+    "stats_moments" ->
+      """SELECT round(stddev_samp(l_quantity), 4) AS sd_qty,
+        |       round(var_samp(l_quantity), 4) AS var_qty,
+        |       round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+        |       round(covar_samp(l_quantity, l_extendedprice), 4) AS covar_qty_price
+        |FROM lineitem""".stripMargin
   )
 }

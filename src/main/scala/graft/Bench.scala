@@ -8,9 +8,12 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
-      // COUNT(*)-style aggregates answered from parquet footer metadata
-      // (the Spark analogue of the reference's stats-served counts,
-      // verizon_automation_script.sh:100)
+      // COUNT(*)-style aggregates: on the default V1 parquet path a
+      // count's ReadSchema is struct<>, so the scan reads footers only —
+      // already the analogue of the reference's stats-served counts
+      // (verizon_automation_script.sh:100). This flag additionally
+      // enables PushedAggregation when the V2 source is selected
+      // (asserted in PlanAuditSpec).
       .config("spark.sql.parquet.aggregatePushdown", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

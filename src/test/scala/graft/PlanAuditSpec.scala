@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.FormattedMode
+
+/** Physical-plan regression tests: the properties the 100 TB design
+  * depends on must survive refactors. These assert on the FORMATTED
+  * explain of driver queries at sf0.001 — cheap (no execution beyond
+  * planning/AQE-free analysis) and exactly what `.explain("formatted")`
+  * shows a user.
+  */
+class PlanAuditSpec extends SparkFunSuite {
+
+  private def plan(name: String): String = {
+    val df: DataFrame = SparkEntry.queries(name)(spark, sf001)
+    df.queryExecution.explainString(FormattedMode)
+  }
+
+  test("q6: all three filters push down to the parquet scan") {
+    val p = plan("q6_forecast_revenue")
+    assert("PushedFilters: \\[[^\\]]".r.findFirstIn(p).isDefined, p)
+    assert(p.contains("l_discount") && p.contains("l_quantity"))
+  }
+
+  test("q6: scan reads only the three referenced columns") {
+    val p = plan("q6_forecast_revenue")
+    val read = "ReadSchema: struct<([^>]*)>".r.findFirstMatchIn(p).map(_.group(1))
+    assert(read.isDefined, p)
+    val cols = read.get.split(",").map(_.split(":")(0).trim).toSet
+    assert(cols == Set("l_quantity", "l_extendedprice", "l_discount"), cols)
+  }
+
+  test("broadcast dim join plans as BroadcastHashJoin") {
+    val p = plan("join_broadcast_dim")
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("range join is a real join, not a nested loop") {
+    val p = plan("range_join_windows")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+  }
+
+  test("aggregations combine map-side (partial aggregation present)") {
+    for (q <- Seq("q1_agg", "rowcount_by_partition", "orders_by_month")) {
+      assert(plan(q).contains("partial_"), s"$q lost map-side combine")
+    }
+  }
+
+  test("flagship aggregation stays inside whole-stage codegen") {
+    val p = SparkEntry.queries("q1_agg")(spark, sf001)
+      .queryExecution.explainString(org.apache.spark.sql.execution.CodegenMode)
+    assert(p.contains("WholeStageCodegen subtree"), p.take(500))
+  }
+
+  test("top-k window plans as WindowGroupLimit (per-partition top-k)") {
+    val p = plan("window_rank_topn")
+    assert(p.contains("WindowGroupLimit"), p)
+  }
+
+  test("count(*) answered from parquet metadata when pushdown is on") {
+    // aggregate pushdown needs the V2 parquet source + the flag (set by
+    // Verify/Bench); flip both on locally for this check. On the default
+    // V1 path a count(*) is still metadata-cheap: ReadSchema is struct<>
+    // so the scan touches footers only, no data pages.
+    val prevAgg = spark.conf.getOption("spark.sql.parquet.aggregatePushdown")
+    val prevV1 = spark.conf.getOption("spark.sql.sources.useV1SourceList")
+    spark.conf.set("spark.sql.parquet.aggregatePushdown", "true")
+    spark.conf.set("spark.sql.sources.useV1SourceList", "")
+    try {
+      val p = spark.read.parquet(s"$sf001/lineitem.parquet")
+        .agg(org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)))
+        .queryExecution.explainString(FormattedMode)
+      assert(p.contains("PushedAggregation: [COUNT(*)]"), p)
+    } finally {
+      def restore(k: String, v: Option[String]): Unit =
+        v.fold(spark.conf.unset(k))(spark.conf.set(k, _))
+      restore("spark.sql.parquet.aggregatePushdown", prevAgg)
+      restore("spark.sql.sources.useV1SourceList", prevV1)
+    }
+  }
+}

@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.core.{RangeJoin, Tables, Transforms}
-import graft.ext.{SimSearch, Text, TextStats}
+import graft.ext.{Dedup, SimSearch, Text, TextStats}
 
 /** Round-2 surface widening: classic warehouse shapes the reference's
   * Hive substrate serves (filter-agg, having, pivot, grouping sets,
@@ -172,6 +172,13 @@ object Round2Queries {
           lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]+"), lit(0)))
           .cast("long").as("n_bpe"))
     },
+    // X1/X2 capstone: near-dup pairs collapsed to clusters (connected
+    // components by min-label propagation); every doc → its component's
+    // minimum doc id.
+    "dedup_clusters" -> { (s, dir) =>
+      Dedup.nearDupClusters(Tables.documents(s, dir), "doc_id", "text", 0.9,
+        Dedup.MinHashParams(numBands = 16, rowsPerBand = 2))
+    },
     // Second-moment statistics (sample variants match DuckDB's n-1
     // definitions; skewness/kurtosis are excluded — DuckDB bias-corrects
     // them, Spark does not).
@@ -283,6 +290,30 @@ object Round2Queries {
          |       CAST(len(regexp_extract_all(text,
          |         '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]+', 0)) AS BIGINT) AS n_bpe
          |FROM documents""".stripMargin,
+    // Transitive closure over exact-Jaccard pairs (the LSH recall
+    // argument is the same as dedup_minhash's); min over the reachable
+    // set = the component representative.
+    "dedup_clusters" ->
+      s"""WITH RECURSIVE tok AS (
+         |  SELECT DISTINCT doc_id, unnest($TokensSql) AS tok FROM documents),
+         |sz AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY 1),
+         |inter AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+         |  FROM tok a JOIN tok b ON a.tok = b.tok AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |pairs AS (
+         |  SELECT id_a, id_b FROM inter
+         |  JOIN sz sa ON sa.doc_id = id_a
+         |  JOIN sz sb ON sb.doc_id = id_b
+         |  WHERE i / (sa.n + sb.n - i) >= 0.9),
+         |e AS (SELECT id_a AS a, id_b AS b FROM pairs
+         |      UNION ALL SELECT id_b, id_a FROM pairs),
+         |r AS (
+         |  SELECT doc_id AS id, doc_id AS rch FROM documents
+         |  UNION
+         |  SELECT r.id, e.b FROM r JOIN e ON r.rch = e.a)
+         |SELECT id AS doc_id, min(rch) AS cluster_rep
+         |FROM r GROUP BY 1""".stripMargin,
     "stats_moments" ->
       """SELECT round(stddev_samp(l_quantity), 4) AS sd_qty,
         |       round(var_samp(l_quantity), 4) AS var_qty,

@@ -256,4 +256,74 @@ object Dedup {
         bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).as("hamming"))
       .distinct()
   }
+
+  // ------------------------------------------------- Dedup clustering
+
+  /** Connected components over an undirected pair graph by min-label
+    * propagation: every node starts labeled with its own id; each round
+    * every node takes the minimum label among itself and its neighbors;
+    * at fixpoint all nodes of a component carry the component's minimum
+    * id. Rounds needed = graph diameter — near-dup components are
+    * tight (a dup cluster is near-cliquish), so a handful of rounds
+    * suffices; `maxIters` bounds pathological chains. Each round is one
+    * join + one aggregation, all shuffles keyed by node id; at larger
+    * diameters swap in path-doubling (large-star/small-star) for
+    * O(log n) rounds — same per-round plan shape.
+    *
+    * `nodes` = (id); `pairs` = (id_a, id_b) undirected edges.
+    * Returns (id, cluster_rep).
+    */
+  def connectedComponents(
+      nodes: DataFrame, pairs: DataFrame, maxIters: Int = 20): DataFrame = {
+    // Iterative dataflow MUST truncate lineage each round — a cached-but
+    // -uncheckpointed loop builds a plan that doubles per iteration
+    // (explain alone OOMs past ~15 rounds). localCheckpoint keeps the
+    // materialized partitions and drops the plan; a cluster deployment
+    // with reliable storage would use checkpoint() on a checkpoint dir.
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .localCheckpoint(true)
+    var labels = nodes.select(col("id"), col("id").as("label")).localCheckpoint(true)
+    var iters = 0
+    var converged = false
+    while (!converged && iters < maxIters) {
+      val nbrMin = edges
+        .join(labels.select(col("id").as("dst"), col("label").as("nbr_label")), Seq("dst"))
+        .groupBy(col("src").as("id"))
+        .agg(min("nbr_label").as("nbr_min"))
+      // one hop through the neighbors, then a pointer jump through the
+      // label table (label(label(x)) is in the same component, so the
+      // min-of-component invariant holds) — chain-shaped components
+      // converge in O(log diameter) rounds instead of O(diameter).
+      // The change flag is computed in the same pass and read back off
+      // the materialized checkpoint — no separate diff join.
+      val prop = labels.join(nbrMin, Seq("id"), "left_outer")
+        .select(col("id"), col("label").as("old"),
+          least(col("label"), coalesce(col("nbr_min"), col("label"))).as("cand"))
+      val next = prop
+        .join(labels.select(col("id").as("cand"), col("label").as("jump")),
+          Seq("cand"), "left_outer")
+        .select(col("id"),
+          least(col("cand"), coalesce(col("jump"), col("cand"))).as("label"),
+          (least(col("cand"), coalesce(col("jump"), col("cand"))) < col("old")).as("chg"))
+        .localCheckpoint(true)
+      converged = next.filter(col("chg")).limit(1).count() == 0
+      labels = next.select("id", "label")
+      iters += 1
+    }
+    labels.select(col("id"), col("label").as("cluster_rep"))
+  }
+
+  /** X1/X2 end-to-end: near-dup pairs (MinHash+LSH verified) collapsed
+    * into clusters; every doc maps to its cluster representative (the
+    * minimum doc id in its component — singletons map to themselves).
+    */
+  def nearDupClusters(
+      docs: DataFrame, idCol: String, textCol: String, threshold: Double,
+      params: MinHashParams = MinHashParams()): DataFrame = {
+    val pairs = minhashNearDupPairs(docs, idCol, textCol, threshold, params)
+      .select("id_a", "id_b")
+    connectedComponents(docs.select(col(idCol).as("id")), pairs)
+      .withColumnRenamed("id", idCol)
+  }
 }

@@ -22,20 +22,16 @@ object Probe {
       println(f"$name%-28s ${(System.nanoTime() - t0) / 1e9}%7.2f s  rows=$n")
     }
 
-    val emb = graft.core.Tables.embeddings(spark, sf)
-    time("ann_topk") {
-      graft.ext.SimSearch.annTopK(emb, "vec_id", "embedding", 3).count()
-    }
-    time("ann_pairs") {
-      graft.ext.SimSearch.annPairs(emb, "vec_id", "embedding", 0.4).count()
-    }
     val docs = graft.core.Tables.documents(spark, sf)
     val params = graft.ext.Dedup.MinHashParams(numBands = 16, rowsPerBand = 2)
-    time("full_minhash") {
-      graft.ext.Dedup.minhashNearDupPairs(docs, "doc_id", "text", 0.9, params).count()
+    time("clusters_cold") {
+      graft.ext.Dedup.nearDupClusters(docs, "doc_id", "text", 0.9, params).count()
     }
-    time("dedup_simhash") {
-      graft.ext.Dedup.simhashNearDupPairs(spark, docs, "doc_id", "text", 3).count()
+    time("clusters_warm") {
+      graft.ext.Dedup.nearDupClusters(docs, "doc_id", "text", 0.9, params).count()
+    }
+    time("pairs_only") {
+      graft.ext.Dedup.minhashNearDupPairs(docs, "doc_id", "text", 0.9, params).count()
     }
     spark.stop()
   }

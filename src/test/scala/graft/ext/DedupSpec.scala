@@ -89,4 +89,28 @@ class DedupSpec extends SparkFunSuite {
     // verified pairs must satisfy the threshold exactly
     assert(pairs.filter(col("jaccard") < 0.9).count() == 0)
   }
+
+  test("connectedComponents: chain merges transitively, singleton maps to itself") {
+    import spark.implicits._
+    val nodes = (1L to 6L).toDF("id")
+    // 1-2-3 chain (1~2, 2~3 but NOT 1~3) + 4-5 pair + 6 alone
+    val pairs = Seq((2L, 1L), (2L, 3L), (4L, 5L)).toDF("id_a", "id_b")
+    val got = Dedup.connectedComponents(nodes, pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 4L, 6L -> 6L))
+  }
+
+  test("nearDupClusters groups every pair member under one representative") {
+    val d = Tables.documents(spark, sf001)
+    val pairs = Dedup.minhashNearDupPairs(d, "doc_id", "text", 0.9)
+    val clusters = Dedup.nearDupClusters(d, "doc_id", "text", 0.9)
+    // every pair's two docs share a representative
+    val reps = clusters.withColumnRenamed("doc_id", "k")
+    val joined = pairs
+      .join(reps.select(col("k").as("id_a"), col("cluster_rep").as("rep_a")), Seq("id_a"))
+      .join(reps.select(col("k").as("id_b"), col("cluster_rep").as("rep_b")), Seq("id_b"))
+    assert(joined.filter(col("rep_a") =!= col("rep_b")).count() == 0)
+    // representatives are component minima: rep <= member id
+    assert(clusters.filter(col("cluster_rep") > col("doc_id")).count() == 0)
+  }
 }

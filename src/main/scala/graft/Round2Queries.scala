@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.core.{RangeJoin, Tables, Transforms}
-import graft.ext.{Dedup, SimSearch, Text, TextStats}
+import graft.ext.{Dedup, Quantize, SimSearch, Text, TextStats}
 
 /** Round-2 surface widening: classic warehouse shapes the reference's
   * Hive substrate serves (filter-agg, having, pivot, grouping sets,
@@ -172,6 +172,12 @@ object Round2Queries {
           lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]+"), lit(0)))
           .cast("long").as("n_bpe"))
     },
+    // X3/X5: int8 embedding quantization error report (the 4× shrink
+    // every 100 TB vector corpus applies before shuffling embeddings).
+    "embedding_quantize" -> { (s, dir) =>
+      Quantize.dequantError(Tables.embeddings(s, dir), "vec_id", "embedding")
+        .withColumnRenamed("id", "vec_id")
+    },
     // X1/X2 capstone: near-dup pairs collapsed to clusters (connected
     // components by min-label propagation); every doc → its component's
     // minimum doc id.
@@ -290,6 +296,24 @@ object Round2Queries {
          |       CAST(len(regexp_extract_all(text,
          |         '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]+', 0)) AS BIGINT) AS n_bpe
          |FROM documents""".stripMargin,
+    // floor(x+0.5) on both sides: Spark's round() is BigDecimal
+    // (decimal-string) based and can differ from binary rounding by a
+    // whole quantum at .5 boundaries.
+    "embedding_quantize" ->
+      """WITH q AS (
+        |  SELECT vec_id, embedding,
+        |         list_max(list_transform(embedding,
+        |           x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS scale
+        |  FROM embeddings)
+        |SELECT vec_id, round(scale, 6) AS scale,
+        |       round(list_max(list_transform(embedding, x ->
+        |         abs(CAST(x AS DOUBLE)
+        |             - floor(CAST(x AS DOUBLE) / scale + 0.5) * scale))), 6) AS max_err,
+        |       round(list_sum(list_transform(embedding, x ->
+        |         abs(CAST(x AS DOUBLE)
+        |             - floor(CAST(x AS DOUBLE) / scale + 0.5) * scale)))
+        |         / len(embedding), 6) AS mean_err
+        |FROM q WHERE scale > 0""".stripMargin,
     // Transitive closure over exact-Jaccard pairs (the LSH recall
     // argument is the same as dedup_minhash's); min over the reachable
     // set = the component representative.

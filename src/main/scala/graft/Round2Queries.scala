@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.core.{RangeJoin, Tables, Transforms}
-import graft.ext.{Dedup, Quantize, SimSearch, Text, TextStats}
+import graft.ext.{Dedup, Funnel, Quantize, SimSearch, Text, TextStats}
 
 /** Round-2 surface widening: classic warehouse shapes the reference's
   * Hive substrate serves (filter-agg, having, pivot, grouping sets,
@@ -172,6 +172,12 @@ object Round2Queries {
           lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]+"), lit(0)))
           .cast("long").as("n_bpe"))
     },
+    // Sequential funnel: users reaching view → click-after-view →
+    // purchase-after-click (first-touch attribution).
+    "events_funnel" -> { (s, dir) =>
+      Funnel.conversion(Tables.events(s, dir), "user_id", "ts", "event_type",
+        Seq("view", "click", "purchase"))
+    },
     // X3/X5: int8 embedding quantization error report (the 4× shrink
     // every 100 TB vector corpus applies before shuffling embeddings).
     "embedding_quantize" -> { (s, dir) =>
@@ -296,6 +302,18 @@ object Round2Queries {
          |       CAST(len(regexp_extract_all(text,
          |         '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]+', 0)) AS BIGINT) AS n_bpe
          |FROM documents""".stripMargin,
+    "events_funnel" ->
+      """WITH s1 AS (SELECT user_id, min(ts) AS t FROM events
+        |            WHERE event_type = 'view' GROUP BY 1),
+        |s2 AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+        |       JOIN s1 ON e.user_id = s1.user_id AND e.ts > s1.t
+        |       WHERE e.event_type = 'click' GROUP BY 1),
+        |s3 AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+        |       JOIN s2 ON e.user_id = s2.user_id AND e.ts > s2.t
+        |       WHERE e.event_type = 'purchase' GROUP BY 1)
+        |SELECT 'view' AS stage, count(*) AS n_users FROM s1
+        |UNION ALL SELECT 'click', count(*) FROM s2
+        |UNION ALL SELECT 'purchase', count(*) FROM s3""".stripMargin,
     // floor(x+0.5) on both sides: Spark's round() is BigDecimal
     // (decimal-string) based and can differ from binary rounding by a
     // whole quantum at .5 boundaries.

@@ -211,6 +211,34 @@ object Dedup {
     * exact-match joins on block values find all candidates. Same
     * shuffle-on-key shape as MinHash banding; no cross join.
     */
+  /** Pigeonhole block index for a simhash column: per doc, one row per
+    * block with (id, payload = simhash, keys = block-value vector, band,
+    * band_hash). With (maxHamming+1) blocks, any pair within the Hamming
+    * ball agrees exactly on at least one block.
+    */
+  def simhashBlocks(
+      spark: SparkSession, docs: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int): DataFrame = {
+    val nBlocks = maxHamming + 1
+    val width = 64 / nBlocks
+    // cache the sketch projection: the tokenize→hash→simhash chain would
+    // otherwise be inlined once per block key (same CollapseProject
+    // behavior as the MinHash signature). Streaming inputs can't cache —
+    // they evaluate the chain per block, which is fine at per-batch
+    // volumes.
+    val sh0 = simhashes(spark, docs, idCol, textCol)
+    val sh = if (docs.isStreaming) sh0 else sh0.cache()
+    val blockKeys = array((0 until nBlocks).map { j =>
+      val shifted = shiftrightunsigned(col("simhash"), j * width)
+      val w = if (j == nBlocks - 1) 64 - j * width else width
+      val mask = if (w >= 64) -1L else (1L << w) - 1L
+      shifted.bitwiseAND(lit(mask))
+    }: _*)
+    sh.select(col("id"), col("simhash").as("payload"), blockKeys.as("keys"))
+      .select(col("id"), col("payload"), col("keys"),
+        posexplode(col("keys")).as(Seq("band", "band_hash")))
+  }
+
   def simhashNearDupPairs(
       spark: SparkSession, docs: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3,
@@ -222,39 +250,40 @@ object Dedup {
         * document's other blocks unless ALL of them are hot.
         */
       maxBucketSize: Int = 2000): DataFrame = {
-    val nBlocks = maxHamming + 1
-    val width = 64 / nBlocks
-    // cache the sketch projection: the tokenize→hash→simhash chain would
-    // otherwise be inlined once per block key (same CollapseProject
-    // behavior as the MinHash signature)
-    val sh = simhashes(spark, docs, idCol, textCol).cache()
-    val blockKeys = array((0 until nBlocks).map { j =>
-      val shifted = shiftrightunsigned(col("simhash"), j * width)
-      val w = if (j == nBlocks - 1) 64 - j * width else width
-      val mask = if (w >= 64) -1L else (1L << w) - 1L
-      struct(lit(j).as("block"), shifted.bitwiseAND(lit(mask)).as("v"))
-    }: _*)
-    val allBlocks = sh.select(col("id"), col("simhash"), explode(blockKeys).as("b"))
-      .select(col("id"), col("simhash"), col("b.block").as("block"), col("b.v").as("v"))
-      .cache() // three consumers: bucket sizing + both join sides
-    val okBuckets = allBlocks.groupBy("block", "v")
-      .agg(count(lit(1)).as("n"))
-      .filter(col("n") >= 2 && col("n") <= maxBucketSize)
-      .select("block", "v")
-    val blocks = allBlocks.join(okBuckets, Seq("block", "v"))
-    val l = blocks.select(col("block"), col("v"), col("id").as("id_a"), col("simhash").as("sh_a"))
-    val r = blocks.select(col("block"), col("v"), col("id").as("id_b"), col("simhash").as("sh_b"))
-    // id-order and the Hamming bound live INSIDE the join condition: a
-    // block-collision pair that isn't a true near-dup is rejected during
-    // the hash-join probe and never materialized, so the distinct() that
-    // merges multi-block duplicates only shuffles true near-dup pairs
-    l.join(r,
-        l("block") === r("block") && l("v") === r("v") &&
-        col("id_a") < col("id_b") &&
-        bit_count(col("sh_a").bitwiseXOR(col("sh_b"))) <= maxHamming)
+    val blocks = simhashBlocks(spark, docs, idCol, textCol, maxHamming).cache()
+    // Hamming bound INSIDE the join condition (far pairs are rejected
+    // during the probe, never materialized); first-healthy-collision
+    // emission makes each pair unique with no distinct() (see LshJoin)
+    LshJoin.candidatePairs(blocks, maxHamming + 1, maxBucketSize,
+        ordered = true,
+        pairFilter = Some((a, b) => bit_count(a.bitwiseXOR(b)) <= maxHamming))
       .select(col("id_a"), col("id_b"),
-        bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).as("hamming"))
-      .distinct()
+        bit_count(col("payload_a").bitwiseXOR(col("payload_b"))).as("hamming"))
+  }
+
+  /** Streaming ingest dedup: flag incoming docs that are simhash-near
+    * an existing static corpus. The corpus block index is computed once
+    * (batch side of a stream-static join); each micro-batch's docs are
+    * sketched row-wise and joined on block value with the Hamming bound
+    * inside the join condition. Stateless (append mode, no watermark
+    * needed); a pair matching in several blocks is emitted once via the
+    * first-collision condition on the block-key vectors.
+    * Output: (in_id, corpus_id, hamming).
+    */
+  def streamSimhashMatches(
+      spark: SparkSession, incoming: DataFrame, corpus: DataFrame,
+      idCol: String, textCol: String, maxHamming: Int = 3): DataFrame = {
+    val in = simhashBlocks(spark, incoming, idCol, textCol, maxHamming)
+      .withColumnsRenamed(Map("id" -> "in_id", "payload" -> "in_sh", "keys" -> "in_keys"))
+    val corp = simhashBlocks(spark, corpus, idCol, textCol, maxHamming)
+      .withColumnsRenamed(Map("id" -> "corpus_id", "payload" -> "c_sh", "keys" -> "c_keys"))
+    in.join(corp,
+        in("band") === corp("band") && in("band_hash") === corp("band_hash") &&
+        GraftFunctions.firstEqualIndex(spark, col("in_keys"), col("c_keys"))
+          === in("band") &&
+        bit_count(col("in_sh").bitwiseXOR(col("c_sh"))) <= maxHamming)
+      .select(col("in_id"), col("corpus_id"),
+        bit_count(col("in_sh").bitwiseXOR(col("c_sh"))).as("hamming"))
   }
 
   // ------------------------------------------------- Dedup clustering
@@ -300,12 +329,17 @@ object Dedup {
       val prop = labels.join(nbrMin, Seq("id"), "left_outer")
         .select(col("id"), col("label").as("old"),
           least(col("label"), coalesce(col("nbr_min"), col("label"))).as("cand"))
-      val next = prop
-        .join(labels.select(col("id").as("cand"), col("label").as("jump")),
-          Seq("cand"), "left_outer")
-        .select(col("id"),
-          least(col("cand"), coalesce(col("jump"), col("cand"))).as("label"),
-          (least(col("cand"), coalesce(col("jump"), col("cand"))) < col("old")).as("chg"))
+      // two jump passes per round (label of label, twice) — pure lookups
+      // through the same label table, no extra action, ~4 hops of path
+      // compression per materialization
+      val jumped = Seq(1, 2).foldLeft(prop) { (df, i) =>
+        df.join(labels.select(col("id").as("cand"), col("label").as(s"j$i")),
+            Seq("cand"), "left_outer")
+          .select(col("id"), col("old"),
+            least(col("cand"), coalesce(col(s"j$i"), col("cand"))).as("cand"))
+      }
+      val next = jumped
+        .select(col("id"), col("cand").as("label"), (col("cand") < col("old")).as("chg"))
         .localCheckpoint(true)
       converged = next.filter(col("chg")).limit(1).count() == 0
       labels = next.select("id", "label")

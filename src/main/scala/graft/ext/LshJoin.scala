@@ -30,10 +30,18 @@ object LshJoin {
     * `ordered`, else both directions of every pair. Buckets with fewer
     * than 2 or more than `maxBucketSize` members are skipped (skew
     * guard).
+    *
+    * If `bands` carries a `payload` column (e.g. the full sketch), it is
+    * exposed to `pairFilter(payload_a, payload_b)` INSIDE the join
+    * condition — pairs failing it are rejected during the hash-join
+    * probe, never materialized — and returned as `payload_a`/`payload_b`
+    * columns for downstream scoring.
     */
   def candidatePairs(
       bands: DataFrame, numBands: Int, maxBucketSize: Int,
-      ordered: Boolean = true): DataFrame = {
+      ordered: Boolean = true,
+      pairFilter: Option[(org.apache.spark.sql.Column, org.apache.spark.sql.Column) =>
+        org.apache.spark.sql.Column] = None): DataFrame = {
     val spark = bands.sparkSession
     val okBuckets = bands.groupBy("band", "band_hash")
       .agg(count(lit(1)).as("n"))
@@ -49,16 +57,27 @@ object LshJoin {
         j => when(map_contains_key(col("okmap"), j), element_at(col("okmap"), j))
           .otherwise(xxhash64(lit(-7L), col("id"), j))).as("mkeys"))
     val pruned = okRows.join(okMasked, Seq("id"))
-    val l = pruned.select(col("band"), col("band_hash"),
-      col("id").as("id_a"), col("mkeys").as("mkeys_a"))
-    val r = pruned.select(col("band"), col("band_hash"),
-      col("id").as("id_b"), col("mkeys").as("mkeys_b"))
+    val hasPayload = bands.columns.contains("payload")
+    def side(suffix: String) = {
+      val cols = Seq(col("band"), col("band_hash"),
+        col("id").as(s"id$suffix"), col("mkeys").as(s"mkeys$suffix")) ++
+        (if (hasPayload) Seq(col("payload").as(s"payload$suffix")) else Nil)
+      pruned.select(cols: _*)
+    }
+    val l = side("_a")
+    val r = side("_b")
     val idCond =
       if (ordered) col("id_a") < col("id_b") else col("id_a") =!= col("id_b")
-    l.join(r,
-        l("band") === r("band") && l("band_hash") === r("band_hash") && idCond &&
-        GraftFunctions.firstEqualIndex(spark, col("mkeys_a"), col("mkeys_b"))
-          === l("band"))
-      .select("id_a", "id_b")
+    val baseCond =
+      l("band") === r("band") && l("band_hash") === r("band_hash") && idCond &&
+      (GraftFunctions.firstEqualIndex(spark, col("mkeys_a"), col("mkeys_b"))
+        === l("band"))
+    val cond = pairFilter match {
+      case Some(f) if hasPayload => baseCond && f(col("payload_a"), col("payload_b"))
+      case _ => baseCond
+    }
+    l.join(r, cond)
+      .select(col("id_a") +: col("id_b") +:
+        (if (hasPayload) Seq(col("payload_a"), col("payload_b")) else Nil): _*)
   }
 }

@@ -7,6 +7,7 @@ import org.apache.spark.sql.Row
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 
 case class Ev(user_id: Long, ts: Timestamp, event_type: String, value: Double)
+case class Doc(doc_id: Long, text: String)
 
 class StreamingReconcileSpec extends SparkFunSuite {
   import spark.implicits._
@@ -53,6 +54,31 @@ class StreamingReconcileSpec extends SparkFunSuite {
       // (silent) and the unexpected group reports a null target count
       assert(seen.toList == List(("scroll", 1L, null)))
     } finally q2.stop()
+  }
+
+  test("streaming simhash dedup flags near-dups of the static corpus only") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.ext.Dedup
+    val corpus = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog again and again today"),
+      (200L, "completely different text about distributed query engines and shuffles")
+    ).toDF("doc_id", "text")
+    val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Doc]
+    val matches = Dedup.streamSimhashMatches(
+      spark, in.toDF(), corpus, "doc_id", "text", maxHamming = 3)
+    val q = matches.writeStream.format("memory").queryName("ingest_dedup")
+      .outputMode("append").start()
+    try {
+      in.addData(
+        // near-dup of corpus doc 100 (one word changed)
+        Doc(1L, "the quick brown fox jumps over the lazy cat again and again today"),
+        // novel document
+        Doc(2L, "unrelated musings on watermark semantics in stream processing"))
+      q.processAllAvailable()
+      val got = spark.table("ingest_dedup")
+        .select("in_id", "corpus_id").as[(Long, Long)].collect().toSet
+      assert(got == Set((1L, 100L)))
+    } finally q.stop()
   }
 
   test("stream-stream interval join pairs events within the window, bounded state") {

@@ -57,6 +57,20 @@ class PlanAuditSpec extends SparkFunSuite {
     assert(p.contains("WindowGroupLimit"), p)
   }
 
+  test("directory-partitioned reads prune to the selected partition") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("prune").toString
+    spark.read.parquet(s"$sf001/lineitem.parquet")
+      .write.mode("overwrite").partitionBy("l_returnflag").parquet(dir)
+    val p = spark.read.parquet(dir).filter(col("l_returnflag") === "R")
+      .agg(count(lit(1))).queryExecution.explainString(FormattedMode)
+    assert("PartitionFilters: \\[[^\\]]".r.findFirstIn(p).isDefined, p)
+    assert(p.contains("l_returnflag"), p)
+    // the partition predicate must NOT appear as a data filter — it is
+    // resolved against directory metadata before any row is read
+    assert(!"PushedFilters: \\[[^\\]]*l_returnflag".r.findFirstIn(p).isDefined, p)
+  }
+
   test("count(*) answered from parquet metadata when pushdown is on") {
     // aggregate pushdown needs the V2 parquet source + the flag (set by
     // Verify/Bench); flip both on locally for this check. On the default

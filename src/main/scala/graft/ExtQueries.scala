@@ -135,10 +135,10 @@ object ExtQueries {
            |SELECT lang, count(*) AS n_docs,
            |       round(avg(n_chars), 2) AS avg_chars,
            |       round(avg(n), 2) AS avg_tokens,
-           |       round(avg(round(
+           |       round(avg(floor((
            |         0.4 * least(1.0, n / 100.0) +
            |         0.3 * sw_ratio +
-           |         0.3 * least(1.0, avg_len / 8.0), 6)), 6) AS avg_quality
+           |         0.3 * least(1.0, avg_len / 8.0)) * 1e6 + 0.5) / 1e6), 6) AS avg_quality
            |FROM q GROUP BY 1""".stripMargin,
       "text_token_counts" ->
         s"""SELECT source, count(*) AS n_docs,

@@ -119,10 +119,13 @@ object Round2Queries {
     // value itself is engine-internal, like the reference's stats-served
     // counts).
     "approx_distinct_users" -> { (s, dir) =>
+      // rsd 0.02 against a 10% acceptance bound: ~5 sigma of headroom,
+      // so the boolean is stable at every SF (the default rsd 0.05 vs a
+      // 5% bound is a coin flip by construction — it failed at sf0.1)
       Tables.events(s, dir).agg(
         countDistinct(col("user_id")).as("n_exact"),
-        (abs(approx_count_distinct(col("user_id")) - countDistinct(col("user_id")))
-          .cast("double") / countDistinct(col("user_id")) <= 0.05).as("within_5pct"))
+        (abs(approx_count_distinct(col("user_id"), 0.02) - countDistinct(col("user_id")))
+          .cast("double") / countDistinct(col("user_id")) <= 0.10).as("within_tolerance"))
     },
     // X3 scale path #2: IVF coarse-quantizer ANN (rows-only check; recall
     // vs the exact top-k is asserted in SimSearchSpec).
@@ -270,13 +273,13 @@ object Round2Queries {
          |            ['the','of','and','to','in','is','a','on','for','with'], x))) / len(toks)
          |       ELSE 0.0 END AS sw_ratio
          |  FROM t)
-         |SELECT doc_id, round(
+         |SELECT doc_id, floor((
          |  0.4 * least(1.0, n / 100.0) +
          |  0.3 * sw_ratio +
-         |  0.3 * least(1.0, avg_len / 8.0), 6) AS quality
+         |  0.3 * least(1.0, avg_len / 8.0)) * 1e6 + 0.5) / 1e6 AS quality
          |FROM q""".stripMargin,
     "approx_distinct_users" ->
-      """SELECT count(DISTINCT user_id) AS n_exact, true AS within_5pct
+      """SELECT count(DISTINCT user_id) AS n_exact, true AS within_tolerance
         |FROM events""".stripMargin,
     "events_correlated" ->
       """SELECT l.event_type AS type_left, r.event_type AS type_right,

@@ -89,14 +89,31 @@ object Dedup {
       shingleN: Int = 1,
       seed: Long = 42L,
       /** LSH buckets larger than this are dropped as degenerate (skew
-        * guard); at threshold-worthy similarity real clusters are small.
+        * guard). Size it ABOVE the largest genuine near-dup clique the
+        * corpus can contain: a true cluster of n docs occupies one
+        * bucket of size n in many bands, and capping below that silently
+        * deletes its pairs (observed at sf0.1: a 1000 cap kept 56k of
+        * 965k true pairs on the low-entropy fixture corpus). The guard
+        * exists for adversarial banding collisions, not for real
+        * clusters — when pair volume from real clusters is the problem,
+        * the quadratic pair listing itself is the wrong output; use
+        * [[nearDupClusters]].
         */
-      maxBucketSize: Int = 1000,
+      maxBucketSize: Int = 10000,
       /** Verification joins broadcast the per-doc shingle-set table when
         * the corpus has at most this many docs (≈ a few hundred MB of
         * sets); larger corpora use shuffle joins on the pair ids.
         */
-      maxBroadcastDocs: Long = 200000L) {
+      maxBroadcastDocs: Long = 200000L,
+      /** Adaptive strategy cutover: at or below this many docs the
+        * blocked all-pairs exact join is cheaper than LSH — banding
+        * re-enumerates every true near-dup clique once per band, so on
+        * small-but-dense corpora LSH does numBands× the irreducible
+        * pair work (measured 25s LSH vs 0.7s exact on 5k docs with ~1M
+        * true pairs). Both paths produce the same exact-verified pairs.
+        * Set to 0 to force LSH (tests do).
+        */
+      bruteForceMaxDocs: Long = 20000L) {
     def k: Int = numBands * rowsPerBand
   }
 
@@ -169,6 +186,10 @@ object Dedup {
       threshold: Double,
       params: MinHashParams = MinHashParams()): DataFrame = {
     GraftFunctions.register(docs.sparkSession)
+    // size-based physical strategy: exact blocked all-pairs under the
+    // cutover (same output — LSH candidates are exactly verified anyway)
+    if (docs.count() <= params.bruteForceMaxDocs)
+      return jaccardPairsExact(docs, idCol, textCol, threshold, params.shingleN)
     val cand = minhashCandidatePairs(docs, idCol, textCol, params)
     // cached: both verification join sides consume the shingle sets, and
     // the tokenize→shingle→hash→sort chain is the expensive part

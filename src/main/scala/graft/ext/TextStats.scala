@@ -45,12 +45,17 @@ object TextStats {
     * token-shape signal — the standard cheap pre-filter shape for corpus
     * curation (each component clamped, weights sum to 1).
     */
-  def qualityScore(text: Column): Column =
-    round(
+  def qualityScore(text: Column): Column = {
+    val raw =
       lit(0.4) * least(lit(1.0), tokenCount(text).cast("double") / 100.0) +
       lit(0.3) * stopwordRatio(text) +
-      lit(0.3) * least(lit(1.0), avgTokenLen(text) / 8.0),
-      6)
+      lit(0.3) * least(lit(1.0), avgTokenLen(text) / 8.0)
+    // 6-dp rounding as floor(x*1e6+0.5)/1e6: pure binary double ops,
+    // bit-identical across engines — Spark's round() goes through
+    // BigDecimal's decimal rendering and can flip the last digit vs
+    // binary-rounding engines on boundary values
+    floor(raw * 1e6 + lit(0.5d)) / 1e6
+  }
 
   /** Heuristic language ID: stopword-hit argmax, ties broken by list
     * order (en, de, es, fr), "und" (undetermined) when nothing hits.

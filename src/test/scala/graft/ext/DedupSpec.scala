@@ -39,7 +39,7 @@ class DedupSpec extends SparkFunSuite {
     val exact = Dedup.jaccardPairsExact(docs, "doc_id", "text", 0.8)
       .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val lsh = Dedup.minhashNearDupPairs(docs, "doc_id", "text", 0.8,
-        Dedup.MinHashParams(numBands = 16, rowsPerBand = 2))
+        Dedup.MinHashParams(numBands = 16, rowsPerBand = 2, bruteForceMaxDocs = 0))
       .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     // LSH candidates are verified exactly → lsh ⊆ exact; with 16 bands at
     // j>=0.8 recall should be complete on this fixture.
@@ -82,12 +82,23 @@ class DedupSpec extends SparkFunSuite {
     assert(short == Seq("a b"))
   }
 
-  test("minhash scales structurally: fixture documents run end-to-end") {
+  test("minhash scales structurally: fixture documents run end-to-end via LSH") {
     val d = Tables.documents(spark, sf001)
-    val pairs = Dedup.minhashNearDupPairs(d, "doc_id", "text", 0.9)
+    val pairs = Dedup.minhashNearDupPairs(d, "doc_id", "text", 0.9,
+      Dedup.MinHashParams(bruteForceMaxDocs = 0)) // force the LSH path
     assert(pairs.count() > 0) // fixture has token-set-identical docs
     // verified pairs must satisfy the threshold exactly
     assert(pairs.filter(col("jaccard") < 0.9).count() == 0)
+  }
+
+  test("adaptive strategy: brute-force and LSH paths produce identical pairs") {
+    val d = Tables.documents(spark, sf001)
+    val auto = Dedup.minhashNearDupPairs(d, "doc_id", "text", 0.9)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.minhashNearDupPairs(d, "doc_id", "text", 0.9,
+        Dedup.MinHashParams(bruteForceMaxDocs = 0))
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(auto == lsh)
   }
 
   test("connectedComponents: chain merges transitively, singleton maps to itself") {

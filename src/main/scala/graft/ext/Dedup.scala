@@ -369,16 +369,39 @@ object Dedup {
     labels.select(col("id"), col("label").as("cluster_rep"))
   }
 
-  /** X1/X2 end-to-end: near-dup pairs (MinHash+LSH verified) collapsed
-    * into clusters; every doc maps to its cluster representative (the
-    * minimum doc id in its component — singletons map to themselves).
+  /** X1/X2 end-to-end: near-dup pairs collapsed into clusters; every doc
+    * maps to its cluster representative (the minimum doc id in its
+    * component — singletons map to themselves).
+    *
+    * Identical-token-set docs are collapsed to one representative BEFORE
+    * the pair graph is built: within such a group every pair has
+    * jaccard 1 (internally connected for any threshold ≤ 1), and every
+    * cross pair duplicates its reps' pair, so components over reps
+    * expand exactly to components over docs — while the graph shrinks
+    * quadratically in group sizes (the fixture's 248-doc identical group
+    * alone is 30k redundant edges). Empty-token-set docs never pair
+    * (Jaccard is undefined) and stay singletons, matching the pair
+    * semantics.
     */
   def nearDupClusters(
       docs: DataFrame, idCol: String, textCol: String, threshold: Double,
       params: MinHashParams = MinHashParams()): DataFrame = {
-    val pairs = minhashNearDupPairs(docs, idCol, textCol, threshold, params)
+    val sets = docs.select(col(idCol).as("id"),
+      Text.hashedShingleSet(col(textCol), params.shingleN).as("s"))
+    // group key = the set itself; empty sets get an id-unique key so
+    // each empty doc forms its own group
+    val groups = sets
+      .groupBy(col("s"), when(size(col("s")) === 0, col("id")).otherwise(lit(0L)).as("ek"))
+      .agg(min("id").as("rep"), collect_list("id").as("members"))
+      .select("rep", "members")
+      .cache()
+    val repDocs = docs.join(
+      groups.select(col("rep").as(idCol)), Seq(idCol))
+    val repPairs = minhashNearDupPairs(repDocs, idCol, textCol, threshold, params)
       .select("id_a", "id_b")
-    connectedComponents(docs.select(col(idCol).as("id")), pairs)
-      .withColumnRenamed("id", idCol)
+    val comp = connectedComponents(groups.select(col("rep").as("id")), repPairs)
+    groups.select(col("rep"), explode(col("members")).as("member"))
+      .join(comp, col("rep") === col("id"))
+      .select(col("member").as(idCol), col("cluster_rep"))
   }
 }

@@ -24,17 +24,11 @@ object Probe {
 
     val docs = graft.core.Tables.documents(spark, sf)
     val params = graft.ext.Dedup.MinHashParams(numBands = 16, rowsPerBand = 2)
-    time("pairs_only") {
+    time("dedup_minhash") {
       graft.ext.Dedup.minhashNearDupPairs(docs, "doc_id", "text", 0.9, params).count()
     }
-    time("clusters") {
+    time("dedup_clusters") {
       graft.ext.Dedup.nearDupClusters(docs, "doc_id", "text", 0.9, params).count()
-    }
-    time("simhash") {
-      graft.ext.Dedup.simhashNearDupPairs(spark, docs, "doc_id", "text", 3).count()
-    }
-    time("ngram") {
-      graft.ext.Dedup.jaccardPairsExact(docs, "doc_id", "text", 0.95).count()
     }
     spark.stop()
   }

@@ -175,6 +175,20 @@ object Round2Queries {
           lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]+"), lit(0)))
           .cast("long").as("n_bpe"))
     },
+    // Ordered set aggregation rendered to a string (array outputs break
+    // the comparison harness; array_join keeps it checkable).
+    "nation_top_customers" -> { (s, dir) =>
+      Tables.customer(s, dir).groupBy(col("c_nationkey"))
+        .agg(array_join(slice(array_sort(collect_set(col("c_name"))), 1, 5), ",")
+          .as("top5"))
+    },
+    // Multiset difference: order-placing customers minus (with
+    // multiplicity) those with finished orders.
+    "except_all_orders" -> { (s, dir) =>
+      val o = Tables.orders(s, dir)
+      o.filter(col("o_orderstatus") === "O").select(col("o_custkey"))
+        .exceptAll(o.filter(col("o_orderstatus") === "F").select(col("o_custkey")))
+    },
     // Sequential funnel: users reaching view → click-after-view →
     // purchase-after-click (first-touch attribution).
     "events_funnel" -> { (s, dir) =>
@@ -305,6 +319,14 @@ object Round2Queries {
          |       CAST(len(regexp_extract_all(text,
          |         '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]+', 0)) AS BIGINT) AS n_bpe
          |FROM documents""".stripMargin,
+    "nation_top_customers" ->
+      """SELECT c_nationkey,
+        |       array_to_string(list_sort(list(DISTINCT c_name))[1:5], ',') AS top5
+        |FROM customer GROUP BY 1""".stripMargin,
+    "except_all_orders" ->
+      """SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+        |EXCEPT ALL
+        |SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'""".stripMargin,
     "events_funnel" ->
       """WITH s1 AS (SELECT user_id, min(ts) AS t FROM events
         |            WHERE event_type = 'view' GROUP BY 1),

@@ -51,17 +51,26 @@ object Dedup {
     */
   def jaccardPairsExact(
       docs: DataFrame, idCol: String, textCol: String,
-      threshold: Double, shingleN: Int = 1): DataFrame = {
-    GraftFunctions.register(docs.sparkSession)
-    val sets = docs.select(
-        col(idCol).as("id"),
-        Text.hashedShingleSet(col(textCol), shingleN).as("s"))
+      threshold: Double, shingleN: Int = 1): DataFrame =
+    jaccardPairsFromSets(
+      docs.select(col(idCol).as("id"),
+        Text.hashedShingleSet(col(textCol), shingleN).as("s")),
+      threshold)
+
+  /** Same as [[jaccardPairsExact]] over precomputed (id, s) shingle
+    * sets — callers that already materialized the sets (e.g. the
+    * clustering path's group keys) skip a second tokenize pass.
+    */
+  private[ext] def jaccardPairsFromSets(
+      setsDf: DataFrame, threshold: Double): DataFrame = {
+    GraftFunctions.register(setsDf.sparkSession)
+    val sets = setsDf
       .withColumn("sz", size(col("s")))
       .filter(col("sz") > 0)
     // The streamed side of the nested-loop pair join inherits the input's
     // split count — a single-file corpus would run the whole O(N²) loop
     // on one core. Spread it across the cluster explicitly.
-    val par = docs.sparkSession.sparkContext.defaultParallelism
+    val par = setsDf.sparkSession.sparkContext.defaultParallelism
     val a = sets.repartition(par)
       .select(col("id").as("id_a"), col("s").as("s_a"), col("sz").as("sz_a"))
     val b = sets.select(col("id").as("id_b"), col("s").as("s_b"), col("sz").as("sz_b"))
@@ -388,17 +397,25 @@ object Dedup {
       params: MinHashParams = MinHashParams()): DataFrame = {
     val sets = docs.select(col(idCol).as("id"),
       Text.hashedShingleSet(col(textCol), params.shingleN).as("s"))
+      .cache()
     // group key = the set itself; empty sets get an id-unique key so
     // each empty doc forms its own group
     val groups = sets
       .groupBy(col("s"), when(size(col("s")) === 0, col("id")).otherwise(lit(0L)).as("ek"))
       .agg(min("id").as("rep"), collect_list("id").as("members"))
-      .select("rep", "members")
+      .select(col("s"), col("rep"), col("members"))
       .cache()
-    val repDocs = docs.join(
-      groups.select(col("rep").as(idCol)), Seq(idCol))
-    val repPairs = minhashNearDupPairs(repDocs, idCol, textCol, threshold, params)
-      .select("id_a", "id_b")
+    // rep pairs reuse the already-materialized group-key sets: one
+    // tokenize pass for the whole pipeline
+    val repSets = groups.select(col("rep").as("id"), col("s"))
+    val nReps = repSets.count()
+    val repPairs =
+      (if (nReps <= params.bruteForceMaxDocs)
+         jaccardPairsFromSets(repSets, threshold)
+       else minhashNearDupPairs(
+         docs.join(groups.select(col("rep").as(idCol)), Seq(idCol)),
+         idCol, textCol, threshold, params))
+        .select("id_a", "id_b")
     val comp = connectedComponents(groups.select(col("rep").as("id")), repPairs)
     groups.select(col("rep"), explode(col("members")).as("member"))
       .join(comp, col("rep") === col("id"))

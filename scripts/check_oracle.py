@@ -7,6 +7,7 @@ Usage: python3 scripts/check_oracle.py /root/testdata/sf0.01 /tmp/verify_out
 """
 import json, sys, math
 import duckdb
+import pandas as pd
 
 sfdir, outdir = sys.argv[1], sys.argv[2]
 con = duckdb.connect()
@@ -38,8 +39,9 @@ for name, sql in sorted(oracle.items()):
             a, b = gs[c], es[c]
             for i in range(len(a)):
                 x, y = a.iloc[i], b.iloc[i]
-                xn = x is None or (isinstance(x, float) and math.isnan(x))
-                yn = y is None or (isinstance(y, float) and math.isnan(y))
+                # pd.isna covers None, float NaN, and NaT alike
+                xn = not isinstance(x, (list, tuple)) and pd.isna(x)
+                yn = not isinstance(y, (list, tuple)) and pd.isna(y)
                 if xn and yn:
                     continue
                 if xn != yn or x != y:

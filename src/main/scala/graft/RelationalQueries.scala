@@ -143,6 +143,23 @@ object RelationalQueries {
           Seq("matched_order_date"))
         .select("event_id", "user_id", "matched_order_date")
     },
+    // As-of with a lookback bound: each error event picks up the same
+    // user's latest click, but only if it is at most an hour old (the
+    // "stale quote" guard). Matched time surfaces as epoch seconds —
+    // nullable BIGINT, not nullable TIMESTAMP, which comparison
+    // harnesses handle reliably.
+    "asof_join_tolerance" -> { (s, dir) =>
+      val ev = Tables.events(s, dir)
+      val errors = ev.filter(col("event_type") === "error")
+        .select("event_id", "user_id", "ts")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+          col("ts").as("last_click"))
+      AsOfJoin.latestPriorWithin(errors, clicks, "user_id", "c_user", "ts", "c_ts",
+          Seq("last_click"), 3600L)
+        .select(col("event_id"), col("user_id"),
+          unix_seconds(col("last_click")).as("last_click_epoch"))
+    },
     // Exact interpolated quantiles (integer-valued doubles → exact
     // interpolation on both engines).
     "stats_quantiles" -> { (s, dir) =>
@@ -292,6 +309,13 @@ object RelationalQueries {
         |FROM events e
         |ASOF LEFT JOIN orders o
         |  ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate""".stripMargin,
+    "asof_join_tolerance" ->
+      """SELECT e.event_id, e.user_id,
+        |       CASE WHEN e.ts - c.ts <= INTERVAL 1 HOUR
+        |            THEN CAST(floor(epoch(c.ts)) AS BIGINT) END AS last_click_epoch
+        |FROM (SELECT * FROM events WHERE event_type = 'error') e
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        |  ON e.user_id = c.user_id AND e.ts >= c.ts""".stripMargin,
     "stats_quantiles" ->
       """SELECT quantile_cont(l_quantity, 0.25) AS q1,
         |       quantile_cont(l_quantity, 0.5) AS median,

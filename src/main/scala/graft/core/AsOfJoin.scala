@@ -67,4 +67,30 @@ object AsOfJoin {
     filled.filter(col("__is_right") === 0)
       .select((leftCols ++ payload).map(col): _*)
   }
+
+  /** As-of join with a lookback bound: like [[latestPrior]], but a match
+    * older than `toleranceSeconds` before the left time is discarded
+    * (payloads null) — the standard "stale quote" guard. Built on
+    * latestPrior by carrying the matched right time as an extra payload
+    * and nulling payloads outside the window afterwards; same
+    * one-shuffle cost.
+    */
+  def latestPriorWithin(
+      left: DataFrame, right: DataFrame,
+      leftKey: String, rightKey: String,
+      leftTime: String, rightTime: String,
+      payload: Seq[String], toleranceSeconds: Long): DataFrame = {
+    val joined = latestPrior(
+      left, right.withColumn("__rt", col(rightTime)),
+      leftKey, rightKey, leftTime, rightTime, payload :+ "__rt")
+    // cast both sides: inputs may mix TIMESTAMP and TIMESTAMP_NTZ (the
+    // session runs UTC, so the cast is value-preserving)
+    val within = col("__rt").isNotNull &&
+      unix_micros(col(leftTime).cast("timestamp")) -
+        unix_micros(col("__rt").cast("timestamp")) <=
+        toleranceSeconds * 1000000L
+    payload.foldLeft(joined) { (df, p) =>
+      df.withColumn(p, when(within, col(p)))
+    }.drop("__rt")
+  }
 }

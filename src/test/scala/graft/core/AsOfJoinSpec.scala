@@ -31,6 +31,23 @@ class AsOfJoinSpec extends SparkFunSuite {
     assert(got("t5") == None)
   }
 
+  test("latestPriorWithin discards matches older than the tolerance") {
+    val quotes = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 100.0)
+    ).toDF("q_key", "q_ts", "price")
+    val trades = Seq(
+      (1L, ts("2024-01-01 10:30:00"), "fresh"),   // 30 min old → kept
+      (1L, ts("2024-01-01 11:00:00"), "boundary"), // exactly 1h → kept (<=)
+      (1L, ts("2024-01-01 11:00:01"), "stale")    // 1h1s → nulled
+    ).toDF("t_key", "t_ts", "trade_id")
+    val got = AsOfJoin.latestPriorWithin(
+        trades, quotes, "t_key", "q_key", "t_ts", "q_ts", Seq("price"), 3600L)
+      .collect().map(r => r.getString(2) -> Option(r.get(3))).toMap
+    assert(got("fresh") == Some(100.0))
+    assert(got("boundary") == Some(100.0))
+    assert(got("stale") == None)
+  }
+
   test("latestPrior keeps every left row exactly once") {
     val ev = Tables.events(spark, sf001).select("event_id", "user_id", "ts")
     val o = Tables.orders(spark, sf001)

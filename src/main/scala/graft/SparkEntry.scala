@@ -56,14 +56,18 @@ object StreamQueries {
     "multimodal_stats" -> { (s, dir) =>
       Multimodal.mediaStats(Multimodal.withSyntheticMedia(Tables.documents(s, dir)))
     },
-    // X5: batched stub decode via mapPartitions (features engine-only →
-    // rows-only check). The feature vector is flattened to scalar
-    // columns: array columns break the driver's pandas row-sort.
+    // X5: batched stub decode via mapPartitions. The feature vector is
+    // flattened to scalar columns (array columns break the driver's
+    // pandas row-sort) and 4-dp-rounded with floor(x*1e4+0.5) — binary-
+    // exact on both engines. Oracle-checkable because the stub codec's
+    // per-stripe byte statistics are pure arithmetic on the (ASCII)
+    // media bytes.
     "multimodal_decode" -> { (s, dir) =>
       val feats = Multimodal
         .decodeFeatures(s, Multimodal.withSyntheticMedia(Tables.documents(s, dir))).toDF()
       val fCols = (0 until Multimodal.FakeCodec.FeatureDim).map(i =>
-        round(element_at(col("features"), i + 1).cast("double"), 4).as(s"f$i"))
+        (floor(element_at(col("features"), i + 1).cast("double") * 1e4 + lit(0.5d)) / 1e4)
+          .as(s"f$i"))
       feats.select(col("doc_id") +: col("kind") +: col("media_len") +:
         col("n_frames").cast("long").as("n_frames") +: fCols: _*)
     }
@@ -101,7 +105,36 @@ object StreamQueries {
         |            ELSE 'video' END AS kind,
         |       octet_length(encode(text)) AS media_len,
         |       CAST(ceil(octet_length(encode(text)) / 256.0) AS INT) AS n_frames
-        |FROM documents""".stripMargin
+        |FROM documents""".stripMargin,
+    // The stub codec's feature j = (sum over byte positions ≡ j mod 8 of
+    // byte/255, in position order) / max(1, len div 8), quantized to
+    // float. The corpus is pure ASCII, so byte i = ascii(text[i+1]);
+    // list_filter preserves order, so the double additions replay in the
+    // codec's exact sequence and the float cast reproduces each
+    // component bit-for-bit.
+    "multimodal_decode" ->
+      ("""WITH d AS (
+        |  SELECT doc_id,
+        |         CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+        |              ELSE 'video' END AS kind,
+        |         octet_length(encode(text)) AS media_len,
+        |         CAST(CAST(ceil(octet_length(encode(text)) / 256.0) AS INT) AS BIGINT)
+        |           AS n_frames,
+        |         text
+        |  FROM documents),
+        |f AS (
+        |  SELECT doc_id, kind, media_len, n_frames,
+        |    [CAST(CAST(coalesce(list_sum(list_transform(
+        |         list_filter(range(media_len), i -> i % 8 = j),
+        |         i -> ascii(text[CAST(i + 1 AS INT)]) / 255.0)), 0.0)
+        |       / greatest(media_len // 8, 1) AS REAL) AS DOUBLE)
+        |     FOR j IN range(8)] AS fs
+        |  FROM d)
+        |SELECT doc_id, kind, media_len, n_frames,
+        |""".stripMargin +
+        (0 until 8).map(j =>
+          s"       floor(fs[${j + 1}] * 1e4 + 0.5) / 1e4 AS f$j").mkString(",\n") +
+        "\nFROM f")
   )
 }
 

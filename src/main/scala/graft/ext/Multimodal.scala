@@ -39,18 +39,22 @@ object Multimodal {
 
     /** "Decode" media bytes into a fixed-dim feature vector: per-stripe
       * byte statistics — deterministic, so tests can assert on it.
+      * Accumulates in double and quantizes to float once at the end, so
+      * a double-arithmetic engine (the DuckDB oracle) reproduces every
+      * component exactly through a single float cast.
       */
     def decode(media: Array[Byte]): Array[Float] = {
       val f = new Array[Float](FeatureDim)
       if (media.isEmpty) return f
+      val acc = new Array[Double](FeatureDim)
       var i = 0
       while (i < media.length) {
-        f(i % FeatureDim) += (media(i) & 0xff) / 255.0f
+        acc(i % FeatureDim) += (media(i) & 0xff) / 255.0
         i += 1
       }
       val stripe = math.max(1, media.length / FeatureDim)
       var j = 0
-      while (j < FeatureDim) { f(j) = f(j) / stripe; j += 1 }
+      while (j < FeatureDim) { f(j) = (acc(j) / stripe).toFloat; j += 1 }
       f
     }
   }

@@ -333,49 +333,142 @@ object Dedup {
     * Returns (id, cluster_rep).
     */
   def connectedComponents(
-      nodes: DataFrame, pairs: DataFrame, maxIters: Int = 20): DataFrame = {
+      nodes: DataFrame, pairs: DataFrame, maxIters: Int = 20,
+      /** Edge sets at or below this size are solved with driver-side
+        * union-find instead of the iterative distributed loop — the same
+        * size-based physical-strategy cutover as
+        * [[MinHashParams.bruteForceMaxDocs]]. 2M edges is ~32 MB
+        * collected and milliseconds of union-find, while every
+        * distributed round pays multiple shuffle/checkpoint/codegen
+        * fixed costs (measured: 3.5 s of per-round overhead for a
+        * 29k-edge graph). Set to 0 to force the distributed loop. Note
+        * the bound is on EDGES (near-dup pairs after identical-set
+        * collapse), not corpus rows — a 100 TB corpus whose pair graph
+        * exceeds it takes the loop path.
+        */
+      maxDriverEdges: Long = 2000000L): DataFrame = {
+    val spark = nodes.sparkSession
     // Iterative dataflow MUST truncate lineage each round — a cached-but
     // -uncheckpointed loop builds a plan that doubles per iteration
     // (explain alone OOMs past ~15 rounds). localCheckpoint keeps the
     // materialized partitions and drops the plan; a cluster deployment
     // with reliable storage would use checkpoint() on a checkpoint dir.
-    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
-      .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
-      .localCheckpoint(true)
-    var labels = nodes.select(col("id"), col("id").as("label")).localCheckpoint(true)
-    var iters = 0
-    var converged = false
-    while (!converged && iters < maxIters) {
-      val nbrMin = edges
-        .join(labels.select(col("id").as("dst"), col("label").as("nbr_label")), Seq("dst"))
-        .groupBy(col("src").as("id"))
-        .agg(min("nbr_label").as("nbr_min"))
-      // one hop through the neighbors, then a pointer jump through the
-      // label table (label(label(x)) is in the same component, so the
-      // min-of-component invariant holds) — chain-shaped components
-      // converge in O(log diameter) rounds instead of O(diameter).
-      // The change flag is computed in the same pass and read back off
-      // the materialized checkpoint — no separate diff join.
-      val prop = labels.join(nbrMin, Seq("id"), "left_outer")
-        .select(col("id"), col("label").as("old"),
-          least(col("label"), coalesce(col("nbr_min"), col("label"))).as("cand"))
-      // two jump passes per round (label of label, twice) — pure lookups
-      // through the same label table, no extra action, ~4 hops of path
-      // compression per materialization
-      val jumped = Seq(1, 2).foldLeft(prop) { (df, i) =>
-        df.join(labels.select(col("id").as("cand"), col("label").as(s"j$i")),
-            Seq("cand"), "left_outer")
-          .select(col("id"), col("old"),
-            least(col("cand"), coalesce(col(s"j$i"), col("cand"))).as("cand"))
-      }
-      val next = jumped
-        .select(col("id"), col("cand").as("label"), (col("cand") < col("old")).as("chg"))
-        .localCheckpoint(true)
-      converged = next.filter(col("chg")).limit(1).count() == 0
-      labels = next.select("id", "label")
-      iters += 1
+    //
+    // `pairs` is usually a live (expensive) join plan and both edge
+    // directions consume it — materialize it exactly once.
+    val p = pairs.select(col("id_a"), col("id_b")).localCheckpoint(true)
+    val keyType = p.schema.head.dataType
+    val driverable = keyType match {
+      case org.apache.spark.sql.types.LongType   => true
+      case org.apache.spark.sql.types.StringType => true
+      case _ => false
     }
-    labels.select(col("id"), col("label").as("cluster_rep"))
+    if (driverable && maxDriverEdges > 0 && p.count() <= maxDriverEdges) {
+      val labels = keyType match {
+        case org.apache.spark.sql.types.LongType =>
+          val es = p.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+          spark.createDataFrame(unionFind(es)).toDF("id", "label")
+        case _ =>
+          val es = p.collect().map(r => (r.getString(0), r.getString(1))).toSeq
+          spark.createDataFrame(unionFind(es)).toDF("id", "label")
+      }
+      return nodes.join(broadcast(labels), Seq("id"), "left_outer")
+        .select(col("id"), coalesce(col("label"), col("id")).as("cluster_rep"))
+    }
+    val edges = p.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionByName(p.select(col("id_b").as("src"), col("id_a").as("dst")))
+    // Only nodes with at least one edge can ever change label — isolated
+    // nodes skip the loop entirely and come back as singletons at the
+    // end. On a near-dup graph most docs ARE singletons, so this shrinks
+    // every per-round shuffle to the (much smaller) connected subgraph.
+    val active = edges.select(col("src").as("id")).distinct().localCheckpoint(true)
+    val nActive = active.count()
+    if (nActive == 0)
+      return nodes.select(col("id"), col("id").as("cluster_rep"))
+    // Size the iteration's parallelism to the WORKING SET, not the
+    // session default: AQE cannot coalesce through localCheckpoint's
+    // materialization, and below ~500k rows/partition the per-round
+    // scheduler + codegen fixed costs dominate the actual work
+    // (measured: 32-partition rounds were 3x slower than 1-partition
+    // rounds on a 4k-node graph). The session value is restored before
+    // returning; the final (lazy) expansion join runs at full width.
+    val conf = spark.conf
+    val prevParts = conf.get("spark.sql.shuffle.partitions")
+    val nParts = math.max(1L, math.min(prevParts.toLong, nActive / 500000L + 1L))
+    conf.set("spark.sql.shuffle.partitions", nParts.toString)
+    try {
+      // Self-loop rows fold each node's own label into the neighbor-min
+      // aggregation (min over {label(x)} ∪ {label(n)}) — one join+agg
+      // per step instead of join+agg plus a left join of the label table
+      // against the neighbor minima. The `orig` column (label at the
+      // start of the current round) rides through the self row so the
+      // change flag needs no extra join.
+      val withSelf = edges.select(col("src"), col("dst"), lit(false).as("self"))
+        .unionByName(active.select(
+          col("id").as("src"), col("id").as("dst"), lit(true).as("self")))
+        .localCheckpoint(true)
+      // one min-propagation hop + one pointer jump through the label
+      // table (label(label(x)) is in the same component, so the
+      // min-of-component invariant holds — chains converge in
+      // O(log diameter) rounds). Input/output schema: (id, label, orig).
+      def step(l: DataFrame): DataFrame = {
+        val hop = withSelf
+          .join(l.select(col("id").as("dst"), col("label").as("nl"),
+            col("orig").as("no")), Seq("dst"))
+          .groupBy(col("src").as("id"))
+          .agg(min(col("nl")).as("cand"), min(when(col("self"), col("no"))).as("orig"))
+        hop
+          .join(l.select(col("id").as("cand"), col("label").as("j")),
+            Seq("cand"), "left_outer")
+          .select(col("id"),
+            least(col("cand"), coalesce(col("j"), col("cand"))).as("label"),
+            col("orig"))
+      }
+      var labels = active.select(col("id"), col("id").as("label"))
+      var iters = 0
+      var converged = false
+      while (!converged && iters < maxIters) {
+        // TWO hop+jump steps per materialization: the checkpoint and the
+        // convergence probe are the expensive fixed costs per round, so
+        // batching steps halves them; labels only ever decrease, so
+        // `label < orig` detects a change anywhere in the batch, and the
+        // half-step past fixpoint is a no-op.
+        val next = step(step(labels.withColumn("orig", col("label"))))
+          .select(col("id"), col("label"), (col("label") < col("orig")).as("chg"))
+          .localCheckpoint(true)
+        converged = next.filter(col("chg")).limit(1).count() == 0
+        labels = next.select("id", "label")
+        iters += 1
+      }
+      nodes.join(labels, Seq("id"), "left_outer")
+        .select(col("id"), coalesce(col("label"), col("id")).as("cluster_rep"))
+    } finally conf.set("spark.sql.shuffle.partitions", prevParts)
+  }
+
+  /** Driver-side union-find with path compression and union-by-min (the
+    * smaller root wins every merge, so each final root IS its
+    * component's minimum id — the invariant the distributed loop
+    * converges to). Near-linear in the edge count.
+    */
+  private def unionFind[T](edges: Seq[(T, T)])(implicit ord: Ordering[T]): Seq[(T, T)] = {
+    val parent = scala.collection.mutable.HashMap.empty[T, T]
+    def find(x: T): T = {
+      var r = x
+      while (parent(r) != r) r = parent(r)
+      var c = x
+      while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    edges.foreach { case (a, b) =>
+      parent.getOrElseUpdate(a, a)
+      parent.getOrElseUpdate(b, b)
+      val ra = find(a)
+      val rb = find(b)
+      if (ra != rb) {
+        if (ord.lt(ra, rb)) parent(rb) = ra else parent(ra) = rb
+      }
+    }
+    parent.keysIterator.map(k => (k, find(k))).toSeq
   }
 
   /** X1/X2 end-to-end: near-dup pairs collapsed into clusters; every doc
@@ -395,8 +488,13 @@ object Dedup {
   def nearDupClusters(
       docs: DataFrame, idCol: String, textCol: String, threshold: Double,
       params: MinHashParams = MinHashParams()): DataFrame = {
+    // NULL text shingles to NULL, and size(NULL) ≠ 0 would let every
+    // NULL-text doc fall through the empty-set escape below into ONE
+    // shared group — coalesce to the empty set so they stay singletons,
+    // matching the pair semantics (NULL docs never pair).
     val sets = docs.select(col(idCol).as("id"),
-      Text.hashedShingleSet(col(textCol), params.shingleN).as("s"))
+      coalesce(Text.hashedShingleSet(col(textCol), params.shingleN),
+        array().cast("array<bigint>")).as("s"))
       .cache()
     // group key = the set itself; empty sets get an id-unique key so
     // each empty doc forms its own group

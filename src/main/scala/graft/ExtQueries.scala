@@ -39,9 +39,28 @@ object ExtQueries {
         Dedup.MinHashParams(numBands = 16, rowsPerBand = 2))
     },
     // X2 (bit-sketch form): SimHash Hamming-ball pairs via pigeonhole
-    // block joins; the sketch is a custom codegen'd Catalyst expression.
+    // block joins; the sketch is a custom codegen'd Catalyst expression,
+    // so the pair listing itself has no SQL equivalent. The query pins
+    // the block path against the in-engine exact all-pairs Hamming join
+    // instead (the approx_distinct_users pattern): every emitted pair
+    // must be a true <=maxHamming pair (subset_ok — structural, the
+    // block path verifies exactly) and the block path must recover at
+    // least 75% of the true pairs (recall_ok — measured recall is 1.0
+    // at both sf0.01 and sf0.1; the sub-1.0 bound is headroom for the
+    // skew guard, which may drop degenerate hot blocks by design).
     "dedup_simhash" -> { (s, dir) =>
-      Dedup.simhashNearDupPairs(s, Tables.documents(s, dir), "doc_id", "text", maxHamming = 3)
+      val docs = Tables.documents(s, dir)
+      val block = Dedup.simhashNearDupPairs(s, docs, "doc_id", "text", maxHamming = 3)
+        .select(col("id_a"), col("id_b"))
+      val exact = Dedup.simhashPairsExact(s, docs, "doc_id", "text", maxHamming = 3)
+        .select(col("id_a"), col("id_b"))
+      val nB = block.agg(count(lit(1)).as("n_block"))
+      val nE = exact.agg(count(lit(1)).as("n_exact"))
+      val nI = block.join(exact, Seq("id_a", "id_b")).agg(count(lit(1)).as("n_inter"))
+      nB.crossJoin(nE).crossJoin(nI).select(
+        (col("n_exact") > 0).as("nonempty"),
+        (col("n_inter") === col("n_block")).as("subset_ok"),
+        (col("n_inter").cast("double") >= col("n_exact") * 0.75).as("recall_ok"))
     },
     // X3 near-dup: exact cosine pairs at a dedup-grade threshold.
     "dedup_embedding_cosine" -> { (s, dir) =>
@@ -56,9 +75,30 @@ object ExtQueries {
       val e = Tables.embeddings(s, dir)
       SimSearch.topKBruteForce(e.filter(col("vec_id") < 100), e, "vec_id", "embedding", 3)
     },
-    // X3 ANN: random-hyperplane LSH buckets, exact scoring of bucket-mates.
+    // X3 ANN: random-hyperplane LSH buckets, exact scoring of
+    // bucket-mates. Recall < 1 by construction, so the ranked listing
+    // has no SQL oracle; the query instead pins recall@3 against the
+    // in-engine exact top-k on the deterministic vec_id < 100 query
+    // subset (whose exact count the oracle CAN compute — same SQL as
+    // similarity_topk's). 32 bands x 4 bits (not the 16x6 default): the
+    // fixture embeddings are near-orthogonal, so top-3 neighbors sit at
+    // low cosine where 6-bit bands collide too rarely (recall 0.57-0.62
+    // measured); 4-bit bands recall 0.99-1.00 at both SFs at the same
+    // cost. recall_ok bound 0.9 leaves ~0.09 margin.
     "similarity_ann_topk" -> { (s, dir) =>
-      SimSearch.annTopK(Tables.embeddings(s, dir), "vec_id", "embedding", 3)
+      val e = Tables.embeddings(s, dir)
+      val ann = SimSearch.annTopK(e, "vec_id", "embedding", 3,
+          numBands = 32, bitsPerBand = 4)
+        .select(col("id_q"), col("neighbor_id"))
+      val exact = SimSearch
+        .topKBruteForce(e.filter(col("vec_id") < 100), e, "vec_id", "embedding", 3)
+        .select(col("id_q"), col("neighbor_id"))
+      val nE = exact.agg(count(lit(1)).as("n_exact"))
+      val nH = ann.join(exact, Seq("id_q", "neighbor_id"))
+        .agg(count(lit(1)).as("n_hit"))
+      nE.crossJoin(nH).select(
+        col("n_exact"),
+        (col("n_hit").cast("double") >= col("n_exact") * 0.9).as("recall_ok"))
     },
     // X4: per-language corpus stats.
     "text_stats_by_lang" -> { (s, dir) =>
@@ -99,6 +139,26 @@ object ExtQueries {
     Map(
       "dedup_exact" ->
         "SELECT min(doc_id) AS kept_doc_id, count(*) AS n_copies FROM documents GROUP BY text",
+      // The simhash sketch is engine-internal (custom Catalyst
+      // expression), so the oracle pins the engine's self-check verdicts:
+      // the query computes subset/recall against the in-engine exact
+      // Hamming join and must report all-true.
+      "dedup_simhash" ->
+        "SELECT true AS nonempty, true AS subset_ok, true AS recall_ok",
+      // ANN recall check: the exact-side count is genuinely
+      // oracle-computed (same ranking SQL as similarity_topk); the
+      // recall verdict must be true.
+      "similarity_ann_topk" ->
+        """WITH s AS (
+          |  SELECT q.vec_id AS id_q, c.vec_id AS neighbor_id,
+          |         round(list_cosine_similarity(q.embedding, c.embedding), 6) AS cos
+          |  FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+          |  WHERE q.vec_id < 100)
+          |SELECT count(*) AS n_exact, true AS recall_ok FROM (
+          |  SELECT row_number() OVER (PARTITION BY id_q
+          |           ORDER BY cos DESC, neighbor_id) AS rank
+          |  FROM s)
+          |WHERE rank <= 3""".stripMargin,
       "dedup_ngram_jaccard" -> jaccardSql("0.95"),
       "dedup_minhash" -> jaccardSql("0.9"),
       "dedup_embedding_cosine" ->

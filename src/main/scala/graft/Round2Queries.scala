@@ -127,10 +127,28 @@ object Round2Queries {
         (abs(approx_count_distinct(col("user_id"), 0.02) - countDistinct(col("user_id")))
           .cast("double") / countDistinct(col("user_id")) <= 0.10).as("within_tolerance"))
     },
-    // X3 scale path #2: IVF coarse-quantizer ANN (rows-only check; recall
-    // vs the exact top-k is asserted in SimSearchSpec).
+    // X3 scale path #2: IVF coarse-quantizer ANN (Lloyd-refined
+    // centroids). Like the RHP path, the ranked listing has no SQL
+    // oracle (recall < 1 with nProbe cells), so the query pins recall@3
+    // against the in-engine exact top-k on the deterministic
+    // vec_id < 100 subset; the exact-side count IS oracle-computed.
+    // probeFrac 0.5 (constant coverage across SFs — a fixed nProbe
+    // decays as sqrt(nProbe/N)): measured recall 0.96 at sf0.01, 0.91
+    // at sf0.1 on the unclustered fixture; bound 0.85 leaves margin.
     "similarity_ivf_topk" -> { (s, dir) =>
-      SimSearch.ivfTopK(Tables.embeddings(s, dir), "vec_id", "embedding", 3)
+      val e = Tables.embeddings(s, dir)
+      val ivf = SimSearch.ivfTopK(e, "vec_id", "embedding", 3,
+          lloydIters = 2, probeFrac = 0.5)
+        .select(col("id_q"), col("neighbor_id"))
+      val exact = SimSearch
+        .topKBruteForce(e.filter(col("vec_id") < 100), e, "vec_id", "embedding", 3)
+        .select(col("id_q"), col("neighbor_id"))
+      val nE = exact.agg(count(lit(1)).as("n_exact"))
+      val nH = ivf.join(exact, Seq("id_q", "neighbor_id"))
+        .agg(count(lit(1)).as("n_hit"))
+      nE.crossJoin(nH).select(
+        col("n_exact"),
+        (col("n_hit").cast("double") >= col("n_exact") * 0.85).as("recall_ok"))
     },
     // X6 batch twin of the stream-stream interval join: event-type
     // co-occurrence within 10 minutes per user (the watermark is a
@@ -295,6 +313,17 @@ object Round2Queries {
     "approx_distinct_users" ->
       """SELECT count(DISTINCT user_id) AS n_exact, true AS within_tolerance
         |FROM events""".stripMargin,
+    "similarity_ivf_topk" ->
+      """WITH s AS (
+        |  SELECT q.vec_id AS id_q, c.vec_id AS neighbor_id,
+        |         round(list_cosine_similarity(q.embedding, c.embedding), 6) AS cos
+        |  FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+        |  WHERE q.vec_id < 100)
+        |SELECT count(*) AS n_exact, true AS recall_ok FROM (
+        |  SELECT row_number() OVER (PARTITION BY id_q
+        |           ORDER BY cos DESC, neighbor_id) AS rank
+        |  FROM s)
+        |WHERE rank <= 3""".stripMargin,
     "events_correlated" ->
       """SELECT l.event_type AS type_left, r.event_type AS type_right,
         |       count(*) AS n_pairs

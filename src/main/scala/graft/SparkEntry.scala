@@ -210,6 +210,34 @@ object CoreQueries {
         .as("line"))
         .unionByName(n.select(col("n_name").as("line"))) // short rows: fields 2,3 missing
       Delim.scanAndProject(lines, "line")
+    },
+    // K2 roundtrip: the reconciliation report is WRITTEN as a header CSV
+    // (the reference's TableMismatchedData/MatchedData sink,
+    // verizon_automation_script.sh:170-182), read back from the CSV
+    // bytes, and the read-back rows are what the oracle checks — the
+    // sink+source path is driver-visible, not just spec-covered.
+    "reports_roundtrip" -> { (s, dir) =>
+      val li = Tables.lineitem(s, dir)
+      val src = PartitionCounts.perPartition(li, "lineitem", Seq("l_returnflag"))
+      val tgt = PartitionCounts.perPartition(perturbed(li), "lineitem", Seq("l_returnflag"))
+      val report = Reconcile.counts(src, tgt)
+      val out = java.nio.file.Files.createTempDirectory("graft_reports").toString
+      Reports.writeCsv(report, s"$out/report")
+      s.read.option("header", "true")
+        .schema("table STRING, partition STRING, src_cnt BIGINT, tgt_cnt BIGINT, status STRING")
+        .csv(s"$out/report")
+        .select(col("table").as("table_name"), col("partition").as("partition_spec"),
+          col("src_cnt"), col("tgt_cnt"), col("status"))
+    },
+    // K3 roundtrip: the sampled export sink (INSERT OVERWRITE LOCAL
+    // DIRECTORY ... LIMIT n, verizon_automation_script.sh:219-233) —
+    // deterministic 10-row sample written as CSV, read back with the
+    // table's schema, checked against the same sample computed in SQL.
+    "sampled_export_roundtrip" -> { (s, dir) =>
+      val li = Tables.lineitem(s, dir)
+      val out = java.nio.file.Files.createTempDirectory("graft_export").toString
+      Reports.sampledExport(li, s"$out/lineitem", 10)
+      s.read.option("header", "true").schema(li.schema).csv(s"$out/lineitem")
     }
   )
 
@@ -284,6 +312,33 @@ object CoreQueries {
         |      WHERE NOT (l_returnflag = 'R' AND l_orderkey % 97 = 0) GROUP BY 1) t
         |  ON s.l_returnflag = t.l_returnflag""".stripMargin,
     "sample_limit" ->
+      """SELECT * FROM lineitem
+        |ORDER BY l_discount, l_extendedprice, l_linenumber, l_linestatus,
+        |         l_orderkey, l_partkey, l_quantity, l_returnflag, l_shipdate,
+        |         l_suppkey, l_tax
+        |LIMIT 10""".stripMargin,
+    // identical relation to reconcile_report — the roundtrip through the
+    // CSV sink must be lossless
+    "reports_roundtrip" ->
+      s"""WITH src AS (SELECT 'lineitem' AS table_name,
+         |                    'l_returnflag=' || l_returnflag AS partition_spec,
+         |                    count(*) AS src_cnt FROM lineitem GROUP BY 1, 2),
+         |     tgt AS (SELECT 'lineitem' AS table_name,
+         |                    'l_returnflag=' || l_returnflag AS partition_spec,
+         |                    count(*) AS tgt_cnt FROM lineitem
+         |             WHERE NOT (l_returnflag = 'R' AND l_orderkey % 97 = 0)
+         |             GROUP BY 1, 2)
+         |SELECT coalesce(s.table_name, t.table_name) AS table_name,
+         |       coalesce(s.partition_spec, t.partition_spec) AS partition_spec,
+         |       s.src_cnt, t.tgt_cnt,
+         |       CASE WHEN s.src_cnt IS NULL THEN 'missing_in_source'
+         |            WHEN t.tgt_cnt IS NULL THEN 'missing_in_target'
+         |            WHEN s.src_cnt = t.tgt_cnt THEN 'matched'
+         |            ELSE 'mismatched' END AS status
+         |FROM src s FULL JOIN tgt t
+         |  ON s.table_name = t.table_name
+         | AND s.partition_spec IS NOT DISTINCT FROM t.partition_spec""".stripMargin,
+    "sampled_export_roundtrip" ->
       """SELECT * FROM lineitem
         |ORDER BY l_discount, l_extendedprice, l_linenumber, l_linestatus,
         |         l_orderkey, l_partkey, l_quantity, l_returnflag, l_shipdate,

@@ -291,6 +291,28 @@ object Dedup {
         bit_count(col("payload_a").bitwiseXOR(col("payload_b"))).as("hamming"))
   }
 
+  /** Exact Hamming-ball pairs (id_a < id_b, hamming <= maxHamming) by
+    * brute force over all simhash pairs — the O(N²) verification
+    * baseline for the pigeonhole block path. The Hamming bound lives in
+    * the join condition (far pairs never materialize) and the streamed
+    * side is spread across the cluster; each comparison is two codegen'd
+    * long ops, so N up to ~10⁵ is tractable. Not a scale path.
+    */
+  def simhashPairsExact(
+      spark: SparkSession, docs: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    val sh = simhashes(spark, docs, idCol, textCol).cache()
+    val par = spark.sparkContext.defaultParallelism
+    val a = sh.repartition(par)
+      .select(col("id").as("id_a"), col("simhash").as("sh_a"))
+    val b = sh.select(col("id").as("id_b"), col("simhash").as("sh_b"))
+    a.join(b,
+        col("id_a") < col("id_b") &&
+        bit_count(col("sh_a").bitwiseXOR(col("sh_b"))) <= maxHamming)
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).as("hamming"))
+  }
+
   /** Streaming ingest dedup: flag incoming docs that are simhash-near
     * an existing static corpus. The corpus block index is computed once
     * (batch side of a stream-static join); each micro-batch's docs are
@@ -363,14 +385,27 @@ object Dedup {
       case org.apache.spark.sql.types.StringType => true
       case _ => false
     }
-    if (driverable && maxDriverEdges > 0 && p.count() <= maxDriverEdges) {
+    // The cutover budget is really bytes, not edges: 2M Long pairs is
+    // ~32 MB collected, but string ids are arbitrary-length, so their
+    // edge budget is cut by an assumed ~4x per-key overhead (ids longer
+    // than ~16 bytes should lower maxDriverEdges themselves).
+    val edgeCut = keyType match {
+      case org.apache.spark.sql.types.StringType => maxDriverEdges / 4
+      case _ => maxDriverEdges
+    }
+    if (driverable && edgeCut > 0 && p.count() <= edgeCut) {
       val labels = keyType match {
         case org.apache.spark.sql.types.LongType =>
           val es = p.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
           spark.createDataFrame(unionFind(es)).toDF("id", "label")
         case _ =>
+          // UTF-8 byte order, NOT Ordering[String] (UTF-16 code units):
+          // the distributed loop's min() compares UTF8String bytes, and
+          // supplementary characters vs U+E000–U+FFFF order differently
+          // under the two — the representative must not depend on which
+          // physical strategy ran.
           val es = p.collect().map(r => (r.getString(0), r.getString(1))).toSeq
-          spark.createDataFrame(unionFind(es)).toDF("id", "label")
+          spark.createDataFrame(unionFind(es)(utf8ByteOrdering)).toDF("id", "label")
       }
       return nodes.join(broadcast(labels), Seq("id"), "left_outer")
         .select(col("id"), coalesce(col("label"), col("id")).as("cluster_rep"))
@@ -390,59 +425,88 @@ object Dedup {
     // materialization, and below ~500k rows/partition the per-round
     // scheduler + codegen fixed costs dominate the actual work
     // (measured: 32-partition rounds were 3x slower than 1-partition
-    // rounds on a 4k-node graph). The session value is restored before
-    // returning; the final (lazy) expansion join runs at full width.
-    val conf = spark.conf
-    val prevParts = conf.get("spark.sql.shuffle.partitions")
-    val nParts = math.max(1L, math.min(prevParts.toLong, nActive / 500000L + 1L))
-    conf.set("spark.sql.shuffle.partitions", nParts.toString)
-    try {
-      // Self-loop rows fold each node's own label into the neighbor-min
-      // aggregation (min over {label(x)} ∪ {label(n)}) — one join+agg
-      // per step instead of join+agg plus a left join of the label table
-      // against the neighbor minima. The `orig` column (label at the
-      // start of the current round) rides through the self row so the
-      // change flag needs no extra join.
-      val withSelf = edges.select(col("src"), col("dst"), lit(false).as("self"))
+    // rounds on a 4k-node graph). The loop runs on a CLONED session
+    // carrying the reduced setting — mutating the shared session conf
+    // would shrink every concurrent query's shuffles for the duration of
+    // the loop. The final (lazy) expansion join runs on the caller's
+    // session at full width.
+    val sessParts = scala.util.Try(
+      spark.conf.get("spark.sql.shuffle.partitions").toLong)
+      .getOrElse(spark.sparkContext.defaultParallelism.toLong)
+    val nParts = math.max(1L, math.min(sessParts, nActive / 500000L + 1L))
+    val loop = spark.newSession()
+    loop.conf.set("spark.sql.shuffle.partitions", nParts.toString)
+    // one Row-conversion pass moves a frame into the loop session; the
+    // result is immediately localCheckpoint'd, so the cost is paid once
+    def inLoop(df: DataFrame): DataFrame =
+      loop.createDataFrame(df.rdd, df.schema)
+    // Self-loop rows fold each node's own label into the neighbor-min
+    // aggregation (min over {label(x)} ∪ {label(n)}) — one join+agg
+    // per step instead of join+agg plus a left join of the label table
+    // against the neighbor minima. The `orig` column (label at the
+    // start of the current round) rides through the self row so the
+    // change flag needs no extra join.
+    val withSelf = inLoop(
+      edges.select(col("src"), col("dst"), lit(false).as("self"))
         .unionByName(active.select(
-          col("id").as("src"), col("id").as("dst"), lit(true).as("self")))
+          col("id").as("src"), col("id").as("dst"), lit(true).as("self"))))
+      .localCheckpoint(true)
+    // one min-propagation hop + one pointer jump through the label
+    // table (label(label(x)) is in the same component, so the
+    // min-of-component invariant holds — chains converge in
+    // O(log diameter) rounds). Input/output schema: (id, label, orig).
+    def step(l: DataFrame): DataFrame = {
+      val hop = withSelf
+        .join(l.select(col("id").as("dst"), col("label").as("nl"),
+          col("orig").as("no")), Seq("dst"))
+        .groupBy(col("src").as("id"))
+        .agg(min(col("nl")).as("cand"), min(when(col("self"), col("no"))).as("orig"))
+      hop
+        .join(l.select(col("id").as("cand"), col("label").as("j")),
+          Seq("cand"), "left_outer")
+        .select(col("id"),
+          least(col("cand"), coalesce(col("j"), col("cand"))).as("label"),
+          col("orig"))
+    }
+    var labels = inLoop(active).select(col("id"), col("id").as("label"))
+    var iters = 0
+    var converged = false
+    while (!converged && iters < maxIters) {
+      // TWO hop+jump steps per materialization: the checkpoint and the
+      // convergence probe are the expensive fixed costs per round, so
+      // batching steps halves them; labels only ever decrease, so
+      // `label < orig` detects a change anywhere in the batch, and the
+      // half-step past fixpoint is a no-op.
+      val next = step(step(labels.withColumn("orig", col("label"))))
+        .select(col("id"), col("label"), (col("label") < col("orig")).as("chg"))
         .localCheckpoint(true)
-      // one min-propagation hop + one pointer jump through the label
-      // table (label(label(x)) is in the same component, so the
-      // min-of-component invariant holds — chains converge in
-      // O(log diameter) rounds). Input/output schema: (id, label, orig).
-      def step(l: DataFrame): DataFrame = {
-        val hop = withSelf
-          .join(l.select(col("id").as("dst"), col("label").as("nl"),
-            col("orig").as("no")), Seq("dst"))
-          .groupBy(col("src").as("id"))
-          .agg(min(col("nl")).as("cand"), min(when(col("self"), col("no"))).as("orig"))
-        hop
-          .join(l.select(col("id").as("cand"), col("label").as("j")),
-            Seq("cand"), "left_outer")
-          .select(col("id"),
-            least(col("cand"), coalesce(col("j"), col("cand"))).as("label"),
-            col("orig"))
+      converged = next.filter(col("chg")).limit(1).count() == 0
+      labels = next.select("id", "label")
+      iters += 1
+    }
+    // hand the (materialized) label table back to the caller's session
+    val labelsOut = spark.createDataFrame(labels.rdd, labels.schema)
+    nodes.join(labelsOut, Seq("id"), "left_outer")
+      .select(col("id"), coalesce(col("label"), col("id")).as("cluster_rep"))
+  }
+
+  /** Unsigned lexicographic order on UTF-8 bytes — matches Spark's
+    * UTF8String binary comparison (code-point order), which the
+    * distributed loop's min() uses.
+    */
+  private val utf8ByteOrdering: Ordering[String] = new Ordering[String] {
+    def compare(a: String, b: String): Int = {
+      val ab = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val bb = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val n = math.min(ab.length, bb.length)
+      var i = 0
+      while (i < n) {
+        val c = (ab(i) & 0xff) - (bb(i) & 0xff)
+        if (c != 0) return c
+        i += 1
       }
-      var labels = active.select(col("id"), col("id").as("label"))
-      var iters = 0
-      var converged = false
-      while (!converged && iters < maxIters) {
-        // TWO hop+jump steps per materialization: the checkpoint and the
-        // convergence probe are the expensive fixed costs per round, so
-        // batching steps halves them; labels only ever decrease, so
-        // `label < orig` detects a change anywhere in the batch, and the
-        // half-step past fixpoint is a no-op.
-        val next = step(step(labels.withColumn("orig", col("label"))))
-          .select(col("id"), col("label"), (col("label") < col("orig")).as("chg"))
-          .localCheckpoint(true)
-        converged = next.filter(col("chg")).limit(1).count() == 0
-        labels = next.select("id", "label")
-        iters += 1
-      }
-      nodes.join(labels, Seq("id"), "left_outer")
-        .select(col("id"), coalesce(col("label"), col("id")).as("cluster_rep"))
-    } finally conf.set("spark.sql.shuffle.partitions", prevParts)
+      ab.length - bb.length
+    }
   }
 
   /** Driver-side union-find with path compression and union-by-min (the
@@ -468,7 +532,9 @@ object Dedup {
         if (ord.lt(ra, rb)) parent(rb) = ra else parent(ra) = rb
       }
     }
-    parent.keysIterator.map(k => (k, find(k))).toSeq
+    // snapshot the key set first: find() path-compresses (mutates values)
+    // and mutation during HashMap iteration is formally undefined
+    parent.keys.toVector.map(k => (k, find(k)))
   }
 
   /** X1/X2 end-to-end: near-dup pairs collapsed into clusters; every doc

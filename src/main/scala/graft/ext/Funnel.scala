@@ -1,6 +1,7 @@
 package graft.ext
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Sequential-funnel analysis over an event log: how many users reach
@@ -8,15 +9,15 @@ import org.apache.spark.sql.functions._
   * STRICTLY AFTER the user's earliest arrival at stage i (first-touch
   * attribution).
   *
-  * Single-pass design (100 TB posture): ONE shuffle keyed by user
-  * carries only the stage-relevant event timestamps (events of other
-  * types are filtered before the exchange); the per-user sequential
-  * reach times fall out of array expressions over the aggregated row,
-  * and the stage counts collapse in one final conditional aggregation.
-  * The previous formulation joined each stage's events to the previous
-  * frontier and re-executed the whole chain once per stage count
-  * (O(S²) scans of the events table — 7.1 s at sf0.1; this form is a
-  * single linear pass).
+  * One shuffle keyed by user (events of other types are filtered before
+  * the exchange); the per-user sequential reach times are conditional
+  * window minima over the user's partition, one pass per stage with no
+  * extra exchange (every Window shares the same partitioning, and the
+  * final per-user collapse reuses it too). Per-user state is bounded —
+  * S timestamp columns per row — and the window buffers spill to disk,
+  * so a hot user (bot with millions of events) degrades to disk
+  * bandwidth instead of blowing an executor heap the way a
+  * collect_list-of-all-timestamps aggregation would.
   */
 object Funnel {
 
@@ -25,28 +26,26 @@ object Funnel {
       events: DataFrame, userCol: String, tsCol: String, typeCol: String,
       stages: Seq[String]): DataFrame = {
     require(stages.nonEmpty, "at least one funnel stage")
-    // one row per user: per stage, the array of that user's event times
-    // for the stage type (collect_list drops the nulls of other types)
-    val aggs = stages.zipWithIndex.map { case (stage, i) =>
-      collect_list(when(col(typeCol) === stage, col(tsCol))).as(s"a$i")
-    }
-    val byUser = events
+    val w = Window.partitionBy(col("u"))
+    val base = events
       .filter(col(typeCol).isin(stages: _*))
-      .select(col(userCol).as("u"), col(tsCol), col(typeCol))
-      .groupBy(col("u"))
-      .agg(aggs.head, aggs.tail: _*)
-    // sequential reach times: t0 = earliest stage-0 event; t(i) =
-    // earliest stage-i event strictly after t(i-1). A missing stage
-    // yields null, and `x > null` filters everything, so nulls cascade.
-    val withTimes = stages.indices.foldLeft(byUser) { (df, i) =>
-      val t =
-        if (i == 0) array_min(col("a0"))
-        else array_min(filter(col(s"a$i"), x => x > col(s"t${i - 1}")))
-      df.withColumn(s"t$i", t)
+      .select(col(userCol).as("u"), col(tsCol).as("ts"), col(typeCol).as("et"))
+    // t0 = earliest stage-0 event; t(i) = earliest stage-i event strictly
+    // after t(i-1). t(i-1) is constant within the user partition, so each
+    // reach time is a conditional min over the same window; a missing
+    // stage yields null, and `ts > null` is null, so nulls cascade.
+    val withTimes = stages.zipWithIndex.foldLeft(base) { case (df, (stage, i)) =>
+      val cond =
+        if (i == 0) col("et") === stage
+        else col("et") === stage && col("ts") > col(s"t${i - 1}")
+      df.withColumn(s"t$i", min(when(cond, col("ts"))).over(w))
     }
-    // all stage counts in one global aggregation, then unpivot the
-    // single row to (stage, n_users) — no per-stage jobs
-    val counts = withTimes.agg(
+    // collapse to one row per user (all t_i are per-user constants; the
+    // groupBy reuses the window's hash partitioning — no new exchange),
+    // then all stage counts in one global aggregation
+    val firstAgg +: restAggs = stages.indices.map(i => max(col(s"t$i")).as(s"t$i"))
+    val perUser = withTimes.groupBy(col("u")).agg(firstAgg, restAggs: _*)
+    val counts = perUser.agg(
       count(col("t0")).as("n0"),
       stages.indices.tail.map(i => count(col(s"t$i")).as(s"n$i")): _*)
     counts

@@ -152,11 +152,14 @@ object SimSearch {
     * coarse-quantizer index (FAISS IVF-Flat shape) expressed as two
     * broadcast joins plus one cell-keyed equi join.
     *
-    * Centroids are a deterministic corpus sample (every (N/nCentroids)-th
-    * vector by id) — reproducible with no RNG; a production build would
-    * refine them with seeded k-means over a sample. The centroid table is
-    * tiny and broadcast, so cell assignment never shuffles the corpus;
-    * the probe join shuffles by cell id only.
+    * Centroids start as a deterministic corpus sample (every
+    * (N/nCentroids)-th vector by id — reproducible with no RNG) and are
+    * refined with `lloydIters` k-means iterations over a bounded
+    * deterministic sample of the corpus ([[refineCentroids]]), the
+    * standard IVF training recipe (train on a sample, assign the full
+    * corpus once). The centroid table is tiny and broadcast, so cell
+    * assignment never shuffles the corpus; the probe join shuffles by
+    * cell id only.
     *
     * Ranking uses the 6-dp-rounded cosine with id tie-break, same as
     * [[topKBruteForce]], so results are reproducible across runs.
@@ -167,17 +170,31 @@ object SimSearch {
     */
   def ivfTopK(
       emb: DataFrame, idCol: String, vecCol: String, k: Int,
-      nCentroids: Int = 0, nProbe: Int = 4): DataFrame = {
+      nCentroids: Int = 0, nProbe: Int = 4, lloydIters: Int = 2,
+      trainSample: Int = 4096,
+      /** When > 0, overrides nProbe with ceil(probeFrac * nCells): a
+        * CONSTANT corpus coverage fraction across corpus sizes. With the
+        * self-sized cell count, a fixed nProbe covers sqrt(nProbe/N) of
+        * the corpus — recall silently decays as N grows. On corpora with
+        * real cluster structure a small fraction suffices; unclustered
+        * (near-random) embeddings need a larger one for top-k recall.
+        */
+      probeFrac: Double = 0.0): DataFrame = {
     val vecs = withNorm(emb, idCol, vecCol, "").cache()
     val n = vecs.count()
     val nCells =
       if (nCentroids > 0) nCentroids
-      else math.max(8, math.ceil(math.sqrt(nProbe.toDouble * n)).toInt)
+      else math.max(8, math.ceil(math.sqrt(
+        math.max(1.0, nProbe.toDouble) * n)).toInt)
+    val probe =
+      if (probeFrac > 0) math.max(1, math.ceil(probeFrac * nCells).toInt)
+      else nProbe
     val step = math.max(1L, n / nCells)
+    val init = vecs.filter(pmod(col("id"), lit(step)) === 0)
+      .limit(nCells)
+      .select(col("id").as("cell"), col("v").as("cv"), col("n").as("cn"))
     val centroids = broadcast(
-      vecs.filter(pmod(col("id"), lit(step)) === 0)
-        .limit(nCells)
-        .select(col("id").as("cell"), col("v").as("cv"), col("n").as("cn")))
+      refineCentroids(vecs, init, lloydIters, trainSample))
     def nearestCells(keep: Int, outId: String): DataFrame = {
       // project the vector payload away BEFORE the ranking window: the
       // N×c scored rows shuffle as (id, cell, score) triples, not with
@@ -193,7 +210,7 @@ object SimSearch {
     }
     val corpusCells = nearestCells(1, "id_c")
       .join(vecs.select(col("id").as("id_c"), col("v").as("v_c"), col("n").as("n_c")), Seq("id_c"))
-    val queryCells = nearestCells(nProbe, "id_q")
+    val queryCells = nearestCells(probe, "id_q")
       .join(vecs.select(col("id").as("id_q"), col("v").as("v_q"), col("n").as("n_q")), Seq("id_q"))
     val scored = queryCells.join(corpusCells,
         queryCells("cell") === corpusCells("cell") && col("id_q") =!= col("id_c"))
@@ -203,5 +220,46 @@ object SimSearch {
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("id_q"), col("id_c").as("neighbor_id"), col("rank"))
+  }
+
+  /** Seeded Lloyd refinement of IVF centroids over a bounded
+    * deterministic sample (every stride-th vector by id): assign each
+    * sampled vector to its nearest centroid by cosine, move each
+    * centroid to the element-wise mean of its members (empty cells keep
+    * their old centroid; cells whose mean cancels to zero norm are
+    * dropped). The sample is ≤ ~sampleN rows and the centroid table is
+    * broadcast, so each iteration is sample-sized work regardless of
+    * corpus size — the standard train-on-a-sample IVF recipe.
+    */
+  private[ext] def refineCentroids(
+      vecs: DataFrame, init: DataFrame, iters: Int, sampleN: Int): DataFrame = {
+    if (iters <= 0) return init
+    val nV = vecs.count()
+    val stride = math.max(1L, nV / math.max(1L, sampleN.toLong))
+    val sample = vecs.filter(pmod(col("id"), lit(stride)) === 0)
+      .select(col("id"), col("v"), col("n")).cache()
+    var cents = init
+    for (_ <- 0 until iters) {
+      // score every (sample vector, centroid) pair — an intentional
+      // sample × centroids cross join, both sides bounded
+      val scored = sample.join(broadcast(cents))
+        .select(col("id"), col("v"), col("cell"),
+          (dot(col("v"), col("cv")) / (col("n") * col("cn"))).as("ccos"))
+      val w = Window.partitionBy(col("id")).orderBy(col("ccos").desc, col("cell"))
+      val members = scored.withColumn("r", row_number().over(w))
+        .filter(col("r") === 1)
+        .select(col("cell"), posexplode(col("v")).as(Seq("p", "x")))
+      val means = members
+        .groupBy(col("cell"), col("p")).agg(avg(col("x")).as("m"))
+        .groupBy(col("cell"))
+        .agg(transform(array_sort(collect_list(struct(col("p"), col("m")))),
+          e => e.getField("m").cast("float")).as("mv"))
+      cents = cents.select(col("cell"), col("cv"))
+        .join(means, Seq("cell"), "left_outer")
+        .select(col("cell"), coalesce(col("mv"), col("cv")).as("cv"))
+        .withColumn("cn", l2Norm(col("cv")))
+        .filter(col("cn") > 0)
+    }
+    cents
   }
 }

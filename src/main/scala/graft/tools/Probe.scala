@@ -1,6 +1,7 @@
 package graft.tools
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
 
 /** Dev scratchpad: ad-hoc plan/size probes at arbitrary SF (edit & run;
   * not part of the library surface). `sbt "runMain graft.tools.Probe"`.
@@ -16,19 +17,43 @@ object Probe {
     spark.sparkContext.setLogLevel("ERROR")
     spark.range(1000).selectExpr("sum(id)").collect()
 
-    def time(name: String)(f: => Long): Unit = {
+    val docs = graft.core.Tables.documents(spark, sf)
+    val e = graft.core.Tables.embeddings(spark, sf)
+
+    // simhash: block path vs exact all-pairs Hamming
+    val block = graft.ext.Dedup
+      .simhashNearDupPairs(spark, docs, "doc_id", "text", maxHamming = 3)
+      .select(col("id_a"), col("id_b")).cache()
+    val exact = graft.ext.Dedup
+      .simhashPairsExact(spark, docs, "doc_id", "text", maxHamming = 3)
+      .select(col("id_a"), col("id_b")).cache()
+    val nB = block.count(); val nE = exact.count()
+    val nI = block.join(exact, Seq("id_a", "id_b")).count()
+    println(f"simhash: block=$nB exact=$nE inter=$nI recall=${nI.toDouble / nE}%.4f")
+
+    // ANN (RHP) recall@3 on vec_id < 100
+    val exactTopk = graft.ext.SimSearch
+      .topKBruteForce(e.filter(col("vec_id") < 100), e, "vec_id", "embedding", 3)
+      .select(col("id_q"), col("neighbor_id")).cache()
+    val nX = exactTopk.count()
+    for ((bands, bits) <- Seq((16, 6), (24, 5), (32, 4), (48, 4))) {
       val t0 = System.nanoTime()
-      val n = f
-      println(f"$name%-28s ${(System.nanoTime() - t0) / 1e9}%7.2f s  rows=$n")
+      val ann = graft.ext.SimSearch
+        .annTopK(e, "vec_id", "embedding", 3, numBands = bands, bitsPerBand = bits)
+        .select(col("id_q"), col("neighbor_id"))
+      val annHit = ann.join(exactTopk, Seq("id_q", "neighbor_id")).count()
+      println(f"ann($bands x $bits): n_exact=$nX hit=$annHit " +
+        f"recall=${annHit.toDouble / nX}%.4f t=${(System.nanoTime() - t0) / 1e9}%.2f")
     }
 
-    val docs = graft.core.Tables.documents(spark, sf)
-    val params = graft.ext.Dedup.MinHashParams(numBands = 16, rowsPerBand = 2)
-    time("dedup_minhash") {
-      graft.ext.Dedup.minhashNearDupPairs(docs, "doc_id", "text", 0.9, params).count()
-    }
-    time("dedup_clusters") {
-      graft.ext.Dedup.nearDupClusters(docs, "doc_id", "text", 0.9, params).count()
+    for (frac <- Seq(0.3, 0.4, 0.5)) {
+      val t0 = System.nanoTime()
+      val ivf = graft.ext.SimSearch
+        .ivfTopK(e, "vec_id", "embedding", 3, lloydIters = 2, probeFrac = frac)
+        .select(col("id_q"), col("neighbor_id"))
+      val hit = ivf.join(exactTopk, Seq("id_q", "neighbor_id")).count()
+      println(f"ivf(frac=$frac): hit=$hit " +
+        f"recall=${hit.toDouble / nX}%.4f t=${(System.nanoTime() - t0) / 1e9}%.2f")
     }
     spark.stop()
   }

@@ -71,6 +71,28 @@ class PlanAuditSpec extends SparkFunSuite {
     assert(!"PushedFilters: \\[[^\\]]*l_returnflag".r.findFirstIn(p).isDefined, p)
   }
 
+  test("no cartesian/nested-loop join outside the documented exact baselines") {
+    // The small-N exact-pair paths are intentionally quadratic (documented
+    // in PLANS.md), and the verification-pinned sketch queries embed an
+    // in-engine exact baseline (plus 1-row summary crossJoins) by design.
+    // Every OTHER query must plan as hash/merge joins — this guard keeps
+    // future rounds from silently regressing a scale path.
+    val exactBaselines = Set(
+      "dedup_ngram_jaccard", "dedup_embedding_cosine",
+      "similarity_threshold", "similarity_topk",
+      // brute-force cutover at sf0.001 corpus size:
+      "dedup_minhash", "dedup_clusters",
+      // verification-pinned: exact baseline + 1-row summary crosses:
+      "dedup_simhash", "similarity_ann_topk", "similarity_ivf_topk")
+    val offenders = SparkEntry.queries.keys.toSeq.sorted
+      .filterNot(exactBaselines)
+      .filter { n =>
+        val p = plan(n)
+        p.contains("CartesianProduct") || p.contains("BroadcastNestedLoopJoin")
+      }
+    assert(offenders.isEmpty, s"scale-unsafe join planned in: $offenders")
+  }
+
   test("count(*) answered from parquet metadata when pushdown is on") {
     // aggregate pushdown needs the V2 parquet source + the flag (set by
     // Verify/Bench); flip both on locally for this check. On the default

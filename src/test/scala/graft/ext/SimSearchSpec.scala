@@ -73,4 +73,18 @@ class SimSearchSpec extends SparkFunSuite {
     assert(hits.toDouble / exact1.size >= 0.5,
       s"IVF recall@1 too low: $hits/${exact1.size}")
   }
+
+  test("Lloyd-refined centroids lift IVF recall@1 over the strided init") {
+    val e = Tables.embeddings(spark, sf001)
+    val exact1 = SimSearch.topKBruteForce(e, e, "vec_id", "embedding", 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    def recall1(iters: Int): Double = {
+      val ivf1 = SimSearch
+        .ivfTopK(e, "vec_id", "embedding", 1, lloydIters = iters)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      exact1.count { case (q, n) => ivf1.get(q).contains(n) }.toDouble / exact1.size
+    }
+    val (r0, r2) = (recall1(0), recall1(2))
+    assert(r2 > r0, s"k-means refinement did not lift recall@1: $r0 -> $r2")
+  }
 }

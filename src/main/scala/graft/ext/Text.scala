@@ -27,16 +27,21 @@ object Text {
     * n=1 short-circuits to the token array — the general form's
     * per-token slice+join lambdas are interpreted (higher-order
     * functions don't codegen) and this is the default path.
+    *
+    * The token array is bound ONCE as a lambda variable (the
+    * single-element-array transform trick): a naive `val ts =
+    * tokens(text)` captured inside the window lambda is re-evaluated at
+    * EVERY window position by the interpreted evaluator (no CSE outside
+    * codegen) — O(tokens²) re-tokenization per document, measured 6.1 s
+    * of an 8-gram query at sf0.1 vs ~1 s bound.
     */
   def shingles(text: Column, n: Int): Column = {
     if (n == 1) tokens(text)
-    else {
-      val ts = tokens(text)
+    else get(transform(array(tokens(text)), ts =>
       when(size(ts) >= n,
         transform(sequence(lit(0), size(ts) - n),
           i => array_join(slice(ts, i + 1, lit(n)), " ")))
-        .otherwise(array(array_join(ts, " ")))
-    }
+        .otherwise(array(array_join(ts, " ")))), lit(0))
   }
 
   /** Distinct shingle set, sorted (see [[tokenSet]]). */

@@ -46,13 +46,14 @@ object Probe {
         f"recall=${annHit.toDouble / nX}%.4f t=${(System.nanoTime() - t0) / 1e9}%.2f")
     }
 
-    for (frac <- Seq(0.3, 0.4, 0.5)) {
+    for ((it, samp) <- Seq((2, 4096), (1, 4096), (1, 1024), (2, 1024))) {
       val t0 = System.nanoTime()
       val ivf = graft.ext.SimSearch
-        .ivfTopK(e, "vec_id", "embedding", 3, lloydIters = 2, probeFrac = frac)
+        .ivfTopK(e, "vec_id", "embedding", 3, lloydIters = it,
+          trainSample = samp, probeFrac = 0.5)
         .select(col("id_q"), col("neighbor_id"))
       val hit = ivf.join(exactTopk, Seq("id_q", "neighbor_id")).count()
-      println(f"ivf(frac=$frac): hit=$hit " +
+      println(f"ivf(it=$it samp=$samp): hit=$hit " +
         f"recall=${hit.toDouble / nX}%.4f t=${(System.nanoTime() - t0) / 1e9}%.2f")
     }
     spark.stop()

@@ -1,11 +1,10 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
-import graft.ext.Text
+import graft.ext.Curation
 
 /** Round-4 surface widening: the curation stages of an LLM training-data
   * pipeline that sit AROUND dedup/similarity (SURVEY.md §2b north star) —
@@ -17,14 +16,6 @@ import graft.ext.Text
   */
 object Round4Queries {
 
-  /** Shared deterministic per-doc hash — the "random" key for splits,
-    * sampling, and packing order. md5 hex of the decimal id renders
-    * identically in Spark and DuckDB, so every downstream ordering and
-    * threshold is reproducible cross-engine (a seeded rand() is not).
-    */
-  private def docHash: org.apache.spark.sql.Column =
-    md5(col("doc_id").cast("string"))
-
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Benchmark-contamination screen: does a training doc share any
     // 8-gram with the held-out benchmark corpus (here: source 'src0')?
@@ -35,14 +26,10 @@ object Round4Queries {
     // shingles, not pairs.
     "contamination_ngram" -> { (s, dir) =>
       val docs = Tables.documents(s, dir)
-      val bench = docs.filter(col("source") === "src0")
-        .select(explode(Text.shingleSet(col("text"), 8)).as("sh")).distinct()
-      val cand = docs.filter(col("source") =!= "src0")
-        .select(col("doc_id"), col("source"),
-          explode(Text.shingleSet(col("text"), 8)).as("sh"))
-      cand.join(broadcast(bench), Seq("sh"))
-        .groupBy(col("doc_id"), col("source"))
-        .agg(count(lit(1)).as("n_shared"))
+      Curation.contaminationScreen(
+          docs.filter(col("source") =!= "src0"),
+          docs.filter(col("source") === "src0"),
+          "doc_id", "text", n = 8, carry = Seq("source"))
         .groupBy(col("source"))
         .agg(count(lit(1)).as("n_contaminated_docs"),
           sum(col("n_shared")).as("n_shared_shingles"))
@@ -52,43 +39,24 @@ object Round4Queries {
     // identically in every engine (ln() last-ulp differences across
     // libm implementations could flip a rank at a tie boundary).
     "tfidf_top_terms" -> { (s, dir) =>
-      val docs = Tables.documents(s, dir).cache()
-      val nDocs = docs.count()
-      val tf = docs
-        .select(col("source"), explode(Text.tokens(col("text"))).as("term"))
-        .groupBy(col("source"), col("term")).agg(count(lit(1)).as("tf"))
-      val dfreq = docs
-        .select(col("doc_id"), explode(Text.tokenSet(col("text"))).as("term"))
-        .groupBy(col("term")).agg(count(lit(1)).as("df"))
-      val scored = tf.join(dfreq, Seq("term"))
-        .withColumn("tfidf",
-          floor(col("tf") * (lit(nDocs.toDouble) / col("df")) * 1e6 + 0.5) / 1e6)
-      val w = Window.partitionBy(col("source"))
-        .orderBy(col("tfidf").desc, col("term"))
-      scored.withColumn("rnk", row_number().over(w))
-        .filter(col("rnk") <= 3)
-        .select(col("source"), col("term"), col("tfidf"), col("rnk"))
+      Curation.tfidfTopTerms(Tables.documents(s, dir),
+        "doc_id", "text", "source", k = 3)
     },
     // Deterministic 80/20 train/test split: first md5 hex byte of the
     // doc id < 0xcc goes to train. Map-only decision — no shuffle until
     // the summary rollup; at 100 TB the split column is free.
     "train_test_split" -> { (s, dir) =>
-      Tables.documents(s, dir)
-        .withColumn("split",
-          when(substring(docHash, 1, 2) < "cc", "train").otherwise("test"))
+      Curation.trainTestSplit(Tables.documents(s, dir), "doc_id", 0.8)
         .groupBy(col("split"))
         .agg(count(lit(1)).as("n_docs"),
-          sum(size(Text.tokens(col("text"))).cast("long")).as("n_tokens"))
+          sum(size(graft.ext.Text.tokens(col("text"))).cast("long")).as("n_tokens"))
     },
     // Stratified sample: 20 docs per language, chosen by md5 order —
     // reproducible without a seed, and the per-stratum top-k plans as
     // WindowGroupLimit (k rows per group survive each partition, not
     // the whole stratum).
     "sample_stratified" -> { (s, dir) =>
-      val w = Window.partitionBy(col("lang")).orderBy(docHash, col("doc_id"))
-      Tables.documents(s, dir)
-        .select(col("doc_id"), col("lang"), row_number().over(w).as("rn"))
-        .filter(col("rn") <= 20)
+      Curation.stratifiedSample(Tables.documents(s, dir), "doc_id", "lang", 20)
     },
     // Context-window packing: docs are dealt into 256 buckets by md5
     // prefix, ordered deterministically within each bucket, and cut
@@ -97,16 +65,7 @@ object Round4Queries {
     // is the scale shape (a single global packing order would serialize
     // 100 TB through one window).
     "token_budget_pack" -> { (s, dir) =>
-      val t = Tables.documents(s, dir).select(
-        col("doc_id"),
-        size(Text.tokens(col("text"))).cast("long").as("n_tok"),
-        docHash.as("h"))
-      val w = Window.partitionBy(substring(col("h"), 1, 2))
-        .orderBy(col("h"), col("doc_id"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      t.withColumn("bucket", substring(col("h"), 1, 2))
-        .withColumn("cum", sum(col("n_tok")).over(w))
-        .withColumn("shard", floor((col("cum") - 1) / 2048).cast("long"))
+      Curation.packTokenBudget(Tables.documents(s, dir), "doc_id", "text", 2048L)
         .groupBy(col("bucket"), col("shard"))
         .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
     }
@@ -160,11 +119,13 @@ object Round4Queries {
          |       count(*) AS n_docs,
          |       CAST(sum(len($TokensSql)) AS BIGINT) AS n_tokens
          |FROM documents GROUP BY 1""".stripMargin,
+    // CAST AS STRING (not VARCHAR): valid in BOTH DuckDB and Spark SQL,
+    // so this oracle text doubles as the SqlSurfaceSpec differential
     "sample_stratified" ->
       """SELECT doc_id, lang, rn FROM (
         |  SELECT doc_id, lang,
         |         row_number() OVER (PARTITION BY lang
-        |           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+        |           ORDER BY md5(CAST(doc_id AS STRING)), doc_id) AS rn
         |  FROM documents)
         |WHERE rn <= 20""".stripMargin,
     "token_budget_pack" ->

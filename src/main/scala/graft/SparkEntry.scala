@@ -238,6 +238,15 @@ object CoreQueries {
       val out = java.nio.file.Files.createTempDirectory("graft_export").toString
       Reports.sampledExport(li, s"$out/lineitem", 10)
       s.read.option("header", "true").schema(li.schema).csv(s"$out/lineitem")
+    },
+    // K3 in a second wire format: the same deterministic sample written
+    // as JSON lines and read back with the table schema (timestamps
+    // roundtrip as ISO strings under the fixed UTC session timezone).
+    "json_export_roundtrip" -> { (s, dir) =>
+      val li = Tables.lineitem(s, dir)
+      val out = java.nio.file.Files.createTempDirectory("graft_json").toString
+      Sample.limitN(li, 10).write.mode("overwrite").json(s"$out/lineitem")
+      s.read.schema(li.schema).json(s"$out/lineitem")
     }
   )
 
@@ -339,6 +348,12 @@ object CoreQueries {
          |  ON s.table_name = t.table_name
          | AND s.partition_spec IS NOT DISTINCT FROM t.partition_spec""".stripMargin,
     "sampled_export_roundtrip" ->
+      """SELECT * FROM lineitem
+        |ORDER BY l_discount, l_extendedprice, l_linenumber, l_linestatus,
+        |         l_orderkey, l_partkey, l_quantity, l_returnflag, l_shipdate,
+        |         l_suppkey, l_tax
+        |LIMIT 10""".stripMargin,
+    "json_export_roundtrip" ->
       """SELECT * FROM lineitem
         |ORDER BY l_discount, l_extendedprice, l_linenumber, l_linestatus,
         |         l_orderkey, l_partkey, l_quantity, l_returnflag, l_shipdate,

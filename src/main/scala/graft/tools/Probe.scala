@@ -20,16 +20,24 @@ object Probe {
     val docs = graft.core.Tables.documents(spark, sf)
     val e = graft.core.Tables.embeddings(spark, sf)
 
-    // simhash: block path vs exact all-pairs Hamming
-    val block = graft.ext.Dedup
-      .simhashNearDupPairs(spark, docs, "doc_id", "text", maxHamming = 3)
-      .select(col("id_a"), col("id_b")).cache()
+    // simhash: block path vs exact all-pairs Hamming, across skew caps
+    val t0e = System.nanoTime()
     val exact = graft.ext.Dedup
       .simhashPairsExact(spark, docs, "doc_id", "text", maxHamming = 3)
       .select(col("id_a"), col("id_b")).cache()
-    val nB = block.count(); val nE = exact.count()
-    val nI = block.join(exact, Seq("id_a", "id_b")).count()
-    println(f"simhash: block=$nB exact=$nE inter=$nI recall=${nI.toDouble / nE}%.4f")
+    val nE = exact.count()
+    println(f"simhash exact: n=$nE t=${(System.nanoTime() - t0e) / 1e9}%.2f")
+    for (cap <- Seq(2000, 800, 400)) {
+      val t0 = System.nanoTime()
+      val block = graft.ext.Dedup
+        .simhashNearDupPairs(spark, docs, "doc_id", "text",
+          maxHamming = 3, maxBucketSize = cap)
+        .select(col("id_a"), col("id_b")).cache()
+      val nB = block.count()
+      val nI = block.join(exact, Seq("id_a", "id_b")).count()
+      println(f"simhash cap=$cap: block=$nB inter=$nI " +
+        f"recall=${nI.toDouble / nE}%.4f t=${(System.nanoTime() - t0) / 1e9}%.2f")
+    }
 
     // ANN (RHP) recall@3 on vec_id < 100
     val exactTopk = graft.ext.SimSearch

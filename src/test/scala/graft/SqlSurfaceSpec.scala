@@ -32,7 +32,7 @@ class SqlSurfaceSpec extends SparkFunSuite {
     "rowcount_by_partition", "rowcount_multilevel", "rowcount_total",
     "reconcile_report", "reconcile_matched", "integrity_by_partition",
     "sample_limit", "events_funnel", "stats_moments",
-    "approx_distinct_users")
+    "approx_distinct_users", "sample_stratified")
 
   private def canon(df: DataFrame): Seq[String] = {
     val cols = df.columns.sorted.toSeq

@@ -22,22 +22,20 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    // JVM/session warm-up so the first measured queries don't absorb
-    // executor startup, parquet footer reads, Janino/codegen compiler
-    // initialization, and the custom-kernel compile: a few
-    // representative shapes over every fixture table, untimed.
-    // (Measured effect: without this, whichever queries land first in
-    // map order pay 2-5s of one-time cost — q5_region_revenue read
-    // 6.5s in round 3 vs 1.5s steady-state.)
+    // Steady-state measurement (JMH-style): run EVERY query once
+    // untimed, then measure. The warm pass absorbs the one-time costs —
+    // executor startup, parquet footers, Janino compile of each query's
+    // generated code — that otherwise land on whichever queries run
+    // first and made per-query times incomparable across rounds
+    // (q5_region_revenue read 6.5 s in round 3 vs 1.5 s steady-state
+    // purely from map-order drift). Data caches are flushed between
+    // passes and queries; only the JVM-wide codegen cache stays warm,
+    // which is the steady state a resident engine runs in.
     spark.range(1000).selectExpr("sum(id)").collect()
-    Seq("q5_region_revenue", "events_windowed", "text_token_counts",
-        "similarity_threshold", "dedup_exact", "sample_limit")
-      .foreach { n =>
-        SparkEntry.queries.get(n).foreach { f =>
-          try f(spark, sfDir).count() catch { case _: Throwable => () }
-        }
-      }
-    spark.catalog.clearCache()
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (_, f) =>
+      try f(spark, sfDir).count() catch { case _: Throwable => () }
+      spark.catalog.clearCache()
+    }
     // Alphabetical order (map iteration order shifts whenever a query is
     // added, silently reshuffling which queries absorb residual JIT) and
     // a cache flush after each query (operators cache internally; reuse

@@ -168,6 +168,24 @@ object RelationalQueries {
         expr("percentile(l_quantity, 0.5)").as("median"),
         expr("percentile(l_quantity, 0.75)").as("q3"))
     },
+    // Sketch quantiles (the 100 TB path — exact percentile buffers every
+    // value; approx_percentile is a fixed-size mergeable sketch). Same
+    // oracle pattern as approx_distinct_users: the exact values are
+    // oracle-computed, and the sketch must land within 1% of each
+    // (rank error 1/accuracy = 1e-4 of the corpus ≈ a few ranks, far
+    // inside the 1% value bound on this distribution — ~5σ headroom).
+    "stats_quantiles_approx" -> { (s, dir) =>
+      val li = Tables.lineitem(s, dir)
+      def ok(p: Double) =
+        (abs(expr(s"approx_percentile(l_extendedprice, $p, 10000)") -
+          expr(s"percentile(l_extendedprice, $p)")) /
+          expr(s"percentile(l_extendedprice, $p)") <= 0.01)
+      li.agg(
+        (floor(expr("percentile(l_extendedprice, 0.5)") * 100 + 0.5) / 100).as("p50_exact"),
+        (floor(expr("percentile(l_extendedprice, 0.99)") * 100 + 0.5) / 100).as("p99_exact"),
+        ok(0.5).as("p50_within"),
+        ok(0.99).as("p99_within"))
+    },
     // JSON extraction from the events props column.
     "json_extract_events" -> { (s, dir) =>
       Tables.events(s, dir)
@@ -320,6 +338,11 @@ object RelationalQueries {
       """SELECT quantile_cont(l_quantity, 0.25) AS q1,
         |       quantile_cont(l_quantity, 0.5) AS median,
         |       quantile_cont(l_quantity, 0.75) AS q3
+        |FROM lineitem""".stripMargin,
+    "stats_quantiles_approx" ->
+      """SELECT floor(quantile_cont(l_extendedprice, 0.5) * 100 + 0.5) / 100 AS p50_exact,
+        |       floor(quantile_cont(l_extendedprice, 0.99) * 100 + 0.5) / 100 AS p99_exact,
+        |       true AS p50_within, true AS p99_within
         |FROM lineitem""".stripMargin,
     "json_extract_events" ->
       """SELECT event_type,

@@ -81,6 +81,33 @@ class StreamingReconcileSpec extends SparkFunSuite {
     } finally q.stop()
   }
 
+  test("streaming contamination screen flags benchmark-overlapping ingest only") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.ext.Curation
+    // update mode: the per-doc shared-shingle count is a streaming
+    // aggregation over a stream-static broadcast join — stateless join,
+    // per-doc state only (the same shape scales to an unbounded ingest)
+    val bench = Seq(
+      (900L, "alpha beta gamma delta epsilon zeta eta theta iota kappa")
+    ).toDF("doc_id", "text")
+    val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Doc]
+    val screened = Curation.contaminationScreen(
+      in.toDF(), bench, "doc_id", "text", n = 8)
+    val q = screened.writeStream.format("memory").queryName("contam")
+      .outputMode("update").start()
+    try {
+      in.addData(
+        // contains the benchmark's first 8-gram verbatim
+        Doc(1L, "alpha beta gamma delta epsilon zeta eta theta wholly new tail"),
+        // disjoint vocabulary
+        Doc(2L, "totally novel words that share nothing with the benchmark set"))
+      q.processAllAvailable()
+      val got = spark.table("contam")
+        .select("doc_id").as[Long].collect().toSet
+      assert(got == Set(1L))
+    } finally q.stop()
+  }
+
   test("stream-stream interval join pairs events within the window, bounded state") {
     implicit val sqlCtx = spark.sqlContext
     val a = MemoryStream[Ev]

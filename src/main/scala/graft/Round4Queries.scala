@@ -130,7 +130,7 @@ object Round4Queries {
         |WHERE rn <= 20""".stripMargin,
     "token_budget_pack" ->
       s"""WITH t AS (
-         |  SELECT doc_id, CAST(len($TokensSql) AS BIGINT) AS n_tok,
+         |  SELECT doc_id, CAST(coalesce(len($TokensSql), 0) AS BIGINT) AS n_tok,
          |         md5(CAST(doc_id AS VARCHAR)) AS h
          |  FROM documents),
          |p AS (

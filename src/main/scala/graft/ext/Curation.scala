@@ -110,8 +110,11 @@ object Curation {
     val w = Window.partitionBy(substring(col("h"), 1, 2))
       .orderBy(col("h"), col(idCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // null text occupies no budget (coalesce, not null-cascade — a null
+    // cum would silently route the doc into a null shard)
     docs.select(col(idCol),
-        size(Text.tokens(col(textCol))).cast("long").as("n_tok"), h.as("h"))
+        coalesce(size(Text.tokens(col(textCol))), lit(0))
+          .cast("long").as("n_tok"), h.as("h"))
       .withColumn("bucket", substring(col("h"), 1, 2))
       .withColumn("cum", sum(col("n_tok")).over(w))
       .withColumn("shard", floor((col("cum") - 1) / budget).cast("long"))

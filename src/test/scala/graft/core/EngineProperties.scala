@@ -23,6 +23,34 @@ object EngineProperties extends Properties("graft") {
   private val rowsGen: Gen[List[(Int, String)]] =
     Gen.listOfN(20, Gen.zip(Gen.chooseNum(0, 100), Gen.alphaNumStr.map(_.take(8))))
 
+  property("split column partitions any id set into exactly train|test") =
+    forAll(Gen.listOfN(15, Gen.chooseNum(0L, 1000000L))) { ids =>
+      ids.isEmpty || {
+        val df = ids.distinct.toDF("doc_id")
+        val split = graft.ext.Curation
+          .trainTestSplit(df, "doc_id", 0.8).groupBy("split").count()
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        split.keySet.subsetOf(Set("train", "test")) &&
+          split.values.sum == ids.distinct.length
+      }
+    }
+
+  property("token packing conserves docs and tokens on arbitrary corpora") =
+    forAll(Gen.listOfN(12, Gen.zip(Gen.chooseNum(0L, 100000L),
+      Gen.option(Gen.listOfN(5, Gen.alphaStr.map(_.take(4))).map(_.mkString(" ")))))) { docs =>
+      docs.isEmpty || {
+        val df = docs.distinctBy(_._1).toDF("doc_id", "text")
+        val packed = graft.ext.Curation
+          .packTokenBudget(df, "doc_id", "text", budget = 7L)
+        val Row2 = packed.agg(count(lit(1)), sum("n_tok")).head()
+        val expDocs = docs.distinctBy(_._1).length.toLong
+        val expToks = df.select(
+          coalesce(size(Text.tokens(col("text"))), lit(0)).cast("long"))
+          .collect().map(_.getLong(0)).sum
+        Row2.getLong(0) == expDocs && Row2.getLong(1) == expToks
+      }
+    }
+
   property("fingerprint is invariant under row permutation") =
     forAll(rowsGen) { rows =>
       rows.isEmpty || {

@@ -186,6 +186,39 @@ object RelationalQueries {
         ok(0.5).as("p50_within"),
         ok(0.99).as("p99_within"))
     },
+    // Mergeable distinct sketches (Apache DataSketches HLL): build one
+    // sketch PER PARTITION GROUP, then union-merge the sketch column to
+    // a global estimate — the re-aggregable form a 100 TB warehouse
+    // stores alongside each partition so "distinct across any subset"
+    // never rescans data (approx_count_distinct's HLL++ buffer is not
+    // exposed as a column; hll_sketch_agg/hll_union_agg is). The oracle
+    // pins the exact global count and a 5%-tolerance verdict on the
+    // sketch estimate (lgK 14 → rse ~0.8%, ~6σ headroom).
+    "hll_union_estimate" -> { (s, dir) =>
+      val perPart = Tables.lineitem(s, dir)
+        .groupBy(col("l_returnflag"))
+        .agg(expr("hll_sketch_agg(l_orderkey, 14)").as("sk"))
+      perPart.agg(
+        expr("hll_sketch_estimate(hll_union_agg(sk))").as("est"),
+        count(lit(1)).as("n_groups"))
+        .crossJoin(Tables.lineitem(s, dir)
+          .agg(countDistinct(col("l_orderkey")).as("n_exact")))
+        .select(col("n_exact"), col("n_groups"),
+          (abs(col("est") - col("n_exact")).cast("double") / col("n_exact") <= 0.05)
+            .as("within_tolerance"))
+    },
+    // Grouped sketch quantiles: per-event-type p95 value, sketch vs
+    // exact within 2% per group (every group's verdict must hold — the
+    // row set is the per-group exacts + verdicts).
+    "quantiles_by_group" -> { (s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(col("event_type"))
+        .agg(
+          (floor(expr("percentile(value, 0.95)") * 100 + 0.5) / 100).as("p95_exact"),
+          (abs(expr("approx_percentile(value, 0.95, 10000)") -
+            expr("percentile(value, 0.95)")) /
+            expr("percentile(value, 0.95)") <= 0.02).as("p95_within"))
+    },
     // JSON extraction from the events props column.
     "json_extract_events" -> { (s, dir) =>
       Tables.events(s, dir)
@@ -344,6 +377,16 @@ object RelationalQueries {
         |       floor(quantile_cont(l_extendedprice, 0.99) * 100 + 0.5) / 100 AS p99_exact,
         |       true AS p50_within, true AS p99_within
         |FROM lineitem""".stripMargin,
+    "hll_union_estimate" ->
+      """SELECT count(DISTINCT l_orderkey) AS n_exact,
+        |       count(DISTINCT l_returnflag) AS n_groups,
+        |       true AS within_tolerance
+        |FROM lineitem""".stripMargin,
+    "quantiles_by_group" ->
+      """SELECT event_type,
+        |       floor(quantile_cont(value, 0.95) * 100 + 0.5) / 100 AS p95_exact,
+        |       true AS p95_within
+        |FROM events GROUP BY 1""".stripMargin,
     "json_extract_events" ->
       """SELECT event_type,
         |       CAST(sum(CAST(props ->> '$.k' AS BIGINT)) AS BIGINT) AS sum_k,

@@ -83,7 +83,9 @@ class PlanAuditSpec extends SparkFunSuite {
       // brute-force cutover at sf0.001 corpus size:
       "dedup_minhash", "dedup_clusters",
       // verification-pinned: exact baseline + 1-row summary crosses:
-      "dedup_simhash", "similarity_ann_topk", "similarity_ivf_topk")
+      "dedup_simhash", "similarity_ann_topk", "similarity_ivf_topk",
+      // 1-row summary crossJoin (sketch estimate × exact count):
+      "hll_union_estimate")
     val offenders = SparkEntry.queries.keys.toSeq.sorted
       .filterNot(exactBaselines)
       .filter { n =>

@@ -132,16 +132,17 @@ object Round2Queries {
     // oracle (recall < 1 with nProbe cells), so the query pins recall@3
     // against the in-engine exact top-k on the deterministic
     // vec_id < 100 subset; the exact-side count IS oracle-computed.
-    // probeFrac 0.5 (constant coverage across SFs — a fixed nProbe
-    // decays as sqrt(nProbe/N)): measured recall@3 0.947 at sf0.01 and
-    // 0.890 at sf0.1 with ONE Lloyd iteration over a 1024-vector train
-    // sample (a second iteration buys +0.02 recall for ~1.5x the DAG
-    // cost — not worth it for the pinned check); bound 0.82 leaves
-    // ≥0.07 margin for float-summation jitter in the centroid means.
+    // The corpus is the planted-cluster view (SimSearch.clusteredView):
+    // the raw fixture embeddings are near-uniform on the sphere, where
+    // no coarse quantizer can beat brute force — earlier rounds papered
+    // over that with probeFrac 0.5 (scoring half the corpus per query,
+    // near-brute-force economics). On clustered data the probe is
+    // honest: probeFrac 0.1 → each query scores ~10% of the corpus with
+    // recall@3 pinned >= 0.9.
     "similarity_ivf_topk" -> { (s, dir) =>
-      val e = Tables.embeddings(s, dir)
+      val e = SimSearch.clusteredView(Tables.embeddings(s, dir), "vec_id", "embedding")
       val ivf = SimSearch.ivfTopK(e, "vec_id", "embedding", 3,
-          lloydIters = 1, trainSample = 1024, probeFrac = 0.5)
+          lloydIters = 1, trainSample = 1024, probeFrac = 0.1)
         .select(col("id_q"), col("neighbor_id"))
       val exact = SimSearch
         .topKBruteForce(e.filter(col("vec_id") < 100), e, "vec_id", "embedding", 3)
@@ -151,7 +152,7 @@ object Round2Queries {
         .agg(count(lit(1)).as("n_hit"))
       nE.crossJoin(nH).select(
         col("n_exact"),
-        (col("n_hit").cast("double") >= col("n_exact") * 0.82).as("recall_ok"))
+        (col("n_hit").cast("double") >= col("n_exact") * 0.9).as("recall_ok"))
     },
     // X6 batch twin of the stream-stream interval join: event-type
     // co-occurrence within 10 minutes per user (the watermark is a
@@ -316,11 +317,20 @@ object Round2Queries {
     "approx_distinct_users" ->
       """SELECT count(DISTINCT user_id) AS n_exact, true AS within_tolerance
         |FROM events""".stripMargin,
+    // the oracle replays the planted-cluster view (same arithmetic as
+    // SimSearch.clusteredView) and counts the exact top-3 pairs on it
     "similarity_ivf_topk" ->
-      """WITH s AS (
+      """WITH ctr AS (
+        |  SELECT vec_id AS cid, embedding AS cemb
+        |  FROM embeddings WHERE vec_id < 50),
+        |v AS (
+        |  SELECT e.vec_id, list_transform(range(len(cemb)),
+        |           i -> CAST(cemb[i + 1] + 0.15 * e.embedding[i + 1] AS REAL)) AS emb
+        |  FROM embeddings e JOIN ctr ON e.vec_id % 50 = ctr.cid),
+        |s AS (
         |  SELECT q.vec_id AS id_q, c.vec_id AS neighbor_id,
-        |         round(list_cosine_similarity(q.embedding, c.embedding), 6) AS cos
-        |  FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+        |         round(list_cosine_similarity(q.emb, c.emb), 6) AS cos
+        |  FROM v q JOIN v c ON q.vec_id <> c.vec_id
         |  WHERE q.vec_id < 100)
         |SELECT count(*) AS n_exact, true AS recall_ok FROM (
         |  SELECT row_number() OVER (PARTITION BY id_q

@@ -58,14 +58,25 @@ object Round4Queries {
     "sample_stratified" -> { (s, dir) =>
       Curation.stratifiedSample(Tables.documents(s, dir), "doc_id", "lang", 20)
     },
-    // Context-window packing: docs are dealt into 256 buckets by md5
-    // prefix, ordered deterministically within each bucket, and cut
-    // into 2048-token shards by cumulative token count. The window is
-    // PARTITIONED by bucket — 256-way parallel, no global sort — which
-    // is the scale shape (a single global packing order would serialize
-    // 100 TB through one window).
+    // Context-window packing: docs are dealt into nBuckets buckets by
+    // md5 of the id, ordered deterministically within each bucket, and
+    // cut into 2048-token shards by cumulative token count. The window
+    // is PARTITIONED by bucket — nBuckets-way parallel, no global sort —
+    // which is the scale shape (a single global packing order would
+    // serialize 100 TB through one window). The default 256 runs here;
+    // token_budget_pack_wide pins a second width (4096) so the fan-out
+    // parameter is oracle-certified, not just plumbed.
     "token_budget_pack" -> { (s, dir) =>
       Curation.packTokenBudget(Tables.documents(s, dir), "doc_id", "text", 2048L)
+        .groupBy(col("bucket"), col("shard"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
+    },
+    // Same packing at a 16x wider fan-out (4096 buckets): certifies that
+    // the bucket-width parameter changes the deal without changing the
+    // packing semantics (every bucket still cuts at the same budget).
+    "token_budget_pack_wide" -> { (s, dir) =>
+      Curation.packTokenBudget(Tables.documents(s, dir), "doc_id", "text",
+          2048L, nBuckets = 4096)
         .groupBy(col("bucket"), col("shard"))
         .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
     }
@@ -128,18 +139,27 @@ object Round4Queries {
         |           ORDER BY md5(CAST(doc_id AS STRING)), doc_id) AS rn
         |  FROM documents)
         |WHERE rn <= 20""".stripMargin,
-    "token_budget_pack" ->
-      s"""WITH t AS (
-         |  SELECT doc_id, CAST(coalesce(len($TokensSql), 0) AS BIGINT) AS n_tok,
-         |         md5(CAST(doc_id AS VARCHAR)) AS h
-         |  FROM documents),
-         |p AS (
-         |  SELECT substr(h, 1, 2) AS bucket, n_tok,
-         |         sum(n_tok) OVER (PARTITION BY substr(h, 1, 2)
-         |           ORDER BY h, doc_id ROWS UNBOUNDED PRECEDING) AS cum
-         |  FROM t)
-         |SELECT bucket, CAST(floor((cum - 1) / 2048) AS BIGINT) AS shard,
-         |       count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tokens
-         |FROM p GROUP BY 1, 2""".stripMargin
+    "token_budget_pack" -> packOracleSql(2048, 256),
+    "token_budget_pack_wide" -> packOracleSql(2048, 4096)
   )
+
+  /** Shared packing oracle, parameterized by budget and bucket width —
+    * the bucket id is the first 15 md5 hex chars as an integer mod
+    * nBuckets, matching [[graft.ext.Curation.packTokenBudget]].
+    */
+  private def packOracleSql(budget: Int, nBuckets: Int): String =
+    s"""WITH t AS (
+       |  SELECT doc_id, CAST(coalesce(len($TokensSql), 0) AS BIGINT) AS n_tok,
+       |         md5(CAST(doc_id AS VARCHAR)) AS h
+       |  FROM documents),
+       |p AS (
+       |  SELECT CAST(('0x' || substr(h, 1, 15)) AS BIGINT) % $nBuckets AS bucket,
+       |         n_tok,
+       |         sum(n_tok) OVER (
+       |           PARTITION BY CAST(('0x' || substr(h, 1, 15)) AS BIGINT) % $nBuckets
+       |           ORDER BY h, doc_id ROWS UNBOUNDED PRECEDING) AS cum
+       |  FROM t)
+       |SELECT bucket, CAST(floor(greatest(cum - 1, 0) / $budget) AS BIGINT) AS shard,
+       |       count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tokens
+       |FROM p GROUP BY 1, 2""".stripMargin
 }

@@ -54,6 +54,10 @@ object Curation {
     * The idf is the log-free N/df variant — tf, N, df are exact
     * integers, so scores are bit-identical in every engine (ln()
     * last-ulp differences can flip ranks at tie boundaries).
+    *
+    * Cache lifecycle: the corpus is cached (three consumers: N, tf, df)
+    * and stays cached until the caller's action completes — callers own
+    * the flush (`spark.catalog.clearCache()`), as in [[Dedup]].
     */
   def tfidfTopTerms(
       docs: DataFrame, idCol: String, textCol: String, groupCol: String,
@@ -77,9 +81,16 @@ object Curation {
     * the id sits under `trainFrac` of the 0x00-0xff range. Map-only.
     */
   def splitColumn(id: Column, trainFrac: Double = 0.8): Column = {
-    // floor, not round: 0.8 → 204 buckets of 256 → cut 'cc'
-    val cut = f"${math.min(255, math.max(0, (trainFrac * 256).toInt))}%02x"
-    when(substring(detHash(id), 1, 2) < cut, "train").otherwise("test")
+    // Degenerate fractions short-circuit: the hex-prefix comparison can
+    // only express cuts at 1/256 granularity, so trainFrac >= 1 would
+    // still route the 'ff' prefix (~1/256 of ids) to 'test'.
+    if (trainFrac >= 1.0) lit("train")
+    else if (trainFrac <= 0.0) lit("test")
+    else {
+      // floor, not round: 0.8 → 204 buckets of 256 → cut 'cc'
+      val cut = f"${math.min(255, math.max(0, (trainFrac * 256).toInt))}%02x"
+      when(substring(detHash(id), 1, 2) < cut, "train").otherwise("test")
+    }
   }
 
   /** Corpus with a deterministic train/test split column attached. */
@@ -99,15 +110,28 @@ object Curation {
   }
 
   /** Pack docs into ~`budget`-token shards: (idCol, bucket, shard).
-    * Docs are dealt into 256 md5-prefix buckets and cut by cumulative
-    * token count within each bucket — the window is bucket-partitioned,
-    * so packing 100 TB is 256-way parallel with no global order.
+    * Docs are dealt into `nBuckets` buckets by md5 of the id and cut by
+    * cumulative token count within each bucket — the window is
+    * bucket-partitioned, so packing is nBuckets-way parallel with no
+    * global order. Size nBuckets to the corpus: each bucket's
+    * cumulative-sum window runs on one task, so at 100 TB pick nBuckets
+    * large enough that corpus_bytes / nBuckets fits a task comfortably
+    * (the deal is uniform — md5 — so buckets stay balanced).
+    *
+    * The bucket id is the first 15 md5 hex chars parsed as an integer,
+    * mod nBuckets — engine-independent (DuckDB: `('0x' || substr(h,1,15))
+    * ::BIGINT % n`), unlike a seeded hash. Zero-token docs at a bucket
+    * head land in shard 0 (`greatest(cum-1, 0)` — a raw cum=0 would
+    * compute shard -1).
     */
   def packTokenBudget(
       docs: DataFrame, idCol: String, textCol: String,
-      budget: Long = 2048L): DataFrame = {
+      budget: Long = 2048L, nBuckets: Int = 256): DataFrame = {
+    require(nBuckets > 0, "nBuckets must be positive")
     val h = detHash(col(idCol))
-    val w = Window.partitionBy(substring(col("h"), 1, 2))
+    val bucket = pmod(conv(substring(col("h"), 1, 15), 16, 10).cast("long"),
+      lit(nBuckets.toLong))
+    val w = Window.partitionBy(col("bucket"))
       .orderBy(col("h"), col(idCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     // null text occupies no budget (coalesce, not null-cascade — a null
@@ -115,9 +139,10 @@ object Curation {
     docs.select(col(idCol),
         coalesce(size(Text.tokens(col(textCol))), lit(0))
           .cast("long").as("n_tok"), h.as("h"))
-      .withColumn("bucket", substring(col("h"), 1, 2))
+      .withColumn("bucket", bucket)
       .withColumn("cum", sum(col("n_tok")).over(w))
-      .withColumn("shard", floor((col("cum") - 1) / budget).cast("long"))
+      .withColumn("shard",
+        floor(greatest(col("cum") - 1, lit(0L)) / budget).cast("long"))
       .select(col(idCol), col("n_tok"), col("bucket"), col("shard"))
   }
 }

@@ -297,6 +297,12 @@ object Dedup {
     * the join condition (far pairs never materialize) and the streamed
     * side is spread across the cluster; each comparison is two codegen'd
     * long ops, so N up to ~10⁵ is tractable. Not a scale path.
+    *
+    * Cache lifecycle: the simhash projection is cached (two join sides
+    * consume it) and stays cached until the caller's action completes —
+    * library callers own the lifecycle (`spark.catalog.clearCache()` or
+    * a surrounding cache scope); the bench/verify harnesses flush after
+    * every query.
     */
   def simhashPairsExact(
       spark: SparkSession, docs: DataFrame, idCol: String, textCol: String,
@@ -553,7 +559,11 @@ object Dedup {
     */
   def nearDupClusters(
       docs: DataFrame, idCol: String, textCol: String, threshold: Double,
-      params: MinHashParams = MinHashParams()): DataFrame = {
+      params: MinHashParams = MinHashParams(),
+      /** Forwarded to [[connectedComponents]]; 0 forces the distributed
+        * label-propagation loop (the 100 TB path) even on small graphs.
+        */
+      maxDriverEdges: Long = 2000000L): DataFrame = {
     // NULL text shingles to NULL, and size(NULL) ≠ 0 would let every
     // NULL-text doc fall through the empty-set escape below into ONE
     // shared group — coalesce to the empty set so they stay singletons,
@@ -580,7 +590,8 @@ object Dedup {
          docs.join(groups.select(col("rep").as(idCol)), Seq(idCol)),
          idCol, textCol, threshold, params))
         .select("id_a", "id_b")
-    val comp = connectedComponents(groups.select(col("rep").as("id")), repPairs)
+    val comp = connectedComponents(
+      groups.select(col("rep").as("id")), repPairs, maxDriverEdges = maxDriverEdges)
     groups.select(col("rep"), explode(col("members")).as("member"))
       .join(comp, col("rep") === col("id"))
       .select(col("member").as(idCol), col("cluster_rep"))

@@ -222,6 +222,34 @@ object SimSearch {
       .select(col("id_q"), col("id_c").as("neighbor_id"), col("rank"))
   }
 
+  /** Derived embedding view with planted cluster structure: member i's
+    * vector = center(i mod nClusters) + mix·original(i), where the
+    * centers are the first nClusters corpus vectors. No test-data
+    * regeneration and no RNG — pure arithmetic on fixture floats, so the
+    * same view is reproducible in any engine (DuckDB: list_transform
+    * with the same formula).
+    *
+    * Why it exists: the fixture embeddings are near-uniform on the
+    * sphere, so NO coarse quantizer can reach high top-k recall with a
+    * small probe — every cell is equidistant from every query. Real
+    * corpora (and the 100 TB use case) have cluster structure; this view
+    * plants it, letting the IVF probe economics be demonstrated honestly
+    * (`nProbe ≪ nCells` at pinned recall) instead of probing half the
+    * corpus. The centers table is tiny and broadcast; the view is
+    * map-side work on the corpus scan.
+    */
+  def clusteredView(
+      emb: DataFrame, idCol: String, vecCol: String,
+      nClusters: Int = 50, mix: Double = 0.15): DataFrame = {
+    val centers = emb.filter(col(idCol) < nClusters)
+      .select(col(idCol).as("cid"), col(vecCol).as("cemb"))
+    emb.join(broadcast(centers),
+        pmod(col(idCol), lit(nClusters.toLong)) === col("cid"))
+      .select(col(idCol),
+        zip_with(col("cemb"), col(vecCol),
+          (a, b) => (a + lit(mix) * b).cast("float")).as(vecCol))
+  }
+
   /** Seeded Lloyd refinement of IVF centroids over a bounded
     * deterministic sample (every stride-th vector by id): assign each
     * sampled vector to its nearest centroid by cosine, move each

@@ -38,6 +38,27 @@ object ExtQueries {
       Dedup.minhashNearDupPairs(Tables.documents(s, dir), "doc_id", "text", 0.9,
         Dedup.MinHashParams(numBands = 16, rowsPerBand = 2))
     },
+    // X2 scale-path CERTIFICATION: identical semantics to dedup_minhash
+    // with the small-N cutover disabled (bruteForceMaxDocs = 0), so the
+    // banding join — the actual 100 TB code path — executes at every
+    // fixture scale and is oracle-checked against the same exact-Jaccard
+    // SQL. dedup_minhash keeps the adaptive cutover (the production
+    // default); this query pins that both strategies produce the same
+    // relation under the DuckDB oracle, not just under DedupSpec.
+    // Corpus: the deterministic doc_id < 1000 prefix (= the whole corpus
+    // at sf0.001/sf0.01; 36k true pairs at sf0.1). The full-corpus forced
+    // run is intentionally NOT the bench shape: the fixture is
+    // pathologically dense (965k true pairs among 5k docs = 7.7% of all
+    // pairs), and banding re-enumerates every clique once per band — the
+    // exact workload the adaptive cutover exists to route around
+    // (MinHashParams.bruteForceMaxDocs doc). The subset certifies the
+    // code path; the cutover keeps the production default fast.
+    "dedup_minhash_lsh" -> { (s, dir) =>
+      Dedup.minhashNearDupPairs(
+        Tables.documents(s, dir).filter(col("doc_id") < 1000),
+        "doc_id", "text", 0.9,
+        Dedup.MinHashParams(numBands = 16, rowsPerBand = 2, bruteForceMaxDocs = 0))
+    },
     // X2 (bit-sketch form): SimHash Hamming-ball pairs via pigeonhole
     // block joins; the sketch is a custom codegen'd Catalyst expression,
     // so the pair listing itself has no SQL equivalent. The query pins
@@ -131,9 +152,9 @@ object ExtQueries {
   )
 
   def oracleSql: Map[String, String] = {
-    val jaccardSql = (threshold: String) =>
+    val jaccardSql = (threshold: String, where: String) =>
       s"""WITH tok AS (
-         |  SELECT DISTINCT doc_id, unnest($TokensSql) AS tok FROM documents),
+         |  SELECT DISTINCT doc_id, unnest($TokensSql) AS tok FROM documents $where),
          |sz AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY 1),
          |inter AS (
          |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
@@ -167,8 +188,12 @@ object ExtQueries {
           |           ORDER BY cos DESC, neighbor_id) AS rank
           |  FROM s)
           |WHERE rank <= 3""".stripMargin,
-      "dedup_ngram_jaccard" -> jaccardSql("0.95"),
-      "dedup_minhash" -> jaccardSql("0.9"),
+      "dedup_ngram_jaccard" -> jaccardSql("0.95", ""),
+      "dedup_minhash" -> jaccardSql("0.9", ""),
+      // same oracle as dedup_minhash restricted to the certification
+      // prefix: the forced-LSH path must produce the identical
+      // exact-verified pair relation
+      "dedup_minhash_lsh" -> jaccardSql("0.9", "WHERE doc_id < 1000"),
       "dedup_embedding_cosine" ->
         """SELECT a.vec_id AS id_a, b.vec_id AS id_b
           |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id

@@ -230,6 +230,21 @@ object Round2Queries {
       Dedup.nearDupClusters(Tables.documents(s, dir), "doc_id", "text", 0.9,
         Dedup.MinHashParams(numBands = 16, rowsPerBand = 2))
     },
+    // Scale-path CERTIFICATION twin of dedup_clusters: maxDriverEdges = 0
+    // forces the distributed min-label-propagation loop (the 100 TB code
+    // path) instead of the size-gated driver union-find, and the result
+    // must match the SAME transitive-closure oracle (on the deterministic
+    // doc_id < 1000 prefix — the loop's per-round fixed costs, not the
+    // edge count, dominate at fixture scale, so the subset bounds bench
+    // cost without weakening the certification). Together with
+    // dedup_minhash_lsh this closes the round-4/5 gap where the two
+    // actual scale components were only spec-verified.
+    "dedup_clusters_loop" -> { (s, dir) =>
+      Dedup.nearDupClusters(
+        Tables.documents(s, dir).filter(col("doc_id") < 1000),
+        "doc_id", "text", 0.9,
+        Dedup.MinHashParams(numBands = 16, rowsPerBand = 2), maxDriverEdges = 0L)
+    },
     // Second-moment statistics (sample variants match DuckDB's n-1
     // definitions; skewness/kurtosis are excluded — DuckDB bias-corrects
     // them, Spark does not).
@@ -244,6 +259,32 @@ object Round2Queries {
 
   private val TokensSql =
     """list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0)"""
+
+  /** Shared transitive-closure oracle for both clustering strategies
+    * (driver union-find cutover and forced distributed loop); `where`
+    * restricts the node set for the certification-prefix variant.
+    */
+  private def clustersOracleSql(where: String) =
+    s"""WITH RECURSIVE tok AS (
+       |  SELECT DISTINCT doc_id, unnest($TokensSql) AS tok FROM documents $where),
+       |sz AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY 1),
+       |inter AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+       |  FROM tok a JOIN tok b ON a.tok = b.tok AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |pairs AS (
+       |  SELECT id_a, id_b FROM inter
+       |  JOIN sz sa ON sa.doc_id = id_a
+       |  JOIN sz sb ON sb.doc_id = id_b
+       |  WHERE i / (sa.n + sb.n - i) >= 0.9),
+       |e AS (SELECT id_a AS a, id_b AS b FROM pairs
+       |      UNION ALL SELECT id_b, id_a FROM pairs),
+       |r AS (
+       |  SELECT doc_id AS id, doc_id AS rch FROM documents $where
+       |  UNION
+       |  SELECT r.id, e.b FROM r JOIN e ON r.rch = e.a)
+       |SELECT id AS doc_id, min(rch) AS cluster_rep
+       |FROM r GROUP BY 1""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "q6_forecast_revenue" ->
@@ -402,27 +443,11 @@ object Round2Queries {
     // Transitive closure over exact-Jaccard pairs (the LSH recall
     // argument is the same as dedup_minhash's); min over the reachable
     // set = the component representative.
-    "dedup_clusters" ->
-      s"""WITH RECURSIVE tok AS (
-         |  SELECT DISTINCT doc_id, unnest($TokensSql) AS tok FROM documents),
-         |sz AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY 1),
-         |inter AS (
-         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
-         |  FROM tok a JOIN tok b ON a.tok = b.tok AND a.doc_id < b.doc_id
-         |  GROUP BY 1, 2),
-         |pairs AS (
-         |  SELECT id_a, id_b FROM inter
-         |  JOIN sz sa ON sa.doc_id = id_a
-         |  JOIN sz sb ON sb.doc_id = id_b
-         |  WHERE i / (sa.n + sb.n - i) >= 0.9),
-         |e AS (SELECT id_a AS a, id_b AS b FROM pairs
-         |      UNION ALL SELECT id_b, id_a FROM pairs),
-         |r AS (
-         |  SELECT doc_id AS id, doc_id AS rch FROM documents
-         |  UNION
-         |  SELECT r.id, e.b FROM r JOIN e ON r.rch = e.a)
-         |SELECT id AS doc_id, min(rch) AS cluster_rep
-         |FROM r GROUP BY 1""".stripMargin,
+    "dedup_clusters" -> clustersOracleSql(""),
+    // identical oracle restricted to the certification prefix: the
+    // forced distributed loop must converge to the same component minima
+    // as the driver union-find cutover
+    "dedup_clusters_loop" -> clustersOracleSql("WHERE doc_id < 1000"),
     "stats_moments" ->
       """SELECT round(stddev_samp(l_quantity), 4) AS sd_qty,
         |       round(var_samp(l_quantity), 4) AS var_qty,

@@ -80,8 +80,10 @@ class PlanAuditSpec extends SparkFunSuite {
     val exactBaselines = Set(
       "dedup_ngram_jaccard", "dedup_embedding_cosine",
       "similarity_threshold", "similarity_topk",
-      // brute-force cutover at sf0.001 corpus size:
-      "dedup_minhash", "dedup_clusters",
+      // brute-force cutover at sf0.001 corpus size (the _loop variant
+      // forces distributed components but still builds its rep-pair
+      // graph on the exact small-N path at this scale):
+      "dedup_minhash", "dedup_clusters", "dedup_clusters_loop",
       // verification-pinned: exact baseline + 1-row summary crosses:
       "dedup_simhash", "similarity_ann_topk", "similarity_ivf_topk",
       // 1-row summary crossJoin (sketch estimate × exact count):
@@ -93,6 +95,17 @@ class PlanAuditSpec extends SparkFunSuite {
         p.contains("CartesianProduct") || p.contains("BroadcastNestedLoopJoin")
       }
     assert(offenders.isEmpty, s"scale-unsafe join planned in: $offenders")
+  }
+
+  test("forced LSH near-dup plans band equi-joins, never a quadratic join") {
+    // dedup_minhash_lsh disables the brute-force cutover, so the plan at
+    // ANY scale must be the banding shape: hash/sort-merge joins keyed on
+    // (band, band_hash) with the first-healthy-collision dedup — and no
+    // cartesian/nested-loop fallback anywhere.
+    val p = plan("dedup_minhash_lsh")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("band_hash"), p)
+    assert(p.contains("first_equal_index"), p)
   }
 
   test("count(*) answered from parquet metadata when pushdown is on") {

@@ -128,6 +128,16 @@ class DedupSpec extends SparkFunSuite {
     assert(uf == dist)
   }
 
+  test("nearDupClusters: forced distributed loop matches the driver path end-to-end") {
+    val d = Tables.documents(spark, sf001)
+    val driver = Dedup.nearDupClusters(d, "doc_id", "text", 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val loop = Dedup.nearDupClusters(d, "doc_id", "text", 0.9,
+        maxDriverEdges = 0L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(driver == loop)
+  }
+
   test("nearDupClusters groups every pair member under one representative") {
     val d = Tables.documents(spark, sf001)
     val pairs = Dedup.minhashNearDupPairs(d, "doc_id", "text", 0.9)

@@ -103,6 +103,7 @@ object ExtQueries {
     "similarity_topk" -> { (s, dir) =>
       val e = Tables.embeddings(s, dir)
       SimSearch.topKBruteForce(e.filter(col("vec_id") < 100), e, "vec_id", "embedding", 3)
+        .select("id_q", "neighbor_id", "rank")
     },
     // X3 ANN: random-hyperplane LSH buckets, exact scoring of
     // bucket-mates. Recall < 1 by construction, so the ranked listing

@@ -81,7 +81,9 @@ object SimSearch {
     val w = Window.partitionBy(col("id_q")).orderBy(col("cos").desc, col("id_c"))
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
-      .select(col("id_q"), col("id_c").as("neighbor_id"), col("rank"))
+      // the rounded score rides along so verification queries can pin
+      // content checksums, not just pair identity
+      .select(col("id_q"), col("id_c").as("neighbor_id"), col("rank"), col("cos"))
   }
 
   /** (id, band, band_hash): random-hyperplane sign-pattern LSH index.
@@ -179,39 +181,65 @@ object SimSearch {
         * real cluster structure a small fraction suffices; unclustered
         * (near-random) embeddings need a larger one for top-k recall.
         */
-      probeFrac: Double = 0.0): DataFrame = {
+      probeFrac: Double = 0.0,
+      /** Corpus size for cell self-sizing, when the caller knows it.
+        * Construction runs no Spark job at all when `nCentroids > 0` or
+        * `corpusCount >= 0`; only the self-sizing fallback pays one
+        * count — at 100 TB a full metadata pass per query call, which is
+        * why the parameter exists (the round-5 version ran two.)
+        */
+      corpusCount: Long = -1L,
+      /** Query set to rank (must carry idCol/vecCol); defaults to the
+        * whole corpus (all-pairs self-search). A query batch is the
+        * production shape — ranking every corpus vector as a query is
+        * N²/probe work no index can make cheap.
+        */
+      queries: Option[DataFrame] = None): DataFrame = {
     val vecs = withNorm(emb, idCol, vecCol, "").cache()
-    val n = vecs.count()
     val nCells =
       if (nCentroids > 0) nCentroids
-      else math.max(8, math.ceil(math.sqrt(
-        math.max(1.0, nProbe.toDouble) * n)).toInt)
+      else {
+        val n = if (corpusCount >= 0) corpusCount else vecs.count()
+        math.max(8, math.ceil(math.sqrt(
+          math.max(1.0, nProbe.toDouble) * n)).toInt)
+      }
     val probe =
       if (probeFrac > 0) math.max(1, math.ceil(probeFrac * nCells).toInt)
       else nProbe
-    val step = math.max(1L, n / nCells)
-    val init = vecs.filter(pmod(col("id"), lit(step)) === 0)
-      .limit(nCells)
+    // deterministic count-free init: the nCells first vectors in xxhash64
+    // order — a TakeOrdered (per-partition top-k), not a full sort, and
+    // uniformly spread over the corpus without knowing N
+    val init = vecs.orderBy(xxhash64(col("id")), col("id")).limit(nCells)
       .select(col("id").as("cell"), col("v").as("cv"), col("n").as("cn"))
     val centroids = broadcast(
       refineCentroids(vecs, init, lloydIters, trainSample))
-    def nearestCells(keep: Int, outId: String): DataFrame = {
-      // project the vector payload away BEFORE the ranking window: the
-      // N×c scored rows shuffle as (id, cell, score) triples, not with
+    def nearestCells(src: DataFrame, keep: Int, outId: String): DataFrame = {
+      // project the vector payload away BEFORE the ranking shuffle: the
+      // N×c scored rows move as (id, cell, score) triples, not with
       // the embedding arrays attached
-      val scored = vecs.select(col("id").as(outId), col("v"), col("n"))
+      val scored = src.select(col("id").as(outId), col("v"), col("n"))
         .join(centroids)
         .select(col(outId), col("cell"),
           round(dot(col("v"), col("cv")) / (col("n") * col("cn")), 6).as("ccos"))
-      val w = Window.partitionBy(col(outId)).orderBy(col("ccos").desc, col("cell"))
-      scored.withColumn("crank", row_number().over(w))
-        .filter(col("crank") <= keep)
-        .select(col(outId), col("cell"))
+      if (keep == 1) {
+        // the corpus-assignment case (every vector, one cell): a hash
+        // aggregation with map-side combine — argmax(ccos, tie: min cell)
+        // — beats a window here because the N×c rows reduce to N before
+        // the shuffle instead of sorting inside it
+        scored.groupBy(col(outId))
+          .agg(max_by(col("cell"), struct(col("ccos"), -col("cell"))).as("cell"))
+      } else {
+        val w = Window.partitionBy(col(outId)).orderBy(col("ccos").desc, col("cell"))
+        scored.withColumn("crank", row_number().over(w))
+          .filter(col("crank") <= keep)
+          .select(col(outId), col("cell"))
+      }
     }
-    val corpusCells = nearestCells(1, "id_c")
+    val qVecs = queries.map(withNorm(_, idCol, vecCol, "")).getOrElse(vecs)
+    val corpusCells = nearestCells(vecs, 1, "id_c")
       .join(vecs.select(col("id").as("id_c"), col("v").as("v_c"), col("n").as("n_c")), Seq("id_c"))
-    val queryCells = nearestCells(probe, "id_q")
-      .join(vecs.select(col("id").as("id_q"), col("v").as("v_q"), col("n").as("n_q")), Seq("id_q"))
+    val queryCells = nearestCells(qVecs, probe, "id_q")
+      .join(qVecs.select(col("id").as("id_q"), col("v").as("v_q"), col("n").as("n_q")), Seq("id_q"))
     val scored = queryCells.join(corpusCells,
         queryCells("cell") === corpusCells("cell") && col("id_q") =!= col("id_c"))
       .withColumn("cos", round(
@@ -251,20 +279,19 @@ object SimSearch {
   }
 
   /** Seeded Lloyd refinement of IVF centroids over a bounded
-    * deterministic sample (every stride-th vector by id): assign each
-    * sampled vector to its nearest centroid by cosine, move each
-    * centroid to the element-wise mean of its members (empty cells keep
-    * their old centroid; cells whose mean cancels to zero norm are
-    * dropped). The sample is ≤ ~sampleN rows and the centroid table is
-    * broadcast, so each iteration is sample-sized work regardless of
-    * corpus size — the standard train-on-a-sample IVF recipe.
+    * deterministic sample (the sampleN first vectors in xxhash64 order —
+    * a TakeOrdered needing no corpus count): assign each sampled vector
+    * to its nearest centroid by cosine, move each centroid to the
+    * element-wise mean of its members (empty cells keep their old
+    * centroid; cells whose mean cancels to zero norm are dropped). The
+    * sample is ≤ sampleN rows and the centroid table is broadcast, so
+    * each iteration is sample-sized work regardless of corpus size — the
+    * standard train-on-a-sample IVF recipe.
     */
   private[ext] def refineCentroids(
       vecs: DataFrame, init: DataFrame, iters: Int, sampleN: Int): DataFrame = {
     if (iters <= 0) return init
-    val nV = vecs.count()
-    val stride = math.max(1L, nV / math.max(1L, sampleN.toLong))
-    val sample = vecs.filter(pmod(col("id"), lit(stride)) === 0)
+    val sample = vecs.orderBy(xxhash64(col("id")), col("id")).limit(sampleN)
       .select(col("id"), col("v"), col("n")).cache()
     var cents = init
     for (_ <- 0 until iters) {

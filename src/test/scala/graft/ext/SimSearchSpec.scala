@@ -74,7 +74,7 @@ class SimSearchSpec extends SparkFunSuite {
       s"IVF recall@1 too low: $hits/${exact1.size}")
   }
 
-  test("Lloyd-refined centroids lift IVF recall@1 over the strided init") {
+  test("Lloyd-refined centroids lift IVF recall@1 over the hash-ordered init") {
     val e = Tables.embeddings(spark, sf001)
     val exact1 = SimSearch.topKBruteForce(e, e, "vec_id", "embedding", 1)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toMap

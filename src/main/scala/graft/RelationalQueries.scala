@@ -207,6 +207,31 @@ object RelationalQueries {
           (abs(col("est") - col("n_exact")).cast("double") / col("n_exact") <= 0.05)
             .as("within_tolerance"))
     },
+    // Sketch PERSISTENCE roundtrip (round-4 ask #6): the 100 TB pattern
+    // is not one-plan build+merge but store-then-reaggregate — each
+    // partition's sketch column lands in the warehouse next to its data,
+    // and "distinct across any subset" re-aggregates sketches from disk
+    // without rescanning rows. This query writes the per-group sketches
+    // to parquet (binary column), reads them back, union-merges the
+    // READ-BACK sketches, and pins the estimate within 5% of the
+    // oracle-exact count — certifying the sketch survives the
+    // serialize/deserialize cycle, not just the in-plan merge
+    // (hll_union_estimate covers that).
+    "hll_sketch_roundtrip" -> { (s, dir) =>
+      val perPart = Tables.lineitem(s, dir)
+        .groupBy(col("l_returnflag"))
+        .agg(expr("hll_sketch_agg(l_orderkey, 14)").as("sk"))
+      val out = CoreQueries.scratchDir("hll_sketch_roundtrip")
+      perPart.write.mode("overwrite").parquet(s"$out/sketches")
+      s.read.parquet(s"$out/sketches").agg(
+        expr("hll_sketch_estimate(hll_union_agg(sk))").as("est"),
+        count(lit(1)).as("n_groups"))
+        .crossJoin(Tables.lineitem(s, dir)
+          .agg(countDistinct(col("l_orderkey")).as("n_exact")))
+        .select(col("n_exact"), col("n_groups"),
+          (abs(col("est") - col("n_exact")).cast("double") / col("n_exact") <= 0.05)
+            .as("within_tolerance"))
+    },
     // Grouped sketch quantiles: per-event-type p95 value, sketch vs
     // exact within 2% per group (every group's verdict must hold — the
     // row set is the per-group exacts + verdicts).
@@ -378,6 +403,13 @@ object RelationalQueries {
         |       true AS p50_within, true AS p99_within
         |FROM lineitem""".stripMargin,
     "hll_union_estimate" ->
+      """SELECT count(DISTINCT l_orderkey) AS n_exact,
+        |       count(DISTINCT l_returnflag) AS n_groups,
+        |       true AS within_tolerance
+        |FROM lineitem""".stripMargin,
+    // same exact pins as hll_union_estimate: the roundtrip through the
+    // parquet sink must not change the merged estimate's verdict
+    "hll_sketch_roundtrip" ->
       """SELECT count(DISTINCT l_orderkey) AS n_exact,
         |       count(DISTINCT l_returnflag) AS n_groups,
         |       true AS within_tolerance

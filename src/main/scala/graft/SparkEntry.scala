@@ -51,6 +51,19 @@ object StreamQueries {
     "events_sliding" -> { (s, dir) =>
       EventWindows.sliding(Tables.events(s, dir), "1 hour", "30 minutes")
     },
+    // X1 × X6: streaming ingest dedup's batch twin (round-4 ask #5).
+    // dropDuplicatesWithinWatermark keeps an ARBITRARY row per key in
+    // batch (and the first-arrived row in streaming), so the query
+    // projects exactly the dedup key — the surviving KEY SET is the
+    // deterministic, engine-independent part of the semantics: one row
+    // per distinct key iff the dedup dropped every repeat and nothing
+    // else. The streaming form of the same function is exercised in
+    // EventWindowsSpec ("streaming dedup drops repeated keys").
+    "events_dedup" -> { (s, dir) =>
+      EventWindows.dedupStream(Tables.events(s, dir),
+          Seq("user_id", "event_type"), "1 hour")
+        .select(col("user_id"), col("event_type"))
+    },
     // X5: binary media column plumbing — byte length + frame count stay
     // in whole-stage codegen.
     "multimodal_stats" -> { (s, dir) =>
@@ -99,6 +112,10 @@ object StreamQueries {
         |       event_type, count(*) AS n_events
         |FROM events CROSS JOIN (VALUES (0), (1)) AS k(k)
         |GROUP BY 1, 2""".stripMargin,
+    // the dedup survivors' key set = the distinct keys (exactly one row
+    // each; a dropped key or a surviving duplicate both fail the compare)
+    "events_dedup" ->
+      "SELECT DISTINCT user_id, event_type FROM events",
     "multimodal_stats" ->
       """SELECT doc_id,
         |       CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
@@ -186,6 +203,39 @@ object CoreQueries {
       val src = PartitionCounts.perPartition(li, "lineitem", Seq("l_returnflag"))
       val tgt = PartitionCounts.perPartition(perturbed(li), "lineitem", Seq("l_returnflag"))
       Reconcile.matched(Reconcile.counts(src, tgt))
+        .withColumnRenamed("table", "table_name")
+        .withColumnRenamed("partition", "partition_spec")
+    },
+    // J1/J2 at WAREHOUSE width (round-4 ask #7): the reference's UC#1
+    // loops six tables (configuration.properties:9-15); here all eight
+    // fixture tables reconcile in ONE plan — each side is a union of
+    // per-table count aggregations (whole-table or per-partition), and
+    // one full outer join classifies every (table, partition) cell. The
+    // deterministic perturbations exercise all four statuses: lineitem's
+    // 'R' partition loses every 97th order (mismatched), orders' 'F'
+    // loses every 101st order (mismatched) and its 'P' partition
+    // entirely (missing_in_target), the source side drops the events
+    // 'error' partition (missing_in_source); everything else matches.
+    "reconcile_warehouse" -> { (s, dir) =>
+      def whole(names: String*) =
+        names.map(t => PartitionCounts.total(Tables.load(s, dir, t), t))
+      val li = Tables.lineitem(s, dir)
+      val o = Tables.orders(s, dir)
+      val ev = Tables.events(s, dir)
+      val src = (whole("region", "nation", "customer", "supplier", "part") :+
+        PartitionCounts.perPartition(li, "lineitem", Seq("l_returnflag")) :+
+        PartitionCounts.perPartition(o, "orders", Seq("o_orderstatus")) :+
+        PartitionCounts.perPartition(
+          ev.filter(col("event_type") =!= "error"), "events", Seq("event_type")))
+        .reduce(_ unionByName _)
+      val tgt = (whole("region", "nation", "customer", "supplier", "part") :+
+        PartitionCounts.perPartition(perturbed(li), "lineitem", Seq("l_returnflag")) :+
+        PartitionCounts.perPartition(
+          o.filter(!(col("o_orderstatus") === "F" && col("o_orderkey") % 101 === 0))
+            .filter(col("o_orderstatus") =!= "P"), "orders", Seq("o_orderstatus")) :+
+        PartitionCounts.perPartition(ev, "events", Seq("event_type")))
+        .reduce(_ unionByName _)
+      Reconcile.counts(src, tgt)
         .withColumnRenamed("table", "table_name")
         .withColumnRenamed("partition", "partition_spec")
     },
@@ -322,6 +372,44 @@ object CoreQueries {
         |SELECT 'lineitem' AS table_name, s.partition_spec, s.cnt
         |FROM src s JOIN tgt t
         |  ON s.partition_spec = t.partition_spec AND s.cnt = t.cnt""".stripMargin,
+    "reconcile_warehouse" ->
+      """WITH src AS (
+        |  SELECT 'region' AS table_name, NULL AS partition_spec, count(*) AS cnt FROM region
+        |  UNION ALL SELECT 'nation', NULL, count(*) FROM nation
+        |  UNION ALL SELECT 'customer', NULL, count(*) FROM customer
+        |  UNION ALL SELECT 'supplier', NULL, count(*) FROM supplier
+        |  UNION ALL SELECT 'part', NULL, count(*) FROM part
+        |  UNION ALL SELECT 'lineitem', 'l_returnflag=' || l_returnflag, count(*)
+        |            FROM lineitem GROUP BY 2
+        |  UNION ALL SELECT 'orders', 'o_orderstatus=' || o_orderstatus, count(*)
+        |            FROM orders GROUP BY 2
+        |  UNION ALL SELECT 'events', 'event_type=' || event_type, count(*)
+        |            FROM events WHERE event_type <> 'error' GROUP BY 2),
+        |tgt AS (
+        |  SELECT 'region' AS table_name, NULL AS partition_spec, count(*) AS cnt FROM region
+        |  UNION ALL SELECT 'nation', NULL, count(*) FROM nation
+        |  UNION ALL SELECT 'customer', NULL, count(*) FROM customer
+        |  UNION ALL SELECT 'supplier', NULL, count(*) FROM supplier
+        |  UNION ALL SELECT 'part', NULL, count(*) FROM part
+        |  UNION ALL SELECT 'lineitem', 'l_returnflag=' || l_returnflag, count(*)
+        |            FROM lineitem
+        |            WHERE NOT (l_returnflag = 'R' AND l_orderkey % 97 = 0) GROUP BY 2
+        |  UNION ALL SELECT 'orders', 'o_orderstatus=' || o_orderstatus, count(*)
+        |            FROM orders
+        |            WHERE NOT (o_orderstatus = 'F' AND o_orderkey % 101 = 0)
+        |              AND o_orderstatus <> 'P' GROUP BY 2
+        |  UNION ALL SELECT 'events', 'event_type=' || event_type, count(*)
+        |            FROM events GROUP BY 2)
+        |SELECT coalesce(s.table_name, t.table_name) AS table_name,
+        |       coalesce(s.partition_spec, t.partition_spec) AS partition_spec,
+        |       s.cnt AS src_cnt, t.cnt AS tgt_cnt,
+        |       CASE WHEN s.cnt IS NULL THEN 'missing_in_source'
+        |            WHEN t.cnt IS NULL THEN 'missing_in_target'
+        |            WHEN s.cnt = t.cnt THEN 'matched'
+        |            ELSE 'mismatched' END AS status
+        |FROM src s FULL JOIN tgt t
+        |  ON s.table_name = t.table_name
+        | AND s.partition_spec IS NOT DISTINCT FROM t.partition_spec""".stripMargin,
     // The perturbed target is a subset of the source within each group,
     // so multiset equality <=> equal counts; the engine verifies it with
     // xxhash64 digests, the oracle with the subset shortcut.

@@ -87,12 +87,15 @@ object EventWindows {
     * micro-batches. The watermark bounds the dedup state — a key's
     * entry is dropped once the watermark passes its event time, so
     * state size tracks the lateness window, not the stream's history.
-    * Works identically on batch DataFrames (where it is a plain
-    * dropDuplicates).
+    * On a batch DataFrame the same semantics degenerate to a plain
+    * dropDuplicates (bounded input needs no state eviction;
+    * dropDuplicatesWithinWatermark itself rejects batch inputs), so the
+    * batch twin branches there — one function, both execution modes.
     */
   def dedupStream(events: DataFrame, keys: Seq[String], lateness: String): DataFrame =
-    events.withWatermark("ts", lateness)
-      .dropDuplicatesWithinWatermark(keys)
+    if (events.isStreaming)
+      events.withWatermark("ts", lateness).dropDuplicatesWithinWatermark(keys)
+    else events.dropDuplicates(keys)
 
   /** Stream-stream interval join: pair each left event with the right
     * events of the same `key` that arrive within `within` after it.

@@ -87,7 +87,7 @@ class PlanAuditSpec extends SparkFunSuite {
       // verification-pinned: exact baseline + 1-row summary crosses:
       "dedup_simhash", "similarity_ann_topk", "similarity_ivf_topk",
       // 1-row summary crossJoin (sketch estimate × exact count):
-      "hll_union_estimate")
+      "hll_union_estimate", "hll_sketch_roundtrip")
     val offenders = SparkEntry.queries.keys.toSeq.sorted
       .filterNot(exactBaselines)
       .filter { n =>

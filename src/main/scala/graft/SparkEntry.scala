@@ -312,13 +312,21 @@ object CoreQueries {
     * queries run in the bench warm pass, measured pass, verify, AND plan
     * inspection — the writes execute eagerly at DataFrame-construction
     * time); a fixed path + SaveMode.Overwrite caps the footprint at one
-    * copy per query. NOTE the eager-write side effect stands: "planning"
+    * copy per query. The root is USER-scoped: on a shared /tmp a fixed
+    * unqualified path could be pre-created (and symlinked) by another
+    * user, intercepting roundtrip outputs. A per-JVM random root would
+    * close the remaining same-user race between concurrent harness
+    * processes, but would also reintroduce unbounded accumulation across
+    * runs — the harnesses run sequentially, so user-scoping is the
+    * balance point. NOTE the eager-write side effect stands: "planning"
     * a roundtrip query performs I/O by design (the sink is the thing
     * under test).
     */
   private[graft] def scratchDir(name: String): String =
     java.nio.file.Paths.get(
-      sys.props.getOrElse("java.io.tmpdir", "/tmp"), "graft_scratch", name).toString
+      sys.props.getOrElse("java.io.tmpdir", "/tmp"),
+      "graft_scratch-" + sys.props.getOrElse("user.name", "anon"),
+      name).toString
 
   def oracleSql: Map[String, String] = Map(
     "rowcount_by_partition" ->

@@ -29,7 +29,7 @@ class ReconcilePipeline(
   lazy val report: DataFrame = {
     val src = PartitionCounts.forTables(spark, srcDir, tables)
     val tgt = PartitionCounts.forTables(spark, tgtDir, tables)
-    Reconcile.counts(src, tgt).cache() // reused by three report sinks + UC#2
+    CacheScope.cached(Reconcile.counts(src, tgt)) // reused by three report sinks + UC#2
   }
 
   /** UC#2: for tables whose counts matched, compare content digests.

@@ -4,6 +4,8 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.core.CacheScope
+
 /** Corpus-curation stages of a training-data pipeline (SURVEY.md §2b
   * north star, round-4 X7): benchmark-contamination screening, TF-IDF
   * term profiling, deterministic splitting/sampling, and context-window
@@ -62,7 +64,7 @@ object Curation {
   def tfidfTopTerms(
       docs: DataFrame, idCol: String, textCol: String, groupCol: String,
       k: Int = 3): DataFrame = {
-    val d = docs.cache()
+    val d = CacheScope.cached(docs)
     val nDocs = d.count()
     val tf = d.select(col(groupCol), explode(Text.tokens(col(textCol))).as("term"))
       .groupBy(col(groupCol), col("term")).agg(count(lit(1)).as("tf"))

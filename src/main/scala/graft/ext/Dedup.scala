@@ -3,6 +3,7 @@ package graft.ext
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.core.CacheScope
 import graft.functions.GraftFunctions
 
 /** Deduplication operators for large-scale text corpora
@@ -157,7 +158,7 @@ object Dedup {
       params: MinHashParams): DataFrame = {
     val sig = minhashSignature(
       Text.shingleSet(col(textCol), params.shingleN), params)
-    val sigDf = docs.select(col(idCol).as("id"), sig.as("sig")).cache()
+    val sigDf = CacheScope.cached(docs.select(col(idCol).as("id"), sig.as("sig")))
     val bandKeys = array((0 until params.numBands).map { j =>
       xxhash64(lit(j), slice(col("sig"), j * params.rowsPerBand + 1, params.rowsPerBand))
     }: _*)
@@ -179,7 +180,7 @@ object Dedup {
     // The band index feeds three consumers (bucket sizing + both join
     // sides); caching avoids recomputing signatures and stops the
     // optimizer from inlining the signature expression into each.
-    val bands = minhashBands(docs, idCol, textCol, params).cache()
+    val bands = CacheScope.cached(minhashBands(docs, idCol, textCol, params))
     // each colliding pair is emitted once, at its first healthy band —
     // no pair-level distinct() (see LshJoin for the construction)
     LshJoin.candidatePairs(bands, params.numBands, params.maxBucketSize)
@@ -202,9 +203,8 @@ object Dedup {
     val cand = minhashCandidatePairs(docs, idCol, textCol, params)
     // cached: both verification join sides consume the shingle sets, and
     // the tokenize→shingle→hash→sort chain is the expensive part
-    val sets = docs.select(
-      col(idCol).as("id"), Text.hashedShingleSet(col(textCol), params.shingleN).as("s"))
-      .cache()
+    val sets = CacheScope.cached(docs.select(
+      col(idCol).as("id"), Text.hashedShingleSet(col(textCol), params.shingleN).as("s")))
     // On a low-entropy corpus the candidate set is orders of magnitude
     // larger than the true pair set, so the dominant cost is moving the
     // candidate×shingle-set rows. When the per-doc set table fits in a
@@ -257,7 +257,7 @@ object Dedup {
     // they evaluate the chain per block, which is fine at per-batch
     // volumes.
     val sh0 = simhashes(spark, docs, idCol, textCol)
-    val sh = if (docs.isStreaming) sh0 else sh0.cache()
+    val sh = if (docs.isStreaming) sh0 else CacheScope.cached(sh0)
     val blockKeys = array((0 until nBlocks).map { j =>
       val shifted = shiftrightunsigned(col("simhash"), j * width)
       val w = if (j == nBlocks - 1) 64 - j * width else width
@@ -280,7 +280,7 @@ object Dedup {
         * document's other blocks unless ALL of them are hot.
         */
       maxBucketSize: Int = 2000): DataFrame = {
-    val blocks = simhashBlocks(spark, docs, idCol, textCol, maxHamming).cache()
+    val blocks = CacheScope.cached(simhashBlocks(spark, docs, idCol, textCol, maxHamming))
     // Hamming bound INSIDE the join condition (far pairs are rejected
     // during the probe, never materialized); first-healthy-collision
     // emission makes each pair unique with no distinct() (see LshJoin)
@@ -307,7 +307,7 @@ object Dedup {
   def simhashPairsExact(
       spark: SparkSession, docs: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3): DataFrame = {
-    val sh = simhashes(spark, docs, idCol, textCol).cache()
+    val sh = CacheScope.cached(simhashes(spark, docs, idCol, textCol))
     val par = spark.sparkContext.defaultParallelism
     val a = sh.repartition(par)
       .select(col("id").as("id_a"), col("simhash").as("sh_a"))
@@ -568,17 +568,15 @@ object Dedup {
     // NULL-text doc fall through the empty-set escape below into ONE
     // shared group — coalesce to the empty set so they stay singletons,
     // matching the pair semantics (NULL docs never pair).
-    val sets = docs.select(col(idCol).as("id"),
+    val sets = CacheScope.cached(docs.select(col(idCol).as("id"),
       coalesce(Text.hashedShingleSet(col(textCol), params.shingleN),
-        array().cast("array<bigint>")).as("s"))
-      .cache()
+        array().cast("array<bigint>")).as("s")))
     // group key = the set itself; empty sets get an id-unique key so
     // each empty doc forms its own group
-    val groups = sets
+    val groups = CacheScope.cached(sets
       .groupBy(col("s"), when(size(col("s")) === 0, col("id")).otherwise(lit(0L)).as("ek"))
       .agg(min("id").as("rep"), collect_list("id").as("members"))
-      .select(col("s"), col("rep"), col("members"))
-      .cache()
+      .select(col("s"), col("rep"), col("members")))
     // rep pairs reuse the already-materialized group-key sets: one
     // tokenize pass for the whole pipeline
     val repSets = groups.select(col("rep").as("id"), col("s"))

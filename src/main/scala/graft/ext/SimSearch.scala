@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.core.CacheScope
 import graft.functions.GraftFunctions
 
 /** Similarity search over embedding columns (SURVEY.md §2b X3;
@@ -117,7 +118,7 @@ object SimSearch {
       numBands: Int = 8, bitsPerBand: Int = 8, dim: Int = 64,
       maxBucketSize: Int = 10000): DataFrame = {
     // multiple consumers (bucket sizing + both join sides): cache the index
-    val bands = rhpBands(emb, idCol, vecCol, numBands, bitsPerBand, dim).cache()
+    val bands = CacheScope.cached(rhpBands(emb, idCol, vecCol, numBands, bitsPerBand, dim))
     val cand = LshJoin.candidatePairs(bands, numBands, maxBucketSize, ordered = true)
     val vecs = withNorm(emb, idCol, vecCol, "")
     cand
@@ -134,7 +135,7 @@ object SimSearch {
       numBands: Int = 16, bitsPerBand: Int = 6, dim: Int = 64,
       maxBucketSize: Int = 10000): DataFrame = {
     // multiple consumers (bucket sizing + both join sides): cache the index
-    val bands = rhpBands(emb, idCol, vecCol, numBands, bitsPerBand, dim).cache()
+    val bands = CacheScope.cached(rhpBands(emb, idCol, vecCol, numBands, bitsPerBand, dim))
     val cand = LshJoin.candidatePairs(bands, numBands, maxBucketSize, ordered = false)
       .withColumnRenamed("id_a", "id_q").withColumnRenamed("id_b", "id_c")
     val vecs = withNorm(emb, idCol, vecCol, "")
@@ -195,7 +196,7 @@ object SimSearch {
         * N²/probe work no index can make cheap.
         */
       queries: Option[DataFrame] = None): DataFrame = {
-    val vecs = withNorm(emb, idCol, vecCol, "").cache()
+    val vecs = CacheScope.cached(withNorm(emb, idCol, vecCol, ""))
     val nCells =
       if (nCentroids > 0) nCentroids
       else {
@@ -292,7 +293,7 @@ object SimSearch {
       vecs: DataFrame, init: DataFrame, iters: Int, sampleN: Int): DataFrame = {
     if (iters <= 0) return init
     val sample = vecs.orderBy(xxhash64(col("id")), col("id")).limit(sampleN)
-      .select(col("id"), col("v"), col("n")).cache()
+      .select(col("id"), col("v"), col("n")).transform(CacheScope.cached)
     var cents = init
     for (_ <- 0 until iters) {
       // score every (sample vector, centroid) pair — an intentional

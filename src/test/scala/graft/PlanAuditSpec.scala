@@ -97,6 +97,28 @@ class PlanAuditSpec extends SparkFunSuite {
     assert(offenders.isEmpty, s"scale-unsafe join planned in: $offenders")
   }
 
+  test("contamination screen joins map-side against a broadcast shingle set") {
+    // the benchmark's distinct shingles are tiny vs the training corpus:
+    // the screen must be a BroadcastHashJoin (corpus side streams through
+    // unshuffled) — a shuffle join here would move 100 TB of shingles
+    val p = plan("contamination_ngram")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"), p)
+  }
+
+  test("X7 sampling/packing: WindowGroupLimit for top-k, no global sort anywhere") {
+    // stratified sampling keeps k rows per stratum BELOW the shuffle
+    assert(plan("sample_stratified").contains("WindowGroupLimit"),
+      "sample_stratified lost WindowGroupLimit")
+    // token packing is bucket-partitioned: a range exchange (global sort)
+    // would serialize the whole corpus through one ordering — the window
+    // must run per-bucket on a hash exchange
+    for (q <- Seq("sample_stratified", "token_budget_pack", "token_budget_pack_wide")) {
+      val p = plan(q)
+      assert(!p.contains("rangepartitioning"), s"$q plans a global sort")
+    }
+  }
+
   test("forced LSH near-dup plans band equi-joins, never a quadratic join") {
     // dedup_minhash_lsh disables the brute-force cutover, so the plan at
     // ANY scale must be the banding shape: hash/sort-merge joins keyed on

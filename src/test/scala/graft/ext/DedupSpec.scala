@@ -73,6 +73,26 @@ class DedupSpec extends SparkFunSuite {
     assert(got.contains((1L, 2L)))
   }
 
+  test("simhash block join: full-corpus recall vs exact, planted pairs in the id<100 prefix") {
+    // the oracle query's recall gate is scoped to doc_id < 100, so this
+    // spec keeps a FULL-corpus assertion: every block-join pair is a true
+    // <=3-Hamming pair, and recall over the whole fixture stays above the
+    // same 0.75 bound (the skew guard may drop degenerate hot blocks by
+    // design; measured recall here is 1.0)
+    val d = Tables.documents(spark, sf001)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs(Dedup.simhashPairsExact(spark, d, "doc_id", "text", 3))
+    val block = pairs(Dedup.simhashNearDupPairs(spark, d, "doc_id", "text", 3))
+    assert(block.subsetOf(exact))
+    assert(exact.nonEmpty && block.size.toDouble / exact.size >= 0.75,
+      s"full-corpus recall ${block.size}/${exact.size}")
+    // fixture invariant the oracle's subset scope relies on: the
+    // doc_id < 100 prefix contains at least one true near-dup pair
+    assert(exact.exists { case (a, b) => a < 100 && b < 100 },
+      "no planted near-dup pair inside the doc_id<100 prefix")
+  }
+
   test("shingles produce n-grams and handle short docs") {
     val s = Seq("a b c d").toDF("t")
       .select(Text.shingles($"t", 3).as("s")).head.getSeq[String](0)

@@ -413,6 +413,11 @@ object Dedup {
           val es = p.collect().map(r => (r.getString(0), r.getString(1))).toSeq
           spark.createDataFrame(unionFind(es)(utf8ByteOrdering)).toDF("id", "label")
       }
+      // the edge list lives on the driver now; its checkpoint blocks are
+      // dead weight (clearCache() does NOT free localCheckpoint storage,
+      // and leaked blocks pressure every later query — measured as a 3x
+      // slowdown on the alphabetically-next bench queries)
+      p.unpersist(blocking = false)
       return nodes.join(broadcast(labels), Seq("id"), "left_outer")
         .select(col("id"), coalesce(col("label"), col("id")).as("cluster_rep"))
     }
@@ -424,8 +429,11 @@ object Dedup {
     // every per-round shuffle to the (much smaller) connected subgraph.
     val active = edges.select(col("src").as("id")).distinct().localCheckpoint(true)
     val nActive = active.count()
-    if (nActive == 0)
+    if (nActive == 0) {
+      p.unpersist(blocking = false)
+      active.unpersist(blocking = false)
       return nodes.select(col("id"), col("id").as("cluster_rep"))
+    }
     // Size the iteration's parallelism to the WORKING SET, not the
     // session default: AQE cannot coalesce through localCheckpoint's
     // materialization, and below ~500k rows/partition the per-round
@@ -457,6 +465,12 @@ object Dedup {
         .unionByName(active.select(
           col("id").as("src"), col("id").as("dst"), lit(true).as("self"))))
       .localCheckpoint(true)
+    // every consumer of the raw edge list (active, withSelf) is now
+    // materialized — free its checkpoint immediately. Checkpoint blocks
+    // are NOT SQL cache: spark.catalog.clearCache() leaves them pinned
+    // until the RDD is GC'd, and an iterative loop that leaks one per
+    // round measurably degrades everything running after it.
+    p.unpersist(blocking = false)
     // one min-propagation hop + one pointer jump through the label
     // table (label(label(x)) is in the same component, so the
     // min-of-component invariant holds — chains converge in
@@ -475,6 +489,7 @@ object Dedup {
           col("orig"))
     }
     var labels = inLoop(active).select(col("id"), col("id").as("label"))
+    var prevCkpt: Option[DataFrame] = None
     var iters = 0
     var converged = false
     while (!converged && iters < maxIters) {
@@ -487,10 +502,19 @@ object Dedup {
         .select(col("id"), col("label"), (col("label") < col("orig")).as("chg"))
         .localCheckpoint(true)
       converged = next.filter(col("chg")).limit(1).count() == 0
+      // `next` is materialized: the round that produced the previous
+      // label checkpoint (and, after round one, the active-node seed) is
+      // fully consumed — release those blocks now, not at GC time
+      prevCkpt.foreach(_.unpersist(blocking = false))
+      if (iters == 0) active.unpersist(blocking = false)
+      prevCkpt = Some(next)
       labels = next.select("id", "label")
       iters += 1
     }
-    // hand the (materialized) label table back to the caller's session
+    withSelf.unpersist(blocking = false)
+    // hand the (materialized) label table back to the caller's session.
+    // The FINAL label checkpoint stays alive by necessity — the returned
+    // plan reads it; it is released with the caller's cache scope or GC.
     val labelsOut = spark.createDataFrame(labels.rdd, labels.schema)
     nodes.join(labelsOut, Seq("id"), "left_outer")
       .select(col("id"), coalesce(col("label"), col("id")).as("cluster_rep"))

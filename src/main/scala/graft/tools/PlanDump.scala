@@ -35,6 +35,7 @@ object PlanDump {
           "smj" -> plan.contains("SortMergeJoin"),
           "partial_agg" -> plan.contains("partial_"),
           "pushed_filters" -> "PushedFilters: \\[[^\\]]".r.findFirstIn(plan).isDefined,
+          "wgl" -> plan.contains("WindowGroupLimit"),
           "cartesian" -> (plan.contains("CartesianProduct") ||
             plan.contains("BroadcastNestedLoopJoin")))
         summary.append(f"$name%-28s ")

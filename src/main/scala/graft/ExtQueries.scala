@@ -91,6 +91,38 @@ object ExtQueries {
         (col("n_inter") === col("n_block")).as("subset_ok"),
         (col("n_inter").cast("double") >= col("n_exact") * 0.75).as("recall_ok"))
     },
+    // X2 × X6: streaming-ingest dedup's batch twin — flag incoming docs
+    // that are simhash-near an existing static corpus via the
+    // stream-static block join (Dedup.streamSimhashMatches; the same
+    // function runs streaming in StreamingReconcileSpec). The sketch is
+    // engine-internal, so the oracle pins the engine's self-check
+    // verdicts against an in-engine exact Hamming join: the ingest path
+    // has NO skew cap (the corpus side is the bounded one), and every
+    // <=3-Hamming pair shares a pigeonhole block, so both subset and
+    // recall must hold EXACTLY — stricter than dedup_simhash's 0.75.
+    "dedup_stream_ingest" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val corpus = docs.filter(col("doc_id") < 100)
+      val incoming = docs.filter(col("doc_id") >= 100)
+      val matches = Dedup
+        .streamSimhashMatches(s, incoming, corpus, "doc_id", "text", maxHamming = 3)
+        .select(col("in_id"), col("corpus_id"))
+      val shIn = Dedup.simhashes(s, incoming, "doc_id", "text")
+        .select(col("id").as("in_id"), col("simhash").as("sh_in"))
+      val shC = Dedup.simhashes(s, corpus, "doc_id", "text")
+        .select(col("id").as("corpus_id"), col("simhash").as("sh_c"))
+      val exact = shIn.join(shC,
+          bit_count(col("sh_in").bitwiseXOR(col("sh_c"))) <= 3)
+        .select("in_id", "corpus_id")
+      val nM = matches.agg(count(lit(1)).as("n_match"))
+      val nE = exact.agg(count(lit(1)).as("n_exact"))
+      val nI = matches.join(exact, Seq("in_id", "corpus_id"))
+        .agg(count(lit(1)).as("n_inter"))
+      nM.crossJoin(nE).crossJoin(nI).select(
+        (col("n_exact") > 0).as("nonempty"),
+        (col("n_inter") === col("n_match")).as("subset_ok"),
+        (col("n_inter") === col("n_exact")).as("recall_ok"))
+    },
     // X3 near-dup: exact cosine pairs at a dedup-grade threshold.
     "dedup_embedding_cosine" -> { (s, dir) =>
       SimSearch.cosinePairs(Tables.embeddings(s, dir), "vec_id", "embedding", 0.45)
@@ -174,6 +206,10 @@ object ExtQueries {
       // the query computes subset/recall against the in-engine exact
       // Hamming join and must report all-true.
       "dedup_simhash" ->
+        "SELECT true AS nonempty, true AS subset_ok, true AS recall_ok",
+      // ingest-dedup twin: subset and recall are exact equalities (no
+      // skew cap on this path; pigeonhole covers every in-ball pair)
+      "dedup_stream_ingest" ->
         "SELECT true AS nonempty, true AS subset_ok, true AS recall_ok",
       // ANN recall check: the exact-side count is genuinely
       // oracle-computed (same ranking SQL as similarity_topk); the

@@ -85,7 +85,8 @@ class PlanAuditSpec extends SparkFunSuite {
       // graph on the exact small-N path at this scale):
       "dedup_minhash", "dedup_clusters", "dedup_clusters_loop",
       // verification-pinned: exact baseline + 1-row summary crosses:
-      "dedup_simhash", "similarity_ann_topk", "similarity_ivf_topk",
+      "dedup_simhash", "dedup_stream_ingest", "similarity_ann_topk",
+      "similarity_ivf_topk",
       // 1-row summary crossJoin (sketch estimate × exact count):
       "hll_union_estimate", "hll_sketch_roundtrip")
     val offenders = SparkEntry.queries.keys.toSeq.sorted

@@ -136,6 +136,31 @@ class DedupSpec extends SparkFunSuite {
     assert(dist == expected)
   }
 
+  test("connectedComponents: strategies agree on adversarial pseudo-random graphs") {
+    import spark.implicits._
+    // Deterministic LCG edges (no RNG seed drift across runs): a mix of
+    // long chains (stress pointer jumping — diameter >> 2), dense blobs
+    // (stress min-label fan-in), and isolated nodes (skip the loop).
+    for ((nNodes, nEdges, salt) <- Seq((120, 40, 1L), (200, 300, 2L), (64, 700, 3L))) {
+      var x = 42L + salt
+      def nxt(): Long = { x = (x * 6364136223846793005L + 1442695040888963407L); math.abs(x) }
+      val edges = (1 to nEdges).map { _ =>
+        (nxt() % nNodes, nxt() % nNodes)
+      }.filter { case (a, b) => a != b } ++
+        // one long chain through half the id space
+        (0L until (nNodes / 2 - 1).toLong).map(i => (i, i + 1))
+      val nodes = (0L until nNodes.toLong).toDF("id")
+      val pairs = edges.toDF("id_a", "id_b")
+      val uf = Dedup.connectedComponents(nodes, pairs)
+        .as[(Long, Long)].collect().toMap
+      val dist = Dedup.connectedComponents(nodes, pairs, maxDriverEdges = 0)
+        .as[(Long, Long)].collect().toMap
+      assert(uf == dist, s"strategies diverged on graph ($nNodes, $nEdges, $salt)")
+      // representative is always the component minimum: rep <= every member
+      assert(uf.forall { case (id, rep) => rep <= id })
+    }
+  }
+
   test("connectedComponents: both strategies agree on the fixture pair graph") {
     val d = Tables.documents(spark, sf001)
     val pairs = Dedup.minhashNearDupPairs(d, "doc_id", "text", 0.9)

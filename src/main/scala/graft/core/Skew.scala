@@ -33,7 +33,7 @@ object Skew {
   def saltedJoin(fact: DataFrame, dim: DataFrame, key: String, nSalts: Int): DataFrame = {
     require(nSalts > 0, "nSalts must be positive")
     val saltedFact = fact.withColumn("__salt",
-      pmod(xxhash64(struct(fact.columns.map(col): _*)), lit(nSalts)).cast("int"))
+      pmod(xxhash64(struct(fact.columns.toIndexedSeq.map(col): _*)), lit(nSalts)).cast("int"))
     val explodedDim = dim.withColumn("__salt",
       explode(typedLit((0 until nSalts).toArray)))
     saltedFact.join(explodedDim, Seq(key, "__salt")).drop("__salt")

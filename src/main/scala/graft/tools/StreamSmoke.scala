@@ -30,7 +30,7 @@ object StreamSmoke {
       .outputMode("complete").start()
     try {
       q.processAllAvailable()
-      val streamed = spark.table("smoke").agg(sum("n_events")).head.getLong(0)
+      val streamed = spark.table("smoke").agg(sum("n_events")).head().getLong(0)
       val batch = Tables.events(spark, sfDir).count()
       println(s"""{"streamed_events":$streamed,"batch_events":$batch,"match":${streamed == batch}}""")
       if (streamed != batch) sys.exit(1)

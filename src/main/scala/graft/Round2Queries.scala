@@ -288,7 +288,7 @@ object Round2Queries {
     * (driver union-find cutover and forced distributed loop); `where`
     * restricts the node set for the certification-prefix variant.
     */
-  private def clustersOracleSql(where: String) =
+  private[graft] def clustersOracleSql(where: String) =
     s"""WITH RECURSIVE tok AS (
        |  SELECT DISTINCT doc_id, unnest($TokensSql) AS tok FROM documents $where),
        |sz AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY 1),

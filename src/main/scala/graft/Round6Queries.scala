@@ -5,11 +5,14 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
+import graft.ext.{Dedup, Funnel, TextStats}
 
-/** Round-6 surface widening: time-based window frames and time-series
-  * gap-filling — two classic warehouse shapes the engine must answer
-  * that no earlier query exercised (all prior windows used ROWS frames;
-  * all prior time buckets dropped empty periods).
+/** Round-6 surface widening: time-based window frames, time-series
+  * gap-filling, incremental-ingest dedup (persisted fingerprint store),
+  * repetition/scrub text-quality signals, per-cluster dedup
+  * representatives, cohort retention, and exact-cents histograms —
+  * classic warehouse + curation-pipeline shapes no earlier query
+  * exercised.
   *
   * Oracle rules as everywhere: identical column names, deterministic
   * values (the range-frame aggregate sums l_quantity — small integers in
@@ -54,10 +57,112 @@ object Round6Queries {
       grid.join(hourly, Seq("event_type", "hour"), "left_outer")
         .select(col("event_type"), col("hour"),
           coalesce(col("n"), lit(0L)).as("n_events"))
+    },
+    // X1, incremental-ingest form: the fingerprint store persisted to
+    // parquet (even doc_ids = the accepted corpus), then the odd-id
+    // "new batch" anti-joined against the store READ BACK FROM DISK —
+    // the pattern that replaces re-deduplicating 100 TB on every ingest
+    // cycle. The write happens eagerly at construction (the sink is the
+    // thing under test — same contract as reports_roundtrip).
+    "dedup_incremental" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val store = CoreQueries.scratchDir("dedup_incremental") + "/fp_store"
+      Dedup.writeFingerprintStore(docs.filter(col("doc_id") % 2 === 0), "text", store)
+      Dedup.dedupAgainstStore(s, docs.filter(col("doc_id") % 2 === 1), "text", store)
+        .select(col("doc_id"))
+    },
+    // X4: duplicate-trigram repetition signal (the Gopher-style
+    // boilerplate/spam pre-filter). Integer outputs — the repetition
+    // RATIO is numerator/denominator at the caller, so nothing here can
+    // drift across engines. Map-only.
+    "text_repetition" -> { (s, dir) =>
+      val (tot, rep) = TextStats.ngramRepetition(col("text"), 3)
+      Tables.documents(s, dir)
+        .select(col("doc_id"), tot.as("n_trigrams"), rep.as("n_repeated"))
+    },
+    // X4: pattern scrub (PII/boilerplate-removal shape) — matches
+    // removed plus residual length, both codegen'd built-ins. The
+    // pattern stays in the RE2-compatible subset so the identical regex
+    // runs in the oracle engine.
+    "text_scrub" -> { (s, dir) =>
+      val (scrubbed, hits) = TextStats.scrub(col("text"), "\\bthe\\b")
+      Tables.documents(s, dir).select(col("doc_id"),
+        hits.cast("long").as("n_hits"),
+        length(scrubbed).cast("long").as("len_scrubbed"))
+    },
+    // X2 pipeline end: the production "keep one per near-dup cluster"
+    // step — cluster assignments rolled up to (representative, size).
+    // This is what a curation pipeline actually consumes from the dedup
+    // stage; certifies composition of clustering + aggregation under the
+    // same transitive-closure oracle as dedup_clusters.
+    "dedup_representatives" -> { (s, dir) =>
+      Dedup.nearDupClusters(Tables.documents(s, dir), "doc_id", "text", 0.9,
+          Dedup.MinHashParams(numBands = 16, rowsPerBand = 2))
+        .groupBy(col("cluster_rep").as("rep_doc_id"))
+        .agg(count(lit(1)).as("n_members"))
+    },
+    // Cohort retention: users by first-activity day, actives per offset
+    // day — the classic engagement analysis every event warehouse runs.
+    "events_retention" -> { (s, dir) =>
+      Funnel.retention(Tables.events(s, dir), "user_id", "ts")
+    },
+    // Fixed-width histogram on EXACT cents ($50k buckets): bucket index
+    // is integer arithmetic on round(price*100), so bucket edges cannot
+    // drift between engines the way raw double division could. One
+    // partial-aggregated shuffle.
+    "orders_histogram" -> { (s, dir) =>
+      Tables.orders(s, dir)
+        .groupBy(expr("CAST(round(o_totalprice * 100) AS BIGINT) DIV 5000000").as("bucket"))
+        .agg(count(lit(1)).as("n_orders"),
+          round(sum(col("o_totalprice")), 2).as("sum_price"))
     }
   )
 
+  private val TokensSql =
+    """list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0)"""
+
   def oracleSql: Map[String, String] = Map(
+    "dedup_incremental" ->
+      """SELECT d.doc_id FROM documents d
+        |WHERE d.doc_id % 2 = 1
+        |  AND md5(d.text) NOT IN
+        |      (SELECT md5(text) FROM documents WHERE doc_id % 2 = 0)""".stripMargin,
+    // trigram list mirrors Text.shingles exactly: >=3 tokens -> sliding
+    // windows; otherwise ONE whole-sequence shingle (so short docs still
+    // fingerprint and an empty doc counts (1, 0))
+    "text_repetition" ->
+      s"""WITH t AS (SELECT doc_id, $TokensSql AS toks FROM documents),
+         |g AS (SELECT doc_id,
+         |        CASE WHEN len(toks) >= 3
+         |             THEN list_transform(range(len(toks) - 2),
+         |                    i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3])
+         |             ELSE [array_to_string(toks, ' ')] END AS tris
+         |      FROM t)
+         |SELECT doc_id, CAST(len(tris) AS BIGINT) AS n_trigrams,
+         |       CAST(len(tris) - len(list_distinct(tris)) AS BIGINT) AS n_repeated
+         |FROM g""".stripMargin,
+    "text_scrub" ->
+      """SELECT doc_id,
+        |       CAST(len(regexp_extract_all(text, '\bthe\b')) AS BIGINT) AS n_hits,
+        |       CAST(length(regexp_replace(text, '\bthe\b', '', 'g')) AS BIGINT)
+        |         AS len_scrubbed
+        |FROM documents""".stripMargin,
+    // same transitive closure as dedup_clusters, rolled up per component
+    "dedup_representatives" ->
+      s"""SELECT cluster_rep AS rep_doc_id, count(*) AS n_members FROM (
+         |${Round2Queries.clustersOracleSql("")}
+         |) clusters GROUP BY 1""".stripMargin,
+    "events_retention" ->
+      """WITH d AS (SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events),
+        |c AS (SELECT user_id, min(day) AS cohort_day FROM d GROUP BY 1)
+        |SELECT c.cohort_day,
+        |       date_diff('day', c.cohort_day, d.day) AS day_n,
+        |       count(*) AS n_users
+        |FROM d JOIN c USING (user_id) GROUP BY 1, 2""".stripMargin,
+    "orders_histogram" ->
+      """SELECT CAST(round(o_totalprice * 100) AS BIGINT) // 5000000 AS bucket,
+        |       count(*) AS n_orders, round(sum(o_totalprice), 2) AS sum_price
+        |FROM orders GROUP BY 1""".stripMargin,
     "window_range_frame" ->
       """SELECT l_orderkey, l_linenumber, l_suppkey,
         |       sum(l_quantity) OVER (

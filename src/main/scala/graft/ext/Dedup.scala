@@ -41,6 +41,31 @@ object Dedup {
       .agg(min(col(idCol)).as("kept_" + idCol), count(lit(1)).as("n_copies"))
       .select(col("kept_" + idCol), col("n_copies"))
 
+  /** X1, incremental-ingest form: persist the accepted corpus's exact
+    * content fingerprints as a parquet store. The store is 16-byte md5
+    * keys, distinct — at 100 TB of text that is a few hundred GB of
+    * fingerprints, which [[dedupAgainstStore]] reads back as an ordinary
+    * distributed relation (never broadcast, never collected). The write
+    * is the append point of the ingest loop: after a batch is accepted,
+    * union its fingerprints in and overwrite (or append a new partition,
+    * which parquet directory layout supports for free).
+    */
+  def writeFingerprintStore(docs: DataFrame, textCol: String, path: String): Unit =
+    docs.select(md5(col(textCol)).as("fp")).distinct()
+      .write.mode("overwrite").parquet(path)
+
+  /** New-batch survivors against a persisted [[writeFingerprintStore]]:
+    * rows of `batch` whose fingerprint is absent from the store. A hash
+    * anti-join on the 16-byte key — both sides shuffle on `fp`, so the
+    * store never has to fit anywhere; this is the pattern that replaces
+    * re-deduplicating the full corpus every ingest cycle.
+    */
+  def dedupAgainstStore(
+      spark: SparkSession, batch: DataFrame, textCol: String, path: String): DataFrame =
+    batch.withColumn("__fp", md5(col(textCol)))
+      .join(spark.read.parquet(path).select(col("fp").as("__fp")), Seq("__fp"), "left_anti")
+      .drop("__fp")
+
   // ------------------------------------------------------ exact Jaccard
 
   /** Exact n-gram Jaccard near-dup pairs (id_a < id_b, jaccard >= threshold).

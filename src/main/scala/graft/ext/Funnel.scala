@@ -54,4 +54,28 @@ object Funnel {
       }: _*)).as("x"))
       .select(col("x.stage").as("stage"), col("x.n_users").as("n_users"))
   }
+
+  /** Cohort retention: users grouped by their first-activity day; for
+    * each (cohort day, days since cohort) the number of cohort users
+    * active on that offset day.
+    *
+    * Shuffle shape: the (user, day) dedup and the per-user cohort
+    * minimum both key on user — AQE coalesces them onto one exchange
+    * family — and the cohort join is user-keyed on both sides (broadcast
+    * when the user dimension fits, which it never does at 100 TB, and
+    * doesn't need to: both sides are already hash-partitioned by user).
+    * The final rollup shuffles only (cohort_day, day_n) pre-aggregated
+    * pairs. Per-user state is one date — no skew risk from hot users
+    * because the distinct collapses their events first.
+    */
+  def retention(events: DataFrame, userCol: String, tsCol: String): DataFrame = {
+    val days = events
+      .select(col(userCol).as("u"), date_trunc("day", col(tsCol)).as("day"))
+      .distinct()
+    val cohorts = days.groupBy(col("u")).agg(min(col("day")).as("cohort_day"))
+    days.join(cohorts, "u")
+      .groupBy(col("cohort_day"),
+        datediff(col("day"), col("cohort_day")).cast("long").as("day_n"))
+      .agg(count(lit(1)).as("n_users"))
+  }
 }

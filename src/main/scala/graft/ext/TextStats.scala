@@ -73,6 +73,30 @@ object TextStats {
     */
   def fingerprint(text: Column): Column = md5(text)
 
+  /** Duplicate word-n-gram counts — the repetition quality signal (a doc
+    * whose n-grams repeat heavily is boilerplate/spam; standard corpus
+    * pre-filter alongside [[qualityScore]]). Returns (total n-grams,
+    * repeated n-grams) as exact longs — integer outputs stay
+    * bit-identical across engines, the ratio is the caller's division.
+    * Short docs follow [[Text.shingles]]: fewer than n tokens → one
+    * whole-sequence shingle → (1, 0). Map-only, no shuffle.
+    */
+  def ngramRepetition(text: Column, n: Int): (Column, Column) = {
+    val sh = Text.shingles(text, n)
+    (size(sh).cast("long"),
+      (size(sh) - size(array_distinct(sh))).cast("long"))
+  }
+
+  /** Pattern scrub: (scrubbed text, number of matches removed) — the
+    * PII/boilerplate-removal shape. Both sides are codegen'd built-ins
+    * and map-only; at 100 TB this is pure scan bandwidth. The pattern is
+    * Java-regex syntax; stick to the RE2-compatible subset (no
+    * backrefs/lookaround) so the same pattern oracle-checks in other
+    * engines.
+    */
+  def scrub(text: Column, pattern: String): (Column, Column) =
+    (regexp_replace(text, pattern, ""), regexp_count(text, lit(pattern)))
+
   /** Per-language corpus stats in one aggregation. */
   def statsByLang(docs: DataFrame, langCol: String, textCol: String): DataFrame =
     docs.groupBy(col(langCol))

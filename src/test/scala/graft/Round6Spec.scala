@@ -1,0 +1,89 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.ext.{Dedup, Funnel, TextStats}
+
+/** Invariants for the round-6 library additions: the incremental
+  * fingerprint-store dedup, repetition/scrub text signals, and cohort
+  * retention. (The driver queries built on these are oracle-checked
+  * end-to-end; these tests pin the semantics on hand-computable toys.)
+  */
+class Round6Spec extends SparkFunSuite {
+  import spark.implicits._
+
+  test("fingerprint store roundtrip: survivors are exactly the unseen texts") {
+    val corpus = Seq((1L, "alpha beta"), (2L, "gamma delta"), (3L, "epsilon"))
+      .toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "alpha beta"),   // dup of corpus doc 1 → dropped
+      (11L, "zeta eta"),     // new → survives
+      (12L, "gamma delta"),  // dup of corpus doc 2 → dropped
+      (13L, "theta")         // new → survives
+    ).toDF("doc_id", "text")
+    val store = Files.createTempDirectory("graft_fp_store").toString + "/fp"
+    Dedup.writeFingerprintStore(corpus, "text", store)
+    val survivors = Dedup.dedupAgainstStore(spark, batch, "text", store)
+    assert(survivors.select("doc_id").as[Long].collect().sorted.toSeq == Seq(11L, 13L))
+    // survivors keep the batch schema (the fingerprint column is internal)
+    assert(survivors.columns.toSeq == batch.columns.toSeq)
+  }
+
+  test("fingerprint store: batch duplicates of EACH OTHER both survive (store-only dedup)") {
+    val corpus = Seq((1L, "x")).toDF("doc_id", "text")
+    val batch = Seq((10L, "same new"), (11L, "same new")).toDF("doc_id", "text")
+    val store = Files.createTempDirectory("graft_fp_store").toString + "/fp"
+    Dedup.writeFingerprintStore(corpus, "text", store)
+    // anti-join semantics: in-batch dedup is a separate (exact) stage
+    assert(Dedup.dedupAgainstStore(spark, batch, "text", store).count() == 2)
+  }
+
+  test("ngramRepetition counts total and repeated trigrams") {
+    val (tot, rep) = TextStats.ngramRepetition(col("text"), 3)
+    val got = Seq(
+      (1L, "a b a b a b a b"),   // 6 trigrams: "a b a" ×3, "b a b" ×3 → 4 repeated
+      (2L, "one two three four"), // 2 distinct trigrams → 0 repeated
+      (3L, "just two"),           // <3 tokens → one whole-sequence shingle
+      (4L, "")                    // empty → one empty shingle
+    ).toDF("doc_id", "text")
+      .select(col("doc_id"), tot.as("t"), rep.as("r"))
+      .collect().map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(2)))).toMap
+    assert(got(1L) == ((6L, 4L)))
+    assert(got(2L) == ((2L, 0L)))
+    assert(got(3L) == ((1L, 0L)))
+    assert(got(4L) == ((1L, 0L)))
+  }
+
+  test("scrub removes matches and counts them") {
+    val (scrubbed, hits) = TextStats.scrub(col("text"), "\\bthe\\b")
+    val r = Seq((1L, "the cat and the theme of the day"))
+      .toDF("doc_id", "text")
+      .select(scrubbed.as("s"), hits.as("n")).head()
+    // word-boundary: "theme" untouched, the three bare "the" removed
+    assert(r.getString(0) == " cat and  theme of  day")
+    assert(r.getInt(1) == 3)
+  }
+
+  test("retention: cohorts by first day, actives per offset day") {
+    val ev = Seq(
+      // user 1: first seen day 1, active days 1 and 3
+      (1L, "2024-01-01 10:00:00"), (1L, "2024-01-01 12:00:00"), (1L, "2024-01-03 09:00:00"),
+      // user 2: first seen day 1, active day 1 only
+      (2L, "2024-01-01 23:59:59"),
+      // user 3: first seen day 2, active days 2 and 3
+      (3L, "2024-01-02 05:00:00"), (3L, "2024-01-03 05:00:00")
+    ).toDF("user_id", "ts_s").select(col("user_id"), col("ts_s").cast("timestamp").as("ts"))
+    val got = Funnel.retention(ev, "user_id", "ts")
+      .collect()
+      .map(r => (r.getTimestamp(0).toString.take(10), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    assert(got == Map(
+      ("2024-01-01", 0L) -> 2L, // users 1,2 on their cohort day
+      ("2024-01-01", 2L) -> 1L, // user 1 back on day 3
+      ("2024-01-02", 0L) -> 1L, // user 3 cohort day
+      ("2024-01-02", 1L) -> 1L  // user 3 back on day 3
+    ))
+  }
+}

@@ -4,8 +4,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.core.Tables
-import graft.ext.{Dedup, Funnel, TextStats}
+import graft.core.{AsOfJoin, Tables}
+import graft.ext.{Dedup, Funnel, SparseSim, TextStats}
 
 /** Round-6 surface widening: time-based window frames, time-series
   * gap-filling, incremental-ingest dedup (persisted fingerprint store),
@@ -94,12 +94,46 @@ object Round6Queries {
     // step — cluster assignments rolled up to (representative, size).
     // This is what a curation pipeline actually consumes from the dedup
     // stage; certifies composition of clustering + aggregation under the
-    // same transitive-closure oracle as dedup_clusters.
+    // same transitive-closure oracle as dedup_clusters. Corpus: the
+    // deterministic doc_id < 1000 prefix — the full-corpus clustering
+    // cost is already certified (and billed) by dedup_clusters; this
+    // query certifies the rollup composition, so it rides the cheaper
+    // certification prefix (2.0 s → ~0.5 s of bench).
     "dedup_representatives" -> { (s, dir) =>
-      Dedup.nearDupClusters(Tables.documents(s, dir), "doc_id", "text", 0.9,
+      Dedup.nearDupClusters(
+          Tables.documents(s, dir).filter(col("doc_id") < 1000),
+          "doc_id", "text", 0.9,
           Dedup.MinHashParams(numBands = 16, rowsPerBand = 2))
         .groupBy(col("cluster_rep").as("rep_doc_id"))
         .agg(count(lit(1)).as("n_members"))
+    },
+    // X3, sparse form: inverted-index tf-cosine — the similarity path
+    // that needs no embeddings. Candidates come from a token-keyed
+    // postings self-join (never an all-pairs scan); maxDf is the skew
+    // lever AND is genuinely exercised at every fixture scale (the
+    // hottest token exceeds 240 docs in each doc_id<300 prefix). All
+    // outputs are exact integers — the threshold is applied as
+    // 10⁴·dot² ≥ (100t)²·|a|²·|b|², so no float cosine exists to drift.
+    "similarity_sparse_cosine" -> { (s, dir) =>
+      SparseSim.cosinePairs(
+        Tables.documents(s, dir).filter(col("doc_id") < 300),
+        "doc_id", "text", threshold = 0.8, maxDf = 240)
+    },
+    // Forward as-of join (attribution direction): each click picks up
+    // the same user's EARLIEST following purchase — the mirror of
+    // asof_join_events' latest-prior lookup, same one-shuffle
+    // union-and-window shape with the time order flipped.
+    "asof_join_forward" -> { (s, dir) =>
+      val ev = Tables.events(s, dir)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select("event_id", "user_id", "ts")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+          col("ts").as("next_purchase"))
+      AsOfJoin.earliestFollowing(clicks, purchases,
+          "user_id", "p_user", "ts", "p_ts", Seq("next_purchase"))
+        .select(col("event_id"), col("user_id"),
+          unix_seconds(col("next_purchase")).as("next_purchase_epoch"))
     },
     // Cohort retention: users by first-activity day, actives per offset
     // day — the classic engagement analysis every event warehouse runs.
@@ -147,11 +181,32 @@ object Round6Queries {
         |       CAST(length(regexp_replace(text, '\bthe\b', '', 'g')) AS BIGINT)
         |         AS len_scrubbed
         |FROM documents""".stripMargin,
-    // same transitive closure as dedup_clusters, rolled up per component
+    // same transitive closure as dedup_clusters (certification prefix),
+    // rolled up per component
     "dedup_representatives" ->
       s"""SELECT cluster_rep AS rep_doc_id, count(*) AS n_members FROM (
-         |${Round2Queries.clustersOracleSql("")}
+         |${Round2Queries.clustersOracleSql("WHERE doc_id < 1000")}
          |) clusters GROUP BY 1""".stripMargin,
+    "similarity_sparse_cosine" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id AS id, unnest($TokensSql) AS tok
+         |  FROM documents WHERE doc_id < 300),
+         |tf AS (SELECT id, tok, count(*) AS tf FROM tok GROUP BY 1, 2),
+         |keep AS (SELECT tok FROM tf GROUP BY tok HAVING count(*) <= 240),
+         |p AS (SELECT tf.* FROM tf JOIN keep USING (tok)),
+         |n AS (SELECT id, CAST(sum(tf * tf) AS BIGINT) AS n2 FROM p GROUP BY 1),
+         |d AS (SELECT a.id AS id_a, b.id AS id_b,
+         |             CAST(sum(a.tf * b.tf) AS BIGINT) AS dot
+         |      FROM p a JOIN p b ON a.tok = b.tok AND a.id < b.id GROUP BY 1, 2)
+         |SELECT id_a, id_b, dot, na.n2 AS na2, nb.n2 AS nb2
+         |FROM d JOIN n na ON na.id = id_a JOIN n nb ON nb.id = id_b
+         |WHERE 10000 * dot * dot >= 6400 * na.n2 * nb.n2""".stripMargin,
+    "asof_join_forward" ->
+      """SELECT c.event_id, c.user_id,
+        |       CAST(floor(epoch(p.ts)) AS BIGINT) AS next_purchase_epoch
+        |FROM (SELECT * FROM events WHERE event_type = 'click') c
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+        |  ON c.user_id = p.user_id AND c.ts <= p.ts""".stripMargin,
     "events_retention" ->
       """WITH d AS (SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events),
         |c AS (SELECT user_id, min(day) AS cohort_day FROM d GROUP BY 1)

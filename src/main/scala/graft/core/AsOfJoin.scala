@@ -68,6 +68,53 @@ object AsOfJoin {
       .select((leftCols ++ payload).map(col): _*)
   }
 
+  /** Forward as-of join: every `left` row, plus `payload` columns from
+    * the EARLIEST `right` row with `right(rightTime) >= left(leftTime)`
+    * within the same key (nulls when no following right row exists) —
+    * the attribution/follow-up direction of [[latestPrior]]. Identical
+    * one-shuffle union-and-window shape; only the window order flips
+    * (descending time, right rows still first at equal timestamps so the
+    * join stays inclusive).
+    */
+  def earliestFollowing(
+      left: DataFrame, right: DataFrame,
+      leftKey: String, rightKey: String,
+      leftTime: String, rightTime: String,
+      payload: Seq[String]): DataFrame = {
+
+    val leftCols = left.columns.toSeq
+    require(!payload.exists(leftCols.contains),
+      s"payload columns ${payload.filter(leftCols.contains)} collide with left columns")
+
+    val l = left.select(
+      (Seq(
+        col(leftKey).as("__key"),
+        col(leftTime).as("__t"),
+        lit(0).as("__is_right")) ++
+        leftCols.map(col) ++
+        payload.map(p => lit(null).cast(right.schema(p).dataType).as(p))): _*)
+    val r = right.select(
+      (Seq(
+        col(rightKey).as("__key"),
+        col(rightTime).as("__t"),
+        lit(1).as("__is_right")) ++
+        leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
+        payload.map(col)): _*)
+
+    // time DESCENDING: the running last() then resolves to the SMALLEST
+    // right time that is >= the left time; right rows first at equal __t
+    // → inclusive (>=)
+    val w = Window.partitionBy(col("__key"))
+      .orderBy(col("__t").desc, col("__is_right").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    val filled = payload.foldLeft(l.unionByName(r)) { (df, p) =>
+      df.withColumn(p, last(col(p), ignoreNulls = true).over(w))
+    }
+    filled.filter(col("__is_right") === 0)
+      .select((leftCols ++ payload).map(col): _*)
+  }
+
   /** As-of join with a lookback bound: like [[latestPrior]], but a match
     * older than `toleranceSeconds` before the left time is discarded
     * (payloads null) — the standard "stale quote" guard. Built on

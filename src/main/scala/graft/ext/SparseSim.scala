@@ -1,0 +1,63 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Sparse (term-frequency) cosine similarity via the inverted index —
+  * the join-based similarity path that needs no embeddings: docs are
+  * sparse tf vectors over the vocabulary, the dot product of a pair is
+  * a sum over their SHARED tokens, so candidate pairs come from a
+  * token-keyed self-join of the postings relation instead of any
+  * all-pairs scan.
+  *
+  * Scale shape (100 TB posture): the postings self-join costs
+  * sum over tokens of df², so the hottest token dominates — the
+  * document-frequency cut (`maxDf`) is the skew lever, and it is also
+  * standard IR practice (a token in half the corpus carries no signal).
+  * Everything else is partial-aggregated groupBys; nothing is
+  * quadratic in the corpus.
+  *
+  * Exactness: tf, dot products, and squared norms are integers, and the
+  * threshold is applied in integer arithmetic
+  * (10⁴·dot² ≥ (100t)²·|a|²·|b|²), so results are bit-identical across
+  * engines — no floating-point cosine ever computed.
+  */
+object SparseSim {
+
+  /** Term-frequency postings (id, tok, tf), df-cut applied: tokens whose
+    * posting list exceeds `maxDf` documents are dropped entirely.
+    */
+  def postings(docs: DataFrame, idCol: String, textCol: String, maxDf: Long): DataFrame = {
+    val tf = docs
+      .select(col(idCol).as("id"), explode(Text.tokens(col(textCol))).as("tok"))
+      .groupBy(col("id"), col("tok")).agg(count(lit(1)).as("tf"))
+    val kept = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf).select("tok")
+    tf.join(kept, Seq("tok"))
+  }
+
+  /** Pairs (id_a < id_b) whose tf-cosine over the df-cut vocabulary
+    * meets `threshold`, with the exact integer witnesses (dot, |a|²,
+    * |b|²) in the output. `threshold` is taken at 2-decimal precision
+    * (it becomes the integer 100t).
+    */
+  def cosinePairs(
+      docs: DataFrame, idCol: String, textCol: String,
+      threshold: Double, maxDf: Long): DataFrame = {
+    val t100 = math.round(threshold * 100)
+    val p = postings(docs, idCol, textCol, maxDf)
+    val norms = p.groupBy(col("id")).agg(sum(col("tf") * col("tf")).as("n2"))
+    val dots = p.select(col("id").as("id_a"), col("tok"), col("tf").as("tf_a"))
+      .join(p.select(col("id").as("id_b"), col("tok"), col("tf").as("tf_b")), Seq("tok"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(sum(col("tf_a") * col("tf_b")).as("dot"))
+    dots
+      .join(norms.select(col("id").as("id_a"), col("n2").as("na2")), Seq("id_a"))
+      .join(norms.select(col("id").as("id_b"), col("n2").as("nb2")), Seq("id_b"))
+      // dot²·10⁴ ≥ (100t)²·na2·nb2  ⇔  dot/√(na2·nb2) ≥ t, all in longs
+      .filter(lit(10000L) * col("dot") * col("dot") >=
+        lit(t100 * t100) * col("na2") * col("nb2"))
+      .select(col("id_a"), col("id_b"), col("dot"), col("na2"), col("nb2"))
+  }
+}

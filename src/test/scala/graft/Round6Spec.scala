@@ -4,7 +4,8 @@ import java.nio.file.Files
 
 import org.apache.spark.sql.functions._
 
-import graft.ext.{Dedup, Funnel, TextStats}
+import graft.core.AsOfJoin
+import graft.ext.{Dedup, Funnel, SparseSim, TextStats}
 
 /** Invariants for the round-6 library additions: the incremental
   * fingerprint-store dedup, repetition/scrub text signals, and cohort
@@ -64,6 +65,37 @@ class Round6Spec extends SparkFunSuite {
     // word-boundary: "theme" untouched, the three bare "the" removed
     assert(r.getString(0) == " cat and  theme of  day")
     assert(r.getInt(1) == 3)
+  }
+
+  test("earliestFollowing: inclusive forward as-of per key") {
+    val left = Seq((1L, 10L, 100L), (2L, 10L, 250L), (3L, 20L, 50L), (4L, 30L, 10L))
+      .toDF("lid", "k", "t")
+      .select(col("lid"), col("k"), col("t").cast("timestamp").as("t"))
+    val right = Seq((10L, 100L, "at100"), (10L, 200L, "at200"), (20L, 40L, "at40"))
+      .toDF("rk", "rt", "v")
+      .select(col("rk"), col("rt").cast("timestamp").as("rt"), col("v"))
+    val got = AsOfJoin.earliestFollowing(left, right, "k", "rk", "t", "rt", Seq("v"))
+      .select("lid", "v").collect().map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(got == Map(
+      1L -> Some("at100"), // equal timestamps match (inclusive >=)
+      2L -> None,          // nothing at or after t=250
+      3L -> None,          // right row at 40 is BEFORE 50 → no forward match
+      4L -> None))         // key 30 has no right rows
+  }
+
+  test("sparse cosine: integer witnesses match hand computation, df cut drops hot tokens") {
+    // doc 1: a a b  → tf {a:2, b:1},  |v|² = 5
+    // doc 2: a b b  → tf {a:1, b:2},  |v|² = 5
+    // doc 3: c      → no shared tokens with 1/2
+    // cos(1,2) = (2·1 + 1·2) / 5 = 0.8
+    val docs = Seq((1L, "a a b"), (2L, "a b b"), (3L, "c")).toDF("doc_id", "text")
+    val at08 = SparseSim.cosinePairs(docs, "doc_id", "text", 0.8, maxDf = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(at08.toSeq == Seq((1L, 2L, 4L, 5L, 5L)))
+    // threshold just above the true cosine excludes the pair
+    assert(SparseSim.cosinePairs(docs, "doc_id", "text", 0.81, maxDf = 10).count() == 0)
+    // df cut at 1: tokens a and b (df=2) are dropped → no pairs at all
+    assert(SparseSim.cosinePairs(docs, "doc_id", "text", 0.1, maxDf = 1).count() == 0)
   }
 
   test("retention: cohorts by first day, actives per offset day") {

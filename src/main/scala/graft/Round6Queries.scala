@@ -140,6 +140,41 @@ object Round6Queries {
     "events_retention" -> { (s, dir) =>
       Funnel.retention(Tables.events(s, dir), "user_id", "ts")
     },
+    // X4: vocabulary diversity per language — Simpson concentration in
+    // exact integers: total tokens T and the sum of squared per-token
+    // counts S (diversity 1 − S/T² is the caller's division; a log-based
+    // entropy would drift across engines, the same reason tfidf uses a
+    // log-free idf). Two partial-aggregated shuffles, nothing per-pair.
+    "text_diversity" -> { (s, dir) =>
+      TextStats.tokenDiversity(Tables.documents(s, dir), "lang", "text")
+    },
+    // SQL front door: correlated SCALAR subquery — Catalyst decorrelates
+    // the per-order average into an aggregate + join (a different
+    // decorrelation path than sql_correlated_exists' semi join). The
+    // compared average is exact: integer-valued quantities sum exactly
+    // in doubles and IEEE division is identical across engines.
+    "sql_correlated_scalar" -> { (s, dir) =>
+      Tables.lineitem(s, dir).createOrReplaceTempView("v_lineitem")
+      s.sql(
+        """SELECT l_returnflag, count(*) AS n_above
+          |FROM v_lineitem l1
+          |WHERE l_quantity > (SELECT avg(l_quantity) FROM v_lineitem l2
+          |                    WHERE l2.l_orderkey = l1.l_orderkey)
+          |GROUP BY l_returnflag""".stripMargin)
+    },
+    // Month-over-month deltas on an AGGREGATE: counts per month plus the
+    // previous month's count via lag. The window is a single partition
+    // BY DESIGN and safely so — it runs over the post-aggregation
+    // relation (one row per month, bounded by the calendar, not the
+    // data volume), the one case where an unpartitioned window is the
+    // right plan at any scale.
+    "orders_mom" -> { (s, dir) =>
+      val monthly = Tables.orders(s, dir)
+        .groupBy(date_trunc("month", col("o_orderdate")).as("month"))
+        .agg(count(lit(1)).as("n_orders"))
+      monthly.select(col("month"), col("n_orders"),
+        lag(col("n_orders"), 1).over(Window.orderBy(col("month"))).as("prev_n"))
+    },
     // Fixed-width histogram on EXACT cents ($50k buckets): bucket index
     // is integer arithmetic on round(price*100), so bucket edges cannot
     // drift between engines the way raw double division could. One
@@ -214,6 +249,25 @@ object Round6Queries {
         |       date_diff('day', c.cohort_day, d.day) AS day_n,
         |       count(*) AS n_users
         |FROM d JOIN c USING (user_id) GROUP BY 1, 2""".stripMargin,
+    "text_diversity" ->
+      s"""WITH tok AS (SELECT lang, unnest($TokensSql) AS tok FROM documents),
+         |cnt AS (SELECT lang, tok, count(*) AS c FROM tok GROUP BY 1, 2)
+         |SELECT lang, CAST(sum(c) AS BIGINT) AS total_tokens,
+         |       CAST(sum(c * c) AS BIGINT) AS sum_sq_counts,
+         |       count(*) AS n_distinct_tokens
+         |FROM cnt GROUP BY 1""".stripMargin,
+    "sql_correlated_scalar" ->
+      """SELECT l_returnflag, count(*) AS n_above
+        |FROM lineitem l1
+        |WHERE l_quantity > (SELECT avg(l_quantity) FROM lineitem l2
+        |                    WHERE l2.l_orderkey = l1.l_orderkey)
+        |GROUP BY l_returnflag""".stripMargin,
+    "orders_mom" ->
+      """SELECT month, n_orders,
+        |       lag(n_orders, 1) OVER (ORDER BY month) AS prev_n
+        |FROM (SELECT date_trunc('month', o_orderdate) AS month,
+        |             count(*) AS n_orders
+        |      FROM orders GROUP BY 1)""".stripMargin,
     "orders_histogram" ->
       """SELECT CAST(round(o_totalprice * 100) AS BIGINT) // 5000000 AS bucket,
         |       count(*) AS n_orders, round(sum(o_totalprice), 2) AS sum_price

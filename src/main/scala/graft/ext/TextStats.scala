@@ -97,6 +97,23 @@ object TextStats {
   def scrub(text: Column, pattern: String): (Column, Column) =
     (regexp_replace(text, pattern, ""), regexp_count(text, lit(pattern)))
 
+  /** Vocabulary diversity per group in exact integers: total tokens,
+    * sum of squared per-token counts, and distinct-token count. Simpson
+    * concentration is sum_sq/total² and diversity 1 − that — left to the
+    * caller so every emitted value is a bit-exact integer (a log-based
+    * entropy would drift across engines; Simpson is the log-free
+    * diversity index, the same trick as Curation's log-free idf).
+    * Two partial-aggregated shuffles: (group, token) counts, then the
+    * per-group rollup. Nothing is per-pair or per-document-squared.
+    */
+  def tokenDiversity(docs: DataFrame, groupCol: String, textCol: String): DataFrame =
+    docs.select(col(groupCol), explode(Text.tokens(col(textCol))).as("tok"))
+      .groupBy(col(groupCol), col("tok")).agg(count(lit(1)).as("c"))
+      .groupBy(col(groupCol))
+      .agg(sum(col("c")).as("total_tokens"),
+        sum(col("c") * col("c")).as("sum_sq_counts"),
+        count(lit(1)).as("n_distinct_tokens"))
+
   /** Per-language corpus stats in one aggregation. */
   def statsByLang(docs: DataFrame, langCol: String, textCol: String): DataFrame =
     docs.groupBy(col(langCol))

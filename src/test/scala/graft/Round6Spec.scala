@@ -98,6 +98,15 @@ class Round6Spec extends SparkFunSuite {
     assert(SparseSim.cosinePairs(docs, "doc_id", "text", 0.1, maxDf = 1).count() == 0)
   }
 
+  test("tokenDiversity: exact integer Simpson components") {
+    // group g: tokens a a a b  → total 4, counts {a:3, b:1} → sum_sq 10, distinct 2
+    val docs = Seq(("g", "a a a"), ("g", "b"), ("h", "x y")).toDF("lang", "text")
+    val got = TextStats.tokenDiversity(docs, "lang", "text")
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got("g") == ((4L, 10L, 2L)))
+    assert(got("h") == ((2L, 2L, 2L)))
+  }
+
   test("retention: cohorts by first day, actives per offset day") {
     val ev = Seq(
       // user 1: first seen day 1, active days 1 and 3

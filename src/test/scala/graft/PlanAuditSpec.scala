@@ -131,6 +131,38 @@ class PlanAuditSpec extends SparkFunSuite {
     assert(p.contains("first_equal_index"), p)
   }
 
+  test("map-only text signals plan no exchange at all") {
+    // repetition/scrub/langid/fingerprint are per-row map work — at
+    // 100 TB they must be pure scan bandwidth; any Exchange in the plan
+    // means a shuffle crept into a linear pipeline
+    for (q <- Seq("text_repetition", "text_scrub", "text_langid", "text_fingerprint")) {
+      val p = plan(q)
+      assert(!p.contains("Exchange"), s"$q shuffles — it must be map-only")
+    }
+  }
+
+  test("incremental dedup anti-joins the batch against the persisted store") {
+    // the store must come back from disk (the roundtrip is the point)
+    // and the join must be an anti-join — a semi/inner join plus a
+    // filter would materialize the matched fingerprints for nothing
+    val p = plan("dedup_incremental")
+    assert(p.contains("LeftAnti"), p)
+    assert(p.contains("fp_store"), p)
+  }
+
+  test("forward as-of is the one-shuffle union-and-window plan, not a join") {
+    val p = plan("asof_join_forward")
+    assert(p.contains("Union"), p)
+    assert(p.contains("Window"), p)
+    assert(!p.contains("Join"), s"as-of must not plan a join operator:\n$p")
+  }
+
+  test("sparse cosine candidates come from the postings self-join, never all pairs") {
+    val p = plan("similarity_sparse_cosine")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("tok"), p)
+  }
+
   test("count(*) answered from parquet metadata when pushdown is on") {
     // aggregate pushdown needs the V2 parquet source + the flag (set by
     // Verify/Bench); flip both on locally for this check. On the default

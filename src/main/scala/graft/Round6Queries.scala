@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.core.{AsOfJoin, Tables}
-import graft.ext.{Dedup, Funnel, SparseSim, TextStats}
+import graft.ext.{Dedup, Funnel, Multimodal, SparseSim, TextStats}
 
 /** Round-6 surface widening: time-based window frames, time-series
   * gap-filling, incremental-ingest dedup (persisted fingerprint store),
@@ -140,6 +140,39 @@ object Round6Queries {
     "events_retention" -> { (s, dir) =>
       Funnel.retention(Tables.events(s, dir), "user_id", "ts")
     },
+    // X5: frame sampling as binary slicing — every 4th FrameBytes-sized
+    // chunk sliced from the media column with substring (NO decode: the
+    // cheap sampling pass a video pipeline runs before paying for the
+    // codec). Each sampled frame is content-certified by md5: the
+    // synthetic media is the UTF-8 bytes of ASCII text, so the oracle
+    // reproduces every frame as a text substring. Map-only.
+    "multimodal_frame_sample" -> { (s, dir) =>
+      val media = Multimodal.withSyntheticMedia(Tables.documents(s, dir))
+      Multimodal.sampleFrames(media, stride = 4)
+        .select(col("doc_id"), posexplode(col("frames")).as(Seq("pos", "frame")))
+        .select(col("doc_id"),
+          (col("pos") * 4).cast("long").as("frame_idx"),
+          octet_length(col("frame")).cast("long").as("frame_len"),
+          md5(col("frame")).as("frame_md5"))
+    },
+    // Schema evolution: two parquet generations of the same corpus —
+    // v1 lacks the `source` column — read back in ONE scan with
+    // mergeSchema, old rows null-filled. This is the 100 TB reality of
+    // corpora written over months by evolving pipelines; the sink write
+    // happens eagerly at construction (roundtrip contract, same as
+    // reports_roundtrip / dedup_incremental).
+    "schema_evolution_scan" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val out = CoreQueries.scratchDir("schema_evolution_scan")
+      docs.filter(col("doc_id") % 2 === 0).select(col("doc_id"), col("lang"))
+        .write.mode("overwrite").parquet(s"$out/gen1")
+      docs.filter(col("doc_id") % 2 === 1)
+        .select(col("doc_id"), col("lang"), col("source"))
+        .write.mode("overwrite").parquet(s"$out/gen2")
+      s.read.option("mergeSchema", "true").parquet(s"$out/gen1", s"$out/gen2")
+        .groupBy(col("lang"), col("source").isNull.as("legacy"))
+        .agg(count(lit(1)).as("n_docs"))
+    },
     // X4: vocabulary diversity per language — Simpson concentration in
     // exact integers: total tokens T and the sum of squared per-token
     // counts S (diversity 1 − S/T² is the caller's division; a log-based
@@ -249,6 +282,26 @@ object Round6Queries {
         |       date_diff('day', c.cohort_day, d.day) AS day_n,
         |       count(*) AS n_users
         |FROM d JOIN c USING (user_id) GROUP BY 1, 2""".stripMargin,
+    // frame geometry AND content must both match: generate_series is
+    // inclusive like Spark's sequence; ASCII text makes byte slices ==
+    // character slices, so md5 agrees engine-to-engine
+    "multimodal_frame_sample" ->
+      """WITH d AS (SELECT doc_id, text, length(text) AS len FROM documents),
+        |f AS (SELECT doc_id, len, text,
+        |             unnest(generate_series(0,
+        |               greatest(CAST(ceil(len / 256.0) AS BIGINT) - 1, 0), 4))
+        |               AS frame_idx
+        |      FROM d)
+        |SELECT doc_id, frame_idx,
+        |       CAST(length(substring(text, CAST(frame_idx * 256 + 1 AS INT), 256))
+        |         AS BIGINT) AS frame_len,
+        |       md5(substring(text, CAST(frame_idx * 256 + 1 AS INT), 256)) AS frame_md5
+        |FROM f""".stripMargin,
+    // legacy rows (even doc_ids, written without `source`) come back
+    // null-filled from the merged scan
+    "schema_evolution_scan" ->
+      """SELECT lang, (doc_id % 2 = 0) AS legacy, count(*) AS n_docs
+        |FROM documents GROUP BY 1, 2""".stripMargin,
     "text_diversity" ->
       s"""WITH tok AS (SELECT lang, unnest($TokensSql) AS tok FROM documents),
          |cnt AS (SELECT lang, tok, count(*) AS c FROM tok GROUP BY 1, 2)

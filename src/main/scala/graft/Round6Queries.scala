@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.core.{AsOfJoin, Tables}
-import graft.ext.{Dedup, Funnel, Multimodal, SparseSim, TextStats}
+import graft.ext.{Dedup, Funnel, FuzzyJoin, Multimodal, SparseSim, TextStats}
 
 /** Round-6 surface widening: time-based window frames, time-series
   * gap-filling, incremental-ingest dedup (persisted fingerprint store),
@@ -139,6 +139,16 @@ object Round6Queries {
     // day — the classic engagement analysis every event warehouse runs.
     "events_retention" -> { (s, dir) =>
       Funnel.retention(Tables.events(s, dir), "user_id", "ts")
+    },
+    // Typo-tolerant key join: edit-distance-≤1 customer-name pairs via
+    // deletion-neighborhood blocking — candidates from an equi-join on
+    // single-deletion variants, exactness from levenshtein INSIDE the
+    // join condition, so the oracle is the exact all-pairs SQL on the
+    // same deterministic c_custkey < 500 subset.
+    "fuzzy_join_names" -> { (s, dir) =>
+      FuzzyJoin.editDistance1Pairs(
+        Tables.customer(s, dir).filter(col("c_custkey") < 500),
+        "c_custkey", "c_name")
     },
     // X5: frame sampling as binary slicing — every 4th FrameBytes-sized
     // chunk sliced from the media column with substring (NO decode: the
@@ -282,6 +292,12 @@ object Round6Queries {
         |       date_diff('day', c.cohort_day, d.day) AS day_n,
         |       count(*) AS n_users
         |FROM d JOIN c USING (user_id) GROUP BY 1, 2""".stripMargin,
+    "fuzzy_join_names" ->
+      """SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+        |       CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist
+        |FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
+        |WHERE a.c_custkey < 500 AND b.c_custkey < 500
+        |  AND levenshtein(a.c_name, b.c_name) <= 1""".stripMargin,
     // frame geometry AND content must both match: generate_series is
     // inclusive like Spark's sequence; ASCII text makes byte slices ==
     // character slices, so md5 agrees engine-to-engine

@@ -1,0 +1,62 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Typo-tolerant key matching: edit-distance-≤1 pairs via
+  * single-deletion-neighborhood blocking (the FastSS family) — the
+  * entity-resolution / near-dup-key operator a curation pipeline needs
+  * when "the same key" arrives misspelled.
+  *
+  * Blocking property (complete for distance ≤ 1): two strings within
+  * one edit share at least one element of their deletion neighborhoods
+  * — equal strings share themselves, a substitution at position i
+  * shares the both-sides-delete-i variant, and an insertion/deletion
+  * pair shares the shorter string itself. So candidates come from an
+  * EQUI-join on variants, and exactness comes from verifying
+  * `levenshtein ≤ 1` INSIDE the join condition — failing candidates are
+  * never materialized, and the final distinct deduplicates only TRUE
+  * pairs (a pair can share several variants), which are tiny relative
+  * to the corpus.
+  *
+  * Scale shape: |s|+1 variants per key (map-side explode), singleton
+  * variant blocks pruned BEFORE the self-join (most variants are
+  * unique, so this is the big cut), and a bucket-size cap as the skew
+  * guard — the same lossy-cap contract as the LSH joins (a variant
+  * shared by millions of keys is a degenerate block, e.g. every key
+  * with a common 17-char prefix).
+  */
+object FuzzyJoin {
+
+  /** The string plus every one-character-deleted variant. */
+  def deletionVariants(s: Column): Column = {
+    val variants = transform(sequence(lit(1), length(s)), i =>
+      concat(s.substr(lit(1), i - 1), s.substr(i + 1, length(s) - i)))
+    when(length(s) === 0, array(s)).otherwise(array_union(array(s), variants))
+  }
+
+  /** Pairs (id_a < id_b) whose strings are within one edit, with the
+    * exact distance in the output. `maxBlock` drops degenerate variant
+    * blocks (skew guard; completeness holds whenever no real block
+    * exceeds it).
+    */
+  def editDistance1Pairs(
+      df: DataFrame, idCol: String, strCol: String,
+      maxBlock: Long = 1000000L): DataFrame = {
+    val v = df.select(col(idCol).as("id"), col(strCol).as("s"),
+      explode(deletionVariants(col(strCol))).as("v"))
+    // a variant seen once can't form a pair; a variant seen maxBlock+
+    // times is a degenerate block — both pruned before the join
+    val healthy = v.groupBy(col("v"))
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") >= 2 && col("n") <= maxBlock)
+      .select("v")
+    val vv = v.join(healthy, Seq("v"))
+    vv.as("a").join(vv.as("b"),
+        col("a.v") === col("b.v") && col("a.id") < col("b.id") &&
+          levenshtein(col("a.s"), col("b.s")) <= 1)
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        levenshtein(col("a.s"), col("b.s")).cast("long").as("dist"))
+      .distinct()
+  }
+}

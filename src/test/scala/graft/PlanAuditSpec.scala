@@ -163,6 +163,14 @@ class PlanAuditSpec extends SparkFunSuite {
     assert(p.contains("tok"), p)
   }
 
+  test("fuzzy join blocks on deletion variants, verifies inside the join") {
+    val p = plan("fuzzy_join_names")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    // the levenshtein bound must live in the join condition, not a
+    // post-join filter — failing candidates must never materialize
+    assert(p.contains("levenshtein"), p)
+  }
+
   test("count(*) answered from parquet metadata when pushdown is on") {
     // aggregate pushdown needs the V2 parquet source + the flag (set by
     // Verify/Bench); flip both on locally for this check. On the default

@@ -5,7 +5,7 @@ import java.nio.file.Files
 import org.apache.spark.sql.functions._
 
 import graft.core.AsOfJoin
-import graft.ext.{Dedup, Funnel, SparseSim, TextStats}
+import graft.ext.{Dedup, Funnel, FuzzyJoin, SparseSim, TextStats}
 
 /** Invariants for the round-6 library additions: the incremental
   * fingerprint-store dedup, repetition/scrub text signals, and cohort
@@ -96,6 +96,30 @@ class Round6Spec extends SparkFunSuite {
     assert(SparseSim.cosinePairs(docs, "doc_id", "text", 0.81, maxDf = 10).count() == 0)
     // df cut at 1: tokens a and b (df=2) are dropped → no pairs at all
     assert(SparseSim.cosinePairs(docs, "doc_id", "text", 0.1, maxDf = 1).count() == 0)
+  }
+
+  test("fuzzy join finds every edit type within distance 1, nothing else") {
+    val keys = Seq(
+      (1L, "spark"),  // base
+      (2L, "spork"),  // substitution vs 1
+      (3L, "spak"),   // deletion vs 1
+      (4L, "sparks"), // insertion vs 1
+      (5L, "spark"),  // exact duplicate of 1 (distance 0)
+      (6L, "flink")   // unrelated
+    ).toDF("id", "name")
+    val got = FuzzyJoin.editDistance1Pairs(keys, "id", "name")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got == Map(
+      (1L, 2L) -> 1L, (1L, 3L) -> 1L, (1L, 4L) -> 1L, (1L, 5L) -> 0L,
+      (2L, 5L) -> 1L, (3L, 5L) -> 1L, (4L, 5L) -> 1L))
+  }
+
+  test("fuzzy join skew guard drops degenerate variant blocks") {
+    val keys = Seq((1L, "aa"), (2L, "ab"), (3L, "ac")).toDF("id", "name")
+    // every pair shares the deletion variant "a"; block size 3 > cap 2
+    // → the hot block is dropped and (with it) all pairs
+    assert(FuzzyJoin.editDistance1Pairs(keys, "id", "name", maxBlock = 2).count() == 0)
+    assert(FuzzyJoin.editDistance1Pairs(keys, "id", "name").count() == 3)
   }
 
   test("tokenDiversity: exact integer Simpson components") {

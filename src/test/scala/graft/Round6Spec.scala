@@ -114,6 +114,13 @@ class Round6Spec extends SparkFunSuite {
       (2L, 5L) -> 1L, (3L, 5L) -> 1L, (4L, 5L) -> 1L))
   }
 
+  test("fuzzy join handles empty strings (deletion variants of '' are ['']") {
+    val keys = Seq((1L, ""), (2L, "a"), (3L, "")).toDF("id", "name")
+    val got = FuzzyJoin.editDistance1Pairs(keys, "id", "name")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got == Map((1L, 2L) -> 1L, (1L, 3L) -> 0L, (2L, 3L) -> 1L))
+  }
+
   test("fuzzy join skew guard drops degenerate variant blocks") {
     val keys = Seq((1L, "aa"), (2L, "ab"), (3L, "ac")).toDF("id", "name")
     // every pair shares the deletion variant "a"; block size 3 > cap 2

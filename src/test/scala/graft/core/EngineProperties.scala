@@ -102,6 +102,47 @@ object EngineProperties extends Properties("graft") {
       cmp.filter(!col("eq")).count() == 0
     }
 
+  property("deletion-neighborhood fuzzy join equals brute-force levenshtein <= 1") =
+    forAll(Gen.listOfN(10,
+      Gen.choose(2, 4).flatMap(n => Gen.listOfN(n, Gen.oneOf('a', 'b', 'c')).map(_.mkString)))) { names =>
+      def lev(a: String, b: String): Int = {
+        val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) => if (j == 0) i else if (i == 0) j else 0)
+        for (i <- 1 to a.length; j <- 1 to b.length)
+          d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+            d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+        d(a.length)(b.length)
+      }
+      val keyed = names.zipWithIndex.map { case (s, i) => (i.toLong, s) }
+      val got = graft.ext.FuzzyJoin.editDistance1Pairs(keyed.toDF("id", "name"), "id", "name")
+        .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val exp = (for {
+        (ia, a) <- keyed; (ib, b) <- keyed
+        if ia < ib && lev(a, b) <= 1
+      } yield (ia, ib)).toSet
+      got == exp
+    }
+
+  property("sparse cosine pairs equal brute-force tf-cosine at the threshold") =
+    forAll(Gen.listOfN(8,
+      Gen.listOfN(6, Gen.oneOf("x", "y", "z", "w")).map(_.mkString(" ")))) { texts =>
+      val keyed = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      val got = graft.ext.SparseSim
+        .cosinePairs(keyed.toDF("doc_id", "text"), "doc_id", "text", 0.7, maxDf = 100)
+        .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      def tf(t: String): Map[String, Long] =
+        t.toLowerCase.split("\\s+").filter(_.nonEmpty)
+          .groupBy(identity).map { case (k, v) => k -> v.length.toLong }
+      val exp = (for {
+        (ia, ta) <- keyed; (ib, tb) <- keyed
+        if ia < ib
+        fa = tf(ta); fb = tf(tb)
+        dot = fa.keySet.intersect(fb.keySet).toSeq.map(k => fa(k) * fb(k)).sum
+        na2 = fa.values.map(v => v * v).sum; nb2 = fb.values.map(v => v * v).sum
+        if na2 > 0 && nb2 > 0 && 10000L * dot * dot >= 4900L * na2 * nb2
+      } yield (ia, ib)).toSet
+      got == exp
+    }
+
   property("limitN sample is stable across physical layouts") =
     forAll(rowsGen.suchThat(_.size >= 5), Gen.chooseNum(2, 7)) { (rows, parts) =>
       val df = rows.toDF("id", "s")

@@ -32,7 +32,10 @@ class SqlSurfaceSpec extends SparkFunSuite {
     "rowcount_by_partition", "rowcount_multilevel", "rowcount_total",
     "reconcile_report", "reconcile_matched", "integrity_by_partition",
     "sample_limit", "events_funnel", "stats_moments",
-    "approx_distinct_users", "sample_stratified")
+    "approx_distinct_users", "sample_stratified",
+    // round-6 additions with ANSI-compatible oracle text
+    "sql_correlated_scalar", "orders_mom", "fuzzy_join_names",
+    "dedup_incremental", "schema_evolution_scan")
 
   private def canon(df: DataFrame): Seq[String] = {
     val cols = df.columns.sorted.toSeq

@@ -9,10 +9,12 @@ import graft.ext.{Dedup, Funnel, FuzzyJoin, Multimodal, SparseSim, TextStats}
 
 /** Round-6 surface widening: time-based window frames, time-series
   * gap-filling, incremental-ingest dedup (persisted fingerprint store),
-  * repetition/scrub text-quality signals, per-cluster dedup
-  * representatives, cohort retention, and exact-cents histograms —
-  * classic warehouse + curation-pipeline shapes no earlier query
-  * exercised.
+  * repetition/scrub/diversity text-quality signals, per-cluster dedup
+  * representatives, cohort retention, exact-cents histograms,
+  * inverted-index sparse cosine, forward as-of, typo-tolerant fuzzy key
+  * join, frame sampling, schema-evolution scans, correlated scalar
+  * subqueries, and month-over-month windows — classic warehouse +
+  * curation-pipeline shapes no earlier query exercised.
   *
   * Oracle rules as everywhere: identical column names, deterministic
   * values (the range-frame aggregate sums l_quantity — small integers in

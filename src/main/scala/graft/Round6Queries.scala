@@ -142,6 +142,13 @@ object Round6Queries {
     "events_retention" -> { (s, dir) =>
       Funnel.retention(Tables.events(s, dir), "user_id", "ts")
     },
+    // Rolling 7-day active users (the WAU metric): each distinct
+    // (user, day) explodes map-side to the 7 report days it contributes
+    // to — no day-grid range join — then one distinct count per report
+    // day.
+    "events_rolling_active" -> { (s, dir) =>
+      Funnel.rollingActives(Tables.events(s, dir), "user_id", "ts", windowDays = 7)
+    },
     // Typo-tolerant key join: edit-distance-≤1 customer-name pairs via
     // deletion-neighborhood blocking — candidates from an equi-join on
     // single-deletion variants, exactness from levenshtein INSIDE the
@@ -294,6 +301,18 @@ object Round6Queries {
         |       date_diff('day', c.cohort_day, d.day) AS day_n,
         |       count(*) AS n_users
         |FROM d JOIN c USING (user_id) GROUP BY 1, 2""".stripMargin,
+    // same explode-to-report-days formulation; report days past the
+    // last event (whose trailing windows still contain activity) are
+    // included on both sides
+    "events_rolling_active" ->
+      """WITH d AS (
+        |  SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events),
+        |x AS (
+        |  SELECT user_id, unnest(generate_series(day, day + INTERVAL 6 DAY,
+        |                                         INTERVAL 1 DAY)) AS report_day
+        |  FROM d)
+        |SELECT report_day, count(DISTINCT user_id) AS n_active
+        |FROM x GROUP BY 1""".stripMargin,
     "fuzzy_join_names" ->
       """SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
         |       CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist

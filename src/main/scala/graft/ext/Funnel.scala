@@ -78,4 +78,32 @@ object Funnel {
         datediff(col("day"), col("cohort_day")).cast("long").as("day_n"))
       .agg(count(lit(1)).as("n_users"))
   }
+
+  /** Rolling `windowDays`-day active-user counts (the DAU/WAU/MAU
+    * family): for each report day, the distinct users active in the
+    * trailing window ending that day.
+    *
+    * Shape: NOT a self-join of the day grid against the event log (the
+    * naive range join) — each distinct (user, day) row is exploded
+    * map-side to the `windowDays` report days it contributes to, then
+    * one distinct aggregation per report day. The multiply-by-window
+    * fan-out is the same contract as sliding event windows; report days
+    * up to windowDays−1 past the last event are emitted (their windows
+    * still contain activity), which keeps the plan free of a
+    * max-day bound join.
+    */
+  def rollingActives(
+      events: DataFrame, userCol: String, tsCol: String, windowDays: Int): DataFrame = {
+    require(windowDays >= 1, "windowDays must be at least 1")
+    val days = events
+      .select(col(userCol).as("u"), date_trunc("day", col(tsCol)).as("day"))
+      .distinct()
+    days
+      .select(col("u"), explode(sequence(
+        col("day"),
+        col("day") + expr(s"INTERVAL ${windowDays - 1} DAYS"),
+        expr("INTERVAL 1 DAY"))).as("report_day"))
+      .groupBy(col("report_day"))
+      .agg(countDistinct(col("u")).as("n_active"))
+  }
 }

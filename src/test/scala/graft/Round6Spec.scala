@@ -129,6 +129,24 @@ class Round6Spec extends SparkFunSuite {
     assert(FuzzyJoin.editDistance1Pairs(keys, "id", "name").count() == 3)
   }
 
+  test("rollingActives counts trailing-window distinct users per report day") {
+    val ev = Seq(
+      (1L, "2024-01-01 10:00:00"), (1L, "2024-01-01 11:00:00"), // user 1 day 1 (dup)
+      (2L, "2024-01-02 09:00:00"),                              // user 2 day 2
+      (1L, "2024-01-04 09:00:00")                               // user 1 again day 4
+    ).toDF("user_id", "ts_s").select(col("user_id"), col("ts_s").cast("timestamp").as("ts"))
+    val got = Funnel.rollingActives(ev, "user_id", "ts", windowDays = 3)
+      .collect().map(r => r.getTimestamp(0).toString.take(10) -> r.getLong(1)).toMap
+    assert(got == Map(
+      "2024-01-01" -> 1L, // {1}
+      "2024-01-02" -> 2L, // {1, 2}
+      "2024-01-03" -> 2L, // {1, 2}
+      "2024-01-04" -> 2L, // {2 (from day 2), 1 (day 4)}
+      "2024-01-05" -> 1L, // {1}
+      "2024-01-06" -> 1L  // {1}
+    ))
+  }
+
   test("tokenDiversity: exact integer Simpson components") {
     // group g: tokens a a a b  → total 4, counts {a:3, b:1} → sum_sq 10, distinct 2
     val docs = Seq(("g", "a a a"), ("g", "b"), ("h", "x y")).toDF("lang", "text")

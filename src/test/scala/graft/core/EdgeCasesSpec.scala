@@ -51,6 +51,25 @@ class EdgeCasesSpec extends SparkFunSuite {
     assert(out(1).media_len == 3)
   }
 
+  test("round-6 operators tolerate empty relations") {
+    import graft.ext.{Funnel, FuzzyJoin, SparseSim, TextStats}
+    val noEvents = Seq.empty[(Long, Timestamp)].toDF("user_id", "ts")
+    assert(Funnel.retention(noEvents, "user_id", "ts").count() == 0)
+    assert(Funnel.rollingActives(noEvents, "user_id", "ts", 7).count() == 0)
+    val noDocs = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(SparseSim.cosinePairs(noDocs, "doc_id", "text", 0.5, 100).count() == 0)
+    assert(FuzzyJoin.editDistance1Pairs(noDocs, "doc_id", "text").count() == 0)
+    assert(TextStats.tokenDiversity(noDocs, "doc_id", "text").count() == 0)
+  }
+
+  test("incremental dedup against an empty store keeps the whole batch") {
+    import graft.ext.Dedup
+    val store = java.nio.file.Files.createTempDirectory("fp_empty").toString + "/fp"
+    Dedup.writeFingerprintStore(Seq.empty[(Long, String)].toDF("doc_id", "text"), "text", store)
+    val batch = Seq((1L, "a"), (2L, "b")).toDF("doc_id", "text")
+    assert(Dedup.dedupAgainstStore(spark, batch, "text", store).count() == 2)
+  }
+
   test("reconcile handles a table empty on one side") {
     val src = Seq(("t", "k=a", 5L)).toDF("table", "partition", "cnt")
     val tgt = Seq.empty[(String, String, Long)].toDF("table", "partition", "cnt")

@@ -299,6 +299,16 @@ object CoreQueries {
       val out = scratchDir("json_export_roundtrip")
       Sample.limitN(li, 10).write.mode("overwrite").json(s"$out/lineitem")
       s.read.schema(li.schema).json(s"$out/lineitem")
+    },
+    // K3 in a third wire format: ORC — the other columnar format a
+    // warehouse migration encounters (typed, splittable, predicate-
+    // pushdown-capable like parquet; Spark's built-in source). Same
+    // deterministic sample, same lossless-roundtrip oracle.
+    "orc_export_roundtrip" -> { (s, dir) =>
+      val li = Tables.lineitem(s, dir)
+      val out = scratchDir("orc_export_roundtrip")
+      Sample.limitN(li, 10).write.mode("overwrite").orc(s"$out/lineitem")
+      s.read.schema(li.schema).orc(s"$out/lineitem")
     }
   )
 
@@ -465,6 +475,12 @@ object CoreQueries {
         |         l_suppkey, l_tax
         |LIMIT 10""".stripMargin,
     "json_export_roundtrip" ->
+      """SELECT * FROM lineitem
+        |ORDER BY l_discount, l_extendedprice, l_linenumber, l_linestatus,
+        |         l_orderkey, l_partkey, l_quantity, l_returnflag, l_shipdate,
+        |         l_suppkey, l_tax
+        |LIMIT 10""".stripMargin,
+    "orc_export_roundtrip" ->
       """SELECT * FROM lineitem
         |ORDER BY l_discount, l_extendedprice, l_linenumber, l_linestatus,
         |         l_orderkey, l_partkey, l_quantity, l_returnflag, l_shipdate,

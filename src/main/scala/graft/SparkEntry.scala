@@ -309,6 +309,24 @@ object CoreQueries {
       val out = scratchDir("orc_export_roundtrip")
       Sample.limitN(li, 10).write.mode("overwrite").orc(s"$out/lineitem")
       s.read.schema(li.schema).orc(s"$out/lineitem")
+    },
+    // The reference's native table layout end-to-end: WRITE a
+    // directory-partitioned table (partitionBy, the Hive layout), read
+    // it back, and aggregate ONE partition — the partition predicate
+    // resolves against directory metadata, so only that partition's
+    // files are ever opened (PlanAuditSpec asserts the PartitionFilters
+    // mechanics; this query puts the whole sink→prune→aggregate path
+    // under the DuckDB oracle).
+    "partitioned_write_scan" -> { (s, dir) =>
+      val out = scratchDir("partitioned_write_scan")
+      Tables.events(s, dir)
+        .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
+        .write.mode("overwrite").partitionBy("event_type").parquet(s"$out/events")
+      s.read.parquet(s"$out/events")
+        .filter(col("event_type") === "click")
+        .groupBy(date_trunc("day", col("ts")).as("day"))
+        .agg(count(lit(1)).as("n_clicks"),
+          countDistinct(col("user_id")).as("n_users"))
     }
   )
 
@@ -486,6 +504,10 @@ object CoreQueries {
         |         l_orderkey, l_partkey, l_quantity, l_returnflag, l_shipdate,
         |         l_suppkey, l_tax
         |LIMIT 10""".stripMargin,
+    "partitioned_write_scan" ->
+      """SELECT date_trunc('day', ts) AS day, count(*) AS n_clicks,
+        |       count(DISTINCT user_id) AS n_users
+        |FROM events WHERE event_type = 'click' GROUP BY 1""".stripMargin,
     "delim_scan_project" ->
       """SELECT concat_ws(' ',
         |         string_split(line, '|')[1],

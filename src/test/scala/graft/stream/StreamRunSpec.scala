@@ -1,0 +1,80 @@
+package graft.stream
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.SparkFunSuite
+import graft.core.Tables
+
+/** Bounded micro-batch executions (StreamRun): the streaming engine must
+  * reproduce the batch aggregation (complete mode), honor watermark
+  * eviction (append mode), and the chunked source must deliver files in
+  * event-time order — the three properties the oracle queries
+  * events_windowed_stream / events_windowed_stream_append certify at
+  * fixture scale, pinned here with exact boundary cases.
+  */
+class StreamRunSpec extends SparkFunSuite {
+
+  private def tmp(name: String): String =
+    java.nio.file.Files.createTempDirectory(name).toString
+
+  test("complete-mode bounded run over chunked files equals the batch aggregation") {
+    val ev = Tables.events(spark, sf001)
+    val root = tmp("streamrun_c")
+    val src = StreamRun.chunkedSource(spark, ev, s"$root/src", 4)
+    val got = StreamRun.runAvailableNow(
+      EventWindows.tumblingStream(src, "1 hour", "1 hour"), s"$root/run", complete = true)
+    val want = EventWindows.tumbling(ev, "1 hour")
+    assert(got.exceptAll(want).count() == 0 && want.exceptAll(got).count() == 0)
+    assert(got.count() == want.count())
+  }
+
+  test("append-mode run emits exactly the watermark-finalized windows, once each") {
+    val ev = Tables.events(spark, sf001)
+    val root = tmp("streamrun_a")
+    val src = StreamRun.chunkedSource(spark, ev, s"$root/src", 4)
+    val got = StreamRun.runAvailableNow(
+      EventWindows.tumblingStream(src, "1 hour", "1 hour"), s"$root/run", complete = false)
+    val wm = new Timestamp(
+      ev.agg(max(col("ts"))).head.getTimestamp(0).getTime - 3600 * 1000L)
+    val want = EventWindows.tumbling(ev, "1 hour")
+      .filter(col("window_start") + expr("INTERVAL 1 HOUR") <= lit(wm))
+    // multiset equality: a window emitted at two triggers (eviction
+    // broken) would duplicate and fail exceptAll in one direction
+    assert(got.exceptAll(want).count() == 0 && want.exceptAll(got).count() == 0)
+    assert(got.count() > 0 && got.count() < EventWindows.tumbling(ev, "1 hour").count())
+  }
+
+  test("append-mode boundary: a window whose end EQUALS the final watermark is emitted") {
+    import spark.implicits._
+    // max ts exactly 04:00:00 → final watermark 03:00:00; window
+    // [02:00, 03:00) has end == watermark — the inclusive boundary the
+    // oracle SQL (window_start + 1h <= wm) assumes
+    def t(h: Int, m: Int): Timestamp = Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+    val rows = Seq(
+      (1L, t(0, 30), "a", 1.0), (2L, t(1, 30), "a", 1.0),
+      (3L, t(2, 30), "a", 1.0), (4L, t(4, 0), "a", 1.0))
+    val ev = rows.toDF("event_id", "ts", "event_type", "value")
+    val root = tmp("streamrun_b")
+    val src = StreamRun.chunkedSource(spark, ev, s"$root/src", 2)
+    val got = StreamRun.runAvailableNow(
+      EventWindows.tumblingStream(src, "1 hour", "1 hour"), s"$root/run", complete = false)
+    val starts = got.select(col("window_start").cast("string")).as[String].collect().toSet
+    assert(starts.contains("2024-01-01 02:00:00"), s"boundary window missing: $starts")
+    assert(!starts.contains("2024-01-01 03:00:00"), s"unfinalized window emitted: $starts")
+    assert(!starts.contains("2024-01-01 04:00:00"), s"unfinalized window emitted: $starts")
+  }
+
+  test("chunked source stamps file mtimes in time-range order") {
+    val ev = Tables.events(spark, sf001)
+    val root = tmp("streamrun_o")
+    StreamRun.chunkedSource(spark, ev, s"$root/src", 4)
+    val parts = new java.io.File(s"$root/src").listFiles()
+      .filter(_.getName.startsWith("part-")).sortBy(_.getName)
+    assert(parts.length == 4)
+    assert(parts.map(_.lastModified()).sliding(2).forall(p => p(0) < p(1)),
+      "mtimes must strictly increase in part order")
+  }
+}

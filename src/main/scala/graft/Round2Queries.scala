@@ -281,8 +281,8 @@ object Round2Queries {
     * and the DuckDB oracle SQL so the two cannot drift apart (the mix is
     * kept as its exact decimal literal text for both engines).
     */
-  private val IvfNClusters = 50
-  private val IvfMix = "0.15"
+  private[graft] val IvfNClusters = 50
+  private[graft] val IvfMix = "0.15"
 
   /** Shared transitive-closure oracle for both clustering strategies
     * (driver union-find cutover and forced distributed loop); `where`

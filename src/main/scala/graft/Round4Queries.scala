@@ -147,7 +147,7 @@ object Round4Queries {
     * the bucket id is the first 15 md5 hex chars as an integer mod
     * nBuckets, matching [[graft.ext.Curation.packTokenBudget]].
     */
-  private def packOracleSql(budget: Int, nBuckets: Int): String =
+  private[graft] def packOracleSql(budget: Int, nBuckets: Int): String =
     s"""WITH t AS (
        |  SELECT doc_id, CAST(coalesce(len($TokensSql), 0) AS BIGINT) AS n_tok,
        |         md5(CAST(doc_id AS VARCHAR)) AS h

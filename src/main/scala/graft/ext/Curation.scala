@@ -147,4 +147,33 @@ object Curation {
         floor(greatest(col("cum") - 1, lit(0L)) / budget).cast("long"))
       .select(col(idCol), col("n_tok"), col("bucket"), col("shard"))
   }
+
+  /** Shard manifest over [[packTokenBudget]] output (round-6 verdict ask
+    * #6): one row per (bucket, shard) with a GLOBALLY unique dense shard
+    * id and the totals a trainer's data loader reads — per-bucket shard
+    * ids alone collide across buckets. The global id is a row_number
+    * over (bucket, shard): an unpartitioned window, and deliberately so
+    * — it runs over the POST-AGGREGATION manifest (one row per shard,
+    * bounded by corpus_tokens / budget, not corpus rows), the same
+    * "aggregate first, then a bounded global order is fine" shape as
+    * orders_mom. Export it next to the shards and [[assignGlobalShards]]
+    * maps docs to global ids with a broadcast join.
+    */
+  def shardManifest(packed: DataFrame): DataFrame = {
+    val w = Window.orderBy(col("bucket"), col("shard"))
+    packed.groupBy(col("bucket"), col("shard"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
+      .withColumn("global_shard", (row_number().over(w) - 1).cast("long"))
+      .select(col("global_shard"), col("bucket"), col("shard"),
+        col("n_docs"), col("n_tokens"))
+  }
+
+  /** Docs → globally unique shard id via the manifest (broadcast-sized:
+    * one row per shard).
+    */
+  def assignGlobalShards(packed: DataFrame, manifest: DataFrame): DataFrame =
+    packed.join(
+        broadcast(manifest.select(col("bucket"), col("shard"), col("global_shard"))),
+        Seq("bucket", "shard"))
+      .select(packed.columns.map(col) :+ col("global_shard"): _*)
 }

@@ -211,6 +211,29 @@ object Dedup {
     LshJoin.candidatePairs(bands, params.numBands, params.maxBucketSize)
   }
 
+  /** Skew-cap drop audit for the MinHash banding join (verdict ask #4):
+    * per band, the buckets [[minhashCandidatePairs]] would drop and the
+    * rows inside them. Runs over the same cached band index, so auditing
+    * alongside the dedup costs one extra aggregation, not a second
+    * signature pass.
+    */
+  def minhashDropAudit(
+      docs: DataFrame, idCol: String, textCol: String,
+      params: MinHashParams = MinHashParams()): DataFrame =
+    LshJoin.dropAudit(
+      CacheScope.cached(minhashBands(docs, idCol, textCol, params)),
+      params.numBands, params.maxBucketSize)
+
+  /** Skew-cap drop audit for the SimHash pigeonhole join — same contract
+    * as [[minhashDropAudit]], over the block index.
+    */
+  def simhashDropAudit(
+      spark: SparkSession, docs: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3, maxBucketSize: Int = 2000): DataFrame =
+    LshJoin.dropAudit(
+      CacheScope.cached(simhashBlocks(spark, docs, idCol, textCol, maxHamming)),
+      maxHamming + 1, maxBucketSize)
+
   /** X2 end-to-end: LSH candidates verified with exact shingle Jaccard.
     * Verification joins the (small) candidate pair set back to the
     * shingle sets — broadcast-able when candidates fit, shuffle join

@@ -60,6 +60,58 @@ class LshJoinSpec extends SparkFunSuite {
     }
   }
 
+  test("drop audit matches an independent bucket recount, with zero-filled bands") {
+    for (seed <- 1 to 2; cap <- Seq(3, 6)) {
+      val bands = syntheticBands(60, 4, seed)
+      val got = LshJoin.dropAudit(bands, numBands, cap)
+        .as[(Int, Long, Long)].collect()
+        .map { case (b, d, r) => b -> (d, r) }.toMap
+      val want = bands.groupBy("band", "band_hash").count()
+        .filter(col("count") > cap)
+        .groupBy("band").agg(count(lit(1)).as("d"), sum("count").as("r"))
+        .as[(Int, Long, Long)].collect().map { case (b, d, r) => b -> (d, r) }.toMap
+      assert(got.keySet == (0 until numBands).toSet, s"audit must emit every band: $got")
+      for (b <- 0 until numBands)
+        assert(got(b) == want.getOrElse(b, (0L, 0L)), s"band $b seed=$seed cap=$cap")
+    }
+  }
+
+  test("drop audit over the REAL minhash band index: drops reported iff pairs lost") {
+    val docs = graft.core.Tables.documents(spark, sf001).filter(col("doc_id") < 200)
+    val params = Dedup.MinHashParams(numBands = 4, rowsPerBand = 2, maxBucketSize = 10)
+    val audit = Dedup.minhashDropAudit(docs, "doc_id", "text", params)
+      .as[(Int, Long, Long)].collect()
+    val dropped = audit.map(_._2).sum
+    // the low-entropy fixture at cap 10 must drop buckets in every band
+    assert(audit.length == 4 && dropped > 0, audit.mkString(","))
+    // audit matches a direct recount of the same band index
+    val bands = Dedup.minhashBands(docs, "doc_id", "text", params)
+    val recount = bands.groupBy("band", "band_hash").count()
+      .filter(col("count") > 10).count()
+    assert(dropped == recount)
+    // and the capped candidate set is a strict subset of the uncapped one
+    val capped = Dedup.minhashCandidatePairs(docs, "doc_id", "text", params)
+      .as[(Long, Long)].collect().toSet
+    val uncapped = Dedup.minhashCandidatePairs(docs, "doc_id", "text",
+      params.copy(maxBucketSize = 1000000)).as[(Long, Long)].collect().toSet
+    assert(capped.subsetOf(uncapped) && capped.size < uncapped.size)
+    spark.catalog.clearCache()
+  }
+
+  test("fuzzy-join drop audit counts degenerate variant blocks") {
+    // 5 single-char strings share the empty-string deletion variant →
+    // one block of size 5; cap 4 drops it (and nothing else: the five
+    // distinct chars collide in no other variant)
+    val df = Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d"), (5L, "e"))
+      .toDF("id", "s")
+    val audit = FuzzyJoin.dropAudit(df, "id", "s", maxBlock = 4)
+      .as[(Long, Long)].collect().head
+    assert(audit == ((1L, 5L)), audit)
+    val none = FuzzyJoin.dropAudit(df, "id", "s", maxBlock = 5)
+      .as[(Long, Long)].collect().head
+    assert(none == ((0L, 0L)), none)
+  }
+
   test("directed mode yields both orientations of each ordered pair") {
     val bands = syntheticBands(30, 5, 7)
     val ordered = LshJoin.candidatePairs(bands, numBands, 1000, ordered = true)

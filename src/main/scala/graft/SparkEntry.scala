@@ -71,20 +71,21 @@ object StreamQueries {
     "multimodal_stats" -> { (s, dir) =>
       Multimodal.mediaStats(Multimodal.withSyntheticMedia(Tables.documents(s, dir)))
     },
-    // X5: batched stub decode via mapPartitions. The feature vector is
-    // flattened to scalar columns (array columns break the driver's
-    // pandas row-sort) and 4-dp-rounded with floor(x*1e4+0.5) — binary-
-    // exact on both engines. Oracle-checkable because the stub codec's
-    // per-stripe byte statistics are pure arithmetic on the (ASCII)
-    // media bytes.
+    // X5: REAL-format decode (round-6 ask #3) — synthesize valid
+    // RIFF/WAVE PCM bytes from the text deterministically (codegen'd hex
+    // assembly), deliberately truncate every 97th file to 11 bytes (the
+    // malformed-input path a real pipeline hits first), then parse the
+    // actual chunk structure in mapPartitions: magic tags, LE sizes,
+    // word-aligned chunk walk, truncation checks, signed 16-bit sample
+    // extraction. Header fields and integer sample aggregates are
+    // bit-exact functions of the ASCII text, so the oracle recomputes
+    // them all in SQL — including which files are invalid.
     "multimodal_decode" -> { (s, dir) =>
-      val feats = Multimodal
-        .decodeFeatures(s, Multimodal.withSyntheticMedia(Tables.documents(s, dir))).toDF()
-      val fCols = (0 until Multimodal.FakeCodec.FeatureDim).map(i =>
-        (floor(element_at(col("features"), i + 1).cast("double") * 1e4 + lit(0.5d)) / 1e4)
-          .as(s"f$i"))
-      feats.select(col("doc_id") +: col("kind") +: col("media_len") +:
-        col("n_frames").cast("long").as("n_frames") +: fCols: _*)
+      val wav = Multimodal.withSyntheticWav(Tables.documents(s, dir))
+        .withColumn("media",
+          when(col("doc_id") % 97 === 0, substring(col("media"), 1, 11))
+            .otherwise(col("media")))
+      Multimodal.decodeWav(s, wav).toDF()
     }
   )
 
@@ -125,35 +126,34 @@ object StreamQueries {
         |       octet_length(encode(text)) AS media_len,
         |       CAST(ceil(octet_length(encode(text)) / 256.0) AS INT) AS n_frames
         |FROM documents""".stripMargin,
-    // The stub codec's feature j = (sum over byte positions ≡ j mod 8 of
-    // byte/255, in position order) / max(1, len div 8), quantized to
-    // float. The corpus is pure ASCII, so byte i = ascii(text[i+1]);
-    // list_filter preserves order, so the double additions replay in the
-    // codec's exact sequence and the float cast reproduces each
-    // component bit-for-bit.
+    // The WAV synthesis maps char i to sample ascii·256 − 32768, so the
+    // parse output is pure integer arithmetic on the ASCII codes:
+    // sum = 256·Σascii − 32768·n, min/max from the char extremes; the
+    // header fields are the synthesis constants; every 97th doc is
+    // truncated → the invalid row with zeroed fields.
     "multimodal_decode" ->
-      ("""WITH d AS (
-        |  SELECT doc_id,
-        |         CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
-        |              ELSE 'video' END AS kind,
-        |         octet_length(encode(text)) AS media_len,
-        |         CAST(CAST(ceil(octet_length(encode(text)) / 256.0) AS INT) AS BIGINT)
-        |           AS n_frames,
-        |         text
-        |  FROM documents),
-        |f AS (
-        |  SELECT doc_id, kind, media_len, n_frames,
-        |    [CAST(CAST(coalesce(list_sum(list_transform(
-        |         list_filter(range(media_len), i -> i % 8 = j),
-        |         i -> ascii(text[CAST(i + 1 AS INT)]) / 255.0)), 0.0)
-        |       / greatest(media_len // 8, 1) AS REAL) AS DOUBLE)
-        |     FOR j IN range(8)] AS fs
-        |  FROM d)
-        |SELECT doc_id, kind, media_len, n_frames,
-        |""".stripMargin +
-        (0 until 8).map(j =>
-          s"       floor(fs[${j + 1}] * 1e4 + 0.5) / 1e4 AS f$j").mkString(",\n") +
-        "\nFROM f")
+      """WITH d AS (
+        |  SELECT doc_id, (doc_id % 97 != 0) AS ok,
+        |         CAST(length(text) AS BIGINT) AS n,
+        |         list_transform(range(length(text)),
+        |                        i -> ascii(text[CAST(i + 1 AS INT)])) AS a
+        |  FROM documents)
+        |SELECT doc_id, ok AS valid,
+        |       CAST(CASE WHEN ok THEN 1 ELSE 0 END AS INT) AS audio_format,
+        |       CAST(CASE WHEN ok THEN 1 ELSE 0 END AS INT) AS n_channels,
+        |       CAST(CASE WHEN ok THEN 8000 ELSE 0 END AS BIGINT) AS sample_rate,
+        |       CAST(CASE WHEN ok THEN 16 ELSE 0 END AS INT) AS bits_per_sample,
+        |       CASE WHEN ok THEN n ELSE 0 END AS n_samples,
+        |       CAST(CASE WHEN ok AND n > 0
+        |                 THEN 256 * list_sum(a) - 32768 * n
+        |                 ELSE 0 END AS BIGINT) AS sum_sample,
+        |       CAST(CASE WHEN ok AND n > 0
+        |                 THEN 256 * list_min(a) - 32768
+        |                 ELSE 0 END AS BIGINT) AS min_sample,
+        |       CAST(CASE WHEN ok AND n > 0
+        |                 THEN 256 * list_max(a) - 32768
+        |                 ELSE 0 END AS BIGINT) AS max_sample
+        |FROM d""".stripMargin
   )
 }
 

@@ -42,13 +42,14 @@ class EdgeCasesSpec extends SparkFunSuite {
     assert(SimSearch.cosinePairs(zeros, "vec_id", "embedding", 0.0).count() == 0)
   }
 
-  test("multimodal decode handles null media bytes") {
-    val df = Seq((1L, Option.empty[Array[Byte]], "image"),
-        (2L, Option(Array[Byte](1, 2, 3)), "audio"))
-      .toDF("doc_id", "media", "kind")
-    val out = Multimodal.decodeFeatures(spark, df).collect().sortBy(_.doc_id)
-    assert(out(0).media_len == 0 && out(0).n_frames == 0)
-    assert(out(1).media_len == 3)
+  test("multimodal decode handles null and garbage media bytes") {
+    val df = Seq((1L, Option.empty[Array[Byte]]),
+        (2L, Option(Array[Byte](1, 2, 3))))
+      .toDF("doc_id", "media")
+    val out = Multimodal.decodeWav(spark, df).collect().sortBy(_.doc_id)
+    // both are structurally invalid WAVs: flagged, never thrown
+    assert(out.length == 2 && out.forall(!_.valid))
+    assert(out.forall(f => f.n_samples == 0L && f.sum_sample == 0L))
   }
 
   test("round-6 operators tolerate empty relations") {

@@ -3,8 +3,8 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.core.Tables
-import graft.ext.{Curation, LshJoin, SimSearch}
+import graft.core.{Scratch, Tables}
+import graft.ext.{Curation, Dedup, LshJoin, SimSearch}
 import graft.stream.{EventWindows, StreamRun}
 
 /** Round-7 depth queries (verdict asks #2–#7): the certifications that
@@ -71,6 +71,29 @@ object Round7Queries {
         .select(col("id"), col("keys"),
           posexplode(col("keys")).as(Seq("band", "band_hash")))
       LshJoin.dropAudit(bands, numBands = 2, maxBucketSize = 64)
+    },
+    // X1 ingest LIFECYCLE (round-6 ask #5): two successive ingest cycles
+    // against a dated-partition fingerprint store — the shape the
+    // single-shot dedup_incremental stops short of. Cycle 1 accepts the
+    // %3=0 third and appends its fingerprints as ingest_date=2024-01-01;
+    // cycle 2 dedups the %3=1 third against the store, appends ITS
+    // survivors as =2024-01-02 (append, never overwrite — a 100 TB
+    // store's prior partitions are immutable); the certified output is
+    // cycle 3: the %3=2 third deduped against both appended partitions,
+    // whose correctness depends transitively on cycle 2 having deduped
+    // and appended correctly. The store tree is wiped at construction
+    // (stale partitions from a prior harness run would double-append).
+    "dedup_incremental_cycle" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val store = CoreQueries.scratchDir("dedup_incremental_cycle") + "/fp_store"
+      Scratch.rmTree(store)
+      Dedup.appendFingerprints(docs.filter(col("doc_id") % 3 === 0),
+        "text", store, "2024-01-01")
+      val surv2 = Dedup.dedupAgainstStore(
+        s, docs.filter(col("doc_id") % 3 === 1), "text", store)
+      Dedup.appendFingerprints(surv2, "text", store, "2024-01-02")
+      Dedup.dedupAgainstStore(s, docs.filter(col("doc_id") % 3 === 2), "text", store)
+        .select(col("doc_id"))
     },
     // X7 → trainer handoff (round-6 ask #6): the pack manifest. Per-
     // bucket shard ids collide across buckets; the manifest assigns a
@@ -145,6 +168,22 @@ object Round7Queries {
         |       CAST(coalesce(sum(CASE WHEN n > 64 THEN 1 END), 0) AS BIGINT),
         |       CAST(coalesce(sum(CASE WHEN n > 64 THEN n END), 0) AS BIGINT)
         |FROM b1""".stripMargin,
+    // NOT EXISTS on both hops (the A3 advice pattern — NOT IN's
+    // three-valued logic diverges from the anti-join under NULLs);
+    // cycle-2 survivors keep within-batch duplicate texts (the store
+    // dedups fingerprints, not the batch), matching dedupAgainstStore
+    "dedup_incremental_cycle" ->
+      """WITH b1 AS (
+        |  SELECT DISTINCT md5(text) AS fp FROM documents WHERE doc_id % 3 = 0),
+        |s2 AS (
+        |  SELECT md5(text) AS fp FROM documents d
+        |  WHERE doc_id % 3 = 1
+        |    AND NOT EXISTS (SELECT 1 FROM b1 WHERE b1.fp = md5(d.text))),
+        |store AS (SELECT fp FROM b1 UNION SELECT fp FROM s2)
+        |SELECT doc_id FROM documents d
+        |WHERE doc_id % 3 = 2
+        |  AND NOT EXISTS (SELECT 1 FROM store WHERE store.fp = md5(d.text))"""
+        .stripMargin,
     // the per-(bucket, shard) totals are Round4's pack oracle; the
     // global id is a dense row_number over the manifest rows
     "token_budget_manifest" ->

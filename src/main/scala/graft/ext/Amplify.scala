@@ -1,0 +1,65 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Deterministic corpus amplification (round-6 verdict ask #1): build an
+  * N×-volume view of a fixture table as a union of id-offset copies —
+  * pure column arithmetic, no test-data regeneration, reproducible in
+  * any engine. The scale-stress harness (tools/Stress, ScaleStressSpec,
+  * STRESS.md) runs the forced 100 TB code paths on these views to turn
+  * "would hold at scale" from extrapolation into measurement.
+  *
+  * Two text modes, because scaling VOLUME and scaling DENSITY are
+  * different experiments:
+  *  - [[documentsDisjoint]] suffixes every token with the copy index —
+  *    copies share no vocabulary, so per-token document frequency, LSH
+  *    bucket sizes, and near-dup cluster sizes all stay at their 1×
+  *    values while row count grows ×n. This models a growing real
+  *    corpus (density roughly constant) and is the mode under which
+  *    "work scales linearly, s/row flat" is the correct expectation.
+  *  - [[documentsSalted]] appends one copy-unique salt token — copies
+  *    keep the fixture's vocabulary, so a near-dup cluster of size s
+  *    becomes one cross-copy cluster of size ≈ n·s. This is the
+  *    adversarial density mode: it stresses the connected-components
+  *    loop with mega-components and the banding join with hot buckets
+  *    (where the skew cap and drop audit earn their keep).
+  */
+object Amplify {
+
+  /** Default id spacing between copies — far above any fixture id. */
+  val IdOffset = 1000000000L
+
+  /** n id-offset copies, vocabulary-disjoint (token "w" → "w_k"). */
+  def documentsDisjoint(docs: DataFrame, n: Int, idOffset: Long = IdOffset): DataFrame =
+    (0 until n).map { k =>
+      docs.select(
+        (col("doc_id") + lit(k * idOffset)).as("doc_id"),
+        (if (k == 0) col("text")
+         else regexp_replace(col("text"), "(\\S+)", s"$$1_$k")).as("text"),
+        col("lang"))
+    }.reduce(_ unionByName _)
+
+  /** n id-offset copies, shared vocabulary + per-copy salt token. */
+  def documentsSalted(docs: DataFrame, n: Int, idOffset: Long = IdOffset): DataFrame =
+    (0 until n).map { k =>
+      docs.select(
+        (col("doc_id") + lit(k * idOffset)).as("doc_id"),
+        (if (k == 0) col("text")
+         else concat(col("text"), lit(s" zzsalt$k"))).as("text"),
+        col("lang"))
+    }.reduce(_ unionByName _)
+
+  /** n user- and event-id-offset copies of the events table (timestamps
+    * unchanged: n× the users over the same calendar — how traffic
+    * actually grows).
+    */
+  def events(ev: DataFrame, n: Int, idOffset: Long = IdOffset): DataFrame =
+    (0 until n).map { k =>
+      ev.select(
+        (col("event_id") + lit(k * idOffset)).as("event_id"),
+        col("ts"),
+        (col("user_id") + lit(k * idOffset)).as("user_id"),
+        col("event_type"), col("value"))
+    }.reduce(_ unionByName _)
+}

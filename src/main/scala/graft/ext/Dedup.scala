@@ -54,6 +54,22 @@ object Dedup {
     docs.select(md5(col(textCol)).as("fp")).distinct()
       .write.mode("overwrite").parquet(path)
 
+  /** The ingest-loop append (round-6 verdict ask #5): one accepted
+    * batch's fingerprints land as a DATED PARTITION of the store —
+    * `path/ingest_date=<date>/` — which is the parquet layout the store
+    * scaladoc promises. Appending a partition never rewrites prior
+    * cycles (100 TB store, daily cadence: an overwrite would re-shuffle
+    * years of fingerprints); [[dedupAgainstStore]] reads the partitioned
+    * layout unchanged (the partition column is discovered and unused),
+    * and audits prune to single dates via partition filters
+    * (DedupStoreSpec pins both).
+    */
+  def appendFingerprints(
+      docs: DataFrame, textCol: String, path: String, ingestDate: String): Unit =
+    docs.select(md5(col(textCol)).as("fp")).distinct()
+      .withColumn("ingest_date", lit(ingestDate))
+      .write.partitionBy("ingest_date").mode("append").parquet(path)
+
   /** New-batch survivors against a persisted [[writeFingerprintStore]]:
     * rows of `batch` whose fingerprint is absent from the store. A hash
     * anti-join on the 16-byte key — both sides shuffle on `fp`, so the
@@ -408,7 +424,22 @@ object Dedup {
     * `nodes` = (id); `pairs` = (id_a, id_b) undirected edges.
     * Returns (id, cluster_rep).
     */
+  /** Convergence/volume stats of one [[connectedComponents]] run:
+    * `iters` = distributed label-propagation rounds executed (0 on the
+    * driver cutover), `converged` = fixpoint reached within maxIters,
+    * `edges` = input pair count after materialization, `activeNodes` =
+    * non-isolated nodes that entered the loop. The observability hook
+    * the scale-stress harness and specs pin convergence with.
+    */
+  final case class CcStats(
+      iters: Int, converged: Boolean, edges: Long, activeNodes: Long)
+
   def connectedComponents(
+      nodes: DataFrame, pairs: DataFrame, maxIters: Int = 20,
+      maxDriverEdges: Long = 2000000L): DataFrame =
+    connectedComponentsWithStats(nodes, pairs, maxIters, maxDriverEdges)._1
+
+  def connectedComponentsWithStats(
       nodes: DataFrame, pairs: DataFrame, maxIters: Int = 20,
       /** Edge sets at or below this size are solved with driver-side
         * union-find instead of the iterative distributed loop — the same
@@ -422,7 +453,7 @@ object Dedup {
         * collapse), not corpus rows — a 100 TB corpus whose pair graph
         * exceeds it takes the loop path.
         */
-      maxDriverEdges: Long = 2000000L): DataFrame = {
+      maxDriverEdges: Long = 2000000L): (DataFrame, CcStats) = {
     val spark = nodes.sparkSession
     // Iterative dataflow MUST truncate lineage each round — a cached-but
     // -uncheckpointed loop builds a plan that doubles per iteration
@@ -447,7 +478,9 @@ object Dedup {
       case org.apache.spark.sql.types.StringType => maxDriverEdges / 4
       case _ => maxDriverEdges
     }
-    if (driverable && edgeCut > 0 && p.count() <= edgeCut) {
+    // cheap: p is already materialized by the localCheckpoint
+    val nEdges = p.count()
+    if (driverable && edgeCut > 0 && nEdges <= edgeCut) {
       val labels = keyType match {
         case org.apache.spark.sql.types.LongType =>
           val es = p.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
@@ -466,8 +499,9 @@ object Dedup {
       // and leaked blocks pressure every later query — measured as a 3x
       // slowdown on the alphabetically-next bench queries)
       p.unpersist(blocking = false)
-      return nodes.join(broadcast(labels), Seq("id"), "left_outer")
-        .select(col("id"), coalesce(col("label"), col("id")).as("cluster_rep"))
+      return (nodes.join(broadcast(labels), Seq("id"), "left_outer")
+        .select(col("id"), coalesce(col("label"), col("id")).as("cluster_rep")),
+        CcStats(0, converged = true, nEdges, 0L))
     }
     val edges = p.select(col("id_a").as("src"), col("id_b").as("dst"))
       .unionByName(p.select(col("id_b").as("src"), col("id_a").as("dst")))
@@ -480,7 +514,8 @@ object Dedup {
     if (nActive == 0) {
       p.unpersist(blocking = false)
       active.unpersist(blocking = false)
-      return nodes.select(col("id"), col("id").as("cluster_rep"))
+      return (nodes.select(col("id"), col("id").as("cluster_rep")),
+        CcStats(0, converged = true, nEdges, 0L))
     }
     // Size the iteration's parallelism to the WORKING SET, not the
     // session default: AQE cannot coalesce through localCheckpoint's
@@ -564,8 +599,9 @@ object Dedup {
     // The FINAL label checkpoint stays alive by necessity — the returned
     // plan reads it; it is released with the caller's cache scope or GC.
     val labelsOut = spark.createDataFrame(labels.rdd, labels.schema)
-    nodes.join(labelsOut, Seq("id"), "left_outer")
-      .select(col("id"), coalesce(col("label"), col("id")).as("cluster_rep"))
+    (nodes.join(labelsOut, Seq("id"), "left_outer")
+      .select(col("id"), coalesce(col("label"), col("id")).as("cluster_rep")),
+      CcStats(iters, converged, nEdges, nActive))
   }
 
   /** Unsigned lexicographic order on UTF-8 bytes — matches Spark's

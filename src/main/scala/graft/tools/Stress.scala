@@ -1,0 +1,132 @@
+package graft.tools
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ext.{Amplify, Dedup, Funnel, SparseSim}
+
+/** Scale-stress harness (round-6 verdict ask #1): run the FORCED 100 TB
+  * code paths on deterministically amplified fixture views and measure
+  * wall time, s/Mrow, shuffle volume, and CC round counts — the numbers
+  * STRESS.md records. Not part of the library surface.
+  *
+  * Usage: SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 STRESS_AMPS=1,2,4,8 \
+  *          sbt "runMain graft.tools.Stress"
+  * Prints one pipe-delimited line per (operator, amplification).
+  */
+object Stress {
+
+  /** Sums executor task metrics across a measured block — the listener
+    * equivalent of the Spark UI's per-stage shuffle columns.
+    */
+  final class MetricsAcc extends SparkListener {
+    @volatile var shuffleReadB = 0L
+    @volatile var shuffleWriteB = 0L
+    @volatile var spillB = 0L
+    @volatile var tasks = 0L
+    override def onTaskEnd(te: SparkListenerTaskEnd): Unit = {
+      val m = te.taskMetrics
+      if (m != null) synchronized {
+        shuffleReadB += m.shuffleReadMetrics.totalBytesRead
+        shuffleWriteB += m.shuffleWriteMetrics.bytesWritten
+        spillB += m.diskBytesSpilled
+        tasks += 1
+      }
+    }
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sf = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val amps = sys.env.getOrElse("STRESS_AMPS", "1,2,4,8")
+      .split(",").map(_.trim.toInt).toSeq
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.driver.memory", sys.env.getOrElse("STRESS_DRIVER_MEM", "16g"))
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.range(1000).selectExpr("sum(id)").collect() // JIT/session warmup
+
+    val docs0 = graft.core.Tables.documents(spark, sf).filter(col("doc_id") < 1000)
+    val ev0 = graft.core.Tables.events(spark, sf)
+
+    def run(op: String, amp: Int, inRows: Long)(body: => (Long, String)): Unit = {
+      val acc = new MetricsAcc
+      spark.sparkContext.addSparkListener(acc)
+      val t0 = System.nanoTime()
+      val (outRows, extra) = body
+      val secs = (System.nanoTime() - t0) / 1e9
+      spark.sparkContext.removeSparkListener(acc)
+      spark.catalog.clearCache()
+      println(f"STRESS|$op|amp=$amp|in_rows=$inRows|out_rows=$outRows|" +
+        f"secs=$secs%.2f|s_per_Mrow=${secs * 1e6 / inRows}%.3f|" +
+        f"shuf_read_mb=${acc.shuffleReadB / 1e6}%.1f|" +
+        f"shuf_write_mb=${acc.shuffleWriteB / 1e6}%.1f|" +
+        f"spill_mb=${acc.spillB / 1e6}%.1f|tasks=${acc.tasks}|$extra")
+    }
+
+    val lshParams = Dedup.MinHashParams(
+      numBands = 16, rowsPerBand = 2, bruteForceMaxDocs = 0L)
+
+    for (amp <- amps) {
+      val nDocs = 1000L * amp
+
+      // 1. FORCED LSH banding join, constant density (disjoint copies):
+      // the dedup_minhash_lsh certified shape. Expect linear work.
+      val dj = Amplify.documentsDisjoint(docs0, amp)
+      run("lsh_banding_disjoint", amp, nDocs) {
+        (Dedup.minhashNearDupPairs(dj, "doc_id", "text", 0.9, lshParams).count(), "")
+      }
+
+      // 2. FORCED distributed CC loop on the density-stress view (salted
+      // copies: clusters merge across copies into mega-components).
+      val sa = Amplify.documentsSalted(docs0, amp)
+      run("cc_loop_salted", amp, nDocs) {
+        val pairs = Dedup.minhashNearDupPairs(sa, "doc_id", "text", 0.9, lshParams)
+          .select("id_a", "id_b")
+        val nodes = sa.select(col("doc_id").as("id"))
+        val (labels, st) = Dedup.connectedComponentsWithStats(
+          nodes, pairs, maxIters = 20, maxDriverEdges = 0L)
+        val nClusters = labels.select("cluster_rep").distinct().count()
+        (nClusters,
+          s"cc_iters=${st.iters}|converged=${st.converged}|edges=${st.edges}|" +
+            s"active=${st.activeNodes}")
+      }
+
+      // 2b. The skew lever under density stress: same run with the
+      // bucket cap engaged (2000) — the mega-cluster's hot buckets are
+      // dropped (quadratic single-reducer pair listing avoided) and the
+      // drop audit reports exactly how much recall was traded.
+      run("cc_loop_salted_cap2000", amp, nDocs) {
+        val capped = lshParams.copy(maxBucketSize = 2000)
+        val pairs = Dedup.minhashNearDupPairs(sa, "doc_id", "text", 0.9, capped)
+          .select("id_a", "id_b")
+        val nodes = sa.select(col("doc_id").as("id"))
+        val (labels, st) = Dedup.connectedComponentsWithStats(
+          nodes, pairs, maxIters = 20, maxDriverEdges = 0L)
+        val nClusters = labels.select("cluster_rep").distinct().count()
+        val audit = Dedup.minhashDropAudit(sa, "doc_id", "text", capped)
+          .agg(sum("dropped_buckets"), sum("dropped_rows")).head
+        (nClusters,
+          s"cc_iters=${st.iters}|converged=${st.converged}|edges=${st.edges}|" +
+            s"dropped_buckets=${audit.getLong(0)}|dropped_rows=${audit.getLong(1)}")
+      }
+
+      // 3. Inverted-index sparse cosine, constant density. Expect linear.
+      val dj300 = Amplify.documentsDisjoint(
+        graft.core.Tables.documents(spark, sf).filter(col("doc_id") < 300), amp)
+      run("sparse_cosine_disjoint", amp, 300L * amp) {
+        (SparseSim.cosinePairs(dj300, "doc_id", "text", 0.8, maxDf = 240).count(), "")
+      }
+
+      // 4. Rolling 7-day actives over amplified events (users ×amp).
+      val evA = Amplify.events(ev0, amp)
+      run("rolling_actives", amp, ev0.count() * amp) {
+        (Funnel.rollingActives(evA, "user_id", "ts", windowDays = 7).count(), "")
+      }
+    }
+    spark.stop()
+  }
+}

@@ -30,7 +30,10 @@ object Round7Queries {
     // loop), not the batch twin.
     "events_windowed_stream" -> { (s, dir) =>
       val out = CoreQueries.scratchDir("events_windowed_stream")
-      val src = StreamRun.chunkedSource(s, Tables.events(s, dir), s"$out/src", 4)
+      // chunk dir keyed by source sf dir: the layout is reusable across
+      // runs of the SAME source but must never be served across sources
+      val src = StreamRun.chunkedSource(s, Tables.events(s, dir),
+        s"$out/src-${dir.replaceAll("[^A-Za-z0-9.]", "_")}", 4)
       StreamRun.runAvailableNow(
         EventWindows.tumblingStream(src, "1 hour", "1 hour"),
         s"$out/run", complete = true)
@@ -47,7 +50,8 @@ object Round7Queries {
     // would duplicate rows and fail the compare.
     "events_windowed_stream_append" -> { (s, dir) =>
       val out = CoreQueries.scratchDir("events_windowed_stream_append")
-      val src = StreamRun.chunkedSource(s, Tables.events(s, dir), s"$out/src", 4)
+      val src = StreamRun.chunkedSource(s, Tables.events(s, dir),
+        s"$out/src-${dir.replaceAll("[^A-Za-z0-9.]", "_")}", 4)
       StreamRun.runAvailableNow(
         EventWindows.tumblingStream(src, "1 hour", "1 hour"),
         s"$out/run", complete = false)

@@ -34,20 +34,31 @@ object StreamRun {
   def chunkedSource(
       spark: SparkSession, df: DataFrame, dir: String, chunks: Int,
       tsCol: String = "ts"): DataFrame = {
-    Scratch.rmTree(dir)
-    df.repartitionByRange(chunks, col(tsCol)).write.parquet(dir)
-    // The file-stream source orders files by MODIFICATION TIME, and the
-    // parallel write finishes its tasks in arbitrary order — so without
-    // explicit stamps a later-time chunk can be processed first, pushing
-    // the watermark past the earlier chunks and silently dropping them
-    // as late (observed: append mode lost half the windows). Stamp
-    // strictly increasing mtimes in part-file (= time-range) order; a
-    // production landing directory has this property naturally — files
-    // arrive in event-time order.
-    val parts = new java.io.File(dir).listFiles()
-      .filter(f => f.getName.startsWith("part-")).sortBy(_.getName)
-    val t0 = parts.map(_.lastModified()).max
-    parts.zipWithIndex.foreach { case (f, i) => f.setLastModified(t0 + (i + 1) * 2000L) }
+    // The chunk layout is a deterministic function of the input, so an
+    // existing successful write is reused (a production landing
+    // directory is not rebuilt per job either). Callers key `dir` by
+    // the SOURCE (sf dir) — reuse across different sources would serve
+    // stale data. The streaming execution itself is never skipped: the
+    // checkpoint is wiped per run (runAvailableNow).
+    val marker = new java.io.File(dir, "_SUCCESS")
+    if (!marker.exists()) {
+      Scratch.rmTree(dir)
+      df.repartitionByRange(chunks, col(tsCol)).write.parquet(dir)
+      // The file-stream source orders files by MODIFICATION TIME, and
+      // the parallel write finishes its tasks in arbitrary order — so
+      // without explicit stamps a later-time chunk can be processed
+      // first, pushing the watermark past the earlier chunks and
+      // silently dropping them as late (observed: append mode lost half
+      // the windows). Stamp strictly increasing mtimes in part-file
+      // (= time-range) order; a production landing directory has this
+      // property naturally — files arrive in event-time order.
+      val parts = new java.io.File(dir).listFiles()
+        .filter(f => f.getName.startsWith("part-")).sortBy(_.getName)
+      val t0 = parts.map(_.lastModified()).max
+      parts.zipWithIndex.foreach { case (f, i) =>
+        f.setLastModified(t0 + (i + 1) * 2000L)
+      }
+    }
     val schema = spark.read.parquet(dir).schema
     spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1")

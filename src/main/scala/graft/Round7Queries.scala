@@ -56,6 +56,20 @@ object Round7Queries {
         EventWindows.tumblingStream(src, "1 hour", "1 hour"),
         s"$out/run", complete = false)
     },
+    // X6, session windows EXECUTED BY THE STREAMING ENGINE: unlike
+    // tumbling windows, session state MERGES across micro-batches (a
+    // user's session spanning a chunk boundary must fuse in the state
+    // store — the richest stateful path the engine has). Same bounded
+    // AvailableNow run, complete mode, same oracle as events_sessions:
+    // a green row means the merge produced exactly the batch sessions.
+    "events_sessions_stream" -> { (s, dir) =>
+      val out = CoreQueries.scratchDir("events_sessions_stream")
+      val src = StreamRun.chunkedSource(s, Tables.events(s, dir),
+        s"$out/src-${dir.replaceAll("[^A-Za-z0-9.]", "_")}", 4)
+      StreamRun.runAvailableNow(
+        EventWindows.sessionsStream(src, "30 minutes", "1 hour"),
+        s"$out/run", complete = true)
+    },
     // X2 observability (round-6 ask #4): the skew-cap drop audit under
     // the oracle, on a deterministic hot-key band index — band 0 keys
     // docs by lang (5 hot buckets, always over the 64 cap), band 1 by
@@ -115,16 +129,22 @@ object Round7Queries {
     },
     // X3, two-corpora retrieval shape (round-6 ask #7): every prior
     // similarity query self-joins one table; production retrieval ranks
-    // a QUERY BATCH against a DISJOINT corpus. Odd vec_ids (first 50)
-    // query the even-id half of the planted-cluster view through the
-    // IVF index; recall@3 ≥ 0.9 is pinned against the in-engine exact
-    // top-k, with the exact side's count and content checksum oracle-
-    // computed (same verdict contract as similarity_ivf_topk).
+    // a QUERY BATCH against a DISJOINT corpus. The split alternates
+    // BLOCKS of 50 = the planted-cluster period — NOT id parity: 50 is
+    // even, so a parity split puts even ids only in even cluster
+    // residues, the odd queries' cluster-mates are entirely absent from
+    // the corpus, and IVF recall collapses once N grows (caught by the
+    // full sf0.1 oracle sweep; parity passed at sf0.01 by small-N
+    // luck). Block alternation keeps every cluster populated on both
+    // sides — the realistic retrieval setup, where queries come from
+    // the same distribution as the corpus. recall@3 ≥ 0.9 pinned
+    // against the in-engine exact top-k; count + content checksum
+    // oracle-computed (same verdict contract as similarity_ivf_topk).
     "similarity_ivf_batch" -> { (s, dir) =>
       val v = SimSearch.clusteredView(Tables.embeddings(s, dir), "vec_id", "embedding",
         nClusters = Round2Queries.IvfNClusters, mix = Round2Queries.IvfMix.toDouble)
-      val corpus = v.filter(col("vec_id") % 2 === 0)
-      val q = v.filter(col("vec_id") % 2 === 1 && col("vec_id") < 100)
+      val corpus = v.filter(expr("(vec_id DIV 50) % 2 = 0"))
+      val q = v.filter(expr("(vec_id DIV 50) % 2 = 1") && col("vec_id") < 200)
       val ivf = SimSearch.ivfTopK(corpus, "vec_id", "embedding", 3,
           nCentroids = 64, lloydIters = 0, probeFrac = 0.1, queries = Some(q))
         .select(col("id_q"), col("neighbor_id"), lit(1L).as("hit"))
@@ -155,6 +175,23 @@ object Round7Queries {
         |FROM events, m
         |GROUP BY 1, 2, m.wm
         |HAVING window_start + INTERVAL 1 HOUR <= m.wm""".stripMargin,
+    // identical to events_sessions — the streaming session merge must
+    // reproduce the batch sessionization exactly
+    "events_sessions_stream" ->
+      """WITH marked AS (
+        |  SELECT user_id, ts, value,
+        |         CASE WHEN lag(ts) OVER w IS NULL
+        |                OR ts - lag(ts) OVER w > INTERVAL '30 minutes'
+        |              THEN 1 ELSE 0 END AS new_session
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |numbered AS (
+        |  SELECT user_id, ts, value,
+        |         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+        |           ROWS UNBOUNDED PRECEDING) AS session_id
+        |  FROM marked)
+        |SELECT min(ts) AS session_start, user_id,
+        |       count(*) AS n_events, round(sum(value), 2) AS sum_value
+        |FROM numbered GROUP BY user_id, session_id""".stripMargin,
     // bucket sizes per band are plain group counts; xxhash64 collisions
     // across ≤101 distinct keys are absent (verified by the match itself
     // — a collision would merge two buckets and shift the counts)
@@ -196,7 +233,8 @@ object Round7Queries {
          |       bucket, shard, n_docs, n_tokens
          |FROM (${Round4Queries.packOracleSql(2048, 256)})""".stripMargin,
     // clustered view replayed as in similarity_ivf_topk; corpus = even
-    // ids, queries = odd ids < 100 (disjoint, so no self-pair filter)
+    // 50-blocks, queries = odd 50-blocks below 200 (disjoint by block,
+    // every cluster populated on both sides, no self-pair filter needed)
     "similarity_ivf_batch" ->
       s"""WITH ctr AS (
          |  SELECT vec_id AS cid, embedding AS cemb
@@ -209,8 +247,8 @@ object Round7Queries {
          |s AS (
          |  SELECT q.vec_id AS id_q, c.vec_id AS neighbor_id,
          |         round(list_cosine_similarity(q.emb, c.emb), 6) AS cos
-         |  FROM v q JOIN v c ON c.vec_id % 2 = 0
-         |  WHERE q.vec_id % 2 = 1 AND q.vec_id < 100)
+         |  FROM v q JOIN v c ON (c.vec_id // 50) % 2 = 0
+         |  WHERE (q.vec_id // 50) % 2 = 1 AND q.vec_id < 200)
          |SELECT count(*) AS n_exact, round(sum(cos), 2) AS sum_cos,
          |       true AS recall_ok FROM (
          |  SELECT cos, row_number() OVER (PARTITION BY id_q

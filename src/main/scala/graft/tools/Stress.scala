@@ -121,10 +121,15 @@ object Stress {
         (SparseSim.cosinePairs(dj300, "doc_id", "text", 0.8, maxDf = 240).count(), "")
       }
 
-      // 4. Rolling 7-day actives over amplified events (users ×amp).
+      // 4. Rolling 7-day actives over amplified events (users ×amp),
+      // plus the 30-day (MAU) variant — its ×30 explode of the deduped
+      // (user, day) relation is the documented cost to measure.
       val evA = Amplify.events(ev0, amp)
       run("rolling_actives", amp, ev0.count() * amp) {
         (Funnel.rollingActives(evA, "user_id", "ts", windowDays = 7).count(), "")
+      }
+      run("rolling_actives_mau30", amp, ev0.count() * amp) {
+        (Funnel.rollingActives(evA, "user_id", "ts", windowDays = 30).count(), "")
       }
     }
     spark.stop()

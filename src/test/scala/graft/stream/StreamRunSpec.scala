@@ -67,6 +67,27 @@ class StreamRunSpec extends SparkFunSuite {
     assert(!starts.contains("2024-01-01 04:00:00"), s"unfinalized window emitted: $starts")
   }
 
+  test("session state merges across micro-batches into one session") {
+    import spark.implicits._
+    // one user, 4 events 10 min apart (gap 30 min) — the range split
+    // puts the first two in chunk 1 and the rest in chunk 2, so the
+    // state store must FUSE the open session from batch 1 with batch
+    // 2's continuation; a broken merge yields 2 sessions
+    def t(h: Int, m: Int) = Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+    val ev = Seq(
+      (1L, t(1, 0), "a", 1.0), (2L, t(1, 10), "a", 1.0),
+      (3L, t(1, 20), "a", 1.0), (4L, t(1, 30), "a", 1.0))
+      .toDF("event_id", "ts", "event_type", "value")
+      .withColumn("user_id", lit(42L))
+    val root = tmp("streamrun_m")
+    val src = StreamRun.chunkedSource(spark, ev, s"$root/src", 2)
+    val got = StreamRun.runAvailableNow(
+      EventWindows.sessionsStream(src, "30 minutes", "1 hour"),
+      s"$root/run", complete = true).collect()
+    assert(got.length == 1, s"expected one merged session, got ${got.toSeq}")
+    assert(got(0).getAs[Long]("n_events") == 4L)
+  }
+
   test("chunked source stamps file mtimes in time-range order") {
     val ev = Tables.events(spark, sf001)
     val root = tmp("streamrun_o")

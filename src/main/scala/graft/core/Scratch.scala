@@ -16,8 +16,12 @@ object Scratch {
   def rmTree(dir: String): Unit = {
     val root: Path = Paths.get(dir)
     if (Files.exists(root)) {
-      Files.walk(root).sorted(Comparator.reverseOrder[Path]())
+      // Files.walk must be closed (it holds directory handles open until
+      // GC otherwise — a per-query leak under a long harness sweep)
+      val stream = Files.walk(root)
+      try stream.sorted(Comparator.reverseOrder[Path]())
         .forEach(p => Files.deleteIfExists(p))
+      finally stream.close()
     }
   }
 }

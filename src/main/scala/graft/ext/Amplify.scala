@@ -30,23 +30,31 @@ object Amplify {
   /** Default id spacing between copies — far above any fixture id. */
   val IdOffset = 1000000000L
 
-  /** n id-offset copies, vocabulary-disjoint (token "w" → "w_k"). */
+  /** n id-offset copies, vocabulary-disjoint (token "w" → "w_ck").
+    * EVERY copy is suffixed, including copy 0: leaving copy 0 raw would
+    * let a fixture token that already ends in "_c1" collide with copy
+    * 1's suffixed form and silently break the disjointness invariant
+    * ScaleStressSpec pins (the uniform rename keeps copy 0's pair
+    * structure identical to the unsuffixed corpus — tokens are renamed
+    * 1:1).
+    */
   def documentsDisjoint(docs: DataFrame, n: Int, idOffset: Long = IdOffset): DataFrame =
     (0 until n).map { k =>
       docs.select(
         (col("doc_id") + lit(k * idOffset)).as("doc_id"),
-        (if (k == 0) col("text")
-         else regexp_replace(col("text"), "(\\S+)", s"$$1_$k")).as("text"),
+        regexp_replace(col("text"), "(\\S+)", s"$$1_c$k").as("text"),
         col("lang"))
     }.reduce(_ unionByName _)
 
-  /** n id-offset copies, shared vocabulary + per-copy salt token. */
+  /** n id-offset copies, shared vocabulary + per-copy salt token (every
+    * copy salted, so cross-copy similarity is symmetric: any two copies
+    * of a doc differ by exactly their two salt tokens).
+    */
   def documentsSalted(docs: DataFrame, n: Int, idOffset: Long = IdOffset): DataFrame =
     (0 until n).map { k =>
       docs.select(
         (col("doc_id") + lit(k * idOffset)).as("doc_id"),
-        (if (k == 0) col("text")
-         else concat(col("text"), lit(s" zzsalt$k"))).as("text"),
+        concat(col("text"), lit(s" zzsalt$k")).as("text"),
         col("lang"))
     }.reduce(_ unionByName _)
 

@@ -68,7 +68,14 @@ object Dedup {
       docs: DataFrame, textCol: String, path: String, ingestDate: String): Unit =
     docs.select(md5(col(textCol)).as("fp")).distinct()
       .withColumn("ingest_date", lit(ingestDate))
-      .write.partitionBy("ingest_date").mode("append").parquet(path)
+      // dynamic partition overwrite, NOT SaveMode.Append: only the
+      // partitions present in this batch (= this ingest date) are
+      // replaced, so prior dates stay immutable AND a scheduler retry
+      // of a crashed cycle is idempotent — a plain Append would land a
+      // second copy of the date's files on every retry
+      .write.partitionBy("ingest_date")
+      .option("partitionOverwriteMode", "dynamic")
+      .mode("overwrite").parquet(path)
 
   /** New-batch survivors against a persisted [[writeFingerprintStore]]:
     * rows of `batch` whose fingerprint is absent from the store. A hash
@@ -410,6 +417,24 @@ object Dedup {
 
   // ------------------------------------------------- Dedup clustering
 
+  /** Convergence/volume stats of one [[connectedComponents]] run:
+    * `iters` = distributed label-propagation rounds executed (0 on the
+    * driver cutover), `converged` = fixpoint reached within maxIters,
+    * `edges` = input pair count after materialization, `activeNodes` =
+    * non-isolated nodes that entered the loop. The observability hook
+    * the scale-stress harness and specs pin convergence with.
+    */
+  final case class CcStats(
+      iters: Int, converged: Boolean, edges: Long, activeNodes: Long)
+
+  /** [[connectedComponentsWithStats]] without the stats — the common
+    * call shape for pipelines that don't instrument convergence.
+    */
+  def connectedComponents(
+      nodes: DataFrame, pairs: DataFrame, maxIters: Int = 20,
+      maxDriverEdges: Long = 2000000L): DataFrame =
+    connectedComponentsWithStats(nodes, pairs, maxIters, maxDriverEdges)._1
+
   /** Connected components over an undirected pair graph by min-label
     * propagation: every node starts labeled with its own id; each round
     * every node takes the minimum label among itself and its neighbors;
@@ -422,23 +447,8 @@ object Dedup {
     * O(log n) rounds — same per-round plan shape.
     *
     * `nodes` = (id); `pairs` = (id_a, id_b) undirected edges.
-    * Returns (id, cluster_rep).
+    * Returns ((id, cluster_rep), [[CcStats]]).
     */
-  /** Convergence/volume stats of one [[connectedComponents]] run:
-    * `iters` = distributed label-propagation rounds executed (0 on the
-    * driver cutover), `converged` = fixpoint reached within maxIters,
-    * `edges` = input pair count after materialization, `activeNodes` =
-    * non-isolated nodes that entered the loop. The observability hook
-    * the scale-stress harness and specs pin convergence with.
-    */
-  final case class CcStats(
-      iters: Int, converged: Boolean, edges: Long, activeNodes: Long)
-
-  def connectedComponents(
-      nodes: DataFrame, pairs: DataFrame, maxIters: Int = 20,
-      maxDriverEdges: Long = 2000000L): DataFrame =
-    connectedComponentsWithStats(nodes, pairs, maxIters, maxDriverEdges)._1
-
   def connectedComponentsWithStats(
       nodes: DataFrame, pairs: DataFrame, maxIters: Int = 20,
       /** Edge sets at or below this size are solved with driver-side

@@ -144,7 +144,9 @@ object Multimodal {
       if (szL > Int.MaxValue) return invalid
       val sz = szL.toInt
       val payload = off + 8
-      if (payload + sz > b.length) return invalid // chunk runs off the end
+      // subtraction form: `payload + sz` could overflow Int on a corrupt
+      // size near Int.MaxValue and wrap negative, skipping the guard
+      if (sz > b.length - payload) return invalid // chunk runs off the end
       if (id == "fmt ") {
         if (sz < 16) return invalid
         fmt = Some((u16(payload), u16(payload + 2), u32(payload + 4), u16(payload + 14)))

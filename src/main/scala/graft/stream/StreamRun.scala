@@ -35,13 +35,22 @@ object StreamRun {
       spark: SparkSession, df: DataFrame, dir: String, chunks: Int,
       tsCol: String = "ts"): DataFrame = {
     // The chunk layout is a deterministic function of the input, so an
-    // existing successful write is reused (a production landing
+    // existing successful build is reused (a production landing
     // directory is not rebuilt per job either). Callers key `dir` by
     // the SOURCE (sf dir) — reuse across different sources would serve
-    // stale data. The streaming execution itself is never skipped: the
-    // checkpoint is wiped per run (runAvailableNow).
-    val marker = new java.io.File(dir, "_SUCCESS")
-    if (!marker.exists()) {
+    // stale data. The reuse marker is graft's OWN file, written only
+    // after the mtime stamping below succeeds (Spark's _SUCCESS lands
+    // before it — reusing on _SUCCESS could serve a half-built layout
+    // with unordered mtimes after a crash) and records the chunk count
+    // (a different `chunks` against the same dir must rebuild, not
+    // silently run fewer micro-batches). The streaming execution itself
+    // is never skipped: the checkpoint is wiped per run
+    // (runAvailableNow).
+    val marker = java.nio.file.Paths.get(dir, "_GRAFT_READY")
+    val wanted = s"chunks=$chunks"
+    val reusable = java.nio.file.Files.exists(marker) &&
+      java.nio.file.Files.readString(marker) == wanted
+    if (!reusable) {
       Scratch.rmTree(dir)
       df.repartitionByRange(chunks, col(tsCol)).write.parquet(dir)
       // The file-stream source orders files by MODIFICATION TIME, and
@@ -55,9 +64,12 @@ object StreamRun {
       val parts = new java.io.File(dir).listFiles()
         .filter(f => f.getName.startsWith("part-")).sortBy(_.getName)
       val t0 = parts.map(_.lastModified()).max
-      parts.zipWithIndex.foreach { case (f, i) =>
+      val stamped = parts.zipWithIndex.forall { case (f, i) =>
         f.setLastModified(t0 + (i + 1) * 2000L)
       }
+      require(stamped, s"mtime stamping failed under $dir — " +
+        "the filesystem must support setLastModified for ordered chunks")
+      java.nio.file.Files.writeString(marker, wanted)
     }
     val schema = spark.read.parquet(dir).schema
     spark.readStream.schema(schema)

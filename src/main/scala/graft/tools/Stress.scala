@@ -58,6 +58,11 @@ object Stress {
       val t0 = System.nanoTime()
       val (outRows, extra) = body
       val secs = (System.nanoTime() - t0) / 1e9
+      // the listener bus is async — give queued task-end events from the
+      // final stage a moment to drain before reading the accumulators
+      // (the public API has no waitUntilEmpty; 500 ms covers local-mode
+      // queues comfortably and is outside the timed window)
+      Thread.sleep(500)
       spark.sparkContext.removeSparkListener(acc)
       spark.catalog.clearCache()
       println(f"STRESS|$op|amp=$amp|in_rows=$inRows|out_rows=$outRows|" +

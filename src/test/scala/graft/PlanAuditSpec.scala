@@ -89,8 +89,18 @@ class PlanAuditSpec extends SparkFunSuite {
       "similarity_ivf_topk", "similarity_ivf_batch",
       // 1-row summary crossJoin (sketch estimate × exact count):
       "hll_union_estimate", "hll_sketch_roundtrip")
+    // The streaming-execution queries run a full AvailableNow stream at
+    // CONSTRUCTION and return a scan of the sink — planning them here
+    // would execute seconds of streaming work to audit a trivial
+    // parquet-read plan. Their streaming plans cannot contain the joins
+    // this guard hunts (windowed aggregations only), so they are
+    // skipped rather than paid for.
+    val eagerStreamRuns = Set(
+      "events_windowed_stream", "events_windowed_stream_append",
+      "events_sessions_stream")
     val offenders = SparkEntry.queries.keys.toSeq.sorted
       .filterNot(exactBaselines)
+      .filterNot(eagerStreamRuns)
       .filter { n =>
         val p = plan(n)
         p.contains("CartesianProduct") || p.contains("BroadcastNestedLoopJoin")

@@ -95,9 +95,9 @@ object Funnel {
     * Cost model: the explode is ×windowDays on the DISTINCT (user, day)
     * relation, not the raw event log — WAU(7) is a 7× fan-out of the
     * deduped actives, MAU(30) is 30×. Measured at 16× sf0.1 (1.6 M
-    * events, ~0.7 M distinct user-days): WAU and MAU both ≈1.5 s,
-    * indistinguishable — the dedup dominates and the fan-out is noise
-    * (STRESS.md). At 100 TB the deduped (user, day) relation is orders
+    * events): WAU 1.3 s vs MAU 1.1 s — indistinguishable within
+    * run-to-run noise, because the dedup dominates and the fan-out is
+    * noise (STRESS.md). At 100 TB the deduped (user, day) relation is orders
     * of magnitude smaller than the log, so even 30× of it stays far
     * below one log scan. If windowDays grows past ~90, switch shapes:
     * aggregate per (user, day), then a day-grid range join against a

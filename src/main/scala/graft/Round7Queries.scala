@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.core.{Scratch, Tables}
-import graft.ext.{Curation, Dedup, LshJoin, SimSearch}
+import graft.ext.{Curation, Dedup, FuzzyJoin, LshJoin, SimSearch}
 import graft.stream.{EventWindows, StreamRun}
 
 /** Round-7 depth queries (verdict asks #2–#7): the certifications that
@@ -112,6 +112,19 @@ object Round7Queries {
       Dedup.appendFingerprints(surv2, "text", store, "2024-01-02")
       Dedup.dedupAgainstStore(s, docs.filter(col("doc_id") % 3 === 2), "text", store)
         .select(col("doc_id"))
+    },
+    // The fuzzy join's drop audit under the oracle, on its REAL blocks:
+    // deletion-neighborhood variants are plain string arithmetic, so —
+    // unlike the MinHash band hashes — the oracle engine can recompute
+    // every block size exactly. Customer names share variants along
+    // their digit suffixes (names differing in one digit collide on the
+    // variant that deletes it), so cap 8 deterministically drops the
+    // hot blocks at every scale; together with dedup_lsh_drop_audit
+    // this certifies both cap-audit implementations end-to-end.
+    "fuzzy_join_drop_audit" -> { (s, dir) =>
+      FuzzyJoin.dropAudit(
+        Tables.customer(s, dir).filter(col("c_custkey") < 500),
+        "c_custkey", "c_name", maxBlock = 8)
     },
     // X7 → trainer handoff (round-6 ask #6): the pack manifest. Per-
     // bucket shard ids collide across buckets; the manifest assigns a
@@ -225,6 +238,23 @@ object Round7Queries {
         |WHERE doc_id % 3 = 2
         |  AND NOT EXISTS (SELECT 1 FROM store WHERE store.fp = md5(d.text))"""
         .stripMargin,
+    // list_distinct mirrors deletionVariants' array_union (a name's
+    // repeated characters — the zero runs — produce duplicate variants
+    // that count once per name)
+    "fuzzy_join_drop_audit" ->
+      """WITH v AS (
+        |  SELECT c_custkey,
+        |         unnest(list_distinct(list_prepend(c_name,
+        |           list_transform(range(1, len(c_name) + 1),
+        |             i -> substr(c_name, 1, i - 1) || substr(c_name, i + 1)))))
+        |           AS v
+        |  FROM customer WHERE c_custkey < 500),
+        |b AS (SELECT v, count(*) AS n FROM v GROUP BY 1)
+        |SELECT CAST(coalesce(sum(CASE WHEN n > 8 THEN 1 END), 0) AS BIGINT)
+        |         AS dropped_blocks,
+        |       CAST(coalesce(sum(CASE WHEN n > 8 THEN n END), 0) AS BIGINT)
+        |         AS dropped_rows
+        |FROM b""".stripMargin,
     // the per-(bucket, shard) totals are Round4's pack oracle; the
     // global id is a dense row_number over the manifest rows
     "token_budget_manifest" ->

@@ -113,6 +113,24 @@ object Round7Queries {
       Dedup.dedupAgainstStore(s, docs.filter(col("doc_id") % 3 === 2), "text", store)
         .select(col("doc_id"))
     },
+    // X6, stream-STREAM interval join EXECUTED BY THE STREAMING ENGINE —
+    // the hardest stateful path X6 has (two buffered sides, state
+    // retention derived from the time-range condition, eviction by both
+    // watermarks). Inner joins emit each match eagerly on arrival, so a
+    // bounded event-time-ordered run emits EXACTLY the batch join's
+    // pairs (evicted right-side state is never needed again — left
+    // arrivals are monotone in ts); the append-mode sink is rolled up
+    // in batch and certified under events_correlated's oracle verbatim.
+    "events_correlated_stream" -> { (s, dir) =>
+      val out = CoreQueries.scratchDir("events_correlated_stream")
+      def src() = StreamRun.chunkedSource(s, Tables.events(s, dir),
+        s"$out/src-${dir.replaceAll("[^A-Za-z0-9.]", "_")}", 4)
+      val joined = EventWindows.correlateStreams(
+        src(), src(), "user_id", "10 MINUTES", "1 minute")
+      StreamRun.runAvailableNow(joined, s"$out/run", complete = false)
+        .groupBy(col("type_left"), col("type_right"))
+        .agg(count(lit(1)).as("n_pairs"))
+    },
     // The fuzzy join's drop audit under the oracle, on its REAL blocks:
     // deletion-neighborhood variants are plain string arithmetic, so —
     // unlike the MinHash band hashes — the oracle engine can recompute
@@ -238,6 +256,15 @@ object Round7Queries {
         |WHERE doc_id % 3 = 2
         |  AND NOT EXISTS (SELECT 1 FROM store WHERE store.fp = md5(d.text))"""
         .stripMargin,
+    // identical to events_correlated — the streaming join must emit
+    // exactly the batch join's matches, once each
+    "events_correlated_stream" ->
+      """SELECT l.event_type AS type_left, r.event_type AS type_right,
+        |       count(*) AS n_pairs
+        |FROM events l JOIN events r
+        |  ON l.user_id = r.user_id
+        | AND r.ts >= l.ts AND r.ts <= l.ts + INTERVAL 10 MINUTE
+        |GROUP BY 1, 2""".stripMargin,
     // list_distinct mirrors deletionVariants' array_union (a name's
     // repeated characters — the zero runs — produce duplicate variants
     // that count once per name)

@@ -1,7 +1,7 @@
 package graft.stream
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, lit}
 import org.apache.spark.sql.streaming.Trigger
 
 import graft.core.Scratch
@@ -100,6 +100,30 @@ object StreamRun {
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", s"$outDir/ckpt")
       .foreachBatch(writeBatch)
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(sink)
+  }
+
+  /** Update-mode variant: each trigger appends only the CHANGED rows of
+    * a stateful aggregation, stamped with the trigger's batch id — the
+    * delta-shipping sink shape StreamingReconcile is built on (per
+    * batch the reconcile touches changed groups, never the full group
+    * space). The caller reduces the read-back log to the latest row per
+    * key (`max_by(…, "batch_id")`); a group updates at most once per
+    * trigger, so the stamp is unambiguous within a key.
+    */
+  def runAvailableNowUpdate(streaming: DataFrame, outDir: String): DataFrame = {
+    val spark = streaming.sparkSession
+    Scratch.rmTree(outDir)
+    val sink = s"$outDir/result"
+    val q = streaming.writeStream
+      .outputMode("update")
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", s"$outDir/ckpt")
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        batch.withColumn("batch_id", lit(id)).write.mode("append").parquet(sink)
+      }
       .start()
     q.awaitTermination()
     spark.read.parquet(sink)

@@ -88,6 +88,31 @@ class StreamRunSpec extends SparkFunSuite {
     assert(got(0).getAs[Long]("n_events") == 4L)
   }
 
+  test("update-mode run ships per-trigger deltas that converge to the batch counts") {
+    val ev = Tables.events(spark, sf001)
+    val root = tmp("streamrun_u")
+    val src = StreamRun.chunkedSource(spark, ev, s"$root/src", 4)
+    val log = StreamRun.runAvailableNowUpdate(
+      StreamingReconcile.runningCounts(src, "event_type"), s"$root/run")
+    // a group updates at most once per trigger
+    val perBatch = log.groupBy(col("event_type"), col("batch_id"))
+      .agg(count(lit(1)).as("n")).agg(max(col("n"))).head.getLong(0)
+    assert(perBatch == 1L, "a group updated twice within one trigger")
+    // running counts are monotone in batch_id within a group
+    import spark.implicits._
+    val nonMonotone = log.select(col("event_type"), col("batch_id"), col("cnt"))
+      .as[(String, Long, Long)].collect().groupBy(_._1).values
+      .count(rows => rows.sortBy(_._2).map(_._3).sliding(2)
+        .exists(p => p.length == 2 && p(0) >= p(1)))
+    assert(nonMonotone == 0, "running count must strictly grow across updates")
+    // the latest update per group = the true batch count
+    val finalCounts = log.groupBy(col("event_type"))
+      .agg(max_by(col("cnt"), col("batch_id")).as("cnt"))
+    val want = ev.groupBy(col("event_type")).agg(count(lit(1)).as("cnt"))
+    assert(finalCounts.exceptAll(want).count() == 0 &&
+      want.exceptAll(finalCounts).count() == 0)
+  }
+
   test("chunked source stamps file mtimes in time-range order") {
     val ev = Tables.events(spark, sf001)
     val root = tmp("streamrun_o")

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.core.{Scratch, Tables}
 import graft.ext.{Curation, Dedup, FuzzyJoin, LshJoin, SimSearch}
-import graft.stream.{EventWindows, StreamingReconcile, StreamRun}
+import graft.stream.{EventWindows, SessionTracker, StreamingReconcile, StreamRun}
 
 /** Round-7 depth queries (verdict asks #2–#7): the certifications that
   * prove the engine's 100 TB posture end-to-end rather than widening the
@@ -178,6 +178,32 @@ object Round7Queries {
         .select(col("event_type"), col("cnt"),
           (col("n_updates") >= 1 && col("n_updates") <= 4).as("updates_bounded"))
     },
+    // X6, CUSTOM state EXECUTED BY THE STREAMING ENGINE — the
+    // flatMapGroupsWithState tier beyond built-in windows: a per-user
+    // running summary accumulated in user code across 4 micro-batches.
+    // The state-store risk this certifies is cross-batch ACCUMULATION
+    // (a user spanning chunks must fold into prior state, not reset —
+    // the built-in-window queries never exercise user-managed state).
+    // Update-mode emissions are batch-id-stamped; the latest emission
+    // per user must equal the whole-input summary, certified under a
+    // plain per-user GROUP BY oracle.
+    "events_custom_state_stream" -> { (s, dir) =>
+      import s.implicits._
+      val out = CoreQueries.scratchDir("events_custom_state_stream")
+      val src = StreamRun.chunkedSource(s, Tables.events(s, dir),
+        s"$out/src-${dir.replaceAll("[^A-Za-z0-9.]", "_")}", 4)
+      val tracked = SessionTracker.track(s,
+        src.select(col("user_id"), col("ts"), col("value"))
+          .as[SessionTracker.Event]).toDF()
+      StreamRun.runAvailableNowUpdate(tracked, s"$out/run")
+        .groupBy(col("user_id"))
+        .agg(max_by(
+          struct(col("n_events"), col("total_value"), col("last_ts")),
+          col("batch_id")).as("fin"))
+        .select(col("user_id"), col("fin.n_events").as("n_events"),
+          col("fin.total_value").as("total_value"),
+          col("fin.last_ts").as("last_ts"))
+    },
     // The fuzzy join's drop audit under the oracle, on its REAL blocks:
     // deletion-neighborhood variants are plain string arithmetic, so —
     // unlike the MinHash band hashes — the oracle engine can recompute
@@ -319,6 +345,13 @@ object Round7Queries {
     // the converged running counts = the batch counts
     "events_reconcile_stream" ->
       """SELECT event_type, count(*) AS cnt, true AS updates_bounded
+        |FROM events GROUP BY 1""".stripMargin,
+    // the final custom-state emission per user = the whole-input
+    // summary (total rounded at emission, mirrored half-up here)
+    "events_custom_state_stream" ->
+      """SELECT user_id, count(*) AS n_events,
+        |       floor(sum(value) * 100 + 0.5) / 100 AS total_value,
+        |       max(ts) AS last_ts
         |FROM events GROUP BY 1""".stripMargin,
     // list_distinct mirrors deletionVariants' array_union (a name's
     // repeated characters — the zero runs — produce duplicate variants

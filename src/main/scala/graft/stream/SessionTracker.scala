@@ -21,8 +21,20 @@ import java.sql.Timestamp
 object SessionTracker {
 
   case class Event(user_id: Long, ts: Timestamp, value: Double)
-  case class UserState(nEvents: Long, totalValue: Double, lastTs: Long)
+  case class UserState(nEvents: Long, totalValue: Double, lastTsMicros: Long)
   case class UserSummary(user_id: Long, n_events: Long, total_value: Double, last_ts: Timestamp)
+
+  // State keeps event time in epoch MICROseconds: Timestamp.getTime is
+  // millisecond-truncating, and the event-time column carries micros —
+  // a tracker that truncates loses ordering between events inside the
+  // same millisecond (caught by the fixture oracle's exact compare).
+  private def toMicros(t: Timestamp): Long = {
+    val i = t.toInstant
+    i.getEpochSecond * 1000000L + i.getNano / 1000L
+  }
+  private def fromMicros(us: Long): Timestamp =
+    Timestamp.from(java.time.Instant.ofEpochSecond(
+      Math.floorDiv(us, 1000000L), Math.floorMod(us, 1000000L) * 1000L))
 
   def track(spark: SparkSession, events: Dataset[Event]): Dataset[UserSummary] = {
     import spark.implicits._
@@ -33,16 +45,17 @@ object SessionTracker {
           val prev = state.getOption.getOrElse(UserState(0L, 0.0, Long.MinValue))
           var n = prev.nEvents
           var total = prev.totalValue
-          var last = prev.lastTs
+          var last = prev.lastTsMicros
           batch.foreach { e =>
             n += 1
             total += e.value
-            if (e.ts.getTime > last) last = e.ts.getTime
+            val us = toMicros(e.ts)
+            if (us > last) last = us
           }
           val next = UserState(n, total, last)
           state.update(next)
           Iterator.single(UserSummary(userId, n, math.round(total * 100).toDouble / 100,
-            new Timestamp(last)))
+            fromMicros(last)))
       }
   }
 }

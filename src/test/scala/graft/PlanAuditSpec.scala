@@ -98,7 +98,8 @@ class PlanAuditSpec extends SparkFunSuite {
     val eagerStreamRuns = Set(
       "events_windowed_stream", "events_windowed_stream_append",
       "events_sessions_stream", "events_correlated_stream",
-      "events_dedup_stream", "events_reconcile_stream")
+      "events_dedup_stream", "events_reconcile_stream",
+      "events_custom_state_stream")
     val offenders = SparkEntry.queries.keys.toSeq.sorted
       .filterNot(exactBaselines)
       .filterNot(eagerStreamRuns)

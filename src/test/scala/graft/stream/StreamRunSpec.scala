@@ -113,6 +113,31 @@ class StreamRunSpec extends SparkFunSuite {
       want.exceptAll(finalCounts).count() == 0)
   }
 
+  test("custom state accumulates across micro-batches, never resets") {
+    import spark.implicits._
+    // one user with events in every chunk: the flatMapGroupsWithState
+    // fold must carry prior state into each batch — a reset shows up as
+    // a final n_events equal to the LAST chunk's count, not the total
+    def t(h: Int): Timestamp = Timestamp.valueOf(f"2024-01-01 $h%02d:00:00")
+    val ev = (1 to 8).map(h => (h.toLong, t(h), "a", 1.5))
+      .toDF("event_id", "ts", "event_type", "value")
+      .withColumn("user_id", lit(7L))
+    val root = tmp("streamrun_s")
+    val src = StreamRun.chunkedSource(spark, ev, s"$root/src", 4)
+    val tracked = SessionTracker.track(spark,
+      src.select(col("user_id"), col("ts"), col("value"))
+        .as[SessionTracker.Event]).toDF()
+    val log = StreamRun.runAvailableNowUpdate(tracked, s"$root/run")
+    // one emission per batch the user appeared in, monotone n_events
+    assert(log.count() == 4)
+    val ns = log.orderBy(col("batch_id")).select(col("n_events"))
+      .as[Long].collect().toSeq
+    assert(ns == Seq(2L, 4L, 6L, 8L), s"state must accumulate: $ns")
+    val fin = log.orderBy(col("batch_id").desc).head
+    assert(fin.getAs[Double]("total_value") == 12.0)
+    assert(fin.getAs[Timestamp]("last_ts") == t(8))
+  }
+
   test("chunked source stamps file mtimes in time-range order") {
     val ev = Tables.events(spark, sf001)
     val root = tmp("streamrun_o")

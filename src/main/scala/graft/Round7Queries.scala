@@ -9,10 +9,13 @@ import graft.stream.{EventWindows, SessionTracker, StreamingReconcile, StreamRun
 
 /** Round-7 depth queries (verdict asks #2–#7): the certifications that
   * prove the engine's 100 TB posture end-to-end rather than widening the
-  * surface — a REAL micro-batch streaming execution under the batch
-  * twin's oracle, observable skew-cap drop audits, the incremental-store
-  * ingest lifecycle over two cycles, a cross-bucket pack manifest, and
-  * the two-corpora retrieval shape of IVF.
+  * surface — REAL micro-batch streaming executions under the batch
+  * twins' oracles (complete/append/update output modes; tumbling,
+  * session-merge, interval-join, watermark dedup, running-count, and
+  * flatMapGroupsWithState custom state), observable skew-cap drop
+  * audits, the incremental-store ingest lifecycle over two cycles, a
+  * cross-bucket pack manifest, and the two-corpora retrieval shape of
+  * IVF.
   */
 object Round7Queries {
 
@@ -123,8 +126,19 @@ object Round7Queries {
     // in batch and certified under events_correlated's oracle verbatim.
     "events_correlated_stream" -> { (s, dir) =>
       val out = CoreQueries.scratchDir("events_correlated_stream")
-      def src() = StreamRun.chunkedSource(s, Tables.events(s, dir),
-        s"$out/src-${dir.replaceAll("[^A-Za-z0-9.]", "_")}", 4)
+      // user_id < 150 is the deterministic bench-cost prefix (the same
+      // pattern as the doc_id < 1000 certification queries): at the
+      // sf0.01 correctness gate it IS the whole table (max uid 149), so
+      // the oracle certifies the full join; at the sf0.1 bench it bounds
+      // the two-sided join state to ~10% of users — the certification
+      // (buffered sides, interval condition, dual-watermark eviction)
+      // is per-key machinery, not corpus-size-dependent.
+      // dir suffix -u150: the chunk layout is keyed by (source, chunk
+      // count) — a changed source filter must land in a fresh dir or the
+      // reuse marker would serve the old layout
+      def src() = StreamRun.chunkedSource(s,
+        Tables.events(s, dir).filter(col("user_id") < 150),
+        s"$out/src-u150-${dir.replaceAll("[^A-Za-z0-9.]", "_")}", 4)
       val joined = EventWindows.correlateStreams(
         src(), src(), "user_id", "10 MINUTES", "1 minute")
       StreamRun.runAvailableNow(joined, s"$out/run", complete = false)
@@ -337,6 +351,7 @@ object Round7Queries {
         |FROM events l JOIN events r
         |  ON l.user_id = r.user_id
         | AND r.ts >= l.ts AND r.ts <= l.ts + INTERVAL 10 MINUTE
+        |WHERE l.user_id < 150
         |GROUP BY 1, 2""".stripMargin,
     // the emitted key set = the distinct keys; the emission-count bound
     // is a verdict column (the count itself depends on chunk boundaries)

@@ -87,6 +87,25 @@ object StreamRun {
     * same query against different sf dirs, and a stale checkpoint pins
     * the previous source path.
     */
+  /** Streaming state partition count for bounded fixture runs. The
+    * shuffle-partition conf at a checkpoint's FIRST batch pins the state
+    * store count for the query's life; 32 partitions × several stores
+    * per partition (a stream-stream join keeps 4+) × 4 triggers is
+    * hundreds of near-empty store commits — pure fixed overhead at
+    * fixture volume. Results are partition-count-independent, so the
+    * bounded harness sizes state to the data (a production deployment
+    * sizes it to the cluster; the checkpoint is wiped per run, so the
+    * count re-pins each run).
+    */
+  private val StatePartitions = "8"
+
+  private def withStatePartitions[A](spark: SparkSession)(body: => A): A = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, StatePartitions)
+    try body finally spark.conf.set(key, prev)
+  }
+
   def runAvailableNow(streaming: DataFrame, outDir: String, complete: Boolean): DataFrame = {
     val spark = streaming.sparkSession
     Scratch.rmTree(outDir)
@@ -95,13 +114,15 @@ object StreamRun {
     val sink = s"$outDir/result"
     val writeBatch: (DataFrame, Long) => Unit =
       (batch, _) => batch.write.mode(save).parquet(sink)
-    val q = streaming.writeStream
-      .outputMode(mode)
-      .trigger(Trigger.AvailableNow())
-      .option("checkpointLocation", s"$outDir/ckpt")
-      .foreachBatch(writeBatch)
-      .start()
-    q.awaitTermination()
+    withStatePartitions(spark) {
+      val q = streaming.writeStream
+        .outputMode(mode)
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", s"$outDir/ckpt")
+        .foreachBatch(writeBatch)
+        .start()
+      q.awaitTermination()
+    }
     spark.read.parquet(sink)
   }
 
@@ -117,15 +138,17 @@ object StreamRun {
     val spark = streaming.sparkSession
     Scratch.rmTree(outDir)
     val sink = s"$outDir/result"
-    val q = streaming.writeStream
-      .outputMode("update")
-      .trigger(Trigger.AvailableNow())
-      .option("checkpointLocation", s"$outDir/ckpt")
-      .foreachBatch { (batch: DataFrame, id: Long) =>
-        batch.withColumn("batch_id", lit(id)).write.mode("append").parquet(sink)
-      }
-      .start()
-    q.awaitTermination()
+    withStatePartitions(spark) {
+      val q = streaming.writeStream
+        .outputMode("update")
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", s"$outDir/ckpt")
+        .foreachBatch { (batch: DataFrame, id: Long) =>
+          batch.withColumn("batch_id", lit(id)).write.mode("append").parquet(sink)
+        }
+        .start()
+      q.awaitTermination()
+    }
     spark.read.parquet(sink)
   }
 }

@@ -19,6 +19,18 @@ import graft.stream.{EventWindows, SessionTracker, StreamingReconcile, StreamRun
   */
 object Round7Queries {
 
+  /** The full events table as a 4-chunk bounded stream source, built in
+    * a scratch dir SHARED by every streaming query that consumes the
+    * unfiltered table (six of them): the layout is a deterministic
+    * function of (source sf dir, chunk count), so per-query dirs were
+    * six identical builds per harness pass. Keyed by sf dir — see
+    * chunkedSource's reuse contract. Queries with a different source
+    * (the u150-filtered join) keep their own dirs.
+    */
+  private def eventsChunks(s: SparkSession, dir: String): DataFrame =
+    StreamRun.chunkedSource(s, Tables.events(s, dir),
+      s"${CoreQueries.scratchDir("stream_src")}/events-4-${dir.replaceAll("[^A-Za-z0-9.]", "_")}", 4)
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // X6, EXECUTED BY THE STREAMING ENGINE (round-6 ask #2): the same
     // tumbling aggregation as events_windowed, but run as a bounded
@@ -33,10 +45,7 @@ object Round7Queries {
     // loop), not the batch twin.
     "events_windowed_stream" -> { (s, dir) =>
       val out = CoreQueries.scratchDir("events_windowed_stream")
-      // chunk dir keyed by source sf dir: the layout is reusable across
-      // runs of the SAME source but must never be served across sources
-      val src = StreamRun.chunkedSource(s, Tables.events(s, dir),
-        s"$out/src-${dir.replaceAll("[^A-Za-z0-9.]", "_")}", 4)
+      val src = eventsChunks(s, dir)
       StreamRun.runAvailableNow(
         EventWindows.tumblingStream(src, "1 hour", "1 hour"),
         s"$out/run", complete = true)
@@ -53,8 +62,7 @@ object Round7Queries {
     // would duplicate rows and fail the compare.
     "events_windowed_stream_append" -> { (s, dir) =>
       val out = CoreQueries.scratchDir("events_windowed_stream_append")
-      val src = StreamRun.chunkedSource(s, Tables.events(s, dir),
-        s"$out/src-${dir.replaceAll("[^A-Za-z0-9.]", "_")}", 4)
+      val src = eventsChunks(s, dir)
       StreamRun.runAvailableNow(
         EventWindows.tumblingStream(src, "1 hour", "1 hour"),
         s"$out/run", complete = false)
@@ -67,8 +75,7 @@ object Round7Queries {
     // a green row means the merge produced exactly the batch sessions.
     "events_sessions_stream" -> { (s, dir) =>
       val out = CoreQueries.scratchDir("events_sessions_stream")
-      val src = StreamRun.chunkedSource(s, Tables.events(s, dir),
-        s"$out/src-${dir.replaceAll("[^A-Za-z0-9.]", "_")}", 4)
+      val src = eventsChunks(s, dir)
       StreamRun.runAvailableNow(
         EventWindows.sessionsStream(src, "30 minutes", "1 hour"),
         s"$out/run", complete = true)
@@ -160,8 +167,7 @@ object Round7Queries {
     // EventWindowsSpec on a union-doubled stream.
     "events_dedup_stream" -> { (s, dir) =>
       val out = CoreQueries.scratchDir("events_dedup_stream")
-      val src = StreamRun.chunkedSource(s, Tables.events(s, dir),
-        s"$out/src-${dir.replaceAll("[^A-Za-z0-9.]", "_")}", 4)
+      val src = eventsChunks(s, dir)
       StreamRun.runAvailableNow(
           EventWindows.dedupStream(src, Seq("user_id", "event_type"), "1 hour"),
           s"$out/run", complete = false)
@@ -182,8 +188,7 @@ object Round7Queries {
     // verdict-column convention as emits_bounded above.
     "events_reconcile_stream" -> { (s, dir) =>
       val out = CoreQueries.scratchDir("events_reconcile_stream")
-      val src = StreamRun.chunkedSource(s, Tables.events(s, dir),
-        s"$out/src-${dir.replaceAll("[^A-Za-z0-9.]", "_")}", 4)
+      val src = eventsChunks(s, dir)
       StreamRun.runAvailableNowUpdate(
           StreamingReconcile.runningCounts(src, "event_type"), s"$out/run")
         .groupBy(col("event_type"))
@@ -204,8 +209,7 @@ object Round7Queries {
     "events_custom_state_stream" -> { (s, dir) =>
       import s.implicits._
       val out = CoreQueries.scratchDir("events_custom_state_stream")
-      val src = StreamRun.chunkedSource(s, Tables.events(s, dir),
-        s"$out/src-${dir.replaceAll("[^A-Za-z0-9.]", "_")}", 4)
+      val src = eventsChunks(s, dir)
       val tracked = SessionTracker.track(s,
         src.select(col("user_id"), col("ts"), col("value"))
           .as[SessionTracker.Event]).toDF()
@@ -217,6 +221,29 @@ object Round7Queries {
         .select(col("user_id"), col("fin.n_events").as("n_events"),
           col("fin.total_value").as("total_value"),
           col("fin.last_ts").as("last_ts"))
+    },
+    // X6, stream-STATIC broadcast enrichment EXECUTED BY THE STREAMING
+    // ENGINE — the dimension-lookup shape of a production ingest and
+    // the one X6 join form the matrix lacked (stream-stream buffers
+    // both sides; this buffers NEITHER: an inner stream-static join is
+    // stateless, the broadcast dimension rides every micro-batch's
+    // re-planned join and each event is enriched exactly once in the
+    // batch it arrives). The per-trigger emissions land in batch-id
+    // partitions; their union must equal the batch join — rolled up by
+    // segment under a plain join-GROUP BY oracle. Sums ride integer
+    // cents (floor(v*100+0.5)): segment-level double sums are 400×
+    // coarser groups than the hourly windows, wide enough for
+    // cross-engine addition-order drift at 2 decimals.
+    "events_enrich_stream" -> { (s, dir) =>
+      val out = CoreQueries.scratchDir("events_enrich_stream")
+      val src = eventsChunks(s, dir)
+      val dim = Tables.customer(s, dir).select(col("c_custkey"), col("c_mktsegment"))
+      StreamRun.runAvailableNow(
+          EventWindows.enrichStream(src, dim, "user_id", "c_custkey"),
+          s"$out/run", complete = false)
+        .groupBy(col("c_mktsegment"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(floor(col("value") * 100 + lit(0.5)).cast("long")).as("sum_cents"))
     },
     // The fuzzy join's drop audit under the oracle, on its REAL blocks:
     // deletion-neighborhood variants are plain string arithmetic, so —
@@ -368,6 +395,14 @@ object Round7Queries {
         |       floor(sum(value) * 100 + 0.5) / 100 AS total_value,
         |       max(ts) AS last_ts
         |FROM events GROUP BY 1""".stripMargin,
+    // the streaming enrichment must emit each event's enrichment
+    // exactly once — a dropped or doubled micro-batch shifts the
+    // per-segment counts/cents and fails the compare
+    "events_enrich_stream" ->
+      """SELECT c.c_mktsegment, e.event_type, count(*) AS n_events,
+        |       sum(CAST(floor(e.value * 100 + 0.5) AS BIGINT)) AS sum_cents
+        |FROM events e JOIN customer c ON e.user_id = c.c_custkey
+        |GROUP BY 1, 2""".stripMargin,
     // list_distinct mirrors deletionVariants' array_union (a name's
     // repeated characters — the zero runs — produce duplicate variants
     // that count once per name)

@@ -97,6 +97,24 @@ object EventWindows {
       events.withWatermark("ts", lateness).dropDuplicatesWithinWatermark(keys)
     else events.dropDuplicates(keys)
 
+  /** Stream-static enrichment join (the dimension-lookup shape of a
+    * production ingest: every arriving event picks up its dimension
+    * attributes before landing). The static side is explicitly
+    * broadcast — per micro-batch the engine re-plans the join, so a
+    * small dimension rides the broadcast exchange every trigger and the
+    * streaming side never shuffles; an inner stream-static join is
+    * stateless (no watermark, no state store — each event is enriched
+    * exactly once in the batch it arrives). Works identically on a
+    * batch DataFrame, which is what the oracle checks; the streaming
+    * certification is that the union of per-trigger emissions equals
+    * the batch join.
+    */
+  def enrichStream(
+      events: DataFrame, dim: DataFrame,
+      eventKey: String, dimKey: String): DataFrame =
+    events.join(broadcast(dim), col(eventKey) === col(dimKey), "inner")
+      .drop(dimKey)
+
   /** Stream-stream interval join: pair each left event with the right
     * events of the same `key` that arrive within `within` after it.
     * Both sides carry watermarks so the join state is bounded — a

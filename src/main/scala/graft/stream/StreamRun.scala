@@ -1,7 +1,7 @@
 package graft.stream
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{col, lit}
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.streaming.Trigger
 
 import graft.core.Scratch
@@ -81,23 +81,28 @@ object StreamRun {
     * Trigger.AvailableNow and return the final materialized result read
     * back from parquet. `complete = true` overwrites the sink with each
     * trigger's full state (last trigger wins — the bounded-run batch
-    * equivalent); `complete = false` appends each trigger's newly
-    * finalized rows (append mode — the union of emissions is the
-    * result). The checkpoint is wiped first: the harness re-runs the
-    * same query against different sf dirs, and a stale checkpoint pins
-    * the previous source path.
+    * equivalent); `complete = false` lands each trigger's newly
+    * finalized rows in its own `batch_id=N` partition dir (append mode —
+    * the union of emissions is the result). The checkpoint is wiped
+    * first: the harness re-runs the same query against different sf
+    * dirs, and a stale checkpoint pins the previous source path.
     */
   /** Streaming state partition count for bounded fixture runs. The
     * shuffle-partition conf at a checkpoint's FIRST batch pins the state
     * store count for the query's life; 32 partitions × several stores
     * per partition (a stream-stream join keeps 4+) × 4 triggers is
     * hundreds of near-empty store commits — pure fixed overhead at
-    * fixture volume. Results are partition-count-independent, so the
-    * bounded harness sizes state to the data (a production deployment
-    * sizes it to the cluster; the checkpoint is wiped per run, so the
-    * count re-pins each run).
+    * fixture volume (measured on the interval join: 32 → 8 partitions
+    * cut the bounded run 16.7 → 6.9 s; 4/8/16 are then indistinguishable
+    * within noise for the join, while 4 doubles the session query — its
+    * 95k-row merge state wants the parallelism — so 8 is the floor).
+    * Results are partition-count-independent, so the bounded harness
+    * sizes state to the data (a production deployment sizes it to the
+    * cluster; the checkpoint is wiped per run, so the count re-pins
+    * each run).
     */
-  private val StatePartitions = "8"
+  private val StatePartitions =
+    sys.props.getOrElse("graft.stream.statePartitions", "8")
 
   private def withStatePartitions[A](spark: SparkSession)(body: => A): A = {
     val key = "spark.sql.shuffle.partitions"
@@ -106,33 +111,62 @@ object StreamRun {
     try body finally spark.conf.set(key, prev)
   }
 
+  /** Land one micro-batch in its own `batch_id=<id>` partition dir,
+    * OVERWRITING that dir alone. This is what makes the foreachBatch
+    * parquet sink effectively exactly-once: the engine's contract is
+    * at-least-once — a crash between the sink write and the checkpoint
+    * commit replays the batch with the SAME batch id on restart — and a
+    * plain `mode("append")` sink would double its rows, silently, at
+    * any scale. Keying the overwrite by the replay-stable batch id
+    * makes the retry rewrite its own partition and nothing else (the
+    * idempotent-writes pattern from the Structured Streaming guide,
+    * here as the harness default rather than an option). Retry
+    * idempotence is pinned in StreamRunSpec by invoking this twice with
+    * one id.
+    */
+  private[stream] def writeBatchPartition(batch: DataFrame, sink: String, id: Long): Unit =
+    batch.write.mode("overwrite").parquet(s"$sink/batch_id=$id")
+
+  /** Read an append/update sink back: the `batch_id=N` partition dirs
+    * surface as an inferred int partition column, normalized to the
+    * Long the stamped-column sink exposed.
+    */
+  private def readSink(spark: SparkSession, sink: String): DataFrame = {
+    val df = spark.read.parquet(sink)
+    df.withColumn("batch_id", col("batch_id").cast("long"))
+  }
+
   def runAvailableNow(streaming: DataFrame, outDir: String, complete: Boolean): DataFrame = {
     val spark = streaming.sparkSession
     Scratch.rmTree(outDir)
-    val mode = if (complete) "complete" else "append"
-    val save = if (complete) "overwrite" else "append"
     val sink = s"$outDir/result"
+    // complete mode overwrites the whole sink per trigger (last trigger
+    // wins), so a batch replay is idempotent by construction; append
+    // mode gets idempotence from the per-batch partition overwrite
     val writeBatch: (DataFrame, Long) => Unit =
-      (batch, _) => batch.write.mode(save).parquet(sink)
+      if (complete) (batch, _) => batch.write.mode("overwrite").parquet(sink)
+      else (batch, id) => writeBatchPartition(batch, sink, id)
     withStatePartitions(spark) {
       val q = streaming.writeStream
-        .outputMode(mode)
+        .outputMode(if (complete) "complete" else "append")
         .trigger(Trigger.AvailableNow())
         .option("checkpointLocation", s"$outDir/ckpt")
         .foreachBatch(writeBatch)
         .start()
       q.awaitTermination()
     }
-    spark.read.parquet(sink)
+    if (complete) spark.read.parquet(sink)
+    else readSink(spark, sink).drop("batch_id")
   }
 
-  /** Update-mode variant: each trigger appends only the CHANGED rows of
-    * a stateful aggregation, stamped with the trigger's batch id — the
+  /** Update-mode variant: each trigger lands only the CHANGED rows of
+    * a stateful aggregation in its `batch_id=N` partition — the
     * delta-shipping sink shape StreamingReconcile is built on (per
     * batch the reconcile touches changed groups, never the full group
-    * space). The caller reduces the read-back log to the latest row per
-    * key (`max_by(…, "batch_id")`); a group updates at most once per
-    * trigger, so the stamp is unambiguous within a key.
+    * space), with the same replay idempotence as the append sink. The
+    * caller reduces the read-back log to the latest row per key
+    * (`max_by(…, "batch_id")`); a group updates at most once per
+    * trigger, so the partition id is unambiguous within a key.
     */
   def runAvailableNowUpdate(streaming: DataFrame, outDir: String): DataFrame = {
     val spark = streaming.sparkSession
@@ -144,11 +178,11 @@ object StreamRun {
         .trigger(Trigger.AvailableNow())
         .option("checkpointLocation", s"$outDir/ckpt")
         .foreachBatch { (batch: DataFrame, id: Long) =>
-          batch.withColumn("batch_id", lit(id)).write.mode("append").parquet(sink)
+          writeBatchPartition(batch, sink, id)
         }
         .start()
       q.awaitTermination()
     }
-    spark.read.parquet(sink)
+    readSink(spark, sink)
   }
 }

@@ -136,7 +136,26 @@ object StreamRun {
     df.withColumn("batch_id", col("batch_id").cast("long"))
   }
 
-  def runAvailableNow(streaming: DataFrame, outDir: String, complete: Boolean): DataFrame = {
+  /** Per-trigger execution evidence, lifted from the engine's own
+    * StreamingQueryProgress after a bounded run: what arrived, what the
+    * state stores held at commit, what the advancing watermark EVICTED.
+    * The stress harness's bounded-state claim rides these numbers —
+    * `stateRows` tracking the trigger's arrival window while
+    * `rowsRemoved` drains the previous one is watermark eviction
+    * observed, not assumed.
+    */
+  final case class TriggerStats(
+      batchId: Long, inputRows: Long, stateRows: Long,
+      rowsRemoved: Long, triggerMs: Long)
+
+  /** runAvailableNow plus the per-trigger progress trail (query handles
+    * are gone after awaitTermination, so the stats must be captured at
+    * run time — recentProgress retains the full bounded trail, which is
+    * far shorter than the 100-entry retention default).
+    */
+  def runAvailableNowObserved(
+      streaming: DataFrame, outDir: String,
+      complete: Boolean): (DataFrame, Seq[TriggerStats]) = {
     val spark = streaming.sparkSession
     Scratch.rmTree(outDir)
     val sink = s"$outDir/result"
@@ -146,7 +165,7 @@ object StreamRun {
     val writeBatch: (DataFrame, Long) => Unit =
       if (complete) (batch, _) => batch.write.mode("overwrite").parquet(sink)
       else (batch, id) => writeBatchPartition(batch, sink, id)
-    withStatePartitions(spark) {
+    val stats = withStatePartitions(spark) {
       val q = streaming.writeStream
         .outputMode(if (complete) "complete" else "append")
         .trigger(Trigger.AvailableNow())
@@ -154,10 +173,21 @@ object StreamRun {
         .foreachBatch(writeBatch)
         .start()
       q.awaitTermination()
+      q.recentProgress.toSeq.map { p =>
+        TriggerStats(p.batchId, p.numInputRows,
+          p.stateOperators.map(_.numRowsTotal).sum,
+          p.stateOperators.map(_.numRowsRemoved).sum,
+          Option(p.durationMs.get("triggerExecution")).map(_.toLong).getOrElse(0L))
+      }
     }
-    if (complete) spark.read.parquet(sink)
-    else readSink(spark, sink).drop("batch_id")
+    val result =
+      if (complete) spark.read.parquet(sink)
+      else readSink(spark, sink).drop("batch_id")
+    (result, stats)
   }
+
+  def runAvailableNow(streaming: DataFrame, outDir: String, complete: Boolean): DataFrame =
+    runAvailableNowObserved(streaming, outDir, complete)._1
 
   /** Update-mode variant: each trigger lands only the CHANGED rows of
     * a stateful aggregation in its `batch_id=N` partition — the

@@ -5,6 +5,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.ext.{Amplify, Dedup, Funnel, SparseSim}
+import graft.stream.{EventWindows, StreamRun}
 
 /** Scale-stress harness (round-6 verdict ask #1): run the FORCED 100 TB
   * code paths on deterministically amplified fixture views and measure
@@ -135,6 +136,48 @@ object Stress {
       }
       run("rolling_actives_mau30", amp, ev0.count() * amp) {
         (Funnel.rollingActives(evA, "user_id", "ts", windowDays = 30).count(), "")
+      }
+
+      // 5. Streaming stream-stream interval join under amplification:
+      // the bounded-STATE claim measured from the engine's own progress
+      // trail. Watermark eviction must keep join state tracking the
+      // trigger's arrival window (max_state ≈ the largest chunk), never
+      // the stream's history — without eviction the final trigger would
+      // hold every streamed row. rows_removed > 0 is eviction observed.
+      run("stream_interval_join", amp, ev0.count() * amp) {
+        val root = s"${graft.CoreQueries.scratchDir("stress_stream")}/amp$amp"
+        def src() = StreamRun.chunkedSource(spark, evA, s"$root/src", 8)
+        val (res, st) = StreamRun.runAvailableNowObserved(
+          EventWindows.correlateStreams(
+            src(), src(), "user_id", "10 MINUTES", "1 minute"),
+          s"$root/run", complete = false)
+        val n = res.count()
+        val maxState = if (st.isEmpty) 0L else st.map(_.stateRows).max
+        (n,
+          s"triggers=${st.length}|max_state_rows=$maxState|" +
+            s"rows_removed=${st.map(_.rowsRemoved).sum}|" +
+            s"streamed_rows=${st.map(_.inputRows).sum}")
+      }
+    }
+
+    // Trigger-granularity sweep at fixed volume: state must shrink as
+    // triggers get finer (it tracks the arrival window), while the
+    // streamed total stays put — the orthogonal axis to the amp loop.
+    val evS = Amplify.events(ev0, amps.max)
+    for (chunks <- Seq(4, 8, 16)) {
+      run(s"stream_interval_join_chunks$chunks", amps.max, ev0.count() * amps.max) {
+        val root = s"${graft.CoreQueries.scratchDir("stress_stream")}/ch$chunks"
+        def src() = StreamRun.chunkedSource(spark, evS, s"$root/src", chunks)
+        val (res, st) = StreamRun.runAvailableNowObserved(
+          EventWindows.correlateStreams(
+            src(), src(), "user_id", "10 MINUTES", "1 minute"),
+          s"$root/run", complete = false)
+        val n = res.count()
+        val maxState = if (st.isEmpty) 0L else st.map(_.stateRows).max
+        (n,
+          s"triggers=${st.length}|max_state_rows=$maxState|" +
+            s"rows_removed=${st.map(_.rowsRemoved).sum}|" +
+            s"streamed_rows=${st.map(_.inputRows).sum}")
       }
     }
     spark.stop()

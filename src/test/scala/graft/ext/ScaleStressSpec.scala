@@ -54,6 +54,29 @@ class ScaleStressSpec extends SparkFunSuite {
     assert(st.edges > 0 && st.activeNodes > 0 && nClusters > 0)
   }
 
+  test("interval-join streaming state is bounded by the arrival window, not history") {
+    import graft.stream.{EventWindows, StreamRun}
+    // amplified events through the REAL engine, 4 chunks: if watermark
+    // eviction broke, the final trigger's state would hold every
+    // streamed row; bounded means max state ≪ streamed total and the
+    // evicted count drains what arrived (full-scale sweep: STRESS.md)
+    val ev = Amplify.events(Tables.events(spark, sf001), 4)
+    val root = java.nio.file.Files.createTempDirectory("stress_stream").toString
+    def src() = StreamRun.chunkedSource(spark, ev, s"$root/src", 4)
+    val (res, st) = StreamRun.runAvailableNowObserved(
+      EventWindows.correlateStreams(src(), src(), "user_id", "10 MINUTES", "1 minute"),
+      s"$root/run", complete = false)
+    assert(res.count() > 0)
+    val streamed = st.map(_.inputRows).sum
+    val maxState = st.map(_.stateRows).max
+    val removed = st.map(_.rowsRemoved).sum
+    assert(st.length >= 4, s"expected >=4 triggers, got ${st.length}")
+    assert(maxState * 2 < streamed,
+      s"state must not accumulate the stream: max=$maxState streamed=$streamed")
+    assert(removed > streamed / 2,
+      s"eviction must drain processed state: removed=$removed streamed=$streamed")
+  }
+
   test("forced-LSH s/row at 8x constant-density volume stays within 2x of 1x") {
     def timeOf(amp: Int): Double = {
       val d = Amplify.documentsDisjoint(docs0, amp)

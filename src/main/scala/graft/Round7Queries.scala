@@ -222,6 +222,19 @@ object Round7Queries {
           col("fin.total_value").as("total_value"),
           col("fin.last_ts").as("last_ts"))
     },
+    // X6, SLIDING windows EXECUTED BY THE STREAMING ENGINE — the last
+    // built-in window form the streaming matrix lacked. Each event
+    // lands in width/slide = 2 live windows, so the state store holds
+    // 2× the tumbling row count and every event updates two state rows
+    // per trigger; complete mode makes the final emission the batch
+    // aggregation, certified under events_sliding's oracle VERBATIM.
+    "events_sliding_stream" -> { (s, dir) =>
+      val out = CoreQueries.scratchDir("events_sliding_stream")
+      val src = eventsChunks(s, dir)
+      StreamRun.runAvailableNow(
+        EventWindows.slidingStream(src, "1 hour", "30 minutes", "1 hour"),
+        s"$out/run", complete = true)
+    },
     // X6, stream-STATIC broadcast enrichment EXECUTED BY THE STREAMING
     // ENGINE — the dimension-lookup shape of a production ingest and
     // the one X6 join form the matrix lacked (stream-stream buffers
@@ -395,6 +408,14 @@ object Round7Queries {
         |       floor(sum(value) * 100 + 0.5) / 100 AS total_value,
         |       max(ts) AS last_ts
         |FROM events GROUP BY 1""".stripMargin,
+    // identical to events_sliding — the streaming sliding aggregation
+    // must reproduce the batch one exactly
+    "events_sliding_stream" ->
+      """SELECT time_bucket(INTERVAL '30 minutes', ts)
+        |         - INTERVAL '30 minutes' * k.k AS window_start,
+        |       event_type, count(*) AS n_events
+        |FROM events CROSS JOIN (VALUES (0), (1)) AS k(k)
+        |GROUP BY 1, 2""".stripMargin,
     // the streaming enrichment must emit each event's enrichment
     // exactly once — a dropped or doubled micro-batch shifts the
     // per-segment counts/cents and fails the compare

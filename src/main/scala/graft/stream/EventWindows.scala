@@ -83,6 +83,15 @@ object EventWindows {
   def sessionsStream(events: DataFrame, gap: String, lateness: String): DataFrame =
     sessions(events.withWatermark("ts", lateness), gap)
 
+  /** Streaming sliding windows: each event lands in width/slide live
+    * windows, so the stateful aggregation holds width/slide × the
+    * tumbling window count — the watermark evicts each window
+    * width/slide triggers' worth later than its tumbling counterpart.
+    */
+  def slidingStream(
+      events: DataFrame, width: String, slide: String, lateness: String): DataFrame =
+    sliding(events.withWatermark("ts", lateness), width, slide)
+
   /** Streaming exact dedup (X1 × X6): drop repeated keys across
     * micro-batches. The watermark bounds the dedup state — a key's
     * entry is dropped once the watermark passes its event time, so

@@ -97,9 +97,10 @@ class PlanAuditSpec extends SparkFunSuite {
     // skipped rather than paid for.
     val eagerStreamRuns = Set(
       "events_windowed_stream", "events_windowed_stream_append",
-      "events_sessions_stream", "events_correlated_stream",
-      "events_dedup_stream", "events_reconcile_stream",
-      "events_custom_state_stream")
+      "events_sessions_stream", "events_sliding_stream",
+      "events_correlated_stream", "events_dedup_stream",
+      "events_reconcile_stream", "events_custom_state_stream",
+      "events_enrich_stream")
     val offenders = SparkEntry.queries.keys.toSeq.sorted
       .filterNot(exactBaselines)
       .filterNot(eagerStreamRuns)

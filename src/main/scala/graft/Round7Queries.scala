@@ -235,6 +235,30 @@ object Round7Queries {
         EventWindows.slidingStream(src, "1 hour", "30 minutes", "1 hour"),
         s"$out/run", complete = true)
     },
+    // X6, stop/restart RECOVERY executed by the streaming engine: drain
+    // the first half of the events (split at the midpoint timestamp) to
+    // completion, stop, land the second half as new files, restart
+    // against the SAME checkpoint. runRestartObserved `require`s the
+    // engine-level invariants (batch numbering resumes, only the late
+    // files are read); the oracle certifies the result: the final
+    // complete-mode emission must equal the batch aggregation over the
+    // WHOLE table — which it can only do if the state store was
+    // restored, since the hour window straddling the stop/restart
+    // boundary needs counts from both runs. Oracle VERBATIM from
+    // events_windowed. Layout is rebuilt per run by design (the source
+    // dir mutates mid-scenario), so this query keeps its own dir.
+    "events_restart_stream" -> { (s, dir) =>
+      val out = CoreQueries.scratchDir("events_restart_stream")
+      val ev = Tables.events(s, dir)
+      val bounds = ev.agg(min(col("ts")), max(col("ts"))).head()
+      val mid = new java.sql.Timestamp(
+        (bounds.getTimestamp(0).getTime + bounds.getTimestamp(1).getTime) / 2)
+      val (result, _, _) = StreamRun.runRestartObserved(
+        ev.filter(col("ts") < lit(mid)), ev.filter(col("ts") >= lit(mid)),
+        src => EventWindows.tumblingStream(src, "1 hour", "1 hour"),
+        s"$out/run")
+      result
+    },
     // X6, stream-STATIC broadcast enrichment EXECUTED BY THE STREAMING
     // ENGINE — the dimension-lookup shape of a production ingest and
     // the one X6 join form the matrix lacked (stream-stream buffers
@@ -333,6 +357,13 @@ object Round7Queries {
         |FROM events, m
         |GROUP BY 1, 2, m.wm
         |HAVING window_start + INTERVAL 1 HOUR <= m.wm""".stripMargin,
+    // identical to events_windowed — recovery is only certified if the
+    // restarted run reproduces the full-table batch aggregation, state
+    // restored across the stop/restart boundary included
+    "events_restart_stream" ->
+      """SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+        |       event_type, count(*) AS n_events, round(sum(value), 2) AS sum_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
     // identical to events_sessions — the streaming session merge must
     // reproduce the batch sessionization exactly
     "events_sessions_stream" ->

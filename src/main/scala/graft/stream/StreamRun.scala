@@ -53,28 +53,35 @@ object StreamRun {
     if (!reusable) {
       Scratch.rmTree(dir)
       df.repartitionByRange(chunks, col(tsCol)).write.parquet(dir)
-      // The file-stream source orders files by MODIFICATION TIME, and
-      // the parallel write finishes its tasks in arbitrary order — so
-      // without explicit stamps a later-time chunk can be processed
-      // first, pushing the watermark past the earlier chunks and
-      // silently dropping them as late (observed: append mode lost half
-      // the windows). Stamp strictly increasing mtimes in part-file
-      // (= time-range) order; a production landing directory has this
-      // property naturally — files arrive in event-time order.
-      val parts = new java.io.File(dir).listFiles()
-        .filter(f => f.getName.startsWith("part-")).sortBy(_.getName)
-      val t0 = parts.map(_.lastModified()).max
-      val stamped = parts.zipWithIndex.forall { case (f, i) =>
-        f.setLastModified(t0 + (i + 1) * 2000L)
-      }
-      require(stamped, s"mtime stamping failed under $dir — " +
-        "the filesystem must support setLastModified for ordered chunks")
+      stampMtimesInPartOrder(dir)
       java.nio.file.Files.writeString(marker, wanted)
     }
     val schema = spark.read.parquet(dir).schema
     spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1")
       .parquet(dir)
+  }
+
+  /** The file-stream source orders files by MODIFICATION TIME, and a
+    * parallel write finishes its tasks in arbitrary order — so without
+    * explicit stamps a later-time chunk can be processed first, pushing
+    * the watermark past the earlier chunks and silently dropping them as
+    * late (observed: append mode lost half the windows). Stamp strictly
+    * increasing mtimes in part-file (= time-range) order, starting after
+    * `after` (so files landed into a live directory sort behind the ones
+    * already consumed); a production landing directory has this property
+    * naturally — files arrive in event-time order.
+    */
+  private def stampMtimesInPartOrder(dir: String, after: Long = 0L): Seq[java.io.File] = {
+    val parts = new java.io.File(dir).listFiles()
+      .filter(f => f.getName.startsWith("part-")).sortBy(_.getName).toSeq
+    val t0 = math.max(after, parts.map(_.lastModified()).max)
+    val stamped = parts.zipWithIndex.forall { case (f, i) =>
+      f.setLastModified(t0 + (i + 1) * 2000L)
+    }
+    require(stamped, s"mtime stamping failed under $dir — " +
+      "the filesystem must support setLastModified for ordered chunks")
+    parts
   }
 
   /** Execute `streaming` (a transform of a readStream source) with
@@ -198,6 +205,77 @@ object StreamRun {
     * (`max_by(…, "batch_id")`); a group updates at most once per
     * trigger, so the partition id is unambiguous within a key.
     */
+  /** Stop/restart recovery as a first-class bounded run: drain `early`
+    * to completion, stop, land `late` as NEW files in the same source
+    * directory (mtimes after everything already consumed — the only
+    * order a landing directory ever appends in), then restart the same
+    * query against the SAME checkpoint. The engine must resume batch
+    * numbering where run 1 stopped (state restored from the checkpoint,
+    * committed batches not reprocessed), read ONLY the late files, and
+    * — in complete mode — finally emit the aggregation over everything
+    * ever arrived. Both invariants are `require`d here so a recovery
+    * regression fails loudly; result-level correctness (restored state +
+    * new arrivals = the batch answer, including windows straddling the
+    * stop/restart boundary) is what the caller's oracle certifies.
+    *
+    * Unlike chunkedSource's layout this one is rebuilt per run BY
+    * DESIGN: the directory mutates mid-scenario, so reuse would hand
+    * run 1 a source that already contains the late files.
+    */
+  def runRestartObserved(
+      early: DataFrame, late: DataFrame,
+      transform: DataFrame => DataFrame,
+      outDir: String, tsCol: String = "ts",
+      chunksPerPhase: Int = 2): (DataFrame, Seq[TriggerStats], Seq[TriggerStats]) = {
+    val spark = early.sparkSession
+    Scratch.rmTree(outDir)
+    val srcDir = s"$outDir/src"
+    val sink = s"$outDir/result"
+    early.repartitionByRange(chunksPerPhase, col(tsCol)).write.parquet(srcDir)
+    stampMtimesInPartOrder(srcDir)
+    val schema = spark.read.parquet(srcDir).schema
+
+    def run(): Seq[TriggerStats] = withStatePartitions(spark) {
+      val src = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(srcDir)
+      val q = transform(src).writeStream
+        .outputMode("complete")
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", s"$outDir/ckpt")
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          batch.write.mode("overwrite").parquet(sink)
+        }
+        .start()
+      q.awaitTermination()
+      q.recentProgress.toSeq.map { p =>
+        TriggerStats(p.batchId, p.numInputRows,
+          p.stateOperators.map(_.numRowsTotal).sum,
+          p.stateOperators.map(_.numRowsRemoved).sum,
+          Option(p.durationMs.get("triggerExecution")).map(_.toLong).getOrElse(0L))
+      }
+    }
+
+    val first = run()
+    val lateDir = s"$outDir/late"
+    late.repartitionByRange(chunksPerPhase, col(tsCol)).write.parquet(lateDir)
+    val consumed = new java.io.File(srcDir).listFiles()
+      .filter(_.getName.startsWith("part-")).map(_.lastModified()).max
+    stampMtimesInPartOrder(lateDir, after = consumed).foreach { f =>
+      val dst = java.nio.file.Paths.get(srcDir, s"late-${f.getName}")
+      java.nio.file.Files.move(f.toPath, dst)
+    }
+    val second = run()
+
+    require(second.nonEmpty &&
+      second.map(_.batchId).min > first.map(_.batchId).max,
+      s"restart must resume batch numbering from the checkpoint: " +
+        s"run1=${first.map(_.batchId)} run2=${second.map(_.batchId)}")
+    val lateRows = late.count()
+    require(second.map(_.inputRows).sum == lateRows,
+      s"restart must read exactly the late arrivals ($lateRows rows): $second")
+    (spark.read.parquet(sink), first, second)
+  }
+
   def runAvailableNowUpdate(streaming: DataFrame, outDir: String): DataFrame = {
     val spark = streaming.sparkSession
     Scratch.rmTree(outDir)

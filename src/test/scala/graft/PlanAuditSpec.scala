@@ -100,7 +100,7 @@ class PlanAuditSpec extends SparkFunSuite {
       "events_sessions_stream", "events_sliding_stream",
       "events_correlated_stream", "events_dedup_stream",
       "events_reconcile_stream", "events_custom_state_stream",
-      "events_enrich_stream")
+      "events_enrich_stream", "events_restart_stream")
     val offenders = SparkEntry.queries.keys.toSeq.sorted
       .filterNot(exactBaselines)
       .filterNot(eagerStreamRuns)

@@ -189,54 +189,22 @@ class StreamRunSpec extends SparkFunSuite {
       (ev.agg(min(col("ts"))).head.getTimestamp(0).getTime +
         ev.agg(max(col("ts"))).head.getTimestamp(0).getTime) / 2)
     val early = ev.filter(col("ts") < lit(mid))
-    val late = ev.filter(col("ts") >= lit(mid))
     val root = tmp("streamrun_ckpt")
-    val srcDir = s"$root/src"
-    StreamRun.chunkedSource(spark, early, srcDir, 2) // builds the layout
-    val schema = spark.read.parquet(srcDir).schema
-
-    def run(): Seq[(Long, Long)] = { // (batchId, inputRows) per trigger
-      val src = spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", "1").parquet(srcDir)
-      val q = EventWindows.tumblingStream(src, "1 hour", "1 hour")
-        .writeStream.outputMode("complete")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .option("checkpointLocation", s"$root/ckpt")
-        .foreachBatch { (b: DataFrame, _: Long) =>
-          b.write.mode("overwrite").parquet(s"$root/sink")
-        }
-        .start()
-      q.awaitTermination()
-      q.recentProgress.toSeq.map(p => (p.batchId, p.numInputRows))
-    }
-
-    val first = run()
-    assert(first.map(_._2).sum == early.count(), "run 1 must drain the early files")
-
-    // land the late half as new files, mtimes after the existing chunks
-    // (a landing directory only ever appends later-time files)
-    val tmpLate = s"$root/late"
-    late.repartitionByRange(2, col("ts")).write.parquet(tmpLate)
-    val existing = new java.io.File(srcDir).listFiles()
-      .filter(_.getName.startsWith("part-")).map(_.lastModified()).max
-    val parts = new java.io.File(tmpLate).listFiles()
-      .filter(_.getName.startsWith("part-")).sortBy(_.getName)
-    parts.zipWithIndex.foreach { case (f, i) =>
-      val dst = new java.io.File(srcDir, s"late-${f.getName}")
-      java.nio.file.Files.move(f.toPath, dst.toPath)
-      assert(dst.setLastModified(existing + (i + 1) * 2000L))
-    }
-
-    val second = run()
-    // batch ids continue where run 1 stopped — the checkpoint was
-    // restored, not restarted; only the NEW files were read
-    assert(second.nonEmpty && second.map(_._1).min > first.map(_._1).max,
-      s"batch ids must resume: run1=$first run2=$second")
-    assert(second.map(_._2).sum == late.count(),
-      s"run 2 must read exactly the late files: $second")
+    // runRestartObserved itself requires batch-id resumption and
+    // late-files-only input — a violation aborts the run loudly
+    val (got, first, second) = StreamRun.runRestartObserved(
+      early, ev.filter(col("ts") >= lit(mid)),
+      src => EventWindows.tumblingStream(src, "1 hour", "1 hour"),
+      s"$root/run")
+    assert(first.map(_.inputRows).sum == early.count(),
+      "run 1 must drain the early files")
+    // state restoration evidence from the engine's own progress trail:
+    // run 2 opens with AT LEAST run 1's window state (complete mode
+    // never evicts) — a reset-to-empty store would show fewer rows
+    assert(second.head.stateRows >= first.last.stateRows,
+      s"state must survive the restart: run1=$first run2=$second")
     // restored state + new arrivals converge to the full batch answer —
     // windows straddling the stop/restart boundary prove state survival
-    val got = spark.read.parquet(s"$root/sink")
     val want = EventWindows.tumbling(ev, "1 hour")
     assert(got.exceptAll(want).count() == 0 && want.exceptAll(got).count() == 0)
   }

@@ -148,7 +148,10 @@ object Round7Queries {
         s"$out/src-u150-${dir.replaceAll("[^A-Za-z0-9.]", "_")}", 4)
       val joined = EventWindows.correlateStreams(
         src(), src(), "user_id", "10 MINUTES", "1 minute")
-      StreamRun.runAvailableNow(joined, s"$out/run", complete = false)
+      // inner joins emit eagerly in the data batch — the trailing
+      // no-data batch would only evict state, so it is skipped
+      StreamRun.runAvailableNow(joined, s"$out/run", complete = false,
+          noDataBatch = false)
         .groupBy(col("type_left"), col("type_right"))
         .agg(count(lit(1)).as("n_pairs"))
     },
@@ -168,9 +171,11 @@ object Round7Queries {
     "events_dedup_stream" -> { (s, dir) =>
       val out = CoreQueries.scratchDir("events_dedup_stream")
       val src = eventsChunks(s, dir)
+      // watermark dedup emits first-seen rows in their data batch — the
+      // trailing no-data batch only evicts state, so it is skipped
       StreamRun.runAvailableNow(
           EventWindows.dedupStream(src, Seq("user_id", "event_type"), "1 hour"),
-          s"$out/run", complete = false)
+          s"$out/run", complete = false, noDataBatch = false)
         .groupBy(col("user_id"), col("event_type"))
         .agg(count(lit(1)).as("n_emits"))
         .select(col("user_id"), col("event_type"),

@@ -111,11 +111,32 @@ object StreamRun {
   private val StatePartitions =
     sys.props.getOrElse("graft.stream.statePartitions", "8")
 
-  private def withStatePartitions[A](spark: SparkSession)(body: => A): A = {
-    val key = "spark.sql.shuffle.partitions"
-    val prev = spark.conf.get(key)
-    spark.conf.set(key, StatePartitions)
-    try body finally spark.conf.set(key, prev)
+  /** Bounded-run session confs, restored after the run. Beyond the
+    * state-partition sizing, `noDataBatch = false` skips the engine's
+    * final NO-DATA micro-batch — the extra trigger AvailableNow runs
+    * after the backlog drains so watermark-driven emission can fire one
+    * last time. That batch only matters when the sink's rows are
+    * PRODUCED by watermark finalization (append-mode windowed
+    * aggregation); for complete mode (every trigger rewrites full
+    * state), update mode (emission happens in the data batch that
+    * changed the group), and eager-emission append queries (inner
+    * stream-stream joins, watermark dedup — rows emit on arrival, the
+    * no-data batch only evicts state), it re-commits every state store
+    * for an identical result — pure fixed cost, ~1 trigger of the
+    * bounded run. Callers that certify watermark-finalized emission
+    * (events_windowed_stream_append) keep it on.
+    */
+  private def withBoundedRunConfs[A](
+      spark: SparkSession, noDataBatch: Boolean)(body: => A): A = {
+    val keys = Seq(
+      "spark.sql.shuffle.partitions" -> StatePartitions,
+      "spark.sql.streaming.noDataMicroBatches.enabled" -> noDataBatch.toString)
+    val prev = keys.map { case (k, _) => k -> spark.conf.getOption(k) }
+    keys.foreach { case (k, v) => spark.conf.set(k, v) }
+    try body finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
   }
 
   /** Land one micro-batch in its own `batch_id=<id>` partition dir,
@@ -162,7 +183,7 @@ object StreamRun {
     */
   def runAvailableNowObserved(
       streaming: DataFrame, outDir: String,
-      complete: Boolean): (DataFrame, Seq[TriggerStats]) = {
+      complete: Boolean, noDataBatch: Boolean = true): (DataFrame, Seq[TriggerStats]) = {
     val spark = streaming.sparkSession
     Scratch.rmTree(outDir)
     val sink = s"$outDir/result"
@@ -172,7 +193,7 @@ object StreamRun {
     val writeBatch: (DataFrame, Long) => Unit =
       if (complete) (batch, _) => batch.write.mode("overwrite").parquet(sink)
       else (batch, id) => writeBatchPartition(batch, sink, id)
-    val stats = withStatePartitions(spark) {
+    val stats = withBoundedRunConfs(spark, noDataBatch = !complete && noDataBatch) {
       val q = streaming.writeStream
         .outputMode(if (complete) "complete" else "append")
         .trigger(Trigger.AvailableNow())
@@ -193,8 +214,9 @@ object StreamRun {
     (result, stats)
   }
 
-  def runAvailableNow(streaming: DataFrame, outDir: String, complete: Boolean): DataFrame =
-    runAvailableNowObserved(streaming, outDir, complete)._1
+  def runAvailableNow(streaming: DataFrame, outDir: String, complete: Boolean,
+      noDataBatch: Boolean = true): DataFrame =
+    runAvailableNowObserved(streaming, outDir, complete, noDataBatch)._1
 
   /** Update-mode variant: each trigger lands only the CHANGED rows of
     * a stateful aggregation in its `batch_id=N` partition — the
@@ -235,7 +257,11 @@ object StreamRun {
     stampMtimesInPartOrder(srcDir)
     val schema = spark.read.parquet(srcDir).schema
 
-    def run(): Seq[TriggerStats] = withStatePartitions(spark) {
+    // complete mode: the no-data batch cannot change the sink (see
+    // withBoundedRunConfs), and skipping it keeps the restart invariants
+    // intact — batch numbering still resumes past run 1's max, and input
+    // accounting only counts data batches either way
+    def run(): Seq[TriggerStats] = withBoundedRunConfs(spark, noDataBatch = false) {
       val src = spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1").parquet(srcDir)
       val q = transform(src).writeStream
@@ -280,7 +306,10 @@ object StreamRun {
     val spark = streaming.sparkSession
     Scratch.rmTree(outDir)
     val sink = s"$outDir/result"
-    withStatePartitions(spark) {
+    // update mode emits from the data batch that changed the group
+    // (NoTimeout state, built-in update aggs alike) — the no-data batch
+    // is always result-neutral here
+    withBoundedRunConfs(spark, noDataBatch = false) {
       val q = streaming.writeStream
         .outputMode("update")
         .trigger(Trigger.AvailableNow())

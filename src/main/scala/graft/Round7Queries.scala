@@ -457,7 +457,7 @@ object Round7Queries {
     // per-segment counts/cents and fails the compare
     "events_enrich_stream" ->
       """SELECT c.c_mktsegment, e.event_type, count(*) AS n_events,
-        |       sum(CAST(floor(e.value * 100 + 0.5) AS BIGINT)) AS sum_cents
+        |       CAST(sum(floor(e.value * 100 + 0.5)) AS BIGINT) AS sum_cents
         |FROM events e JOIN customer c ON e.user_id = c.c_custkey
         |GROUP BY 1, 2""".stripMargin,
     // list_distinct mirrors deletionVariants' array_union (a name's

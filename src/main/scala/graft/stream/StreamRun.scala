@@ -45,9 +45,13 @@ object StreamRun {
     // (a different `chunks` against the same dir must rebuild, not
     // silently run fewer micro-batches). The streaming execution itself
     // is never skipped: the checkpoint is wiped per run
-    // (runAvailableNow).
+    // (runAvailableNow). The marker also records the ts column's type:
+    // a fixture regeneration that changes the stored timestamp flavor
+    // (nanos-long → NTZ → TZ) must invalidate layouts built from the
+    // old flavor, or the reused chunks silently feed the stream a type
+    // the current loader no longer produces.
     val marker = java.nio.file.Paths.get(dir, "_GRAFT_READY")
-    val wanted = s"chunks=$chunks"
+    val wanted = s"chunks=$chunks;ts=${df.schema(tsCol).dataType.simpleString}"
     val reusable = java.nio.file.Files.exists(marker) &&
       java.nio.file.Files.readString(marker) == wanted
     if (!reusable) {

@@ -12,6 +12,16 @@ class GraftSessionSpec extends SparkFunSuite {
       .dataType.typeName == "timestamp")
   }
 
+  test("events loader normalizes ts to TimestampType regardless of fixture flavor") {
+    // the driver has regenerated events.ts across rounds as
+    // TIMESTAMP(NANOS) and TIMESTAMP_NTZ; every downstream consumer
+    // (withWatermark, unix_micros, Row.getTimestamp) requires plain
+    // TimestampType — pin the loader's normalization against the next
+    // fixture drift
+    val ts = core.Tables.events(spark, sf001).schema("ts").dataType
+    assert(ts == org.apache.spark.sql.types.TimestampType, s"got $ts")
+  }
+
   test("custom kernels are callable from SQL after configure") {
     GraftSession.configure(spark)
     val d = spark.sql(

@@ -172,6 +172,13 @@ class StreamRunSpec extends SparkFunSuite {
     // multiset equality: a micro-batch emitted twice (or dropped)
     // leaves a residue in one exceptAll direction
     assert(got.exceptAll(want).count() == 0 && want.exceptAll(got).count() == 0)
+    // exactly-once at the key level, independent of any downstream
+    // rollup's dtype: every joined event appears in the sink once —
+    // this cannot hide behind an oracle-side hash quirk
+    val joinedInput = want.count()
+    assert(got.select(col("event_id")).distinct().count() == joinedInput &&
+      got.count() == joinedInput,
+      "enrich sink must carry each joined event exactly once")
     // the static side must ride a broadcast join in the batch form (the
     // per-trigger incremental plans re-use the same join strategy)
     val plan = want.queryExecution.executedPlan.toString

@@ -306,14 +306,21 @@ object StreamRun {
     (spark.read.parquet(sink), first, second)
   }
 
-  def runAvailableNowUpdate(streaming: DataFrame, outDir: String): DataFrame = {
+  /** Update-mode bounded run. `noDataBatch` defaults OFF because update
+    * mode emits from the data batch that changed the group (NoTimeout
+    * custom state and built-in update-mode aggs alike), so the trailing
+    * no-data batch is result-neutral — pure fixed cost. A caller whose
+    * state handler emits on EVENT-TIME TIMEOUT (EventTimeTimeout
+    * flatMapGroupsWithState) MUST pass `noDataBatch = true`: its final
+    * emissions fire from watermark advancement after the backlog
+    * drains, which only the no-data batch delivers on a bounded run.
+    */
+  def runAvailableNowUpdate(streaming: DataFrame, outDir: String,
+      noDataBatch: Boolean = false): DataFrame = {
     val spark = streaming.sparkSession
     Scratch.rmTree(outDir)
     val sink = s"$outDir/result"
-    // update mode emits from the data batch that changed the group
-    // (NoTimeout state, built-in update aggs alike) — the no-data batch
-    // is always result-neutral here
-    withBoundedRunConfs(spark, noDataBatch = false) {
+    withBoundedRunConfs(spark, noDataBatch = noDataBatch) {
       val q = streaming.writeStream
         .outputMode("update")
         .trigger(Trigger.AvailableNow())

@@ -138,6 +138,25 @@ class StreamRunSpec extends SparkFunSuite {
     assert(fin.getAs[Timestamp]("last_ts") == t(8))
   }
 
+  test("update-mode no-data batch is result-neutral for NoTimeout state") {
+    // the documented contract behind runAvailableNowUpdate's default:
+    // for emission-on-data queries the trailing no-data micro-batch
+    // must not add, drop, or change any emitted row — so the two
+    // settings produce identical update logs (an EventTimeTimeout
+    // caller is the one shape that NEEDS the extra batch; this pins
+    // that flipping the knob is safe everywhere else)
+    val ev = Tables.events(spark, sf001)
+    val root = tmp("streamrun_nd")
+    def src() = StreamRun.chunkedSource(spark, ev, s"$root/src", 4)
+    val off = StreamRun.runAvailableNowUpdate(
+      StreamingReconcile.runningCounts(src(), "event_type"), s"$root/off")
+    val on = StreamRun.runAvailableNowUpdate(
+      StreamingReconcile.runningCounts(src(), "event_type"), s"$root/on",
+      noDataBatch = true)
+    assert(off.exceptAll(on).count() == 0 && on.exceptAll(off).count() == 0,
+      "no-data batch changed the update log for a NoTimeout query")
+  }
+
   test("a replayed batch id overwrites its own partition — sink stays exactly-once") {
     import spark.implicits._
     // foreachBatch is at-least-once: a crash between sink write and

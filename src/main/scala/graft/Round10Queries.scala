@@ -1,0 +1,216 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.{Fingerprint, Scratch, Tables}
+import graft.stream.{EventWindows, SessionClose, StreamRun}
+
+/** Round-10 depth queries (round-9 verdict asks #1, #2, #7, #8): the
+  * EventTimeTimeout session state machine with watermark-fired final
+  * emission, the same stop/restart recovery scenario under the RocksDB
+  * state store provider, a watermark late-data drop audit (the streaming
+  * analogue of the LSH drop audit), and the two-level partition
+  * fingerprint reconcile.
+  */
+object Round10Queries {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // X6, EventTimeTimeout flatMapGroupsWithState EXECUTED BY THE
+    // STREAMING ENGINE — the session-close state machine the NoTimeout
+    // custom-state query stops short of. Each per-user gap session is
+    // emitted EXACTLY ONCE: by a successor event proving the gap
+    // elapsed (data-batch close), or by state.hasTimedOut once the
+    // WATERMARK passes session end + gap — which for the final sessions
+    // of a bounded run only the trailing no-data micro-batch delivers
+    // (the round-9 noDataBatch plumbing, exercised here). The two
+    // requires pin exactly that: the run's last trigger consumed zero
+    // input AND contributed emissions. Sessions the final watermark
+    // never times out (the live tail within gap+lateness of stream end)
+    // are never emitted; the oracle encodes both the emission rule and
+    // the engine's millisecond timeout arithmetic (epoch_ms floors).
+    "events_session_timeout_stream" -> { (s, dir) =>
+      val out = CoreQueries.scratchDir("events_session_timeout_stream")
+      val src = Round7Queries.eventsChunks(s, dir)
+      import s.implicits._
+      val ev = src.select(col("user_id"), col("ts"), col("value"))
+        .withWatermark("ts", "1 hour")
+        .as[SessionClose.Event]
+      val (res, stats) = StreamRun.runAvailableNowUpdateObserved(
+        SessionClose.close(ev, gapMinutes = 30).toDF(),
+        s"$out/run", noDataBatch = true)
+      val last = stats.last
+      require(last.inputRows == 0L,
+        s"final trigger must be the engine's no-data batch: $stats")
+      require(res.filter(col("batch_id") === last.batchId).limit(1).count() == 1L,
+        "the no-data batch must contribute watermark-fired session closes")
+      res.drop("batch_id")
+    },
+    // X6, stop/restart recovery under the ROCKSDB state store provider —
+    // at 100 TB-state the default in-memory provider is the scale
+    // killer (state must fit the executor heap); RocksDB spills state
+    // to local disk with incremental checkpointing and is the provider
+    // a production deployment of every stateful query here would run.
+    // Same scenario and invariants as events_restart_stream
+    // (runRestartObserved `require`s resumed batch numbering +
+    // late-files-only reads; the oracle certifies the restored-state
+    // aggregation), on the user_id<150 bench-cost prefix — which at the
+    // sf0.01 correctness gate is the whole table.
+    "events_restart_rocksdb" -> { (s, dir) =>
+      val out = CoreQueries.scratchDir("events_restart_rocksdb")
+      val ev = Tables.events(s, dir).filter(col("user_id") < 150)
+      val bounds = ev.agg(min(col("ts")), max(col("ts"))).head()
+      val mid = new java.sql.Timestamp(
+        (bounds.getTimestamp(0).getTime + bounds.getTimestamp(1).getTime) / 2)
+      val key = "spark.sql.streaming.stateStore.providerClass"
+      val prev = s.conf.getOption(key)
+      s.conf.set(key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      try {
+        val (result, _, _) = StreamRun.runRestartObserved(
+          ev.filter(col("ts") < lit(mid)), ev.filter(col("ts") >= lit(mid)),
+          src => EventWindows.tumblingStream(src, "1 hour", "1 hour"),
+          s"$out/run")
+        // the runs have terminated; the returned frame is a plain
+        // parquet read-back, safe to hand out after the conf restore
+        result
+      } finally prev match {
+        case Some(v) => s.conf.set(key, v)
+        case None    => s.conf.unset(key)
+      }
+    },
+    // X6 observability — the WATERMARK LATE-DATA drop audit (the
+    // streaming analogue of dedup_lsh_drop_audit): every 50th event_id
+    // from the stream's first time-quarter is displaced to arrive AFTER
+    // the whole backlog, so the advanced watermark must drop all of
+    // them. The require certifies the engine's own accounting
+    // (numRowsDroppedByWatermark summed over triggers = the displaced
+    // row count); the certified OUTPUT is the per-window audit a
+    // pipeline operator actually reads — finalized windows' batch count
+    // minus streamed count — which the oracle recomputes from the same
+    // lateness rule. Windows losing rows without the stream noticing,
+    // or drops leaking into emitted counts, both break the compare.
+    "events_late_audit" -> { (s, dir) =>
+      val out = CoreQueries.scratchDir("events_late_audit")
+      val ev = Tables.events(s, dir)
+      val b = ev.agg(min(unix_micros(col("ts"))), max(unix_micros(col("ts")))).head()
+      val (mn, mx) = (b.getLong(0), b.getLong(1))
+      val q1 = mn + (mx - mn) / 4
+      val isLate = col("event_id") % 50 === 0 && unix_micros(col("ts")) < lit(q1)
+      val src = StreamRun.chunkedSourceWithLate(
+        s, ev.filter(!isLate), ev.filter(isLate), s"$out/src", 4)
+      val (streamed, stats) = StreamRun.runAvailableNowObserved(
+        EventWindows.tumblingStream(src, "1 hour", "1 hour"),
+        s"$out/run", complete = false)
+      val nLate = ev.filter(isLate).count()
+      require(nLate > 0, "fixture must yield displaced rows for the audit")
+      require(stats.map(_.rowsDroppedByWatermark).sum == nLate,
+        s"engine must report exactly the $nLate displaced rows dropped: $stats")
+      val batch = EventWindows.tumbling(ev, "1 hour")
+        .select(col("window_start"), col("event_type"),
+          col("n_events").as("batch_events"))
+      val finalized = batch.filter(
+        col("window_start") + expr("INTERVAL 1 HOUR")
+          <= timestamp_micros(lit(mx)) - expr("INTERVAL 1 HOUR"))
+      finalized.join(
+          streamed.select(col("window_start"), col("event_type"),
+            col("n_events").as("stream_events")),
+          Seq("window_start", "event_type"), "left_outer")
+        .select(col("window_start"), col("event_type"),
+          (col("batch_events") - coalesce(col("stream_events"), lit(0L)))
+            .as("n_dropped"))
+        .filter(col("n_dropped") > 0)
+    },
+    // A3 at TWO partition levels (SURVEY.md §7.4.3's Map[String,String]
+    // spec): the UC#2 fingerprint reconcile over a dt×hr-style grouping
+    // — ~720 (day, hour) cells at sf0.01, each carrying the
+    // order-insensitive (count, bit_xor(xxhash64)) digest, one shuffle
+    // for the whole comparison exactly like the single-level form. The
+    // deterministic perturbation (every 13th error event dropped from
+    // the target) makes cells inconsistent exactly where the oracle
+    // recomputes a count difference; the digest catches content drift
+    // the count alone would miss (pinned in FingerprintSpec).
+    "integrity_multilevel" -> { (s, dir) =>
+      val ev = Tables.events(s, dir)
+        .withColumn("dt", to_date(col("ts")))
+        .withColumn("hr", hour(col("ts")))
+      val tgt = ev.filter(
+        !(col("event_type") === "error" && col("event_id") % 13 === 0))
+      Fingerprint.compare(ev, tgt, Seq("dt", "hr"))
+    }
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    // gap sessions per user (identical session derivation to
+    // events_sessions), emitted iff closed: every non-final session of
+    // a user (a successor event proves the gap), plus final sessions
+    // whose timeout the final watermark passed. The engine compares
+    // timeout timestamps in floored MILLISECONDS: timeout fires iff
+    // epoch_ms(session_end) + gap < epoch_ms(max ts) - lateness,
+    // strict, mirrored here exactly.
+    "events_session_timeout_stream" ->
+      """WITH marked AS (
+        |  SELECT user_id, ts, value,
+        |         CASE WHEN lag(ts) OVER w IS NULL
+        |                OR ts - lag(ts) OVER w > INTERVAL '30 minutes'
+        |              THEN 1 ELSE 0 END AS new_session
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |numbered AS (
+        |  SELECT user_id, ts, value,
+        |         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+        |           ROWS UNBOUNDED PRECEDING) AS session_id
+        |  FROM marked),
+        |sess AS (
+        |  SELECT user_id, session_id, min(ts) AS session_start,
+        |         max(ts) AS session_end, count(*) AS n_events,
+        |         floor(sum(value) * 100 + 0.5) / 100 AS sum_value
+        |  FROM numbered GROUP BY user_id, session_id),
+        |lastsess AS (
+        |  SELECT user_id, max(session_id) AS last_id FROM sess GROUP BY 1),
+        |wm AS (SELECT epoch_ms(max(ts)) - 3600000 AS wm_ms FROM events)
+        |SELECT s.session_start, s.user_id, s.n_events, s.sum_value
+        |FROM sess s JOIN lastsess l ON s.user_id = l.user_id, wm
+        |WHERE s.session_id < l.last_id
+        |   OR epoch_ms(s.session_end) + 1800000 < wm.wm_ms""".stripMargin,
+    // identical to events_windowed restricted to the bench-cost prefix
+    // — recovery under RocksDB is only certified if the restarted run
+    // reproduces the batch aggregation, restored state included
+    "events_restart_rocksdb" ->
+      """SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+        |       event_type, count(*) AS n_events, round(sum(value), 2) AS sum_value
+        |FROM events WHERE user_id < 150 GROUP BY 1, 2""".stripMargin,
+    // the displaced subset per window IS the expected drop count; the
+    // finalization cutoff mirrors events_windowed_stream_append's rule
+    // (windows within lateness of stream end are never emitted, hence
+    // never audited — displaced windows all sit in the first quarter,
+    // far inside the cutoff)
+    "events_late_audit" ->
+      """WITH b AS (SELECT min(ts) AS mn, max(ts) AS mx FROM events),
+        |late AS (
+        |  SELECT e.* FROM events e, b
+        |  WHERE e.event_id % 50 = 0
+        |    AND epoch_us(e.ts) < epoch_us(b.mn)
+        |          + (epoch_us(b.mx) - epoch_us(b.mn)) // 4)
+        |SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+        |       event_type, count(*) AS n_dropped
+        |FROM late, b
+        |GROUP BY 1, 2, b.mx
+        |HAVING window_start + INTERVAL 1 HOUR <= b.mx - INTERVAL 1 HOUR"""
+        .stripMargin,
+    // the perturbed target is a subset of the source within each
+    // (dt, hr) cell, so multiset equality <=> equal counts — the same
+    // shortcut as integrity_by_partition, now over two partition levels
+    "integrity_multilevel" ->
+      """WITH src AS (
+        |  SELECT CAST(ts AS DATE) AS dt, hour(ts) AS hr, count(*) AS src_cnt
+        |  FROM events GROUP BY 1, 2),
+        |tgt AS (
+        |  SELECT CAST(ts AS DATE) AS dt, hour(ts) AS hr, count(*) AS tgt_cnt
+        |  FROM events
+        |  WHERE NOT (event_type = 'error' AND event_id % 13 = 0)
+        |  GROUP BY 1, 2)
+        |SELECT s.dt, s.hr, s.src_cnt, t.tgt_cnt,
+        |       s.src_cnt = t.tgt_cnt AS consistent
+        |FROM src s JOIN tgt t ON s.dt = t.dt AND s.hr = t.hr""".stripMargin
+  )
+}

@@ -27,7 +27,7 @@ object Round7Queries {
     * chunkedSource's reuse contract. Queries with a different source
     * (the u150-filtered join) keep their own dirs.
     */
-  private def eventsChunks(s: SparkSession, dir: String): DataFrame =
+  private[graft] def eventsChunks(s: SparkSession, dir: String): DataFrame =
     StreamRun.chunkedSource(s, Tables.events(s, dir),
       s"${CoreQueries.scratchDir("stream_src")}/events-4-${dir.replaceAll("[^A-Za-z0-9.]", "_")}", 4)
 
@@ -454,10 +454,15 @@ object Round7Queries {
         |GROUP BY 1, 2""".stripMargin,
     // the streaming enrichment must emit each event's enrichment
     // exactly once — a dropped or doubled micro-batch shifts the
-    // per-segment counts/cents and fails the compare
+    // per-segment counts/cents and fails the compare. The inner CAST
+    // keeps the SUM itself over BIGINTs (mirroring the Spark side's
+    // integer-cent sum); the outer CAST only narrows DuckDB's HUGEINT
+    // sum dtype — summing doubles instead would reintroduce the 2^53
+    // drift the cents encoding exists to avoid
     "events_enrich_stream" ->
       """SELECT c.c_mktsegment, e.event_type, count(*) AS n_events,
-        |       CAST(sum(floor(e.value * 100 + 0.5)) AS BIGINT) AS sum_cents
+        |       CAST(sum(CAST(floor(e.value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+        |         AS sum_cents
         |FROM events e JOIN customer c ON e.user_id = c.c_custkey
         |GROUP BY 1, 2""".stripMargin,
     // list_distinct mirrors deletionVariants' array_union (a name's

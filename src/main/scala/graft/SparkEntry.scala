@@ -24,12 +24,14 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     CoreQueries.queries ++ ExtQueries.queries ++ StreamQueries.queries ++
       RelationalQueries.queries ++ Round2Queries.queries ++
-      Round4Queries.queries ++ Round6Queries.queries ++ Round7Queries.queries
+      Round4Queries.queries ++ Round6Queries.queries ++ Round7Queries.queries ++
+      Round10Queries.queries
 
   def oracleSql: Map[String, String] =
     CoreQueries.oracleSql ++ ExtQueries.oracleSql ++ StreamQueries.oracleSql ++
       RelationalQueries.oracleSql ++ Round2Queries.oracleSql ++
-      Round4Queries.oracleSql ++ Round6Queries.oracleSql ++ Round7Queries.oracleSql
+      Round4Queries.oracleSql ++ Round6Queries.oracleSql ++ Round7Queries.oracleSql ++
+      Round10Queries.oracleSql
 }
 
 /** Event-window and multimodal queries (SURVEY.md §2b X5/X6). Windowed

@@ -42,17 +42,28 @@ object Tables {
     * is value-preserving because every entry point pins
     * `spark.sql.session.timeZone=UTC`.
     */
-  def events(spark: SparkSession, sfDir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+  def events(spark: SparkSession, sfDir: String): DataFrame =
     normalizeEvents(load(spark, sfDir, "events"))
-  }
 
   /** ts: nanos-as-long or TIMESTAMP_NTZ → TimestampType (µs); no-op if
-    * already timestamp.
+    * already timestamp. The nanos flavor additionally requires
+    * `spark.sql.legacy.parquet.nanosAsLong=true` in the SESSION BUILDER
+    * (GraftSession/Bench/Verify all set it) — the loader no longer
+    * mutates session conf as a side effect.
     */
   def normalizeEvents(df: DataFrame): DataFrame = df.schema("ts").dataType match {
     case LongType         => df.withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
-    case TimestampNTZType => df.withColumn("ts", col("ts").cast("timestamp"))
+    case TimestampNTZType =>
+      // the NTZ→TZ cast reinterprets the wall-clock value in the session
+      // timezone; it is value-preserving ONLY under UTC. Every entry
+      // point pins UTC, but this method is public — fail loudly rather
+      // than silently shifting every event timestamp if a future entry
+      // point forgets the pin.
+      val tz = df.sparkSession.conf.get("spark.sql.session.timeZone", "")
+      require(tz == "UTC",
+        s"normalizeEvents requires spark.sql.session.timeZone=UTC (got '$tz'): " +
+          "the TIMESTAMP_NTZ→TIMESTAMP cast shifts values under any other zone")
+      df.withColumn("ts", col("ts").cast("timestamp"))
     case _                => df
   }
   def documents(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "documents")

@@ -57,7 +57,6 @@ object EventWindows {
     * way as the batch loader (nanos → µs timestamps).
     */
   def readEventStream(spark: SparkSession, path: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = spark.read.parquet(path).schema
     // Streaming file sources require a directory; the fixture is a single
     // file, so stream its parent with a glob restricted to that file.

@@ -45,11 +45,11 @@ object StreamRun {
     // (a different `chunks` against the same dir must rebuild, not
     // silently run fewer micro-batches). The streaming execution itself
     // is never skipped: the checkpoint is wiped per run
-    // (runAvailableNow). The marker also records the ts column's type:
-    // a fixture regeneration that changes the stored timestamp flavor
-    // (nanos-long → NTZ → TZ) must invalidate layouts built from the
-    // old flavor, or the reused chunks silently feed the stream a type
-    // the current loader no longer produces.
+    // (runAvailableNow). The marker also records the INPUT DataFrame's
+    // ts dtype: every current caller passes post-normalization events
+    // (always 'timestamp'), so this keys the layout on the schema the
+    // caller handed in — a guard on what gets written, not a detector
+    // of the fixture's on-disk flavor (TablesSpec pins that upstream).
     val marker = java.nio.file.Paths.get(dir, "_GRAFT_READY")
     val wanted = s"chunks=$chunks;ts=${df.schema(tsCol).dataType.simpleString}"
     val reusable = java.nio.file.Files.exists(marker) &&
@@ -59,6 +59,36 @@ object StreamRun {
       df.repartitionByRange(chunks, col(tsCol)).write.parquet(dir)
       stampMtimesInPartOrder(dir)
       java.nio.file.Files.writeString(marker, wanted)
+    }
+    val schema = spark.read.parquet(dir).schema
+    spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir)
+  }
+
+  /** chunkedSource plus a DISPLACED-LATE subset: `onTime` lands as
+    * `chunks` event-time-ordered files, `late` as ONE extra file stamped
+    * to arrive AFTER all of them — so by the time the late file's batch
+    * runs, the watermark has advanced past its (much older) event times
+    * and the engine must drop every row in it. This is the controlled
+    * late-arrival scenario the watermark-drop audit query certifies; a
+    * production landing directory produces exactly this shape when an
+    * upstream partition replays old data. Rebuilt per run BY DESIGN
+    * (no reuse marker): the layout depends on the caller's late-split
+    * predicate, which the marker scheme doesn't key.
+    */
+  def chunkedSourceWithLate(
+      spark: SparkSession, onTime: DataFrame, late: DataFrame,
+      dir: String, chunks: Int, tsCol: String = "ts"): DataFrame = {
+    Scratch.rmTree(dir)
+    onTime.repartitionByRange(chunks, col(tsCol)).write.parquet(dir)
+    val consumed = stampMtimesInPartOrder(dir).map(_.lastModified()).max
+    val lateDir = s"$dir-latebuild"
+    Scratch.rmTree(lateDir)
+    late.coalesce(1).write.parquet(lateDir)
+    stampMtimesInPartOrder(lateDir, after = consumed).foreach { f =>
+      val dst = java.nio.file.Paths.get(dir, s"late-${f.getName}")
+      java.nio.file.Files.move(f.toPath, dst)
     }
     val schema = spark.read.parquet(dir).schema
     spark.readStream.schema(schema)
@@ -178,7 +208,15 @@ object StreamRun {
     */
   final case class TriggerStats(
       batchId: Long, inputRows: Long, stateRows: Long,
-      rowsRemoved: Long, triggerMs: Long)
+      rowsRemoved: Long, triggerMs: Long, rowsDroppedByWatermark: Long = 0L)
+
+  private def triggerStats(
+      p: org.apache.spark.sql.streaming.StreamingQueryProgress): TriggerStats =
+    TriggerStats(p.batchId, p.numInputRows,
+      p.stateOperators.map(_.numRowsTotal).sum,
+      p.stateOperators.map(_.numRowsRemoved).sum,
+      Option(p.durationMs.get("triggerExecution")).map(_.toLong).getOrElse(0L),
+      p.stateOperators.map(_.numRowsDroppedByWatermark).sum)
 
   /** runAvailableNow plus the per-trigger progress trail (query handles
     * are gone after awaitTermination, so the stats must be captured at
@@ -205,12 +243,7 @@ object StreamRun {
         .foreachBatch(writeBatch)
         .start()
       q.awaitTermination()
-      q.recentProgress.toSeq.map { p =>
-        TriggerStats(p.batchId, p.numInputRows,
-          p.stateOperators.map(_.numRowsTotal).sum,
-          p.stateOperators.map(_.numRowsRemoved).sum,
-          Option(p.durationMs.get("triggerExecution")).map(_.toLong).getOrElse(0L))
-      }
+      q.recentProgress.toSeq.map(triggerStats)
     }
     val result =
       if (complete) spark.read.parquet(sink)
@@ -277,12 +310,7 @@ object StreamRun {
         }
         .start()
       q.awaitTermination()
-      q.recentProgress.toSeq.map { p =>
-        TriggerStats(p.batchId, p.numInputRows,
-          p.stateOperators.map(_.numRowsTotal).sum,
-          p.stateOperators.map(_.numRowsRemoved).sum,
-          Option(p.durationMs.get("triggerExecution")).map(_.toLong).getOrElse(0L))
-      }
+      q.recentProgress.toSeq.map(triggerStats)
     }
 
     val first = run()
@@ -316,11 +344,19 @@ object StreamRun {
     * drains, which only the no-data batch delivers on a bounded run.
     */
   def runAvailableNowUpdate(streaming: DataFrame, outDir: String,
-      noDataBatch: Boolean = false): DataFrame = {
+      noDataBatch: Boolean = false): DataFrame =
+    runAvailableNowUpdateObserved(streaming, outDir, noDataBatch)._1
+
+  /** runAvailableNowUpdate plus the per-trigger progress trail — the
+    * EventTimeTimeout caller reads it to assert its watermark-fired
+    * final emissions actually came from the trailing no-data batch.
+    */
+  def runAvailableNowUpdateObserved(streaming: DataFrame, outDir: String,
+      noDataBatch: Boolean = false): (DataFrame, Seq[TriggerStats]) = {
     val spark = streaming.sparkSession
     Scratch.rmTree(outDir)
     val sink = s"$outDir/result"
-    withBoundedRunConfs(spark, noDataBatch = noDataBatch) {
+    val stats = withBoundedRunConfs(spark, noDataBatch = noDataBatch) {
       val q = streaming.writeStream
         .outputMode("update")
         .trigger(Trigger.AvailableNow())
@@ -330,7 +366,8 @@ object StreamRun {
         }
         .start()
       q.awaitTermination()
+      q.recentProgress.toSeq.map(triggerStats)
     }
-    readSink(spark, sink)
+    (readSink(spark, sink), stats)
   }
 }

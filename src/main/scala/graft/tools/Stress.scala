@@ -15,6 +15,13 @@ import graft.stream.{EventWindows, StreamRun}
   * Usage: SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 STRESS_AMPS=1,2,4,8 \
   *          sbt "runMain graft.tools.Stress"
   * Prints one pipe-delimited line per (operator, amplification).
+  *
+  * `STRESS_SECTIONS` selects which sweeps run ("amps", "chunks", or
+  * both — the default). `scripts/stress.sh` uses it to fork ONE FRESH
+  * JVM per amplification point: the one-JVM loop's late points carried
+  * accumulated-JVM state (round 9 measured the 16× CC at 162.8 s
+  * one-JVM vs 33 s fresh), so per-point forking is what makes the
+  * wall-time columns trustworthy without a footnote.
   */
 object Stress {
 
@@ -41,15 +48,19 @@ object Stress {
     val sf = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val amps = sys.env.getOrElse("STRESS_AMPS", "1,2,4,8")
       .split(",").map(_.trim.toInt).toSeq
+    val sections = sys.env.getOrElse("STRESS_SECTIONS", "amps,chunks")
+      .split(",").map(_.trim).toSet
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .config("spark.driver.memory", sys.env.getOrElse("STRESS_DRIVER_MEM", "16g"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     spark.range(1000).selectExpr("sum(id)").collect() // JIT/session warmup
 
+    val sfKey = sf.replaceAll("[^A-Za-z0-9.]", "_")
     val docs0 = graft.core.Tables.documents(spark, sf).filter(col("doc_id") < 1000)
     val ev0 = graft.core.Tables.events(spark, sf)
 
@@ -76,7 +87,7 @@ object Stress {
     val lshParams = Dedup.MinHashParams(
       numBands = 16, rowsPerBand = 2, bruteForceMaxDocs = 0L)
 
-    for (amp <- amps) {
+    for (amp <- amps if sections("amps")) {
       val nDocs = 1000L * amp
 
       // 1. FORCED LSH banding join, constant density (disjoint copies):
@@ -145,7 +156,11 @@ object Stress {
       // the stream's history — without eviction the final trigger would
       // hold every streamed row. rows_removed > 0 is eviction observed.
       run("stream_interval_join", amp, ev0.count() * amp) {
-        val root = s"${graft.CoreQueries.scratchDir("stress_stream")}/amp$amp"
+        // dir keyed by (sf dir, amp): chunkedSource's reuse marker only
+        // records chunk count + ts dtype, so an amp-only key would serve
+        // a DIFFERENT sf dir's stale layout (observed: an sf0.01 run
+        // reused the previous sf0.1 sweep's chunks)
+        val root = s"${graft.CoreQueries.scratchDir("stress_stream")}/amp$amp-$sfKey"
         def src() = StreamRun.chunkedSource(spark, evA, s"$root/src", 8)
         val (res, st) = StreamRun.runAvailableNowObserved(
           EventWindows.correlateStreams(
@@ -163,10 +178,10 @@ object Stress {
     // Trigger-granularity sweep at fixed volume: state must shrink as
     // triggers get finer (it tracks the arrival window), while the
     // streamed total stays put — the orthogonal axis to the amp loop.
-    val evS = Amplify.events(ev0, amps.max)
-    for (chunks <- Seq(4, 8, 16)) {
+    lazy val evS = Amplify.events(ev0, amps.max)
+    for (chunks <- Seq(4, 8, 16) if sections("chunks")) {
       run(s"stream_interval_join_chunks$chunks", amps.max, ev0.count() * amps.max) {
-        val root = s"${graft.CoreQueries.scratchDir("stress_stream")}/ch$chunks"
+        val root = s"${graft.CoreQueries.scratchDir("stress_stream")}/ch$chunks-amp${amps.max}-$sfKey"
         def src() = StreamRun.chunkedSource(spark, evS, s"$root/src", chunks)
         val (res, st) = StreamRun.runAvailableNowObserved(
           EventWindows.correlateStreams(

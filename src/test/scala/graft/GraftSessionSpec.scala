@@ -12,14 +12,28 @@ class GraftSessionSpec extends SparkFunSuite {
       .dataType.typeName == "timestamp")
   }
 
-  test("events loader normalizes ts to TimestampType regardless of fixture flavor") {
-    // the driver has regenerated events.ts across rounds as
-    // TIMESTAMP(NANOS) and TIMESTAMP_NTZ; every downstream consumer
-    // (withWatermark, unix_micros, Row.getTimestamp) requires plain
-    // TimestampType — pin the loader's normalization against the next
-    // fixture drift
-    val ts = core.Tables.events(spark, sf001).schema("ts").dataType
+  test("readEventStream's streaming source carries the normalized ts schema") {
+    // the STREAMING entry point normalizes independently of the batch
+    // loader (TablesSpec pins that one) — a fixture flavor drift must
+    // not leave readStream consumers with a non-TimestampType ts
+    val st = stream.EventWindows.readEventStream(spark, s"$sf001/events.parquet")
+    assert(st.isStreaming)
+    val ts = st.schema("ts").dataType
     assert(ts == org.apache.spark.sql.types.TimestampType, s"got $ts")
+  }
+
+  test("normalizeEvents refuses a non-UTC session on NTZ input") {
+    // the NTZ→timestamp cast silently shifts values under any other
+    // zone — the loader must fail loudly instead
+    import org.apache.spark.sql.functions._
+    val df = spark.range(1)
+      .select(col("id"), lit("2024-01-01 00:00:00").cast("timestamp_ntz").as("ts"))
+    val prev = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try {
+      val e = intercept[IllegalArgumentException] { core.Tables.normalizeEvents(df) }
+      assert(e.getMessage.contains("UTC"))
+    } finally spark.conf.set("spark.sql.session.timeZone", prev)
   }
 
   test("custom kernels are callable from SQL after configure") {

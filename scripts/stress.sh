@@ -42,5 +42,10 @@ for amp in ${AMPS//,/ }; do
   run_fresh amps "$amp"
 done
 
+for amp in ${AMPS//,/ }; do
+  echo "### fresh JVM: session-close sweep point $amp" >&2
+  run_fresh sessions "$amp"
+done
+
 echo "### fresh JVM: trigger-granularity sweep (amp ${AMPS##*,})" >&2
 run_fresh chunks "$AMPS"

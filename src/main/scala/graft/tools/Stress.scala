@@ -33,6 +33,10 @@ object Stress {
     @volatile var shuffleWriteB = 0L
     @volatile var spillB = 0L
     @volatile var tasks = 0L
+    // longest single task: a wall time dominated by maxTask while every
+    // other task is short is a STRAGGLER (hot-key/hot-bucket skew), not
+    // aggregate work — the diagnosis column for non-monotone wall times
+    @volatile var maxTaskMs = 0L
     override def onTaskEnd(te: SparkListenerTaskEnd): Unit = {
       val m = te.taskMetrics
       if (m != null) synchronized {
@@ -40,6 +44,8 @@ object Stress {
         shuffleWriteB += m.shuffleWriteMetrics.bytesWritten
         spillB += m.diskBytesSpilled
         tasks += 1
+        if (te.taskInfo != null && te.taskInfo.duration > maxTaskMs)
+          maxTaskMs = te.taskInfo.duration
       }
     }
   }
@@ -81,7 +87,8 @@ object Stress {
         f"secs=$secs%.2f|s_per_Mrow=${secs * 1e6 / inRows}%.3f|" +
         f"shuf_read_mb=${acc.shuffleReadB / 1e6}%.1f|" +
         f"shuf_write_mb=${acc.shuffleWriteB / 1e6}%.1f|" +
-        f"spill_mb=${acc.spillB / 1e6}%.1f|tasks=${acc.tasks}|$extra")
+        f"spill_mb=${acc.spillB / 1e6}%.1f|tasks=${acc.tasks}|" +
+        f"max_task_s=${acc.maxTaskMs / 1e3}%.1f|$extra")
     }
 
     val lshParams = Dedup.MinHashParams(
@@ -178,6 +185,34 @@ object Stress {
     // Trigger-granularity sweep at fixed volume: state must shrink as
     // triggers get finer (it tracks the arrival window), while the
     // streamed total stays put — the orthogonal axis to the amp loop.
+    // 6. EventTimeTimeout session machine under amplification (round-10
+    // addition): users ×amp over the same calendar, so OPEN-session
+    // state must track the amplified active-user population of the
+    // arrival window — never the stream's history — and the watermark
+    // must drain every closed session (rows_removed ≈ state churn).
+    // Emissions scale ×amp with the user population.
+    for (amp <- amps if sections("sessions")) {
+      import spark.implicits._
+      val evA = Amplify.events(ev0, amp)
+      run("session_close_stream", amp, ev0.count() * amp) {
+        val root =
+          s"${graft.CoreQueries.scratchDir("stress_sessions")}/amp$amp-$sfKey"
+        val src = StreamRun.chunkedSource(spark, evA, s"$root/src", 8)
+        val ev = src.select(col("user_id"), col("ts"), col("value"))
+          .withWatermark("ts", "1 hour")
+          .as[graft.stream.SessionClose.Event]
+        val (res, st) = StreamRun.runAvailableNowUpdateObserved(
+          graft.stream.SessionClose.close(ev, gapMinutes = 30).toDF(),
+          s"$root/run", noDataBatch = true)
+        val n = res.count()
+        val maxState = if (st.isEmpty) 0L else st.map(_.stateRows).max
+        (n,
+          s"triggers=${st.length}|max_state_rows=$maxState|" +
+            s"rows_removed=${st.map(_.rowsRemoved).sum}|" +
+            s"nodata_emits=${res.filter(col("batch_id") === st.last.batchId).count()}")
+      }
+    }
+
     lazy val evS = Amplify.events(ev0, amps.max)
     for (chunks <- Seq(4, 8, 16) if sections("chunks")) {
       run(s"stream_interval_join_chunks$chunks", amps.max, ev0.count() * amps.max) {

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.core.{Fingerprint, Scratch, Tables}
-import graft.stream.{EventWindows, SessionClose, StreamRun}
+import graft.stream.{EventWindows, SessionClose, SessionCloseTws, StreamRun}
 
 /** Round-10 depth queries (round-9 verdict asks #1, #2, #7, #8): the
   * EventTimeTimeout session state machine with watermark-fired final
@@ -14,6 +14,21 @@ import graft.stream.{EventWindows, SessionClose, StreamRun}
   * fingerprint reconcile.
   */
 object Round10Queries {
+
+  /** Run `body` under the RocksDB state store provider, restoring the
+    * previous provider conf after (the restart query certifies recovery
+    * under it; transformWithState REQUIRES it).
+    */
+  private def withRocksDb[A](s: SparkSession)(body: => A): A = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = s.conf.getOption(key)
+    s.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try body finally prev match {
+      case Some(v) => s.conf.set(key, v)
+      case None    => s.conf.unset(key)
+    }
+  }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // X6, EventTimeTimeout flatMapGroupsWithState EXECUTED BY THE
@@ -46,6 +61,34 @@ object Round10Queries {
         "the no-data batch must contribute watermark-fired session closes")
       res.drop("batch_id")
     },
+    // X6 on the NEXT-GENERATION stateful API: the identical session
+    // machine re-implemented with transformWithState (StatefulProcessor
+    // + typed ValueState + explicit event-time timers fired through
+    // handleExpiredTimer) — certified under the SAME oracle as the
+    // flatMapGroupsWithState tier, so both state APIs are pinned to
+    // byte-identical emissions. transformWithState requires RocksDB,
+    // making this the second RocksDB-provider certification; the same
+    // no-data-batch requires apply (timers fire on watermark advance
+    // after the backlog drains).
+    "events_session_tws_stream" -> { (s, dir) =>
+      val out = CoreQueries.scratchDir("events_session_tws_stream")
+      val src = Round7Queries.eventsChunks(s, dir)
+      import s.implicits._
+      val ev = src.select(col("user_id"), col("ts"), col("value"))
+        .withWatermark("ts", "1 hour")
+        .as[SessionClose.Event]
+      withRocksDb(s) {
+        val (res, stats) = StreamRun.runAvailableNowUpdateObserved(
+          SessionCloseTws.close(ev, gapMinutes = 30).toDF(),
+          s"$out/run", noDataBatch = true)
+        val last = stats.last
+        require(last.inputRows == 0L,
+          s"final trigger must be the engine's no-data batch: $stats")
+        require(res.filter(col("batch_id") === last.batchId).limit(1).count() == 1L,
+          "the no-data batch must contribute timer-fired session closes")
+        res.drop("batch_id")
+      }
+    },
     // X6, stop/restart recovery under the ROCKSDB state store provider —
     // at 100 TB-state the default in-memory provider is the scale
     // killer (state must fit the executor heap); RocksDB spills state
@@ -62,11 +105,7 @@ object Round10Queries {
       val bounds = ev.agg(min(col("ts")), max(col("ts"))).head()
       val mid = new java.sql.Timestamp(
         (bounds.getTimestamp(0).getTime + bounds.getTimestamp(1).getTime) / 2)
-      val key = "spark.sql.streaming.stateStore.providerClass"
-      val prev = s.conf.getOption(key)
-      s.conf.set(key,
-        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-      try {
+      withRocksDb(s) {
         val (result, _, _) = StreamRun.runRestartObserved(
           ev.filter(col("ts") < lit(mid)), ev.filter(col("ts") >= lit(mid)),
           src => EventWindows.tumblingStream(src, "1 hour", "1 hour"),
@@ -74,9 +113,6 @@ object Round10Queries {
         // the runs have terminated; the returned frame is a plain
         // parquet read-back, safe to hand out after the conf restore
         result
-      } finally prev match {
-        case Some(v) => s.conf.set(key, v)
-        case None    => s.conf.unset(key)
       }
     },
     // X6 observability — the WATERMARK LATE-DATA drop audit (the
@@ -104,8 +140,21 @@ object Round10Queries {
         s"$out/run", complete = false)
       val nLate = ev.filter(isLate).count()
       require(nLate > 0, "fixture must yield displaced rows for the audit")
-      require(stats.map(_.rowsDroppedByWatermark).sum == nLate,
-        s"engine must report exactly the $nLate displaced rows dropped: $stats")
+      // numRowsDroppedByWatermark counts rows reaching the STATE
+      // operator, i.e. post-partial-aggregation (window, type) partial
+      // rows, not raw inputs — at sf0.1 the 498 displaced rows combine
+      // map-side into 409 partial rows, every one dropped. The sound
+      // engine-accounting bounds: at least one partial row per distinct
+      // displaced group, at most one per displaced raw row — and zero
+      // drops anywhere outside the displaced batch (asserted by nothing
+      // else being late). The EXACT per-row accounting is the certified
+      // OUTPUT below, which the oracle recomputes group-exactly.
+      val lateGroups = ev.filter(isLate)
+        .select(window(col("ts"), "1 hour"), col("event_type")).distinct().count()
+      val dropped = stats.map(_.rowsDroppedByWatermark).sum
+      require(dropped >= lateGroups && dropped <= nLate,
+        s"engine-reported drops must cover the displaced set " +
+          s"($lateGroups groups, $nLate rows): $stats")
       val batch = EventWindows.tumbling(ev, "1 hour")
         .select(col("window_start"), col("event_type"),
           col("n_events").as("batch_events"))
@@ -149,6 +198,32 @@ object Round10Queries {
     // epoch_ms(session_end) + gap < epoch_ms(max ts) - lateness,
     // strict, mirrored here exactly.
     "events_session_timeout_stream" ->
+      """WITH marked AS (
+        |  SELECT user_id, ts, value,
+        |         CASE WHEN lag(ts) OVER w IS NULL
+        |                OR ts - lag(ts) OVER w > INTERVAL '30 minutes'
+        |              THEN 1 ELSE 0 END AS new_session
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |numbered AS (
+        |  SELECT user_id, ts, value,
+        |         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+        |           ROWS UNBOUNDED PRECEDING) AS session_id
+        |  FROM marked),
+        |sess AS (
+        |  SELECT user_id, session_id, min(ts) AS session_start,
+        |         max(ts) AS session_end, count(*) AS n_events,
+        |         floor(sum(value) * 100 + 0.5) / 100 AS sum_value
+        |  FROM numbered GROUP BY user_id, session_id),
+        |lastsess AS (
+        |  SELECT user_id, max(session_id) AS last_id FROM sess GROUP BY 1),
+        |wm AS (SELECT epoch_ms(max(ts)) - 3600000 AS wm_ms FROM events)
+        |SELECT s.session_start, s.user_id, s.n_events, s.sum_value
+        |FROM sess s JOIN lastsess l ON s.user_id = l.user_id, wm
+        |WHERE s.session_id < l.last_id
+        |   OR epoch_ms(s.session_end) + 1800000 < wm.wm_ms""".stripMargin,
+    // IDENTICAL oracle to events_session_timeout_stream BY DESIGN: the
+    // two state-API tiers must produce the same sessions
+    "events_session_tws_stream" ->
       """WITH marked AS (
         |  SELECT user_id, ts, value,
         |         CASE WHEN lag(ts) OVER w IS NULL

@@ -170,6 +170,39 @@ object Round10Queries {
             .as("n_dropped"))
         .filter(col("n_dropped") > 0)
     },
+    // X6, CHAINED STATEFUL OPERATORS in one streaming query — the
+    // multi-stateful-operator pipeline (watermark PROPAGATION between
+    // operators) that every other X6 query, each with a single stateful
+    // op, leaves unexercised: dropDuplicatesWithinWatermark keyed by
+    // (user, type, hour) feeding a windowed count aggregation, append
+    // mode. The dedup's output must carry a correctly-delayed watermark
+    // into the aggregation for its finalization/eviction to be sound —
+    // a propagation bug double-counts or drops windows and fails the
+    // hash. The dedup's event-time column is the hour-TRUNCATED
+    // timestamp (a plain column; an earlier draft keyed on the window()
+    // STRUCT as event time and a chunk-boundary-straddling key was
+    // re-emitted despite unexpired state — plain-column expiry is the
+    // documented, observed-exact path), with the delay widened to 2 h
+    // because truncation shifts event times up to 1 h earlier. Dedup is
+    // then exact BY CONSTRUCTION (all rows of an hour arrive while that
+    // hour's state is live on an event-time-ordered source), so the
+    // oracle is the plain distinct-then-aggregate under the append
+    // finalization cutoff at the truncated watermark.
+    "events_dedup_windowed_stream" -> { (s, dir) =>
+      val out = CoreQueries.scratchDir("events_dedup_windowed_stream")
+      val src = Round7Queries.eventsChunks(s, dir)
+      val dedup = src
+        .withColumn("wstart", date_trunc("hour", col("ts")))
+        .withWatermark("wstart", "2 hours")
+        .select(col("user_id"), col("event_type"), col("wstart"))
+        .dropDuplicatesWithinWatermark("user_id", "event_type", "wstart")
+      StreamRun.runAvailableNow(
+          dedup.groupBy(window(col("wstart"), "1 hour"), col("event_type"))
+            .agg(count(lit(1)).as("n_users"))
+            .select(col("window.start").as("window_start"),
+              col("event_type"), col("n_users")),
+          s"$out/run", complete = false)
+    },
     // A3 at TWO partition levels (SURVEY.md §7.4.3's Map[String,String]
     // spec): the UC#2 fingerprint reconcile over a dt×hr-style grouping
     // — ~720 (day, hour) cells at sf0.01, each carrying the
@@ -189,64 +222,43 @@ object Round10Queries {
     }
   )
 
+  /** Gap sessions per user (identical session derivation to
+    * events_sessions), emitted iff closed: every non-final session of a
+    * user (a successor event proves the gap), plus final sessions whose
+    * timeout the final watermark passed. The engine compares timeout
+    * timestamps in floored MILLISECONDS: timeout fires iff
+    * epoch_ms(session_end) + gap < epoch_ms(max ts) - lateness, strict,
+    * mirrored here exactly. ONE definition serves BOTH state-API tiers
+    * — that equality is the certification.
+    */
+  private val SessionCloseOracle =
+    """WITH marked AS (
+      |  SELECT user_id, ts, value,
+      |         CASE WHEN lag(ts) OVER w IS NULL
+      |                OR ts - lag(ts) OVER w > INTERVAL '30 minutes'
+      |              THEN 1 ELSE 0 END AS new_session
+      |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+      |numbered AS (
+      |  SELECT user_id, ts, value,
+      |         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+      |           ROWS UNBOUNDED PRECEDING) AS session_id
+      |  FROM marked),
+      |sess AS (
+      |  SELECT user_id, session_id, min(ts) AS session_start,
+      |         max(ts) AS session_end, count(*) AS n_events,
+      |         floor(sum(value) * 100 + 0.5) / 100 AS sum_value
+      |  FROM numbered GROUP BY user_id, session_id),
+      |lastsess AS (
+      |  SELECT user_id, max(session_id) AS last_id FROM sess GROUP BY 1),
+      |wm AS (SELECT epoch_ms(max(ts)) - 3600000 AS wm_ms FROM events)
+      |SELECT s.session_start, s.user_id, s.n_events, s.sum_value
+      |FROM sess s JOIN lastsess l ON s.user_id = l.user_id, wm
+      |WHERE s.session_id < l.last_id
+      |   OR epoch_ms(s.session_end) + 1800000 < wm.wm_ms""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
-    // gap sessions per user (identical session derivation to
-    // events_sessions), emitted iff closed: every non-final session of
-    // a user (a successor event proves the gap), plus final sessions
-    // whose timeout the final watermark passed. The engine compares
-    // timeout timestamps in floored MILLISECONDS: timeout fires iff
-    // epoch_ms(session_end) + gap < epoch_ms(max ts) - lateness,
-    // strict, mirrored here exactly.
-    "events_session_timeout_stream" ->
-      """WITH marked AS (
-        |  SELECT user_id, ts, value,
-        |         CASE WHEN lag(ts) OVER w IS NULL
-        |                OR ts - lag(ts) OVER w > INTERVAL '30 minutes'
-        |              THEN 1 ELSE 0 END AS new_session
-        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
-        |numbered AS (
-        |  SELECT user_id, ts, value,
-        |         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
-        |           ROWS UNBOUNDED PRECEDING) AS session_id
-        |  FROM marked),
-        |sess AS (
-        |  SELECT user_id, session_id, min(ts) AS session_start,
-        |         max(ts) AS session_end, count(*) AS n_events,
-        |         floor(sum(value) * 100 + 0.5) / 100 AS sum_value
-        |  FROM numbered GROUP BY user_id, session_id),
-        |lastsess AS (
-        |  SELECT user_id, max(session_id) AS last_id FROM sess GROUP BY 1),
-        |wm AS (SELECT epoch_ms(max(ts)) - 3600000 AS wm_ms FROM events)
-        |SELECT s.session_start, s.user_id, s.n_events, s.sum_value
-        |FROM sess s JOIN lastsess l ON s.user_id = l.user_id, wm
-        |WHERE s.session_id < l.last_id
-        |   OR epoch_ms(s.session_end) + 1800000 < wm.wm_ms""".stripMargin,
-    // IDENTICAL oracle to events_session_timeout_stream BY DESIGN: the
-    // two state-API tiers must produce the same sessions
-    "events_session_tws_stream" ->
-      """WITH marked AS (
-        |  SELECT user_id, ts, value,
-        |         CASE WHEN lag(ts) OVER w IS NULL
-        |                OR ts - lag(ts) OVER w > INTERVAL '30 minutes'
-        |              THEN 1 ELSE 0 END AS new_session
-        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
-        |numbered AS (
-        |  SELECT user_id, ts, value,
-        |         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
-        |           ROWS UNBOUNDED PRECEDING) AS session_id
-        |  FROM marked),
-        |sess AS (
-        |  SELECT user_id, session_id, min(ts) AS session_start,
-        |         max(ts) AS session_end, count(*) AS n_events,
-        |         floor(sum(value) * 100 + 0.5) / 100 AS sum_value
-        |  FROM numbered GROUP BY user_id, session_id),
-        |lastsess AS (
-        |  SELECT user_id, max(session_id) AS last_id FROM sess GROUP BY 1),
-        |wm AS (SELECT epoch_ms(max(ts)) - 3600000 AS wm_ms FROM events)
-        |SELECT s.session_start, s.user_id, s.n_events, s.sum_value
-        |FROM sess s JOIN lastsess l ON s.user_id = l.user_id, wm
-        |WHERE s.session_id < l.last_id
-        |   OR epoch_ms(s.session_end) + 1800000 < wm.wm_ms""".stripMargin,
+    "events_session_timeout_stream" -> SessionCloseOracle,
+    "events_session_tws_stream" -> SessionCloseOracle,
     // identical to events_windowed restricted to the bench-cost prefix
     // — recovery under RocksDB is only certified if the restarted run
     // reproduces the batch aggregation, restored state included
@@ -272,6 +284,19 @@ object Round10Queries {
         |GROUP BY 1, 2, b.mx
         |HAVING window_start + INTERVAL 1 HOUR <= b.mx - INTERVAL 1 HOUR"""
         .stripMargin,
+    // distinct-then-aggregate with the append finalization cutoff —
+    // the watermark rides the hour-truncated event time with a 2 h
+    // delay, so the cutoff is date_trunc(hour, max ts) − 2 h
+    "events_dedup_windowed_stream" ->
+      """WITH m AS (
+        |  SELECT date_trunc('hour', max(ts)) - INTERVAL 2 HOUR AS wm FROM events),
+        |dd AS (SELECT DISTINCT user_id, event_type,
+        |              time_bucket(INTERVAL '1 hour', ts) AS window_start
+        |       FROM events)
+        |SELECT window_start, event_type, count(*) AS n_users
+        |FROM dd, m
+        |GROUP BY 1, 2, m.wm
+        |HAVING window_start + INTERVAL 1 HOUR <= m.wm""".stripMargin,
     // the perturbed target is a subset of the source within each
     // (dt, hr) cell, so multiset equality <=> equal counts — the same
     // shortcut as integrity_by_partition, now over two partition levels

@@ -203,6 +203,36 @@ object Round10Queries {
               col("event_type"), col("n_users")),
           s"$out/run", complete = false)
     },
+    // X6, stream-stream LEFT OUTER interval join EXECUTED BY THE
+    // ENGINE — the join form where the WATERMARK ITSELF produces rows:
+    // a left event with no PURCHASE by the same user within 10 minutes
+    // after it (the right side is the purchases subset — a subset, or
+    // every left would trivially match itself) is emitted with nulls
+    // only once the watermark passes left.ts + interval (no partner can
+    // still arrive), i.e. at state eviction — the last of those ride
+    // the trailing no-data batch. Matched pairs emit eagerly (the path
+    // events_correlated_stream certifies inner-identical). Lefts within
+    // interval+lateness of stream end are never resolved on a bounded
+    // run; the oracle encodes the eviction cutoff in the engine's own
+    // arithmetic — the global watermark is the MIN of the two sides'
+    // (the purchases side ends earlier), millisecond-floored, scaled to
+    // microseconds, strict beyond left.ts + interval. Same u150
+    // bench-cost prefix as the inner twin — the whole table at the
+    // sf0.01 gate.
+    "events_correlated_outer_stream" -> { (s, dir) =>
+      val out = CoreQueries.scratchDir("events_correlated_outer_stream")
+      def src() = StreamRun.chunkedSource(s,
+        Tables.events(s, dir).filter(col("user_id") < 150),
+        s"$out/src-u150-${dir.replaceAll("[^A-Za-z0-9.]", "_")}", 4)
+      val joined = EventWindows.correlateStreamsOuter(
+        src(), src().filter(col("event_type") === "purchase"),
+        "user_id", "10 MINUTES", "1 minute")
+      StreamRun.runAvailableNow(joined, s"$out/run", complete = false,
+          noDataBatch = true)
+        .groupBy(col("type_left"),
+          coalesce(col("type_right"), lit("__unmatched")).as("type_right"))
+        .agg(count(lit(1)).as("n_pairs"))
+    },
     // A3 at TWO partition levels (SURVEY.md §7.4.3's Map[String,String]
     // spec): the UC#2 fingerprint reconcile over a dt×hr-style grouping
     // — ~720 (day, hour) cells at sf0.01, each carrying the
@@ -266,6 +296,33 @@ object Round10Queries {
       """SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
         |       event_type, count(*) AS n_events, round(sum(value), 2) AS sum_value
         |FROM events WHERE user_id < 150 GROUP BY 1, 2""".stripMargin,
+    // matched pairs = the batch left-join's matches; null emissions =
+    // lefts with no partner whose eviction the final watermark reached:
+    // the engine evicts a buffered left when the (ms-floored, µs-scaled)
+    // watermark passes left.ts + interval — mirrored exactly
+    "events_correlated_outer_stream" ->
+      """WITH l AS (SELECT * FROM events WHERE user_id < 150),
+        |r AS (SELECT * FROM l WHERE event_type = 'purchase'),
+        |wm AS (
+        |  SELECT (epoch_ms(LEAST((SELECT max(ts) FROM l),
+        |                         (SELECT max(ts) FROM r))) - 60000) * 1000
+        |           AS wm_us),
+        |pairs AS (
+        |  SELECT l.event_type AS type_left, r.event_type AS type_right
+        |  FROM l JOIN r
+        |    ON l.user_id = r.user_id
+        |   AND r.ts >= l.ts AND r.ts <= l.ts + INTERVAL 10 MINUTE),
+        |unmatched AS (
+        |  SELECT l.event_type AS type_left, '__unmatched' AS type_right
+        |  FROM l, wm
+        |  WHERE NOT EXISTS (
+        |    SELECT 1 FROM r
+        |    WHERE r.user_id = l.user_id
+        |      AND r.ts >= l.ts AND r.ts <= l.ts + INTERVAL 10 MINUTE)
+        |    AND epoch_us(l.ts) + 600000000 < wm.wm_us)
+        |SELECT type_left, type_right, count(*) AS n_pairs
+        |FROM (SELECT * FROM pairs UNION ALL SELECT * FROM unmatched)
+        |GROUP BY 1, 2""".stripMargin,
     // the displaced subset per window IS the expected drop count; the
     // finalization cutoff mirrors events_windowed_stream_append's rule
     // (windows within lateness of stream end are never emitted, hence

@@ -133,12 +133,30 @@ object EventWindows {
     */
   def correlateStreams(
       left: DataFrame, right: DataFrame, key: String,
-      within: String, lateness: String): DataFrame = {
+      within: String, lateness: String): DataFrame =
+    correlateJoin(left, right, key, within, lateness, "inner")
+
+  /** LEFT OUTER variant: lefts with no partner within the interval are
+    * emitted with nulls — but only once the watermark proves no partner
+    * can still arrive (it passes left.ts + `within`), which is when the
+    * engine evicts the unmatched buffered row. On a bounded run those
+    * final evictions ride the trailing no-data batch. Matched pairs
+    * emit eagerly exactly like the inner form.
+    */
+  def correlateStreamsOuter(
+      left: DataFrame, right: DataFrame, key: String,
+      within: String, lateness: String): DataFrame =
+    correlateJoin(left, right, key, within, lateness, "left_outer")
+
+  private def correlateJoin(
+      left: DataFrame, right: DataFrame, key: String,
+      within: String, lateness: String, joinType: String): DataFrame = {
     val l = left.withWatermark("ts", lateness).alias("l")
     val r = right.withWatermark("ts", lateness).alias("r")
     l.join(r,
         expr(s"""l.$key = r.$key AND
-                 |r.ts >= l.ts AND r.ts <= l.ts + INTERVAL $within""".stripMargin))
+                 |r.ts >= l.ts AND r.ts <= l.ts + INTERVAL $within""".stripMargin),
+        joinType)
       .select(col(s"l.$key").as(key),
         col("l.ts").as("ts_left"), col("r.ts").as("ts_right"),
         col("l.event_type").as("type_left"), col("r.event_type").as("type_right"))

@@ -89,6 +89,39 @@ object Round10Queries {
         res.drop("batch_id")
       }
     },
+    // X6, CUSTOM-STATE stop/restart recovery — the strongest recovery
+    // certification the engine has: drain the first half of the (u150)
+    // events through the transformWithState session machine (INCLUDING
+    // its trailing no-data batch, as a scheduled job's final run
+    // would), stop, land the second half, restart against the SAME
+    // checkpoint under RocksDB. The engine must restore per-user OPEN
+    // SESSIONS and their REGISTERED EVENT-TIME TIMERS: boundary-
+    // straddling sessions must merge with their run-2 continuations,
+    // idle users' recovered timers must still fire, and the union of
+    // both runs' emissions must equal the single-run session answer —
+    // which the oracle certifies verbatim. Engine-level invariants
+    // (resumed batch numbering, late-files-only reads) are `require`d
+    // in the runner.
+    "events_session_restart_tws" -> { (s, dir) =>
+      val out = CoreQueries.scratchDir("events_session_restart_tws")
+      val ev = Tables.events(s, dir).filter(col("user_id") < 150)
+      val bounds = ev.agg(min(col("ts")), max(col("ts"))).head()
+      val mid = new java.sql.Timestamp(
+        (bounds.getTimestamp(0).getTime + bounds.getTimestamp(1).getTime) / 2)
+      import s.implicits._
+      withRocksDb(s) {
+        val (res, _, run2) = StreamRun.runRestartUpdateObserved(
+          ev.filter(col("ts") < lit(mid)), ev.filter(col("ts") >= lit(mid)),
+          src => SessionCloseTws.close(
+            src.select(col("user_id"), col("ts"), col("value"))
+              .withWatermark("ts", "1 hour")
+              .as[SessionClose.Event], gapMinutes = 30).toDF(),
+          s"$out/run")
+        require(run2.last.inputRows == 0L,
+          s"run 2 must end in a no-data batch firing recovered timers: $run2")
+        res.drop("batch_id")
+      }
+    },
     // X6, stop/restart recovery under the ROCKSDB state store provider —
     // at 100 TB-state the default in-memory provider is the scale
     // killer (state must fit the executor heap); RocksDB spills state
@@ -261,13 +294,14 @@ object Round10Queries {
     * mirrored here exactly. ONE definition serves BOTH state-API tiers
     * — that equality is the certification.
     */
-  private val SessionCloseOracle =
-    """WITH marked AS (
+  private def sessionCloseOracle(where: String): String =
+    s"""WITH base AS (SELECT user_id, ts, value FROM events $where),
+      |marked AS (
       |  SELECT user_id, ts, value,
       |         CASE WHEN lag(ts) OVER w IS NULL
       |                OR ts - lag(ts) OVER w > INTERVAL '30 minutes'
       |              THEN 1 ELSE 0 END AS new_session
-      |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+      |  FROM base WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
       |numbered AS (
       |  SELECT user_id, ts, value,
       |         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
@@ -280,15 +314,19 @@ object Round10Queries {
       |  FROM numbered GROUP BY user_id, session_id),
       |lastsess AS (
       |  SELECT user_id, max(session_id) AS last_id FROM sess GROUP BY 1),
-      |wm AS (SELECT epoch_ms(max(ts)) - 3600000 AS wm_ms FROM events)
+      |wm AS (SELECT epoch_ms(max(ts)) - 3600000 AS wm_ms FROM base)
       |SELECT s.session_start, s.user_id, s.n_events, s.sum_value
       |FROM sess s JOIN lastsess l ON s.user_id = l.user_id, wm
       |WHERE s.session_id < l.last_id
       |   OR epoch_ms(s.session_end) + 1800000 < wm.wm_ms""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
-    "events_session_timeout_stream" -> SessionCloseOracle,
-    "events_session_tws_stream" -> SessionCloseOracle,
+    "events_session_timeout_stream" -> sessionCloseOracle(""),
+    "events_session_tws_stream" -> sessionCloseOracle(""),
+    // restart must reproduce the SINGLE-RUN session answer over the
+    // whole (u150) stream — possible only if open-session state AND
+    // registered timers were restored from the checkpoint
+    "events_session_restart_tws" -> sessionCloseOracle("WHERE user_id < 150"),
     // identical to events_windowed restricted to the bench-cost prefix
     // — recovery under RocksDB is only certified if the restarted run
     // reproduces the batch aggregation, restored state included

@@ -334,6 +334,70 @@ object StreamRun {
     (spark.read.parquet(sink), first, second)
   }
 
+  /** UPDATE-MODE stop/restart recovery: the runRestartObserved scenario
+    * for queries whose sink is the batch-id-partitioned update log —
+    * custom state machines in particular. Drain `early` (including the
+    * trailing no-data batch, so watermark-fired emissions happen before
+    * the stop, exactly as a scheduled job's last run would), stop, land
+    * `late` as new files, restart against the SAME checkpoint. The
+    * engine must restore user state AND registered event-time timers
+    * from the checkpoint: sessions left open at the stop must merge
+    * with their run-2 continuations or fire their recovered timers —
+    * the union of both runs' emissions must equal the single-run
+    * answer, which is what the caller's oracle certifies. The same
+    * engine-level invariants as the complete-mode runner are
+    * `require`d here.
+    */
+  def runRestartUpdateObserved(
+      early: DataFrame, late: DataFrame,
+      transform: DataFrame => DataFrame,
+      outDir: String, tsCol: String = "ts",
+      chunksPerPhase: Int = 2,
+      noDataBatch: Boolean = true): (DataFrame, Seq[TriggerStats], Seq[TriggerStats]) = {
+    val spark = early.sparkSession
+    Scratch.rmTree(outDir)
+    val srcDir = s"$outDir/src"
+    val sink = s"$outDir/result"
+    early.repartitionByRange(chunksPerPhase, col(tsCol)).write.parquet(srcDir)
+    stampMtimesInPartOrder(srcDir)
+    val schema = spark.read.parquet(srcDir).schema
+
+    def run(): Seq[TriggerStats] = withBoundedRunConfs(spark, noDataBatch) {
+      val src = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(srcDir)
+      val q = transform(src).writeStream
+        .outputMode("update")
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", s"$outDir/ckpt")
+        .foreachBatch { (batch: DataFrame, id: Long) =>
+          writeBatchPartition(batch, sink, id)
+        }
+        .start()
+      q.awaitTermination()
+      q.recentProgress.toSeq.map(triggerStats)
+    }
+
+    val first = run()
+    val lateDir = s"$outDir/late"
+    late.repartitionByRange(chunksPerPhase, col(tsCol)).write.parquet(lateDir)
+    val consumed = new java.io.File(srcDir).listFiles()
+      .filter(_.getName.startsWith("part-")).map(_.lastModified()).max
+    stampMtimesInPartOrder(lateDir, after = consumed).foreach { f =>
+      val dst = java.nio.file.Paths.get(srcDir, s"late-${f.getName}")
+      java.nio.file.Files.move(f.toPath, dst)
+    }
+    val second = run()
+
+    require(second.nonEmpty &&
+      second.map(_.batchId).min > first.map(_.batchId).max,
+      s"restart must resume batch numbering from the checkpoint: " +
+        s"run1=${first.map(_.batchId)} run2=${second.map(_.batchId)}")
+    val lateRows = late.count()
+    require(second.map(_.inputRows).sum == lateRows,
+      s"restart must read exactly the late arrivals ($lateRows rows): $second")
+    (readSink(spark, sink), first, second)
+  }
+
   /** Update-mode bounded run. `noDataBatch` defaults OFF because update
     * mode emits from the data batch that changed the group (NoTimeout
     * custom state and built-in update-mode aggs alike), so the trailing

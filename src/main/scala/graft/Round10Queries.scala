@@ -67,7 +67,7 @@ object Round10Queries {
     // handleExpiredTimer) — certified under the SAME oracle as the
     // flatMapGroupsWithState tier, so both state APIs are pinned to
     // byte-identical emissions. transformWithState requires RocksDB,
-    // making this the second RocksDB-provider certification; the same
+    // adding another RocksDB-provider certification; the same
     // no-data-batch requires apply (timers fire on watermark advance
     // after the backlog drains).
     "events_session_tws_stream" -> { (s, dir) =>

@@ -46,7 +46,7 @@ object SessionClose {
   case class Closed(
       session_start: Timestamp, user_id: Long, n_events: Long, sum_value: Double)
 
-  private def toMicros(t: Timestamp): Long = {
+  private[stream] def toMicros(t: Timestamp): Long = {
     val i = t.toInstant
     i.getEpochSecond * 1000000L + i.getNano / 1000L
   }
@@ -54,9 +54,39 @@ object SessionClose {
     Timestamp.from(java.time.Instant.ofEpochSecond(
       Math.floorDiv(us, 1000000L), Math.floorMod(us, 1000000L) * 1000L))
 
-  private def emit(userId: Long, s: Open): Closed =
+  private[stream] def emit(userId: Long, s: Open): Closed =
     Closed(fromMicros(s.startUs), userId, s.nEvents,
       math.round(s.sumValue * 100).toDouble / 100)
+
+  /** The per-batch session fold shared VERBATIM by both state-API tiers
+    * (flatMapGroupsWithState here, StatefulProcessor in
+    * [[SessionCloseTws]]) — one definition is what makes their
+    * byte-identical-emissions certification meaningful. Restores
+    * event-time order (the batch iterator has no ordering contract —
+    * bounded per user per trigger), closes every session a successor
+    * event proves expired, and returns the still-open tail.
+    */
+  private[stream] def foldBatch(
+      userId: Long, prior: Option[Open], batch: Iterator[Event],
+      gapUs: Long): (List[Closed], Open) = {
+    val sorted = batch.toIndexedSeq.sortBy(e => toMicros(e.ts))
+    var closed = List.empty[Closed]
+    var cur = prior
+    sorted.foreach { e =>
+      val us = toMicros(e.ts)
+      cur = cur match {
+        case Some(s) if us - s.lastUs > gapUs =>
+          closed ::= emit(userId, s)
+          Some(Open(us, us, 1L, e.value))
+        case Some(s) =>
+          Some(Open(s.startUs, math.max(s.lastUs, us),
+            s.nEvents + 1, s.sumValue + e.value))
+        case None =>
+          Some(Open(us, us, 1L, e.value))
+      }
+    }
+    (closed.reverse, cur.get)
+  }
 
   /** `events` must already carry a watermark on `ts` (EventTimeTimeout
     * requires one); `gapMinutes` is the inactivity gap.
@@ -77,27 +107,7 @@ object SessionClose {
             state.remove()
             Iterator.single(emit(userId, s))
           } else {
-            // the batch iterator has no ordering contract — restore
-            // event-time order before folding (bounded per user per
-            // trigger, not a whole-partition materialization)
-            val sorted = batch.toIndexedSeq.sortBy(e => toMicros(e.ts))
-            var closed = List.empty[Closed]
-            var cur = state.getOption
-            sorted.foreach { e =>
-              val us = toMicros(e.ts)
-              cur = cur match {
-                case Some(s) if us - s.lastUs > gapUs =>
-                  // successor close: a later event proves the gap elapsed
-                  closed ::= emit(userId, s)
-                  Some(Open(us, us, 1L, e.value))
-                case Some(s) =>
-                  Some(Open(s.startUs, math.max(s.lastUs, us),
-                    s.nEvents + 1, s.sumValue + e.value))
-                case None =>
-                  Some(Open(us, us, 1L, e.value))
-              }
-            }
-            val s = cur.get
+            val (closed, s) = foldBatch(userId, state.getOption, batch, gapUs)
             state.update(s)
             // timeout when the watermark passes session end + gap. The
             // engine compares in MILLISECONDS (floor of the µs event
@@ -108,7 +118,7 @@ object SessionClose {
             val timeoutMs = Math.floorDiv(s.lastUs, 1000L) + gapMs
             state.setTimeoutTimestamp(
               math.max(timeoutMs, state.getCurrentWatermarkMs() + 1))
-            closed.reverse.iterator
+            closed.iterator
           }
       }
   }

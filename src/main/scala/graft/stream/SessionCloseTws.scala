@@ -24,7 +24,7 @@ import SessionClose.{Closed, Event, Open}
   *    `handleExpiredTimer` when the watermark passes them — the same
   *    floored-millisecond strict-`<` arithmetic the oracle mirrors;
   *  - the operator REQUIRES the RocksDB state store provider, so this
-  *    query is also the second RocksDB certification.
+  *    queries riding it certify the RocksDB provider as a side effect.
   *
   * Scale shape identical to [[SessionClose]]: one open session + one
   * timer per active user, pruned as the watermark advances.
@@ -42,37 +42,14 @@ object SessionCloseTws {
       session = getHandle.getValueState[Open](
         "session", Encoders.product[Open], TTLConfig.NONE)
 
-    private def toMicros(t: java.sql.Timestamp): Long = {
-      val i = t.toInstant
-      i.getEpochSecond * 1000000L + i.getNano / 1000L
-    }
-    private def fromMicros(us: Long): java.sql.Timestamp =
-      java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(
-        Math.floorDiv(us, 1000000L), Math.floorMod(us, 1000000L) * 1000L))
-    private def emit(userId: Long, s: Open): Closed =
-      Closed(fromMicros(s.startUs), userId, s.nEvents,
-        math.round(s.sumValue * 100).toDouble / 100)
-
     override def handleInputRows(
         userId: Long, rows: Iterator[Event],
         timerValues: TimerValues): Iterator[Closed] = {
-      val sorted = rows.toIndexedSeq.sortBy(e => toMicros(e.ts))
-      var closed = List.empty[Closed]
-      var cur = if (session.exists()) Some(session.get()) else None
-      sorted.foreach { e =>
-        val us = toMicros(e.ts)
-        cur = cur match {
-          case Some(s) if us - s.lastUs > gapUs =>
-            closed ::= emit(userId, s)
-            Some(Open(us, us, 1L, e.value))
-          case Some(s) =>
-            Some(Open(s.startUs, math.max(s.lastUs, us),
-              s.nEvents + 1, s.sumValue + e.value))
-          case None =>
-            Some(Open(us, us, 1L, e.value))
-        }
-      }
-      val s = cur.get
+      // the session fold is SessionClose.foldBatch — one definition for
+      // both state-API tiers, so their identical-emissions certification
+      // compares the APIs, not two implementations
+      val prior = if (session.exists()) Some(session.get()) else None
+      val (closed, s) = SessionClose.foldBatch(userId, prior, rows, gapUs)
       session.update(s)
       // one live timer per key: drop whatever was scheduled for the
       // superseded session end, then arm the new close time (same
@@ -81,7 +58,7 @@ object SessionCloseTws {
       getHandle.registerTimer(math.max(
         Math.floorDiv(s.lastUs, 1000L) + gapMs,
         timerValues.getCurrentWatermarkInMs() + 1))
-      closed.reverse.iterator
+      closed.iterator
     }
 
     override def handleExpiredTimer(
@@ -91,7 +68,7 @@ object SessionCloseTws {
       if (session.exists()) {
         val s = session.get()
         session.clear()
-        Iterator.single(emit(userId, s))
+        Iterator.single(SessionClose.emit(userId, s))
       } else Iterator.empty
     }
   }

@@ -25,4 +25,18 @@ object TestSpark {
 abstract class SparkFunSuite extends AnyFunSuite {
   lazy val spark: SparkSession = TestSpark.spark
   def sf001: String = TestSpark.sf001
+
+  /** Run `body` under the RocksDB state store provider, restoring the
+    * previous conf after (shared by the transformWithState suites).
+    */
+  def withRocksDb[A](body: => A): A = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try body finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
+  }
 }

@@ -39,14 +39,7 @@ class SessionCloseTwsSpec extends SparkFunSuite {
         .toSet
     }
 
-    val key = "spark.sql.streaming.stateStore.providerClass"
-    val prev = spark.conf.getOption(key)
-    spark.conf.set(key,
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    val tws = try run("tws") finally prev match {
-      case Some(v) => spark.conf.set(key, v)
-      case None    => spark.conf.unset(key)
-    }
+    val tws = withRocksDb { run("tws") }
     val fmgws = run("fmgws")
     assert(tws == fmgws, s"tws=$tws fmgws=$fmgws")
     assert(tws.size == 4)

@@ -32,20 +32,13 @@ class SessionRestartSpec extends SparkFunSuite {
     ).toDF("user_id", "ts", "value")
     val root = java.nio.file.Files.createTempDirectory("session_restart").toString
 
-    val key = "spark.sql.streaming.stateStore.providerClass"
-    val prev = spark.conf.getOption(key)
-    spark.conf.set(key,
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    val (res, run1, run2) = try {
+    val (res, run1, run2) = withRocksDb {
       StreamRun.runRestartUpdateObserved(
         early, late,
         src => SessionCloseTws.close(
           src.withWatermark("ts", "1 hour").as[SessionClose.Event],
           gapMinutes = 30).toDF(),
         s"$root/run", chunksPerPhase = 1)
-    } finally prev match {
-      case Some(v) => spark.conf.set(key, v)
-      case None    => spark.conf.unset(key)
     }
 
     val got = res.select("user_id", "session_start", "n_events", "sum_value")

@@ -8,18 +8,14 @@ object Bench {
     // which under-reported throughput ~2x on the 32-core harness.
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       math.min(Runtime.getRuntime.availableProcessors, 32).toString)
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      // COUNT(*)-style aggregates: on the default V1 parquet path a
-      // count's ReadSchema is struct<>, so the scan reads footers only —
-      // already the analogue of the reference's stats-served counts
-      // (verizon_automation_script.sh:100). This flag additionally
-      // enables PushedAggregation when the V2 source is selected
-      // (asserted in PlanAuditSpec).
-      .config("spark.sql.parquet.aggregatePushdown", "true")
+    // GraftSession.builder carries the shared runtime confs: UTC zone,
+    // legacy nanos parquet, aggregate pushdown (on the default V1 path a
+    // count's ReadSchema is struct<> — footers only, the analogue of the
+    // reference's stats-served counts; the flag additionally enables
+    // PushedAggregation on V2, asserted in PlanAuditSpec), and the
+    // RocksDB state store provider with changelog checkpointing as the
+    // production default for every stateful streaming query.
+    val spark = GraftSession.builder(s"local[$cpus]", cpus.toInt)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")

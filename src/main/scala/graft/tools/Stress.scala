@@ -56,10 +56,7 @@ object Stress {
       .split(",").map(_.trim.toInt).toSeq
     val sections = sys.env.getOrElse("STRESS_SECTIONS", "amps,chunks")
       .split(",").map(_.trim).toSet
-    val spark = SparkSession.builder().master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val spark = graft.GraftSession.builder("local[32]", 32)
       .config("spark.ui.enabled", "false")
       .config("spark.driver.memory", sys.env.getOrElse("STRESS_DRIVER_MEM", "16g"))
       .getOrCreate()

@@ -47,5 +47,10 @@ for amp in ${AMPS//,/ }; do
   run_fresh sessions "$amp"
 done
 
+for amp in ${AMPS//,/ }; do
+  echo "### fresh JVM: hot-key session sweep point $amp" >&2
+  run_fresh hotkey "$amp"
+done
+
 echo "### fresh JVM: trigger-granularity sweep (amp ${AMPS##*,})" >&2
 run_fresh chunks "$AMPS"

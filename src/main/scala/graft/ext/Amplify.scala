@@ -70,4 +70,19 @@ object Amplify {
         (col("user_id") + lit(k * idOffset)).as("user_id"),
         col("event_type"), col("value"))
     }.reduce(_ unionByName _)
+
+  /** [[events]] ×n with a deterministic HOT KEY: after amplification,
+    * every event whose BASE id falls in the lowest `hotPermille` ‰
+    * residues is remapped to user −1 (no fixture user is negative), so
+    * ONE user owns ~hotPermille/1000 of the whole amplified stream —
+    * across every copy, every chunk, the full calendar. This is the
+    * skew shape the uniform amp sweep can never produce: a per-user
+    * stateful operator must funnel that user's entire per-trigger slice
+    * through a single task.
+    */
+  def eventsHotKey(ev: DataFrame, n: Int, hotPermille: Int,
+      idOffset: Long = IdOffset): DataFrame =
+    events(ev, n, idOffset).withColumn("user_id",
+      when(pmod(col("event_id") % lit(idOffset), lit(1000)) < hotPermille,
+        lit(-1L)).otherwise(col("user_id")))
 }

@@ -210,6 +210,37 @@ object Stress {
       }
     }
 
+    // 7. HOT-KEY session stress (round-10 verdict wart #1): the uniform
+    // sweeps amplify users evenly, so no single task ever concentrates a
+    // per-trigger batch — exactly the shape foldBatch's per-key
+    // materialize+sort (SessionClose.scala:72) would be hurt by. Here
+    // user −1 absorbs ~1% of the amplified stream (hotPermille = 10), so
+    // every trigger funnels that user's whole slice (≈ rows/chunks/100)
+    // through ONE task of the state-store stage. max_task_s against the
+    // uniform session sweep's is the measured ceiling; hot_rows is the
+    // concentration actually delivered.
+    for (amp <- amps if sections("hotkey")) {
+      import spark.implicits._
+      val evA = Amplify.eventsHotKey(ev0, amp, hotPermille = 10)
+      run("session_close_hotkey", amp, ev0.count() * amp) {
+        val root =
+          s"${graft.CoreQueries.scratchDir("stress_hotkey")}/amp$amp-$sfKey"
+        val src = StreamRun.chunkedSource(spark, evA, s"$root/src", 8)
+        val ev = src.select(col("user_id"), col("ts"), col("value"))
+          .withWatermark("ts", "1 hour")
+          .as[graft.stream.SessionClose.Event]
+        val (res, st) = StreamRun.runAvailableNowUpdateObserved(
+          graft.stream.SessionClose.close(ev, gapMinutes = 30).toDF(),
+          s"$root/run", noDataBatch = true)
+        val n = res.count()
+        val hotRows = evA.filter(col("user_id") === -1L).count()
+        val maxState = if (st.isEmpty) 0L else st.map(_.stateRows).max
+        (n,
+          s"triggers=${st.length}|max_state_rows=$maxState|" +
+            s"rows_removed=${st.map(_.rowsRemoved).sum}|hot_rows=$hotRows")
+      }
+    }
+
     lazy val evS = Amplify.events(ev0, amps.max)
     for (chunks <- Seq(4, 8, 16) if sections("chunks")) {
       run(s"stream_interval_join_chunks$chunks", amps.max, ev0.count() * amps.max) {

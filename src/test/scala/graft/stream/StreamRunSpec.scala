@@ -235,6 +235,63 @@ class StreamRunSpec extends SparkFunSuite {
     assert(got.exceptAll(want).count() == 0 && want.exceptAll(got).count() == 0)
   }
 
+  test("live ProcessingTime run reproduces the AvailableNow append answer") {
+    val ev = Tables.events(spark, sf001)
+    val root = tmp("streamrun_live")
+    val (got, stats) = StreamRun.runProcessingTimeLive(
+      ev, src => EventWindows.tumblingStream(src, "1 hour", "1 hour"),
+      s"$root/run")
+    // the runner already requires full drain + one-chunk-per-trigger
+    // discovery; here the RESULT must equal the bounded twin's — the
+    // watermark-finalized windows, each exactly once
+    val wm = new Timestamp(
+      ev.agg(max(col("ts"))).head.getTimestamp(0).getTime - 3600 * 1000L)
+    val want = EventWindows.tumbling(ev, "1 hour")
+      .filter(col("window_start") + expr("INTERVAL 1 HOUR") <= lit(wm))
+    assert(got.exceptAll(want).count() == 0 && want.exceptAll(got).count() == 0)
+    // finalization fired from a no-data batch the ENGINE scheduled (no
+    // AvailableNow trailer exists on a live run)
+    val dataMax = stats.filter(_.inputRows > 0).map(_.batchId).max
+    assert(stats.exists(t => t.inputRows == 0 && t.batchId > dataMax),
+      s"engine must run a no-data batch after the last arrival: $stats")
+  }
+
+  test("RocksDB changelog checkpointing leaves changelog files in the checkpoint") {
+    val ev = Tables.events(spark, sf001)
+    val root = tmp("streamrun_clog")
+    val key = "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "true")
+    try withRocksDb {
+      val src = StreamRun.chunkedSource(spark, ev, s"$root/src", 4)
+      StreamRun.runAvailableNow(
+        EventWindows.tumblingStream(src, "1 hour", "1 hour"),
+        s"$root/run", complete = true)
+      // the conf being set is not the certification — the OBSERVED
+      // checkpoint layout is: per-commit .changelog deltas (and not a
+      // full .zip snapshot per batch, which is what the conf replaces)
+      val stream = java.nio.file.Files.walk(
+        java.nio.file.Paths.get(s"$root/run/ckpt/state"))
+      val names =
+        try {
+          val it = stream.iterator()
+          val buf = scala.collection.mutable.ArrayBuffer.empty[String]
+          while (it.hasNext) buf += it.next().getFileName.toString
+          buf.toSeq
+        } finally stream.close()
+      val changelogs = names.count(_.endsWith(".changelog"))
+      val snapshots = names.count(_.endsWith(".zip"))
+      assert(changelogs >= 4,
+        s"expected per-batch changelog files, found $changelogs " +
+          s"(snapshots: $snapshots) in ${names.take(30)}")
+      assert(changelogs > snapshots,
+        "changelog checkpointing must replace per-batch snapshot uploads")
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
+  }
+
   test("chunked source stamps file mtimes in time-range order") {
     val ev = Tables.events(spark, sf001)
     val root = tmp("streamrun_o")

@@ -292,7 +292,7 @@ object Round10Queries {
     * mirrored here exactly. ONE definition serves BOTH state-API tiers
     * — that equality is the certification.
     */
-  private def sessionCloseOracle(where: String): String =
+  private[graft] def sessionCloseOracle(where: String): String =
     s"""WITH base AS (SELECT user_id, ts, value FROM events $where),
       |marked AS (
       |  SELECT user_id, ts, value,

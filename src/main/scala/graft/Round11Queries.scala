@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
-import graft.stream.{EventWindows, StreamRun, UserProfileTws}
+import graft.stream.{EventWindows, SessionClose, StreamRun, UserProfileTws}
 
 /** Round-11 depth queries (round-10 verdict asks #2, #5, #6): the LIVE
   * unbounded-trigger streaming certification (ProcessingTime trigger
@@ -37,7 +37,34 @@ object Round11Queries {
         Tables.events(s, dir),
         src => EventWindows.tumblingStream(src, "1 hour", "1 hour"),
         s"$out/run")
-      res
+      res.drop("batch_id")
+    },
+    // X6, CUSTOM STATE + EVENT-TIME TIMERS under the LIVE trigger: the
+    // EventTimeTimeout session machine re-run with Trigger.ProcessingTime
+    // against the concurrently-appended directory. Beyond
+    // events_windowed_live's built-in aggregation, this certifies that
+    // user-managed state and registered timeouts behave identically when
+    // the watermark advances on ENGINE-SCHEDULED no-data batches at wall
+    // clock (including mid-run ones between arrivals — a timer firing
+    // early emits the same session, since emission content depends only
+    // on the fold state) instead of AvailableNow's scripted trailer. The
+    // require pins that timer-fired closes actually rode a no-data
+    // batch. Oracle: the bounded twin's session oracle VERBATIM.
+    "events_session_live" -> { (s, dir) =>
+      val out = CoreQueries.scratchDir("events_session_live")
+      import s.implicits._
+      val (res, stats) = StreamRun.runProcessingTimeLive(
+        Tables.events(s, dir),
+        src => SessionClose.close(
+          src.select(col("user_id"), col("ts"), col("value"))
+            .withWatermark("ts", "1 hour")
+            .as[SessionClose.Event], gapMinutes = 30).toDF(),
+        s"$out/run", outputMode = "update")
+      val dataIds = stats.filter(_.inputRows > 0).map(_.batchId).toSet
+      require(res.filter(!col("batch_id").isInCollection(dataIds))
+          .limit(1).count() == 1L,
+        s"timer-fired session closes must ride a no-data batch: $stats")
+      res.drop("batch_id")
     },
     // X6, transformWithState BREADTH (the tier beyond SessionCloseTws's
     // single ValueState): a per-user profile machine on MapState
@@ -143,6 +170,10 @@ object Round11Queries {
   )
 
   def oracleSql: Map[String, String] = Map(
+    // the bounded twin's session-close oracle VERBATIM (one definition
+    // serves the AvailableNow tiers, both state APIs, and now the live
+    // trigger — that four-way equality is the certification)
+    "events_session_live" -> Round10Queries.sessionCloseOracle(""),
     // the AvailableNow append twin's oracle VERBATIM — that equality IS
     // the live-deployment certification
     "events_windowed_live" ->

@@ -435,7 +435,8 @@ object StreamRun {
       df: DataFrame, transform: DataFrame => DataFrame,
       outDir: String, chunks: Int = 4, tsCol: String = "ts",
       triggerMs: Long = 300L, landEveryMs: Long = 700L,
-      timeoutMs: Long = 120000L): (DataFrame, Seq[TriggerStats]) = {
+      timeoutMs: Long = 120000L,
+      outputMode: String = "append"): (DataFrame, Seq[TriggerStats]) = {
     val spark = df.sparkSession
     Scratch.rmTree(outDir)
     val stageDir = s"$outDir/stage"
@@ -451,7 +452,7 @@ object StreamRun {
       val src = spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1").parquet(srcDir)
       val q = transform(src).writeStream
-        .outputMode("append")
+        .outputMode(outputMode)
         .trigger(Trigger.ProcessingTime(s"$triggerMs milliseconds"))
         .option("checkpointLocation", s"$outDir/ckpt")
         .foreachBatch { (batch: DataFrame, id: Long) =>
@@ -497,7 +498,10 @@ object StreamRun {
           s"triggers: $trail")
       trail
     }
-    (readSink(spark, sink).drop("batch_id"), stats)
+    // batch_id kept: live callers read it to prove WHICH trigger an
+    // emission rode (e.g. timer closes on an engine-scheduled no-data
+    // batch); drop it before oracle-facing output
+    (readSink(spark, sink), stats)
   }
 
   /** runAvailableNowUpdate plus the per-trigger progress trail — the

@@ -238,9 +238,10 @@ class StreamRunSpec extends SparkFunSuite {
   test("live ProcessingTime run reproduces the AvailableNow append answer") {
     val ev = Tables.events(spark, sf001)
     val root = tmp("streamrun_live")
-    val (got, stats) = StreamRun.runProcessingTimeLive(
+    val (gotWithId, stats) = StreamRun.runProcessingTimeLive(
       ev, src => EventWindows.tumblingStream(src, "1 hour", "1 hour"),
       s"$root/run")
+    val got = gotWithId.drop("batch_id")
     // the runner already requires full drain + one-chunk-per-trigger
     // discovery; here the RESULT must equal the bounded twin's — the
     // watermark-finalized windows, each exactly once

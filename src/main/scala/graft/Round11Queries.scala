@@ -95,6 +95,34 @@ object Round11Queries {
           col("p.n_types").as("n_types"), col("p.top3_sum").as("top3_sum"),
           col("p.top_event_id").as("top_event_id"))
     },
+    // X6, stream-stream FULL OUTER interval join EXECUTED BY THE
+    // ENGINE — completes the join-mode matrix (inner:
+    // events_correlated_stream; left-outer:
+    // events_correlated_outer_stream): BOTH eviction-driven null paths
+    // in one query. Sides are type-disjoint (clicks vs purchases) so
+    // neither side self-matches: a click with no purchase within 10
+    // minutes AFTER it emits null-right at left-eviction (watermark
+    // past click.ts + interval); a purchase with no click within 10
+    // minutes BEFORE it emits null-left at right-eviction (watermark
+    // past purchase.ts — the condition r.ts >= l.ts bounds matching
+    // lefts at-or-before the purchase). The oracle mirrors both
+    // eviction rules in the engine's ms-floored µs-scaled watermark
+    // arithmetic; unresolved tails (inside their eviction horizons at
+    // stream end) are never emitted on a bounded run.
+    "events_correlated_full_stream" -> { (s, dir) =>
+      val out = CoreQueries.scratchDir("events_correlated_full_stream")
+      val ev = Tables.events(s, dir).filter(col("user_id") < 150)
+      def src(t: String) = StreamRun.chunkedSource(
+        s, ev.filter(col("event_type") === t),
+        s"$out/src-$t-${dir.replaceAll("[^A-Za-z0-9.]", "_")}", 4)
+      val joined = EventWindows.correlateStreamsFull(
+        src("click"), src("purchase"), "user_id", "10 MINUTES", "1 minute")
+      StreamRun.runAvailableNow(joined, s"$out/run", complete = false,
+          noDataBatch = true)
+        .groupBy(coalesce(col("type_left"), lit("__none")).as("type_left"),
+          coalesce(col("type_right"), lit("__none")).as("type_right"))
+        .agg(count(lit(1)).as("n_pairs"))
+    },
     // X6 observability, DEDUP tier (round-10 ask #6): the state-EXPIRY
     // drop audit. Every 40th event_id from the stream's first quarter
     // is REPLAYED as an exact duplicate arriving after the whole
@@ -203,6 +231,43 @@ object Round11Queries {
         |SELECT a.user_id, a.n_events, a.n_types, t.top3_sum, o.top_event_id
         |FROM agg a JOIN top3 t ON a.user_id = t.user_id
         |           JOIN top1 o ON a.user_id = o.user_id""".stripMargin,
+    // both eviction rules in the engine's arithmetic: left-eviction
+    // strict beyond l.ts + interval (as the left-outer twin), right-
+    // eviction strict beyond r.ts; tails inside their horizons at
+    // stream end never resolve on a bounded run
+    "events_correlated_full_stream" ->
+      """WITH l AS (SELECT * FROM events WHERE user_id < 150 AND event_type = 'click'),
+        |r AS (SELECT * FROM events WHERE user_id < 150 AND event_type = 'purchase'),
+        |wm AS (
+        |  SELECT (epoch_ms(LEAST((SELECT max(ts) FROM l),
+        |                         (SELECT max(ts) FROM r))) - 60000) * 1000
+        |           AS wm_us),
+        |pairs AS (
+        |  SELECT l.event_type AS type_left, r.event_type AS type_right
+        |  FROM l JOIN r
+        |    ON l.user_id = r.user_id
+        |   AND r.ts >= l.ts AND r.ts <= l.ts + INTERVAL 10 MINUTE),
+        |unmatched_l AS (
+        |  SELECT l.event_type AS type_left, '__none' AS type_right
+        |  FROM l, wm
+        |  WHERE NOT EXISTS (
+        |    SELECT 1 FROM r
+        |    WHERE r.user_id = l.user_id
+        |      AND r.ts >= l.ts AND r.ts <= l.ts + INTERVAL 10 MINUTE)
+        |    AND epoch_us(l.ts) + 600000000 < wm.wm_us),
+        |unmatched_r AS (
+        |  SELECT '__none' AS type_left, r.event_type AS type_right
+        |  FROM r, wm
+        |  WHERE NOT EXISTS (
+        |    SELECT 1 FROM l
+        |    WHERE l.user_id = r.user_id
+        |      AND r.ts >= l.ts AND r.ts <= l.ts + INTERVAL 10 MINUTE)
+        |    AND epoch_us(r.ts) < wm.wm_us)
+        |SELECT type_left, type_right, count(*) AS n_pairs
+        |FROM (SELECT * FROM pairs
+        |      UNION ALL SELECT * FROM unmatched_l
+        |      UNION ALL SELECT * FROM unmatched_r)
+        |GROUP BY 1, 2""".stripMargin,
     // survivors = the original events exactly (every replayed duplicate
     // dropped): plain per-hour per-type counts
     "events_dedup_expiry_audit" ->

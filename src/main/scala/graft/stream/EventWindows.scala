@@ -148,6 +148,20 @@ object EventWindows {
       within: String, lateness: String): DataFrame =
     correlateJoin(left, right, key, within, lateness, "left_outer")
 
+  /** FULL OUTER variant — both eviction-driven null paths at once:
+    * unmatched lefts emit null-right when the watermark passes
+    * left.ts + `within` (no partner can still arrive — as in the
+    * left-outer form), and unmatched rights emit null-left when the
+    * watermark passes right.ts (the condition `r.ts >= l.ts` means a
+    * right can only match lefts at-or-before it, so once the watermark
+    * is beyond right.ts any matching left would be dropped as late).
+    * Matched pairs emit eagerly.
+    */
+  def correlateStreamsFull(
+      left: DataFrame, right: DataFrame, key: String,
+      within: String, lateness: String): DataFrame =
+    correlateJoin(left, right, key, within, lateness, "full_outer")
+
   private def correlateJoin(
       left: DataFrame, right: DataFrame, key: String,
       within: String, lateness: String, joinType: String): DataFrame = {

@@ -29,3 +29,9 @@ if grep -q FAIL /tmp/cluster_oracle.log; then
   exit 1
 fi
 echo "local-cluster certification green: $(grep -c '^OK' /tmp/cluster_oracle.log) queries"
+
+# executor-failure recovery: kill an executor mid-batch and mid-stream,
+# require retried results identical (see CLUSTER.md)
+sbt -batch "runMain graft.tools.ClusterChaos $SF" 2>&1 \
+  | tee /tmp/cluster_chaos.log | grep CHAOS
+grep -q "CLUSTER CHAOS OK" /tmp/cluster_chaos.log

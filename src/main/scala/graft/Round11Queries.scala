@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
+import graft.ext.TextStats
 import graft.stream.{EventWindows, SessionClose, StreamRun, UserProfileTws}
 
 /** Round-11 depth queries (round-10 verdict asks #2, #5, #6): the LIVE
@@ -94,6 +95,21 @@ object Round11Queries {
         .select(col("user_id"), col("p.n_events").as("n_events"),
           col("p.n_types").as("n_types"), col("p.top3_sum").as("top3_sum"),
           col("p.top_event_id").as("top_event_id"))
+    },
+    // X4×X2, C4-style corpus-wide SEGMENT dedup — the in-document
+    // boilerplate-removal stage (discard any chunk repeated across ≥
+    // minDocs documents, rebuild each document from the survivors)
+    // complementing the cross-document near-dup stack. 3-word segments
+    // at minDocs=3 rewrite a meaningful slice of the fixture (231 hot
+    // segments at sf0.01). Segmentation is codegen'd array arithmetic
+    // (no per-word explode), the hot set one partial-agg shuffle, the
+    // removal a left-anti join, the rebuild one ordered groupBy fold —
+    // and the CLEAN TEXT ITSELF is hash-compared against the oracle's
+    // string_agg reconstruction, so a single mis-ordered or mis-kept
+    // segment anywhere in the corpus fails the gate.
+    "text_segment_dedup" -> { (s, dir) =>
+      TextStats.segmentDedup(Tables.documents(s, dir),
+        "doc_id", "text", segWords = 3, minDocs = 3)
     },
     // X6, stream-stream FULL OUTER interval join EXECUTED BY THE
     // ENGINE — completes the join-mode matrix (inner:
@@ -231,6 +247,36 @@ object Round11Queries {
         |SELECT a.user_id, a.n_events, a.n_types, t.top3_sum, o.top_event_id
         |FROM agg a JOIN top3 t ON a.user_id = t.user_id
         |           JOIN top1 o ON a.user_id = o.user_id""".stripMargin,
+    // the oracle rebuilds every document the same way: zip-unnested
+    // (word, index) pairs → (i-1)//3 segments → hot set by distinct-doc
+    // count → ordered string_agg of the survivors
+    "text_segment_dedup" ->
+      """WITH words AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS word,
+        |         unnest(range(1, len(string_split(text, ' ')) + 1)) AS i
+        |  FROM documents),
+        |seg AS (
+        |  SELECT doc_id, (i - 1) // 3 AS seg_id,
+        |         string_agg(word, ' ' ORDER BY i) AS segment
+        |  FROM words GROUP BY doc_id, (i - 1) // 3),
+        |hot AS (
+        |  SELECT segment FROM seg
+        |  GROUP BY segment HAVING count(DISTINCT doc_id) >= 3),
+        |kept AS (
+        |  SELECT s.* FROM seg s LEFT JOIN hot h ON s.segment = h.segment
+        |  WHERE h.segment IS NULL),
+        |rebuilt AS (
+        |  SELECT doc_id,
+        |         string_agg(segment, ' ' ORDER BY seg_id) AS clean_text,
+        |         count(*) AS n_kept
+        |  FROM kept GROUP BY doc_id),
+        |totals AS (
+        |  SELECT doc_id,
+        |         (len(string_split(text, ' ')) - 1) // 3 + 1 AS n_segments
+        |  FROM documents)
+        |SELECT t.doc_id, COALESCE(r.clean_text, '') AS clean_text,
+        |       t.n_segments, t.n_segments - COALESCE(r.n_kept, 0) AS n_dropped
+        |FROM totals t LEFT JOIN rebuilt r ON t.doc_id = r.doc_id""".stripMargin,
     // both eviction rules in the engine's arithmetic: left-eviction
     // strict beyond l.ts + interval (as the left-outer twin), right-
     // eviction strict beyond r.ts; tails inside their horizons at

@@ -114,6 +114,55 @@ object TextStats {
         sum(col("c") * col("c")).as("sum_sq_counts"),
         count(lit(1)).as("n_distinct_tokens"))
 
+  /** C4-style corpus-wide boilerplate removal at SEGMENT granularity:
+    * each document is chunked into consecutive `segWords`-word segments
+    * (the fixture's text has no line structure; a corpus with newlines
+    * would chunk on those instead), any segment occurring in at least
+    * `minDocs` DISTINCT documents is dropped from every document, and
+    * the text is rebuilt from the surviving segments in order. This is
+    * the "discard lines repeated across the corpus" dedup stage of C4
+    * et al., the in-document complement to the cross-document near-dup
+    * stack.
+    *
+    * Scale shape: segmentation is pure codegen'd array arithmetic
+    * (`transform(sequence(...), slice)`) — no per-word explode; the hot
+    * set is one partially-aggregated shuffle over (segment → distinct
+    * docs); removal is a LEFT ANTI join (Spark broadcasts the hot side
+    * when small — boilerplate vocabularies are tiny relative to the
+    * corpus); the rebuild is one groupBy(doc) with an ordered
+    * array fold. Nothing driver-side, nothing quadratic.
+    *
+    * Returns (idCol, clean_text, n_segments, n_dropped) — docs whose
+    * every segment was dropped survive with empty clean_text.
+    */
+  def segmentDedup(docs: DataFrame, idCol: String, textCol: String,
+      segWords: Int, minDocs: Long): DataFrame = {
+    val segs = docs
+      .withColumn("ws", split(col(textCol), " "))
+      .withColumn("segs", expr(
+        s"transform(sequence(0, (size(ws)-1) div $segWords), " +
+          s"k -> array_join(slice(ws, k*$segWords+1, $segWords), ' '))"))
+      .select(col(idCol), posexplode(col("segs")).as(Seq("seg_id", "segment")))
+    val hot = segs.groupBy(col("segment"))
+      .agg(countDistinct(col(idCol)).as("nd"))
+      .filter(col("nd") >= minDocs)
+      .select(col("segment"))
+    val kept = segs.join(hot, Seq("segment"), "left_anti")
+    val rebuilt = kept.groupBy(col(idCol))
+      .agg(
+        array_join(expr("transform(array_sort(collect_list(" +
+          "struct(seg_id, segment))), s -> s.segment)"), " ").as("clean_text"),
+        count(lit(1)).as("n_kept"))
+    docs.select(col(idCol),
+        expr(s"CAST((size(split(`$textCol`, ' ')) - 1) DIV $segWords + 1 " +
+          "AS BIGINT)").as("n_segments"))
+      .join(rebuilt, Seq(idCol), "left_outer")
+      .select(col(idCol),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        col("n_segments"),
+        (col("n_segments") - coalesce(col("n_kept"), lit(0L))).as("n_dropped"))
+  }
+
   /** Per-language corpus stats in one aggregation. */
   def statsByLang(docs: DataFrame, langCol: String, textCol: String): DataFrame =
     docs.groupBy(col(langCol))

@@ -96,6 +96,25 @@ object Round11Queries {
           col("p.n_types").as("n_types"), col("p.top3_sum").as("top3_sum"),
           col("p.top_event_id").as("top_event_id"))
     },
+    // X1, the incremental-store anti-join with the store-side SHUFFLE
+    // REMOVED: a distributively-built Bloom filter over the store's
+    // fingerprints (shipped into whole-stage codegen as the native
+    // graft_bloom_contains expression) clears definitely-new batch rows
+    // with zero join work; the suspects (true dups + ~1% false
+    // positives) resolve exactly against a broadcast-semi-joined store
+    // scan. Row-identical to dedup_incremental BY CONSTRUCTION (false
+    // positives are resolved, never dropped) and certified under the
+    // SAME NOT-EXISTS oracle — at a 100 TB store this is the difference
+    // between shuffling the store nightly and scanning it.
+    "dedup_incremental_bloom" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val store = CoreQueries.scratchDir("dedup_incremental_bloom") + "/fp_store"
+      graft.ext.Dedup.writeFingerprintStore(
+        docs.filter(col("doc_id") % 2 === 0), "text", store)
+      graft.ext.Dedup.dedupAgainstStoreBloom(
+          s, docs.filter(col("doc_id") % 2 === 1), "text", store)
+        .select(col("doc_id"))
+    },
     // X4×X2, C4-style corpus-wide SEGMENT dedup — the in-document
     // boilerplate-removal stage (discard any chunk repeated across ≥
     // minDocs documents, rebuild each document from the survivors)
@@ -247,6 +266,14 @@ object Round11Queries {
         |SELECT a.user_id, a.n_events, a.n_types, t.top3_sum, o.top_event_id
         |FROM agg a JOIN top3 t ON a.user_id = t.user_id
         |           JOIN top1 o ON a.user_id = o.user_id""".stripMargin,
+    // same oracle as dedup_incremental (NOT EXISTS, null-safe) — the
+    // bloom path must be row-identical to the plain anti-join
+    "dedup_incremental_bloom" ->
+      """SELECT d.doc_id FROM documents d
+        |WHERE d.doc_id % 2 = 1
+        |  AND NOT EXISTS
+        |      (SELECT 1 FROM documents s WHERE s.doc_id % 2 = 0
+        |         AND md5(s.text) IS NOT DISTINCT FROM md5(d.text))""".stripMargin,
     // the oracle rebuilds every document the same way: zip-unnested
     // (word, index) pairs → (i-1)//3 segments → hot set by distinct-doc
     // count → ordered string_agg of the survivors

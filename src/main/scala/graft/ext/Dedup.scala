@@ -89,6 +89,51 @@ object Dedup {
       .join(spark.read.parquet(path).select(col("fp").as("__fp")), Seq("__fp"), "left_anti")
       .drop("__fp")
 
+  /** [[dedupAgainstStore]] with a BLOOM pre-screen — the shape that
+    * removes the store-side SHUFFLE entirely. The plain anti-join
+    * shuffles BOTH sides on `fp`; at a 100 TB-corpus store that shuffle
+    * is the nightly bill. Here:
+    *
+    *  1. a Bloom filter over xxhash64(store.fp) is built distributively
+    *     (`stat.bloomFilter` aggregates per-partition bitsets) — the
+    *     only driver-materialized object, ~1.2 MB per million keys at
+    *     1% fpp, shipped into codegen as [[graft.functions.BloomMightContainLong]];
+    *  2. batch rows the filter CLEARS are definitely-new — they pass
+    *     with zero join work (at 1% fpp that is ~99% of a
+    *     mostly-novel batch);
+    *  3. the SUSPECTS (true duplicates + fpp false positives) resolve
+    *     exactly: the store is LEFT-SEMI joined against the BROADCAST
+    *     suspect set (full store scan, zero store shuffle) to find the
+    *     true duplicate fps, and the suspects anti-join that
+    *     (broadcast again — it is ≤ the suspect set).
+    *
+    * Result is row-identical to [[dedupAgainstStore]] (false positives
+    * are resolved, never dropped) — certified under the same oracle by
+    * `dedup_incremental_bloom`. The broadcast legs assume the SUSPECT
+    * set is small (fpp·|batch| + true dups); a batch that is mostly
+    * duplicates should use the plain shuffle form instead — that trade
+    * is the caller's, both forms share one contract.
+    */
+  def dedupAgainstStoreBloom(
+      spark: SparkSession, batch: DataFrame, textCol: String, path: String,
+      fpp: Double = 0.01): DataFrame = {
+    val store = spark.read.parquet(path).select(col("fp"))
+    val hashes = store.select(xxhash64(col("fp")).as("h"))
+    val expected = math.max(hashes.count(), 1L)
+    val bloom = hashes.stat.bloomFilter("h", expected, fpp)
+    val withFp = batch.withColumn("__fp", md5(col(textCol)))
+    val maybeSeen = graft.functions.GraftFunctions.bloomContainsLong(
+      spark, xxhash64(col("__fp")), bloom)
+    val cleared = withFp.filter(!maybeSeen)
+    val suspects = withFp.filter(maybeSeen)
+    val dupFps = store.select(col("fp").as("__fp"))
+      .join(broadcast(suspects.select(col("__fp")).distinct()),
+        Seq("__fp"), "left_semi")
+    cleared.unionByName(
+        suspects.join(broadcast(dupFps), Seq("__fp"), "left_anti"))
+      .drop("__fp")
+  }
+
   // ------------------------------------------------------ exact Jaccard
 
   /** Exact n-gram Jaccard near-dup pairs (id_a < id_b, jaccard >= threshold).

@@ -124,6 +124,11 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction(
       "graft_first_equal_index",
       exprs => FirstEqualIndex(exprs(0), exprs(1)), "built-in")
+    // the serialized filter must be a foldable binary literal — it is
+    // deserialized once and baked into the generated code's references
+    reg.createOrReplaceTempFunction(
+      "graft_bloom_contains",
+      exprs => BloomMightContainLong(exprs(0), exprs(1)), "built-in")
     // band/bit/dim/seed parameterize the plane matrix baked into the
     // generated code, so they must be foldable literals.
     reg.createOrReplaceTempFunction(
@@ -156,6 +161,18 @@ object GraftFunctions {
   def firstEqualIndex(spark: SparkSession, a: Column, b: Column): Column = {
     register(spark)
     call_function("graft_first_equal_index", a, b)
+  }
+
+  /** Bloom-filter membership probe on a bigint column; `filter` is a
+    * driver-built `org.apache.spark.util.sketch.BloomFilter`, shipped
+    * serialized as a binary literal.
+    */
+  def bloomContainsLong(spark: SparkSession, value: Column,
+      filter: org.apache.spark.util.sketch.BloomFilter): Column = {
+    register(spark)
+    val bos = new java.io.ByteArrayOutputStream()
+    filter.writeTo(bos)
+    call_function("graft_bloom_contains", value, lit(bos.toByteArray))
   }
 
   /** Random-hyperplane LSH band keys (array<bigint>, one per band). */

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
-import graft.ext.TextStats
+import graft.ext.{Multimodal, TextStats}
 import graft.stream.{EventWindows, SessionClose, StreamRun, UserProfileTws}
 
 /** Round-11 depth queries (round-10 verdict asks #2, #5, #6): the LIVE
@@ -95,6 +95,27 @@ object Round11Queries {
         .select(col("user_id"), col("p.n_events").as("n_events"),
           col("p.n_types").as("n_types"), col("p.top3_sum").as("top3_sum"),
           col("p.top_event_id").as("top_event_id"))
+    },
+    // X5, the SECOND real-format codec (round-7's RIFF/WAVE is
+    // little-endian with no checksums — PNG adds the two failure axes
+    // it cannot exercise: BIG-endian integers and per-chunk CRC-32
+    // verification). withSyntheticPng builds valid signature+IHDR+IEND
+    // bytes in codegen'd expressions, using the BUILT-IN crc32 for the
+    // checksum — so corruption is injected on BOTH axes: every 97th
+    // doc truncated mid-header (structural), every 89th doc's IHDR CRC
+    // arithmetically broken (checksum — fields untouched, only the
+    // CRC-32 verification can catch it). The parser walks real chunks:
+    // signature, IHDR-first rule, BE lengths, java.util.zip CRC per
+    // chunk, IEND termination. Every field and both invalidity rules
+    // recomputed from the text by the oracle.
+    "multimodal_png_decode" -> { (s, dir) =>
+      val png = Tables.documents(s, dir).select(col("doc_id"),
+        Multimodal.pngBytes(col("text"),
+          when(col("doc_id") % 89 === 0, lit(1L)).otherwise(lit(0L))).as("media"))
+        .withColumn("media",
+          when(col("doc_id") % 97 === 0, substring(col("media"), 1, 15))
+            .otherwise(col("media")))
+      Multimodal.decodePng(s, png).toDF()
     },
     // X1, the incremental-store anti-join with the store-side SHUFFLE
     // REMOVED: a distributively-built Bloom filter over the store's
@@ -266,6 +287,19 @@ object Round11Queries {
         |SELECT a.user_id, a.n_events, a.n_types, t.top3_sum, o.top_event_id
         |FROM agg a JOIN top3 t ON a.user_id = t.user_id
         |           JOIN top1 o ON a.user_id = o.user_id""".stripMargin,
+    "multimodal_png_decode" ->
+      """WITH d AS (
+        |  SELECT doc_id, (doc_id % 97 != 0 AND doc_id % 89 != 0) AS ok,
+        |         CAST(length(text) AS BIGINT) AS n,
+        |         CAST(ascii(text[1]) AS BIGINT) AS first_c
+        |  FROM documents)
+        |SELECT doc_id, ok AS valid,
+        |       CASE WHEN ok THEN n ELSE 0 END AS width,
+        |       CASE WHEN ok THEN first_c ELSE 0 END AS height,
+        |       CAST(CASE WHEN ok THEN 8 ELSE 0 END AS INT) AS bit_depth,
+        |       CAST(CASE WHEN ok THEN 2 ELSE 0 END AS INT) AS color_type,
+        |       CAST(0 AS INT) AS interlace
+        |FROM d""".stripMargin,
     // same oracle as dedup_incremental (NOT EXISTS, null-safe) — the
     // bloom path must be row-identical to the plain anti-join
     "dedup_incremental_bloom" ->

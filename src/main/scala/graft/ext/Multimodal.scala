@@ -118,6 +118,110 @@ object Multimodal {
         .as("frames"))
   }
 
+  /** Parsed PNG header summary (the SECOND real format, round 11):
+    * big-endian layout + per-chunk CRC-32 verification — the two
+    * failure axes RIFF/WAVE (little-endian, no checksums) cannot
+    * exercise. Malformed input ⇒ invalid row, never a throw.
+    */
+  final case class PngFeatures(
+      doc_id: Long,
+      valid: Boolean,
+      width: Long,
+      height: Long,
+      bit_depth: Int,
+      color_type: Int,
+      interlace: Int)
+
+  /** Big-endian hex of the low `bytes` bytes of `n` — PNG's integer
+    * encoding (network order), the mirror of [[leHex]].
+    */
+  private def beHex(n: Column, bytes: Int): Column =
+    concat((0 until bytes).map(i =>
+      lpad(hex(pmod(shiftright(n, (bytes - 1 - i) * 8), lit(256))), 2, "0")): _*)
+
+  /** Valid PNG signature + IHDR + IEND from a text column: width =
+    * character count, height = ascii of the first character, 8-bit
+    * truecolor, no interlace. The IHDR CRC is computed with the
+    * BUILT-IN `crc32` over the exact tag+body bytes — which is what
+    * lets a deliberate CRC corruption be injected arithmetically
+    * (`crcDelta` ≠ 0 breaks the checksum without touching the fields)
+    * and the decode oracle recompute every field from the text.
+    */
+  def pngBytes(text: Column, crcDelta: Column): Column = {
+    val bodyHex = concat(
+      beHex(length(text).cast("long"), 4),          // width
+      beHex(ascii(substring(text, 1, 1)).cast("long"), 4), // height
+      lit("08"), lit("02"),                          // 8-bit, truecolor
+      lit("00"), lit("00"), lit("00"))               // deflate, none, none
+    val crc = crc32(unhex(concat(lit("49484452"), bodyHex))) + crcDelta
+    unhex(concat(
+      lit("89504E470D0A1A0A"),                       // signature
+      lit("0000000D"), lit("49484452"), bodyHex,     // IHDR len + tag + body
+      beHex(crc, 4),
+      lit("00000000"), lit("49454E44"), lit("AE426082"))) // IEND
+  }
+
+  /** The actual PNG walker: 8-byte signature, IHDR-first rule,
+    * big-endian lengths, per-chunk CRC-32 verification (java.util.zip
+    * reference implementation), bounds checks, IEND-terminated walk.
+    * Any damage — short buffer, bad magic, first chunk not IHDR, length
+    * running past the buffer, checksum mismatch, missing IEND —
+    * yields the invalid row.
+    */
+  def parsePng(docId: Long, b: Array[Byte]): PngFeatures = {
+    val invalid = PngFeatures(docId, valid = false, 0L, 0L, 0, 0, 0)
+    if (b == null || b.length < 8) return invalid
+    val sig = Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a)
+    var i = 0
+    while (i < 8) { if ((b(i) & 0xff) != sig(i)) return invalid; i += 1 }
+    def be32(o: Int): Long =
+      ((b(o) & 0xffL) << 24) | ((b(o + 1) & 0xffL) << 16) |
+        ((b(o + 2) & 0xffL) << 8) | (b(o + 3) & 0xffL)
+    def tag(o: Int): String =
+      new String(b, o, 4, java.nio.charset.StandardCharsets.US_ASCII)
+    var off = 8
+    var ihdr: Option[(Long, Long, Int, Int, Int)] = None
+    var sawEnd = false
+    var first = true
+    while (!sawEnd) {
+      if (off + 12 > b.length) return invalid // len+tag+crc minimum
+      val len = be32(off)
+      if (len > Int.MaxValue || len > b.length - off - 12L) return invalid
+      val id = tag(off + 4)
+      if (first && id != "IHDR") return invalid // IHDR must come first
+      first = false
+      val payload = off + 8
+      val crcOff = payload + len.toInt
+      val crc = new java.util.zip.CRC32
+      crc.update(b, off + 4, 4 + len.toInt) // tag + body, per the spec
+      if (crc.getValue != be32(crcOff)) return invalid
+      if (id == "IHDR") {
+        if (len != 13L) return invalid
+        val compression = b(payload + 10) & 0xff
+        val filter = b(payload + 11) & 0xff
+        if (compression != 0 || filter != 0) return invalid
+        ihdr = Some((be32(payload), be32(payload + 4),
+          b(payload + 8) & 0xff, b(payload + 9) & 0xff, b(payload + 12) & 0xff))
+      } else if (id == "IEND") {
+        if (len != 0L) return invalid
+        sawEnd = true
+      }
+      off = crcOff + 4
+    }
+    ihdr match {
+      case Some((w, h, depth, color, interlace)) =>
+        PngFeatures(docId, valid = true, w, h, depth, color, interlace)
+      case None => invalid
+    }
+  }
+
+  /** Batched PNG decode — same mapPartitions contract as [[decodeWav]]. */
+  def decodePng(spark: SparkSession, media: DataFrame): Dataset[PngFeatures] = {
+    import spark.implicits._
+    media.select(col("doc_id"), col("media")).as[MediaRow]
+      .mapPartitions(rows => rows.map(r => parsePng(r.doc_id, r.media)))
+  }
+
   /** The actual RIFF walker: validates magic tags and the riff size,
     * iterates chunks with little-endian sizes and the RIFF word-padding
     * rule, extracts fmt fields and 16-bit PCM samples. Any structural

@@ -105,6 +105,37 @@ class MultimodalSpec extends SparkFunSuite {
     assert(Multimodal.parseWav(1L, Array.empty[Byte]).valid == false)
   }
 
+  test("parsePng verifies big-endian fields, chunk CRCs, and structure") {
+    import org.apache.spark.sql.functions.{col, lit}
+    val ok = spark.range(1).select(
+        Multimodal.pngBytes(lit("hello png"), lit(0L)).as("b"))
+      .head.getAs[Array[Byte]](0)
+    val f = Multimodal.parsePng(1L, ok)
+    assert(f.valid && f.width == 9L && f.height == 'h'.toLong &&
+      f.bit_depth == 8 && f.color_type == 2 && f.interlace == 0)
+    def bad(mutate: Array[Byte] => Array[Byte]): Boolean =
+      Multimodal.parsePng(1L, mutate(ok.clone())).valid
+    assert(!bad(_.slice(0, 15)))                       // truncated mid-IHDR
+    assert(!bad { b => b(0) = 'X'.toByte; b })         // wrong signature
+    // a single flipped FIELD byte must fail via the CRC check alone
+    assert(!bad { b => b(16) = (b(16) + 1).toByte; b })
+    // a flipped CRC byte with intact fields must also fail
+    assert(!bad { b => b(30) = (b(30) ^ 0x01).toByte; b })
+    assert(!bad(_.dropRight(12)))                      // IEND missing
+    assert(!Multimodal.parsePng(1L, null).valid)
+    // the arithmetic corruption the query injects = CRC-only breakage
+    val crcBroken = spark.range(1).select(
+        Multimodal.pngBytes(lit("hello png"), lit(1L)).as("b"))
+      .head.getAs[Array[Byte]](0)
+    assert(!Multimodal.parsePng(1L, crcBroken).valid)
+    // and the Spark-built CRC equals the JVM reference implementation
+    val crc = new java.util.zip.CRC32
+    crc.update(ok, 12, 17)
+    val stored = ((ok(29) & 0xffL) << 24) | ((ok(30) & 0xffL) << 16) |
+      ((ok(31) & 0xffL) << 8) | (ok(32) & 0xffL)
+    assert(crc.getValue == stored)
+  }
+
   test("decodeWav runs batched per partition and matches parseWav row-wise") {
     val docs = Tables.documents(spark, sf001).filter($"doc_id" < 50)
     val wav = Multimodal.withSyntheticWav(docs)

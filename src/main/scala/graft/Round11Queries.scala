@@ -22,8 +22,8 @@ object Round11Queries {
     // streaming query runs Trigger.AvailableNow over a pre-staged
     // backlog; this one runs the SAME tumbling aggregation with
     // Trigger.ProcessingTime while a concurrent writer thread lands the
-    // chunk files into the source directory MID-RUN (one every ~700 ms,
-    // slower than the 300 ms trigger cadence, so triggers provably fire
+    // chunk files into the source directory MID-RUN (one every ~450 ms,
+    // slower than the 200 ms trigger cadence, so triggers provably fire
     // between arrivals). The engine must discover files that did not
     // exist at query start, advance the watermark on wall-clock-paced
     // triggers, and fire append-mode finalization from its own no-data

@@ -434,7 +434,7 @@ object StreamRun {
   def runProcessingTimeLive(
       df: DataFrame, transform: DataFrame => DataFrame,
       outDir: String, chunks: Int = 4, tsCol: String = "ts",
-      triggerMs: Long = 300L, landEveryMs: Long = 700L,
+      triggerMs: Long = 200L, landEveryMs: Long = 450L,
       timeoutMs: Long = 120000L,
       outputMode: String = "append"): (DataFrame, Seq[TriggerStats]) = {
     val spark = df.sparkSession

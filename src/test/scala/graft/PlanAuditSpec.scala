@@ -100,7 +100,17 @@ class PlanAuditSpec extends SparkFunSuite {
       "events_sessions_stream", "events_sliding_stream",
       "events_correlated_stream", "events_dedup_stream",
       "events_reconcile_stream", "events_custom_state_stream",
-      "events_enrich_stream", "events_restart_stream")
+      "events_enrich_stream", "events_restart_stream",
+      // rounds 10–11: same read-back shape (windowed/keyed aggregations
+      // over the bounded run's parquet sink — no joins to audit), plus
+      // the two LIVE wall-clock runs whose construction costs seconds
+      "events_session_timeout_stream", "events_session_tws_stream",
+      "events_session_restart_tws", "events_restart_rocksdb",
+      "events_late_audit", "events_dedup_windowed_stream",
+      "events_correlated_outer_stream", "events_correlated_full_stream",
+      "events_windowed_live", "events_session_live",
+      "events_user_profile_tws", "events_dedup_expiry_audit",
+      "events_join_late_audit")
     val offenders = SparkEntry.queries.keys.toSeq.sorted
       .filterNot(exactBaselines)
       .filterNot(eagerStreamRuns)

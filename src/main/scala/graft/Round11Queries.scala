@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.core.Tables
 import graft.ext.{Multimodal, TextStats}
-import graft.stream.{EventWindows, SessionClose, StreamRun, UserProfileTws}
+import graft.stream.{EventWindows, SessionClose, SessionCloseTws, StreamRun, UserProfileTws}
 
 /** Round-11 depth queries (round-10 verdict asks #2, #5, #6): the LIVE
   * unbounded-trigger streaming certification (ProcessingTime trigger
@@ -66,6 +66,65 @@ object Round11Queries {
           .limit(1).count() == 1L,
         s"timer-fired session closes must ride a no-data batch: $stats")
       res.drop("batch_id")
+    },
+    // X6, STATE BOOTSTRAP from a batch snapshot
+    // (StatefulProcessorWithInitialState — the transformWithState
+    // surface beyond events_session_restart_tws's checkpoint recovery):
+    // the stateful-pipeline MIGRATION path. History up to the midpoint
+    // is sessionized in BATCH (closed sessions exported directly; each
+    // user's open tail becomes typed initial state whose close timer is
+    // armed in handleInitialState); the stream starts AT the midpoint
+    // with that snapshot instead of replaying history. Batch exports ∪
+    // stream emissions must equal the single-run session answer — which
+    // holds only if the snapshot is exactly the state a continuous run
+    // would have carried across the boundary (sessions straddling the
+    // midpoint must merge with their continuations; snapshot-armed
+    // timers for users silent after the midpoint must still fire).
+    // Same oracle as the other three session tiers.
+    "events_session_bootstrap_tws" -> { (s, dir) =>
+      val out = CoreQueries.scratchDir("events_session_bootstrap_tws")
+      import s.implicits._
+      val ev = Tables.events(s, dir).filter(col("user_id") < 150)
+      val bounds = ev.agg(min(col("ts")), max(col("ts"))).head()
+      val mid = new java.sql.Timestamp(
+        (bounds.getTimestamp(0).getTime + bounds.getTimestamp(1).getTime) / 2)
+      val gapUs = 30L * 60L * 1000000L
+      // batch sessionization of the history half, in the same µs
+      // arithmetic as the streaming fold
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy("us")
+      val sess = ev.filter(col("ts") < lit(mid))
+        .withColumn("us", unix_micros(col("ts")))
+        .withColumn("new_s",
+          when(lag("us", 1).over(w).isNull ||
+            col("us") - lag("us", 1).over(w) > gapUs, 1).otherwise(0))
+        .withColumn("sid", sum("new_s").over(
+          w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+        .groupBy(col("user_id"), col("sid"))
+        .agg(min("us").as("startUs"), max("us").as("lastUs"),
+          count(lit(1)).as("n"), sum("value").as("sumv"))
+      val tagged = sess.join(
+        sess.groupBy("user_id").agg(max("sid").as("last_sid")), "user_id")
+      val closedBatch = tagged.filter(col("sid") < col("last_sid"))
+        .select(timestamp_micros(col("startUs")).as("session_start"),
+          col("user_id"), col("n").as("n_events"),
+          (floor(col("sumv") * 100 + lit(0.5)) / lit(100.0)).as("sum_value"))
+      val open = tagged.filter(col("sid") === col("last_sid"))
+        .select(col("user_id"), col("startUs"), col("lastUs"),
+          col("n"), col("sumv"))
+        .as[(Long, Long, Long, Long, Double)]
+        .map { case (u, st, la, n, sv) =>
+          (u, SessionClose.Open(st, la, n, sv)) }
+      Round10Queries.ensureRocksDb(s)
+      val src = StreamRun.chunkedSource(s, ev.filter(col("ts") >= lit(mid)),
+        s"$out/src-${dir.replaceAll("[^A-Za-z0-9.]", "_")}", 4)
+      val evS = src.select(col("user_id"), col("ts"), col("value"))
+        .withWatermark("ts", "1 hour").as[SessionClose.Event]
+      val streamed = StreamRun.runAvailableNowUpdate(
+        SessionCloseTws.closeWithBootstrap(evS, open, gapMinutes = 30).toDF(),
+        s"$out/run", noDataBatch = true)
+        .drop("batch_id")
+      closedBatch.unionByName(streamed)
     },
     // X6, transformWithState BREADTH (the tier beyond SessionCloseTws's
     // single ValueState): a per-user profile machine on MapState
@@ -258,6 +317,10 @@ object Round11Queries {
     // serves the AvailableNow tiers, both state APIs, and now the live
     // trigger — that four-way equality is the certification)
     "events_session_live" -> Round10Queries.sessionCloseOracle(""),
+    // batch exports + bootstrapped-stream emissions = the single-run
+    // answer — the same oracle as the restart tier, u150-scoped
+    "events_session_bootstrap_tws" ->
+      Round10Queries.sessionCloseOracle("WHERE user_id < 150"),
     // the AvailableNow append twin's oracle VERBATIM — that equality IS
     // the live-deployment certification
     "events_windowed_live" ->

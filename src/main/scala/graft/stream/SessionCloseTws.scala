@@ -82,4 +82,73 @@ object SessionCloseTws {
       .transformWithState[Closed](new SessionProcessor(gapMinutes),
         TimeMode.EventTime(), OutputMode.Update())
   }
+
+  /** The BOOTSTRAP variant (`StatefulProcessorWithInitialState`): state
+    * machine identical to [[SessionProcessor]], but the pipeline STARTS
+    * from a batch-computed snapshot — each user's open session arrives
+    * as initial state (with its close timer armed in
+    * `handleInitialState`) instead of being rebuilt by replaying
+    * history. This is the stateful-pipeline migration path: stand up a
+    * streaming job mid-history from a warehouse snapshot, with the
+    * state a continuous run would have had at that point.
+    */
+  private class BootstrapSessionProcessor(gapMinutes: Int)
+      extends org.apache.spark.sql.streaming.StatefulProcessorWithInitialState[
+        Long, Event, Closed, Open] {
+    private val gapUs = gapMinutes * 60L * 1000000L
+    private val gapMs = gapMinutes * 60L * 1000L
+
+    @transient private var session: org.apache.spark.sql.streaming.ValueState[Open] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      session = getHandle.getValueState[Open](
+        "session", Encoders.product[Open], TTLConfig.NONE)
+
+    override def handleInitialState(
+        userId: Long, initial: Open, timerValues: TimerValues): Unit = {
+      session.update(initial)
+      // arm the snapshot session's close timer exactly as a live run
+      // would have (initial watermark is 0 — the max-guard is inert)
+      getHandle.registerTimer(math.max(
+        Math.floorDiv(initial.lastUs, 1000L) + gapMs,
+        timerValues.getCurrentWatermarkInMs() + 1))
+    }
+
+    override def handleInputRows(
+        userId: Long, rows: Iterator[Event],
+        timerValues: TimerValues): Iterator[Closed] = {
+      val prior = if (session.exists()) Some(session.get()) else None
+      val (closed, s) = SessionClose.foldBatch(userId, prior, rows, gapUs)
+      session.update(s)
+      getHandle.listTimers().foreach(getHandle.deleteTimer)
+      getHandle.registerTimer(math.max(
+        Math.floorDiv(s.lastUs, 1000L) + gapMs,
+        timerValues.getCurrentWatermarkInMs() + 1))
+      closed.iterator
+    }
+
+    override def handleExpiredTimer(
+        userId: Long, timerValues: TimerValues,
+        expiredTimerInfo: ExpiredTimerInfo): Iterator[Closed] = {
+      if (session.exists()) {
+        val s = session.get()
+        session.clear()
+        Iterator.single(SessionClose.emit(userId, s))
+      } else Iterator.empty
+    }
+  }
+
+  /** [[close]] with batch-snapshot bootstrap: `initial` carries each
+    * user's open-session state at the migration point.
+    */
+  def closeWithBootstrap(
+      events: Dataset[Event], initial: Dataset[(Long, Open)],
+      gapMinutes: Int): Dataset[Closed] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState[Closed, Open](
+        new BootstrapSessionProcessor(gapMinutes),
+        TimeMode.EventTime(), OutputMode.Update(),
+        initial.groupByKey(_._1).mapValues(_._2))
+  }
 }

@@ -293,6 +293,20 @@ object Round10Queries {
     * — that equality is the certification.
     */
   private[graft] def sessionCloseOracle(where: String): String =
+    sessionOracle(where,
+      """WHERE s.session_id < l.last_id
+        |   OR epoch_ms(s.session_end) + 1800000 < wm.wm_ms""".stripMargin)
+
+  /** The COMPLEMENT: sessions still OPEN at stream end (each user's
+    * last session whose timeout the final watermark never reached) —
+    * what the state store must still hold, never emitted.
+    */
+  private[graft] def sessionOpenTailOracle(where: String): String =
+    sessionOracle(where,
+      """WHERE s.session_id = l.last_id
+        |  AND epoch_ms(s.session_end) + 1800000 >= wm.wm_ms""".stripMargin)
+
+  private def sessionOracle(where: String, finalPredicate: String): String =
     s"""WITH base AS (SELECT user_id, ts, value FROM events $where),
       |marked AS (
       |  SELECT user_id, ts, value,
@@ -315,8 +329,7 @@ object Round10Queries {
       |wm AS (SELECT epoch_ms(max(ts)) - 3600000 AS wm_ms FROM base)
       |SELECT s.session_start, s.user_id, s.n_events, s.sum_value
       |FROM sess s JOIN lastsess l ON s.user_id = l.user_id, wm
-      |WHERE s.session_id < l.last_id
-      |   OR epoch_ms(s.session_end) + 1800000 < wm.wm_ms""".stripMargin
+      |$finalPredicate""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "events_session_timeout_stream" -> sessionCloseOracle(""),

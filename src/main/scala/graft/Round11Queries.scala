@@ -67,6 +67,38 @@ object Round11Queries {
         s"timer-fired session closes must ride a no-data batch: $stats")
       res.drop("batch_id")
     },
+    // X6, STATE EXPORT — the state data source ("statestore" format,
+    // Spark 4's operability tool) reads the tws session machine's
+    // typed ValueState back OUT of a finished run's checkpoint as an
+    // ordinary DataFrame: the open sessions the watermark never timed
+    // out — exactly the rows every session-tier oracle EXCLUDES. The
+    // exported tail is certified under the COMPLEMENT oracle (each
+    // user's last session with timeout ≥ final watermark), closing the
+    // algebra: emitted ∪ exported-state = all sessions. This is the
+    // inspection/migration path a production stateful pipeline needs
+    // (debug a stuck key, snapshot state for the bootstrap tier) —
+    // demonstrated, not asserted.
+    "events_session_state_export" -> { (s, dir) =>
+      val out = CoreQueries.scratchDir("events_session_state_export")
+      val src = Round7Queries.eventsChunks(s, dir)
+      import s.implicits._
+      val ev = src.select(col("user_id"), col("ts"), col("value"))
+        .withWatermark("ts", "1 hour")
+        .as[SessionClose.Event]
+      Round10Queries.ensureRocksDb(s)
+      StreamRun.runAvailableNowUpdate(
+        SessionCloseTws.close(ev, gapMinutes = 30).toDF(),
+        s"$out/run", noDataBatch = true)
+      s.read.format("statestore")
+        .option("stateVarName", "session")
+        .load(s"$out/run/ckpt")
+        .select(
+          timestamp_micros(col("value.startUs")).as("session_start"),
+          col("key.value").as("user_id"),
+          col("value.nEvents").as("n_events"),
+          (floor(col("value.sumValue") * 100 + lit(0.5)) / lit(100.0))
+            .as("sum_value"))
+    },
     // X6, STATE BOOTSTRAP from a batch snapshot
     // (StatefulProcessorWithInitialState — the transformWithState
     // surface beyond events_session_restart_tws's checkpoint recovery):
@@ -321,6 +353,10 @@ object Round11Queries {
     // answer — the same oracle as the restart tier, u150-scoped
     "events_session_bootstrap_tws" ->
       Round10Queries.sessionCloseOracle("WHERE user_id < 150"),
+    // the complement of the emitted set: still-open last sessions whose
+    // timeout the final watermark never reached
+    "events_session_state_export" ->
+      Round10Queries.sessionOpenTailOracle(""),
     // the AvailableNow append twin's oracle VERBATIM — that equality IS
     // the live-deployment certification
     "events_windowed_live" ->

@@ -99,6 +99,42 @@ object Round11Queries {
           (floor(col("value.sumValue") * 100 + lit(0.5)) / lit(100.0))
             .as("sum_value"))
     },
+    // X6, MapState/ListState EXPORT — the state data source over the
+    // profile machine's OTHER state shapes: composite-keyed MapState
+    // rows come back as (grouping key, user_map_key, user_map_value
+    // [+ TTL expiration stamp]) and ListState as one row per element.
+    // The final profile is REBUILT from nothing but the exported state
+    // (n_events/n_types from the map, top3_sum/top_event_id from the
+    // list) and certified under the SAME oracle as
+    // events_user_profile_tws — the state store provably holds exactly
+    // what the emissions claimed.
+    "events_profile_state_export" -> { (s, dir) =>
+      val out = CoreQueries.scratchDir("events_profile_state_export")
+      val src = Round7Queries.eventsChunks(s, dir)
+      import s.implicits._
+      val ev = src.select(col("user_id"), col("event_type"), col("value"),
+          col("event_id")).as[UserProfileTws.Event]
+      Round10Queries.ensureRocksDb(s)
+      StreamRun.runAvailableNowUpdate(
+        UserProfileTws.profiles(ev).toDF(), s"$out/run")
+      def stateVar(name: String) = s.read.format("statestore")
+        .option("stateVarName", name).load(s"$out/run/ckpt")
+      val fromMap = stateVar("typeCounts")
+        .groupBy(col("key.value").as("user_id"))
+        .agg(sum(col("user_map_value.value.value")).as("n_events"),
+          count(lit(1)).as("n_types"))
+      val fromList = stateVar("topVals")
+        .groupBy(col("key.value").as("user_id"))
+        .agg(
+          (floor(sum(col("list_element.value.value")) * 100 + lit(0.5))
+            / lit(100.0)).as("top3_sum"),
+          max_by(col("list_element.value.event_id"),
+            struct(col("list_element.value.value"),
+              col("list_element.value.event_id"))).as("top_event_id"))
+      fromMap.join(fromList, "user_id")
+        .select(col("user_id"), col("n_events"), col("n_types"),
+          col("top3_sum"), col("top_event_id"))
+    },
     // X6, STATE BOOTSTRAP from a batch snapshot
     // (StatefulProcessorWithInitialState — the transformWithState
     // surface beyond events_session_restart_tws's checkpoint recovery):
@@ -344,6 +380,26 @@ object Round11Queries {
     }
   )
 
+  /** One profile oracle serves the emission tier AND the state-export
+    * rebuild — that equality is the certification. */
+  private val profileOracle: String =
+    """WITH ranked AS (
+        |  SELECT user_id, value, event_id,
+        |         row_number() OVER (PARTITION BY user_id
+        |           ORDER BY value DESC, event_id DESC) AS rn
+        |  FROM events),
+        |agg AS (
+        |  SELECT user_id, count(*) AS n_events,
+        |         count(DISTINCT event_type) AS n_types
+        |  FROM events GROUP BY 1),
+        |top3 AS (
+        |  SELECT user_id, floor(sum(value) * 100 + 0.5) / 100 AS top3_sum
+        |  FROM ranked WHERE rn <= 3 GROUP BY 1),
+        |top1 AS (SELECT user_id, event_id AS top_event_id FROM ranked WHERE rn = 1)
+        |SELECT a.user_id, a.n_events, a.n_types, t.top3_sum, o.top_event_id
+        |FROM agg a JOIN top3 t ON a.user_id = t.user_id
+        |           JOIN top1 o ON a.user_id = o.user_id""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     // the bounded twin's session-close oracle VERBATIM (one definition
     // serves the AvailableNow tiers, both state APIs, and now the live
@@ -369,23 +425,9 @@ object Round11Queries {
     // top-3 tie-broken on (value DESC, event_id DESC) — a total order,
     // so the kept set and its sum are unique; same half-up rounding as
     // the session fold
-    "events_user_profile_tws" ->
-      """WITH ranked AS (
-        |  SELECT user_id, value, event_id,
-        |         row_number() OVER (PARTITION BY user_id
-        |           ORDER BY value DESC, event_id DESC) AS rn
-        |  FROM events),
-        |agg AS (
-        |  SELECT user_id, count(*) AS n_events,
-        |         count(DISTINCT event_type) AS n_types
-        |  FROM events GROUP BY 1),
-        |top3 AS (
-        |  SELECT user_id, floor(sum(value) * 100 + 0.5) / 100 AS top3_sum
-        |  FROM ranked WHERE rn <= 3 GROUP BY 1),
-        |top1 AS (SELECT user_id, event_id AS top_event_id FROM ranked WHERE rn = 1)
-        |SELECT a.user_id, a.n_events, a.n_types, t.top3_sum, o.top_event_id
-        |FROM agg a JOIN top3 t ON a.user_id = t.user_id
-        |           JOIN top1 o ON a.user_id = o.user_id""".stripMargin,
+    "events_user_profile_tws" -> profileOracle,
+    // the state-store rebuild must equal the emitted profiles exactly
+    "events_profile_state_export" -> profileOracle,
     "multimodal_png_decode" ->
       """WITH d AS (
         |  SELECT doc_id, (doc_id % 97 != 0 AND doc_id % 89 != 0) AS ok,

@@ -263,6 +263,28 @@ object Round11Queries {
           s, docs.filter(col("doc_id") % 2 === 1), "text", store)
         .select(col("doc_id"))
     },
+    // X2 curation policy: KEEP-BEST per near-dup cluster. The existing
+    // representative rollup keeps min-id (arbitrary); a real curation
+    // pipeline keeps the highest-QUALITY member of each cluster. Same
+    // certified cluster assignment (nearDupClusters), joined with the
+    // quality score, argmax per cluster with a (quality, doc_id) total
+    // order so ties cannot make the kept set ambiguous. One extra
+    // partial-agg shuffle over the cluster assignment — the policy
+    // swap costs nothing at scale.
+    "dedup_keep_best" -> { (s, dir) =>
+      val docs1k = Tables.documents(s, dir).filter(col("doc_id") < 1000)
+      val clusters = graft.ext.Dedup.nearDupClusters(docs1k, "doc_id", "text",
+        0.9, graft.ext.Dedup.MinHashParams(numBands = 16, rowsPerBand = 2))
+      val scored = docs1k.select(col("doc_id"),
+        TextStats.qualityScore(col("text")).as("q"))
+      clusters.join(scored, "doc_id")
+        .groupBy(col("cluster_rep"))
+        .agg(
+          max_by(col("doc_id"), struct(col("q"), col("doc_id")))
+            .as("kept_doc_id"),
+          max(col("q")).as("kept_quality"),
+          count(lit(1)).as("n_members"))
+    },
     // X4×X2, C4-style corpus-wide SEGMENT dedup — the in-document
     // boilerplate-removal stage (discard any chunk repeated across ≥
     // minDocs documents, rebuild each document from the survivors)
@@ -449,6 +471,41 @@ object Round11Queries {
         |  AND NOT EXISTS
         |      (SELECT 1 FROM documents s WHERE s.doc_id % 2 = 0
         |         AND md5(s.text) IS NOT DISTINCT FROM md5(d.text))""".stripMargin,
+    // same transitive closure as the representatives query, the kept
+    // member re-derived by (quality DESC, doc_id DESC) row_number
+    "dedup_keep_best" ->
+      s"""WITH clusters AS (
+         |${Round2Queries.clustersOracleSql("WHERE doc_id < 1000")}
+         |),
+         |t AS (SELECT doc_id,
+         |        list_filter(string_split_regex(lower(text), '\\s+'),
+         |                    x -> len(x) > 0) AS toks
+         |      FROM documents WHERE doc_id < 1000),
+         |q AS (SELECT doc_id, len(toks) AS n,
+         |  CASE WHEN len(toks) > 0
+         |       THEN list_sum(list_transform(toks, x -> len(x))) / len(toks)
+         |       ELSE 0.0 END AS avg_len,
+         |  CASE WHEN len(toks) > 0
+         |       THEN len(list_filter(toks, x -> list_contains(
+         |            ['the','of','and','to','in','is','a','on','for','with'], x))) / len(toks)
+         |       ELSE 0.0 END AS sw_ratio
+         |  FROM t),
+         |scored AS (
+         |  SELECT doc_id, floor((
+         |    0.4 * least(1.0, n / 100.0) +
+         |    0.3 * sw_ratio +
+         |    0.3 * least(1.0, avg_len / 8.0)) * 1e6 + 0.5) / 1e6 AS quality
+         |  FROM q),
+         |j AS (SELECT c.cluster_rep, c.doc_id, s.quality
+         |      FROM clusters c JOIN scored s ON c.doc_id = s.doc_id),
+         |r AS (SELECT cluster_rep, doc_id, quality,
+         |             row_number() OVER (PARTITION BY cluster_rep
+         |               ORDER BY quality DESC, doc_id DESC) AS rn,
+         |             count(*) OVER (PARTITION BY cluster_rep) AS n_members,
+         |             max(quality) OVER (PARTITION BY cluster_rep) AS kept_quality
+         |      FROM j)
+         |SELECT cluster_rep, doc_id AS kept_doc_id, kept_quality, n_members
+         |FROM r WHERE rn = 1""".stripMargin,
     // the oracle rebuilds every document the same way: zip-unnested
     // (word, index) pairs → (i-1)//3 segments → hot set by distinct-doc
     // count → ordered string_agg of the survivors

@@ -7,13 +7,20 @@ import graft.core.Tables
 import graft.ext.{Multimodal, TextStats}
 import graft.stream.{EventWindows, SessionClose, SessionCloseTws, StreamRun, UserProfileTws}
 
-/** Round-11 depth queries (round-10 verdict asks #2, #5, #6): the LIVE
-  * unbounded-trigger streaming certification (ProcessingTime trigger
-  * against a directory a concurrent writer appends to mid-run), the
-  * transformWithState breadth tier (ListState + MapState + TTL), and
-  * the watermark drop audits for the two stateful tiers the round-10
-  * audit left uncovered (dedup state expiry, stream-stream join left
-  * eviction).
+/** Round-11 depth queries. From the round-10 verdict asks: the LIVE
+  * unbounded-trigger certifications (ProcessingTime trigger against a
+  * directory a concurrent writer appends to mid-run — built-in windows
+  * AND the custom-state session machine), the transformWithState
+  * breadth tier (ListState + MapState + TTL), and the watermark drop
+  * audits for the two stateful tiers the round-10 audit left uncovered
+  * (dedup state expiry, stream-stream join left eviction). Beyond the
+  * asks: the state-pipeline LIFECYCLE pair — batch-snapshot BOOTSTRAP
+  * (StatefulProcessorWithInitialState) and state EXPORT via the
+  * statestore data source (ValueState complement oracle; MapState/
+  * ListState profile rebuild) — the full-outer interval join completing
+  * the join-mode matrix, the Bloom-pre-screened incremental store, the
+  * C4-style segment dedup, the keep-best curation policy, and the PNG
+  * header codec.
   */
 object Round11Queries {
 

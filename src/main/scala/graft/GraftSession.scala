@@ -9,7 +9,8 @@ import graft.functions.GraftFunctions
   * recommended runtime settings, the custom Catalyst functions
   * registered (usable from SQL as `graft_dot`, `graft_minhash_sig`,
   * `graft_simhash64`, `graft_sorted_intersect_count`,
-  * `graft_first_equal_index`, `graft_rhp_sig`), and — optionally — a
+  * `graft_first_equal_index`, `graft_rhp_sig`,
+  * `graft_bloom_contains`), and — optionally — a
   * warehouse directory attached as queryable views.
   *
   * A user of the reference runs `configuration.properties` through

@@ -106,6 +106,45 @@ object Round11Queries {
           (floor(col("value.sumValue") * 100 + lit(0.5)) / lit(100.0))
             .as("sum_value"))
     },
+    // X6, STATE-SCHEMA EVOLUTION on restart: drain half the stream
+    // under the v1 session processor (one "session" ValueState), stop,
+    // resume the SAME checkpoint under v2 — which declares an ADDED
+    // "nClosed" ValueState. The engine must evolve the checkpoint's
+    // state schema (new variable empty for every key) while reading
+    // the v1 "session" state back intact: the union of both runs'
+    // emissions is certified under the unchanged session oracle, and
+    // the added variable's bookkeeping is `require`d exact against the
+    // run's own emissions — sum of exported nClosed = run-2 emission
+    // count (the variable did not exist during run 1). This is how a
+    // production stateful pipeline ships a new feature without
+    // discarding years of state.
+    "events_session_evolve_tws" -> { (s, dir) =>
+      val out = CoreQueries.scratchDir("events_session_evolve_tws")
+      val ev = Tables.events(s, dir).filter(col("user_id") < 150)
+      val bounds = ev.agg(min(col("ts")), max(col("ts"))).head()
+      val mid = new java.sql.Timestamp(
+        (bounds.getTimestamp(0).getTime + bounds.getTimestamp(1).getTime) / 2)
+      import s.implicits._
+      Round10Queries.ensureRocksDb(s)
+      def toTyped(src: DataFrame) =
+        src.select(col("user_id"), col("ts"), col("value"))
+          .withWatermark("ts", "1 hour").as[SessionClose.Event]
+      val (res, _, run2) = StreamRun.runRestartUpdateObserved(
+        ev.filter(col("ts") < lit(mid)), ev.filter(col("ts") >= lit(mid)),
+        src => SessionCloseTws.close(toTyped(src), gapMinutes = 30).toDF(),
+        s"$out/run",
+        restartTransform =
+          src => SessionCloseTws.closeEvolved(toTyped(src), gapMinutes = 30).toDF())
+      val run2Emissions = res.filter(
+        col("batch_id").isInCollection(run2.map(_.batchId))).count()
+      val exportedClosed = s.read.format("statestore")
+        .option("stateVarName", "nClosed").load(s"$out/run/ckpt")
+        .agg(sum(col("value.value"))).head().getLong(0)
+      require(exportedClosed == run2Emissions,
+        s"the evolved variable must account exactly for the post-evolution " +
+          s"closes: state says $exportedClosed, sink says $run2Emissions")
+      res.drop("batch_id")
+    },
     // X6, MapState/ListState EXPORT — the state data source over the
     // profile machine's OTHER state shapes: composite-keyed MapState
     // rows come back as (grouping key, user_map_key, user_map_value
@@ -437,6 +476,9 @@ object Round11Queries {
     // batch exports + bootstrapped-stream emissions = the single-run
     // answer — the same oracle as the restart tier, u150-scoped
     "events_session_bootstrap_tws" ->
+      Round10Queries.sessionCloseOracle("WHERE user_id < 150"),
+    // the evolved restart must still produce the single-run answer
+    "events_session_evolve_tws" ->
       Round10Queries.sessionCloseOracle("WHERE user_id < 150"),
     // the complement of the emitted set: still-open last sessions whose
     // timeout the final watermark never reached

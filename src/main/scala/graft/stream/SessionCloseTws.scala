@@ -83,6 +83,73 @@ object SessionCloseTws {
         TimeMode.EventTime(), OutputMode.Update())
   }
 
+  /** The EVOLVED (v2) processor: the same session machine PLUS a new
+    * `ValueState[Long]` counting the user's session closes. Its purpose
+    * is state-SCHEMA-EVOLUTION certification: a checkpoint written by
+    * the v1 processor (one state variable) is resumed under this one —
+    * the engine must accept the ADDED variable (initialized empty for
+    * every key) while the pre-existing "session" state reads back
+    * intact. Emissions are byte-identical to v1's, so the evolved
+    * restart runs under the unchanged session oracle; the new
+    * variable's bookkeeping is certified against the run's own emission
+    * count via the state data source.
+    */
+  private class EvolvedSessionProcessor(gapMinutes: Int)
+      extends StatefulProcessor[Long, Event, Closed] {
+    private val gapUs = gapMinutes * 60L * 1000000L
+    private val gapMs = gapMinutes * 60L * 1000L
+
+    @transient private var session: org.apache.spark.sql.streaming.ValueState[Open] = _
+    @transient private var nClosed: org.apache.spark.sql.streaming.ValueState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      session = getHandle.getValueState[Open](
+        "session", Encoders.product[Open], TTLConfig.NONE)
+      // v2's addition — absent from v1 checkpoints, so the engine must
+      // evolve the state schema on restart
+      nClosed = getHandle.getValueState[Long](
+        "nClosed", Encoders.scalaLong, TTLConfig.NONE)
+    }
+
+    private def bump(n: Int): Unit = if (n > 0) {
+      val prior = if (nClosed.exists()) nClosed.get() else 0L
+      nClosed.update(prior + n)
+    }
+
+    override def handleInputRows(
+        userId: Long, rows: Iterator[Event],
+        timerValues: TimerValues): Iterator[Closed] = {
+      val prior = if (session.exists()) Some(session.get()) else None
+      val (closed, s) = SessionClose.foldBatch(userId, prior, rows, gapUs)
+      session.update(s)
+      bump(closed.size)
+      getHandle.listTimers().foreach(getHandle.deleteTimer)
+      getHandle.registerTimer(math.max(
+        Math.floorDiv(s.lastUs, 1000L) + gapMs,
+        timerValues.getCurrentWatermarkInMs() + 1))
+      closed.iterator
+    }
+
+    override def handleExpiredTimer(
+        userId: Long, timerValues: TimerValues,
+        expiredTimerInfo: ExpiredTimerInfo): Iterator[Closed] = {
+      if (session.exists()) {
+        val s = session.get()
+        session.clear()
+        bump(1)
+        Iterator.single(SessionClose.emit(userId, s))
+      } else Iterator.empty
+    }
+  }
+
+  /** v2 of [[close]] — see [[EvolvedSessionProcessor]]. */
+  def closeEvolved(events: Dataset[Event], gapMinutes: Int): Dataset[Closed] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState[Closed](new EvolvedSessionProcessor(gapMinutes),
+        TimeMode.EventTime(), OutputMode.Update())
+  }
+
   /** The BOOTSTRAP variant (`StatefulProcessorWithInitialState`): state
     * machine identical to [[SessionProcessor]], but the pipeline STARTS
     * from a batch-computed snapshot — each user's open session arrives

@@ -353,7 +353,13 @@ object StreamRun {
       transform: DataFrame => DataFrame,
       outDir: String, tsCol: String = "ts",
       chunksPerPhase: Int = 2,
-      noDataBatch: Boolean = true): (DataFrame, Seq[TriggerStats], Seq[TriggerStats]) = {
+      noDataBatch: Boolean = true,
+      /** Transform for the RESTARTED run; defaults to `transform`. A
+        * different value is the STATE-SCHEMA-EVOLUTION scenario: run 2
+        * resumes run 1's checkpoint under an evolved processor (e.g. an
+        * added state variable), which the engine must accept.
+        */
+      restartTransform: DataFrame => DataFrame = null): (DataFrame, Seq[TriggerStats], Seq[TriggerStats]) = {
     val spark = early.sparkSession
     Scratch.rmTree(outDir)
     val srcDir = s"$outDir/src"
@@ -362,10 +368,10 @@ object StreamRun {
     stampMtimesInPartOrder(srcDir)
     val schema = spark.read.parquet(srcDir).schema
 
-    def run(): Seq[TriggerStats] = withBoundedRunConfs(spark, noDataBatch) {
+    def run(t: DataFrame => DataFrame): Seq[TriggerStats] = withBoundedRunConfs(spark, noDataBatch) {
       val src = spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1").parquet(srcDir)
-      val q = transform(src).writeStream
+      val q = t(src).writeStream
         .outputMode("update")
         .trigger(Trigger.AvailableNow())
         .option("checkpointLocation", s"$outDir/ckpt")
@@ -377,7 +383,7 @@ object StreamRun {
       q.recentProgress.toSeq.map(triggerStats)
     }
 
-    val first = run()
+    val first = run(transform)
     val lateDir = s"$outDir/late"
     late.repartitionByRange(chunksPerPhase, col(tsCol)).write.parquet(lateDir)
     val consumed = new java.io.File(srcDir).listFiles()
@@ -386,7 +392,7 @@ object StreamRun {
       val dst = java.nio.file.Paths.get(srcDir, s"late-${f.getName}")
       java.nio.file.Files.move(f.toPath, dst)
     }
-    val second = run()
+    val second = run(Option(restartTransform).getOrElse(transform))
 
     require(first.nonEmpty && second.nonEmpty &&
       second.map(_.batchId).min > first.map(_.batchId).max,

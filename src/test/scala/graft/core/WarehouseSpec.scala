@@ -1,0 +1,75 @@
+package graft.core
+
+import org.apache.spark.sql.functions._
+
+class WarehouseSpec extends graft.SparkFunSuite {
+  import spark.implicits._
+
+  private def base = Seq(
+    (1L, "a", "p1"), (2L, "b", "p1"), (3L, "c", "p2"), (4L, "d", "p2")
+  ).toDF("k", "v", "p")
+
+  private def changes = Seq(
+    (2L, "B", "p1"), // update of an existing key
+    (9L, "Z", "p1")  // insert of a new key
+  ).toDF("k", "v", "p")
+
+  test("mergeByKey replaces updated keys, keeps others, inserts new — touched partitions only") {
+    val merged = Warehouse.mergeByKey(base, changes, "k", "p")
+      .select("k", "v", "p").as[(Long, String, String)].collect().toSet
+    // p2 rows are NOT in the rewrite set (their partition is untouched)
+    assert(merged == Set((1L, "a", "p1"), (2L, "B", "p1"), (9L, "Z", "p1")))
+  }
+
+  test("affectedPartitions: distinct, sorted, bounded by the change set") {
+    assert(Warehouse.affectedPartitions(changes, "p") == Seq("p1"))
+    assert(Warehouse.affectedPartitions(base, "p") == Seq("p1", "p2"))
+  }
+
+  test("overwritePartitions rewrites only partitions present in the data; conf restored") {
+    val out = java.nio.file.Files.createTempDirectory("wh_spec").toString
+    base.write.mode("overwrite").partitionBy("p").parquet(s"$out/t")
+    val calmBefore = Warehouse.partitionFileSnapshot(s"$out/t", "p", "p2")
+    assert(calmBefore.nonEmpty)
+    val confKey = "spark.sql.sources.partitionOverwriteMode"
+    spark.conf.set(confKey, "static")
+    Warehouse.overwritePartitions(
+      Warehouse.mergeByKey(spark.read.parquet(s"$out/t"), changes, "k", "p"),
+      s"$out/t", "p")
+    // conf restored to what the caller had
+    assert(spark.conf.get(confKey) == "static")
+    // untouched partition physically identical
+    assert(Warehouse.partitionFileSnapshot(s"$out/t", "p", "p2") == calmBefore)
+    // read-back = merged p1 ∪ original p2
+    val after = spark.read.parquet(s"$out/t")
+      .select("k", "v", "p").as[(Long, String, String)].collect().toSet
+    assert(after == Set(
+      (1L, "a", "p1"), (2L, "B", "p1"), (9L, "Z", "p1"),
+      (3L, "c", "p2"), (4L, "d", "p2")))
+  }
+
+  test("mergeByKey refuses an empty change set") {
+    val e = intercept[IllegalArgumentException] {
+      Warehouse.mergeByKey(base, changes.filter(col("k") < 0), "k", "p")
+    }
+    assert(e.getMessage.contains("empty change set"))
+  }
+
+  test("clusterByRange concentrates a key into few files without changing content") {
+    val out = java.nio.file.Files.createTempDirectory("layout_spec").toString
+    val df = spark.range(0, 1000)
+      .select(col("id"), (col("id") % 50).as("key"))
+    Layout.clusterByRange(df, s"$out/clustered", 10, col("key"), col("id"))
+    df.repartition(10).write.mode("overwrite").parquet(s"$out/scattered")
+    val cF = Layout.filesTouched(
+      spark.read.parquet(s"$out/clustered").filter(col("key") === 7))
+    val sF = Layout.filesTouched(
+      spark.read.parquet(s"$out/scattered").filter(col("key") === 7))
+    assert(cF <= 2, s"clustered: key 7 in $cF of 10 files")
+    assert(sF > cF && sF >= 4, s"scattered: key 7 in $sF files vs clustered $cF")
+    // the layout is a physical property only — content identical
+    val a = spark.read.parquet(s"$out/clustered").as[(Long, Long)].collect().sorted
+    val b = df.as[(Long, Long)].collect().sorted
+    assert(a.sameElements(b))
+  }
+}

@@ -204,6 +204,18 @@ class PlanAuditSpec extends SparkFunSuite {
     assert(!"PushedFilters: \\[[^\\]]*event_type".r.findFirstIn(p).isDefined, p)
   }
 
+  test("SCD2 history runs on a single shuffle") {
+    // lag marker, run-numbering sum, run-grain aggregation AND the
+    // closing lead all ride ONE user_id hash Exchange: the aggregation
+    // keys (user_id, run, state) are a superset of the partitioning and
+    // the final window re-sorts without re-exchanging. A second
+    // Exchange here would double the shuffle bill of every history
+    // build at scale.
+    val p = plan("scd2_user_state_history")
+    val exchanges = "\\(\\d+\\) Exchange".r.findAllIn(p).size
+    assert(exchanges == 1, s"expected exactly 1 Exchange, got $exchanges:\n$p")
+  }
+
   test("count(*) answered from parquet metadata when pushdown is on") {
     // aggregate pushdown needs the V2 parquet source + the flag (set by
     // Verify/Bench); flip both on locally for this check. On the default

@@ -48,6 +48,20 @@ class WarehouseSpec extends graft.SparkFunSuite {
       (3L, "c", "p2"), (4L, "d", "p2")))
   }
 
+  test("mergeByKey's base read prunes to the affected partitions") {
+    // the isin filter must resolve against directory metadata — at
+    // 100 TB this is what keeps a one-month correction from scanning
+    // seven years of history
+    val out = java.nio.file.Files.createTempDirectory("wh_prune").toString
+    base.write.mode("overwrite").partitionBy("p").parquet(s"$out/t")
+    val plan = Warehouse.mergeByKey(
+        spark.read.parquet(s"$out/t"), changes, "k", "p")
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+    assert("PartitionFilters: \\[[^\\]]*p1".r.findFirstIn(plan).isDefined,
+      s"partition predicate not resolved as a PartitionFilter:\n$plan")
+  }
+
   test("mergeByKey refuses an empty change set") {
     val e = intercept[IllegalArgumentException] {
       Warehouse.mergeByKey(base, changes.filter(col("k") < 0), "k", "p")

@@ -33,8 +33,13 @@ object WarehouseQueries {
       val out = CoreQueries.scratchDir("warehouse_merge_upsert")
       val hot = "1995-03" // the month being corrected
       val calm = "1997-01" // witness partition that must stay untouched
+      // cluster on the partition key before the partitioned write: each
+      // task then emits whole months (≈1 file per month) instead of
+      // every task spraying a fragment into all ~80 directories — the
+      // small-files problem that cripples partitioned tables at scale
       Tables.orders(s, dir)
         .withColumn("om", date_format(col("o_orderdate"), "yyyy-MM"))
+        .repartition(col("om"))
         .write.mode("overwrite").partitionBy("om").parquet(s"$out/orders")
       val tbl = s.read.parquet(s"$out/orders")
       val updates = tbl

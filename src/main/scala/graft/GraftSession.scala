@@ -10,7 +10,8 @@ import graft.functions.GraftFunctions
   * registered (usable from SQL as `graft_dot`, `graft_minhash_sig`,
   * `graft_simhash64`, `graft_sorted_intersect_count`,
   * `graft_first_equal_index`, `graft_rhp_sig`,
-  * `graft_bloom_contains`), and — optionally — a
+  * `graft_bloom_contains`, plus the Count-Min trio `graft_cms_build` /
+  * `graft_cms_union` / `graft_cms_estimate`), and — optionally — a
   * warehouse directory attached as queryable views.
   *
   * A user of the reference runs `configuration.properties` through
@@ -55,6 +56,14 @@ object GraftSession {
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
       .config("spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
         "true")
+      // runtime bloom-filter join filtering: when one side of a shuffle
+      // join carries a selective predicate, inject a bloom filter into
+      // the other side's scan — at warehouse scale this drops
+      // non-joining fact rows BEFORE the shuffle. Pinned explicitly
+      // (production thresholds left at their defaults: creation side
+      // ≤10 MB, application scan ≥10 GB, so it engages exactly at the
+      // scale it pays for). RuntimeFilterSpec certifies the injection.
+      .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
     if (shufflePartitions > 0)
       b.config("spark.sql.shuffle.partitions", shufflePartitions)
     else b
@@ -65,6 +74,7 @@ object GraftSession {
     */
   def configure(spark: SparkSession): SparkSession = {
     GraftFunctions.register(spark)
+    graft.functions.CmsSketch.registerSql(spark)
     spark
   }
 

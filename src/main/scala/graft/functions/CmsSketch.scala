@@ -85,6 +85,29 @@ object CmsSketch {
   val Confidence = 0.999
   val Seed = 42
 
+  /** SQL front door (default shape): `graft_cms_build(longCol)`,
+    * `graft_cms_union(sketchCol)`, `graft_cms_estimate(sketch, key)`.
+    * The estimate deserializes per CALL — it is a probe-side helper
+    * (O(probe keys)), not a per-corpus-row kernel. Idempotent per
+    * session, like GraftFunctions.register.
+    */
+  def registerSql(spark: org.apache.spark.sql.SparkSession): Unit = {
+    if (!registered.add(spark)) return
+    spark.udf.register("graft_cms_build",
+      udaf(new CmsBuildLong(Eps, Confidence, Seed)))
+    spark.udf.register("graft_cms_union",
+      udaf(new CmsMerge(Eps, Confidence, Seed)))
+    spark.udf.register("graft_cms_estimate",
+      org.apache.spark.sql.functions.udf((sketch: Array[Byte], key: Long) =>
+        CountMinSketch.readFrom(sketch)
+          .estimateCount(java.lang.Long.valueOf(key))))
+  }
+
+  private val registered =
+    java.util.Collections.newSetFromMap(
+      new java.util.concurrent.ConcurrentHashMap[
+        org.apache.spark.sql.SparkSession, java.lang.Boolean]())
+
   /** Column form: sketch of a long key column. */
   def buildLong(key: Column,
                 eps: Double = Eps, confidence: Double = Confidence,

@@ -52,6 +52,21 @@ class CmsSketchSpec extends graft.SparkFunSuite {
       "a 20-cell-wide sketch over 97 keys must actually collide somewhere")
   }
 
+  test("SQL front door: build, union, and probe from plain SQL") {
+    CmsSketch.registerSql(spark)
+    keys.createOrReplaceTempView("cms_keys")
+    val row = spark.sql(
+      """WITH shards AS (
+        |  SELECT k % 5 AS shard, graft_cms_build(k) AS sk
+        |  FROM cms_keys GROUP BY 1),
+        |merged AS (SELECT graft_cms_union(sk) AS sk FROM shards)
+        |SELECT graft_cms_estimate(sk, 3L) AS hot,
+        |       graft_cms_estimate(sk, 96L) AS cold,
+        |       graft_cms_estimate(sk, 12345L) AS absent
+        |FROM merged""".stripMargin).head()
+    assert(row.getLong(0) == 11L && row.getLong(1) == 10L && row.getLong(2) == 0L)
+  }
+
   test("union over an empty / all-null column yields the empty sketch") {
     val empty = keys.filter(col("k") < 0)
       .agg(CmsSketch.union(lit(null).cast("binary")).as("sk"))

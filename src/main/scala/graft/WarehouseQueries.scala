@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.core.{Layout, Tables, Warehouse}
 import graft.ext.Scd2
 import graft.functions.CmsSketch
+import graft.stream.StreamRun
 
 /** Warehouse-maintenance depth queries (round 11, second block): the
   * operations that keep a 100 TB directory-partitioned warehouse
@@ -13,7 +14,8 @@ import graft.functions.CmsSketch
   * physical untouched-partition evidence, SCD type-2 history building,
   * range-clustered data layout with a measured file-pruning gap, and a
   * second mergeable-sketch family (Count-Min heavy-hitter frequencies,
-  * store-then-reaggregate like the HLL pair).
+  * store-then-reaggregate like the HLL pair — batch-sharded AND
+  * maintained per-trigger from the ingest stream).
   */
 object WarehouseQueries {
 
@@ -131,25 +133,69 @@ object WarehouseQueries {
       val merged = s.read.parquet(s"$out/sketches")
         .agg(CmsSketch.union(col("sk")).as("sk"))
         .head().getAs[Array[Byte]](0)
-      val direct = ev.agg(CmsSketch.buildLong(col("user_id")).as("sk"))
+      requireMatchesOnePass(ev, merged,
+        "union of per-type shard sketches")
+      cmsProbeVerdict(s, ev, merged)
+    },
+    // The SAME sketch family maintained FROM THE STREAM: each ingest
+    // micro-batch folds to one CMS shard inside foreachBatch (the batch
+    // is a plain frame there — no streaming state, no watermark; the
+    // reduction's mergeability is what makes statelessness sufficient)
+    // and lands replay-idempotent under its batch_id partition. The
+    // per-trigger shard log — four sketch rows, bytes not data — is
+    // then union-merged OFFLINE and `require`d byte-identical to the
+    // one-pass corpus sketch: a consumer answers corpus-wide frequency
+    // questions from the summary log alone, never rescanning the
+    // ingested 100 TB. Certified under the same probe oracle as the
+    // batch twin.
+    "freq_cms_stream_ingest" -> { (s, dir) =>
+      val out = CoreQueries.scratchDir("freq_cms_stream_ingest")
+      val ev = Tables.events(s, dir)
+      val src = StreamRun.chunkedSource(s, ev,
+        s"$out/src-${dir.replaceAll("[^A-Za-z0-9.]", "_")}", 4)
+      val (shards, stats) = StreamRun.runAvailableNowSummarized(src,
+        s"$out/run",
+        b => b.agg(CmsSketch.buildLong(col("user_id")).as("sk")))
+      require(stats.count(_.inputRows > 0) == 4,
+        s"the backlog must stream as 4 data triggers: $stats")
+      require(shards.count() == 4L, "one shard sketch per data trigger")
+      val merged = shards.agg(CmsSketch.union(col("sk")).as("sk"))
         .head().getAs[Array[Byte]](0)
-      require(java.util.Arrays.equals(merged, direct),
-        "union of per-type shard sketches must equal the one-pass sketch byte-for-byte")
-      val cms = CmsSketch.deserialize(merged)
-      val slack = CmsSketch.Eps * cms.totalCount()
-      val probes = (0L until 10L).map { u =>
-        (u, cms.estimateCount(java.lang.Long.valueOf(u)))
-      }
-      import s.implicits._
-      val estDf = probes.toDF("user_id", "n_est")
-      ev.filter(col("user_id") < 10)
-        .groupBy(col("user_id")).agg(count(lit(1)).as("n_exact"))
-        .join(broadcast(estDf), "user_id")
-        .select(col("user_id"), col("n_exact"),
-          (col("n_est") >= col("n_exact")).as("lower_ok"),
-          (col("n_est") <= col("n_exact") + lit(slack)).as("within_eps"))
+      requireMatchesOnePass(ev, merged,
+        "the merged per-trigger shard sketches")
+      cmsProbeVerdict(s, ev, merged)
     }
   )
+
+  private def requireMatchesOnePass(ev: DataFrame, merged: Array[Byte],
+                                    what: String): Unit = {
+    val direct = ev.agg(CmsSketch.buildLong(col("user_id")).as("sk"))
+      .head().getAs[Array[Byte]](0)
+    require(java.util.Arrays.equals(merged, direct),
+      s"$what must equal the one-pass corpus sketch byte-for-byte")
+  }
+
+  /** Per probed user: exact count plus the two CMS guarantees as
+    * verdict columns (never undercounts; overcount within eps·N). The
+    * 1-row sketch collect and the 10-key probe loop are driver-side BY
+    * DESIGN — the sketch IS the driver-sized summary of the corpus.
+    */
+  private def cmsProbeVerdict(s: SparkSession, ev: DataFrame,
+                              sketch: Array[Byte]): DataFrame = {
+    val cms = CmsSketch.deserialize(sketch)
+    val slack = CmsSketch.Eps * cms.totalCount()
+    val probes = (0L until 10L).map { u =>
+      (u, cms.estimateCount(java.lang.Long.valueOf(u)))
+    }
+    import s.implicits._
+    val estDf = probes.toDF("user_id", "n_est")
+    ev.filter(col("user_id") < 10)
+      .groupBy(col("user_id")).agg(count(lit(1)).as("n_exact"))
+      .join(broadcast(estDf), "user_id")
+      .select(col("user_id"), col("n_exact"),
+        (col("n_est") >= col("n_exact")).as("lower_ok"),
+        (col("n_est") <= col("n_exact") + lit(slack)).as("within_eps"))
+  }
 
   def oracleSql: Map[String, String] = Map(
     // merge semantics over the original table: updated keys replaced,
@@ -215,10 +261,14 @@ object WarehouseQueries {
     // (always true by construction), overcount within eps*N (holds with
     // confidence 0.999 per probe; deterministic for a fixed fixture +
     // seed — at these key cardinalities the sketch is collision-free)
-    "freq_cms_heavy_hitters" ->
-      """SELECT user_id, count(*) AS n_exact,
-        |       TRUE AS lower_ok, TRUE AS within_eps
-        |FROM events WHERE user_id < 10
-        |GROUP BY 1""".stripMargin
+    "freq_cms_heavy_hitters" -> cmsProbeOracle,
+    // the stream-maintained shard log must answer identically
+    "freq_cms_stream_ingest" -> cmsProbeOracle
   )
+
+  private val cmsProbeOracle: String =
+    """SELECT user_id, count(*) AS n_exact,
+      |       TRUE AS lower_ok, TRUE AS within_eps
+      |FROM events WHERE user_id < 10
+      |GROUP BY 1""".stripMargin
 }

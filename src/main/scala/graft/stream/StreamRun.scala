@@ -255,6 +255,37 @@ object StreamRun {
       noDataBatch: Boolean = true): DataFrame =
     runAvailableNowObserved(streaming, outDir, complete, noDataBatch)._1
 
+  /** Per-trigger SUMMARY sink: every micro-batch is folded through
+    * `summarize` (a whole-batch reduction to a SMALL frame — a sketch,
+    * a count vector, a fingerprint) and the result lands under its
+    * `batch_id=N` partition, replay-idempotent like every other sink
+    * here. This is the "shard summary per ingest batch" shape: the
+    * per-trigger outputs are tiny and MERGEABLE offline, so a
+    * downstream consumer answers corpus-wide questions from the summary
+    * log without ever rescanning the ingested data. The streaming side
+    * is stateless (the reduction happens inside foreachBatch, where the
+    * batch is a plain DataFrame) — no watermark, no state store, which
+    * is exactly why the summaries must be mergeable.
+    */
+  def runAvailableNowSummarized(streaming: DataFrame, outDir: String,
+      summarize: DataFrame => DataFrame): (DataFrame, Seq[TriggerStats]) = {
+    val spark = streaming.sparkSession
+    Scratch.rmTree(outDir)
+    val sink = s"$outDir/result"
+    val stats = withBoundedRunConfs(spark, noDataBatch = false) {
+      val q = streaming.writeStream
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", s"$outDir/ckpt")
+        .foreachBatch((batch: DataFrame, id: Long) =>
+          writeBatchPartition(summarize(batch), sink, id))
+        .start()
+      q.awaitTermination()
+      q.recentProgress.toSeq.map(triggerStats)
+    }
+    (readSink(spark, sink), stats)
+  }
+
   /** Update-mode variant: each trigger lands only the CHANGED rows of
     * a stateful aggregation in its `batch_id=N` partition — the
     * delta-shipping sink shape StreamingReconcile is built on (per

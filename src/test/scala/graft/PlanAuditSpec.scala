@@ -110,7 +110,11 @@ class PlanAuditSpec extends SparkFunSuite {
       "events_correlated_outer_stream", "events_correlated_full_stream",
       "events_windowed_live", "events_session_live",
       "events_user_profile_tws", "events_dedup_expiry_audit",
-      "events_join_late_audit")
+      "events_join_late_audit",
+      // round-11 second block: per-trigger sketch-shard run at
+      // construction; read-back is a broadcast probe join, no joins to
+      // hunt
+      "freq_cms_stream_ingest")
     val offenders = SparkEntry.queries.keys.toSeq.sorted
       .filterNot(exactBaselines)
       .filterNot(eagerStreamRuns)

@@ -46,11 +46,15 @@ object Warehouse {
   }
 
   /** Distinct partition values of the change set (driver-side, bounded
-    * by the partition count).
+    * by the partition count). Values are collected in the column's
+    * NATIVE type — an injected string cast on a non-string partition
+    * column would wrap the scan's `isin` in a cast and stop it
+    * resolving as a PartitionFilter, silently scanning every
+    * partition. Returned sorted by string form for determinism only.
     */
-  def affectedPartitions(changes: DataFrame, partCol: String): Seq[String] =
-    changes.select(col(partCol).cast("string")).distinct()
-      .collect().map(_.getString(0)).toSeq.sorted
+  def affectedPartitions(changes: DataFrame, partCol: String): Seq[Any] =
+    changes.select(col(partCol)).distinct()
+      .collect().map(_.get(0)).toSeq.sortBy(String.valueOf(_))
 
   /** Write the merge output with dynamic partition overwrite: only the
     * partitions present in `merged` are replaced at `path`. The conf is
@@ -76,14 +80,20 @@ object Warehouse {
   }
 
   /** (name, size, mtime) fingerprint of one partition directory — the
-    * witness that a merge did not touch it.
+    * witness that a merge did not touch it. Goes through the Hadoop
+    * FileSystem API so the same witness works on any path scheme the
+    * table lives under (local FS here, object stores in production),
+    * not just `java.io.File`-visible paths.
     */
   def partitionFileSnapshot(tableDir: String, partCol: String,
                             value: String): Seq[(String, Long, Long)] = {
-    val dir = new java.io.File(s"$tableDir/$partCol=$value")
-    Option(dir.listFiles()).getOrElse(Array.empty)
-      .filter(f => f.isFile && !f.getName.startsWith("."))
-      .map(f => (f.getName, f.length(), f.lastModified()))
-      .sortBy(_._1).toSeq
+    val dir = new org.apache.hadoop.fs.Path(s"$tableDir/$partCol=$value")
+    val fs = dir.getFileSystem(
+      SparkSession.active.sessionState.newHadoopConf())
+    if (!fs.exists(dir)) Seq.empty
+    else fs.listStatus(dir).toSeq
+      .filter(st => st.isFile && !st.getPath.getName.startsWith("."))
+      .map(st => (st.getPath.getName, st.getLen, st.getModificationTime))
+      .sortBy(_._1)
   }
 }

@@ -77,8 +77,9 @@ final class CmsMerge(eps: Double, confidence: Double, seed: Int)
 }
 
 object CmsSketch {
-  /** Default shape: eps 1e-4 (width 27183 int cells ≈ 100 KB/row of
-    * sketch — small enough to ship thousands of shard sketches to one
+  /** Default shape: eps 1e-4 (width = ceil(2/eps) = 20000 long 8-byte
+    * cells per row, ≈ 160 KB/row, ≈ 1.6 MB per sketch at depth 10 —
+    * still small enough to ship thousands of shard sketches to one
     * merger), confidence 0.999 (depth 10). Deterministic seed.
     */
   val Eps = 1e-4
@@ -99,8 +100,11 @@ object CmsSketch {
       udaf(new CmsMerge(Eps, Confidence, Seed)))
     spark.udf.register("graft_cms_estimate",
       org.apache.spark.sql.functions.udf((sketch: Array[Byte], key: Long) =>
-        CountMinSketch.readFrom(sketch)
-          .estimateCount(java.lang.Long.valueOf(key))))
+        // null sketch (e.g. an empty outer-join side) probes to null,
+        // not an NPE from CountMinSketch.readFrom(null)
+        if (sketch == null) null
+        else java.lang.Long.valueOf(CountMinSketch.readFrom(sketch)
+          .estimateCount(java.lang.Long.valueOf(key)))))
   }
 
   private val registered =

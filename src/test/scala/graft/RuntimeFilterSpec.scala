@@ -32,7 +32,7 @@ class RuntimeFilterSpec extends SparkFunSuite {
   }
 
   test("dim filter on a partition-column join prunes the fact scan at runtime (DPP)") {
-    val out = java.nio.file.Files.createTempDirectory("dpp_spec").toString
+    val out = tempDir("dpp_spec")
     core.Tables.events(spark, sf001)
       .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
       .write.mode("overwrite").partitionBy("event_type").parquet(s"$out/fact")

@@ -22,9 +22,24 @@ object TestSpark {
   val sf001 = "/root/testdata/sf0.001"
 }
 
-abstract class SparkFunSuite extends AnyFunSuite {
+abstract class SparkFunSuite extends AnyFunSuite
+    with org.scalatest.BeforeAndAfterAll {
   lazy val spark: SparkSession = TestSpark.spark
   def sf001: String = TestSpark.sf001
+
+  /** Temp directory deleted after the suite — fixtures written through
+    * this don't accumulate across test runs.
+    */
+  def tempDir(prefix: String): String = {
+    val d = java.nio.file.Files.createTempDirectory(prefix).toString
+    tempDirs += d
+    d
+  }
+  private val tempDirs = scala.collection.mutable.ArrayBuffer.empty[String]
+  override protected def afterAll(): Unit = {
+    tempDirs.foreach(core.Scratch.rmTree)
+    super.afterAll()
+  }
 
   /** Run `body` under the RocksDB state store provider, restoring the
     * previous conf after (shared by the transformWithState suites).

@@ -27,7 +27,7 @@ class WarehouseSpec extends graft.SparkFunSuite {
   }
 
   test("overwritePartitions rewrites only partitions present in the data; conf restored") {
-    val out = java.nio.file.Files.createTempDirectory("wh_spec").toString
+    val out = tempDir("wh_spec")
     base.write.mode("overwrite").partitionBy("p").parquet(s"$out/t")
     val calmBefore = Warehouse.partitionFileSnapshot(s"$out/t", "p", "p2")
     assert(calmBefore.nonEmpty)
@@ -52,7 +52,7 @@ class WarehouseSpec extends graft.SparkFunSuite {
     // the isin filter must resolve against directory metadata — at
     // 100 TB this is what keeps a one-month correction from scanning
     // seven years of history
-    val out = java.nio.file.Files.createTempDirectory("wh_prune").toString
+    val out = tempDir("wh_prune")
     base.write.mode("overwrite").partitionBy("p").parquet(s"$out/t")
     val plan = Warehouse.mergeByKey(
         spark.read.parquet(s"$out/t"), changes, "k", "p")
@@ -60,6 +60,24 @@ class WarehouseSpec extends graft.SparkFunSuite {
         org.apache.spark.sql.execution.FormattedMode)
     assert("PartitionFilters: \\[[^\\]]*p1".r.findFirstIn(plan).isDefined,
       s"partition predicate not resolved as a PartitionFilter:\n$plan")
+  }
+
+  test("non-string partition column: values stay native-typed and still prune") {
+    // a string cast in affectedPartitions would wrap the scan predicate
+    // in a cast and stop it resolving as a PartitionFilter — the scan
+    // would silently read every partition
+    val out = tempDir("wh_intpart")
+    val ibase = Seq((1L, "a", 202401), (2L, "b", 202401), (3L, "c", 202402))
+      .toDF("k", "v", "ym")
+    val ichanges = Seq((2L, "B", 202401)).toDF("k", "v", "ym")
+    assert(Warehouse.affectedPartitions(ichanges, "ym") == Seq(202401))
+    ibase.write.mode("overwrite").partitionBy("ym").parquet(s"$out/t")
+    val plan = Warehouse.mergeByKey(
+        spark.read.parquet(s"$out/t"), ichanges, "k", "ym")
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+    assert("PartitionFilters: \\[[^\\]]*202401".r.findFirstIn(plan).isDefined,
+      s"int partition predicate not resolved as a PartitionFilter:\n$plan")
   }
 
   test("mergeByKey refuses an empty change set") {
@@ -70,7 +88,7 @@ class WarehouseSpec extends graft.SparkFunSuite {
   }
 
   test("clusterByRange concentrates a key into few files without changing content") {
-    val out = java.nio.file.Files.createTempDirectory("layout_spec").toString
+    val out = tempDir("layout_spec")
     val df = spark.range(0, 1000)
       .select(col("id"), (col("id") % 50).as("key"))
     Layout.clusterByRange(df, s"$out/clustered", 10, col("key"), col("id"))

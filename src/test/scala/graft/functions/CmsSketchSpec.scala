@@ -29,7 +29,7 @@ class CmsSketchSpec extends graft.SparkFunSuite {
       val exact = if (k < 30) 11L else 10L
       val est = cms.estimateCount(java.lang.Long.valueOf(k))
       assert(est == exact, s"key $k: est $est vs exact $exact " +
-        "(97 keys in a width-20001 sketch cannot collide in all 10 rows)")
+        "(97 keys in a width-20000 sketch cannot collide in all 10 rows)")
     }
     // an absent key estimates 0 absent collisions
     assert(cms.estimateCount(java.lang.Long.valueOf(500L)) == 0L)
@@ -65,6 +65,14 @@ class CmsSketchSpec extends graft.SparkFunSuite {
         |       graft_cms_estimate(sk, 12345L) AS absent
         |FROM merged""".stripMargin).head()
     assert(row.getLong(0) == 11L && row.getLong(1) == 10L && row.getLong(2) == 0L)
+  }
+
+  test("probing a null sketch yields null, not an NPE") {
+    CmsSketch.registerSql(spark)
+    val row = spark.sql(
+      "SELECT graft_cms_estimate(CAST(NULL AS BINARY), 3L) AS est").head()
+    assert(row.isNullAt(0),
+      "a null sketch (e.g. an empty outer-join side) must probe to null")
   }
 
   test("union over an empty / all-null column yields the empty sketch") {

@@ -40,6 +40,12 @@ object GraftSession {
     val b = SparkSession.builder()
       .master(master)
       .config("spark.sql.session.timeZone", "UTC")
+      // engine optimizer extensions (plans.GraftExtensions). Each
+      // injected rule gates on its own conf and ships disabled, so this
+      // changes no plan until a query opts in (e.g.
+      // plans.RangeBinJoinRule.BinSecondsKey for the automatic
+      // non-equi range-join rewrite).
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       // nanosecond parquet timestamps arrive as long micros-convertible
       // values instead of failing the read (see core.Tables.events)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -1,0 +1,170 @@
+package graft.plans
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.Inner
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types.{LongType, TimestampType}
+
+/** Engine extension entry point (`spark.sql.extensions`): injects the
+  * optimizer rules the built-in operator set cannot express.
+  *
+  * Registered by default on every [[graft.GraftSession]] session; each
+  * injected rule is individually gated on its own conf and ships
+  * disabled, so the extension's presence never changes a plan until a
+  * user opts a query in.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectOptimizerRule(session => RangeBinJoinRule(session))
+  }
+}
+
+object RangeBinJoinRule {
+  /** Bin width in seconds for the automatic range-join rewrite;
+    * `0` (the default) disables the rule entirely.
+    */
+  val BinSecondsKey = "spark.graft.rangeJoin.binSeconds"
+}
+
+/** Automatic point-in-interval join rewrite — the optimizer-rule form
+  * of [[graft.core.RangeJoin.pointInInterval]].
+  *
+  * A SQL user writing the natural thing —
+  * `FROM events e JOIN w ON e.ts >= w.lo AND e.ts < w.hi` — hands
+  * Catalyst a join with NO equi key, which it can only plan as a
+  * broadcast nested loop (or a cartesian product): O(points ×
+  * intervals) comparisons, the canonical 100 TB non-starter. The
+  * DataFrame helper in core.RangeJoin fixes that shape manually; this
+  * rule fixes it for ANY query on the session, inside the optimizer,
+  * with no query rewrite:
+  *
+  *   - the point side gains a bucket column `unix_micros(p) DIV w`;
+  *   - the interval side explodes each interval into the buckets it
+  *     overlaps (`sequence(lo DIV w, (hi-1µs) DIV w)` — half-open end,
+  *     so an interval ending exactly on a bucket boundary does not
+  *     claim that bucket);
+  *   - the join becomes an EQUI join on the bucket plus the original
+  *     predicate as residual, so Catalyst plans a hash/sort-merge join
+  *     and each point is compared only against intervals sharing its
+  *     bucket. Each point has exactly one bucket, so no match can
+  *     duplicate and no post-join dedup is needed.
+  *
+  * Eligibility (deliberately narrow — a rewrite that fires on plans
+  * the planner already handles well would be a pessimization): inner
+  * join whose condition contains a `p >= lo AND p < hi` sandwich on
+  * timestamp/long columns with the point on one side and both bounds
+  * on the other, and NO equi conjunct across the sides (with an equi
+  * key present the join already shuffles fine and the residual range
+  * predicate is cheap). The rule runs inside the operator-optimization
+  * fixpoint; its own output contains a cross-side equi conjunct, so it
+  * can never match twice.
+  *
+  * The rewrite preserves the join's output attributes exactly (the
+  * added bucket columns live only inside the new subtree), preserves
+  * null semantics (a null point or bound buckets to null / an empty
+  * sequence — no match, exactly like the original predicate), and
+  * drops empty intervals (`hi <= lo`) that `sequence` would otherwise
+  * step backwards through — rows the inner join could never emit.
+  *
+  * Reference behavior: verizon_automation_script.sh has no non-equi
+  * join (Hive refuses them in the ON clause); this is north-star
+  * surface, the session-level form of core.RangeJoin.
+  */
+case class RangeBinJoinRule(session: SparkSession)
+    extends Rule[LogicalPlan] with PredicateHelper {
+  import RangeBinJoinRule._
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    val binSeconds =
+      conf.getConfString(BinSecondsKey, "0").toLong
+    if (binSeconds <= 0L) return plan
+    val binMicros = binSeconds * 1000000L
+    plan.transformUp {
+      case j @ Join(left, right, Inner, Some(cond), hint) =>
+        rewrite(j, left, right, cond, hint, binMicros).getOrElse(j)
+    }
+  }
+
+  /** `e` as a microseconds-since-epoch long, if its type supports it. */
+  private def micros(e: Expression): Option[Expression] = e.dataType match {
+    case TimestampType => Some(UnixMicros(e))
+    case LongType      => Some(e)
+    case _             => None
+  }
+
+  private def rewrite(j: Join, left: LogicalPlan, right: LogicalPlan,
+                      cond: Expression, hint: JoinHint,
+                      binMicros: Long): Option[LogicalPlan] = {
+    val conjuncts = splitConjunctivePredicates(cond)
+    def crossSide(a: Expression, b: Expression): Boolean =
+      (a.references.nonEmpty && b.references.nonEmpty) &&
+        ((a.references.subsetOf(left.outputSet) &&
+          b.references.subsetOf(right.outputSet)) ||
+         (a.references.subsetOf(right.outputSet) &&
+          b.references.subsetOf(left.outputSet)))
+    val hasEqui = conjuncts.exists {
+      case EqualTo(a, b)       => crossSide(a, b)
+      case EqualNullSafe(a, b) => crossSide(a, b)
+      case _                   => false
+    }
+    if (hasEqui) return None
+
+    // normalize every comparison to (point-candidate, bound, isLower):
+    // p >= lo / lo <= p → lower; p < hi / hi > p → upper. Strictness
+    // follows core.RangeJoin's half-open [lo, hi) contract.
+    val bounds = conjuncts.flatMap {
+      case GreaterThanOrEqual(p, lo) => Some((p, lo, true))
+      case LessThanOrEqual(lo, p)    => Some((p, lo, true))
+      case LessThan(p, hi)           => Some((p, hi, false))
+      case GreaterThan(hi, p)        => Some((p, hi, false))
+      case _                         => None
+    }
+    // the point must be a plain column (one attribute); bounds may be
+    // arbitrary expressions of the other side
+    def sideOf(refs: AttributeSet): Option[LogicalPlan] =
+      if (refs.nonEmpty && refs.subsetOf(left.outputSet)) Some(left)
+      else if (refs.nonEmpty && refs.subsetOf(right.outputSet)) Some(right)
+      else None
+
+    val sandwich = for {
+      (p1, lo, true)  <- bounds.view
+      (p2, hi, false) <- bounds
+      if p1.semanticEquals(p2)
+      pSide <- sideOf(p1.references)
+      loSide <- sideOf(lo.references)
+      hiSide <- sideOf(hi.references)
+      if (loSide eq hiSide) && !(loSide eq pSide)
+      pM  <- micros(p1)
+      loM <- micros(lo)
+      hiM <- micros(hi)
+    } yield (pSide, pM, loSide, lo, loM, hi, hiM)
+
+    sandwich.headOption.map {
+      case (pSide, pM, iSide, lo, loM, hi, hiM) =>
+        val w = Literal(binMicros)
+        val pBucket = Alias(IntegralDivide(pM, w), "_graft_pbucket")()
+        val newPoints = Project(pSide.output :+ pBucket, pSide)
+        val iBucket = AttributeReference("_graft_ibucket", LongType,
+          nullable = true)()
+        // Sequence is TimeZoneAwareExpression — without an explicit zone
+        // it reports unresolved even over longs, and a post-analysis
+        // rule must emit resolved trees
+        val seq = new Sequence(
+          IntegralDivide(loM, w),
+          IntegralDivide(Subtract(hiM, Literal(1L)), w),
+          None, Some(conf.sessionLocalTimeZone))
+        val newIntervals = Generate(Explode(seq),
+          unrequiredChildIndex = Nil, outer = false, qualifier = None,
+          generatorOutput = Seq(iBucket),
+          child = Filter(GreaterThan(hi, lo), iSide))
+        val bucketEq = EqualTo(pBucket.toAttribute, iBucket)
+        val (nl, nr) =
+          if (pSide eq j.left) (newPoints, newIntervals)
+          else (newIntervals, newPoints)
+        Project(j.output,
+          Join(nl, nr, Inner, Some(And(bucketEq, cond)), hint))
+    }
+  }
+}

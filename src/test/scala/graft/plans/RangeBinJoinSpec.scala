@@ -1,0 +1,140 @@
+package graft.plans
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.FormattedMode
+import org.apache.spark.sql.functions._
+
+import graft.core.{RangeJoin, Tables}
+
+/** The automatic range-join rewrite (plans.RangeBinJoinRule via
+  * GraftExtensions): a plain SQL non-equi interval join must come out
+  * of the optimizer as an EQUI join on the injected bucket key — and
+  * produce exactly the rows of both the nested-loop original and the
+  * manual core.RangeJoin composition.
+  */
+class RangeBinJoinSpec extends graft.SparkFunSuite {
+  import spark.implicits._
+
+  private def withBin[A](seconds: Long)(body: => A): A = {
+    val key = RangeBinJoinRule.BinSecondsKey
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, seconds.toString)
+    try body finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
+  }
+
+  private def events = Tables.events(spark, sf001)
+    .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+
+  private def windows = events
+    .select(date_trunc("day", col("ts")).as("day")).distinct()
+    .select(
+      (col("day") + expr("INTERVAL 2 HOURS")).as("w_start"),
+      (col("day") + expr("INTERVAL 6 HOURS")).as("w_end"))
+
+  /** The natural non-equi join a SQL user writes. */
+  private def naturalJoin: DataFrame =
+    events.join(windows,
+      col("ts") >= col("w_start") && col("ts") < col("w_end"))
+
+  private def planOf(df: DataFrame): String =
+    df.queryExecution.explainString(FormattedMode)
+
+  test("disabled by default: the natural join stays a nested loop") {
+    val plan = planOf(naturalJoin)
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+           plan.contains("CartesianProduct"),
+      s"without the rule a non-equi join has no equi key:\n$plan")
+    assert(!plan.contains("_graft_pbucket"))
+  }
+
+  test("enabled: rewritten to an equi join on the bucket, same rows") {
+    val expected = naturalJoin.select(col("event_id"), col("w_start"))
+      .as[(Long, java.sql.Timestamp)].collect().sorted.toSeq
+    withBin(3600L) {
+      val df = naturalJoin
+      val plan = planOf(df)
+      assert(!plan.contains("BroadcastNestedLoopJoin") &&
+             !plan.contains("CartesianProduct"),
+        s"rule enabled but the nested loop survived:\n$plan")
+      val got = df.select(col("event_id"), col("w_start"))
+        .as[(Long, java.sql.Timestamp)].collect().sorted.toSeq
+      assert(got == expected)
+      // and it agrees with the manual composition rewritten by hand
+      val manual = RangeJoin.pointInInterval(
+          events, windows, "ts", "w_start", "w_end", 3600L)
+        .select(col("event_id"), col("w_start"))
+        .as[(Long, java.sql.Timestamp)].collect().sorted.toSeq
+      assert(got == manual)
+    }
+  }
+
+  test("half-open boundary: an event exactly at w_end never matches") {
+    // synthetic intervals land an event exactly on an interval end AND
+    // on a bucket boundary — the two off-by-one traps at once
+    val pts = Seq(
+      ("2024-01-01 02:00:00", 1L),
+      ("2024-01-01 03:59:59", 2L),
+      ("2024-01-01 04:00:00", 3L)
+    ).toDF("s", "id").select(to_timestamp(col("s")).as("ts"), col("id"))
+    val iv = Seq(("2024-01-01 02:00:00", "2024-01-01 04:00:00"))
+      .toDF("a", "b")
+      .select(to_timestamp(col("a")).as("lo"), to_timestamp(col("b")).as("hi"))
+    withBin(3600L) {
+      val got = pts.join(iv, col("ts") >= col("lo") && col("ts") < col("hi"))
+        .select("id").as[Long].collect().sorted.toSeq
+      assert(got == Seq(1L, 2L), "ts == hi must not match a half-open interval")
+    }
+  }
+
+  test("empty and inverted intervals are dropped, not exploded backwards") {
+    val pts = Seq(("2024-01-01 03:00:00", 1L))
+      .toDF("s", "id").select(to_timestamp(col("s")).as("ts"), col("id"))
+    val iv = Seq(
+      ("2024-01-01 02:00:00", "2024-01-01 02:00:00"), // empty
+      ("2024-01-01 06:00:00", "2024-01-01 01:00:00"), // inverted
+      ("2024-01-01 02:30:00", "2024-01-01 03:30:00")  // real match
+    ).toDF("a", "b")
+      .select(to_timestamp(col("a")).as("lo"), to_timestamp(col("b")).as("hi"))
+    withBin(3600L) {
+      val got = pts.join(iv, col("ts") >= col("lo") && col("ts") < col("hi"))
+        .count()
+      assert(got == 1L)
+    }
+  }
+
+  test("a join that already has an equi key is left alone") {
+    val l = Seq((1L, "2024-01-01 03:00:00"))
+      .toDF("k", "s").select(col("k"), to_timestamp(col("s")).as("ts"))
+    val r = Seq((1L, "2024-01-01 02:00:00", "2024-01-01 04:00:00"))
+      .toDF("k", "a", "b")
+      .select(col("k"), to_timestamp(col("a")).as("lo"),
+        to_timestamp(col("b")).as("hi"))
+    withBin(3600L) {
+      val df = l.join(r, l("k") === r("k") &&
+        col("ts") >= col("lo") && col("ts") < col("hi"))
+      assert(!planOf(df).contains("_graft_pbucket"),
+        "an equi-keyed join must not pay the interval explosion")
+      assert(df.count() == 1L)
+    }
+  }
+
+  test("null points and null bounds never match (same as the raw predicate)") {
+    val pts = Seq(
+      (Some("2024-01-01 03:00:00"), 1L), (None, 2L)
+    ).toDF("s", "id").select(to_timestamp(col("s")).as("ts"), col("id"))
+    val iv = Seq(
+      (Some("2024-01-01 02:00:00"), Some("2024-01-01 04:00:00")),
+      (None, Some("2024-01-01 23:00:00")),
+      (Some("2024-01-01 22:00:00"), None)
+    ).toDF("a", "b")
+      .select(to_timestamp(col("a")).as("lo"), to_timestamp(col("b")).as("hi"))
+    withBin(3600L) {
+      val got = pts.join(iv, col("ts") >= col("lo") && col("ts") < col("hi"))
+        .select("id").as[Long].collect().toSeq
+      assert(got == Seq(1L))
+    }
+  }
+}

@@ -1,0 +1,294 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.execution.FormattedMode
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+
+/** Round-12 depth queries.
+  *
+  * Headliner: `range_join_auto` — the first query through the engine's
+  * OPTIMIZER EXTENSION (plans.GraftExtensions / RangeBinJoinRule): a
+  * plain-SQL non-equi interval join, the exact text a Hive/DuckDB user
+  * would write, planned as a binned EQUI join by an injected
+  * `Rule[LogicalPlan]` instead of the O(N·M) nested loop Catalyst
+  * falls back to. The rest widen the warehouse-maintenance and
+  * curation tiers: CDC snapshot diff, small-file compaction,
+  * incremental rollup maintenance, PII redaction, weighted (PPS)
+  * sampling, and wide→long unpivot.
+  */
+object Round12Queries {
+
+  /** The natural point-in-interval SQL — ONE text, run verbatim by BOTH
+    * engines (only the event-table name differs): Spark executes it via
+    * `range_join_auto` with the rewrite rule enabled, DuckDB executes it
+    * as the oracle. Daily 01:00–07:00 maintenance windows derived from
+    * the data itself, then events counted into their window.
+    */
+  private def rangeJoinSql(eventsTable: String): String =
+    s"""WITH w AS (
+       |  SELECT DISTINCT date_trunc('day', ts) + INTERVAL 1 HOUR AS w_start,
+       |         date_trunc('day', ts) + INTERVAL 7 HOUR AS w_end
+       |  FROM $eventsTable)
+       |SELECT w_start, count(*) AS n_events, round(sum(value), 2) AS sum_value
+       |FROM $eventsTable e JOIN w ON e.ts >= w.w_start AND e.ts < w.w_end
+       |GROUP BY 1""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // The optimizer-extension certification. The rule is gated on its
+    // conf, so it is enabled for exactly this query's optimization and
+    // the result is materialized under it (eager write + read-back —
+    // the same construction-eager idiom as reports_roundtrip; a lazy
+    // frame would optimize after the conf restore). The construction
+    // `require`s prove the rewrite actually fired: no nested-loop /
+    // cartesian join anywhere in the physical plan, and the injected
+    // bucket key present. At 100 TB this is the difference between an
+    // O(points × windows) broadcast nested loop and a shuffled hash
+    // join on the bucket key.
+    "range_join_auto" -> { (s, dir) =>
+      val key = plans.RangeBinJoinRule.BinSecondsKey
+      val prev = s.conf.getOption(key)
+      s.conf.set(key, "3600")
+      try {
+        Tables.events(s, dir).createOrReplaceTempView("rja_events")
+        val df = s.sql(rangeJoinSql("rja_events"))
+        val plan = df.queryExecution.explainString(FormattedMode)
+        require(!plan.contains("BroadcastNestedLoopJoin") &&
+                !plan.contains("CartesianProduct"),
+          "RangeBinJoinRule enabled but the non-equi join still planned " +
+            s"as a nested loop:\n$plan")
+        require(plan.contains("_graft_pbucket"),
+          s"bucket key missing — the rewrite did not fire:\n$plan")
+        val out = CoreQueries.scratchDir("range_join_auto")
+        df.write.mode("overwrite").parquet(out)
+        s.read.parquet(out)
+      } finally prev match {
+        case Some(v) => s.conf.set(key, v)
+        case None    => s.conf.unset(key)
+      }
+    },
+
+    // CDC snapshot diff — the change-data-capture extraction shape: two
+    // table snapshots, emit the delta as (op, key, old, new). The next
+    // snapshot is DERIVED deterministically from the base (deletes:
+    // key % 97, updates: status flip on key % 53, inserts: re-keyed
+    // key % 89 rows), so both engines reconstruct identical inputs.
+    // One full-outer sort-merge join on the key — the join that cannot
+    // broadcast by definition — with changed-only output; unchanged
+    // rows (the 100 TB majority) produce nothing downstream.
+    "cdc_snapshot_diff" -> { (s, dir) =>
+      val base = Tables.orders(s, dir).select("o_orderkey", "o_orderstatus")
+      val next = base.filter(col("o_orderkey") % 97 =!= 0)
+        .withColumn("o_orderstatus",
+          when(col("o_orderkey") % 53 === 0, lit("X"))
+            .otherwise(col("o_orderstatus")))
+        .unionByName(base.filter(col("o_orderkey") % 89 === 0)
+          .select((col("o_orderkey") + 1000000000L).as("o_orderkey"),
+            col("o_orderstatus")))
+      val b = base.select(col("o_orderkey").as("bk"),
+        col("o_orderstatus").as("old_status"))
+      val n = next.select(col("o_orderkey").as("nk"),
+        col("o_orderstatus").as("new_status"))
+      b.join(n, col("bk") === col("nk"), "full_outer")
+        .select(
+          when(col("nk").isNull, "delete")
+            .when(col("bk").isNull, "insert")
+            .when(col("old_status") =!= col("new_status"), "update")
+            .as("op"),
+          coalesce(col("bk"), col("nk")).as("o_orderkey"),
+          col("old_status"), col("new_status"))
+        .filter(col("op").isNotNull)
+    },
+
+    // Small-file compaction — the table-maintenance pass every landing
+    // directory needs: N small files bin-packed into ceil(bytes/target)
+    // rewritten files, content untouched. Eager by design (the rewrite
+    // IS the operator); the requires pin the file-count collapse and
+    // the read-back is certified against the source content by the
+    // oracle. At 100 TB this runs per partition directory (the same
+    // dynamic-partition-overwrite scoping as Warehouse.mergeByKey), so
+    // the repartition shuffle is bounded by one partition's volume, not
+    // the table's.
+    "compact_small_files" -> { (s, dir) =>
+      val out = CoreQueries.scratchDir("compact_small_files")
+      val src = Tables.lineitem(s, dir).filter(col("l_returnflag") === "R")
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+      src.repartition(64).write.mode("overwrite").parquet(s"$out/fragmented")
+      def dataFiles(p: String): Seq[org.apache.hadoop.fs.FileStatus] = {
+        val path = new org.apache.hadoop.fs.Path(p)
+        val fs = path.getFileSystem(s.sessionState.newHadoopConf())
+        fs.listStatus(path).toSeq
+          .filter(st => st.isFile && !st.getPath.getName.startsWith("_"))
+      }
+      val frag = dataFiles(s"$out/fragmented")
+      require(frag.size == 64, s"expected 64 fragment files, got ${frag.size}")
+      val targetBytes = 1L << 20
+      val nOut = math.max(1L, (frag.map(_.getLen).sum + targetBytes - 1) / targetBytes).toInt
+      s.read.parquet(s"$out/fragmented")
+        .repartition(nOut)
+        .write.mode("overwrite").parquet(s"$out/compacted")
+      val compacted = dataFiles(s"$out/compacted")
+      require(compacted.size <= nOut && compacted.size * 4 <= frag.size,
+        s"compaction did not collapse the file count: ${frag.size} -> ${compacted.size}")
+      s.read.parquet(s"$out/compacted")
+    },
+
+    // Incremental rollup maintenance — keep a month-level aggregate
+    // store current by merging ONLY the new delta's aggregate into it,
+    // never rescanning history. The store is built from the pre-cutoff
+    // history (eager, parquet); the query aggregates the delta alone
+    // and re-aggregates store ∪ delta on the month key. Correctness
+    // gate: the oracle recomputes the rollup from ALL rows — the
+    // incremental path must land on the full-recompute answer. COUNT
+    // and SUM re-aggregate losslessly (the same algebraic-aggregate
+    // property the CMS/HLL sketches extend to approximate state); at
+    // 100 TB the delta scan is a day's partition, not seven years.
+    "rollup_incremental" -> { (s, dir) =>
+      val cutoff = "2001-06-01"
+      val orders = Tables.orders(s, dir)
+      def monthly(df: DataFrame): DataFrame =
+        df.groupBy(date_trunc("month", col("o_orderdate")).as("om"))
+          .agg(count(lit(1)).as("n_orders"), sum("o_totalprice").as("sum_price"))
+      val store = CoreQueries.scratchDir("rollup_incremental") + "/store"
+      monthly(orders.filter(col("o_orderdate") < lit(cutoff)))
+        .write.mode("overwrite").parquet(store)
+      s.read.parquet(store)
+        .unionByName(monthly(orders.filter(col("o_orderdate") >= lit(cutoff))))
+        .groupBy("om")
+        .agg(sum("n_orders").as("n_orders"),
+          round(sum("sum_price"), 2).as("sum_price"))
+    },
+
+    // PII redaction — the curation scrub stage for personal data:
+    // emails and phone-shaped tokens replaced with typed placeholders,
+    // per-document hit counts kept for the audit trail. The corpus has
+    // no real PII, so a deterministic injection (doc_id-derived email +
+    // phone appended to every third document) gives both engines the
+    // same input; patterns stay in the RE2 ∩ Java subset so the
+    // IDENTICAL regex runs in the oracle. Pure per-row expressions —
+    // map-side only, zero shuffle at any scale.
+    "pii_scrub" -> { (s, dir) =>
+      val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+      val phoneRe = "\\b555-[0-9]{4}\\b"
+      val injected = when(col("doc_id") % 3 === 0,
+        concat(col("text"), lit(" contact user"),
+          col("doc_id").cast("string"), lit("@example.com or call 555-"),
+          lpad(((col("doc_id") * 7) % 10000).cast("string"), 4, "0")))
+        .otherwise(col("text"))
+      val scrubbed = regexp_replace(
+        regexp_replace(injected, emailRe, "<EMAIL>"), phoneRe, "<PHONE>")
+      Tables.documents(s, dir).select(
+        col("doc_id"),
+        size(regexp_extract_all(injected, lit(emailRe), lit(0)))
+          .cast("long").as("n_emails"),
+        size(regexp_extract_all(injected, lit(phoneRe), lit(0)))
+          .cast("long").as("n_phones"),
+        md5(scrubbed).as("scrubbed_md5"))
+    },
+
+    // Weighted (probability-proportional-to-size) sampling — longer
+    // documents are proportionally more likely to be kept, the standard
+    // token-budget-aware corpus downsample. Inclusion test is PURE
+    // INTEGER arithmetic on an md5-derived uniform (u32 < n_chars/2000
+    // of the hash space), so it is exactly reproducible in any engine,
+    // needs no seed coordination, and runs entirely map-side: at 100 TB
+    // every executor decides its own rows, no shuffle, no driver.
+    "sample_weighted" -> { (s, dir) =>
+      val u32 = conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+      Tables.documents(s, dir)
+        .filter(u32 * lit(2000L) < col("n_chars") * lit(4294967296L))
+        .select("doc_id", "lang", "n_chars")
+    },
+
+    // Wide→long unpivot (melt) — the reshape between a reporting table
+    // and a metric-per-row feed, via Dataset.unpivot (constant-folded
+    // expand, no shuffle beyond the feeding aggregate). Values are
+    // rounded BEFORE melting so the long format carries oracle-exact
+    // doubles.
+    "unpivot_metrics" -> { (s, dir) =>
+      Tables.lineitem(s, dir).groupBy("l_returnflag")
+        .agg(round(sum("l_quantity"), 2).as("sum_qty"),
+          round(sum("l_extendedprice"), 2).as("sum_base"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+            .as("sum_disc"))
+        .unpivot(Array(col("l_returnflag")),
+          Array(col("sum_qty"), col("sum_base"), col("sum_disc")),
+          "metric", "val")
+    }
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "range_join_auto" -> rangeJoinSql("events"),
+
+    "cdc_snapshot_diff" ->
+      """WITH base AS (SELECT o_orderkey, o_orderstatus FROM orders),
+        |next AS (
+        |  SELECT o_orderkey,
+        |         CASE WHEN o_orderkey % 53 = 0 THEN 'X'
+        |              ELSE o_orderstatus END AS o_orderstatus
+        |  FROM base WHERE o_orderkey % 97 <> 0
+        |  UNION ALL
+        |  SELECT o_orderkey + 1000000000, o_orderstatus
+        |  FROM base WHERE o_orderkey % 89 = 0)
+        |SELECT * FROM (
+        |  SELECT CASE WHEN n.o_orderkey IS NULL THEN 'delete'
+        |              WHEN b.o_orderkey IS NULL THEN 'insert'
+        |              WHEN b.o_orderstatus <> n.o_orderstatus THEN 'update'
+        |              END AS op,
+        |         coalesce(b.o_orderkey, n.o_orderkey) AS o_orderkey,
+        |         b.o_orderstatus AS old_status,
+        |         n.o_orderstatus AS new_status
+        |  FROM base b FULL JOIN next n ON b.o_orderkey = n.o_orderkey)
+        |WHERE op IS NOT NULL""".stripMargin,
+
+    "compact_small_files" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+        |FROM lineitem WHERE l_returnflag = 'R'""".stripMargin,
+
+    "rollup_incremental" ->
+      """SELECT date_trunc('month', o_orderdate) AS om,
+        |       count(*) AS n_orders,
+        |       round(sum(o_totalprice), 2) AS sum_price
+        |FROM orders GROUP BY 1""".stripMargin,
+
+    "pii_scrub" ->
+      """WITH inj AS (
+        |  SELECT doc_id,
+        |         CASE WHEN doc_id % 3 = 0
+        |              THEN text || ' contact user' || CAST(doc_id AS STRING)
+        |                   || '@example.com or call 555-'
+        |                   || lpad(CAST((doc_id * 7) % 10000 AS STRING), 4, '0')
+        |              ELSE text END AS txt
+        |  FROM documents)
+        |SELECT doc_id,
+        |       CAST(len(regexp_extract_all(txt,
+        |         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT)
+        |         AS n_emails,
+        |       CAST(len(regexp_extract_all(txt, '\b555-[0-9]{4}\b')) AS BIGINT)
+        |         AS n_phones,
+        |       md5(regexp_replace(regexp_replace(txt,
+        |         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |         '\b555-[0-9]{4}\b', '<PHONE>', 'g')) AS scrubbed_md5
+        |FROM inj""".stripMargin,
+
+    "sample_weighted" ->
+      """SELECT doc_id, lang, n_chars FROM documents
+        |WHERE ('0x' || substr(md5(CAST(doc_id AS STRING)), 1, 8))::UBIGINT
+        |        * 2000 < n_chars * 4294967296""".stripMargin,
+
+    "unpivot_metrics" ->
+      """WITH w AS (
+        |  SELECT l_returnflag,
+        |         round(sum(l_quantity), 2) AS sum_qty,
+        |         round(sum(l_extendedprice), 2) AS sum_base,
+        |         round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc
+        |  FROM lineitem GROUP BY 1)
+        |SELECT l_returnflag, 'sum_qty' AS metric, sum_qty AS val FROM w
+        |UNION ALL
+        |SELECT l_returnflag, 'sum_base', sum_base FROM w
+        |UNION ALL
+        |SELECT l_returnflag, 'sum_disc', sum_disc FROM w""".stripMargin
+  )
+}

@@ -35,7 +35,13 @@ class SqlSurfaceSpec extends SparkFunSuite {
     "approx_distinct_users", "sample_stratified",
     // round-6 additions with ANSI-compatible oracle text
     "sql_correlated_scalar", "orders_mom", "fuzzy_join_names",
-    "dedup_incremental", "schema_evolution_scan")
+    "dedup_incremental", "schema_evolution_scan",
+    // round-12 additions with ANSI-compatible oracle text (range_join_auto
+    // runs its oracle text through Spark WITHOUT the rewrite rule here —
+    // the nested-loop plan at fixture scale — proving the rule changes
+    // the plan, never the answer)
+    "range_join_auto", "cdc_snapshot_diff", "compact_small_files",
+    "rollup_incremental", "unpivot_metrics")
 
   private def canon(df: DataFrame): Seq[String] = {
     val cols = df.columns.sorted.toSeq

@@ -52,5 +52,10 @@ for amp in ${AMPS//,/ }; do
   run_fresh hotkey "$amp"
 done
 
+for amp in ${AMPS//,/ }; do
+  echo "### fresh JVM: range-join rewrite sweep point $amp" >&2
+  run_fresh rangejoin "$amp"
+done
+
 echo "### fresh JVM: trigger-granularity sweep (amp ${AMPS##*,})" >&2
 run_fresh chunks "$AMPS"

@@ -26,7 +26,7 @@ object Round12Queries {
     * as the oracle. Daily 01:00–07:00 maintenance windows derived from
     * the data itself, then events counted into their window.
     */
-  private def rangeJoinSql(eventsTable: String): String =
+  private[graft] def rangeJoinSql(eventsTable: String): String =
     s"""WITH w AS (
        |  SELECT DISTINCT date_trunc('day', ts) + INTERVAL 1 HOUR AS w_start,
        |         date_trunc('day', ts) + INTERVAL 7 HOUR AS w_end
@@ -202,6 +202,29 @@ object Round12Queries {
         .select("doc_id", "lang", "n_chars")
     },
 
+    // Context-window chunking — the stage between curation and
+    // tokenization: each document split into fixed-size overlapping
+    // windows (200 chars, stride 180 → 20-char overlap), k-th chunk =
+    // substr(1 + k·stride, size), k while k·stride < len. One
+    // posexplode over a computed sequence — rows fan out map-side,
+    // no shuffle; at 100 TB chunking is embarrassingly parallel and
+    // this shape keeps it that way. The greatest(len,1) guard matters:
+    // Spark's sequence(0, -1) helpfully counts BACKWARDS, so an empty
+    // doc would fabricate chunks instead of yielding none.
+    "chunk_documents" -> { (s, dir) =>
+      val (size, stride) = (200, 180)
+      Tables.documents(s, dir)
+        .select(col("doc_id"), col("text"),
+          posexplode(sequence(lit(0),
+            ((greatest(length(col("text")), lit(1)) - 1) / stride)
+              .cast("int"))))
+        .select(col("doc_id"), col("pos").as("chunk_id"),
+          expr(s"substring(text, 1 + pos * $stride, $size)").as("chunk"))
+        .select(col("doc_id"), col("chunk_id"),
+          length(col("chunk")).cast("long").as("chunk_len"),
+          md5(col("chunk")).as("chunk_md5"))
+    },
+
     // Wide→long unpivot (melt) — the reshape between a reporting table
     // and a metric-per-row feed, via Dataset.unpivot (constant-folded
     // expand, no shuffle beyond the feeding aggregate). Values are
@@ -277,6 +300,15 @@ object Round12Queries {
       """SELECT doc_id, lang, n_chars FROM documents
         |WHERE ('0x' || substr(md5(CAST(doc_id AS STRING)), 1, 8))::UBIGINT
         |        * 2000 < n_chars * 4294967296""".stripMargin,
+
+    "chunk_documents" ->
+      """SELECT doc_id, k AS chunk_id,
+        |       CAST(length(substr(text, 1 + k * 180, 200)) AS BIGINT)
+        |         AS chunk_len,
+        |       md5(substr(text, 1 + k * 180, 200)) AS chunk_md5
+        |FROM documents,
+        |     unnest(generate_series(0,
+        |       (greatest(length(text), 1) - 1) // 180)) AS t(k)""".stripMargin,
 
     "unpivot_metrics" ->
       """WITH w AS (

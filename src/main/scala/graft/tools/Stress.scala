@@ -241,6 +241,33 @@ object Stress {
       }
     }
 
+    // 8. Optimizer-extension range join under amplification (round 12):
+    // points ×amp against a CONSTANT interval side (the amplified
+    // copies share the fixture calendar, so the derived daily windows
+    // don't grow). With RangeBinJoinRule enabled the join must stay an
+    // equi join on the bucket key at every amp — matched rows exactly
+    // ×amp, wall time ~linear. The un-rewritten nested loop would be
+    // O(points × windows) row comparisons; the require makes the sweep
+    // fail loudly if the rewrite ever stops firing.
+    for (amp <- amps if sections("rangejoin")) {
+      val evA = Amplify.events(ev0, amp)
+      run("range_join_auto", amp, ev0.count() * amp) {
+        val key = graft.plans.RangeBinJoinRule.BinSecondsKey
+        spark.conf.set(key, "3600")
+        try {
+          evA.createOrReplaceTempView("stress_rja_events")
+          val df = spark.sql(graft.Round12Queries.rangeJoinSql("stress_rja_events"))
+          val plan = df.queryExecution.explainString(
+            org.apache.spark.sql.execution.FormattedMode)
+          require(!plan.contains("BroadcastNestedLoopJoin") &&
+                  !plan.contains("CartesianProduct"),
+            "range-join rewrite did not fire under amplification")
+          val row = df.agg(sum("n_events"), count(lit(1))).head
+          (row.getLong(0), s"windows=${row.getLong(1)}")
+        } finally spark.conf.unset(key)
+      }
+    }
+
     lazy val evS = Amplify.events(ev0, amps.max)
     for (chunks <- Seq(4, 8, 16) if sections("chunks")) {
       run(s"stream_interval_join_chunks$chunks", amps.max, ev0.count() * amps.max) {

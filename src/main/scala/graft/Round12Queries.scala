@@ -225,6 +225,35 @@ object Round12Queries {
           md5(col("chunk")).as("chunk_md5"))
     },
 
+    // Training-mixture rebalancing — downsample every language to the
+    // smallest language's volume (uniform mixture), the knob between
+    // "corpus as crawled" and "corpus as trained on". Per-language
+    // inclusion rate min_n/n_lang applied as PURE INTEGER hash
+    // arithmetic (include iff u32·n_lang < min_n·2³²) — deterministic,
+    // engine-independent, and map-side after one broadcast of the
+    // 5-row per-language rate table; the min rides an unpartitioned
+    // window over the POST-AGGREGATE relation (language-bounded rows —
+    // the safe case). 64-bit products hold to ~2³¹ rows per language;
+    // beyond that the same rates ship as per-language u32 thresholds.
+    "mixture_rebalance" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.documents(s, dir)
+      val counts = docs.groupBy("lang")
+        .agg(count(lit(1)).as("n_before"))
+        .withColumn("mn", min("n_before").over(
+          Window.partitionBy().orderBy().rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing)))
+      val u32 = conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+      val sampled = docs.join(broadcast(counts), "lang")
+        .filter(u32 * col("n_before") < col("mn") * lit(4294967296L))
+        .groupBy("lang").agg(count(lit(1)).as("n_sampled"))
+      counts.select("lang", "n_before")
+        .join(sampled, Seq("lang"), "left")
+        .select(col("lang"), col("n_before"),
+          coalesce(col("n_sampled"), lit(0L)).as("n_sampled"))
+    },
+
     // Wide→long unpivot (melt) — the reshape between a reporting table
     // and a metric-per-row feed, via Dataset.unpivot (constant-folded
     // expand, no shuffle beyond the feeding aggregate). Values are
@@ -309,6 +338,21 @@ object Round12Queries {
         |FROM documents,
         |     unnest(generate_series(0,
         |       (greatest(length(text), 1) - 1) // 180)) AS t(k)""".stripMargin,
+
+    "mixture_rebalance" ->
+      """WITH c AS (
+        |  SELECT lang, count(*) AS n_before,
+        |         min(count(*)) OVER () AS mn
+        |  FROM documents GROUP BY lang),
+        |s AS (
+        |  SELECT d.lang, count(*) AS n_sampled
+        |  FROM documents d JOIN c ON d.lang = c.lang
+        |  WHERE ('0x' || substr(md5(CAST(d.doc_id AS STRING)), 1, 8))::UBIGINT
+        |          * c.n_before < c.mn * 4294967296
+        |  GROUP BY 1)
+        |SELECT c.lang, c.n_before,
+        |       coalesce(s.n_sampled, 0) AS n_sampled
+        |FROM c LEFT JOIN s ON c.lang = s.lang""".stripMargin,
 
     "unpivot_metrics" ->
       """WITH w AS (

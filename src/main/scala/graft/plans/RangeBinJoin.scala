@@ -53,7 +53,9 @@ object RangeBinJoinRule {
   *
   * Eligibility (deliberately narrow — a rewrite that fires on plans
   * the planner already handles well would be a pessimization): inner
-  * join whose condition contains a `p >= lo AND p < hi` sandwich on
+  * join whose condition contains a lower-AND-upper bound sandwich on
+  * the same point column — any strictness combination of
+  * `p >=/> lo AND p </<= hi`, which includes the `BETWEEN` form — on
   * timestamp/long columns with the point on one side and both bounds
   * on the other, and NO equi conjunct across the sides (with an equi
   * key present the join already shuffles fine and the residual range
@@ -111,15 +113,25 @@ case class RangeBinJoinRule(session: SparkSession)
     }
     if (hasEqui) return None
 
-    // normalize every comparison to (point-candidate, bound, isLower):
-    // p >= lo / lo <= p → lower; p < hi / hi > p → upper. Strictness
-    // follows core.RangeJoin's half-open [lo, hi) contract.
+    // Normalize every comparison into its TWO candidate readings —
+    // `a <= b` is "point b above lower bound a" or "point a below
+    // upper bound b"; only the sandwich pairing below decides which —
+    // as (point, bound, isLower, strict). Lower strictness never
+    // changes the bucket math (floor(p) >= floor(lo) either way);
+    // upper strictness decides whether an interval claims the bucket
+    // its endpoint sits on (inclusive `p <= hi` — the BETWEEN form —
+    // must explode through hi's own bucket, the off-by-one a
+    // half-open-only implementation silently loses).
     val bounds = conjuncts.flatMap {
-      case GreaterThanOrEqual(p, lo) => Some((p, lo, true))
-      case LessThanOrEqual(lo, p)    => Some((p, lo, true))
-      case LessThan(p, hi)           => Some((p, hi, false))
-      case GreaterThan(hi, p)        => Some((p, hi, false))
-      case _                         => None
+      case GreaterThanOrEqual(a, b) =>
+        Seq((a, b, true, false), (b, a, false, false))
+      case LessThanOrEqual(a, b) =>
+        Seq((b, a, true, false), (a, b, false, false))
+      case GreaterThan(a, b) =>
+        Seq((a, b, true, true), (b, a, false, true))
+      case LessThan(a, b) =>
+        Seq((b, a, true, true), (a, b, false, true))
+      case _ => Nil
     }
     // the point must be a plain column (one attribute); bounds may be
     // arbitrary expressions of the other side
@@ -129,8 +141,8 @@ case class RangeBinJoinRule(session: SparkSession)
       else None
 
     val sandwich = for {
-      (p1, lo, true)  <- bounds.view
-      (p2, hi, false) <- bounds
+      (p1, lo, true, _)            <- bounds.view
+      (p2, hi, false, upperStrict) <- bounds
       if p1.semanticEquals(p2)
       pSide <- sideOf(p1.references)
       loSide <- sideOf(lo.references)
@@ -139,26 +151,38 @@ case class RangeBinJoinRule(session: SparkSession)
       pM  <- micros(p1)
       loM <- micros(lo)
       hiM <- micros(hi)
-    } yield (pSide, pM, loSide, lo, loM, hi, hiM)
+    } yield (pSide, pM, loSide, lo, loM, hi, hiM, upperStrict)
 
     sandwich.headOption.map {
-      case (pSide, pM, iSide, lo, loM, hi, hiM) =>
+      case (pSide, pM, iSide, lo, loM, hi, hiM, upperStrict) =>
         val w = Literal(binMicros)
         val pBucket = Alias(IntegralDivide(pM, w), "_graft_pbucket")()
         val newPoints = Project(pSide.output :+ pBucket, pSide)
         val iBucket = AttributeReference("_graft_ibucket", LongType,
           nullable = true)()
+        // half-open upper ends one µs early — an interval ending ON a
+        // bucket boundary claims that bucket only when the endpoint
+        // itself can match (inclusive)
+        val hiEnd =
+          if (upperStrict) Subtract(hiM, Literal(1L)) else hiM
+        // an interval that admits no point is dropped, not exploded
+        // backwards (sequence() would count DOWN through fabricated
+        // buckets); for an inclusive upper, lo == hi is a single
+        // matchable instant and must survive
+        val nonEmpty =
+          if (upperStrict) GreaterThan(hi, lo)
+          else GreaterThanOrEqual(hi, lo)
         // Sequence is TimeZoneAwareExpression — without an explicit zone
         // it reports unresolved even over longs, and a post-analysis
         // rule must emit resolved trees
         val seq = new Sequence(
           IntegralDivide(loM, w),
-          IntegralDivide(Subtract(hiM, Literal(1L)), w),
+          IntegralDivide(hiEnd, w),
           None, Some(conf.sessionLocalTimeZone))
         val newIntervals = Generate(Explode(seq),
           unrequiredChildIndex = Nil, outer = false, qualifier = None,
           generatorOutput = Seq(iBucket),
-          child = Filter(GreaterThan(hi, lo), iSide))
+          child = Filter(nonEmpty, iSide))
         val bucketEq = EqualTo(pBucket.toAttribute, iBucket)
         val (nl, nr) =
           if (pSide eq j.left) (newPoints, newIntervals)

@@ -89,6 +89,51 @@ class RangeBinJoinSpec extends graft.SparkFunSuite {
     }
   }
 
+  test("inclusive upper (BETWEEN): the endpoint's own bucket is claimed") {
+    // ts == hi sits exactly on a bucket boundary: a half-open-only
+    // explosion stops one bucket short and silently loses the match
+    val pts = Seq(
+      ("2024-01-01 04:00:00", 1L), // == hi, on the bucket edge
+      ("2024-01-01 04:00:01", 2L)  // past hi
+    ).toDF("s", "id").select(to_timestamp(col("s")).as("ts"), col("id"))
+    val iv = Seq(("2024-01-01 02:00:00", "2024-01-01 04:00:00"))
+      .toDF("a", "b")
+      .select(to_timestamp(col("a")).as("lo"), to_timestamp(col("b")).as("hi"))
+    withBin(3600L) {
+      val df = pts.join(iv, col("ts").between(col("lo"), col("hi")))
+      assert(!planOf(df).contains("BroadcastNestedLoopJoin"),
+        "BETWEEN sandwich must be rewritten too")
+      assert(df.select("id").as[Long].collect().toSeq == Seq(1L))
+    }
+  }
+
+  test("single-instant interval (lo == hi, inclusive) survives and matches") {
+    val pts = Seq(("2024-01-01 03:00:00", 1L))
+      .toDF("s", "id").select(to_timestamp(col("s")).as("ts"), col("id"))
+    val iv = Seq(("2024-01-01 03:00:00", "2024-01-01 03:00:00"))
+      .toDF("a", "b")
+      .select(to_timestamp(col("a")).as("lo"), to_timestamp(col("b")).as("hi"))
+    withBin(3600L) {
+      assert(pts.join(iv,
+        col("ts") >= col("lo") && col("ts") <= col("hi")).count() == 1L)
+    }
+  }
+
+  test("strict lower bound: the boundary point is excluded, rewrite still fires") {
+    val pts = Seq(
+      ("2024-01-01 02:00:00", 1L), // == lo, excluded by >
+      ("2024-01-01 02:30:00", 2L)
+    ).toDF("s", "id").select(to_timestamp(col("s")).as("ts"), col("id"))
+    val iv = Seq(("2024-01-01 02:00:00", "2024-01-01 04:00:00"))
+      .toDF("a", "b")
+      .select(to_timestamp(col("a")).as("lo"), to_timestamp(col("b")).as("hi"))
+    withBin(3600L) {
+      val df = pts.join(iv, col("ts") > col("lo") && col("ts") < col("hi"))
+      assert(!planOf(df).contains("BroadcastNestedLoopJoin"))
+      assert(df.select("id").as[Long].collect().toSeq == Seq(2L))
+    }
+  }
+
   test("empty and inverted intervals are dropped, not exploded backwards") {
     val pts = Seq(("2024-01-01 03:00:00", 1L))
       .toDF("s", "id").select(to_timestamp(col("s")).as("ts"), col("id"))

@@ -225,6 +225,59 @@ object Round12Queries {
           md5(col("chunk")).as("chunk_md5"))
     },
 
+    // Catalog-table partition lifecycle — the reference's actual DDL
+    // idiom (`INSERT OVERWRITE TABLE ... PARTITION(...)`,
+    // verizon_automation_script.sh's loaders) through Spark's REAL
+    // session catalog instead of path-based writes: CREATE a
+    // partitioned datasource table, dynamic-load it, then correct ONE
+    // month with a STATIC partition overwrite (`PARTITION (om='...')`)
+    // — which must rewrite only that directory. The requires pin the
+    // catalog's partition tracking (SHOW PARTITIONS) and the physical
+    // scoping (an untouched month's file snapshot is byte-identical
+    // across the correction — same witness as warehouse_merge_upsert).
+    // Eager by design: the INSERTs are the operator.
+    "catalog_partition_lifecycle" -> { (s, dir) =>
+      val wh = CoreQueries.scratchDir("catalog_lifecycle")
+      // drop BEFORE wiping the location: a stale catalog entry over a
+      // deleted directory makes the drop's table resolution log
+      // FileNotFound noise
+      s.sql("DROP TABLE IF EXISTS graft_orders_cat")
+      graft.core.Scratch.rmTree(wh)
+      // CREATE TABLE lists its LOCATION for schema/partition discovery
+      // and logs FileNotFound when it does not exist yet
+      java.nio.file.Files.createDirectories(
+        java.nio.file.Paths.get(s"$wh/orders_cat"))
+      s.sql(
+        s"""CREATE TABLE graft_orders_cat
+           |  (o_orderkey BIGINT, o_totalprice DOUBLE, om STRING)
+           |USING parquet PARTITIONED BY (om)
+           |LOCATION '$wh/orders_cat'""".stripMargin)
+      Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_totalprice"),
+          date_format(col("o_orderdate"), "yyyy-MM").as("om"))
+        .createOrReplaceTempView("graft_orders_src")
+      s.sql(
+        """INSERT OVERWRITE TABLE graft_orders_cat PARTITION (om)
+          |SELECT o_orderkey, o_totalprice, om FROM graft_orders_src""".stripMargin)
+      val calmBefore = core.Warehouse.partitionFileSnapshot(
+        s"$wh/orders_cat", "om", "1997-03")
+      require(calmBefore.nonEmpty, "fixture month 1997-03 missing")
+      s.sql(
+        """INSERT OVERWRITE TABLE graft_orders_cat PARTITION (om = '2001-06')
+          |SELECT o_orderkey, o_totalprice * 1.1 FROM graft_orders_src
+          |WHERE om = '2001-06'""".stripMargin)
+      require(core.Warehouse.partitionFileSnapshot(
+          s"$wh/orders_cat", "om", "1997-03") == calmBefore,
+        "static partition overwrite touched an unrelated partition")
+      val nParts = s.sql("SHOW PARTITIONS graft_orders_cat").count()
+      require(nParts >= 70,
+        s"catalog lost partition tracking: $nParts partitions")
+      s.sql(
+        """SELECT om, count(*) AS n_orders,
+          |       round(sum(o_totalprice), 2) AS sum_price
+          |FROM graft_orders_cat GROUP BY om""".stripMargin)
+    },
+
     // Training-mixture rebalancing — downsample every language to the
     // smallest language's volume (uniform mixture), the knob between
     // "corpus as crawled" and "corpus as trained on". Per-language
@@ -338,6 +391,19 @@ object Round12Queries {
         |FROM documents,
         |     unnest(generate_series(0,
         |       (greatest(length(text), 1) - 1) // 180)) AS t(k)""".stripMargin,
+
+    "catalog_partition_lifecycle" ->
+      """WITH src AS (
+        |  SELECT o_orderkey, o_totalprice,
+        |         strftime(o_orderdate, '%Y-%m') AS om
+        |  FROM orders),
+        |fin AS (
+        |  SELECT om, o_totalprice FROM src WHERE om <> '2001-06'
+        |  UNION ALL
+        |  SELECT om, o_totalprice * 1.1 FROM src WHERE om = '2001-06')
+        |SELECT om, count(*) AS n_orders,
+        |       round(sum(o_totalprice), 2) AS sum_price
+        |FROM fin GROUP BY om""".stripMargin,
 
     "mixture_rebalance" ->
       """WITH c AS (

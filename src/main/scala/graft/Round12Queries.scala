@@ -20,6 +20,9 @@ import graft.core.Tables
   */
 object Round12Queries {
 
+  private val TokensSql =
+    """list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0)"""
+
   /** The natural point-in-interval SQL — ONE text, run verbatim by BOTH
     * engines (only the event-table name differs): Spark executes it via
     * `range_join_auto` with the rewrite rule enabled, DuckDB executes it
@@ -225,6 +228,44 @@ object Round12Queries {
           md5(col("chunk")).as("chunk_md5"))
     },
 
+    // Triangle counting on the near-dup similarity graph — the graph
+    // statistic beyond connected components (triangle density separates
+    // a genuine duplicate CLUSTER from a chain of borderline pairs).
+    // Uses the DEGREE-ORDERED orientation: every edge points from its
+    // lower-degree endpoint (ties by id), making the edge relation a
+    // DAG where each triangle appears as exactly one wedge at its
+    // minimum-degree apex plus one closing edge. That orientation is
+    // the standard distributed-triangle trick — per-node out-degree is
+    // O(√m), so the wedge self-join does O(m^{3/2}) work instead of
+    // Σdeg² (a hub node's quadratic wedge blow-up lands on the node
+    // that can least afford it otherwise). All equi-joins: wedges
+    // shuffle on the apex, closure on the (u,v) pair.
+    "graph_triangles" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir).filter(col("doc_id") < 300)
+      val pairs = graft.ext.Dedup
+        .jaccardPairsExact(docs, "doc_id", "text", 0.8)
+        .select("id_a", "id_b")
+      val deg = pairs
+        .select(explode(array(col("id_a"), col("id_b"))).as("id"))
+        .groupBy("id").agg(count(lit(1)).as("deg"))
+      val orientAB = // lower-degree endpoint first, id as tie-break
+        col("da") < col("db") || (col("da") === col("db") && col("id_a") < col("id_b"))
+      val e = pairs
+        .join(deg.select(col("id").as("id_a"), col("deg").as("da")), "id_a")
+        .join(deg.select(col("id").as("id_b"), col("deg").as("db")), "id_b")
+        .select(when(orientAB, col("id_a")).otherwise(col("id_b")).as("src"),
+          when(orientAB, col("id_b")).otherwise(col("id_a")).as("dst"))
+      val wedges = e.select(col("src"), col("dst").as("u"))
+        .join(e.select(col("src"), col("dst").as("v")), "src")
+        .filter(col("u") < col("v"))
+      val triangles = wedges.join(pairs,
+        col("u") === col("id_a") && col("v") === col("id_b"))
+      pairs.agg(count(lit(1)).as("n_edges"))
+        .join(deg.agg(sum((col("deg") * (col("deg") - 1) / 2).cast("long"))
+          .as("n_wedges")))
+        .join(triangles.agg(count(lit(1)).as("n_triangles")))
+    },
+
     // Catalog-table partition lifecycle — the reference's actual DDL
     // idiom (`INSERT OVERWRITE TABLE ... PARTITION(...)`,
     // verizon_automation_script.sh's loaders) through Spark's REAL
@@ -391,6 +432,34 @@ object Round12Queries {
         |FROM documents,
         |     unnest(generate_series(0,
         |       (greatest(length(text), 1) - 1) // 180)) AS t(k)""".stripMargin,
+
+    "graph_triangles" ->
+      s"""WITH tok AS (
+         |  SELECT DISTINCT doc_id, unnest($TokensSql) AS tok
+         |  FROM documents WHERE doc_id < 300),
+         |sz AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY 1),
+         |inter AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+         |  FROM tok a JOIN tok b ON a.tok = b.tok AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |pairs AS (
+         |  SELECT id_a, id_b FROM inter
+         |  JOIN sz sa ON sa.doc_id = id_a
+         |  JOIN sz sb ON sb.doc_id = id_b
+         |  WHERE i / (sa.n + sb.n - i) >= 0.8),
+         |deg AS (
+         |  SELECT id, count(*) AS d FROM (
+         |    SELECT id_a AS id FROM pairs
+         |    UNION ALL SELECT id_b FROM pairs)
+         |  GROUP BY 1)
+         |SELECT (SELECT count(*) FROM pairs) AS n_edges,
+         |       (SELECT CAST(sum(d * (d - 1) / 2) AS BIGINT) FROM deg)
+         |         AS n_wedges,
+         |       (SELECT count(*)
+         |        FROM pairs e1
+         |        JOIN pairs e2 ON e2.id_a = e1.id_a AND e2.id_b > e1.id_b
+         |        JOIN pairs e3 ON e3.id_a = e1.id_b AND e3.id_b = e2.id_b)
+         |         AS n_triangles""".stripMargin,
 
     "catalog_partition_lifecycle" ->
       """WITH src AS (

@@ -88,7 +88,11 @@ class PlanAuditSpec extends SparkFunSuite {
       "dedup_simhash", "dedup_stream_ingest", "similarity_ann_topk",
       "similarity_ivf_topk", "similarity_ivf_batch",
       // 1-row summary crossJoin (sketch estimate × exact count):
-      "hll_union_estimate", "hll_sketch_roundtrip")
+      "hll_union_estimate", "hll_sketch_roundtrip",
+      // edges from the exact-Jaccard pair baseline (the 300-doc
+      // certification prefix) + 1-row summary crosses; the triangle
+      // machinery itself is all equi-joins
+      "graph_triangles")
     // The streaming-execution queries run a full AvailableNow stream at
     // CONSTRUCTION and return a scan of the sink — planning them here
     // would execute seconds of streaming work to audit a trivial

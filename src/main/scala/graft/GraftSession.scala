@@ -6,7 +6,9 @@ import graft.core.Tables
 import graft.functions.GraftFunctions
 
 /** Library front door: one call gives a session with the engine's
-  * recommended runtime settings, the custom Catalyst functions
+  * recommended runtime settings, the optimizer extensions installed
+  * (`plans.GraftExtensions` — e.g. the automatic non-equi range-join
+  * rewrite, conf-gated per query), the custom Catalyst functions
   * registered (usable from SQL as `graft_dot`, `graft_minhash_sig`,
   * `graft_simhash64`, `graft_sorted_intersect_count`,
   * `graft_first_equal_index`, `graft_rhp_sig`,

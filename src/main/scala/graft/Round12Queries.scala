@@ -297,9 +297,14 @@ object Round12Queries {
         .select(col("o_orderkey"), col("o_totalprice"),
           date_format(col("o_orderdate"), "yyyy-MM").as("om"))
         .createOrReplaceTempView("graft_orders_src")
+      // REPARTITION(om) clusters the insert's tasks by partition value:
+      // one file per partition directory instead of (tasks × partitions)
+      // small files — the layout practice a 100 TB dynamic-partition
+      // load needs (and what keeps compact_small_files rare)
       s.sql(
         """INSERT OVERWRITE TABLE graft_orders_cat PARTITION (om)
-          |SELECT o_orderkey, o_totalprice, om FROM graft_orders_src""".stripMargin)
+          |SELECT /*+ REPARTITION(om) */ o_orderkey, o_totalprice, om
+          |FROM graft_orders_src""".stripMargin)
       val calmBefore = core.Warehouse.partitionFileSnapshot(
         s"$wh/orders_cat", "om", "1997-03")
       require(calmBefore.nonEmpty, "fixture month 1997-03 missing")

@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.Inner
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.types.{LongType, TimestampType}
+import org.apache.spark.sql.types.{DateType, LongType, TimestampType}
 
 /** Engine extension entry point (`spark.sql.extensions`): injects the
   * optimizer rules the built-in operator set cannot express.
@@ -89,11 +89,19 @@ case class RangeBinJoinRule(session: SparkSession)
     }
   }
 
-  /** `e` as a microseconds-since-epoch long, if its type supports it. */
+  /** `e` as a microseconds-since-epoch long, if its type supports it.
+    * DateType routes through a session-zone cast to timestamp — the
+    * same widening analysis applies when a date column meets a
+    * timestamp bound, so date-validity intervals (the other common
+    * non-equi shape) rewrite too.
+    */
   private def micros(e: Expression): Option[Expression] = e.dataType match {
     case TimestampType => Some(UnixMicros(e))
     case LongType      => Some(e)
-    case _             => None
+    case DateType =>
+      Some(UnixMicros(Cast(e, TimestampType,
+        Some(conf.sessionLocalTimeZone))))
+    case _ => None
   }
 
   private def rewrite(j: Join, left: LogicalPlan, right: LogicalPlan,

@@ -150,6 +150,22 @@ class RangeBinJoinSpec extends graft.SparkFunSuite {
     }
   }
 
+  test("date-typed validity intervals rewrite too (daily bin)") {
+    val pts = Seq(("2024-01-05", 1L), ("2024-02-20", 2L))
+      .toDF("s", "id").select(to_date(col("s")).as("d"), col("id"))
+    val iv = Seq(("2024-01-01", "2024-01-31"), ("2024-02-01", "2024-02-29"))
+      .toDF("a", "b")
+      .select(to_date(col("a")).as("lo"), to_date(col("b")).as("hi"))
+    withBin(86400L) {
+      val df = pts.join(iv, col("d") >= col("lo") && col("d") <= col("hi"))
+      assert(!planOf(df).contains("BroadcastNestedLoopJoin"),
+        "date sandwich must be rewritten")
+      val got = df.select(col("id"), col("lo").cast("string"))
+        .as[(Long, String)].collect().sorted.toSeq
+      assert(got == Seq((1L, "2024-01-01"), (2L, "2024-02-01")))
+    }
+  }
+
   test("a join that already has an equi key is left alone") {
     val l = Seq((1L, "2024-01-01 03:00:00"))
       .toDF("k", "s").select(col("k"), to_timestamp(col("s")).as("ts"))

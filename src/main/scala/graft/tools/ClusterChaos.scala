@@ -113,6 +113,63 @@ object ClusterChaos {
       s"streaming result diverged under executor loss: +$d1 -$d2 rows")
     println(s"CHAOS stream OK: executor killed mid-run, " +
       s"${got.count()} windows equal the batch twin")
+
+    // ---- 3. write path: kill an executor inside the INSERT OVERWRITE
+    // write stage. The commit-protocol claim: a halted executor's
+    // in-flight task attempts (files half-written under _temporary /
+    // the dynamic-overwrite staging dir) are DISCARDED, the retried
+    // attempts' files are the only ones promoted at job commit — so
+    // the table holds exactly the source rows, one file per partition
+    // (the repartition clustering survives retry), and no staging
+    // residue remains. This is the fault axis a 100 TB nightly load
+    // actually fears: not wrong answers, duplicated-or-partial FILES.
+    val marker3 = s"$root/kill_write"
+    spark.sql("DROP TABLE IF EXISTS graft_chaos_cat")
+    spark.sql(
+      s"""CREATE TABLE graft_chaos_cat
+         |  (o_orderkey BIGINT, o_totalprice DOUBLE, om STRING)
+         |USING parquet PARTITIONED BY (om) LOCATION '$root/cat'""".stripMargin)
+    val srcW = graft.core.Tables.orders(spark, sfDir)
+      .select(col("o_orderkey"), col("o_totalprice"),
+        date_format(col("o_orderdate"), "yyyy-MM").as("om"))
+    val expectedW = srcW.groupBy("om")
+      .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("s"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    // repartition BEFORE the kill hook: mapPartitions preserves the
+    // clustering physically, so the kill fires inside a task of the
+    // WRITE stage (post-shuffle), not the scan stage
+    val armedW = srcW.repartition(col("om")).mapPartitions { it =>
+      killOnce(marker3, driverPid); it
+    }(org.apache.spark.sql.Encoders.row(srcW.schema))
+    armedW.createOrReplaceTempView("graft_chaos_src")
+    spark.sql(
+      """INSERT OVERWRITE TABLE graft_chaos_cat PARTITION (om)
+        |SELECT o_orderkey, o_totalprice, om FROM graft_chaos_src""".stripMargin)
+    require(java.nio.file.Files.exists(java.nio.file.Paths.get(marker3)),
+      "the write-path chaos task never ran")
+    val afterW = spark.table("graft_chaos_cat").groupBy("om")
+      .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("s"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    require(afterW == expectedW,
+      s"table content diverged under executor loss during the write")
+    val catDir = new java.io.File(s"$root/cat")
+    val residue = catDir.listFiles().filter(f =>
+      f.getName == "_temporary" || f.getName.startsWith(".spark-staging"))
+    require(residue.isEmpty,
+      s"staging residue survived job commit: ${residue.map(_.getName).toSeq}")
+    val badDirs = catDir.listFiles().filter(_.isDirectory)
+      .filterNot(f => f.getName.startsWith("_") || f.getName.startsWith("."))
+      .filter { d =>
+        d.listFiles().count(f => f.isFile && !f.getName.startsWith(".") &&
+          !f.getName.startsWith("_")) != 1
+      }
+    require(badDirs.isEmpty,
+      "retry broke the one-file-per-partition clustering (duplicate " +
+        s"or missing part files) in: ${badDirs.map(_.getName).toSeq}")
+    println(s"CHAOS write OK: executor killed inside the INSERT OVERWRITE " +
+      s"write stage; ${expectedW.size} partitions exact, one file each, " +
+      "no staging residue")
+    spark.sql("DROP TABLE graft_chaos_cat")
     spark.stop()
     println("CLUSTER CHAOS OK")
   }

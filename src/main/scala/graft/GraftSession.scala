@@ -83,6 +83,9 @@ object GraftSession {
   def configure(spark: SparkSession): SparkSession = {
     GraftFunctions.register(spark)
     graft.functions.CmsSketch.registerSql(spark)
+    // the post-subquery copy of the range-join rewrite (EXISTS/NOT
+    // EXISTS sandwiches decorrelate after the extension batch runs)
+    graft.plans.RangeBinJoinRule.installLate(spark)
     spark
   }
 

@@ -38,7 +38,51 @@ object Round12Queries {
        |FROM $eventsTable e JOIN w ON e.ts >= w.w_start AND e.ts < w.w_end
        |GROUP BY 1""".stripMargin
 
+  /** The NOT EXISTS twin — events OUTSIDE every maintenance window,
+    * the "exclude the maintenance traffic" query every ops pipeline
+    * writes. Spark decorrelates the NOT EXISTS into a left-ANTI join
+    * carrying the same non-equi sandwich; the rule's semi/anti tier
+    * rewrites it (point on the left, existence semantics absorb the
+    * interval explosion).
+    */
+  private[graft] def rangeAntiJoinSql(eventsTable: String): String =
+    s"""WITH w AS (
+       |  SELECT DISTINCT date_trunc('day', ts) + INTERVAL 1 HOUR AS w_start,
+       |         date_trunc('day', ts) + INTERVAL 7 HOUR AS w_end
+       |  FROM $eventsTable)
+       |SELECT event_type, count(*) AS n_outside,
+       |       round(sum(value), 2) AS sum_value
+       |FROM $eventsTable e
+       |WHERE NOT EXISTS (SELECT 1 FROM w
+       |                  WHERE e.ts >= w.w_start AND e.ts < w.w_end)
+       |GROUP BY 1""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // NOT EXISTS window exclusion through the same extension — the
+    // anti-join tier of RangeBinJoinRule certified on the driver
+    // surface with one SQL text run verbatim by both engines.
+    "range_antijoin_auto" -> { (s, dir) =>
+      val key = plans.RangeBinJoinRule.BinSecondsKey
+      plans.RangeBinJoinRule.installLate(s)
+      val prev = s.conf.getOption(key)
+      s.conf.set(key, "3600")
+      try {
+        Tables.events(s, dir).createOrReplaceTempView("rja_events")
+        val df = s.sql(rangeAntiJoinSql("rja_events"))
+        val plan = df.queryExecution.explainString(FormattedMode)
+        require(!plan.contains("BroadcastNestedLoopJoin") &&
+                !plan.contains("CartesianProduct"),
+          s"anti-join sandwich still planned as a nested loop:\n$plan")
+        require(plan.contains("_graft_pbucket"),
+          s"bucket key missing — the anti rewrite did not fire:\n$plan")
+        val out = CoreQueries.scratchDir("range_antijoin_auto")
+        df.write.mode("overwrite").parquet(out)
+        s.read.parquet(out)
+      } finally prev match {
+        case Some(v) => s.conf.set(key, v)
+        case None    => s.conf.unset(key)
+      }
+    },
     // The optimizer-extension certification. The rule is gated on its
     // conf, so it is enabled for exactly this query's optimization and
     // the result is materialized under it (eager write + read-back —
@@ -372,6 +416,7 @@ object Round12Queries {
 
   def oracleSql: Map[String, String] = Map(
     "range_join_auto" -> rangeJoinSql("events"),
+    "range_antijoin_auto" -> rangeAntiJoinSql("events"),
 
     "cdc_snapshot_diff" ->
       """WITH base AS (SELECT o_orderkey, o_orderstatus FROM orders),

@@ -2,7 +2,7 @@ package graft.plans
 
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.catalyst.plans.Inner
+import org.apache.spark.sql.catalyst.plans.{Inner, JoinType, LeftAnti, LeftSemi}
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types.{DateType, LongType, TimestampType}
@@ -26,6 +26,24 @@ object RangeBinJoinRule {
     * `0` (the default) disables the rule entirely.
     */
   val BinSecondsKey = "spark.graft.rangeJoin.binSeconds"
+
+  /** Install the rule ALSO into the post-subquery optimizer position
+    * (`experimental.extraOptimizations` — the "User Provided
+    * Optimizers" batch). The extension-injected copy runs inside the
+    * operator-optimization fixpoint, which sits BEFORE
+    * `RewriteSubquery` — so a correlated `EXISTS` / `NOT EXISTS`
+    * time-window predicate is still a `Filter(Exists...)` when that
+    * copy looks, and only becomes the semi/anti Join this rule matches
+    * after decorrelation. The late copy catches exactly those; the
+    * equi-conjunct guard keeps the two copies from double-rewriting.
+    * Idempotent per session; GraftSession.configure calls it.
+    */
+  def installLate(spark: SparkSession): Unit = synchronized {
+    if (!spark.experimental.extraOptimizations
+        .exists(_.isInstanceOf[RangeBinJoinRule]))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ RangeBinJoinRule(spark)
+  }
 }
 
 /** Automatic point-in-interval join rewrite — the optimizer-rule form
@@ -52,8 +70,13 @@ object RangeBinJoinRule {
   *     duplicate and no post-join dedup is needed.
   *
   * Eligibility (deliberately narrow — a rewrite that fires on plans
-  * the planner already handles well would be a pessimization): inner
-  * join whose condition contains a lower-AND-upper bound sandwich on
+  * the planner already handles well would be a pessimization): an
+  * inner, left-semi, or left-anti join (the latter two are how
+  * `EXISTS` / `NOT EXISTS` time-window predicates plan; for them the
+  * point must sit on the LEFT — existence semantics absorb the
+  * interval side's explosion, but an exploded OUTPUT side would
+  * duplicate rows) whose condition contains a lower-AND-upper bound
+  * sandwich on
   * the same point column — any strictness combination of
   * `p >=/> lo AND p </<= hi`, which includes the `BETWEEN` form — on
   * timestamp/long columns with the point on one side and both bounds
@@ -84,8 +107,9 @@ case class RangeBinJoinRule(session: SparkSession)
     if (binSeconds <= 0L) return plan
     val binMicros = binSeconds * 1000000L
     plan.transformUp {
-      case j @ Join(left, right, Inner, Some(cond), hint) =>
-        rewrite(j, left, right, cond, hint, binMicros).getOrElse(j)
+      case j @ Join(left, right, jt @ (Inner | LeftSemi | LeftAnti),
+          Some(cond), hint) =>
+        rewrite(j, jt, left, right, cond, hint, binMicros).getOrElse(j)
     }
   }
 
@@ -104,7 +128,8 @@ case class RangeBinJoinRule(session: SparkSession)
     case _ => None
   }
 
-  private def rewrite(j: Join, left: LogicalPlan, right: LogicalPlan,
+  private def rewrite(j: Join, jt: JoinType,
+                      left: LogicalPlan, right: LogicalPlan,
                       cond: Expression, hint: JoinHint,
                       binMicros: Long): Option[LogicalPlan] = {
     val conjuncts = splitConjunctivePredicates(cond)
@@ -156,6 +181,12 @@ case class RangeBinJoinRule(session: SparkSession)
       loSide <- sideOf(lo.references)
       hiSide <- sideOf(hi.references)
       if (loSide eq hiSide) && !(loSide eq pSide)
+      // EXISTS/NOT EXISTS (semi/anti): output is the left side alone,
+      // and existence semantics absorb the interval explosion's row
+      // duplication — but ONLY when the exploded side is the RIGHT.
+      // A point on the right would put the explosion under the left,
+      // duplicating output rows; skip that orientation.
+      if jt == Inner || (pSide eq j.left)
       pM  <- micros(p1)
       loM <- micros(lo)
       hiM <- micros(hi)
@@ -196,7 +227,7 @@ case class RangeBinJoinRule(session: SparkSession)
           if (pSide eq j.left) (newPoints, newIntervals)
           else (newIntervals, newPoints)
         Project(j.output,
-          Join(nl, nr, Inner, Some(And(bucketEq, cond)), hint))
+          Join(nl, nr, jt, Some(And(bucketEq, cond)), hint))
     }
   }
 }

@@ -40,8 +40,8 @@ class SqlSurfaceSpec extends SparkFunSuite {
     // runs its oracle text through Spark WITHOUT the rewrite rule here —
     // the nested-loop plan at fixture scale — proving the rule changes
     // the plan, never the answer)
-    "range_join_auto", "cdc_snapshot_diff", "compact_small_files",
-    "rollup_incremental", "unpivot_metrics")
+    "range_join_auto", "range_antijoin_auto", "cdc_snapshot_diff",
+    "compact_small_files", "rollup_incremental", "unpivot_metrics")
 
   private def canon(df: DataFrame): Seq[String] = {
     val cols = df.columns.sorted.toSeq

@@ -166,6 +166,45 @@ class RangeBinJoinSpec extends graft.SparkFunSuite {
     }
   }
 
+  test("EXISTS / NOT EXISTS sandwiches (semi/anti) rewrite and agree with raw") {
+    val semiRaw = events.join(windows,
+        col("ts") >= col("w_start") && col("ts") < col("w_end"), "left_semi")
+      .select("event_id").as[Long].collect().sorted.toSeq
+    val antiRaw = events.join(windows,
+        col("ts") >= col("w_start") && col("ts") < col("w_end"), "left_anti")
+      .select("event_id").as[Long].collect().sorted.toSeq
+    withBin(3600L) {
+      val semi = events.join(windows,
+        col("ts") >= col("w_start") && col("ts") < col("w_end"), "left_semi")
+      val anti = events.join(windows,
+        col("ts") >= col("w_start") && col("ts") < col("w_end"), "left_anti")
+      for (df <- Seq(semi, anti)) {
+        val p = planOf(df)
+        assert(!p.contains("BroadcastNestedLoopJoin") &&
+               !p.contains("CartesianProduct"),
+          s"semi/anti sandwich not rewritten:\n$p")
+      }
+      assert(semi.select("event_id").as[Long].collect().sorted.toSeq == semiRaw)
+      assert(anti.select("event_id").as[Long].collect().sorted.toSeq == antiRaw)
+      // semi ∪ anti partitions the left exactly
+      assert((semiRaw ++ antiRaw).sorted == events.select("event_id")
+        .as[Long].collect().sorted.toSeq)
+    }
+  }
+
+  test("semi with the point on the RIGHT is left alone (explosion would duplicate output)") {
+    def q = windows.join(events,
+      col("ts") >= col("w_start") && col("ts") < col("w_end"), "left_semi")
+    val raw = q.count()
+    withBin(3600L) {
+      // output side = windows; the point (ts) lives on the right —
+      // rewriting would explode the OUTPUT side and duplicate rows
+      assert(!planOf(q).contains("_graft_pbucket"),
+        "right-point semi join must not be rewritten")
+      assert(q.count() == raw)
+    }
+  }
+
   test("a join that already has an equi key is left alone") {
     val l = Seq((1L, "2024-01-01 03:00:00"))
       .toDF("k", "s").select(col("k"), to_timestamp(col("s")).as("ts"))

@@ -272,6 +272,33 @@ object Round12Queries {
           md5(col("chunk")).as("chunk_md5"))
     },
 
+    // Robust anomaly detection — median/MAD outlier flagging per event
+    // type, the metric-quality screen that survives the heavy tails
+    // that break z-scores. Two aggregation passes over events with the
+    // tiny per-type stats broadcast back between them (no events-side
+    // re-shuffle beyond the groupBys). Values are quantized to integer
+    // cents FIRST: every median/MAD is then an exact .0/.25-step
+    // double in BOTH engines, so the 3×MAD threshold compare cannot
+    // flip on a ulp (exact percentile here; at 100 TB swap in the
+    // approx_percentile sketch — certified separately by
+    // stats_quantiles_approx).
+    "events_anomaly_mad" -> { (s, dir) =>
+      val v = Tables.events(s, dir).select(col("event_type"),
+        expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").as("vc"))
+      val m = v.groupBy("event_type")
+        .agg(expr("percentile(vc, 0.5)").as("med"))
+      val d = v.join(broadcast(m), "event_type")
+        .withColumn("dev", abs(col("vc") - col("med")))
+      val md = d.groupBy("event_type")
+        .agg(expr("percentile(dev, 0.5)").as("mad"))
+      d.join(broadcast(md), "event_type")
+        .groupBy("event_type")
+        .agg(max("med").as("med"), max("mad").as("mad"),
+          count(lit(1)).as("n"),
+          sum(when(col("dev") > lit(3) * col("mad"), 1L).otherwise(0L))
+            .as("n_outliers"))
+    },
+
     // Triangle counting on the near-dup similarity graph — the graph
     // statistic beyond connected components (triangle density separates
     // a genuine duplicate CLUSTER from a chain of borderline pairs).
@@ -482,6 +509,25 @@ object Round12Queries {
         |FROM documents,
         |     unnest(generate_series(0,
         |       (greatest(length(text), 1) - 1) // 180)) AS t(k)""".stripMargin,
+
+    "events_anomaly_mad" ->
+      """WITH v AS (
+        |  SELECT event_type, CAST(floor(value * 100 + 0.5) AS BIGINT) AS vc
+        |  FROM events),
+        |m AS (SELECT event_type, quantile_cont(vc, 0.5) AS med
+        |      FROM v GROUP BY 1),
+        |d AS (SELECT v.event_type, abs(v.vc - m.med) AS dev
+        |      FROM v JOIN m ON v.event_type = m.event_type),
+        |md AS (SELECT event_type, quantile_cont(dev, 0.5) AS mad
+        |       FROM d GROUP BY 1)
+        |SELECT d.event_type, max(m.med) AS med, max(md.mad) AS mad,
+        |       count(*) AS n,
+        |       CAST(sum(CASE WHEN d.dev > 3 * md.mad THEN 1 ELSE 0 END)
+        |            AS BIGINT) AS n_outliers
+        |FROM d
+        |JOIN m ON d.event_type = m.event_type
+        |JOIN md ON d.event_type = md.event_type
+        |GROUP BY 1""".stripMargin,
 
     "graph_triangles" ->
       s"""WITH tok AS (

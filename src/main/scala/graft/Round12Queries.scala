@@ -272,6 +272,37 @@ object Round12Queries {
           md5(col("chunk")).as("chunk_md5"))
     },
 
+    // Containment near-dup — the ASYMMETRIC overlap measure
+    // |A∩B| / min(|A|,|B|): a short document embedded verbatim in a
+    // longer one scores ~1.0 here while symmetric Jaccard (the X2
+    // tier) scores it low — exactly the quote/aggregation-page shape
+    // corpus dedup needs a second lens for. No size-ratio prefilter CAN
+    // apply (the size mismatch is the target), so this is the exact
+    // all-pairs baseline on the 300-doc certification prefix, with the
+    // same codegen'd sorted-intersect kernel inside the join condition;
+    // the scale path buckets by the SMALL side's MinHash (its signature
+    // is what containment preserves) through the existing LSH
+    // machinery.
+    "dedup_containment" -> { (s, dir) =>
+      graft.functions.GraftFunctions.register(s)
+      val sets = Tables.documents(s, dir).filter(col("doc_id") < 300)
+        .select(col("doc_id").as("id"),
+          graft.ext.Text.hashedShingleSet(col("text"), 1).as("sh"))
+        .withColumn("sz", size(col("sh"))).filter(col("sz") > 0)
+      val par = s.sparkContext.defaultParallelism
+      val a = sets.repartition(par)
+        .select(col("id").as("id_a"), col("sh").as("s_a"), col("sz").as("sz_a"))
+      val b = sets
+        .select(col("id").as("id_b"), col("sh").as("s_b"), col("sz").as("sz_b"))
+      def inter = call_function(
+        "graft_sorted_intersect_count", col("s_a"), col("s_b")).cast("double")
+      a.join(b,
+          col("id_a") < col("id_b") &&
+          inter >= lit(0.9) * least(col("sz_a"), col("sz_b")))
+        .select(col("id_a"), col("id_b"),
+          round(inter / least(col("sz_a"), col("sz_b")), 6).as("containment"))
+    },
+
     // Robust anomaly detection — median/MAD outlier flagging per event
     // type, the metric-quality screen that survives the heavy tails
     // that break z-scores. Two aggregation passes over events with the
@@ -509,6 +540,22 @@ object Round12Queries {
         |FROM documents,
         |     unnest(generate_series(0,
         |       (greatest(length(text), 1) - 1) // 180)) AS t(k)""".stripMargin,
+
+    "dedup_containment" ->
+      s"""WITH tok AS (
+         |  SELECT DISTINCT doc_id, unnest($TokensSql) AS tok
+         |  FROM documents WHERE doc_id < 300),
+         |sz AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY 1),
+         |inter AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+         |  FROM tok a JOIN tok b ON a.tok = b.tok AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT id_a, id_b,
+         |       round(i / least(sa.n, sb.n), 6) AS containment
+         |FROM inter
+         |JOIN sz sa ON sa.doc_id = id_a
+         |JOIN sz sb ON sb.doc_id = id_b
+         |WHERE i / least(sa.n, sb.n) >= 0.9""".stripMargin,
 
     "events_anomaly_mad" ->
       """WITH v AS (

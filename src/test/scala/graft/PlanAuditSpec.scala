@@ -92,7 +92,11 @@ class PlanAuditSpec extends SparkFunSuite {
       // edges from the exact-Jaccard pair baseline (the 300-doc
       // certification prefix) + 1-row summary crosses; the triangle
       // machinery itself is all equi-joins
-      "graph_triangles")
+      "graph_triangles",
+      // asymmetric containment has no size-ratio prefilter BY DESIGN
+      // (the size mismatch is the target) — exact all-pairs on the
+      // same 300-doc prefix
+      "dedup_containment")
     // The streaming-execution queries run a full AvailableNow stream at
     // CONSTRUCTION and return a scan of the sink — planning them here
     // would execute seconds of streaming work to audit a trivial

@@ -40,6 +40,15 @@ object Warehouse {
                  key: String, partCol: String): DataFrame = {
     val touched = affectedPartitions(changes, partCol)
     require(touched.nonEmpty, "mergeByKey: empty change set")
+    // a null partition value would collect as null and `isin(null)`
+    // evaluates to NULL — the scoped read would silently EXCLUDE the
+    // default (__HIVE_DEFAULT_PARTITION__) partition's base rows while
+    // still unioning the null-keyed change rows in, so those keys are
+    // never anti-joined against their base. Refuse loudly instead.
+    require(!touched.contains(null),
+      s"mergeByKey: change set has a NULL $partCol — null-partition " +
+        "merges are not supported (isin(null) cannot scope the read); " +
+        "route null-keyed changes to a dedicated default-partition pass")
     val scoped = base.filter(col(partCol).isin(touched: _*))
     scoped.join(changes.select(col(key)), Seq(key), "left_anti")
       .unionByName(changes)

@@ -2,6 +2,7 @@ package graft.plans
 
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.aggregate
 import org.apache.spark.sql.catalyst.plans.{Inner, JoinType, LeftAnti, LeftSemi}
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
@@ -23,9 +24,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
 object RangeBinJoinRule {
   /** Bin width in seconds for the automatic range-join rewrite;
-    * `0` (the default) disables the rule entirely.
+    * `0` (the default) disables the rule entirely; `auto` derives the
+    * width from the interval side's max interval length at rewrite
+    * time (one scalar side job, DPP-style).
     */
   val BinSecondsKey = "spark.graft.rangeJoin.binSeconds"
+
+  /** Upper bound on an explicit bin width (~10 years). The guard is
+    * not taste: `binSeconds * 1000000L` silently overflows Long for
+    * absurd values, and the rule runs on EVERY plan of the session —
+    * a malformed conf must never become a wrong plan.
+    */
+  val MaxBinSeconds: Long = 86400L * 3653
 
   /** Install the rule ALSO into the post-subquery optimizer position
     * (`experimental.extraOptimizations` — the "User Provided
@@ -102,16 +112,66 @@ case class RangeBinJoinRule(session: SparkSession)
   import RangeBinJoinRule._
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
-    val binSeconds =
-      conf.getConfString(BinSecondsKey, "0").toLong
-    if (binSeconds <= 0L) return plan
-    val binMicros = binSeconds * 1000000L
-    plan.transformUp {
-      case j @ Join(left, right, jt @ (Inner | LeftSemi | LeftAnti),
-          Some(cond), hint) =>
-        rewrite(j, jt, left, right, cond, hint, binMicros).getOrElse(j)
+    // Robust conf parse: the rule runs inside the optimizer on EVERY
+    // query of the session — a malformed value must disable the rewrite
+    // (with a warning), never throw and fail unrelated queries.
+    // `None` = disabled; `Some(None)` = auto width; `Some(Some(w))` =
+    // fixed width in microseconds, bounded so the multiply cannot
+    // overflow.
+    val width: Option[Option[Long]] =
+      conf.getConfString(BinSecondsKey, "0").trim match {
+        case "" | "0"                        => None
+        case a if a.equalsIgnoreCase("auto") => Some(None)
+        case s => s.toLongOption match {
+          case Some(v) if v >= 1L && v <= MaxBinSeconds =>
+            Some(Some(v * 1000000L))
+          case _ =>
+            logWarning(s"$BinSecondsKey='$s' is not 'auto' or an integer " +
+              s"in [1, $MaxBinSeconds]; range-join rewrite disabled")
+            None
+        }
+      }
+    width match {
+      case None => plan
+      case Some(fixed) => plan.transformUp {
+        case j @ Join(left, right, jt @ (Inner | LeftSemi | LeftAnti),
+            Some(cond), hint) =>
+          rewrite(j, jt, left, right, cond, hint, fixed).getOrElse(j)
+      }
     }
   }
+
+  /** Auto mode: the bin width is the interval side's LONGEST interval,
+    * measured at rewrite time by one scalar aggregation over the
+    * interval subplan (the DPP idiom — a side job feeding a planning
+    * decision). With w = max(hi - lo), every interval explodes into at
+    * most TWO buckets, the amplification-optimal width when interval
+    * lengths are of the same order; the side job scans only the
+    * interval side — the windows/dimension relation of every
+    * point-in-interval join, orders of magnitude smaller than the
+    * points side the rewrite saves from the nested loop. An empty or
+    * all-degenerate interval side yields no width and the rewrite is
+    * skipped (the original join is already trivially cheap); a failed
+    * side job likewise falls back to the unrewritten plan — the rule
+    * must never turn a slow plan into a broken one.
+    */
+  private def autoBinMicros(
+      iSide: LogicalPlan, loM: Expression, hiM: Expression): Option[Long] =
+    try {
+      val len = Alias(
+        new aggregate.Max(Subtract(hiM, loM)).toAggregateExpression(),
+        "_graft_max_interval")()
+      val row = org.apache.spark.sql.graft.GraftSqlShim
+        .ofRows(session, Aggregate(Nil, Seq(len), iSide)).collect().head
+      if (row.isNullAt(0) || row.getLong(0) <= 0L) None
+      else Some(math.min(math.max(row.getLong(0), 1000000L),
+        MaxBinSeconds * 1000000L))
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        logWarning("auto bin-width side job failed; " +
+          "range-join rewrite skipped", e)
+        None
+    }
 
   /** `e` as a microseconds-since-epoch long, if its type supports it.
     * DateType routes through a session-zone cast to timestamp — the
@@ -131,7 +191,7 @@ case class RangeBinJoinRule(session: SparkSession)
   private def rewrite(j: Join, jt: JoinType,
                       left: LogicalPlan, right: LogicalPlan,
                       cond: Expression, hint: JoinHint,
-                      binMicros: Long): Option[LogicalPlan] = {
+                      fixedBinMicros: Option[Long]): Option[LogicalPlan] = {
     val conjuncts = splitConjunctivePredicates(cond)
     def crossSide(a: Expression, b: Expression): Boolean =
       (a.references.nonEmpty && b.references.nonEmpty) &&
@@ -192,8 +252,9 @@ case class RangeBinJoinRule(session: SparkSession)
       hiM <- micros(hi)
     } yield (pSide, pM, loSide, lo, loM, hi, hiM, upperStrict)
 
-    sandwich.headOption.map {
+    sandwich.headOption.flatMap {
       case (pSide, pM, iSide, lo, loM, hi, hiM, upperStrict) =>
+        fixedBinMicros.orElse(autoBinMicros(iSide, loM, hiM)).map { binMicros =>
         val w = Literal(binMicros)
         val pBucket = Alias(IntegralDivide(pM, w), "_graft_pbucket")()
         val newPoints = Project(pSide.output :+ pBucket, pSide)
@@ -228,6 +289,7 @@ case class RangeBinJoinRule(session: SparkSession)
           else (newIntervals, newPoints)
         Project(j.output,
           Join(nl, nr, jt, Some(And(bucketEq, cond)), hint))
+        }
     }
   }
 }

@@ -15,15 +15,18 @@ import graft.core.{RangeJoin, Tables}
 class RangeBinJoinSpec extends graft.SparkFunSuite {
   import spark.implicits._
 
-  private def withBin[A](seconds: Long)(body: => A): A = {
+  private def withBinStr[A](value: String)(body: => A): A = {
     val key = RangeBinJoinRule.BinSecondsKey
     val prev = spark.conf.getOption(key)
-    spark.conf.set(key, seconds.toString)
+    spark.conf.set(key, value)
     try body finally prev match {
       case Some(v) => spark.conf.set(key, v)
       case None    => spark.conf.unset(key)
     }
   }
+
+  private def withBin[A](seconds: Long)(body: => A): A =
+    withBinStr(seconds.toString)(body)
 
   private def events = Tables.events(spark, sf001)
     .select(col("event_id"), col("user_id"), col("ts"), col("value"))
@@ -218,6 +221,98 @@ class RangeBinJoinSpec extends graft.SparkFunSuite {
       assert(!planOf(df).contains("_graft_pbucket"),
         "an equi-keyed join must not pay the interval explosion")
       assert(df.count() == 1L)
+    }
+  }
+
+  test("auto width: rewrite fires with a data-derived bin, same rows") {
+    val expected = naturalJoin.select(col("event_id"), col("w_start"))
+      .as[(Long, java.sql.Timestamp)].collect().sorted.toSeq
+    withBinStr("auto") {
+      val df = naturalJoin
+      val plan = planOf(df)
+      assert(plan.contains("_graft_pbucket") &&
+             !plan.contains("BroadcastNestedLoopJoin") &&
+             !plan.contains("CartesianProduct"),
+        s"auto mode did not rewrite:\n$plan")
+      val got = df.select(col("event_id"), col("w_start"))
+        .as[(Long, java.sql.Timestamp)].collect().sorted.toSeq
+      assert(got == expected)
+    }
+  }
+
+  test("auto width: mixed-strictness sweep agrees with the raw predicate") {
+    // every strictness combination of the sandwich, each with the bin
+    // width derived from the interval statistics rather than a conf —
+    // boundary points sit exactly on interval ends to arm the
+    // off-by-one traps the width derivation could reintroduce
+    val pts = Seq(
+      ("2024-01-01 02:00:00", 1L), // == lo
+      ("2024-01-01 03:00:00", 2L), // interior
+      ("2024-01-01 04:00:00", 3L), // == hi
+      ("2024-01-01 05:00:00", 4L)  // outside
+    ).toDF("s", "id").select(to_timestamp(col("s")).as("ts"), col("id"))
+    val iv = Seq(
+      ("2024-01-01 02:00:00", "2024-01-01 04:00:00"),
+      ("2024-01-01 07:00:00", "2024-01-01 07:30:00")
+    ).toDF("a", "b")
+      .select(to_timestamp(col("a")).as("lo"), to_timestamp(col("b")).as("hi"))
+    val combos = Seq[(org.apache.spark.sql.Column, Seq[Long])](
+      (col("ts") >= col("lo") && col("ts") <  col("hi"), Seq(1L, 2L)),
+      (col("ts") >  col("lo") && col("ts") <  col("hi"), Seq(2L)),
+      (col("ts") >= col("lo") && col("ts") <= col("hi"), Seq(1L, 2L, 3L)),
+      (col("ts") >  col("lo") && col("ts") <= col("hi"), Seq(2L, 3L)))
+    withBinStr("auto") {
+      for ((cond, want) <- combos) {
+        val df = pts.join(iv, cond)
+        assert(planOf(df).contains("_graft_pbucket"),
+          s"auto rewrite missed a strictness combo: $cond")
+        assert(df.select("id").as[Long].collect().sorted.toSeq == want,
+          s"wrong rows for $cond")
+      }
+    }
+  }
+
+  test("auto width: extra cross-side non-equi conjunct stays residual") {
+    // a second (non-sandwich) cross-side predicate must ride along as a
+    // residual on the rewritten equi join, not block the rewrite
+    val raw = events.join(windows,
+        col("ts") >= col("w_start") && col("ts") < col("w_end") &&
+          col("value") >= unix_micros(col("w_start")) * lit(0.0))
+      .select("event_id").as[Long].collect().sorted.toSeq
+    withBinStr("auto") {
+      val df = events.join(windows,
+        col("ts") >= col("w_start") && col("ts") < col("w_end") &&
+          col("value") >= unix_micros(col("w_start")) * lit(0.0))
+      val p = planOf(df)
+      assert(p.contains("_graft_pbucket") &&
+        !p.contains("BroadcastNestedLoopJoin"), p)
+      assert(df.select("event_id").as[Long].collect().sorted.toSeq == raw)
+    }
+  }
+
+  test("auto width: empty interval side skips the rewrite without failing") {
+    val pts = Seq(("2024-01-01 03:00:00", 1L))
+      .toDF("s", "id").select(to_timestamp(col("s")).as("ts"), col("id"))
+    val iv = Seq(("2024-01-01 02:00:00", "2024-01-01 04:00:00"))
+      .toDF("a", "b")
+      .select(to_timestamp(col("a")).as("lo"), to_timestamp(col("b")).as("hi"))
+      .filter(lit(false))
+    withBinStr("auto") {
+      assert(pts.join(iv,
+        col("ts") >= col("lo") && col("ts") < col("hi")).count() == 0L)
+    }
+  }
+
+  test("malformed / out-of-range conf disables the rewrite, never throws") {
+    for (bad <- Seq("garbage", "-5", "1e6", "999999999999999999999",
+        (RangeBinJoinRule.MaxBinSeconds + 1).toString)) {
+      withBinStr(bad) {
+        val df = naturalJoin
+        assert(!planOf(df).contains("_graft_pbucket"),
+          s"conf '$bad' must disable the rewrite")
+        // and every subsequent query on the session still optimizes
+        assert(df.count() > 0L)
+      }
     }
   }
 

@@ -194,9 +194,17 @@ object Round12Queries {
     "rollup_incremental" -> { (s, dir) =>
       val cutoff = "2001-06-01"
       val orders = Tables.orders(s, dir)
+      // prices quantized to integer CENTS before any aggregation: the
+      // store-then-reaggregate sum is then exact integer arithmetic in
+      // any re-aggregation order (a stored double sum re-summed would
+      // sit an order-dependent ulp away from the full recompute and
+      // could flip the hash-exact oracle at a rounding boundary — the
+      // same quantize-first discipline as events_anomaly_mad)
       def monthly(df: DataFrame): DataFrame =
         df.groupBy(date_trunc("month", col("o_orderdate")).as("om"))
-          .agg(count(lit(1)).as("n_orders"), sum("o_totalprice").as("sum_price"))
+          .agg(count(lit(1)).as("n_orders"),
+            sum(expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)"))
+              .as("sum_cents"))
       val store = CoreQueries.scratchDir("rollup_incremental") + "/store"
       monthly(orders.filter(col("o_orderdate") < lit(cutoff)))
         .write.mode("overwrite").parquet(store)
@@ -204,7 +212,7 @@ object Round12Queries {
         .unionByName(monthly(orders.filter(col("o_orderdate") >= lit(cutoff))))
         .groupBy("om")
         .agg(sum("n_orders").as("n_orders"),
-          round(sum("sum_price"), 2).as("sum_price"))
+          (sum("sum_cents") / 100.0).as("sum_price"))
     },
 
     // PII redaction — the curation scrub stage for personal data:
@@ -272,17 +280,15 @@ object Round12Queries {
           md5(col("chunk")).as("chunk_md5"))
     },
 
-    // Containment near-dup — the ASYMMETRIC overlap measure
-    // |A∩B| / min(|A|,|B|): a short document embedded verbatim in a
-    // longer one scores ~1.0 here while symmetric Jaccard (the X2
-    // tier) scores it low — exactly the quote/aggregation-page shape
-    // corpus dedup needs a second lens for. No size-ratio prefilter CAN
-    // apply (the size mismatch is the target), so this is the exact
-    // all-pairs baseline on the 300-doc certification prefix, with the
-    // same codegen'd sorted-intersect kernel inside the join condition;
-    // the scale path buckets by the SMALL side's MinHash (its signature
-    // is what containment preserves) through the existing LSH
-    // machinery.
+    // Containment near-dup, ALL-PAIRS BASELINE LENS — the ASYMMETRIC
+    // overlap measure |A∩B| / min(|A|,|B|): a short document embedded
+    // verbatim in a longer one scores ~1.0 here while symmetric Jaccard
+    // (the X2 tier) scores it low. Round 13 demoted this form to the
+    // verification baseline (capped at the 300-doc certification
+    // prefix, codegen'd sorted-intersect kernel inside the join
+    // condition); the PRODUCTION path is dedup_containment_prefix —
+    // ext.Dedup.containmentPairs, the prefix-filter equi-join that
+    // reproduces the full-corpus answer cartesian-free with recall 1.0.
     "dedup_containment" -> { (s, dir) =>
       graft.functions.GraftFunctions.register(s)
       val sets = Tables.documents(s, dir).filter(col("doc_id") < 300)
@@ -333,39 +339,16 @@ object Round12Queries {
     // Triangle counting on the near-dup similarity graph — the graph
     // statistic beyond connected components (triangle density separates
     // a genuine duplicate CLUSTER from a chain of borderline pairs).
-    // Uses the DEGREE-ORDERED orientation: every edge points from its
-    // lower-degree endpoint (ties by id), making the edge relation a
-    // DAG where each triangle appears as exactly one wedge at its
-    // minimum-degree apex plus one closing edge. That orientation is
-    // the standard distributed-triangle trick — per-node out-degree is
-    // O(√m), so the wedge self-join does O(m^{3/2}) work instead of
-    // Σdeg² (a hub node's quadratic wedge blow-up lands on the node
-    // that can least afford it otherwise). All equi-joins: wedges
-    // shuffle on the apex, closure on the (u,v) pair.
+    // Degree-ordered wedge counting (see ext.Graph.triangleStats). The
+    // edge list comes from the EXACT inverted-index Jaccard join
+    // (round 13: replaced the all-pairs cartesian baseline — same exact
+    // pairs, computed from postings equi-joins, so the production path
+    // is cartesian-free end to end; the only remaining crosses are the
+    // 1-row summary combines). The LSH-fed twin is graph_triangles_lsh.
     "graph_triangles" -> { (s, dir) =>
       val docs = Tables.documents(s, dir).filter(col("doc_id") < 300)
-      val pairs = graft.ext.Dedup
-        .jaccardPairsExact(docs, "doc_id", "text", 0.8)
-        .select("id_a", "id_b")
-      val deg = pairs
-        .select(explode(array(col("id_a"), col("id_b"))).as("id"))
-        .groupBy("id").agg(count(lit(1)).as("deg"))
-      val orientAB = // lower-degree endpoint first, id as tie-break
-        col("da") < col("db") || (col("da") === col("db") && col("id_a") < col("id_b"))
-      val e = pairs
-        .join(deg.select(col("id").as("id_a"), col("deg").as("da")), "id_a")
-        .join(deg.select(col("id").as("id_b"), col("deg").as("db")), "id_b")
-        .select(when(orientAB, col("id_a")).otherwise(col("id_b")).as("src"),
-          when(orientAB, col("id_b")).otherwise(col("id_a")).as("dst"))
-      val wedges = e.select(col("src"), col("dst").as("u"))
-        .join(e.select(col("src"), col("dst").as("v")), "src")
-        .filter(col("u") < col("v"))
-      val triangles = wedges.join(pairs,
-        col("u") === col("id_a") && col("v") === col("id_b"))
-      pairs.agg(count(lit(1)).as("n_edges"))
-        .join(deg.agg(sum((col("deg") * (col("deg") - 1) / 2).cast("long"))
-          .as("n_wedges")))
-        .join(triangles.agg(count(lit(1)).as("n_triangles")))
+      graft.ext.Graph.triangleStats(
+        graft.ext.Dedup.jaccardPairsPostings(docs, "doc_id", "text", 0.8))
     },
 
     // Catalog-table partition lifecycle — the reference's actual DDL
@@ -502,9 +485,14 @@ object Round12Queries {
         |FROM lineitem WHERE l_returnflag = 'R'""".stripMargin,
 
     "rollup_incremental" ->
+      // the DOUBLE cast matters for the SQL-surface differential: Spark
+      // parses the bare literal 100.0 as DECIMAL (BIGINT/DECIMAL →
+      // DECIMAL with trailing zeros) while DuckDB and the DataFrame
+      // path divide as doubles
       """SELECT date_trunc('month', o_orderdate) AS om,
         |       count(*) AS n_orders,
-        |       round(sum(o_totalprice), 2) AS sum_price
+        |       CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+        |            AS DOUBLE) / 100.0 AS sum_price
         |FROM orders GROUP BY 1""".stripMargin,
 
     "pii_scrub" ->

@@ -1,0 +1,252 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.execution.FormattedMode
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.ext.{Dedup, Graph}
+
+/** Round-13 depth queries.
+  *
+  * Headliners close the two scale gaps the round-12 verdict named:
+  *  - `dedup_containment_prefix` — the PRODUCTION containment join
+  *    (prefix-filter equi-joins, ext.Dedup.containmentPairs) over the
+  *    FULL corpus, oracle-certified identical to the all-pairs lens
+  *    (recall 1.0 by construction, not sampled);
+  *  - `events_anomaly_mad_approx` — the median/MAD anomaly screen on
+  *    approx_percentile sketches (fixed-size mergeable state — the
+  *    100 TB memory shape) with tolerance verdicts against the exact
+  *    screen.
+  * Plus `graph_triangles_lsh` (triangles on the forced-LSH near-dup
+  * graph, recall-pinned against the exact graph).
+  */
+object Round13Queries {
+
+  private val TokensSql =
+    """list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0)"""
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // The scalable containment join: prefix-filter candidates (rarest-
+    // first global shingle order, floor((1-t)·|A|)+1-length prefixes,
+    // smaller-set-prefix × full-inverted-index equi join) + exact
+    // sorted-intersect verification. Runs over the WHOLE documents
+    // table — no certification cap — because the plan is equi-joins end
+    // to end; the oracle recomputes the full-corpus answer exactly, so
+    // this certifies recall 1.0 against the all-pairs lens rather than
+    // sampling it.
+    "dedup_containment_prefix" -> { (s, dir) =>
+      Dedup.containmentPairs(Tables.documents(s, dir), "doc_id", "text", 0.9)
+    },
+
+    // Robust anomaly detection, SKETCH FORM — the 100 TB memory shape
+    // of events_anomaly_mad: exact per-group percentile buffers every
+    // value per group in executor memory (with a handful of event types
+    // that is an OOM at scale, not a slowdown); approx_percentile is a
+    // fixed-size mergeable sketch. Both medians (value and deviation)
+    // ride the sketch; the exact screen is computed alongside for the
+    // verdicts. Quantized to integer cents first (same discipline as
+    // the exact twin). Tolerance: sketch medians within 5% (or one
+    // dollar) of exact — accuracy 10000 → rank error ~n/10⁴, far inside
+    // — and the outlier count within 2% of n (or 5 rows): dev > 3·MAD
+    // decisions can flip only for rows within the sketch error band of
+    // the threshold.
+    "events_anomaly_mad_approx" -> { (s, dir) =>
+      val v = Tables.events(s, dir).select(col("event_type"),
+        expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").as("vc"))
+      val m = v.groupBy("event_type").agg(
+        expr("percentile(vc, 0.5)").as("med"),
+        expr("approx_percentile(vc, 0.5, 10000)").cast("double").as("med_a"))
+      val d = v.join(broadcast(m), "event_type")
+        .withColumn("dev", abs(col("vc") - col("med")))
+        .withColumn("dev_a", abs(col("vc") - col("med_a")))
+      val md = d.groupBy("event_type").agg(
+        expr("percentile(dev, 0.5)").as("mad"),
+        expr("approx_percentile(dev_a, 0.5, 10000)").cast("double").as("mad_a"))
+      d.join(broadcast(md), "event_type")
+        .groupBy("event_type")
+        .agg(max("med").as("med"), max("mad").as("mad"),
+          count(lit(1)).as("n"),
+          sum(when(col("dev") > lit(3) * col("mad"), 1L).otherwise(0L))
+            .as("n_outliers"),
+          (abs(max("med_a") - max("med")) <=
+            greatest(lit(0.05) * abs(max("med")), lit(100.0)))
+            .as("med_within"),
+          (abs(max("mad_a") - max("mad")) <=
+            greatest(lit(0.05) * abs(max("mad")), lit(100.0)))
+            .as("mad_within"),
+          (abs(
+            sum(when(col("dev_a") > lit(3) * col("mad_a"), 1L).otherwise(0L)) -
+            sum(when(col("dev") > lit(3) * col("mad"), 1L).otherwise(0L)))
+            .cast("double") <=
+            greatest(lit(0.02) * count(lit(1)), lit(5.0)))
+            .as("outliers_within"))
+    },
+
+    // Remote-warehouse reconcile over JDBC — the reference's ACTUAL job
+    // shape (two live warehouse connections, configuration.properties
+    // host/port/user/password per side) through a real network
+    // endpoint: side A is read back from an in-process HiveServer2 via
+    // `spark.read.jdbc` as 8 range-sliced remote queries (stride
+    // partitioning on o_orderkey), side B is the local table with a
+    // deterministic drift (keys %97 missing, prices %53 corrected) so
+    // both engines reconstruct identical inputs. The requires pin what
+    // matters at 100 TB: the o_custkey predicate is PUSHED into the
+    // remote scan (GraftHiveDialect backtick quoting makes that sound —
+    // the default dialect's double quotes would turn it into a string
+    // literal server-side) and the scan is genuinely partitioned.
+    // Downstream is the canonical full-outer reconcile keyed on
+    // o_orderkey.
+    "reconcile_jdbc" -> { (s, dir) =>
+      import graft.sources.JdbcWarehouse
+      val port = JdbcWarehouse.ensureServer(s)
+      val orders = Tables.orders(s, dir)
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+      val tbl = JdbcWarehouse.publish(orders, "graft_jdbc_orders")
+      val bounds = orders.agg(min("o_orderkey"), max("o_orderkey")).head
+      val remote = JdbcWarehouse.readTable(s, port, tbl,
+          "o_orderkey", bounds.getLong(0), bounds.getLong(1) + 1, 8)
+        .filter(col("o_custkey") < 500)
+      val plan = remote.queryExecution.explainString(FormattedMode)
+      require("PushedFilters: \\[[^\\]]*o_custkey"
+          .r.findFirstIn(plan).isDefined,
+        s"o_custkey predicate not pushed into the JDBC scan:\n$plan")
+      require(plan.contains("numPartitions=8"),
+        s"JDBC scan is not range-partitioned:\n$plan")
+      val a = remote.select(col("o_orderkey").as("ak"),
+        col("o_orderstatus").as("a_status"), col("o_totalprice").as("a_price"))
+      val b = orders.filter(col("o_custkey") < 500)
+        .filter(col("o_orderkey") % 97 =!= 0)
+        .select(col("o_orderkey").as("bk"),
+          col("o_orderstatus").as("b_status"),
+          when(col("o_orderkey") % 53 === 0, col("o_totalprice") * 1.1)
+            .otherwise(col("o_totalprice")).as("b_price"))
+      a.join(b, col("ak") === col("bk"), "full_outer")
+        .groupBy(coalesce(col("a_status"), col("b_status")).as("o_orderstatus"))
+        .agg(
+          sum(when(col("ak").isNotNull && col("bk").isNotNull &&
+            col("a_price") === col("b_price"), 1L).otherwise(0L)).as("n_match"),
+          sum(when(col("ak").isNotNull && col("bk").isNotNull &&
+            col("a_price") =!= col("b_price"), 1L).otherwise(0L)).as("n_mismatch"),
+          sum(when(col("bk").isNull, 1L).otherwise(0L)).as("n_only_remote"),
+          sum(when(col("ak").isNull, 1L).otherwise(0L)).as("n_only_local"))
+    },
+
+    // Triangle counting fed by the FORCED MinHash-LSH pair generator
+    // (brute-force cutover disabled — the banding path runs at any
+    // scale), recall-pinned against the exact inverted-index graph.
+    // LSH pairs are exact-verified, so lsh-edges ⊆ exact-edges and the
+    // recall verdicts are one-sided: edges ≥ 0.9 of exact, triangles
+    // ≥ 0.7 (edge recall compounds ~cubically on triangles). The
+    // oracle-checked columns are the exact graph's counts — identical
+    // to graph_triangles — plus the literal-true verdicts.
+    "graph_triangles_lsh" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir).filter(col("doc_id") < 300)
+      val exact = Graph.triangleStats(
+        Dedup.jaccardPairsPostings(docs, "doc_id", "text", 0.8))
+      val lsh = Graph.triangleStats(
+        Dedup.minhashNearDupPairs(docs, "doc_id", "text", 0.8,
+          Dedup.MinHashParams(bruteForceMaxDocs = 0L)))
+        .select(col("n_edges").as("e_lsh"), col("n_triangles").as("t_lsh"))
+      exact.join(lsh)
+        .select(col("n_edges"), col("n_wedges"), col("n_triangles"),
+          (col("e_lsh").cast("double") >= lit(0.9) * col("n_edges"))
+            .as("edges_recall_ok"),
+          (col("t_lsh").cast("double") >= lit(0.7) * col("n_triangles"))
+            .as("triangles_recall_ok"))
+    }
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "dedup_containment_prefix" ->
+      s"""WITH tok AS (
+         |  SELECT DISTINCT doc_id, unnest($TokensSql) AS tok
+         |  FROM documents),
+         |sz AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY 1),
+         |inter AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+         |  FROM tok a JOIN tok b ON a.tok = b.tok AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT id_a, id_b,
+         |       round(i / least(sa.n, sb.n), 6) AS containment
+         |FROM inter
+         |JOIN sz sa ON sa.doc_id = id_a
+         |JOIN sz sb ON sb.doc_id = id_b
+         |WHERE i / least(sa.n, sb.n) >= 0.9""".stripMargin,
+
+    "reconcile_jdbc" ->
+      """WITH a AS (
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice
+        |  FROM orders WHERE o_custkey < 500),
+        |b AS (
+        |  SELECT o_orderkey, o_orderstatus,
+        |         CASE WHEN o_orderkey % 53 = 0 THEN o_totalprice * 1.1
+        |              ELSE o_totalprice END AS o_totalprice
+        |  FROM orders WHERE o_custkey < 500 AND o_orderkey % 97 <> 0)
+        |SELECT coalesce(a.o_orderstatus, b.o_orderstatus) AS o_orderstatus,
+        |       CAST(sum(CASE WHEN a.o_orderkey IS NOT NULL
+        |                      AND b.o_orderkey IS NOT NULL
+        |                      AND a.o_totalprice = b.o_totalprice
+        |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_match,
+        |       CAST(sum(CASE WHEN a.o_orderkey IS NOT NULL
+        |                      AND b.o_orderkey IS NOT NULL
+        |                      AND a.o_totalprice <> b.o_totalprice
+        |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_mismatch,
+        |       CAST(sum(CASE WHEN b.o_orderkey IS NULL THEN 1 ELSE 0 END)
+        |            AS BIGINT) AS n_only_remote,
+        |       CAST(sum(CASE WHEN a.o_orderkey IS NULL THEN 1 ELSE 0 END)
+        |            AS BIGINT) AS n_only_local
+        |FROM a FULL JOIN b ON a.o_orderkey = b.o_orderkey
+        |GROUP BY 1""".stripMargin,
+
+    "events_anomaly_mad_approx" ->
+      """WITH v AS (
+        |  SELECT event_type, CAST(floor(value * 100 + 0.5) AS BIGINT) AS vc
+        |  FROM events),
+        |m AS (SELECT event_type, quantile_cont(vc, 0.5) AS med
+        |      FROM v GROUP BY 1),
+        |d AS (SELECT v.event_type, abs(v.vc - m.med) AS dev
+        |      FROM v JOIN m ON v.event_type = m.event_type),
+        |md AS (SELECT event_type, quantile_cont(dev, 0.5) AS mad
+        |       FROM d GROUP BY 1)
+        |SELECT d.event_type, max(m.med) AS med, max(md.mad) AS mad,
+        |       count(*) AS n,
+        |       CAST(sum(CASE WHEN d.dev > 3 * md.mad THEN 1 ELSE 0 END)
+        |            AS BIGINT) AS n_outliers,
+        |       true AS med_within, true AS mad_within,
+        |       true AS outliers_within
+        |FROM d
+        |JOIN m ON d.event_type = m.event_type
+        |JOIN md ON d.event_type = md.event_type
+        |GROUP BY 1""".stripMargin,
+
+    "graph_triangles_lsh" ->
+      s"""WITH tok AS (
+         |  SELECT DISTINCT doc_id, unnest($TokensSql) AS tok
+         |  FROM documents WHERE doc_id < 300),
+         |sz AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY 1),
+         |inter AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+         |  FROM tok a JOIN tok b ON a.tok = b.tok AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |pairs AS (
+         |  SELECT id_a, id_b FROM inter
+         |  JOIN sz sa ON sa.doc_id = id_a
+         |  JOIN sz sb ON sb.doc_id = id_b
+         |  WHERE i / (sa.n + sb.n - i) >= 0.8),
+         |deg AS (
+         |  SELECT id, count(*) AS d FROM (
+         |    SELECT id_a AS id FROM pairs
+         |    UNION ALL SELECT id_b FROM pairs)
+         |  GROUP BY 1)
+         |SELECT (SELECT count(*) FROM pairs) AS n_edges,
+         |       (SELECT CAST(sum(d * (d - 1) / 2) AS BIGINT) FROM deg)
+         |         AS n_wedges,
+         |       (SELECT count(*)
+         |        FROM pairs e1
+         |        JOIN pairs e2 ON e2.id_a = e1.id_a AND e2.id_b > e1.id_b
+         |        JOIN pairs e3 ON e3.id_a = e1.id_b AND e3.id_b = e2.id_b)
+         |         AS n_triangles,
+         |       true AS edges_recall_ok, true AS triangles_recall_ok""".stripMargin
+  )
+}

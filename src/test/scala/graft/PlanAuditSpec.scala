@@ -89,13 +89,15 @@ class PlanAuditSpec extends SparkFunSuite {
       "similarity_ivf_topk", "similarity_ivf_batch",
       // 1-row summary crossJoin (sketch estimate × exact count):
       "hll_union_estimate", "hll_sketch_roundtrip",
-      // edges from the exact-Jaccard pair baseline (the 300-doc
-      // certification prefix) + 1-row summary crosses; the triangle
-      // machinery itself is all equi-joins
-      "graph_triangles",
-      // asymmetric containment has no size-ratio prefilter BY DESIGN
-      // (the size mismatch is the target) — exact all-pairs on the
-      // same 300-doc prefix
+      // 1-row summary crosses ONLY (round 13 moved the edge source to
+      // the postings equi-join — jaccardPairsPostings — so the
+      // production path is cartesian-free; what remains is the
+      // n_edges × n_wedges × n_triangles single-row combine)
+      "graph_triangles", "graph_triangles_lsh",
+      // asymmetric containment ALL-PAIRS BASELINE lens (300-doc
+      // certification prefix). The production path is
+      // dedup_containment_prefix — prefix-filter equi-joins, NOT
+      // allowlisted and pinned cartesian-free below.
       "dedup_containment")
     // The streaming-execution queries run a full AvailableNow stream at
     // CONSTRUCTION and return a scan of the sink — planning them here
@@ -131,6 +133,19 @@ class PlanAuditSpec extends SparkFunSuite {
         p.contains("CartesianProduct") || p.contains("BroadcastNestedLoopJoin")
       }
     assert(offenders.isEmpty, s"scale-unsafe join planned in: $offenders")
+  }
+
+  test("containment production path: prefix-filter equi-joins, no cartesian, no global sort") {
+    // the scalable containment join must be postings equi-joins end to
+    // end: candidate generation keyed on the shingle hash, prefix
+    // selection as a doc-id-hash-partitioned window (a range exchange
+    // would serialize the corpus through one global sort)
+    val p = plan("dedup_containment_prefix")
+    assert(!p.contains("CartesianProduct") &&
+           !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("tok"), p)
+    assert(!p.contains("rangepartitioning"),
+      s"prefix selection plans a global sort:\n$p")
   }
 
   test("contamination screen joins map-side against a broadcast shingle set") {

@@ -213,4 +213,60 @@ class DedupSpec extends SparkFunSuite {
     // shared identical-set group)
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 3L, 4L -> 4L, 5L -> 5L, 6L -> 6L))
   }
+
+  test("containmentPairs: prefix-filter path == all-pairs lens on the fixture corpus") {
+    // differential on real data: the prefix-filter candidates + exact
+    // verification must reproduce the brute-force containment answer
+    // EXACTLY (the prefix guarantee is recall 1.0, not approximate)
+    val corpus = Tables.documents(spark, sf001)
+    def allPairs(t: Double) = {
+      graft.functions.GraftFunctions.register(spark)
+      val sets = corpus.select(col("doc_id").as("id"),
+          Text.hashedShingleSet(col("text"), 1).as("s"))
+        .withColumn("sz", size(col("s"))).filter(col("sz") > 0)
+      val a = sets.select(col("id").as("id_a"), col("s").as("s_a"), col("sz").as("sz_a"))
+      val b = sets.select(col("id").as("id_b"), col("s").as("s_b"), col("sz").as("sz_b"))
+      def inter = call_function(
+        "graft_sorted_intersect_count", col("s_a"), col("s_b")).cast("double")
+      a.join(b, col("id_a") < col("id_b") &&
+          inter >= lit(t) * least(col("sz_a"), col("sz_b")))
+        .select(col("id_a"), col("id_b"),
+          round(inter / least(col("sz_a"), col("sz_b")), 6).as("containment"))
+    }
+    for (t <- Seq(0.9, 0.7)) {
+      val want = allPairs(t).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val got = Dedup.containmentPairs(corpus, "doc_id", "text", t).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(got == want,
+        s"t=$t: prefix path lost ${(want -- got).size} pairs / " +
+          s"invented ${(got -- want).size}")
+    }
+  }
+
+  test("containmentPairs: a short doc embedded in a long one scores ~1.0") {
+    import spark.implicits._
+    val long =
+      "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+        "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon"), // ⊂ doc 3 verbatim
+      (2L, "unrelated words entirely here now"),
+      (3L, long)).toDF("doc_id", "text")
+    val got = Dedup.containmentPairs(docs, "doc_id", "text", 0.9)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(got.keySet == Set((1L, 3L)))
+    assert(got((1L, 3L)) == 1.0)
+  }
+
+  test("jaccardPairsPostings == jaccardPairsExact on the fixture corpus") {
+    val corpus = Tables.documents(spark, sf001)
+      .filter(col("doc_id") < 300)
+    val exact = Dedup.jaccardPairsExact(corpus, "doc_id", "text", 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val postings = Dedup.jaccardPairsPostings(corpus, "doc_id", "text", 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(exact.nonEmpty)
+    assert(postings == exact)
+  }
 }

@@ -57,5 +57,15 @@ for amp in ${AMPS//,/ }; do
   run_fresh rangejoin "$amp"
 done
 
+for amp in ${AMPS//,/ }; do
+  echo "### fresh JVM: containment prefix sweep point $amp" >&2
+  run_fresh containment "$amp"
+done
+
+for amp in ${AMPS//,/ }; do
+  echo "### fresh JVM: range-join rule on/off comparison point $amp" >&2
+  run_fresh rangejoincmp "$amp"
+done
+
 echo "### fresh JVM: trigger-granularity sweep (amp ${AMPS##*,})" >&2
 run_fresh chunks "$AMPS"

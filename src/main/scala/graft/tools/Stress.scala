@@ -268,6 +268,79 @@ object Stress {
       }
     }
 
+    // 9. Prefix-filter containment join under disjoint amplification
+    // (round 13): copies share no vocabulary, so true pairs are ×amp
+    // and candidate volume must track it — the "work linear, s/row
+    // flat" bar every banded/bucketed path is held to. The require
+    // pins EXACT ×amp output (prefix filtering is recall 1.0, so
+    // disjoint amplification cannot change per-copy answers).
+    lazy val basePairs = Dedup.containmentPairs(docs0, "doc_id", "text", 0.9).count()
+    for (amp <- amps if sections("containment")) {
+      val dj = Amplify.documentsDisjoint(docs0, amp)
+      run("containment_prefix_disjoint", amp, 1000L * amp) {
+        val n = Dedup.containmentPairs(dj, "doc_id", "text", 0.9).count()
+        require(n == basePairs * amp,
+          s"prefix containment lost pairs under amplification: " +
+            s"$n != $basePairs * $amp")
+        (n, s"base_pairs=$basePairs")
+      }
+    }
+
+    // 10. Range-join rewrite ON vs OFF (round-13 verdict ask #8): the
+    // crossover curve that quantifies what the optimizer rule exists
+    // for. BOTH axes grow with amp — points ×amp (events copies) and
+    // intervals ×amp (6·amp maintenance slots per day, each half-open
+    // and half a slot wide, so every point matches at most one window
+    // and the matched fraction stays constant). Rule OFF the join is a
+    // broadcast nested loop: O(points × windows) comparisons, ~amp²
+    // work. Rule ON (auto width — derived from the slot statistics at
+    // rewrite time) it is an equi join on the bucket key: ~amp work.
+    // The checksum requires bit-identical results both ways.
+    for (amp <- amps if sections("rangejoincmp")) {
+      val slotSec = 86400 / (6 * amp)
+      val evA = Amplify.events(ev0, amp)
+      evA.createOrReplaceTempView("stress_rjc_events")
+      val sqlText =
+        s"""WITH d AS (
+           |  SELECT DISTINCT date_trunc('day', ts) AS day
+           |  FROM stress_rjc_events),
+           |w AS (
+           |  SELECT timestampadd(SECOND, k * $slotSec, day) AS w_start,
+           |         timestampadd(SECOND, k * $slotSec + ${slotSec / 2}, day)
+           |           AS w_end
+           |  FROM d LATERAL VIEW explode(sequence(0, ${6 * amp - 1})) t AS k)
+           |SELECT count(*) AS n,
+           |       sum(hash(e.event_id, unix_seconds(w.w_start))) AS chk
+           |FROM stress_rjc_events e
+           |JOIN w ON e.ts >= w.w_start AND e.ts < w.w_end""".stripMargin
+      val key = graft.plans.RangeBinJoinRule.BinSecondsKey
+      var onRow: org.apache.spark.sql.Row = null
+      run("range_join_rule_on", amp, ev0.count() * amp) {
+        spark.conf.set(key, "auto")
+        try {
+          val df = spark.sql(sqlText)
+          val plan = df.queryExecution.explainString(
+            org.apache.spark.sql.execution.FormattedMode)
+          require(plan.contains("_graft_pbucket"),
+            "auto rewrite did not fire in the comparison sweep")
+          onRow = df.head
+          (onRow.getLong(0), s"windows=${30 * 6 * amp}")
+        } finally spark.conf.unset(key)
+      }
+      run("range_join_rule_off", amp, ev0.count() * amp) {
+        val df = spark.sql(sqlText)
+        val plan = df.queryExecution.explainString(
+          org.apache.spark.sql.execution.FormattedMode)
+        require(plan.contains("BroadcastNestedLoopJoin") ||
+                plan.contains("CartesianProduct"),
+          "rule-off run unexpectedly found an equi plan")
+        val row = df.head
+        require(row == onRow,
+          s"rule on/off disagree: on=$onRow off=$row")
+        (row.getLong(0), s"windows=${30 * 6 * amp}")
+      }
+    }
+
     lazy val evS = Amplify.events(ev0, amps.max)
     for (chunks <- Seq(4, 8, 16) if sections("chunks")) {
       run(s"stream_interval_join_chunks$chunks", amps.max, ev0.count() * amps.max) {

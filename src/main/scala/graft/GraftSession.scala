@@ -72,6 +72,21 @@ object GraftSession {
       // ≤10 MB, application scan ≥10 GB, so it engages exactly at the
       // scale it pays for). RuntimeFilterSpec certifies the injection.
       .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      // Driver-side hygiene for a RESIDENT engine (round-13 drift
+      // postmortem, measured in the bench experiments): with a heap
+      // large enough that ordinary GC rarely runs, Spark's
+      // REFERENCE-TRIGGERED ContextCleaner never fires — broadcast
+      // blocks, shuffle files, and accumulator refs pile up across
+      // hundreds of queries — and the SQL status store retains every
+      // execution's (AQE-churned) plan graphs. Neither shows up as GC
+      // time; both show up as a creeping per-query driver tax on
+      // whatever runs late in the session (measured: a 0.7 s window
+      // query at 2.5 s after 150 preceding queries, back to 0.9 s with
+      // these two bounds). Periodic GC arms the cleaner on a clock
+      // instead of heap pressure; the retention bound caps the status
+      // store. Both are overridable downstream.
+      .config("spark.cleaner.periodicGC.interval", "1min")
+      .config("spark.sql.ui.retainedExecutions", "8")
     if (shufflePartitions > 0)
       b.config("spark.sql.shuffle.partitions", shufflePartitions)
     else b

@@ -817,31 +817,49 @@ object Dedup {
     // 0.9 literal). One extra prefix position covers that slack at
     // negligible cost; recall stays 1.0 by construction.
     val rk = Window.partitionBy("id").orderBy(col("df"), col("tok"))
-    val prefix = toks.join(dfreq, Seq("tok"))
+    val prefixToks = toks.join(dfreq, Seq("tok"))
       .withColumn("rk", row_number().over(rk))
       .filter(col("rk") <=
         col("sz") - ceil(lit(threshold) * col("sz")).cast("int") + 2)
-      .select(col("id").as("id_x"), col("sz").as("sz_x"), col("tok"))
-    val full = toks
-      .select(col("id").as("id_y"), col("sz").as("sz_y"), col("tok"))
-    // size orientation INSIDE the join condition: the containee (the
-    // side whose prefix must collide) is the smaller set, ids break ties
-    val cand = prefix.join(full,
-        prefix("tok") === full("tok") &&
-          (col("sz_x") < col("sz_y") ||
-            (col("sz_x") === col("sz_y") && col("id_x") < col("id_y"))))
-      .select(col("id_x"), col("id_y"))
-      .distinct()
-    // exact verification: containment predicate inside the second join
-    // condition (copy-avoidance — same shape as minhashNearDupPairs)
-    val withX = cand.join(
-      sets.select(col("id").as("id_x"), col("s").as("s_x"),
-        col("sz").as("sz_x")), Seq("id_x"))
-    val ySets = sets.select(col("id").as("rid"), col("s").as("s_y"),
-      col("sz").as("sz_y"))
+    // Each containee row carries its ORDERED prefix array (df-rank
+    // order, value tie-break — struct sort gives exactly the window's
+    // order) and its full shingle set; each container row carries its
+    // full set. ONE equi join on the shingle hash then does candidate
+    // generation, pair dedup, and exact verification in a single pass:
+    //  - size orientation picks the containee side;
+    //  - `tok == first prefix shingle present in s_y` emits every
+    //    qualifying pair EXACTLY ONCE (at its df-first shared prefix
+    //    shingle) — the LshJoin first-healthy-collision idea, which
+    //    deletes the candidate-level distinct() that dominated the
+    //    measured cost (a 38M-row shuffle+agg, 16 of the query's 20 s
+    //    at sf0.1 — prefixes are short, so a duplicate-heavy clique
+    //    meets once per shared prefix token);
+    //  - the sorted-intersect kernel verifies in the join condition,
+    //    so failing pairs never materialize a joined row.
+    // The arrays ride the (small) prefix side: one row per PREFIX
+    // token, not per shingle, so the payload is bounded by the prefix
+    // fan-out, and Catalyst broadcasts the side when it fits.
+    val pArr = prefixToks.groupBy("id").agg(
+      transform(array_sort(collect_list(struct(col("df"), col("tok")))),
+        e => e.getField("tok")).as("parr"))
+    val px = sets.join(pArr, Seq("id"))
+      .select(col("id").as("id_x"), col("sz").as("sz_x"),
+        col("s").as("s_x"), col("parr"))
+      .select(col("id_x"), col("sz_x"), col("s_x"), col("parr"),
+        explode(col("parr")).as("tok"))
+    val fy = sets
+      .select(col("id").as("id_y"), col("sz").as("sz_y"),
+        col("s").as("s_y"), explode(col("s")).as("tok"))
+    // codegen'd kernel — the HOF spelling (element_at(filter(...)))
+    // is interpreted and knocks the join out of whole-stage codegen
+    def firstShared = call_function(
+      "graft_sorted_first_contained", col("parr"), col("s_y"))
     def inter = call_function(
       "graft_sorted_intersect_count", col("s_x"), col("s_y")).cast("double")
-    withX.join(ySets, withX("id_y") === ySets("rid") &&
+    px.join(fy, px("tok") === fy("tok") &&
+        (col("sz_x") < col("sz_y") ||
+          (col("sz_x") === col("sz_y") && col("id_x") < col("id_y"))) &&
+        px("tok") === firstShared &&
         inter >= lit(threshold) * least(col("sz_x"), col("sz_y")))
       .select(
         least(col("id_x"), col("id_y")).as("id_a"),

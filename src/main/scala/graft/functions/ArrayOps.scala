@@ -220,3 +220,86 @@ case class FirstEqualIndex(left: Expression, right: Expression)
       newLeft: Expression, newRight: Expression): FirstEqualIndex =
     copy(left = newLeft, right = newRight)
 }
+
+/** First element of `left` (in array order) that is CONTAINED in the
+  * SORTED bigint array `right`; null when none. Binary search per
+  * left element — O(|prefix| · log |set|) per probe, inside
+  * whole-stage codegen.
+  *
+  * Built for the prefix-filter containment join's shuffle-free pair
+  * dedup: a qualifying pair collides once per shared PREFIX shingle,
+  * and emitting it only where `tok == sorted_first_contained(parr,
+  * s_y)` keeps exactly one meeting — the same first-healthy-collision
+  * idea as [[FirstEqualIndex]], for membership instead of positional
+  * equality. The built-in spelling (`element_at(filter(parr, t ->
+  * array_contains(s, t)), 1)`) is a higher-order function: interpreted
+  * lambda + per-row array allocation, and its presence knocks the
+  * whole join out of codegen (measured 54 s vs 20 s for the
+  * containment query at sf0.1 before this kernel existed).
+  */
+case class SortedFirstContained(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_sorted_first_contained"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (array<bigint>, array<bigint>), got " +
+          s"(${l.catalogString}, ${r.catalogString})")
+    }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val nx = x.numElements(); val ny = y.numElements()
+    var i = 0
+    while (i < nx) {
+      val v = x.getLong(i)
+      var lo = 0; var hi = ny - 1
+      while (lo <= hi) {
+        val mid = (lo + hi) >>> 1
+        val mv = y.getLong(mid)
+        if (mv == v) return java.lang.Long.valueOf(v)
+        else if (mv < v) lo = mid + 1
+        else hi = mid - 1
+      }
+      i += 1
+    }
+    null
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i"); val nx = ctx.freshName("nx")
+      val ny = ctx.freshName("ny"); val v = ctx.freshName("v")
+      val lo = ctx.freshName("lo"); val hi = ctx.freshName("hi")
+      val mid = ctx.freshName("mid"); val mv = ctx.freshName("mv")
+      val found = ctx.freshName("found")
+      s"""
+         |int $nx = $a.numElements(), $ny = $b.numElements();
+         |boolean $found = false;
+         |${ev.value} = 0L;
+         |for (int $i = 0; $i < $nx && !$found; $i++) {
+         |  long $v = $a.getLong($i);
+         |  int $lo = 0, $hi = $ny - 1;
+         |  while ($lo <= $hi) {
+         |    int $mid = ($lo + $hi) >>> 1;
+         |    long $mv = $b.getLong($mid);
+         |    if ($mv == $v) { ${ev.value} = $v; $found = true; break; }
+         |    else if ($mv < $v) $lo = $mid + 1;
+         |    else $hi = $mid - 1;
+         |  }
+         |}
+         |if (!$found) ${ev.isNull} = true;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SortedFirstContained =
+    copy(left = newLeft, right = newRight)
+}

@@ -114,6 +114,9 @@ object GraftFunctions {
       exprs => SortedIntersectCount(exprs(0), exprs(1)), "built-in")
     reg.createOrReplaceTempFunction(
       "graft_dot", exprs => ArrayDotProduct(exprs(0), exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction(
+      "graft_sorted_first_contained",
+      exprs => SortedFirstContained(exprs(0), exprs(1)), "built-in")
     // k and seed must be foldable literals: they parameterize the hash
     // family baked into the generated code.
     reg.createOrReplaceTempFunction(

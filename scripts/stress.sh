@@ -67,5 +67,10 @@ for amp in ${AMPS//,/ }; do
   run_fresh rangejoincmp "$amp"
 done
 
+for amp in ${AMPS//,/ }; do
+  echo "### fresh JVM: native vs window as-of comparison point $amp" >&2
+  run_fresh asofcmp "$amp"
+done
+
 echo "### fresh JVM: trigger-granularity sweep (amp ${AMPS##*,})" >&2
 run_fresh chunks "$AMPS"

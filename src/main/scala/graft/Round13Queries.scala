@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.core.Tables
 import graft.ext.{Dedup, Graph}
+import graft.plans.AsOfJoinNative
 
 /** Round-13 depth queries.
   *
@@ -132,6 +133,65 @@ object Round13Queries {
           sum(when(col("ak").isNull, 1L).otherwise(0L)).as("n_only_local"))
     },
 
+    // Native as-of join — the engine's whole-operator Catalyst
+    // extension (plans.AsOfJoinNative: logical node + strategy +
+    // physical single-pass merge operator). Same semantics and SAME
+    // DuckDB ASOF JOIN oracle as asof_join_events, but the plan is the
+    // custom AsOfJoin exec over two co-partitioned sorted exchanges —
+    // no union, no null-padded shuffle rows, no window re-scan. The
+    // require pins the forced path: the window form can never print an
+    // AsOfJoin node, so this query certifies the OPERATOR, not a
+    // fallback.
+    "asof_join_native" -> { (s, dir) =>
+      val ev = Tables.events(s, dir).select("event_id", "user_id", "ts")
+      val o = Tables.orders(s, dir)
+        .select(col("o_custkey"), col("o_orderdate"),
+          col("o_orderdate").as("matched_order_date"))
+      val df = AsOfJoinNative.join(ev, o, "user_id", "o_custkey",
+          "ts", "o_orderdate", Seq("matched_order_date"))
+        .select("event_id", "user_id", "matched_order_date")
+      val plan = df.queryExecution.explainString(FormattedMode)
+      require(plan.contains("AsOfJoin"),
+        s"native as-of operator missing from plan:\n$plan")
+      df
+    },
+
+    // Forward direction through the native operator (earliest following
+    // purchase per click) — asof_join_forward's oracle.
+    "asof_join_native_forward" -> { (s, dir) =>
+      val ev = Tables.events(s, dir)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select("event_id", "user_id", "ts")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+          col("ts").as("next_purchase"))
+      val df = AsOfJoinNative.join(clicks, purchases, "user_id", "p_user",
+          "ts", "p_ts", Seq("next_purchase"), forward = true)
+        .select(col("event_id"), col("user_id"),
+          unix_seconds(col("next_purchase")).as("next_purchase_epoch"))
+      require(df.queryExecution.explainString(FormattedMode)
+        .contains("AsOfJoin"), "native as-of operator missing from plan")
+      df
+    },
+
+    // Tolerance-bounded native as-of (stale-quote guard pushed INTO the
+    // merge) — asof_join_tolerance's oracle.
+    "asof_join_native_tolerance" -> { (s, dir) =>
+      val ev = Tables.events(s, dir)
+      val errors = ev.filter(col("event_type") === "error")
+        .select("event_id", "user_id", "ts")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+          col("ts").as("last_click"))
+      val df = AsOfJoinNative.join(errors, clicks, "user_id", "c_user",
+          "ts", "c_ts", Seq("last_click"), toleranceSeconds = Some(3600L))
+        .select(col("event_id"), col("user_id"),
+          unix_seconds(col("last_click")).as("last_click_epoch"))
+      require(df.queryExecution.explainString(FormattedMode)
+        .contains("AsOfJoin"), "native as-of operator missing from plan")
+      df
+    },
+
     // Triangle counting fed by the FORCED MinHash-LSH pair generator
     // (brute-force cutover disabled — the banding path runs at any
     // scale), recall-pinned against the exact inverted-index graph.
@@ -219,6 +279,27 @@ object Round13Queries {
         |JOIN m ON d.event_type = m.event_type
         |JOIN md ON d.event_type = md.event_type
         |GROUP BY 1""".stripMargin,
+
+    "asof_join_native" ->
+      """SELECT e.event_id, e.user_id, o.o_orderdate AS matched_order_date
+        |FROM events e
+        |ASOF LEFT JOIN orders o
+        |  ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate""".stripMargin,
+
+    "asof_join_native_forward" ->
+      """SELECT c.event_id, c.user_id,
+        |       CAST(floor(epoch(p.ts)) AS BIGINT) AS next_purchase_epoch
+        |FROM (SELECT * FROM events WHERE event_type = 'click') c
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+        |  ON c.user_id = p.user_id AND c.ts <= p.ts""".stripMargin,
+
+    "asof_join_native_tolerance" ->
+      """SELECT e.event_id, e.user_id,
+        |       CASE WHEN e.ts - c.ts <= INTERVAL 1 HOUR
+        |            THEN CAST(floor(epoch(c.ts)) AS BIGINT) END AS last_click_epoch
+        |FROM (SELECT * FROM events WHERE event_type = 'error') e
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        |  ON e.user_id = c.user_id AND e.ts >= c.ts""".stripMargin,
 
     "graph_triangles_lsh" ->
       s"""WITH tok AS (

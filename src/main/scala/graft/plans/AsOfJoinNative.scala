@@ -1,0 +1,323 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
+import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+import org.apache.spark.sql.execution.metric.SQLMetrics
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.graft.GraftSqlShim
+import org.apache.spark.sql.types.{DataType, LongType, TimestampNTZType, TimestampType}
+
+/** Native as-of join: the engine's one WHOLE-OPERATOR Catalyst
+  * extension — a custom logical node, planner strategy, and physical
+  * merge operator (the (c) rung of the extension ladder; the engine's
+  * other custom pieces are expressions (b) and an optimizer rule).
+  *
+  * Why a physical operator when [[graft.core.AsOfJoin]]'s
+  * union-and-window form is already one shuffle: the union form pays
+  * for generality three times at scale —
+  *
+  *   1. the shuffle carries left ∪ right rows PADDED TO THE COMBINED
+  *      SCHEMA (every left row ships null right-payload slots and vice
+  *      versa), so shuffle bytes ≈ (|L|+|R|) × (wL+wR) instead of
+  *      |L|×wL + |R|×wR;
+  *   2. the window operator buffers and re-scans each key's rows
+  *      through `last(_, ignoreNulls)` frame state, one pass PER
+  *      payload column;
+  *   3. the left rows come back out of a filter over the unioned
+  *      stream, so downstream sees a plan with a Window + Filter that
+  *      no join-aware rule (broadcast candidates, ordering reuse)
+  *      understands.
+  *
+  * The native operator shuffles each side in its OWN schema, sorts
+  * both by (key, time) — exactly a sort-merge join's requirements,
+  * expressed through `requiredChildDistribution`/`Ordering` so
+  * EnsureRequirements plans the exchanges and AQE still re-plans
+  * them — then streams one forward-only merge pass per partition with
+  * O(1) state (ONE buffered right row), emitting left rows joined to
+  * their as-of match. No union, no padding, no window re-scan, any
+  * number of payload columns for free.
+  *
+  * Semantics (mirrors DuckDB's ASOF JOIN, which oracle-checks it):
+  * backward = latest right with rightTime <= leftTime per key;
+  * forward = earliest right with rightTime >= leftTime; both
+  * inclusive; optional tolerance nulls matches farther than
+  * `toleranceMicros` from the left time; unmatched left rows keep
+  * null right columns (left outer). Among right ties at the matched
+  * (key, time) the winner is sort-unstable, same as the window form —
+  * callers wanting a specific winner pre-reduce the right side.
+  */
+case class AsOfJoinPlan(
+    left: LogicalPlan,
+    right: LogicalPlan,
+    leftKeys: Seq[Expression],
+    rightKeys: Seq[Expression],
+    leftTime: Expression,
+    rightTime: Expression,
+    forward: Boolean,
+    toleranceMicros: Option[Long]) extends BinaryNode {
+
+  require(leftKeys.length == rightKeys.length && leftKeys.nonEmpty,
+    "as-of join needs matching non-empty key lists")
+  require(AsOfJoinNative.timeTypeOk(leftTime.dataType) &&
+    AsOfJoinNative.timeTypeOk(rightTime.dataType),
+    s"as-of time columns must be timestamp or long, got " +
+      s"${leftTime.dataType} / ${rightTime.dataType}")
+
+  // left outer: right columns go nullable, same exprIds (the Join
+  // node's own convention, so downstream resolution just works)
+  override def output: Seq[Attribute] =
+    left.output ++ right.output.map(_.withNullability(true))
+
+  override protected def withNewChildrenInternal(
+      newLeft: LogicalPlan, newRight: LogicalPlan): AsOfJoinPlan =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Plans [[AsOfJoinPlan]] as [[AsOfJoinExec]]. Injected by
+  * [[GraftExtensions]] so every engine session (local, local-cluster,
+  * streaming twins) can plan the node.
+  */
+object AsOfJoinStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case AsOfJoinPlan(l, r, lk, rk, lt, rt, fwd, tol) =>
+      AsOfJoinExec(lk, rk, lt, rt, fwd, tol, planLater(l), planLater(r)) :: Nil
+    case _ => Nil
+  }
+}
+
+/** Physical single-pass merge as-of join.
+  *
+  * Child requirements make EnsureRequirements do the heavy lifting:
+  * both sides hash-clustered on their keys (co-partitioned exchanges,
+  * AQE-replannable) and sorted by (keys…, time) ascending. Each
+  * partition then merges in one forward pass:
+  *
+  *   - BACKWARD: consume right rows while rightKey < leftKey or
+  *     (equal key, rightTime <= leftTime); the LAST consumed matching
+  *     row is the as-of match (copied once per left row at most —
+  *     shuffle iterators reuse row objects, and the last consumed
+  *     reference stays valid until the next consume, so the copy
+  *     happens only when the advance stops).
+  *   - FORWARD: consume right rows strictly before the left time
+  *     (they can never match a later left row either — left times
+  *     ascend within a key); the right HEAD, if key-equal and
+  *     time >= leftTime, is the match and is NOT consumed (it may
+  *     match the next left row too).
+  *
+  * State per partition: one buffered right row + one copied match —
+  * O(1), no per-key buffering, no spill path needed. Null keys or
+  * null times never match (right such rows are consumed and dropped;
+  * left ones emit unmatched), matching both the window form and SQL
+  * join null semantics.
+  */
+case class AsOfJoinExec(
+    leftKeys: Seq[Expression],
+    rightKeys: Seq[Expression],
+    leftTime: Expression,
+    rightTime: Expression,
+    forward: Boolean,
+    toleranceMicros: Option[Long],
+    left: SparkPlan,
+    right: SparkPlan) extends BinaryExecNode {
+
+  override def output: Seq[Attribute] =
+    left.output ++ right.output.map(_.withNullability(true))
+
+  override lazy val metrics = Map(
+    "numOutputRows" -> SQLMetrics.createMetric(sparkContext, "number of output rows"))
+
+  override def requiredChildDistribution: Seq[Distribution] =
+    ClusteredDistribution(leftKeys) :: ClusteredDistribution(rightKeys) :: Nil
+
+  private def sortSpec(keys: Seq[Expression], time: Expression): Seq[SortOrder] =
+    keys.map(SortOrder(_, Ascending)) :+ SortOrder(time, Ascending)
+
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] =
+    Seq(sortSpec(leftKeys, leftTime), sortSpec(rightKeys, rightTime))
+
+  // the merge streams left rows through untouched, so the left side's
+  // partitioning and ordering survive for downstream reuse
+  override def outputPartitioning: Partitioning = left.outputPartitioning
+  override def outputOrdering: Seq[SortOrder] = sortSpec(leftKeys, leftTime)
+
+  override protected def withNewChildrenInternal(
+      newLeft: SparkPlan, newRight: SparkPlan): AsOfJoinExec =
+    copy(left = newLeft, right = newRight)
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val numOutputRows = longMetric("numOutputRows")
+    val lKeyExprs = leftKeys
+    val rKeyExprs = rightKeys
+    val lTimeExpr = leftTime
+    val rTimeExpr = rightTime
+    val lAttrs = left.output
+    val rAttrs = right.output
+    val fwd = forward
+    val tol = toleranceMicros
+    val keyTypes = leftKeys.map(_.dataType)
+
+    left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
+      val lKeyGen = UnsafeProjection.create(lKeyExprs, lAttrs)
+      val rKeyGen = UnsafeProjection.create(rKeyExprs, rAttrs)
+      val lTimeGen = UnsafeProjection.create(Seq(lTimeExpr), lAttrs)
+      val rTimeGen = UnsafeProjection.create(Seq(rTimeExpr), rAttrs)
+      val keyOrd = RowOrdering.createNaturalAscendingOrdering(keyTypes)
+      // input schema must be the NULLABLE right attrs too: bound
+      // references take nullability from the input side, and the
+      // no-match case feeds an all-null right row
+      val nullableIn = lAttrs ++ rAttrs.map(_.withNullability(true))
+      val resultProj = UnsafeProjection.create(nullableIn, nullableIn)
+      val nullRight = new GenericInternalRow(rAttrs.length)
+      val joined = new JoinedRow
+      val rBuf = rIter.buffered
+
+      new Iterator[InternalRow] {
+        // backward state: the last key-matching right row consumed, its
+        // key, and its time — valid for the current left key only.
+        // Shuffle/sort iterators REUSE row objects (and even peeking the
+        // buffered head mutates the previously returned reference), so a
+        // kept row must be copied AT CONSUME TIME; the reusable UnsafeRow
+        // buffers make that copy allocation-free steady-state.
+        private var matched: InternalRow = null
+        private var matchedKey: InternalRow = null
+        private var matchedT = 0L
+        private val matchBuf = newBuf(rAttrs.length)
+        private val matchKeyBuf = newBuf(lKeyExprs.length)
+
+        private def newBuf(n: Int): UnsafeRow = {
+          val r = new UnsafeRow(n)
+          val bytes = new Array[Byte](64)
+          r.pointTo(bytes, 64)
+          r
+        }
+
+        private def keep(row: InternalRow, buf: UnsafeRow): InternalRow = row match {
+          case u: UnsafeRow => buf.copyFrom(u); buf
+          case other => other.copy()
+        }
+
+        override def hasNext: Boolean = lIter.hasNext
+
+        override def next(): InternalRow = {
+          val lrow = lIter.next()
+          val lkey = lKeyGen(lrow)
+          val ltRow = lTimeGen(lrow)
+          numOutputRows += 1
+          if (lkey.anyNull || ltRow.isNullAt(0)) {
+            resultProj(joined(lrow, nullRight))
+          } else {
+            val lt = ltRow.getLong(0)
+            if (fwd) mergeForward(lrow, lkey, lt)
+            else mergeBackward(lrow, lkey, lt)
+          }
+        }
+
+        private def mergeBackward(lrow: InternalRow, lkey: UnsafeRow, lt: Long): InternalRow = {
+          var advancing = true
+          while (advancing && rBuf.hasNext) {
+            val rrow = rBuf.head
+            val rkey = rKeyGen(rrow)
+            val rtRow = rTimeGen(rrow)
+            if (rkey.anyNull || rtRow.isNullAt(0)) { rBuf.next() }
+            else {
+              val cmp = keyOrd.compare(rkey, lkey)
+              if (cmp < 0) { rBuf.next() }
+              else if (cmp == 0 && rtRow.getLong(0) <= lt) {
+                matchedT = rtRow.getLong(0)
+                matched = keep(rBuf.next(), matchBuf)
+                matchedKey = keep(lkey, matchKeyBuf)
+              } else advancing = false
+            }
+          }
+          val ok = matched != null && keyOrd.compare(matchedKey, lkey) == 0 &&
+            tol.forall(t => lt - matchedT <= t)
+          resultProj(joined(lrow, if (ok) matched else nullRight))
+        }
+
+        private def mergeForward(lrow: InternalRow, lkey: UnsafeRow, lt: Long): InternalRow = {
+          // drop right rows that can no longer match this left row NOR
+          // any later one (left (key, time) only ascends)
+          var advancing = true
+          while (advancing && rBuf.hasNext) {
+            val rrow = rBuf.head
+            val rkey = rKeyGen(rrow)
+            val rtRow = rTimeGen(rrow)
+            if (rkey.anyNull || rtRow.isNullAt(0)) { rBuf.next() }
+            else {
+              val cmp = keyOrd.compare(rkey, lkey)
+              if (cmp < 0 || (cmp == 0 && rtRow.getLong(0) < lt)) rBuf.next()
+              else advancing = false
+            }
+          }
+          // head (unconsumed — the next left row may need it too) is the
+          // earliest following candidate iff key-equal
+          if (rBuf.hasNext) {
+            val rrow = rBuf.head
+            val rkey = rKeyGen(rrow)
+            val rt = rTimeGen(rrow).getLong(0)
+            val ok = keyOrd.compare(rkey, lkey) == 0 &&
+              tol.forall(t => rt - lt <= t)
+            resultProj(joined(lrow, if (ok) rrow else nullRight))
+          } else resultProj(joined(lrow, nullRight))
+        }
+      }
+    }
+  }
+}
+
+/** DataFrame-level front door for the native as-of join. */
+object AsOfJoinNative {
+
+  private[plans] def timeTypeOk(dt: DataType): Boolean = dt match {
+    case TimestampType | TimestampNTZType | LongType => true
+    case _ => false
+  }
+
+  private val LtCol = "__asof_lt"
+  private val RtCol = "__asof_rt"
+
+  /** As-of join `left` to `right` on equal `keys`, matching the latest
+    * prior (or, with `forward`, earliest following) right row by time,
+    * surfacing `payload` columns from the match (null when none).
+    * Time columns of any date/timestamp type are normalized to
+    * timestamps up front, so mixed DATE/TIMESTAMP inputs compare the
+    * way SQL would cast them.
+    */
+  def join(
+      left: DataFrame, right: DataFrame,
+      leftKey: String, rightKey: String,
+      leftTime: String, rightTime: String,
+      payload: Seq[String],
+      forward: Boolean = false,
+      toleranceSeconds: Option[Long] = None): DataFrame = {
+
+    val leftCols = left.columns.toSeq
+    require(!payload.exists(leftCols.contains),
+      s"payload columns ${payload.filter(leftCols.contains)} collide with left columns")
+
+    val l = left.withColumn(LtCol, col(leftTime).cast(TimestampType))
+    val r = right.withColumn(RtCol, col(rightTime).cast(TimestampType))
+    val lPlan = analyzed(l)
+    val rPlan = analyzed(r)
+    def attr(plan: LogicalPlan, name: String): Attribute =
+      plan.output.find(_.name == name).getOrElse(
+        throw new IllegalArgumentException(s"column $name not found"))
+
+    val node = AsOfJoinPlan(
+      lPlan, rPlan,
+      Seq(attr(lPlan, leftKey)), Seq(attr(rPlan, rightKey)),
+      attr(lPlan, LtCol), attr(rPlan, RtCol),
+      forward, toleranceSeconds.map(_ * 1000000L))
+    GraftSqlShim.ofRows(sessionOf(left), node)
+      .select((leftCols ++ payload).map(col): _*)
+  }
+
+  private def analyzed(df: DataFrame): LogicalPlan = df.queryExecution.analyzed
+
+  private def sessionOf(df: DataFrame): SparkSession = df.sparkSession
+}

@@ -19,6 +19,7 @@ import org.apache.spark.sql.types.{DateType, LongType, TimestampType}
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(session => RangeBinJoinRule(session))
+    ext.injectPlannerStrategy(_ => AsOfJoinStrategy)
   }
 }
 

@@ -341,6 +341,38 @@ object Stress {
       }
     }
 
+    // Native as-of operator vs the union-and-window form: identical
+    // results required (checksummed), wall/shuffle/straggler columns
+    // quantify what the custom SparkPlan buys. Amplified copies get
+    // disjoint user spaces, so out_rows must scale exactly ×amp.
+    for (amp <- amps if sections("asofcmp")) {
+      val evA = Amplify.events(ev0, amp)
+      val left = evA.select("event_id", "user_id", "ts")
+      val right = evA.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+          col("ts").as("matched"))
+      def summarize(df: DataFrame) = df.agg(
+        count(lit(1)).as("n"),
+        sum(hash(col("event_id"), unix_seconds(col("matched")))).as("chk"))
+      var nativeRow: org.apache.spark.sql.Row = null
+      run("asof_native", amp, ev0.count() * amp) {
+        val df = summarize(graft.plans.AsOfJoinNative.join(
+          left, right, "user_id", "p_user", "ts", "p_ts", Seq("matched")))
+        require(df.queryExecution.explainString(
+            org.apache.spark.sql.execution.FormattedMode).contains("AsOfJoin"),
+          "native as-of operator missing from stress plan")
+        nativeRow = df.head
+        (nativeRow.getLong(0), "")
+      }
+      run("asof_window", amp, ev0.count() * amp) {
+        val row = summarize(graft.core.AsOfJoin.latestPrior(
+          left, right, "user_id", "p_user", "ts", "p_ts", Seq("matched"))).head
+        require(row == nativeRow,
+          s"native/window as-of disagree: native=$nativeRow window=$row")
+        (row.getLong(0), "")
+      }
+    }
+
     lazy val evS = Amplify.events(ev0, amps.max)
     for (chunks <- Seq(4, 8, 16) if sections("chunks")) {
       run(s"stream_interval_join_chunks$chunks", amps.max, ev0.count() * amps.max) {

@@ -162,10 +162,15 @@ case class AsOfJoinExec(
     val keyTypes = leftKeys.map(_.dataType)
 
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
-      val lKeyGen = UnsafeProjection.create(lKeyExprs, lAttrs)
-      val rKeyGen = UnsafeProjection.create(rKeyExprs, rAttrs)
-      val lTimeGen = UnsafeProjection.create(Seq(lTimeExpr), lAttrs)
-      val rTimeGen = UnsafeProjection.create(Seq(rTimeExpr), rAttrs)
+      // ONE combined (keys…, time) projection per side, evaluated at
+      // most once per input row: the key ordering only reads ordinals
+      // 0..k-1, so the trailing time slot rides in the same row. The
+      // right head's evaluation is cached until the head is consumed —
+      // without the cache every left row re-projects the same unmoved
+      // head, which measured ~1.6× over the window form.
+      val nKeys = lKeyExprs.length
+      val lGen = UnsafeProjection.create(lKeyExprs :+ lTimeExpr, lAttrs)
+      val rGen = UnsafeProjection.create(rKeyExprs :+ rTimeExpr, rAttrs)
       val keyOrd = RowOrdering.createNaturalAscendingOrdering(keyTypes)
       // input schema must be the NULLABLE right attrs too: bound
       // references take nullability from the input side, and the
@@ -187,7 +192,15 @@ case class AsOfJoinExec(
         private var matchedKey: InternalRow = null
         private var matchedT = 0L
         private val matchBuf = newBuf(rAttrs.length)
-        private val matchKeyBuf = newBuf(lKeyExprs.length)
+        private val matchKeyBuf = newBuf(nKeys + 1)
+        // cached evaluation of the right head (valid until consumed):
+        // rHeadKT points into rGen's reused buffer, which is only
+        // re-evaluated after the head moves
+        private var rHeadLoaded = false
+        private var rHeadKT: UnsafeRow = null
+        private var rHeadNullKey = false
+        private var rHeadT = 0L
+        private val tolMicros = tol.getOrElse(Long.MaxValue)
 
         private def newBuf(n: Int): UnsafeRow = {
           val r = new UnsafeRow(n)
@@ -201,68 +214,80 @@ case class AsOfJoinExec(
           case other => other.copy()
         }
 
+        private def keyIsNull(row: UnsafeRow): Boolean = {
+          var i = 0
+          while (i < nKeys) { if (row.isNullAt(i)) return true; i += 1 }
+          false
+        }
+
+        /** True iff a right head is available, with its (key, time)
+          * evaluation cached in rHead*.
+          */
+        private def loadHead(): Boolean = {
+          if (!rHeadLoaded) {
+            if (!rBuf.hasNext) return false
+            rHeadKT = rGen(rBuf.head)
+            rHeadNullKey = keyIsNull(rHeadKT) || rHeadKT.isNullAt(nKeys)
+            rHeadT = if (rHeadNullKey) 0L else rHeadKT.getLong(nKeys)
+            rHeadLoaded = true
+          }
+          true
+        }
+
+        private def consumeHead(): InternalRow = {
+          rHeadLoaded = false
+          rBuf.next()
+        }
+
         override def hasNext: Boolean = lIter.hasNext
 
         override def next(): InternalRow = {
           val lrow = lIter.next()
-          val lkey = lKeyGen(lrow)
-          val ltRow = lTimeGen(lrow)
+          val lkt = lGen(lrow)
           numOutputRows += 1
-          if (lkey.anyNull || ltRow.isNullAt(0)) {
+          if (keyIsNull(lkt) || lkt.isNullAt(nKeys)) {
             resultProj(joined(lrow, nullRight))
           } else {
-            val lt = ltRow.getLong(0)
-            if (fwd) mergeForward(lrow, lkey, lt)
-            else mergeBackward(lrow, lkey, lt)
+            val lt = lkt.getLong(nKeys)
+            if (fwd) mergeForward(lrow, lkt, lt)
+            else mergeBackward(lrow, lkt, lt)
           }
         }
 
-        private def mergeBackward(lrow: InternalRow, lkey: UnsafeRow, lt: Long): InternalRow = {
+        private def mergeBackward(lrow: InternalRow, lkt: UnsafeRow, lt: Long): InternalRow = {
           var advancing = true
-          while (advancing && rBuf.hasNext) {
-            val rrow = rBuf.head
-            val rkey = rKeyGen(rrow)
-            val rtRow = rTimeGen(rrow)
-            if (rkey.anyNull || rtRow.isNullAt(0)) { rBuf.next() }
+          while (advancing && loadHead()) {
+            if (rHeadNullKey) { consumeHead() }
             else {
-              val cmp = keyOrd.compare(rkey, lkey)
-              if (cmp < 0) { rBuf.next() }
-              else if (cmp == 0 && rtRow.getLong(0) <= lt) {
-                matchedT = rtRow.getLong(0)
-                matched = keep(rBuf.next(), matchBuf)
-                matchedKey = keep(lkey, matchKeyBuf)
+              val cmp = keyOrd.compare(rHeadKT, lkt)
+              if (cmp < 0) { consumeHead() }
+              else if (cmp == 0 && rHeadT <= lt) {
+                matchedT = rHeadT
+                matchedKey = keep(rHeadKT, matchKeyBuf)
+                matched = keep(consumeHead(), matchBuf)
               } else advancing = false
             }
           }
-          val ok = matched != null && keyOrd.compare(matchedKey, lkey) == 0 &&
-            tol.forall(t => lt - matchedT <= t)
+          val ok = matched != null && keyOrd.compare(matchedKey, lkt) == 0 &&
+            lt - matchedT <= tolMicros
           resultProj(joined(lrow, if (ok) matched else nullRight))
         }
 
-        private def mergeForward(lrow: InternalRow, lkey: UnsafeRow, lt: Long): InternalRow = {
+        private def mergeForward(lrow: InternalRow, lkt: UnsafeRow, lt: Long): InternalRow = {
           // drop right rows that can no longer match this left row NOR
           // any later one (left (key, time) only ascends)
           var advancing = true
-          while (advancing && rBuf.hasNext) {
-            val rrow = rBuf.head
-            val rkey = rKeyGen(rrow)
-            val rtRow = rTimeGen(rrow)
-            if (rkey.anyNull || rtRow.isNullAt(0)) { rBuf.next() }
-            else {
-              val cmp = keyOrd.compare(rkey, lkey)
-              if (cmp < 0 || (cmp == 0 && rtRow.getLong(0) < lt)) rBuf.next()
-              else advancing = false
-            }
+          while (advancing && loadHead()) {
+            if (rHeadNullKey ||
+                keyOrd.compare(rHeadKT, lkt) < 0 ||
+                (keyOrd.compare(rHeadKT, lkt) == 0 && rHeadT < lt)) consumeHead()
+            else advancing = false
           }
           // head (unconsumed — the next left row may need it too) is the
           // earliest following candidate iff key-equal
-          if (rBuf.hasNext) {
-            val rrow = rBuf.head
-            val rkey = rKeyGen(rrow)
-            val rt = rTimeGen(rrow).getLong(0)
-            val ok = keyOrd.compare(rkey, lkey) == 0 &&
-              tol.forall(t => rt - lt <= t)
-            resultProj(joined(lrow, if (ok) rrow else nullRight))
+          if (loadHead() && keyOrd.compare(rHeadKT, lkt) == 0 &&
+              rHeadT - lt <= tolMicros) {
+            resultProj(joined(lrow, rBuf.head))
           } else resultProj(joined(lrow, nullRight))
         }
       }

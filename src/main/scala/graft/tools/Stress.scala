@@ -354,21 +354,59 @@ object Stress {
       def summarize(df: DataFrame) = df.agg(
         count(lit(1)).as("n"),
         sum(hash(col("event_id"), unix_seconds(col("matched")))).as("chk"))
-      var nativeRow: org.apache.spark.sql.Row = null
-      run("asof_native", amp, ev0.count() * amp) {
+      def native(l: DataFrame, r: DataFrame, pay: Seq[String]) = {
         val df = summarize(graft.plans.AsOfJoinNative.join(
-          left, right, "user_id", "p_user", "ts", "p_ts", Seq("matched")))
+          l, r, "user_id", "p_user", "ts", "p_ts", pay))
         require(df.queryExecution.explainString(
             org.apache.spark.sql.execution.FormattedMode).contains("AsOfJoin"),
           "native as-of operator missing from stress plan")
-        nativeRow = df.head
+        df
+      }
+      def window(l: DataFrame, r: DataFrame, pay: Seq[String]) =
+        summarize(graft.core.AsOfJoin.latestPrior(
+          l, r, "user_id", "p_user", "ts", "p_ts", pay))
+      // UNTIMED warmup of both pipelines: whichever query runs first in
+      // a fresh JVM absorbs the scan/shuffle/sort codegen+JIT warmup
+      // (measured ~2× on the first run) — the timed runs below compare
+      // the OPERATORS, not the compile order
+      native(left, right, Seq("matched")).head
+      window(left, right, Seq("matched")).head
+      var nativeRow: org.apache.spark.sql.Row = null
+      run("asof_native", amp, ev0.count() * amp) {
+        nativeRow = native(left, right, Seq("matched")).head
         (nativeRow.getLong(0), "")
       }
       run("asof_window", amp, ev0.count() * amp) {
-        val row = summarize(graft.core.AsOfJoin.latestPrior(
-          left, right, "user_id", "p_user", "ts", "p_ts", Seq("matched"))).head
+        val row = window(left, right, Seq("matched")).head
         require(row == nativeRow,
           s"native/window as-of disagree: native=$nativeRow window=$row")
+        (row.getLong(0), "")
+      }
+      // WIDE shape: full left schema, 3 payload columns — the padded
+      // union now ships every left row with 3 null payload slots plus
+      // every right row with 5 null left slots, and the window form
+      // runs 3 running-last frames; the native merge is indifferent
+      val leftW = evA
+      val rightW = evA.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+          col("ts").as("matched"), col("value").as("p_value"),
+          col("event_id").as("p_event"))
+      def summarizeW(df: DataFrame) = df.agg(
+        count(lit(1)).as("n"),
+        sum(hash(col("event_id"), unix_seconds(col("matched")),
+          col("p_value"), col("p_event"))).as("chk"))
+      val payW = Seq("matched", "p_value", "p_event")
+      var nativeW: org.apache.spark.sql.Row = null
+      run("asof_native_wide", amp, ev0.count() * amp) {
+        nativeW = summarizeW(graft.plans.AsOfJoinNative.join(
+          leftW, rightW, "user_id", "p_user", "ts", "p_ts", payW)).head
+        (nativeW.getLong(0), "")
+      }
+      run("asof_window_wide", amp, ev0.count() * amp) {
+        val row = summarizeW(graft.core.AsOfJoin.latestPrior(
+          leftW, rightW, "user_id", "p_user", "ts", "p_ts", payW)).head
+        require(row == nativeW,
+          s"native/window wide as-of disagree: native=$nativeW window=$row")
         (row.getLong(0), "")
       }
     }

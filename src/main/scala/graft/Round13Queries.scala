@@ -20,7 +20,12 @@ import graft.plans.AsOfJoinNative
   *    100 TB memory shape) with tolerance verdicts against the exact
   *    screen.
   * Plus `graph_triangles_lsh` (triangles on the forced-LSH near-dup
-  * graph, recall-pinned against the exact graph).
+  * graph, recall-pinned against the exact graph), `reconcile_jdbc`
+  * (the reference's remote-warehouse connection shape over a live
+  * thrift endpoint), and the `asof_join_native*` trio certifying the
+  * engine's whole-operator Catalyst extension (plans.AsOfJoinNative)
+  * against DuckDB's native ASOF JOIN with the custom exec `require`d
+  * in the plan.
   */
 object Round13Queries {
 

@@ -101,6 +101,9 @@ object GraftSession {
     // the post-subquery copy of the range-join rewrite (EXISTS/NOT
     // EXISTS sandwiches decorrelate after the extension batch runs)
     graft.plans.RangeBinJoinRule.installLate(spark)
+    // the correlated-scalar as-of sandwich likewise only exists after
+    // decorrelation; its rewrite targets the native as-of operator
+    graft.plans.AsOfRewriteRule.installLate(spark)
     spark
   }
 

@@ -32,6 +32,17 @@ object Round13Queries {
   private val TokensSql =
     """list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0)"""
 
+  /** ONE as-of SQL text for `asof_join_sql_auto`: runs in Spark (with
+    * the rewrite) and verbatim in DuckDB (which decorrelates it its own
+    * way) — engine-independent by construction.
+    */
+  private def asofSqlText(events: String, orders: String): String =
+    s"""SELECT e.event_id, e.user_id,
+       |       (SELECT max(o.o_orderdate) FROM $orders o
+       |        WHERE o.o_custkey = e.user_id AND o.o_orderdate <= e.ts)
+       |         AS matched_order_date
+       |FROM $events e""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // The scalable containment join: prefix-filter candidates (rarest-
     // first global shingle order, floor((1-t)·|A|)+1-length prefixes,
@@ -197,6 +208,39 @@ object Round13Queries {
       df
     },
 
+    // The SQL front door to the native operator: a correlated scalar
+    // max-subquery — the natural as-of SQL in engines without an ASOF
+    // keyword — decorrelates into a domain join whose inner theta join
+    // is |distinct left times| × |orders| (the nested-loop scale trap).
+    // plans.AsOfRewriteRule (conf-gated, installed post-decorrelation)
+    // collapses the sandwich into the native AsOfJoinPlan. Certified
+    // the same way as range_join_auto: ONE SQL text, run in Spark with
+    // the rule on (plan require'd to contain the AsOfJoin exec and no
+    // nested loop) and verbatim in DuckDB as the oracle.
+    "asof_join_sql_auto" -> { (s, dir) =>
+      plans.AsOfRewriteRule.installLate(s)
+      val key = plans.AsOfRewriteRule.EnabledKey
+      val prev = s.conf.getOption(key)
+      s.conf.set(key, "true")
+      try {
+        Tables.events(s, dir).createOrReplaceTempView("asql_events")
+        Tables.orders(s, dir).createOrReplaceTempView("asql_orders")
+        val df = s.sql(asofSqlText("asql_events", "asql_orders"))
+        val plan = df.queryExecution.explainString(FormattedMode)
+        require(plan.contains("AsOfJoin"),
+          s"as-of rewrite did not fire:\n$plan")
+        require(!plan.contains("BroadcastNestedLoopJoin") &&
+                !plan.contains("CartesianProduct"),
+          "rewrite enabled but the domain join still nested-loops")
+        val out = CoreQueries.scratchDir("asof_join_sql_auto")
+        df.write.mode("overwrite").parquet(out)
+        s.read.parquet(out)
+      } finally prev match {
+        case Some(v) => s.conf.set(key, v)
+        case None    => s.conf.unset(key)
+      }
+    },
+
     // Triangle counting fed by the FORCED MinHash-LSH pair generator
     // (brute-force cutover disabled — the banding path runs at any
     // scale), recall-pinned against the exact inverted-index graph.
@@ -284,6 +328,8 @@ object Round13Queries {
         |JOIN m ON d.event_type = m.event_type
         |JOIN md ON d.event_type = md.event_type
         |GROUP BY 1""".stripMargin,
+
+    "asof_join_sql_auto" -> asofSqlText("events", "orders"),
 
     "asof_join_native" ->
       """SELECT e.event_id, e.user_id, o.o_orderdate AS matched_order_date

@@ -72,5 +72,10 @@ for amp in ${AMPS//,/ }; do
   run_fresh asofcmp "$amp"
 done
 
+for amp in ${AMPS//,/ }; do
+  echo "### fresh JVM: as-of SQL rewrite on/off point $amp" >&2
+  run_fresh asofsqlcmp "$amp"
+done
+
 echo "### fresh JVM: trigger-granularity sweep (amp ${AMPS##*,})" >&2
 run_fresh chunks "$AMPS"

@@ -411,6 +411,81 @@ object Stress {
       }
     }
 
+    // As-of SQL rewrite, rule ON vs OFF. The unrewritten decorrelation
+    // is NOT the obvious per-key lookup: Spark builds the subquery's
+    // domain from the distinct correlated TIMES only, so the inner
+    // stage is a BroadcastNestedLoopJoin of |distinct ts| × |orders|
+    // (every timestamp against every order, the equality key applied
+    // only in the final join-back) feeding a |distinct ts|·|custkeys|
+    // -group aggregate — amp² intermediate rows and a sort-spill agg.
+    // At a 1-in-10 sf0.1 slice (10k ts × 15k orders = 150M pairs) the
+    // OFF side runs tens of minutes, so the head-to-head checksum
+    // comparison runs on a 1-in-40 slice (2.5k × 3.75k ≈ 9.4M pairs)
+    // at amp=1 only, and the ON path sweeps the 1-in-10 slice across
+    // amps to show the rewritten plan stays linear.
+    if (sections("asofsqlcmp")) {
+      val key = graft.plans.AsOfRewriteRule.EnabledKey
+      graft.plans.AsOfRewriteRule.installLate(spark)
+      val sqlText =
+        """SELECT count(*) AS n, sum(hash(event_id, m)) AS chk FROM (
+          |  SELECT e.event_id,
+          |         (SELECT max(o.o_orderdate) FROM stress_asql_ord o
+          |          WHERE o.o_custkey = e.user_id AND o.o_orderdate <= e.ts)
+          |           AS m
+          |  FROM stress_asql_ev e)""".stripMargin
+      // The amplified frames are localCheckpoint'd before registering:
+      // stock Spark 4.1.2 crashes (PushProjectionThroughUnion:
+      // NoSuchElementException during decorrelation cleanup) when a
+      // correlated scalar subquery's outer table is a Union — verified
+      // in a bare spark-shell with no graft rules installed. The
+      // checkpoint flattens the view to a LogicalRDD, which also keeps
+      // the timed region free of the amplification union's scan cost.
+      def views(evMod: Int, amp: Int): Long = {
+        val evBase = ev0.filter(col("event_id") % evMod === 0)
+        val ordBase = graft.core.Tables.orders(spark, sf)
+          .filter(col("o_orderkey") % evMod === 0)
+          .select("o_custkey", "o_orderdate")
+        Amplify.events(evBase, amp).localCheckpoint()
+          .createOrReplaceTempView("stress_asql_ev")
+        (0 until amp).map { k =>
+          ordBase.select(
+            (col("o_custkey") + lit(k * Amplify.IdOffset)).as("o_custkey"),
+            col("o_orderdate"))
+        }.reduce(_ unionByName _).localCheckpoint()
+          .createOrReplaceTempView("stress_asql_ord")
+        evBase.count()
+      }
+      def runOn(label: String, amp: Int, nRows: Long): org.apache.spark.sql.Row = {
+        var row: org.apache.spark.sql.Row = null
+        run(label, amp, nRows) {
+          spark.conf.set(key, "true")
+          try {
+            val df = spark.sql(sqlText)
+            require(df.queryExecution.explainString(
+                org.apache.spark.sql.execution.FormattedMode)
+              .contains("AsOfJoin"), "as-of rewrite did not fire in stress")
+            row = df.head
+            (row.getLong(0), "")
+          } finally spark.conf.unset(key)
+        }
+        row
+      }
+      if (amps.contains(1)) { // head-to-head point, small base
+        val nSmall = views(evMod = 40, amp = 1)
+        val onRow = runOn("asof_sql_rule_on_small", 1, nSmall)
+        run("asof_sql_rule_off_small", 1, nSmall) {
+          val row = spark.sql(sqlText).head
+          require(row == onRow,
+            s"as-of rule on/off disagree: on=$onRow off=$row")
+          (row.getLong(0), "")
+        }
+      }
+      for (amp <- amps) { // linearity sweep, 1-in-10 base, rule on
+        val nBase = views(evMod = 10, amp = amp)
+        runOn("asof_sql_rule_on", amp, nBase * amp)
+      }
+    }
+
     lazy val evS = Amplify.events(ev0, amps.max)
     for (chunks <- Seq(4, 8, 16) if sections("chunks")) {
       run(s"stream_interval_join_chunks$chunks", amps.max, ev0.count() * amps.max) {

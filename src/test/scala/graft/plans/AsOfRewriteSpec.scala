@@ -122,4 +122,45 @@ class AsOfRewriteSpec extends SparkFunSuite {
               WHERE o.o_custkey = e.user_id AND o.o_orderdate <= e.ts) AS m
              FROM asof_ev e""", expectFire = true)
   }
+
+  // Pins an UPSTREAM Spark 4.1.2 defect, not engine behavior: a
+  // correlated scalar subquery whose outer table is a Union crashes
+  // the optimizer (PushProjectionThroughUnion: NoSuchElementException)
+  // BEFORE the late batch this rewrite runs in, so neither rule state
+  // can help — reproduced in a bare spark-shell with no graft rules.
+  // If a Spark upgrade makes this test fail, the bug is fixed: drop
+  // the localCheckpoint workarounds (tools/Stress.scala asofsqlcmp)
+  // and this pin together.
+  test("UPSTREAM pin: union outer table crashes stock decorrelation") {
+    ready
+    val ev = graft.core.Tables.events(spark, sf001)
+    ev.unionByName(ev.withColumn("event_id", $"event_id" + 1000000L))
+      .createOrReplaceTempView("asof_ev_union")
+    graft.core.Tables.orders(spark, sf001)
+      .createOrReplaceTempView("asof_ord_u")
+    val sql = """SELECT e.event_id,
+                 (SELECT max(o.o_orderdate) FROM asof_ord_u o
+                  WHERE o.o_custkey = e.user_id AND o.o_orderdate <= e.ts) AS m
+                 FROM asof_ev_union e"""
+    for (ruleOn <- Seq(false, true)) {
+      if (ruleOn) spark.conf.set(AsOfRewriteRule.EnabledKey, "true")
+      try {
+        val e = intercept[Exception](spark.sql(sql).collect())
+        def msgs(t: Throwable): Seq[String] =
+          if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+        assert(msgs(e).exists(_.contains("key not found")),
+          s"expected the upstream optimizer crash, got: $e")
+      } finally if (ruleOn) spark.conf.unset(AsOfRewriteRule.EnabledKey)
+    }
+    // the documented workaround: flatten the union off the plan
+    ev.unionByName(ev.withColumn("event_id", $"event_id" + 1000000L))
+      .localCheckpoint().createOrReplaceTempView("asof_ev_union")
+    spark.conf.set(AsOfRewriteRule.EnabledKey, "true")
+    try {
+      val df = spark.sql(sql)
+      assert(df.queryExecution.optimizedPlan.collect {
+        case p: AsOfJoinPlan => p }.nonEmpty, "rewrite should fire post-flatten")
+      assert(df.count() > 0)
+    } finally spark.conf.unset(AsOfRewriteRule.EnabledKey)
+  }
 }

@@ -85,6 +85,18 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"gc_sec":$gcs,"sf":"$sfDir"}""")
+    // Compact headline line, printed LAST: the driver keeps only a
+    // 2000-char tail of this stdout, and the full per-query maps above
+    // overflow it (round 13's artifact carried only the gc_sec tail —
+    // no wall times survived). Everything a cross-round comparison
+    // needs — total, s/q, the top-10 slowest with times — must fit in
+    // the tail, so it goes on its own short final line.
+    val slowest = results.sortBy(-_._2).take(10)
+      .map { case (k, v, _, _) => f""""$k":${v}%.2f""" }
+      .mkString("{", ",", "}")
+    val nq = results.length
+    val spq = if (nq == 0) 0.0 else total / nq
+    println(f"""{"metric":"bench_summary","total_sec":$total%.1f,"n_queries":$nq,"sec_per_query":$spq%.3f,"slowest":$slowest,"n_errors":${results.count(_._3.isDefined)},"sf":"$sfDir"}""")
     spark.stop()
     if (results.exists(_._3.isDefined)) sys.exit(1)
   }

@@ -322,8 +322,21 @@ object AsOfJoinNative {
       toleranceSeconds: Option[Long] = None): DataFrame = {
 
     val leftCols = left.columns.toSeq
+    val rightCols = right.columns.toSeq
     require(!payload.exists(leftCols.contains),
       s"payload columns ${payload.filter(leftCols.contains)} collide with left columns")
+    require(payload.forall(rightCols.contains),
+      s"payload columns ${payload.filterNot(rightCols.contains)} not found on the right side")
+    // the final select resolves BY NAME over left ++ right: any shared
+    // name is an ambiguity AnalysisException (if selected) or a silent
+    // wrong-side pick — require disjoint sides up front, and keep the
+    // internal cast-time columns from shadowing caller columns
+    val overlap = leftCols.toSet intersect rightCols.toSet
+    require(overlap.isEmpty,
+      s"left/right column names must be disjoint; overlap: ${overlap.toSeq.sorted}")
+    require(!leftCols.contains(LtCol) && !rightCols.contains(LtCol) &&
+      !leftCols.contains(RtCol) && !rightCols.contains(RtCol),
+      s"column names $LtCol/$RtCol are reserved by the as-of join")
 
     val l = left.withColumn(LtCol, col(leftTime).cast(TimestampType))
     val r = right.withColumn(RtCol, col(rightTime).cast(TimestampType))

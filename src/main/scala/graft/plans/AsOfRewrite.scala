@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression,
 import org.apache.spark.sql.catalyst.plans.{Inner, LeftOuter}
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.types.{DateType, TimestampType}
+import org.apache.spark.sql.types.{DateType, DayTimeIntervalType, TimestampType}
 
 object AsOfRewriteRule {
   /** Opt-in gate; the rule ships disabled like the range-join rewrite. */
@@ -74,8 +74,8 @@ object AsOfRewriteRule {
   * surfaced value IS the time.
   *
   * Eligibility (deliberately narrow): exactly the decorrelated shape
-  * above — one `max`(`min`) over the SAME attribute the single
-  * non-strict theta conjunct compares (a strict `<`/`>` is not
+  * above — one `max`(`min`) over the SAME attribute the non-strict
+  * as-of theta conjunct compares (a strict `<`/`>` as-of bound is not
   * expressible as an inclusive as-of and is left alone), at least one
   * cross-side equi key, aggregate grouping exactly {domain} ∪ keys,
   * and a parent projection that references nothing else from the
@@ -83,6 +83,30 @@ object AsOfRewriteRule {
   * rewrite). Date columns ride through session-zone casts to
   * timestamp, both sides, mirroring the comparison the original plan
   * performed.
+  *
+  * The theta may carry ONE additional TOLERANCE conjunct — the
+  * stale-quote bound a real user writes,
+  * `AND rt >= e.ts - INTERVAL x` (backward) or
+  * `AND rt <= e.ts + INTERVAL x` (forward) — which decorrelation
+  * turns into `rt >= dom + INTERVAL '-x'` (`TimestampAddInterval` of
+  * the domain attr with a folded interval literal). That maps onto
+  * the operator's `toleranceMicros` directly. A STRICT tolerance
+  * bound is also admissible: timestamps are microsecond-resolution,
+  * so `rt > dom - x  <=>  rt >= dom - (x - 1µs)` — the rewrite
+  * tightens the tolerance by one microsecond instead of bailing.
+  *
+  * Two provenance guards keep lookalikes out (advisor findings): the
+  * domain aggregate must be the decorrelation-built DISTINCT of the
+  * left time attribute — its grouping expression carries the SAME
+  * exprId as the left-side attr the outer condition equates (sibling
+  * subtrees of a hand-written query can never share exprIds) and its
+  * single output is a pass-through alias of that grouping expression,
+  * so a domain computed from another table (whose value set need not
+  * cover the left's times) never fires. And when the aggregate ran
+  * over a cast (`max(CAST(rt AS TIMESTAMP))`), the substituted
+  * payload re-applies the identical cast so the alias keeps
+  * `maxAttr`'s type — reusing the exprId with a different type would
+  * silently retype every downstream consumer.
   */
 case class AsOfRewriteRule(session: SparkSession)
     extends Rule[LogicalPlan] with PredicateHelper {
@@ -120,23 +144,77 @@ case class AsOfRewriteRule(session: SparkSession)
           domAgg.groupingExpressions.length != 1) return None
       val domAttr = domAgg.output.head
 
-      // the single non-strict theta conjunct against the domain attr,
-      // time on the R side: rt <= dom (backward) / rt >= dom (forward)
-      val (rtExpr, forward) = splitConjunctivePredicates(theta) match {
-        case Seq(LessThanOrEqual(x, d: Attribute))
-            if d.exprId == domAttr.exprId => (x, false)
-        case Seq(GreaterThanOrEqual(d: Attribute, x))
-            if d.exprId == domAttr.exprId => (x, false)
-        case Seq(GreaterThanOrEqual(x, d: Attribute))
-            if d.exprId == domAttr.exprId => (x, true)
-        case Seq(LessThanOrEqual(d: Attribute, x))
-            if d.exprId == domAttr.exprId => (x, true)
-        case _ => return None
+      // theta: ONE non-strict as-of conjunct against the domain attr —
+      // rt <= dom (backward) / rt >= dom (forward) — plus optionally
+      // ONE tolerance conjunct bounding rt to within an interval
+      // literal of dom on the far side
+      def asOf(c: Expression): Option[(Expression, Boolean)] = c match {
+        case LessThanOrEqual(x, d: Attribute)
+            if d.exprId == domAttr.exprId => Some((x, false))
+        case GreaterThanOrEqual(d: Attribute, x)
+            if d.exprId == domAttr.exprId => Some((x, false))
+        case GreaterThanOrEqual(x, d: Attribute)
+            if d.exprId == domAttr.exprId => Some((x, true))
+        case LessThanOrEqual(d: Attribute, x)
+            if d.exprId == domAttr.exprId => Some((x, true))
+        case _ => None
       }
+      // dom shifted by a folded day-time interval literal: the form
+      // decorrelation + constant folding leave `e.ts ± INTERVAL x` in
+      def domShift(e: Expression): Option[Long] = e match {
+        case TimestampAddInterval(d: Attribute,
+            Literal(micros: Long, _: DayTimeIntervalType), _)
+            if d.exprId == domAttr.exprId => Some(micros)
+        case _ => None
+      }
+      // a tolerance conjunct for the given direction: the bounded
+      // expression and the tolerance in micros (strict bounds tighten
+      // by 1µs — microsecond resolution makes > and >=−1µs identical)
+      def tolerance(c: Expression, fwd: Boolean): Option[(Expression, Long)] = {
+        val m: Option[(Expression, Long, Boolean)] = c match {
+          case GreaterThanOrEqual(x, e) if !fwd =>
+            domShift(e).map((x, _, false))
+          case LessThanOrEqual(e, x) if !fwd =>
+            domShift(e).map((x, _, false))
+          case GreaterThan(x, e) if !fwd => domShift(e).map((x, _, true))
+          case LessThan(e, x) if !fwd => domShift(e).map((x, _, true))
+          case LessThanOrEqual(x, e) if fwd =>
+            domShift(e).map((x, _, false))
+          case GreaterThanOrEqual(e, x) if fwd =>
+            domShift(e).map((x, _, false))
+          case LessThan(x, e) if fwd => domShift(e).map((x, _, true))
+          case GreaterThan(e, x) if fwd => domShift(e).map((x, _, true))
+          case _ => None
+        }
+        m.flatMap { case (x, shift, strict) =>
+          // backward bounds shift dom NEGATIVE (dom - tol); forward
+          // POSITIVE — a shift the wrong way is not a tolerance
+          val tol = if (fwd) shift else -shift
+          if (tol < 0) None else Some((x, if (strict) tol - 1 else tol))
+        }
+      }
+      val parsed = splitConjunctivePredicates(theta) match {
+        case Seq(c) => asOf(c).map { case (x, fwd) => (x, fwd, None) }
+        case Seq(c1, c2) =>
+          asOf(c1).flatMap { case (x, fwd) =>
+            tolerance(c2, fwd).map(t => (x, fwd, Some(t))) }
+            .orElse(asOf(c2).flatMap { case (x, fwd) =>
+              tolerance(c1, fwd).map(t => (x, fwd, Some(t))) })
+        case _ => None
+      }
+      val (rtExpr, forward, tolParsed) = parsed.getOrElse(return None)
       if (!rtExpr.references.subsetOf(r.outputSet)) return None
       val rtAttr = stripCast(rtExpr) match {
         case a: Attribute if r.outputSet.contains(a) => a
         case _ => return None
+      }
+      // the tolerance bound must constrain the SAME right time column
+      val tolMicros = tolParsed match {
+        case None => None
+        case Some((x, tol)) => stripCast(x) match {
+          case a: Attribute if a.exprId == rtAttr.exprId => Some(tol)
+          case _ => return None
+        }
       }
 
       // the aggregate: exactly one agg function — max (backward) / min
@@ -205,6 +283,24 @@ case class AsOfRewriteRule(session: SparkSession)
       if (keyPairs.map(_._2.exprId).toSet !=
           rKeysInGroup.map(_.exprId).toSet) return None
 
+      // PROVENANCE: the domain aggregate must be decorrelation's
+      // DISTINCT of the left time attribute — grouping expr carries the
+      // left attr's exprId (sibling subtrees of a hand-written query
+      // can never share exprIds) and the single output passes the
+      // grouping expr through. A domain built from another table need
+      // not contain every left time value; rewriting such a plan would
+      // turn its NULLs into real matches.
+      val domGroupExpr = domAgg.groupingExpressions.head
+      val domGroupOk = domGroupExpr match {
+        case a: Attribute => a.exprId == ltAttrOpt.get.exprId
+        case _ => false
+      }
+      val domPassThrough = domAgg.aggregateExpressions.head match {
+        case Alias(c, _) => c.semanticEquals(domGroupExpr)
+        case e => e.semanticEquals(domGroupExpr)
+      }
+      if (!domGroupOk || !domPassThrough) return None
+
       // the parent projection may use only L attrs and the aggregate
       // value — the domain/key passthroughs die with the rewrite
       val allowed = l.outputSet + maxAttr
@@ -216,9 +312,18 @@ case class AsOfRewriteRule(session: SparkSession)
 
       val node = AsOfJoinPlan(l, r,
         keyPairs.map(_._1).toSeq, keyPairs.map(_._2).toSeq,
-        ltExpr, rtTime, forward, None)
-      val rtPayload = node.output
+        ltExpr, rtTime, forward, tolMicros)
+      val rtPayload0 = node.output
         .find(_.exprId == rtAttr.exprId).getOrElse(return None)
+      // preserve maxAttr's TYPE: an aggregate over a cast
+      // (max(CAST(rt AS TIMESTAMP))) makes maxAttr TIMESTAMP while the
+      // payload attr keeps rt's raw type — substituting it under
+      // maxAttr's exprId would retype every downstream consumer, so
+      // re-apply the identical cast
+      val rtPayload: Expression =
+        if (rtPayload0.dataType == maxAttr.dataType) rtPayload0
+        else Cast(rtPayload0, maxAttr.dataType,
+          Some(conf.sessionLocalTimeZone))
       val newList = p.projectList.map {
         case a: AttributeReference if a.exprId == maxAttr.exprId =>
           Alias(rtPayload, a.name)(exprId = a.exprId)
@@ -227,7 +332,7 @@ case class AsOfRewriteRule(session: SparkSession)
         }.asInstanceOf[NamedExpression]
       }
       logInfo(s"as-of rewrite fired: keys=${keyPairs.length} " +
-        s"forward=$forward payload=${rtAttr.name}")
+        s"forward=$forward tol=$tolMicros payload=${rtAttr.name}")
       Some(Project(newList, node))
 
     case _ => None

@@ -65,6 +65,94 @@ class AsOfRewriteSpec extends SparkFunSuite {
              FROM asof_l l""", expectFire = true)
   }
 
+  test("two-key forward min/>= fires and preserves the answer") {
+    check("""SELECT l.id,
+             (SELECT min(r.rt) FROM asof_r r
+              WHERE r.rk = l.k AND r.rk2 = l.k2 AND r.rt >= l.t) AS m
+             FROM asof_l l""", expectFire = true)
+  }
+
+  test("backward tolerance conjunct fires and preserves the answer") {
+    check("""SELECT l.id,
+             (SELECT max(r.rt) FROM asof_r r
+              WHERE r.rk = l.k AND r.rt <= l.t
+                AND r.rt >= l.t - INTERVAL 1 HOUR) AS m
+             FROM asof_l l""", expectFire = true)
+  }
+
+  test("forward tolerance conjunct fires and preserves the answer") {
+    check("""SELECT l.id,
+             (SELECT min(r.rt) FROM asof_r r
+              WHERE r.rk = l.k AND r.rt >= l.t
+                AND r.rt <= l.t + INTERVAL 2 HOUR) AS m
+             FROM asof_l l""", expectFire = true)
+  }
+
+  test("STRICT tolerance bound fires with the 1µs tightening") {
+    // t1 (10:30) has its backward match at exactly t − 30 min (10:00):
+    // the strict bound excludes it, so both sides must agree on NULL —
+    // the rewrite maps `> t − 30min` to toleranceMicros = 30min − 1µs
+    check("""SELECT l.id,
+             (SELECT max(r.rt) FROM asof_r r
+              WHERE r.rk = l.k AND r.rt <= l.t
+                AND r.rt > l.t - INTERVAL 30 MINUTE) AS m
+             FROM asof_l l""", expectFire = true)
+  }
+
+  test("tolerance shifted the wrong way does not fire") {
+    // `rt >= t + 1 HOUR` contradicts the backward bound rather than
+    // tightening it — not a tolerance; the rewrite must leave it alone
+    check("""SELECT l.id,
+             (SELECT max(r.rt) FROM asof_r r
+              WHERE r.rk = l.k AND r.rt <= l.t
+                AND r.rt >= l.t + INTERVAL 1 HOUR) AS m
+             FROM asof_l l""", expectFire = false)
+  }
+
+  test("aggregate over a cast preserves the output type") {
+    ready
+    graft.core.Tables.events(spark, sf001)
+      .createOrReplaceTempView("asof_ev_c")
+    graft.core.Tables.orders(spark, sf001)
+      .createOrReplaceTempView("asof_ord_c")
+    // max(CAST(date AS TIMESTAMP)): maxAttr is TIMESTAMP but the raw
+    // payload attr is DATE — the substitution must re-apply the cast
+    // (same exprId + silently different type broke downstream binding)
+    val sql = """SELECT e.event_id,
+                 (SELECT max(CAST(o.o_orderdate AS TIMESTAMP)) FROM asof_ord_c o
+                  WHERE o.o_custkey = e.user_id AND o.o_orderdate <= e.ts) AS m
+                 FROM asof_ev_c e"""
+    val off = spark.sql(sql)
+    assert(off.schema("m").dataType == org.apache.spark.sql.types.TimestampType)
+    check(sql, expectFire = true)
+    spark.conf.set(AsOfRewriteRule.EnabledKey, "true")
+    try {
+      val on = spark.sql(sql)
+      assert(on.schema("m").dataType ==
+        org.apache.spark.sql.types.TimestampType,
+        "rewrite changed the output type of the aggregate alias")
+    } finally spark.conf.unset(AsOfRewriteRule.EnabledKey)
+  }
+
+  test("PROVENANCE: a domain built from another table does not fire") {
+    ready
+    // The advisor's counterexample, written as explicit joins: the same
+    // Project(Join(l, Aggregate(..., Join(Aggregate, r)))) sandwich the
+    // rule matches, except the "domain" is DISTINCT rk2 FROM asof_r —
+    // another table. Left rows whose t is absent from that value set
+    // get NULL here; an as-of rewrite would hand them real matches.
+    val sql = """SELECT l.id, agg.m
+                 FROM asof_l l
+                 LEFT JOIN (
+                   SELECT d.dom, r.rk, max(r.rt) AS m
+                   FROM (SELECT DISTINCT CAST(rk2 AS TIMESTAMP) AS dom
+                         FROM asof_r) d
+                   JOIN asof_r r ON r.rt <= d.dom
+                   GROUP BY d.dom, r.rk) agg
+                 ON agg.dom <=> l.t AND agg.rk = l.k"""
+    check(sql, expectFire = false)
+  }
+
   test("strict inequality is not an inclusive as-of: no fire") {
     check("""SELECT l.id,
              (SELECT max(r.rt) FROM asof_r r

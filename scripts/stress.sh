@@ -77,5 +77,10 @@ for amp in ${AMPS//,/ }; do
   run_fresh asofsqlcmp "$amp"
 done
 
+for amp in ${AMPS//,/ }; do
+  echo "### fresh JVM: as-of hot-key plain/salted point $amp" >&2
+  run_fresh asofhotkey "$amp"
+done
+
 echo "### fresh JVM: trigger-granularity sweep (amp ${AMPS##*,})" >&2
 run_fresh chunks "$AMPS"

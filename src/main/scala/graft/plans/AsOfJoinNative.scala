@@ -8,6 +8,7 @@ import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
 import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
 import org.apache.spark.sql.execution.metric.SQLMetrics
+import org.apache.spark.sql.{functions => F}
 import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.graft.GraftSqlShim
 import org.apache.spark.sql.types.{DataType, LongType, TimestampNTZType, TimestampType}
@@ -305,6 +306,7 @@ object AsOfJoinNative {
 
   private val LtCol = "__asof_lt"
   private val RtCol = "__asof_rt"
+  private val BkCol = "__asof_bk"
 
   /** As-of join `left` to `right` on equal `keys`, matching the latest
     * prior (or, with `forward`, earliest following) right row by time,
@@ -322,22 +324,7 @@ object AsOfJoinNative {
       toleranceSeconds: Option[Long] = None): DataFrame = {
 
     val leftCols = left.columns.toSeq
-    val rightCols = right.columns.toSeq
-    require(!payload.exists(leftCols.contains),
-      s"payload columns ${payload.filter(leftCols.contains)} collide with left columns")
-    require(payload.forall(rightCols.contains),
-      s"payload columns ${payload.filterNot(rightCols.contains)} not found on the right side")
-    // the final select resolves BY NAME over left ++ right: any shared
-    // name is an ambiguity AnalysisException (if selected) or a silent
-    // wrong-side pick — require disjoint sides up front, and keep the
-    // internal cast-time columns from shadowing caller columns
-    val overlap = leftCols.toSet intersect rightCols.toSet
-    require(overlap.isEmpty,
-      s"left/right column names must be disjoint; overlap: ${overlap.toSeq.sorted}")
-    require(!leftCols.contains(LtCol) && !rightCols.contains(LtCol) &&
-      !leftCols.contains(RtCol) && !rightCols.contains(RtCol),
-      s"column names $LtCol/$RtCol are reserved by the as-of join")
-
+    validate(left, right, payload)
     val l = left.withColumn(LtCol, col(leftTime).cast(TimestampType))
     val r = right.withColumn(RtCol, col(rightTime).cast(TimestampType))
     val lPlan = analyzed(l)
@@ -353,6 +340,127 @@ object AsOfJoinNative {
       forward, toleranceSeconds.map(_ * 1000000L))
     GraftSqlShim.ofRows(sessionOf(left), node)
       .select((leftCols ++ payload).map(col): _*)
+  }
+
+  /** Hot-key-safe as-of join: [[join]] with the key space TIME-SPLIT.
+    *
+    * Why: [[AsOfJoinExec]] declares `ClusteredDistribution` on the join
+    * key, and AQE's `OptimizeSkewedJoin` only splits SMJ/SHJ nodes — a
+    * hot key (one user owning 10% of events) funnels its whole merge
+    * through ONE task with no runtime remedy. The fix is the as-of
+    * analogue of skew-join replication, and it is CHEAP because the
+    * operator's state is O(1): split the timeline into `numSplits`
+    * fixed-width ranges (width from one min/max metadata agg over the
+    * left), join on (key, split), and the only right row a split needs
+    * beyond its own range is the single boundary row — the latest
+    * right row BEFORE the split's start (backward; mirrored for
+    * forward). Boundary rows are materialized by reducing the right
+    * side to one extreme row per (key, split) — a map-side-combining
+    * agg — and exploding each to the later (earlier) splits it can
+    * serve, keeping the per-(key, split) extreme: ≤ splits² small rows
+    * per key, constant in data size.
+    *
+    * The result is identical to [[join]] for every input (the true
+    * match is either inside the left row's split or IS the boundary
+    * row), but a hot key's merge now spreads across up to `numSplits`
+    * tasks, bounding max-task at ~1/numSplits of the hot key's volume.
+    * Cost vs the unsalted form: one extra reduced agg + explode on the
+    * right side — the knob a job flips when key skew is known or
+    * measured, not the default.
+    */
+  def joinSkewSalted(
+      left: DataFrame, right: DataFrame,
+      leftKey: String, rightKey: String,
+      leftTime: String, rightTime: String,
+      payload: Seq[String],
+      forward: Boolean = false,
+      toleranceSeconds: Option[Long] = None,
+      numSplits: Int = 32): DataFrame = {
+
+    require(numSplits >= 1, "numSplits must be positive")
+    val leftCols = left.columns.toSeq
+    validate(left, right, payload)
+
+    val l0 = left.withColumn(LtCol, col(leftTime).cast(TimestampType))
+    val r0 = right.withColumn(RtCol, col(rightTime).cast(TimestampType))
+    // split width from the left time range — one bounded metadata agg
+    // (two longs to the driver, same discipline as JDBC range bounds)
+    val bounds = l0.agg(F.min(F.unix_micros(col(LtCol))),
+      F.max(F.unix_micros(col(LtCol)))).head
+    if (bounds.isNullAt(0))
+      return join(left, right, leftKey, rightKey, leftTime, rightTime,
+        payload, forward, toleranceSeconds)
+    val lo = bounds.getLong(0)
+    val width = math.max(1L, (bounds.getLong(1) - lo) / numSplits + 1)
+    val lastSplit = (numSplits - 1).toLong
+    // offset-from-lo stays far under 2^53, so the double division is
+    // exact enough for a bucket id; out-of-range right times clamp to
+    // the edge splits (they are served by boundary replication)
+    def bucketOf(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      F.least(F.lit(lastSplit), F.greatest(F.lit(0L),
+        F.floor((F.unix_micros(c) - F.lit(lo)) / F.lit(width))))
+
+    val lB = l0.withColumn(BkCol, bucketOf(col(LtCol)))
+    val rIn = r0.withColumn(BkCol, bucketOf(col(RtCol)))
+    // one extreme row per (key, split): the ONLY candidate that can
+    // serve another split's boundary
+    val pick = if (forward) F.min_by _ else F.max_by _
+    val pb = rIn.groupBy(col(rightKey).as("__asof_k"), col(BkCol))
+      .agg(pick(F.struct(r0.columns.map(col).toSeq: _*), col(RtCol))
+        .as("__asof_s"))
+    // explode each extreme to the splits it can serve (empty at the
+    // timeline edge — sequence(a, b) with a > b counts DOWN in Spark,
+    // so the guard is load-bearing, not cosmetic)
+    val targets =
+      if (forward)
+        F.when(col(BkCol) >= F.lit(1L),
+          F.sequence(F.lit(0L), col(BkCol) - F.lit(1L)))
+          .otherwise(F.array())
+      else
+        F.when(col(BkCol) + F.lit(1L) <= F.lit(lastSplit),
+          F.sequence(col(BkCol) + F.lit(1L), F.lit(lastSplit)))
+          .otherwise(F.array())
+    val boundary = pb.withColumn("__asof_tgt", F.explode(targets))
+      .groupBy(col("__asof_k"), col("__asof_tgt"))
+      .agg(pick(col("__asof_s"), col("__asof_s")(RtCol)).as("__asof_s"))
+      .select(col("__asof_s.*"), col("__asof_tgt").cast("long").as(BkCol))
+
+    val rAug = rIn.unionByName(boundary)
+    val lPlan = analyzed(lB)
+    val rPlan = analyzed(rAug)
+    def attr(plan: LogicalPlan, name: String): Attribute =
+      plan.output.find(_.name == name).getOrElse(
+        throw new IllegalArgumentException(s"column $name not found"))
+    val node = AsOfJoinPlan(
+      lPlan, rPlan,
+      Seq(attr(lPlan, leftKey), attr(lPlan, BkCol)),
+      Seq(attr(rPlan, rightKey), attr(rPlan, BkCol)),
+      attr(lPlan, LtCol), attr(rPlan, RtCol),
+      forward, toleranceSeconds.map(_ * 1000000L))
+    GraftSqlShim.ofRows(sessionOf(left), node)
+      .select((leftCols ++ payload).map(col): _*)
+  }
+
+  /** Shared front-door checks: the final select resolves BY NAME over
+    * left ++ right, so any shared name is an ambiguity
+    * AnalysisException (if selected) or a silent wrong-side pick —
+    * require disjoint sides up front, and keep the internal columns
+    * from shadowing caller columns.
+    */
+  private def validate(left: DataFrame, right: DataFrame,
+      payload: Seq[String]): Unit = {
+    val leftCols = left.columns.toSeq
+    val rightCols = right.columns.toSeq
+    require(!payload.exists(leftCols.contains),
+      s"payload columns ${payload.filter(leftCols.contains)} collide with left columns")
+    require(payload.forall(rightCols.contains),
+      s"payload columns ${payload.filterNot(rightCols.contains)} not found on the right side")
+    val overlap = leftCols.toSet intersect rightCols.toSet
+    require(overlap.isEmpty,
+      s"left/right column names must be disjoint; overlap: ${overlap.toSeq.sorted}")
+    val reserved = Seq(LtCol, RtCol, BkCol)
+    require(!reserved.exists(c => leftCols.contains(c) || rightCols.contains(c)),
+      s"column names ${reserved.mkString("/")} are reserved by the as-of join")
   }
 
   private def analyzed(df: DataFrame): LogicalPlan = df.queryExecution.analyzed

@@ -411,6 +411,46 @@ object Stress {
       }
     }
 
+    // Native as-of under a HOT KEY (round-14 verdict ask #1): user −1
+    // owns ~10% of the amplified stream on BOTH sides (hotPermille =
+    // 100), so the unsalted operator must funnel that user's whole
+    // merge through ONE task — ClusteredDistribution on the key, and
+    // AQE's OptimizeSkewedJoin does not split custom execs. The salted
+    // form time-splits the key space (numSplits = 32) and replicates
+    // one boundary row per (key, split), so its max_task_s must stay
+    // ~flat while the plain form's grows with the hot key's volume.
+    // Checksums pin identical answers.
+    val hotPermille = sys.env.getOrElse("STRESS_HOT_PERMILLE", "100").toInt
+    for (amp <- amps if sections("asofhotkey")) {
+      val evA = Amplify.eventsHotKey(ev0, amp, hotPermille = hotPermille)
+      val left = evA.select("event_id", "user_id", "ts")
+      val right = evA.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+          col("ts").as("matched"))
+      def summarize(df: DataFrame) = df.agg(
+        count(lit(1)).as("n"),
+        sum(hash(col("event_id"), unix_seconds(col("matched")))).as("chk"))
+      def plain() = summarize(graft.plans.AsOfJoinNative.join(
+        left, right, "user_id", "p_user", "ts", "p_ts", Seq("matched")))
+      def salted() = summarize(graft.plans.AsOfJoinNative.joinSkewSalted(
+        left, right, "user_id", "p_user", "ts", "p_ts", Seq("matched")))
+      // untimed warmup of both pipelines (JIT/codegen, same as asofcmp)
+      plain().head; salted().head
+      val hotRows = left.filter(col("user_id") === -1L).count()
+      var plainRow: org.apache.spark.sql.Row = null
+      run("asof_native_hotkey", amp, ev0.count() * amp) {
+        plainRow = plain().head
+        (plainRow.getLong(0), s"hot_rows=$hotRows")
+      }
+      run("asof_salted_hotkey", amp, ev0.count() * amp) {
+        val row = salted().head
+        require(row == plainRow,
+          s"salted/plain as-of disagree under hot key: " +
+            s"plain=$plainRow salted=$row")
+        (row.getLong(0), s"hot_rows=$hotRows")
+      }
+    }
+
     // As-of SQL rewrite, rule ON vs OFF. The unrewritten decorrelation
     // is NOT the obvious per-key lookup: Spark builds the subquery's
     // domain from the distinct correlated TIMES only, so the inner

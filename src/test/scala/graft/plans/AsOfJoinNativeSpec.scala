@@ -136,6 +136,69 @@ class AsOfJoinNativeSpec extends SparkFunSuite {
     assert(got("nulltime") == None)
   }
 
+  test("skew-salted == unsalted on the fixture, both directions") {
+    val ev = Tables.events(spark, sf001).select("event_id", "user_id", "ts")
+    val o = Tables.orders(spark, sf001)
+      .select(col("o_custkey"), col("o_orderdate"),
+        col("o_orderdate").as("matched"))
+    val plain = AsOfJoinNative.join(ev, o,
+      "user_id", "o_custkey", "ts", "o_orderdate", Seq("matched"))
+    val salted = AsOfJoinNative.joinSkewSalted(ev, o,
+      "user_id", "o_custkey", "ts", "o_orderdate", Seq("matched"),
+      numSplits = 8)
+    assert(sortedRows(salted) == sortedRows(plain))
+    // forward mirror over the same frames (orders as the future side)
+    val plainF = AsOfJoinNative.join(ev, o,
+      "user_id", "o_custkey", "ts", "o_orderdate", Seq("matched"),
+      forward = true)
+    val saltedF = AsOfJoinNative.joinSkewSalted(ev, o,
+      "user_id", "o_custkey", "ts", "o_orderdate", Seq("matched"),
+      forward = true, numSplits = 8)
+    assert(sortedRows(saltedF) == sortedRows(plainF))
+  }
+
+  test("skew-salted == unsalted under a hot key, tolerance, and nulls") {
+    // ONE key owns every row — the exact shape the splits exist for —
+    // with null keys/times mixed in and a tolerance bound engaged; a
+    // boundary row served to the wrong split or a dropped clamped row
+    // shows up as a differential here
+    val rnd = new scala.util.Random(7)
+    val base = ts("2024-01-01 00:00:00").getTime
+    def t(): Option[Timestamp] =
+      if (rnd.nextInt(20) == 0) None
+      else Some(new Timestamp(base + rnd.nextInt(500000) * 1000L))
+    def k(): Option[Long] =
+      if (rnd.nextInt(20) == 0) None
+      else if (rnd.nextInt(10) < 9) Some(1L) else Some(rnd.nextInt(3).toLong)
+    val left = (1 to 400).map(i => (k(), t(), s"l$i")).toDF("k", "t", "id")
+    val right = (1 to 300).map(i => (k(), t()))
+      .map { case (rk, rt) => (rk, rt, rt) }.toDF("rk", "rt", "pay")
+      .groupBy("rk", "rt").agg(max("pay").as("pay")) // pre-reduce ties
+    for (fwd <- Seq(false, true); tol <- Seq(None, Some(3600L))) {
+      val plain = AsOfJoinNative.join(left, right, "k", "rk", "t", "rt",
+        Seq("pay"), forward = fwd, toleranceSeconds = tol)
+      val salted = AsOfJoinNative.joinSkewSalted(left, right, "k", "rk",
+        "t", "rt", Seq("pay"), forward = fwd, toleranceSeconds = tol,
+        numSplits = 8)
+      assert(sortedRows(salted) == sortedRows(plain),
+        s"forward=$fwd tol=$tol")
+    }
+  }
+
+  test("skew-salted plans the native exec on the (key, split) keys") {
+    val ev = Tables.events(spark, sf001).select("event_id", "user_id", "ts")
+    val o = Tables.orders(spark, sf001)
+      .select(col("o_custkey"), col("o_orderdate"),
+        col("o_orderdate").as("matched"))
+    val df = AsOfJoinNative.joinSkewSalted(ev, o,
+      "user_id", "o_custkey", "ts", "o_orderdate", Seq("matched"))
+    val nodes = df.queryExecution.optimizedPlan.collect {
+      case p: AsOfJoinPlan => p }
+    assert(nodes.nonEmpty, "salted join lost the native operator")
+    assert(nodes.head.leftKeys.length == 2,
+      "salted join must cluster on (key, split)")
+  }
+
   test("randomized differential: native == window form across directions") {
     val rnd = new scala.util.Random(42)
     val base = ts("2024-01-01 00:00:00").getTime

@@ -63,6 +63,11 @@ for amp in ${AMPS//,/ }; do
 done
 
 for amp in ${AMPS//,/ }; do
+  echo "### fresh JVM: containment density sweep point $amp" >&2
+  run_fresh containmentdensity "$amp"
+done
+
+for amp in ${AMPS//,/ }; do
   echo "### fresh JVM: range-join rule on/off comparison point $amp" >&2
   run_fresh rangejoincmp "$amp"
 done

@@ -131,6 +131,107 @@ object Round14Queries {
       require(nodes.nonEmpty,
         "salted as-of lost the native operator or the split key")
       df
+    },
+
+    // Streaming as-of enrichment (round-13 verdict ask #4): the
+    // canonical stream-enrichment shape the events tier lacked — each
+    // streaming event joined to the LATEST PRIOR dimension row. The
+    // native as-of operator is a batch physical operator, so the
+    // streaming form runs it per trigger inside foreachBatch, where
+    // each micro-batch is an ordinary DataFrame under the session's
+    // full planner: every event is enriched exactly once in the batch
+    // it arrives, the right side is static, and the union of the
+    // batch-id-partitioned emissions equals the batch as-of — which is
+    // why the oracle is the SAME DuckDB ASOF JOIN as asof_join_native.
+    // STATE: the streaming query holds none (no watermark, no state
+    // store — the as-of state lives inside each batch's merge, O(1)
+    // per task); exactly-once comes from the replay-stable batch-id
+    // partition overwrite, and the requires pin a real multi-trigger
+    // run with the native exec planned in every batch.
+    "asof_stream_enrich" -> { (s, dir) =>
+      import graft.stream.StreamRun
+      val out = CoreQueries.scratchDir("asof_stream_enrich")
+      val src = Round7Queries.eventsChunks(s, dir)
+      val dim = Tables.orders(s, dir)
+        .select(col("o_custkey"), col("o_orderdate"),
+          col("o_orderdate").as("matched_order_date"))
+      val batchesWithAsOf = new java.util.concurrent.atomic.AtomicInteger
+      val (result, stats) = StreamRun.runAvailableNowSummarized(
+        src, s"$out/run",
+        batch => {
+          val enriched = plans.AsOfJoinNative.join(
+              batch.select("event_id", "user_id", "ts"), dim,
+              "user_id", "o_custkey", "ts", "o_orderdate",
+              Seq("matched_order_date"))
+            .select("event_id", "user_id", "matched_order_date")
+          if (enriched.queryExecution.optimizedPlan.collect {
+              case p: plans.AsOfJoinPlan => p }.nonEmpty)
+            batchesWithAsOf.incrementAndGet()
+          enriched
+        })
+      val dataBatches = stats.count(_.inputRows > 0)
+      require(dataBatches >= 4,
+        s"expected a real multi-trigger run, got $dataBatches data batches")
+      require(batchesWithAsOf.get() >= dataBatches,
+        "a micro-batch was enriched without the native as-of operator")
+      result.select("event_id", "user_id", "matched_order_date")
+    },
+
+    // TRUE two-connection reconcile (round-13 verdict ask #8): BOTH
+    // sides arrive over live JDBC — two independent connections with
+    // their own credentials, their own pushed predicate, and their own
+    // range slicing (8 vs 6 partitions), reading two different
+    // warehouse tables (side B is published already-drifted, so the
+    // drift lives server-side like a real divergent replica). One
+    // in-process endpoint serves both connections — a JVM can host
+    // exactly one HiveServer2 (Hive service singletons; probed) — but
+    // the engine-side path is identical to two hosts: two separate
+    // spark.read.jdbc scans, nothing shared but the session.
+    // SCHEDULER NOTE (advisor): the client-side scan tasks and the
+    // server-side query tasks share this one scheduler, so client
+    // parallelism (8 + 6) must stay below the pool size (32 here) or
+    // the remote queries starve behind their own consumers — on a real
+    // two-warehouse deployment the server side runs elsewhere and the
+    // constraint disappears.
+    "reconcile_jdbc_dual" -> { (s, dir) =>
+      import graft.sources.JdbcWarehouse
+      val port = JdbcWarehouse.ensureServer(s)
+      val orders = Tables.orders(s, dir)
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+      val drifted = orders.filter(col("o_orderkey") % 97 =!= 0)
+        .withColumn("o_totalprice",
+          when(col("o_orderkey") % 53 === 0, col("o_totalprice") * 1.1)
+            .otherwise(col("o_totalprice")))
+      val tblA = JdbcWarehouse.publish(orders, "graft_jdbc_dual_a")
+      val tblB = JdbcWarehouse.publish(drifted, "graft_jdbc_dual_b")
+      val bounds = orders.agg(min("o_orderkey"), max("o_orderkey")).head
+      def remote(tbl: String, user: String, parts: Int): DataFrame =
+        JdbcWarehouse.readTable(s, port, tbl, "o_orderkey",
+            bounds.getLong(0), bounds.getLong(1) + 1, parts,
+            user = user, password = user)
+          .filter(col("o_custkey") < 500)
+      val a = remote(tblA, "warehouse_a", 8)
+      val b = remote(tblB, "warehouse_b", 6)
+      for ((df, parts, side) <- Seq((a, 8, "A"), (b, 6, "B"))) {
+        val plan = df.queryExecution.explainString(FormattedMode)
+        require("PushedFilters: \\[[^\\]]*o_custkey".r.findFirstIn(plan)
+            .isDefined, s"side $side predicate not pushed:\n$plan")
+        require(plan.contains(s"numPartitions=$parts"),
+          s"side $side scan is not range-partitioned:\n$plan")
+      }
+      val aa = a.select(col("o_orderkey").as("ak"),
+        col("o_orderstatus").as("a_status"), col("o_totalprice").as("a_price"))
+      val bb = b.select(col("o_orderkey").as("bk"),
+        col("o_orderstatus").as("b_status"), col("o_totalprice").as("b_price"))
+      aa.join(bb, col("ak") === col("bk"), "full_outer")
+        .groupBy(coalesce(col("a_status"), col("b_status")).as("o_orderstatus"))
+        .agg(
+          sum(when(col("ak").isNotNull && col("bk").isNotNull &&
+            col("a_price") === col("b_price"), 1L).otherwise(0L)).as("n_match"),
+          sum(when(col("ak").isNotNull && col("bk").isNotNull &&
+            col("a_price") =!= col("b_price"), 1L).otherwise(0L)).as("n_mismatch"),
+          sum(when(col("bk").isNull, 1L).otherwise(0L)).as("n_only_remote"),
+          sum(when(col("ak").isNull, 1L).otherwise(0L)).as("n_only_local"))
     }
   )
 
@@ -144,6 +245,41 @@ object Round14Queries {
       """SELECT e.event_id, e.user_id, o.o_orderdate AS matched_order_date
         |FROM events e
         |ASOF LEFT JOIN orders o
-        |  ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate""".stripMargin
+        |  ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate""".stripMargin,
+
+    // and the same oracle once more for the STREAMING form: the union
+    // of per-trigger as-of emissions must equal the batch as-of
+    "asof_stream_enrich" ->
+      """SELECT e.event_id, e.user_id, o.o_orderdate AS matched_order_date
+        |FROM events e
+        |ASOF LEFT JOIN orders o
+        |  ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate""".stripMargin,
+
+    // identical relation to reconcile_jdbc's oracle: moving side B
+    // behind its own JDBC connection must not change the reconcile
+    "reconcile_jdbc_dual" ->
+      """WITH a AS (
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice
+        |  FROM orders WHERE o_custkey < 500),
+        |b AS (
+        |  SELECT o_orderkey, o_orderstatus,
+        |         CASE WHEN o_orderkey % 53 = 0 THEN o_totalprice * 1.1
+        |              ELSE o_totalprice END AS o_totalprice
+        |  FROM orders WHERE o_custkey < 500 AND o_orderkey % 97 <> 0)
+        |SELECT coalesce(a.o_orderstatus, b.o_orderstatus) AS o_orderstatus,
+        |       CAST(sum(CASE WHEN a.o_orderkey IS NOT NULL
+        |                      AND b.o_orderkey IS NOT NULL
+        |                      AND a.o_totalprice = b.o_totalprice
+        |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_match,
+        |       CAST(sum(CASE WHEN a.o_orderkey IS NOT NULL
+        |                      AND b.o_orderkey IS NOT NULL
+        |                      AND a.o_totalprice <> b.o_totalprice
+        |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_mismatch,
+        |       CAST(sum(CASE WHEN b.o_orderkey IS NULL THEN 1 ELSE 0 END)
+        |            AS BIGINT) AS n_only_remote,
+        |       CAST(sum(CASE WHEN a.o_orderkey IS NULL THEN 1 ELSE 0 END)
+        |            AS BIGINT) AS n_only_local
+        |FROM a FULL JOIN b ON a.o_orderkey = b.o_orderkey
+        |GROUP BY 1""".stripMargin
   )
 }

@@ -795,7 +795,24 @@ object Dedup {
     */
   def containmentPairs(
       docs: DataFrame, idCol: String, textCol: String,
-      threshold: Double, shingleN: Int = 1): DataFrame = {
+      threshold: Double, shingleN: Int = 1,
+      /** HOT-TOKEN skew lever (0 = off). Duplicate-heavy cliques defeat
+        * task-level parallelism structurally: every pair of a clique
+        * meets at the SAME df-rarest shared prefix token, so that one
+        * token's join task emits (and sorted-intersect-verifies) the
+        * whole clique's quadratic pair count — measured 24 s of a 31 s
+        * wall in one task under 8× density amplification, invisible to
+        * AQE's skew split because the partition is tiny in BYTES (the
+        * skew is compute-bound, not size-bound). With `hotTokenDf > 0`,
+        * tokens whose document frequency exceeds it get their POSTINGS
+        * side salted by hash(container id) into `hotTokenSalts` lanes
+        * and their (far smaller) prefix side replicated across the
+        * lanes, turning the one hot task into `hotTokenSalts` tasks.
+        * Every pair still meets exactly once (the first-shared-prefix
+        * rule is salt-independent; the pair lands in the lane of its
+        * container's hash) — recall stays 1.0, unlike a df-cut.
+        */
+      hotTokenDf: Long = 0L, hotTokenSalts: Int = 16): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0, s"threshold: $threshold")
     GraftFunctions.register(docs.sparkSession)
     import org.apache.spark.sql.expressions.Window
@@ -842,21 +859,43 @@ object Dedup {
     val pArr = prefixToks.groupBy("id").agg(
       transform(array_sort(collect_list(struct(col("df"), col("tok")))),
         e => e.getField("tok")).as("parr"))
-    val px = sets.join(pArr, Seq("id"))
+    val px0 = sets.join(pArr, Seq("id"))
       .select(col("id").as("id_x"), col("sz").as("sz_x"),
         col("s").as("s_x"), col("parr"))
       .select(col("id_x"), col("sz_x"), col("s_x"), col("parr"),
         explode(col("parr")).as("tok"))
-    val fy = sets
+    val fy0 = sets
       .select(col("id").as("id_y"), col("sz").as("sz_y"),
         col("s").as("s_y"), explode(col("s")).as("tok"))
+    // hot-token lane assignment (see the parameter doc): postings rows
+    // pick ONE lane by container-id hash, prefix rows fan out to every
+    // lane; cold tokens ride lane 0 on both sides, so the join key
+    // becomes (tok, lane) at zero cost to them. The hot set is a
+    // broadcast map-side join — it is df-bounded and tiny.
+    val (px, fy) =
+      if (hotTokenDf <= 0L) {
+        (px0.withColumn("lane", lit(0)),
+          fy0.withColumn("lane", lit(0)))
+      } else {
+        val hot = dfreq.filter(col("df") > hotTokenDf)
+          .select(col("tok"), lit(true).as("is_hot"))
+        val pxh = px0.join(broadcast(hot), Seq("tok"), "left")
+          .withColumn("lane", explode(when(col("is_hot"),
+            sequence(lit(0), lit(hotTokenSalts - 1))).otherwise(array(lit(0)))))
+          .drop("is_hot")
+        val fyh = fy0.join(broadcast(hot), Seq("tok"), "left")
+          .withColumn("lane", when(col("is_hot"),
+            pmod(hash(col("id_y")), lit(hotTokenSalts))).otherwise(lit(0)))
+          .drop("is_hot")
+        (pxh, fyh)
+      }
     // codegen'd kernel — the HOF spelling (element_at(filter(...)))
     // is interpreted and knocks the join out of whole-stage codegen
     def firstShared = call_function(
       "graft_sorted_first_contained", col("parr"), col("s_y"))
     def inter = call_function(
       "graft_sorted_intersect_count", col("s_x"), col("s_y")).cast("double")
-    px.join(fy, px("tok") === fy("tok") &&
+    px.join(fy, px("tok") === fy("tok") && px("lane") === fy("lane") &&
         (col("sz_x") < col("sz_y") ||
           (col("sz_x") === col("sz_y") && col("id_x") < col("id_y"))) &&
         px("tok") === firstShared &&

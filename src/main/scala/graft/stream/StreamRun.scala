@@ -255,17 +255,26 @@ object StreamRun {
       noDataBatch: Boolean = true): DataFrame =
     runAvailableNowObserved(streaming, outDir, complete, noDataBatch)._1
 
-  /** Per-trigger SUMMARY sink: every micro-batch is folded through
-    * `summarize` (a whole-batch reduction to a SMALL frame — a sketch,
-    * a count vector, a fingerprint) and the result lands under its
-    * `batch_id=N` partition, replay-idempotent like every other sink
-    * here. This is the "shard summary per ingest batch" shape: the
-    * per-trigger outputs are tiny and MERGEABLE offline, so a
-    * downstream consumer answers corpus-wide questions from the summary
-    * log without ever rescanning the ingested data. The streaming side
-    * is stateless (the reduction happens inside foreachBatch, where the
-    * batch is a plain DataFrame) — no watermark, no state store, which
-    * is exactly why the summaries must be mergeable.
+  /** Per-trigger TRANSFORM sink: every micro-batch is passed through
+    * `summarize` — a plain batch DataFrame function — and the result
+    * lands under its `batch_id=N` partition, replay-idempotent like
+    * every other sink here. Two certified uses:
+    *
+    *  - summary logs ("shard summary per ingest batch"): the
+    *    per-trigger outputs are tiny and MERGEABLE offline, so a
+    *    downstream consumer answers corpus-wide questions from the
+    *    summary log without rescanning the ingested data;
+    *  - per-batch ENRICHMENT (streaming as-of): operators only batch
+    *    execution can plan — the native as-of join in particular — run
+    *    against each trigger's arrivals inside foreachBatch, where the
+    *    batch is an ordinary DataFrame under the session's full planner
+    *    (custom strategies included). Each event is enriched exactly
+    *    once in the batch it arrives, so the union of emissions equals
+    *    the batch-mode transform of the whole stream.
+    *
+    * The streaming side is stateless either way (the work happens
+    * inside foreachBatch) — no watermark, no state store — which is
+    * why the per-batch outputs must be union-composable.
     */
   def runAvailableNowSummarized(streaming: DataFrame, outDir: String,
       summarize: DataFrame => DataFrame): (DataFrame, Seq[TriggerStats]) = {

@@ -14,46 +14,48 @@ object Probe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
-    graft.core.Tables.events(spark, sf).createOrReplaceTempView("ev")
-    graft.core.Tables.orders(spark, sf).createOrReplaceTempView("ord")
-
-    def dump(label: String, sql: String): Unit = {
-      println(s"========== $label ==========")
-      try {
-        val plan = spark.sql(sql).queryExecution.optimizedPlan
-        println(plan.treeString)
-      } catch {
-        case e: Throwable => println(s"FAILED: $e")
-      }
+    // Can a SECOND in-process HiveServer2 start on another port in the
+    // same JVM? (dual-endpoint reconcile feasibility)
+    import java.sql.DriverManager
+    def freePort(): Int = {
+      val ss = new java.net.ServerSocket(0)
+      try ss.getLocalPort finally ss.close()
     }
-
-    dump("canonical backward",
-      """SELECT e.event_id,
-        |  (SELECT max(o.o_orderdate) FROM ord o
-        |   WHERE o.o_custkey = e.user_id AND o.o_orderdate <= e.ts) AS m
-        |FROM ev e""".stripMargin)
-
-    dump("tolerance backward (ts - interval)",
-      """SELECT e.event_id,
-        |  (SELECT max(c.ts) FROM ev c
-        |   WHERE c.user_id = e.user_id AND c.ts <= e.ts
-        |     AND c.ts >= e.ts - INTERVAL 1 HOUR) AS m
-        |FROM ev e""".stripMargin)
-
-    dump("tolerance forward (ts + interval)",
-      """SELECT e.event_id,
-        |  (SELECT min(c.ts) FROM ev c
-        |   WHERE c.user_id = e.user_id AND c.ts >= e.ts
-        |     AND c.ts <= e.ts + INTERVAL 1 HOUR) AS m
-        |FROM ev e""".stripMargin)
-
-    dump("tolerance backward on DATE right (orderdate)",
-      """SELECT e.event_id,
-        |  (SELECT max(o.o_orderdate) FROM ord o
-        |   WHERE o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
-        |     AND o.o_orderdate >= e.ts - INTERVAL 30 DAY) AS m
-        |FROM ev e""".stripMargin)
-
+    def startOn(port: Int): Unit = {
+      spark.conf.set("hive.server2.thrift.port", port.toString)
+      spark.conf.set("hive.server2.thrift.bind.host", "localhost")
+      org.apache.spark.sql.hive.thriftserver.HiveThriftServer2
+        .startWithContext(spark.sqlContext)
+    }
+    Class.forName("org.apache.hive.jdbc.HiveDriver")
+    def tryConnect(port: Int, label: String): Boolean = {
+      val deadline = System.nanoTime() + 30L * 1000000000L
+      var ok = false
+      while (!ok && System.nanoTime() < deadline) {
+        try {
+          val c = DriverManager.getConnection(
+            s"jdbc:hive2://localhost:$port/default", "graft", "graft")
+          val st = c.createStatement()
+          val rs = st.executeQuery("SELECT 41 + 1")
+          rs.next()
+          println(s"$label: port=$port query=${rs.getInt(1)}")
+          c.close(); ok = true
+        } catch { case _: Throwable => Thread.sleep(250) }
+      }
+      if (!ok) println(s"$label: port=$port FAILED to connect")
+      ok
+    }
+    val p1 = freePort()
+    startOn(p1)
+    tryConnect(p1, "server1")
+    val p2 = freePort()
+    try {
+      startOn(p2)
+      tryConnect(p2, "server2")
+      tryConnect(p1, "server1-after-second")
+    } catch {
+      case e: Throwable => println(s"second server start FAILED: $e")
+    }
     spark.stop()
   }
 }

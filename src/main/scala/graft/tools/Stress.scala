@@ -286,6 +286,36 @@ object Stress {
       }
     }
 
+    // 9b. Prefix-filter containment join under DENSITY amplification
+    // (round-14 verdict ask #5): salted copies keep the fixture
+    // vocabulary, so every near-dup clique of size s becomes one
+    // cross-copy clique of ≈ amp·s — and copies of the same doc are
+    // mutual containments (they differ by one salt token), so TRUE
+    // pairs grow ~amp². This is where prefix tokens collide hardest:
+    // the first-shared-prefix dedup means each qualifying pair meets
+    // ONCE (no candidate-level distinct), but the quadratic truth is
+    // inherent — the diagnostic columns are s/out_row (work per
+    // emitted pair, should stay flat) and max_task_s (a hot prefix
+    // token's postings would concentrate in one task).
+    for (amp <- amps if sections("containmentdensity")) {
+      val sa = Amplify.documentsSalted(docs0, amp)
+      var plainN = 0L
+      run("containment_prefix_salted", amp, 1000L * amp) {
+        plainN = Dedup.containmentPairs(sa, "doc_id", "text", 0.9).count()
+        (plainN, "")
+      }
+      // the hot-token lane lever ON (df > 100 → 16 lanes): max_task_s
+      // must collapse toward wall/parallelism while the pair count
+      // stays EXACTLY the plain run's — the lever is recall-lossless
+      run("containment_prefix_salted_lanes", amp, 1000L * amp) {
+        val n = Dedup.containmentPairs(sa, "doc_id", "text", 0.9,
+          hotTokenDf = 100L, hotTokenSalts = 16).count()
+        require(n == plainN,
+          s"hot-token lanes changed the answer: $n != $plainN")
+        (n, "")
+      }
+    }
+
     // 10. Range-join rewrite ON vs OFF (round-13 verdict ask #8): the
     // crossover curve that quantifies what the optimizer rule exists
     // for. BOTH axes grow with amp — points ×amp (events copies) and

@@ -124,7 +124,11 @@ class PlanAuditSpec extends SparkFunSuite {
       // round-11 second block: per-trigger sketch-shard run at
       // construction; read-back is a broadcast probe join, no joins to
       // hunt
-      "freq_cms_stream_ingest")
+      "freq_cms_stream_ingest",
+      // round 14: per-trigger native as-of inside foreachBatch; the
+      // batch plan is require'd to carry the AsOfJoin exec at
+      // construction, read-back is a plain parquet scan
+      "asof_stream_enrich")
     val offenders = SparkEntry.queries.keys.toSeq.sorted
       .filterNot(exactBaselines)
       .filterNot(eagerStreamRuns)

@@ -244,6 +244,23 @@ class DedupSpec extends SparkFunSuite {
     }
   }
 
+  test("containmentPairs: hot-token lanes are recall-lossless") {
+    // the skew lever reroutes hot tokens' postings into salted lanes
+    // and fans their prefix rows across them — the PAIR SET must be
+    // bit-identical to the unsalted path at any (df threshold, lanes)
+    val corpus = Tables.documents(spark, sf001)
+    val want = Dedup.containmentPairs(corpus, "doc_id", "text", 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    for ((df, lanes) <- Seq((1L, 4), (50L, 16))) {
+      val got = Dedup.containmentPairs(corpus, "doc_id", "text", 0.9,
+          hotTokenDf = df, hotTokenSalts = lanes)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(got == want,
+        s"df=$df lanes=$lanes: lost ${(want -- got).size} pairs / " +
+          s"invented ${(got -- want).size}")
+    }
+  }
+
   test("containmentPairs: a short doc embedded in a long one scores ~1.0") {
     import spark.implicits._
     val long =

@@ -40,6 +40,21 @@ object Round14Queries {
        |FROM $events e
        |WHERE e.event_type = 'error'""".stripMargin
 
+  /** STRICT tolerance spelling: `>` instead of `>=` on the bound. The
+    * rewrite maps it to toleranceMicros = 1h − 1µs (timestamps are
+    * microsecond-resolution, so the two are identical relations);
+    * DuckDB evaluates the strict predicate directly — any boundary-tie
+    * divergence would hash-mismatch.
+    */
+  private def asofStrictTolSqlText(events: String): String =
+    s"""SELECT e.event_id, e.user_id,
+       |       (SELECT max(c.ts) FROM $events c
+       |        WHERE c.event_type = 'click' AND c.user_id = e.user_id
+       |          AND c.ts <= e.ts AND c.ts > e.ts - INTERVAL 1 HOUR)
+       |         AS last_click_ts
+       |FROM $events e
+       |WHERE e.event_type = 'error'""".stripMargin
+
   /** Forward as-of SQL: earliest following purchase per click. */
   private def asofFwdSqlText(events: String): String =
     s"""SELECT c.event_id, c.user_id,
@@ -95,6 +110,15 @@ object Round14Queries {
       runAsofSql(s, dir, "asof_join_sql_tolerance_auto",
         asofTolSqlText("asql14_events"),
         forward = false, tolMicros = Some(3600000000L))
+    },
+
+    // The same stale-quote SQL with a STRICT bound — the other
+    // spelling a user reaches for — certified through the 1µs
+    // tolerance tightening.
+    "asof_join_sql_strict_auto" -> { (s, dir) =>
+      runAsofSql(s, dir, "asof_join_sql_strict_auto",
+        asofStrictTolSqlText("asql14_events"),
+        forward = false, tolMicros = Some(3600000000L - 1L))
     },
 
     // The forward (min/>=) SQL spelling through the same front door —
@@ -237,6 +261,7 @@ object Round14Queries {
 
   def oracleSql: Map[String, String] = Map(
     "asof_join_sql_tolerance_auto" -> asofTolSqlText("events"),
+    "asof_join_sql_strict_auto" -> asofStrictTolSqlText("events"),
     "asof_join_sql_forward_auto" -> asofFwdSqlText("events"),
 
     // identical text to asof_join_native's oracle: the salted plan must

@@ -256,10 +256,149 @@ object Round14Queries {
             col("a_price") =!= col("b_price"), 1L).otherwise(0L)).as("n_mismatch"),
           sum(when(col("bk").isNull, 1L).otherwise(0L)).as("n_only_remote"),
           sum(when(col("ak").isNull, 1L).otherwise(0L)).as("n_only_local"))
+    },
+
+    // RECURSIVE CTE — iterative SQL executed by the engine's own
+    // recursion operator (Spark 4.1 plans it as UnionLoop; DuckDB
+    // iterates natively): every customer walks the implicit binary
+    // tree n → ⌊n/2⌋ to the root, and the query folds the walk into a
+    // depth histogram. The recursion is |customers| chains advanced in
+    // PARALLEL one level per iteration — ⌈log₂ max key⌉ rounds of
+    // distributed map work, the same iterate-to-fixpoint shape as the
+    // engine's pointer-jumping connected components, but expressed in
+    // pure SQL and oracle-certified verbatim. Integer halving is
+    // spelled CAST(floor(cur / 2)) so both engines do identical
+    // arithmetic (bare / is float division in DuckDB, integer division
+    // in Spark).
+    "sql_recursive_tree" -> { (s, dir) =>
+      Tables.customer(s, dir).createOrReplaceTempView("rcte_customer")
+      val df = s.sql(recursiveTreeSql("rcte_customer"))
+      require(df.queryExecution.optimizedPlan.toString.contains("UnionLoop") ||
+        df.queryExecution.analyzed.toString.contains("CTERelation"),
+        "recursive CTE did not plan as the engine's recursion operator")
+      df
+    },
+
+    // LATERAL correlated subquery with ORDER BY … LIMIT — the other
+    // natural per-group top-k SQL spelling (the first is the window
+    // rank of window_rank_topn). Catalyst DECORRELATES it into
+    // WindowGroupLimit + a broadcast join: per-partition rank
+    // pushdown, no nested loop, no global sort — the plan a 100 TB
+    // top-k needs, reached from the lateral spelling automatically.
+    // The require pins that decorrelation (a regression to a
+    // correlated nested loop would execute per-customer subqueries).
+    "sql_lateral_topk" -> { (s, dir) =>
+      Tables.customer(s, dir).createOrReplaceTempView("lat_customer")
+      Tables.orders(s, dir).createOrReplaceTempView("lat_orders")
+      val df = s.sql(lateralTopkSql("lat_customer", "lat_orders"))
+      val plan = df.queryExecution.explainString(FormattedMode)
+      require(plan.contains("WindowGroupLimit"),
+        s"lateral top-k did not decorrelate to WindowGroupLimit:\n$plan")
+      require(!plan.contains("BroadcastNestedLoopJoin") &&
+              !plan.contains("CartesianProduct"),
+        s"lateral top-k fell back to a nested loop:\n$plan")
+      df
+    },
+
+    // Incremental view maintenance for a JOIN view (X8 depth): the
+    // denormalized orders ⋈ customer view is maintained from a DELTA
+    // batch alone — deletes drop keys, updates/inserts re-join ONLY
+    // the delta rows against the dimension — instead of recomputing
+    // the join over the full fact table. Deterministic delta: keys
+    // %103 deleted, %101 repriced ×1.05, and a synthetic insert tier
+    // (key + 10⁹, segment customer 1). The oracle recomputes the
+    // final state from scratch — the incremental path must equal the
+    // full recompute exactly. Scale shape: the maintenance cost is
+    // |Δ| joined against a broadcast dim + one store rewrite (at
+    // 100 TB the store is partitioned and only touched partitions
+    // rewrite, same scoping as Warehouse.mergeByKey); the require
+    // pins that the delta-side join is broadcast (dim side), so the
+    // fact-sized view never reshuffles.
+    "warehouse_ivm_join" -> { (s, dir) =>
+      val out = CoreQueries.scratchDir("warehouse_ivm_join")
+      val cust = Tables.customer(s, dir)
+        .select(col("c_custkey"), col("c_mktsegment"))
+      val orders = Tables.orders(s, dir)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+      def joined(o: DataFrame): DataFrame =
+        o.join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+          .select(col("o_orderkey"), col("o_custkey"),
+            col("o_totalprice"), col("c_mktsegment"))
+      // V0: the materialized view before the delta arrives
+      joined(orders).write.mode("overwrite").parquet(s"$out/view")
+      val v0 = s.read.parquet(s"$out/view")
+      // the delta batch (upserts carry full rows; deletes carry keys;
+      // the %101 exclusion keeps the delete and upsert key sets
+      // disjoint — a key in both would be order-of-application
+      // ambiguous, the classic IVM delta-normalization requirement)
+      val deletes = orders.filter(col("o_orderkey") % 103 === 0 &&
+          col("o_orderkey") % 101 =!= 0)
+        .select(col("o_orderkey"))
+      // reprice by an exact-in-double +1.00 (a fractional factor plus
+      // per-row rounding flips penny boundaries between engines)
+      val upserts = orders.filter(col("o_orderkey") % 101 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") + 1.0)
+        .unionByName(orders.filter(col("o_orderkey") % 101 === 0)
+          .select((col("o_orderkey") + lit(1000000000L)).as("o_orderkey"),
+            lit(1L).as("o_custkey"), col("o_totalprice")))
+      val dPlan = joined(upserts).queryExecution
+        .explainString(FormattedMode)
+      require(dPlan.contains("BroadcastHashJoin"),
+        s"IVM delta join must broadcast the dimension:\n$dPlan")
+      val touched = deletes.select("o_orderkey")
+        .unionByName(upserts.select("o_orderkey")).distinct()
+      val v1 = v0.join(touched, Seq("o_orderkey"), "left_anti")
+        .unionByName(joined(upserts))
+      v1.write.mode("overwrite").parquet(s"$out/view_next")
+      s.read.parquet(s"$out/view_next")
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_rows"),
+          round(sum("o_totalprice"), 2).as("sum_price"))
     }
   )
 
+  private def recursiveTreeSql(customer: String): String =
+    s"""WITH RECURSIVE walk(start, cur, depth) AS (
+       |  SELECT c_custkey, c_custkey, 0 FROM $customer
+       |  UNION ALL
+       |  SELECT start, CAST(floor(cur / 2) AS BIGINT), depth + 1
+       |  FROM walk WHERE cur > 1)
+       |SELECT depth AS tree_depth, count(*) AS n_customers FROM (
+       |  SELECT start, max(depth) AS depth FROM walk GROUP BY start)
+       |GROUP BY 1""".stripMargin
+
+  /** Comma-LATERAL spelling: the one both engines parse (DuckDB's
+    * `JOIN LATERAL` form requires an ON clause Spark doesn't).
+    */
+  private def lateralTopkSql(customer: String, orders: String): String =
+    s"""SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+       |FROM $customer c, LATERAL (
+       |  SELECT o_orderkey, o_totalprice FROM $orders
+       |  WHERE o_custkey = c.c_custkey
+       |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) o""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
+    "sql_recursive_tree" -> recursiveTreeSql("customer"),
+    "sql_lateral_topk" -> lateralTopkSql("customer", "orders"),
+
+    // full recompute of the post-delta state: the incremental path
+    // must equal it exactly
+    "warehouse_ivm_join" ->
+      """WITH final_orders AS (
+        |  SELECT o_orderkey, o_custkey,
+        |         CASE WHEN o_orderkey % 101 = 0
+        |              THEN o_totalprice + 1.0
+        |              ELSE o_totalprice END AS o_totalprice
+        |  FROM orders
+        |  WHERE NOT (o_orderkey % 103 = 0 AND o_orderkey % 101 <> 0)
+        |  UNION ALL
+        |  SELECT o_orderkey + 1000000000, 1, o_totalprice
+        |  FROM orders WHERE o_orderkey % 101 = 0)
+        |SELECT c.c_mktsegment, count(*) AS n_rows,
+        |       round(sum(f.o_totalprice), 2) AS sum_price
+        |FROM final_orders f JOIN customer c ON f.o_custkey = c.c_custkey
+        |GROUP BY 1""".stripMargin,
+
     "asof_join_sql_tolerance_auto" -> asofTolSqlText("events"),
     "asof_join_sql_strict_auto" -> asofStrictTolSqlText("events"),
     "asof_join_sql_forward_auto" -> asofFwdSqlText("events"),

@@ -1,61 +1,55 @@
 package graft.tools
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.FormattedMode
 
 /** Dev scratchpad: ad-hoc plan/size probes at arbitrary SF (edit & run;
   * not part of the library surface). `sbt "runMain graft.tools.Probe"`.
   */
 object Probe {
   def main(args: Array[String]): Unit = {
-    val sf = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+    val sf = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
     val spark = graft.GraftSession.builder("local[4]", 4)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    graft.core.Tables.customer(spark, sf).createOrReplaceTempView("customer")
+    graft.core.Tables.orders(spark, sf).createOrReplaceTempView("orders")
 
-    // Can a SECOND in-process HiveServer2 start on another port in the
-    // same JVM? (dual-endpoint reconcile feasibility)
-    import java.sql.DriverManager
-    def freePort(): Int = {
-      val ss = new java.net.ServerSocket(0)
-      try ss.getLocalPort finally ss.close()
-    }
-    def startOn(port: Int): Unit = {
-      spark.conf.set("hive.server2.thrift.port", port.toString)
-      spark.conf.set("hive.server2.thrift.bind.host", "localhost")
-      org.apache.spark.sql.hive.thriftserver.HiveThriftServer2
-        .startWithContext(spark.sqlContext)
-    }
-    Class.forName("org.apache.hive.jdbc.HiveDriver")
-    def tryConnect(port: Int, label: String): Boolean = {
-      val deadline = System.nanoTime() + 30L * 1000000000L
-      var ok = false
-      while (!ok && System.nanoTime() < deadline) {
-        try {
-          val c = DriverManager.getConnection(
-            s"jdbc:hive2://localhost:$port/default", "graft", "graft")
-          val st = c.createStatement()
-          val rs = st.executeQuery("SELECT 41 + 1")
-          rs.next()
-          println(s"$label: port=$port query=${rs.getInt(1)}")
-          c.close(); ok = true
-        } catch { case _: Throwable => Thread.sleep(250) }
+    def tryq(label: String, sql: String): Unit =
+      try {
+        val df = spark.sql(sql)
+        val t0 = System.nanoTime()
+        val rows = df.collect()
+        val dt = (System.nanoTime() - t0) / 1e9
+        println(f"$label: OK ${rows.length} rows in $dt%.2f s -> ${rows.take(3).mkString(" | ")}")
+        println(df.queryExecution.explainString(FormattedMode).linesIterator
+          .filter(l => l.contains("(")).take(25).mkString("\n"))
+      } catch {
+        case e: Throwable =>
+          println(s"$label: FAILED ${e.getClass.getSimpleName}: " +
+            Option(e.getMessage).getOrElse("").linesIterator.take(3).mkString(" "))
       }
-      if (!ok) println(s"$label: port=$port FAILED to connect")
-      ok
-    }
-    val p1 = freePort()
-    startOn(p1)
-    tryConnect(p1, "server1")
-    val p2 = freePort()
-    try {
-      startOn(p2)
-      tryConnect(p2, "server2")
-      tryConnect(p1, "server1-after-second")
-    } catch {
-      case e: Throwable => println(s"second server start FAILED: $e")
-    }
+
+    tryq("recursive tree depth",
+      """WITH RECURSIVE walk(start, cur, depth) AS (
+        |  SELECT c_custkey, c_custkey, 0 FROM customer
+        |  UNION ALL
+        |  SELECT start, CAST(floor(cur / 2) AS BIGINT), depth + 1
+        |  FROM walk WHERE cur > 1)
+        |SELECT depth AS tree_depth, count(*) AS n FROM (
+        |  SELECT start, max(depth) AS depth FROM walk GROUP BY start)
+        |GROUP BY 1 ORDER BY 1""".stripMargin)
+
+    tryq("lateral top-2 orders per customer",
+      """SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+        |FROM customer c
+        |JOIN LATERAL (
+        |  SELECT o_orderkey, o_totalprice FROM orders
+        |  WHERE o_custkey = c.c_custkey
+        |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) o
+        |WHERE c.c_custkey < 100""".stripMargin)
+
     spark.stop()
   }
 }

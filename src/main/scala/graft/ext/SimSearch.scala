@@ -251,6 +251,134 @@ object SimSearch {
       .select(col("id_q"), col("id_c").as("neighbor_id"), col("rank"))
   }
 
+  /** Product-quantization ANN (FAISS PQ/ADC shape): compress each
+    * corpus vector to `m` one-byte codes — subspace `j`'s code is the
+    * nearest of `k` codewords to the vector's j-th sub-vector — and
+    * answer queries from the CODES: approx dot(q, x) =
+    * Σ_j dot(q_sub[j], codeword[j][code_x[j]]), a per-query lookup
+    * table of m·k partial dots instead of any corpus-vector access.
+    * The top `rerank·topK` candidates by approximate score are then
+    * exactly re-ranked (the standard PQ + re-rank pipeline), so the
+    * emitted neighbors carry true cosines.
+    *
+    * Why this exists at 100 TB: IVF prunes WHICH vectors get scored;
+    * PQ shrinks WHAT a scored vector costs — 64 floats (256 B) become
+    * m = 8 codes (8 B), a 32× memory compression that is the
+    * difference between an in-memory corpus index and re-reading
+    * parquet per query. Expressed relationally: codes are (id, j,
+    * code) triples, the ADC scan is an equi join of the code table
+    * against the broadcast per-query LUT on (j, code) followed by a
+    * sum — every step map-side-combining, no vector arrays on the
+    * scan side.
+    *
+    * Determinism: codewords are the sub-vectors of the first `k`
+    * corpus vectors in xxhash64(id) order (the IVF init recipe — a
+    * TakeOrdered, no RNG, no corpus count), refined by `lloydIters`
+    * per-subspace k-means steps over a bounded deterministic sample;
+    * assignment ties break toward the smaller code; ranking uses the
+    * 6-dp-rounded score with id tie-break like every ranker here.
+    */
+  def pqTopK(
+      emb: DataFrame, idCol: String, vecCol: String, topK: Int,
+      m: Int = 8, k: Int = 16, dim: Int = 64,
+      rerank: Int = 16, lloydIters: Int = 1, trainSample: Int = 2048,
+      queries: Option[DataFrame] = None): DataFrame = {
+    require(dim % m == 0, s"dim $dim must split into $m subspaces")
+    val sub = dim / m
+    val vecs = CacheScope.cached(withNorm(emb, idCol, vecCol, ""))
+    // sub-vector explosion: (id, j, sv) — slice is 1-based
+    def subVecs(src: DataFrame, outId: String): DataFrame =
+      src.select(col("id").as(outId), explode(sequence(lit(0), lit(m - 1))).as("j"),
+          col("v"))
+        .select(col(outId), col("j"),
+          expr(s"slice(v, j * $sub + 1, $sub)").as("sv"))
+    // codebook init: sub-vectors of k anchor corpus vectors
+    val anchors = vecs.orderBy(xxhash64(col("id")), col("id")).limit(k)
+      .select(col("id"), col("v"),
+        row_number().over(Window.orderBy(xxhash64(col("id")), col("id")))
+          .as("code"))
+      .select(col("id"), col("v"), (col("code") - 1).as("code"))
+    val init = subVecs(anchors.select(col("id").as("aid"), col("v"), col("code"))
+        .withColumnRenamed("aid", "id"), "id")
+      .join(anchors.select(col("id"), col("code")), Seq("id"))
+      .select(col("j"), col("code"), col("sv").as("cw"))
+    val codebook = broadcast(refinePqCodebook(
+      subVecs(vecs, "id"), init, lloydIters, trainSample))
+    // encode: nearest codeword per (vector, subspace) by L2 —
+    // argmin ||sv - cw||² = argmin (cw·cw − 2·sv·cw); ties → min code
+    def encode(src: DataFrame, outId: String): DataFrame =
+      subVecs(src, outId).join(codebook, Seq("j"))
+        .select(col(outId), col("j"), col("code"),
+          (dot(col("cw"), col("cw")) - lit(2.0) * dot(col("sv"), col("cw")))
+            .as("d2"))
+        .groupBy(col(outId), col("j"))
+        .agg(min_by(col("code"), struct(col("d2"), col("code"))).as("code"))
+    val corpusCodes = encode(vecs, "id_c")
+    val qVecs = queries.map(withNorm(_, idCol, vecCol, "")).getOrElse(vecs)
+    // per-query LUT: partial dot of each query sub-vector with every
+    // codeword — |queries|·m·k small rows, broadcast to the code scan
+    val lut = broadcast(subVecs(qVecs, "id_q").join(codebook, Seq("j"))
+      .select(col("id_q"), col("j"), col("code"),
+        dot(col("sv"), col("cw")).as("pdot")))
+    val approx = corpusCodes.join(lut, Seq("j", "code"))
+      .filter(col("id_q") =!= col("id_c"))
+      .groupBy(col("id_q"), col("id_c"))
+      .agg(sum(col("pdot")).as("adot"))
+    val wA = Window.partitionBy(col("id_q"))
+      .orderBy(col("adot").desc, col("id_c"))
+    val cands = approx.withColumn("arank", row_number().over(wA))
+      .filter(col("arank") <= rerank * topK)
+      .select(col("id_q"), col("id_c"))
+    // exact re-rank of the candidate set only
+    val scored = cands
+      .join(qVecs.select(col("id").as("id_q"), col("v").as("v_q"),
+        col("n").as("n_q")), Seq("id_q"))
+      .join(vecs.select(col("id").as("id_c"), col("v").as("v_c"),
+        col("n").as("n_c")), Seq("id_c"))
+      .withColumn("cos", round(
+        dot(col("v_q"), col("v_c")) / (col("n_q") * col("n_c")), 6))
+    val w = Window.partitionBy(col("id_q")).orderBy(col("cos").desc, col("id_c"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+      .select(col("id_q"), col("id_c").as("neighbor_id"), col("rank"), col("cos"))
+  }
+
+  /** Per-subspace Lloyd refinement of the PQ codebook over a bounded
+    * deterministic sample (same recipe as [[refineCentroids]], keyed by
+    * (j, code) instead of cell): assign sampled sub-vectors to their
+    * nearest codeword by L2, move each codeword to its members' mean;
+    * empty codes keep their old codeword.
+    */
+  private[ext] def refinePqCodebook(
+      subVecs: DataFrame, init: DataFrame, iters: Int, sampleN: Int): DataFrame = {
+    if (iters <= 0) return init
+    val sample = subVecs
+      .withColumn("h", xxhash64(col("id"), col("j")))
+      .orderBy(col("h"), col("id"), col("j")).limit(sampleN)
+      .select(col("id"), col("j"), col("sv")).transform(CacheScope.cached)
+    var cb = init
+    for (_ <- 0 until iters) {
+      val scored = sample.join(broadcast(cb), Seq("j"))
+        .select(col("id"), col("j"), col("sv"), col("code"),
+          (dot(col("cw"), col("cw")) - lit(2.0) * dot(col("sv"), col("cw")))
+            .as("d2"))
+      val members = scored
+        .groupBy(col("id"), col("j"))
+        .agg(min_by(struct(col("code"), col("sv")), struct(col("d2"), col("code")))
+          .as("a"))
+        .select(col("j"), col("a.code").as("code"),
+          posexplode(col("a.sv")).as(Seq("p", "x")))
+      val means = members
+        .groupBy(col("j"), col("code"), col("p")).agg(avg(col("x")).as("mx"))
+        .groupBy(col("j"), col("code"))
+        .agg(transform(array_sort(collect_list(struct(col("p"), col("mx")))),
+          e => e.getField("mx").cast("float")).as("mw"))
+      cb = cb.join(means, Seq("j", "code"), "left_outer")
+        .select(col("j"), col("code"), coalesce(col("mw"), col("cw")).as("cw"))
+    }
+    cb
+  }
+
   /** Derived embedding view with planted cluster structure: member i's
     * vector = center(i mod nClusters) + mix·original(i), where the
     * centers are the first nClusters corpus vectors. No test-data

@@ -86,7 +86,7 @@ class PlanAuditSpec extends SparkFunSuite {
       "dedup_minhash", "dedup_clusters", "dedup_clusters_loop",
       // verification-pinned: exact baseline + 1-row summary crosses:
       "dedup_simhash", "dedup_stream_ingest", "similarity_ann_topk",
-      "similarity_ivf_topk", "similarity_ivf_batch",
+      "similarity_ivf_topk", "similarity_ivf_batch", "similarity_pq_topk",
       // 1-row summary crossJoin (sketch estimate × exact count):
       "hll_union_estimate", "hll_sketch_roundtrip",
       // 1-row summary crosses ONLY (round 13 moved the edge source to

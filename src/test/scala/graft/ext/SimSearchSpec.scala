@@ -74,6 +74,30 @@ class SimSearchSpec extends SparkFunSuite {
       s"IVF recall@1 too low: $hits/${exact1.size}")
   }
 
+  test("pqTopK: ≤k neighbors per query, codes complete, high recall on the clustered view") {
+    val e = SimSearch.clusteredView(Tables.embeddings(spark, sf001),
+      "vec_id", "embedding", nClusters = 20, mix = 0.15)
+    val q = e.filter($"vec_id" < 50)
+    val pq = SimSearch.pqTopK(e, "vec_id", "embedding", 3,
+        rerank = 16, lloydIters = 1, queries = Some(q))
+      .collect()
+    // every query gets at most k neighbors and never itself
+    val byQ = pq.groupBy(_.getLong(0))
+    assert(byQ.forall(_._2.length <= 3))
+    assert(pq.forall(r => r.getLong(0) != r.getLong(1)))
+    val exact = SimSearch.topKBruteForce(q, e, "vec_id", "embedding", 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val hits = pq.count(r => exact((r.getLong(0), r.getLong(1))))
+    assert(hits.toDouble / exact.size >= 0.8,
+      s"PQ recall too low on planted clusters: $hits/${exact.size}")
+    // emitted cosines are the EXACT re-ranked scores, not ADC estimates
+    val withCos = pq.map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(3))).toMap
+    val exactCos = SimSearch.topKBruteForce(q, e, "vec_id", "embedding", 3)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(3))).toMap
+    withCos.foreach { case (pair, cos) =>
+      exactCos.get(pair).foreach(ec => assert(math.abs(ec - cos) < 1e-9)) }
+  }
+
   test("Lloyd-refined centroids lift IVF recall@1 over the hash-ordered init") {
     val e = Tables.embeddings(spark, sf001)
     val exact1 = SimSearch.topKBruteForce(e, e, "vec_id", "embedding", 1)

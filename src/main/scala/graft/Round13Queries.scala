@@ -52,6 +52,17 @@ object Round13Queries {
     // to end; the oracle recomputes the full-corpus answer exactly, so
     // this certifies recall 1.0 against the all-pairs lens rather than
     // sampling it.
+    // Round-14 note: the hot-token lane lever (Dedup.containmentPairs
+    // hotTokenDf/hotTokenSalts) stays OFF here by measurement. The
+    // fixture vocabulary is ~31 tokens, so every posting is heavy —
+    // but the 18 distinct prefix tokens spread across 32 shuffle
+    // partitions are already task-balanced (no straggler to fix), and
+    // the lane fan-out's ×salts replication of the array-carrying
+    // prefix rows costs ~2 s at sf0.1 for nothing (cache-cleared: 9.5 s
+    // plain vs 11.4 s laned, identical 7,036,349 pairs). The lever
+    // earns its keep only when pair generation CONCENTRATES — the
+    // duplicate-heavy clique shape, where the density stress measures
+    // 31.9 → 8.8 s — which is exactly why it ships default-off.
     "dedup_containment_prefix" -> { (s, dir) =>
       Dedup.containmentPairs(Tables.documents(s, dir), "doc_id", "text", 0.9)
     },

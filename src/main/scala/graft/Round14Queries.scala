@@ -380,6 +380,52 @@ object Round14Queries {
           round(sum(col("cos")), 2).as("sum_cos"),
           (sum(coalesce(col("hit"), lit(0L))).cast("double")
             >= count(lit(1)) * 0.9).as("recall_ok"))
+    },
+
+    // The DataSource V2 front door (S4 grown into a connector tier —
+    // sources/v2/DelimV2): orders serialized as pipe-delimited text,
+    // read back through the graft-delim connector with a TYPED schema,
+    // a selective predicate, and a 3-column projection. The requires
+    // pin what makes this a SOURCE and not a parse-in-a-projection:
+    // both WHERE conjuncts are absorbed into the scan (evaluated on
+    // parsed fields before a row object exists — no residual Filter),
+    // and the read schema is pruned to the three surviving columns, so
+    // fields 1, 2, and the filter-only status column never leave the
+    // reader (status is parsed for the pushed predicate only). At
+    // 100 TB this is the difference between shipping every field of
+    // every row into the query and shipping three fields of the
+    // selective subset; splitBytes=64 KiB forces multi-split reads at
+    // every SF, so the exactly-once newline realignment is certified
+    // by the oracle row count, not just the unit suite.
+    "delim_v2_pushdown" -> { (s, dir) =>
+      val out = CoreQueries.scratchDir("delim_v2_pushdown")
+      Tables.orders(s, dir)
+        .select(concat_ws("|", col("o_orderkey"), col("o_custkey"),
+          col("o_orderstatus"), col("o_totalprice"),
+          col("o_orderdate").cast("date"), col("o_orderpriority")).as("line"))
+        .write.mode("overwrite").text(s"$out/orders")
+      val df = s.read.format("graft-delim")
+        .schema("o_orderkey BIGINT, o_custkey BIGINT, o_orderstatus STRING, " +
+          "o_totalprice DOUBLE, o_orderdate DATE, o_orderpriority STRING")
+        .option("splitBytes", (64 * 1024).toString)
+        .load(s"$out/orders")
+        .filter(col("o_orderstatus") === "F" && col("o_totalprice") > 150000.0)
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_orders"),
+          round(sum("o_totalprice"), 2).as("revenue"),
+          min("o_orderdate").as("first_date"))
+      val plan = df.queryExecution.explainString(FormattedMode)
+      require(plan.contains("GraftDelim"), s"graft-delim scan missing:\n$plan")
+      require(plan.contains("EqualTo(o_orderstatus,F)") &&
+        plan.contains("GreaterThan(o_totalprice,150000.0)"),
+        s"WHERE conjuncts not absorbed into the scan:\n$plan")
+      // ReadSchema types appear as name:type — the filter-only status
+      // column and the untouched key columns must not be read out
+      require(plan.contains("o_totalprice:double") &&
+        !plan.contains("o_orderstatus:string") &&
+        !plan.contains("o_orderkey:bigint") && !plan.contains("o_custkey:bigint"),
+        s"scan not pruned to the surviving columns:\n$plan")
+      df
     }
   )
 
@@ -434,6 +480,17 @@ object Round14Queries {
          |           ORDER BY cos DESC, neighbor_id) AS rank
          |  FROM s)
          |WHERE rank <= 3""".stripMargin,
+
+    // the text roundtrip is lossless (keys/status exact; double via
+    // shortest-roundtrip toString; date via ISO), so the oracle
+    // recomputes straight from the parquet table
+    "delim_v2_pushdown" ->
+      """SELECT o_orderpriority, count(*) AS n_orders,
+        |       round(sum(o_totalprice), 2) AS revenue,
+        |       min(CAST(o_orderdate AS DATE)) AS first_date
+        |FROM orders
+        |WHERE o_orderstatus = 'F' AND o_totalprice > 150000.0
+        |GROUP BY 1""".stripMargin,
 
     "sql_recursive_tree" -> recursiveTreeSql("customer"),
     "sql_lateral_topk" -> lateralTopkSql("customer", "orders"),

@@ -1,0 +1,517 @@
+package graft.sources.v2
+
+import java.time.LocalDate
+import java.util.OptionalLong
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileStatus, FileSystem, FSDataInputStream, Path => HPath}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** DataSource V2 connector for delimited text — the engine's source-side
+  * analog of the round-13 whole-operator tier: instead of reading raw
+  * lines and splitting them in a projection (core.Delim, the
+  * compare_tables.sh:3-9 shape), the SOURCE itself understands fields,
+  * so Catalyst's scan-level optimizations apply to delimited data the
+  * way they apply to parquet:
+  *
+  *  - '''column pruning''' (`SupportsPushDownRequiredColumns`): the
+  *    reader parses a line only up to the last field any surviving
+  *    column or pushed filter needs — a 2-column projection over a
+  *    40-field line never materializes fields 3..40 (awk reads every
+  *    field of every line; Spark's CSV reader tokenizes the full row);
+  *  - '''filter pushdown''' (`SupportsPushDownFilters`): eq / range /
+  *    null / IN / prefix predicates on typed columns are evaluated on
+  *    the parsed values inside the scan, BEFORE a row object exists.
+  *    Pushed filters are absorbed exactly (the source returns only
+  *    non-handled filters as residual), so a selective predicate means
+  *    the rows never enter the query at all;
+  *  - '''limit pushdown''' (`SupportsPushDownLimit`, partial): each
+  *    split stops after N emitted rows — `LIMIT 10` over a 100 TB
+  *    directory touches ~10 rows per split, not the corpus;
+  *  - '''split planning''': files are divided into byte-range splits
+  *    (default `spark.sql.files.maxPartitionBytes`, override via the
+  *    `splitBytes` option) with newline realignment using the
+  *    classic contract — a split reads lines that START at offset
+  *    `<=` its end and skips its leading partial line when it does
+  *    not begin at 0 — so every line lands in exactly one task and
+  *    a single huge file still fans out across the cluster;
+  *  - '''statistics''' (`SupportsReportStatistics`): pruned-width
+  *    size estimate, so a small delimited dimension is broadcast by
+  *    the planner like any other small table.
+  *
+  * Types: STRING, INT, BIGINT, DOUBLE, DATE (ISO) — a malformed or
+  * empty typed field is null (permissive mode). A missing trailing
+  * field is null; an explicitly empty string field is `""` (awk `$N`
+  * semantics, matching core.Delim). Compressed files are not
+  * supported (they are not byte-range splittable; decompression
+  * belongs to a codec layer this fixture does not need).
+  *
+  * Registered as `graft-delim` via DataSourceRegister (see
+  * META-INF/services), usable as
+  * `spark.read.format("graft-delim").schema(...).load(path)`.
+  */
+class DelimSource extends TableProvider with DataSourceRegister {
+
+  override def shortName(): String = "graft-delim"
+
+  override def supportsExternalMetadata(): Boolean = true
+
+  /** Infer c1..cN (all STRING) from the first line of the first file —
+    * the same contract core.Delim.read exposes, discoverable instead
+    * of caller-supplied.
+    */
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    val delim = DelimV2.delimiter(options)
+    val files = DelimV2.listFiles(DelimV2.paths(options), DelimV2.driverConf())
+    val nCols = files.find(_.getLen > 0).map { f =>
+      val fs = f.getPath.getFileSystem(DelimV2.driverConf())
+      val in = fs.open(f.getPath)
+      try {
+        val line = new LineSplitReader(in, 0L, f.getLen, f.getLen).nextLine()
+        if (line == null) 1 else line.count(_ == delim) + 1
+      } finally in.close()
+    }.getOrElse(1)
+    StructType((1 to nCols).map(i => StructField(s"c$i", StringType, nullable = true)))
+  }
+
+  override def getTable(
+      schema: StructType,
+      partitioning: Array[Transform],
+      properties: java.util.Map[String, String]): Table =
+    new DelimTable(schema, new CaseInsensitiveStringMap(properties))
+}
+
+private[v2] class DelimTable(tableSchema: StructType, options: CaseInsensitiveStringMap)
+    extends Table with SupportsRead {
+
+  override def name(): String = s"graft-delim ${DelimV2.paths(options).mkString(",")}"
+  override def schema(): StructType = tableSchema
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+
+  override def newScanBuilder(caseInsensitiveOptions: CaseInsensitiveStringMap): ScanBuilder =
+    new DelimScanBuilder(tableSchema, caseInsensitiveOptions)
+}
+
+private[v2] class DelimScanBuilder(fullSchema: StructType, options: CaseInsensitiveStringMap)
+    extends ScanBuilder
+    with SupportsPushDownFilters
+    with SupportsPushDownRequiredColumns
+    with SupportsPushDownLimit {
+
+  private var required: StructType = fullSchema
+  private var pushed: Array[Filter] = Array.empty
+  private var limit: Int = -1
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (sup, unsup) = filters.partition(DelimV2.supportedFilter(_, fullSchema))
+    pushed = sup
+    unsup // residual: Spark keeps evaluating these; pushed ones are absorbed exactly
+  }
+
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def pruneColumns(requiredSchema: StructType): Unit = required = requiredSchema
+
+  override def pushLimit(l: Int): Boolean = { limit = l; true }
+  override def isPartiallyPushed(): Boolean = true // per-split limit only
+
+  override def build(): Scan =
+    new DelimScan(fullSchema, required, pushed, limit, options)
+}
+
+// public: query constructions and the spec assert on readSchema/pushedFilters
+class DelimScan(
+    val fullSchema: StructType,
+    required: StructType,
+    val pushedFilters: Array[Filter],
+    limit: Int,
+    options: CaseInsensitiveStringMap)
+    extends Scan with Batch with SupportsReportStatistics with SupportsRuntimeFiltering {
+
+  /** Runtime (DPP-style) filters: Spark's PartitionPruning rule plugs a
+    * broadcast join's build-side key set into the scan as an `In`
+    * filter at EXECUTION time (`filter()` runs before
+    * `createReaderFactory` on the BatchScanExec path). A delimited file
+    * has no partition directories to drop, but row-level application
+    * is exactly as legal (the join re-checks the key anyway) and is
+    * where the win lives here: a pruned fact row is never typed,
+    * never materialized, never shuffled toward the join.
+    */
+  private var runtimeFilters: Array[Filter] = Array.empty
+
+  override def filterAttributes(): Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    fullSchema.fields
+      .filter(f => DelimV2.pushableType(f.dataType))
+      .map(f => org.apache.spark.sql.connector.expressions.Expressions.column(f.name))
+
+  override def filter(filters: Array[Filter]): Unit = {
+    runtimeFilters = filters.filter(DelimV2.supportedFilter(_, fullSchema))
+    DelimV2.lastRuntimeFilters = runtimeFilters
+  }
+
+  /** What actually arrived at runtime — asserted by the DPP spec. */
+  def runtimeAppliedFilters: Array[Filter] = runtimeFilters
+
+  private val paths = DelimV2.paths(options)
+  private val delim = DelimV2.delimiter(options)
+  private lazy val files: Seq[FileStatus] = DelimV2.listFiles(paths, DelimV2.driverConf())
+
+  override def readSchema(): StructType = required
+
+  override def description(): String =
+    s"GraftDelim ${paths.mkString(",")} " +
+      s"PushedFilters: [${pushedFilters.mkString(", ")}], " +
+      s"ReadSchema: ${required.simpleString}" +
+      (if (limit >= 0) s", PushedLimit: $limit" else "")
+
+  override def estimateStatistics(): Statistics = new Statistics {
+    // pruned-width estimate, same spirit as FileScan: bytes on disk
+    // scaled by the fraction of fields that survive pruning
+    private val total = files.map(_.getLen).sum
+    private val frac =
+      if (fullSchema.isEmpty) 1.0
+      else math.max(required.size, 1).toDouble / fullSchema.size
+    override def sizeInBytes(): OptionalLong = OptionalLong.of((total * frac).toLong max 1L)
+    override def numRows(): OptionalLong = OptionalLong.empty()
+  }
+
+  override def toBatch: Batch = this
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val splitBytes = math.max(1L, options.getLong("splitBytes",
+      SparkSession.active.sessionState.conf.filesMaxPartitionBytes))
+    files.flatMap { f =>
+      val len = f.getLen
+      if (len == 0) Nil
+      else {
+        val n = math.max(1L, (len + splitBytes - 1) / splitBytes).toInt
+        (0 until n).map { i =>
+          val start = i * splitBytes
+          DelimSplit(f.getPath.toString, start, math.min(splitBytes, len - start), len)
+        }
+      }
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory = {
+    // ship only the hadoop entries the executor-side FileSystem needs;
+    // Configuration itself is not Serializable
+    val hc = DelimV2.driverConf()
+    val confMap = hc.iterator().asScala
+      .map(e => e.getKey -> e.getValue)
+      .filter { case (k, _) => k.startsWith("fs.") || k.startsWith("hadoop.") }
+      .toMap
+    new DelimReaderFactory(
+      fullSchema, required, pushedFilters ++ runtimeFilters, delim, limit, confMap)
+  }
+}
+
+private[v2] case class DelimSplit(path: String, start: Long, length: Long, fileLen: Long)
+    extends InputPartition
+
+private[v2] class DelimReaderFactory(
+    fullSchema: StructType,
+    required: StructType,
+    filters: Array[Filter],
+    delim: Char,
+    limit: Int,
+    confMap: Map[String, String])
+    extends PartitionReaderFactory {
+
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val split = partition.asInstanceOf[DelimSplit]
+    // defaults load executor-side (core-default.xml ships in the jars);
+    // the driver's fs.*/hadoop.* entries overlay them
+    val conf = new Configuration(true)
+    confMap.foreach { case (k, v) => conf.set(k, v) }
+    val p = new HPath(split.path)
+    val in = p.getFileSystem(conf).open(p)
+    new DelimPartitionReader(in, split, fullSchema, required, filters, delim, limit)
+  }
+}
+
+private[v2] class DelimPartitionReader(
+    in: FSDataInputStream,
+    split: DelimSplit,
+    fullSchema: StructType,
+    required: StructType,
+    filters: Array[Filter],
+    delim: Char,
+    limit: Int)
+    extends PartitionReader[InternalRow] {
+
+  private val lines =
+    new LineSplitReader(in, split.start, split.start + split.length, split.fileLen)
+
+  // field indexes (into fullSchema) the parse must materialize:
+  // surviving output columns ∪ pushed-filter columns
+  private val idxOf: Map[String, Int] =
+    fullSchema.fieldNames.zipWithIndex.toMap
+  private val outputIdx: Array[Int] = required.fieldNames.map(idxOf)
+  private val filterCols: Array[Int] =
+    filters.flatMap(_.references).distinct.map(idxOf)
+  private val maxIdx: Int = (outputIdx ++ filterCols).foldLeft(-1)(math.max)
+  private val types: Array[DataType] = fullSchema.fields.map(_.dataType)
+  private val predicates: Array[Array[Any] => Boolean] =
+    filters.map(DelimV2.compileFilter(_, idxOf, types))
+
+  private var current: InternalRow = _
+  private var emitted = 0
+
+  override def next(): Boolean = {
+    if (limit >= 0 && emitted >= limit) return false
+    var line = lines.nextLine()
+    while (line != null) {
+      val ext = parseLine(line)
+      if (predicates.forall(_(ext))) {
+        val out = new Array[Any](outputIdx.length)
+        var i = 0
+        while (i < outputIdx.length) {
+          out(i) = DelimV2.toInternal(ext(outputIdx(i)), types(outputIdx(i)))
+          i += 1
+        }
+        current = new GenericInternalRow(out)
+        emitted += 1
+        return true
+      }
+      line = lines.nextLine()
+    }
+    false
+  }
+
+  /** Split + type-convert only fields 0..maxIdx (pruned parse). */
+  private def parseLine(line: String): Array[Any] = {
+    val ext = new Array[Any](fullSchema.size)
+    var fieldStart = 0
+    var idx = 0
+    val n = line.length
+    while (idx <= maxIdx && fieldStart <= n) {
+      val i = line.indexOf(delim.toInt, fieldStart)
+      val raw = if (i < 0) line.substring(fieldStart) else line.substring(fieldStart, i)
+      ext(idx) = DelimV2.parseExternal(raw, types(idx))
+      idx += 1
+      fieldStart = if (i < 0) n + 1 else i + 1
+    }
+    ext
+  }
+
+  override def get(): InternalRow = current
+  override def close(): Unit = in.close()
+}
+
+/** Byte-range line reader with the exactly-once split contract:
+  * a split reads lines whose first byte offset is <= `end`, and a
+  * split that does not start at byte 0 discards everything through
+  * its first newline (the previous split owns that straddling line).
+  */
+private[v2] final class LineSplitReader(
+    in: FSDataInputStream, start: Long, end: Long, fileLen: Long) {
+
+  private val buffered = {
+    in.seek(start)
+    new java.io.BufferedInputStream(in, 1 << 16)
+  }
+  private var pos: Long = start
+  private val bytes = new java.io.ByteArrayOutputStream(256)
+
+  if (start != 0) readRaw() // discard the leading partial line
+
+  /** Next complete line owned by this split, or null when exhausted. */
+  def nextLine(): String = {
+    if (pos > end || pos >= fileLen) return null
+    readRaw()
+  }
+
+  /** Read one line (up to '\n' or EOF), strip trailing '\r', advance pos. */
+  private def readRaw(): String = {
+    bytes.reset()
+    var b = buffered.read()
+    while (b != -1 && b != '\n') {
+      bytes.write(b)
+      pos += 1
+      b = buffered.read()
+    }
+    if (b == '\n') pos += 1
+    else if (bytes.size() == 0) return null // EOF with nothing read
+    val arr = bytes.toByteArray
+    val len = if (arr.nonEmpty && arr(arr.length - 1) == '\r') arr.length - 1 else arr.length
+    new String(arr, 0, len, java.nio.charset.StandardCharsets.UTF_8)
+  }
+}
+
+private[graft] object DelimV2 {
+
+  /** Test observability hook: the most recent runtime-filter set any
+    * DelimScan received via `filter()` (the Scan instance is buried
+    * inside adaptive query stages at execution time — this sidesteps
+    * the traversal). Written only on the driver (scan.filter runs
+    * driver-side before reader-factory creation).
+    */
+  @volatile private[graft] var lastRuntimeFilters: Array[Filter] = Array.empty
+
+  def delimiter(options: CaseInsensitiveStringMap): Char = {
+    val d = options.getOrDefault("delimiter", "|")
+    require(d.length == 1, s"graft-delim: delimiter must be one char, got '$d'")
+    d.charAt(0)
+  }
+
+  def paths(options: CaseInsensitiveStringMap): Seq[String] = {
+    val single = Option(options.get("path")).toSeq
+    val multi = Option(options.get("paths")).toSeq.flatMap(_.split(",").map(_.trim))
+    val all = (single ++ multi).filter(_.nonEmpty)
+    require(all.nonEmpty, "graft-delim: no path given")
+    all
+  }
+
+  def driverConf(): Configuration =
+    SparkSession.active.sessionState.newHadoopConf()
+
+  def listFiles(paths: Seq[String], conf: Configuration): Seq[FileStatus] =
+    paths.flatMap { p =>
+      val hp = new HPath(p)
+      val fs = hp.getFileSystem(conf)
+      val matched = Option(fs.globStatus(hp)).map(_.toSeq).getOrElse(Seq.empty)
+      require(matched.nonEmpty, s"graft-delim: path not found: $p")
+      matched.flatMap { st =>
+        if (st.isDirectory) fs.listStatus(st.getPath).toSeq.filter(_.isFile) else Seq(st)
+      }
+    }.filterNot { st =>
+      val n = st.getPath.getName
+      n.startsWith("_") || n.startsWith(".")
+    }.sortBy(_.getPath.toString)
+
+  private val pushableTypes: Set[DataType] =
+    Set(StringType, IntegerType, LongType, DoubleType, DateType)
+
+  def pushableType(dt: DataType): Boolean = pushableTypes.contains(dt)
+
+  /** A filter is pushable iff it is a simple predicate over ONE known
+    * column of a supported type (compound And/Or/Not stay in Spark —
+    * the scan-level win is the leaf conjuncts, which Catalyst has
+    * already split out of WHERE conjunctions before pushdown).
+    */
+  def supportedFilter(f: Filter, schema: StructType): Boolean = {
+    def ok(col: String): Boolean =
+      schema.fieldNames.contains(col) &&
+        pushableTypes.contains(schema(col).dataType)
+    f match {
+      case EqualTo(c, v) => ok(c) && v != null
+      case GreaterThan(c, v) => ok(c) && v != null
+      case GreaterThanOrEqual(c, v) => ok(c) && v != null
+      case LessThan(c, v) => ok(c) && v != null
+      case LessThanOrEqual(c, v) => ok(c) && v != null
+      case In(c, vs) => ok(c) && vs != null && vs.forall(_ != null)
+      case IsNull(c) => ok(c)
+      case IsNotNull(c) => ok(c)
+      case StringStartsWith(c, _) =>
+        schema.fieldNames.contains(c) && schema(c).dataType == StringType
+      case _ => false
+    }
+  }
+
+  /** Parse a raw field into its EXTERNAL comparison value: String,
+    * Int, Long, Double, or Long epoch-day for DATE. Malformed → null.
+    */
+  def parseExternal(raw: String, dt: DataType): Any =
+    if (raw == null) null
+    else dt match {
+      case StringType => raw
+      case IntegerType =>
+        try raw.trim.toInt catch { case _: NumberFormatException => null }
+      case LongType =>
+        try raw.trim.toLong catch { case _: NumberFormatException => null }
+      case DoubleType =>
+        try raw.trim.toDouble catch { case _: NumberFormatException => null }
+      case DateType =>
+        try LocalDate.parse(raw.trim).toEpochDay
+        catch { case _: java.time.format.DateTimeParseException => null }
+      case other =>
+        throw new IllegalArgumentException(s"graft-delim: unsupported type $other")
+    }
+
+  /** External → Catalyst internal representation. */
+  def toInternal(ext: Any, dt: DataType): Any =
+    if (ext == null) null
+    else dt match {
+      case StringType => UTF8String.fromString(ext.asInstanceOf[String])
+      case DateType => ext.asInstanceOf[Long].toInt // epoch days
+      case _ => ext
+    }
+
+  private def normValue(v: Any, dt: DataType): Any = dt match {
+    case DateType => v match {
+      case d: java.sql.Date => d.toLocalDate.toEpochDay
+      case d: LocalDate => d.toEpochDay
+      case s: String => LocalDate.parse(s).toEpochDay
+      case u: UTF8String => LocalDate.parse(u.toString).toEpochDay
+      case other => throw new IllegalArgumentException(
+        s"graft-delim: cannot compare DATE column to $other")
+    }
+    case DoubleType => v.asInstanceOf[Number].doubleValue()
+    case LongType => v.asInstanceOf[Number].longValue()
+    case IntegerType => v.asInstanceOf[Number].intValue()
+    case StringType => v match {
+      case u: UTF8String => u.toString
+      case s: String => s
+      case other => other.toString
+    }
+    case other =>
+      throw new IllegalArgumentException(s"graft-delim: unsupported type $other")
+  }
+
+  private def cmp(dt: DataType, a: Any, b: Any): Int = dt match {
+    case StringType => a.asInstanceOf[String].compareTo(b.asInstanceOf[String])
+    case IntegerType => Integer.compare(a.asInstanceOf[Int], b.asInstanceOf[Int])
+    case LongType | DateType =>
+      java.lang.Long.compare(a.asInstanceOf[Long], b.asInstanceOf[Long])
+    case DoubleType =>
+      java.lang.Double.compare(a.asInstanceOf[Double], b.asInstanceOf[Double])
+    case other =>
+      throw new IllegalArgumentException(s"graft-delim: unsupported type $other")
+  }
+
+  /** Compile a pushed filter to a predicate over the parsed external
+    * field array. SQL comparison semantics: anything vs null → false
+    * (only IsNull admits nulls).
+    */
+  def compileFilter(
+      f: Filter, idxOf: Map[String, Int], types: Array[DataType]): Array[Any] => Boolean = {
+    def at(c: String): Int = idxOf(c)
+    def rel(c: String, v: Any, test: Int => Boolean): Array[Any] => Boolean = {
+      val i = at(c); val dt = types(i); val nv = normValue(v, dt)
+      row => row(i) != null && test(cmp(dt, row(i), nv))
+    }
+    f match {
+      case EqualTo(c, v) => rel(c, v, _ == 0)
+      case GreaterThan(c, v) => rel(c, v, _ > 0)
+      case GreaterThanOrEqual(c, v) => rel(c, v, _ >= 0)
+      case LessThan(c, v) => rel(c, v, _ < 0)
+      case LessThanOrEqual(c, v) => rel(c, v, _ <= 0)
+      case In(c, vs) =>
+        val i = at(c); val dt = types(i)
+        val nvs = vs.map(normValue(_, dt))
+        row => row(i) != null && nvs.exists(nv => cmp(dt, row(i), nv) == 0)
+      case IsNull(c) =>
+        val i = at(c); row => row(i) == null
+      case IsNotNull(c) =>
+        val i = at(c); row => row(i) != null
+      case StringStartsWith(c, prefix) =>
+        val i = at(c)
+        row => row(i) != null && row(i).asInstanceOf[String].startsWith(prefix)
+      case other =>
+        throw new IllegalArgumentException(s"graft-delim: filter not pushable: $other")
+    }
+  }
+}

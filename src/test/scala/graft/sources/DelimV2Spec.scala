@@ -1,0 +1,202 @@
+package graft.sources
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+import org.apache.spark.sql.functions._
+
+import graft.SparkFunSuite
+import graft.sources.v2.DelimScan
+
+/** Certifies the graft-delim DataSource V2 connector (sources/v2/DelimV2):
+  * the exactly-once split contract at adversarial split sizes, schema
+  * inference, typed parsing with awk-compatible null semantics, column
+  * pruning, exact filter absorption (no residual Filter node), partial
+  * limit pushdown, and a differential check against Spark's CSV reader
+  * over a real table extract.
+  */
+class DelimV2Spec extends SparkFunSuite {
+  import spark.implicits._
+
+  private def write(path: String, content: String): Unit =
+    Files.write(Paths.get(path), content.getBytes(StandardCharsets.UTF_8))
+
+  private def delimScan(df: DataFrame): DelimScan = {
+    val scans = df.queryExecution.executedPlan.collect {
+      case b: BatchScanExec => b.scan
+    }
+    assert(scans.nonEmpty, s"no BatchScan in:\n${df.queryExecution.executedPlan}")
+    scans.head.asInstanceOf[DelimScan]
+  }
+
+  test("split contract: every line lands in exactly one split, any split size") {
+    val dir = tempDir("delimv2-split")
+    // adversarial shapes: varied lengths, an empty line, a \r\n line,
+    // and NO trailing newline on the last line
+    val lines = Seq("a|1", "bb|22", "", "ccc|333\r", "dddd|4444", "e|5")
+    write(s"$dir/f.txt", lines.mkString("\n")) // last line unterminated
+    val expected = Seq(
+      ("a", 1L), ("bb", 22L), (null, null), ("ccc", 333L), ("dddd", 4444L), ("e", 5L))
+      .map { case (a, b) => (Option(a).getOrElse(""), Option(b).map(_.toString).orNull) }
+    for (splitBytes <- Seq(1, 2, 3, 5, 7, 11, 16, 64, 100000)) {
+      val got = spark.read.format("graft-delim")
+        .schema("k STRING, v BIGINT")
+        .option("splitBytes", splitBytes.toString)
+        .load(s"$dir/f.txt")
+        .collect()
+        .map(r => (Option(r.getString(0)).getOrElse(""),
+          if (r.isNullAt(1)) null else r.getLong(1).toString))
+        .toSeq
+      // the empty line parses to k="" (awk $1 of an empty record), v null
+      assert(got.sorted === expected.map { case (k, v) =>
+        (if (k == null) "" else k, v)
+      }.sorted, s"splitBytes=$splitBytes")
+    }
+  }
+
+  test("schema inference: c1..cN strings from the first line") {
+    val dir = tempDir("delimv2-infer")
+    write(s"$dir/f.txt", "x|y|z\nlonger|row|here|extra\n")
+    val df = spark.read.format("graft-delim").load(s"$dir/f.txt")
+    assert(df.schema.fieldNames.toSeq === Seq("c1", "c2", "c3"))
+    assert(df.schema.fields.forall(_.dataType.typeName == "string"))
+    // the 4-field row's extra field is simply not materialized
+    assert(df.count() === 2)
+  }
+
+  test("typed parse: missing trailing fields null, malformed null, empty-string field kept") {
+    val dir = tempDir("delimv2-typed")
+    write(s"$dir/f.txt",
+      "1|a||2024-03-01|1.5\n" +   // empty STRING field -> ""
+      "2|b|x|2024-03-02|oops\n" + // malformed double -> null
+      "3|c\n" +                   // missing trailing fields -> null
+      "4||weird-date|not-a-date|2\n")
+    val df = spark.read.format("graft-delim")
+      .schema("id BIGINT, s STRING, t STRING, d DATE, v DOUBLE")
+      .load(s"$dir/f.txt")
+      .orderBy("id")
+    val rows = df.collect()
+    assert(rows.length === 4)
+    assert(rows(0).getString(2) === "")   // empty field is "", not null
+    assert(rows(0).getDate(3).toString === "2024-03-01")
+    assert(rows(1).isNullAt(4))           // malformed double
+    assert(rows(2).isNullAt(2) && rows(2).isNullAt(3) && rows(2).isNullAt(4))
+    assert(rows(3).getString(1) === "" && rows(3).isNullAt(3))
+  }
+
+  test("column pruning reaches the scan; filter column stays parse-only") {
+    val dir = tempDir("delimv2-prune")
+    write(s"$dir/f.txt", (1 to 100).map(i => s"$i|tag$i|${i % 7}|junk$i").mkString("\n"))
+    val df = spark.read.format("graft-delim")
+      .schema("id BIGINT, tag STRING, bucket BIGINT, junk STRING")
+      .load(s"$dir/f.txt")
+      .filter($"bucket" === 3)
+      .select($"tag")
+    val scan = delimScan(df)
+    // output pruned to tag alone — bucket is parsed for the filter but
+    // never leaves the scan; id/junk are never parsed at all
+    assert(scan.readSchema().fieldNames.toSeq === Seq("tag"))
+    assert(scan.pushedFilters.map(_.references.mkString).toSet === Set("bucket"))
+    assert(df.collect().map(_.getString(0)).sorted ===
+      (1 to 100).filter(_ % 7 == 3).map(i => s"tag$i").sorted)
+  }
+
+  test("exact filter absorption: no residual Filter node, every pushable shape") {
+    val dir = tempDir("delimv2-filters")
+    write(s"$dir/f.txt",
+      // trailing "3" row: name MISSING (null) — "3|" would be name="" instead
+      (1 to 50).map(i => s"$i|n$i|${2000 + i}-01-15|${i * 1.5}").mkString("\n") + "\n3\n")
+    val df0 = spark.read.format("graft-delim")
+      .schema("id BIGINT, name STRING, d DATE, v DOUBLE")
+      .load(s"$dir/f.txt")
+    def check(df: DataFrame, expectIds: Seq[Long], pushed: Int): Unit = {
+      val plan = df.queryExecution.executedPlan
+      assert(delimScan(df).pushedFilters.length === pushed,
+        s"pushed=${delimScan(df).pushedFilters.mkString(",")}")
+      assert(!plan.toString.contains("Filter ("),
+        s"residual filter survived full absorption:\n$plan")
+      assert(df.select("id").as[Long].collect().sorted === expectIds.sorted)
+    }
+    // range + equality (IsNotNull comes along from Catalyst)
+    check(df0.filter($"id" > 45 && $"id" <= 48), Seq(46L, 47L, 48L), 3)
+    check(df0.filter($"name" === "n7"), Seq(7L), 2)
+    check(df0.filter($"d" < to_date(lit("2010-01-01"))), (1L to 9L), 2)
+    check(df0.filter($"v" >= 73.5), Seq(49L, 50L), 2)
+    check(df0.filter($"id".isin(3, 44)), Seq(3L, 3L, 44L), 1)
+    check(df0.filter($"name".startsWith("n1") && $"id" < 13),
+      Seq(1L, 10L, 11L, 12L), 4) // IsNotNull(name), IsNotNull(id) ride along
+    check(df0.filter($"name".isNull), Seq(3L), 1)
+  }
+
+  test("partial limit pushdown: readers stop early, limit still exact") {
+    val dir = tempDir("delimv2-limit")
+    write(s"$dir/f.txt", (1 to 10000).map(i => s"$i|x").mkString("\n"))
+    val df = spark.read.format("graft-delim")
+      .schema("id BIGINT, s STRING")
+      .option("splitBytes", "8192")
+      .load(s"$dir/f.txt")
+      .limit(7)
+    assert(delimScan(df).description().contains("PushedLimit: 7"))
+    assert(df.count() === 7)
+  }
+
+  test("differential vs Spark CSV over a real orders extract, multi-split") {
+    val dir = tempDir("delimv2-diff")
+    // fixture o_orderdate is timestamp[us] — cast to DATE before writing
+    // (otherwise the text carries " 00:00:00", which strict ISO parse
+    // rejects while Spark CSV leniently truncates)
+    val orders = spark.read.parquet(s"$sf001/orders.parquet")
+      .select($"o_orderkey", $"o_orderstatus", $"o_totalprice",
+        $"o_orderdate".cast("date").as("o_orderdate"))
+    orders.select(concat_ws("|", $"o_orderkey", $"o_orderstatus",
+        $"o_totalprice", $"o_orderdate").as("line"))
+      .coalesce(1).write.mode("overwrite").text(s"$dir/orders")
+    val schema = "o_orderkey BIGINT, o_orderstatus STRING, o_totalprice DOUBLE, o_orderdate DATE"
+    val mine = spark.read.format("graft-delim").schema(schema)
+      .option("splitBytes", "4096").load(s"$dir/orders")
+    val csv = spark.read.schema(schema).option("delimiter", "|").csv(s"$dir/orders")
+    assert(mine.count() === orders.count())
+    assert(mine.exceptAll(csv).isEmpty && csv.exceptAll(mine).isEmpty)
+  }
+
+  test("runtime (DPP-style) filtering: the broadcast build side prunes the scan") {
+    val dir = tempDir("delimv2-dpp")
+    // fact: 20k delimited rows over 100 keys; dim: parquet, filtered to
+    // 15 keys (grp = 3) — selective enough that PartitionPruning plugs
+    // the build-side key set into the V2 scan as a runtime In filter
+    write(s"$dir/fact.txt",
+      (1 to 20000).map(i => s"${i % 100}|payload$i").mkString("\n"))
+    spark.range(100).select($"id".as("k"), ($"id" % 7).as("grp"))
+      .write.mode("overwrite").parquet(s"$dir/dim")
+    val fact = spark.read.format("graft-delim")
+      .schema("k BIGINT, payload STRING").load(s"$dir/fact.txt")
+    val dim = spark.read.parquet(s"$dir/dim").filter($"grp" === 3)
+    graft.sources.v2.DelimV2.lastRuntimeFilters = Array.empty
+    val joined = fact.join(dim, "k")
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruningexpression"),
+      s"no runtime filter planned on the delim scan:\n$plan")
+    val rows = joined.collect()
+    // 14 surviving keys (3, 10, …, 94) × 200 fact rows each
+    assert(rows.length === 14 * 200)
+    val applied = graft.sources.v2.DelimV2.lastRuntimeFilters
+    assert(applied.exists {
+      case org.apache.spark.sql.sources.In("k", vs) => vs.length === 14
+      case _ => false
+    }, s"scan did not receive the In runtime filter: ${applied.mkString(",")}")
+  }
+
+  test("statistics report pruned width (broadcast-eligible estimate)") {
+    val dir = tempDir("delimv2-stats")
+    write(s"$dir/f.txt", (1 to 1000).map(i => s"$i|${"x" * 50}|$i|$i").mkString("\n"))
+    val full = spark.read.format("graft-delim")
+      .schema("a BIGINT, pad STRING, c BIGINT, d BIGINT").load(s"$dir/f.txt")
+    val pruned = full.select("a")
+    val fullSize = delimScan(full).estimateStatistics().sizeInBytes().getAsLong
+    val prunedSize = delimScan(pruned).estimateStatistics().sizeInBytes().getAsLong
+    assert(prunedSize * 3 < fullSize,
+      s"pruned estimate $prunedSize not proportionally below $fullSize")
+  }
+}

@@ -426,6 +426,43 @@ object Round14Queries {
         !plan.contains("o_orderkey:bigint") && !plan.contains("o_custkey:bigint"),
         s"scan not pruned to the surviving columns:\n$plan")
       df
+    },
+
+    // Runtime (DPP-style) filtering on the V2 connector, in the
+    // certified surface: lineitem as delimited text joined to the
+    // part dimension under a selective predicate. The require pins
+    // `dynamicpruningexpression` ON the graft-delim scan — Spark's
+    // PartitionPruning hands the broadcast build side's key set to the
+    // scan as an `In` filter at execution, and the reader applies it
+    // at ROW level during the parse (a delimited file has no partition
+    // directories, but a pruned fact row is never typed, materialized,
+    // or shuffled toward the join). At 100 TB this is the classic
+    // star-join shape: the 2%-selective dim predicate prunes the fact
+    // scan itself, not just the join output. Correctness does not
+    // depend on the runtime filter (the join re-checks the key), which
+    // is exactly why row-level partial application is legal — the
+    // oracle certifies the join, the require certifies the pruning.
+    "delim_v2_runtime_prune" -> { (s, dir) =>
+      val out = CoreQueries.scratchDir("delim_v2_runtime_prune")
+      Tables.lineitem(s, dir)
+        .select(concat_ws("|", col("l_partkey"), col("l_quantity"),
+          col("l_extendedprice")).as("line"))
+        .write.mode("overwrite").text(s"$out/lineitem")
+      val fact = s.read.format("graft-delim")
+        .schema("l_partkey BIGINT, l_quantity DOUBLE, l_extendedprice DOUBLE")
+        .load(s"$out/lineitem")
+      val dim = Tables.part(s, dir)
+        .filter(col("p_size") <= 3)
+        .select(col("p_partkey"), col("p_brand"))
+      val df = fact.join(broadcast(dim), col("l_partkey") === col("p_partkey"))
+        .groupBy("p_brand")
+        .agg(count(lit(1)).as("n_items"),
+          round(sum("l_extendedprice"), 2).as("revenue"))
+      val plan = df.queryExecution.executedPlan.toString
+      require(plan.contains("GraftDelim"), s"graft-delim scan missing:\n$plan")
+      require(plan.contains("dynamicpruningexpression"),
+        s"runtime filter not planned onto the delim scan:\n$plan")
+      df
     }
   )
 
@@ -490,6 +527,13 @@ object Round14Queries {
         |       min(CAST(o_orderdate AS DATE)) AS first_date
         |FROM orders
         |WHERE o_orderstatus = 'F' AND o_totalprice > 150000.0
+        |GROUP BY 1""".stripMargin,
+
+    "delim_v2_runtime_prune" ->
+      """SELECT p_brand, count(*) AS n_items,
+        |       round(sum(l_extendedprice), 2) AS revenue
+        |FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        |WHERE p.p_size <= 3
         |GROUP BY 1""".stripMargin,
 
     "sql_recursive_tree" -> recursiveTreeSql("customer"),

@@ -151,8 +151,12 @@ class DelimScan(
     */
   private var runtimeFilters: Array[Filter] = Array.empty
 
+  // only columns that SURVIVE pruning: Spark resolves these references
+  // against the scan's output — advertising a pruned-away column throws
+  // "Unable to resolve ... given [...]" at planning (a runtime-filter
+  // key is always in the output anyway, it feeds the join)
   override def filterAttributes(): Array[org.apache.spark.sql.connector.expressions.NamedReference] =
-    fullSchema.fields
+    required.fields
       .filter(f => DelimV2.pushableType(f.dataType))
       .map(f => org.apache.spark.sql.connector.expressions.Expressions.column(f.name))
 

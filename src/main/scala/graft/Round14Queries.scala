@@ -463,6 +463,33 @@ object Round14Queries {
       require(plan.contains("dynamicpruningexpression"),
         s"runtime filter not planned onto the delim scan:\n$plan")
       df
+    },
+
+    // The connector's WRITE path in the certified surface: high-value
+    // orders written through the graft-delim SINK (the V2 staged-commit
+    // protocol — tasks write to _staging_<queryId>/, the commit
+    // coordinator picks one winner per partition, the driver's job
+    // commit clears the old generation and moves exactly the committed
+    // files), read back through the connector's typed scan, aggregated.
+    // The oracle recomputes from parquet, so a duplicated, dropped, or
+    // torn line anywhere in the sink→source loop hash-mismatches; the
+    // bench's double-run additionally exercises the TRUNCATE path
+    // (second overwrite must fully replace the first generation).
+    "delim_v2_sink_roundtrip" -> { (s, dir) =>
+      val out = CoreQueries.scratchDir("delim_v2_sink_roundtrip")
+      Tables.orders(s, dir)
+        .filter(col("o_totalprice") > 200000.0)
+        .select(col("o_orderkey"), col("o_custkey"),
+          col("o_orderdate").cast("date").as("o_orderdate"),
+          col("o_totalprice"))
+        .write.format("graft-delim").mode("overwrite").save(s"$out/orders")
+      s.read.format("graft-delim")
+        .schema("o_orderkey BIGINT, o_custkey BIGINT, o_orderdate DATE, o_totalprice DOUBLE")
+        .load(s"$out/orders")
+        .groupBy(year(col("o_orderdate")).as("order_year"))
+        .agg(count(lit(1)).as("n_orders"),
+          round(sum("o_totalprice"), 2).as("revenue"),
+          countDistinct("o_custkey").as("n_custs"))
     }
   )
 
@@ -534,6 +561,15 @@ object Round14Queries {
         |       round(sum(l_extendedprice), 2) AS revenue
         |FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
         |WHERE p.p_size <= 3
+        |GROUP BY 1""".stripMargin,
+
+    "delim_v2_sink_roundtrip" ->
+      """SELECT year(CAST(o_orderdate AS DATE)) AS order_year,
+        |       count(*) AS n_orders,
+        |       round(sum(o_totalprice), 2) AS revenue,
+        |       count(DISTINCT o_custkey) AS n_custs
+        |FROM orders
+        |WHERE o_totalprice > 200000.0
         |GROUP BY 1""".stripMargin,
 
     "sql_recursive_tree" -> recursiveTreeSql("customer"),

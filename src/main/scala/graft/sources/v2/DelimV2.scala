@@ -93,15 +93,26 @@ class DelimSource extends TableProvider with DataSourceRegister {
 }
 
 private[v2] class DelimTable(tableSchema: StructType, options: CaseInsensitiveStringMap)
-    extends Table with SupportsRead {
+    extends Table with SupportsRead
+    with org.apache.spark.sql.connector.catalog.SupportsWrite {
 
   override def name(): String = s"graft-delim ${DelimV2.paths(options).mkString(",")}"
   override def schema(): StructType = tableSchema
+  // ACCEPT_ANY_SCHEMA: on the write path the table is constructed from
+  // the (possibly nonexistent) target directory, so output resolution
+  // must take the QUERY's schema (LogicalWriteInfo.schema), not the
+  // inferred one
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ)
+    java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+      TableCapability.TRUNCATE, TableCapability.ACCEPT_ANY_SCHEMA)
 
   override def newScanBuilder(caseInsensitiveOptions: CaseInsensitiveStringMap): ScanBuilder =
     new DelimScanBuilder(tableSchema, caseInsensitiveOptions)
+
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder =
+    new DelimWriteBuilder(info, options)
 }
 
 private[v2] class DelimScanBuilder(fullSchema: StructType, options: CaseInsensitiveStringMap)
@@ -410,6 +421,161 @@ private[v2] final class LineSplitReader(
   }
 }
 
+/** Write side of the connector (K-tier as a connector instead of a
+  * DataFrameWriter call): staged task commits with the commit
+  * coordinator — each task writes to `_staging_<queryId>/` and returns
+  * its file in the commit message; the DRIVER's job commit moves
+  * exactly the committed files into place (and, for overwrite, clears
+  * the old generation first), then drops the staging dir — so a
+  * speculative duplicate or failed task can never leak a partial file
+  * into the data directory (its stray staged file dies with staging).
+  *
+  * The format has no quoting: a field containing the delimiter, '\n',
+  * or '\r' is unrepresentable, and the writer THROWS rather than
+  * corrupt row framing silently. Nulls write as empty fields (which
+  * read back as null for typed columns and "" for strings — the
+  * format cannot distinguish an empty string from a string null).
+  */
+private[v2] class DelimWriteBuilder(
+    info: org.apache.spark.sql.connector.write.LogicalWriteInfo,
+    options: CaseInsensitiveStringMap)
+    extends org.apache.spark.sql.connector.write.WriteBuilder
+    with org.apache.spark.sql.connector.write.SupportsTruncate {
+
+  private var doTruncate = false
+  override def truncate(): org.apache.spark.sql.connector.write.WriteBuilder = {
+    doTruncate = true; this
+  }
+
+  override def build(): org.apache.spark.sql.connector.write.Write =
+    new DelimWrite(info.schema(), info.queryId(), DelimV2.paths(options).head,
+      DelimV2.delimiter(options), doTruncate)
+}
+
+private[v2] class DelimWrite(
+    schema: StructType, queryId: String, path: String, delim: Char, truncate: Boolean)
+    extends org.apache.spark.sql.connector.write.Write
+    with org.apache.spark.sql.connector.write.BatchWrite {
+
+  import org.apache.spark.sql.connector.write._
+
+  private def staging = new HPath(path, s"_staging_$queryId")
+
+  override def description(): String =
+    s"GraftDelimWrite $path truncate=$truncate"
+
+  override def toBatch: BatchWrite = this
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
+    val hc = DelimV2.driverConf()
+    val fs = staging.getFileSystem(hc)
+    fs.mkdirs(staging)
+    val confMap = hc.iterator().asScala
+      .map(e => e.getKey -> e.getValue)
+      .filter { case (k, _) => k.startsWith("fs.") || k.startsWith("hadoop.") }
+      .toMap
+    new DelimWriterFactory(schema, delim, staging.toString, confMap)
+  }
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val fs = staging.getFileSystem(DelimV2.driverConf())
+    val target = new HPath(path)
+    if (truncate) {
+      // clear the previous generation only at COMMIT — a failed job
+      // leaves the old data intact
+      Option(fs.listStatus(target)).getOrElse(Array.empty)
+        .filter(st => st.isFile && !st.getPath.getName.startsWith("_") &&
+          !st.getPath.getName.startsWith("."))
+        .foreach(st => fs.delete(st.getPath, false))
+    }
+    messages.foreach {
+      case DelimCommit(file) =>
+        val src = new HPath(file)
+        if (!fs.rename(src, new HPath(target, src.getName)))
+          throw new java.io.IOException(s"graft-delim: commit rename failed for $src")
+      case other =>
+        throw new IllegalStateException(s"graft-delim: foreign commit message $other")
+    }
+    fs.delete(staging, true) // drops any uncommitted stray files with it
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    val fs = staging.getFileSystem(DelimV2.driverConf())
+    fs.delete(staging, true)
+  }
+}
+
+private[v2] case class DelimCommit(stagedFile: String)
+    extends org.apache.spark.sql.connector.write.WriterCommitMessage
+
+private[v2] class DelimWriterFactory(
+    schema: StructType, delim: Char, stagingDir: String, confMap: Map[String, String])
+    extends org.apache.spark.sql.connector.write.DataWriterFactory {
+
+  override def createWriter(partitionId: Int, taskId: Long)
+      : org.apache.spark.sql.connector.write.DataWriter[InternalRow] = {
+    val conf = new Configuration(true)
+    confMap.foreach { case (k, v) => conf.set(k, v) }
+    // taskId in the name keeps retries/speculation collision-free; the
+    // commit coordinator guarantees only one of them reaches commit()
+    val file = new HPath(stagingDir, f"part-$partitionId%05d-$taskId.txt")
+    new DelimDataWriter(file.getFileSystem(conf).create(file, true), file.toString,
+      schema, delim)
+  }
+}
+
+private[v2] class DelimDataWriter(
+    out: org.apache.hadoop.fs.FSDataOutputStream,
+    file: String,
+    schema: StructType,
+    delim: Char)
+    extends org.apache.spark.sql.connector.write.DataWriter[InternalRow] {
+
+  private val buffered = new java.io.BufferedOutputStream(out, 1 << 16)
+  private val types = schema.fields.map(_.dataType)
+  private val sb = new java.lang.StringBuilder(128)
+
+  override def write(row: InternalRow): Unit = {
+    sb.setLength(0)
+    var i = 0
+    while (i < types.length) {
+      if (i > 0) sb.append(delim)
+      if (!row.isNullAt(i)) {
+        val s = types(i) match {
+          case StringType => row.getUTF8String(i).toString
+          case IntegerType => row.getInt(i).toString
+          case LongType => row.getLong(i).toString
+          case DoubleType => row.getDouble(i).toString
+          case DateType => LocalDate.ofEpochDay(row.getInt(i).toLong).toString
+          case other =>
+            throw new IllegalArgumentException(s"graft-delim: unsupported write type $other")
+        }
+        if (s.indexOf(delim.toInt) >= 0 || s.indexOf('\n') >= 0 || s.indexOf('\r') >= 0)
+          throw new IllegalArgumentException(
+            s"graft-delim: field value contains delimiter or newline " +
+              s"(column ${schema.fieldNames(i)}); the format has no quoting")
+        sb.append(s)
+      }
+      i += 1
+    }
+    sb.append('\n')
+    buffered.write(sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+  }
+
+  override def commit(): org.apache.spark.sql.connector.write.WriterCommitMessage = {
+    buffered.close()
+    DelimCommit(file)
+  }
+
+  override def abort(): Unit = {
+    buffered.close()
+    val p = new HPath(file)
+    p.getFileSystem(new Configuration(true)).delete(p, false)
+  }
+
+  override def close(): Unit = ()
+}
+
 private[graft] object DelimV2 {
 
   /** Test observability hook: the most recent runtime-filter set any
@@ -437,12 +603,17 @@ private[graft] object DelimV2 {
   def driverConf(): Configuration =
     SparkSession.active.sessionState.newHadoopConf()
 
+  /** A missing path yields NO files rather than an error: schema
+    * inference runs on the WRITE path too, where the target directory
+    * may not exist yet (a read of a truly missing path then surfaces
+    * as an empty/zero-column table, which the typed `.schema(...)`
+    * reads every caller uses never hit).
+    */
   def listFiles(paths: Seq[String], conf: Configuration): Seq[FileStatus] =
     paths.flatMap { p =>
       val hp = new HPath(p)
       val fs = hp.getFileSystem(conf)
       val matched = Option(fs.globStatus(hp)).map(_.toSeq).getOrElse(Seq.empty)
-      require(matched.nonEmpty, s"graft-delim: path not found: $p")
       matched.flatMap { st =>
         if (st.isDirectory) fs.listStatus(st.getPath).toSeq.filter(_.isFile) else Seq(st)
       }

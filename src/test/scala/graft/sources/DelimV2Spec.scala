@@ -188,6 +188,72 @@ class DelimV2Spec extends SparkFunSuite {
     }, s"scan did not receive the In runtime filter: ${applied.mkString(",")}")
   }
 
+  test("write path: typed roundtrip through the sink, no staging residue") {
+    val dir = tempDir("delimv2-write")
+    val src = spark.range(1, 501).select(
+      $"id", concat(lit("name"), $"id").as("s"),
+      ($"id" * 1.5).as("v"),
+      date_add(to_date(lit("2024-01-01")), ($"id" % 365).cast("int")).as("d"))
+    src.write.format("graft-delim").mode("overwrite").save(s"$dir/out")
+    val back = spark.read.format("graft-delim")
+      .schema("id BIGINT, s STRING, v DOUBLE, d DATE").load(s"$dir/out")
+    assert(back.count() === 500)
+    assert(back.exceptAll(src).isEmpty && src.exceptAll(back).isEmpty)
+    // job commit must leave no staging residue and no hidden strays
+    // (.crc checksum sidecars are Hadoop LocalFileSystem behavior, not
+    // leakage — ChecksumFileSystem moves/deletes them with their file)
+    val residue = Files.list(Paths.get(s"$dir/out")).toArray.map(_.toString)
+      .filter { p =>
+        val n = p.split("/").last
+        p.contains("_staging") || (n.startsWith(".") && !n.endsWith(".crc"))
+      }
+    assert(residue.isEmpty, s"staging residue: ${residue.mkString(",")}")
+  }
+
+  test("write path: overwrite replaces the previous generation atomically-at-commit") {
+    val dir = tempDir("delimv2-ow")
+    spark.range(0, 100).select($"id", lit("gen1").as("g"))
+      .write.format("graft-delim").mode("overwrite").save(s"$dir/out")
+    spark.range(0, 7).select($"id", lit("gen2").as("g"))
+      .write.format("graft-delim").mode("overwrite").save(s"$dir/out")
+    val back = spark.read.format("graft-delim")
+      .schema("id BIGINT, g STRING").load(s"$dir/out")
+    assert(back.count() === 7)
+    assert(back.select("g").distinct().collect().map(_.getString(0)).toSeq === Seq("gen2"))
+    // append mode stacks on the survivors
+    spark.range(100, 103).select($"id", lit("gen3").as("g"))
+      .write.format("graft-delim").mode("append").save(s"$dir/out")
+    assert(spark.read.format("graft-delim")
+      .schema("id BIGINT, g STRING").load(s"$dir/out").count() === 10)
+  }
+
+  test("write path: nulls write as empty fields; delimiter in data throws, framing intact") {
+    val dir = tempDir("delimv2-nulls")
+    val src = Seq((1L, Some("a"), Some(2.5)), (2L, None, None), (3L, Some("c"), Some(7.0)))
+      .toDF("id", "s", "v")
+    src.write.format("graft-delim").mode("overwrite").save(s"$dir/out")
+    val back = spark.read.format("graft-delim")
+      .schema("id BIGINT, s STRING, v DOUBLE").load(s"$dir/out")
+      .orderBy("id").collect()
+    // typed null roundtrips; a string null comes back "" (documented
+    // asymmetry: the unquoted format cannot tell them apart)
+    assert(back(1).getString(1) === "" && back(1).isNullAt(2))
+    assert(back(0).getString(1) === "a" && back(2).getDouble(2) === 7.0)
+    // no quoting: a field carrying the delimiter must throw, not corrupt
+    val bad = Seq((1L, "oops|pipe")).toDF("id", "s")
+    val e = intercept[org.apache.spark.SparkException] {
+      bad.write.format("graft-delim").mode("overwrite").save(s"$dir/bad")
+    }
+    assert(e.getMessage.contains("no quoting") ||
+      Option(e.getCause).exists(_.getMessage.contains("no quoting")))
+    // and the failed job must not have replaced or leaked anything:
+    // target dir has no data files and no staging residue
+    val leaked = if (Files.exists(Paths.get(s"$dir/bad")))
+      Files.list(Paths.get(s"$dir/bad")).toArray.map(_.toString)
+        .filterNot(_.split("/").last.startsWith("_")) else Array.empty[String]
+    assert(leaked.isEmpty, s"failed write leaked: ${leaked.mkString(",")}")
+  }
+
   test("statistics report pruned width (broadcast-eligible estimate)") {
     val dir = tempDir("delimv2-stats")
     write(s"$dir/f.txt", (1 to 1000).map(i => s"$i|${"x" * 50}|$i|$i").mkString("\n"))

@@ -490,6 +490,29 @@ object Round14Queries {
         .agg(count(lit(1)).as("n_orders"),
           round(sum("o_totalprice"), 2).as("revenue"),
           countDistinct("o_custkey").as("n_custs"))
+    },
+
+    // Pushed COUNT(*) on the connector (A1's delim analog of the
+    // parquet footer-only count): each split counts its owned lines by
+    // scanning bytes for '\n' — no parse, no String, no per-line row —
+    // and Spark sums the per-split partials. The require pins the
+    // pushdown; declining paths (filters present, GROUP BY) are
+    // spec-covered.
+    "delim_v2_count_pushdown" -> { (s, dir) =>
+      val out = CoreQueries.scratchDir("delim_v2_count_pushdown")
+      Tables.orders(s, dir)
+        .select(concat_ws("|", col("o_orderkey"), col("o_orderstatus")).as("line"))
+        .write.mode("overwrite").text(s"$out/orders")
+      val df = s.read.format("graft-delim")
+        .schema("o_orderkey BIGINT, o_orderstatus STRING")
+        .option("splitBytes", (64 * 1024).toString)
+        .load(s"$out/orders")
+        .groupBy()
+        .agg(count(lit(1)).as("n_rows"))
+      val plan = df.queryExecution.executedPlan.toString
+      require(plan.contains("PushedAggregation: [count(*)]"),
+        s"COUNT(*) not pushed into the delim scan:\n$plan")
+      df
     }
   )
 
@@ -571,6 +594,9 @@ object Round14Queries {
         |FROM orders
         |WHERE o_totalprice > 200000.0
         |GROUP BY 1""".stripMargin,
+
+    "delim_v2_count_pushdown" ->
+      "SELECT count(*) AS n_rows FROM orders",
 
     "sql_recursive_tree" -> recursiveTreeSql("customer"),
     "sql_lateral_topk" -> lateralTopkSql("customer", "orders"),

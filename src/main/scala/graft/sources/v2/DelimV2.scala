@@ -119,11 +119,33 @@ private[v2] class DelimScanBuilder(fullSchema: StructType, options: CaseInsensit
     extends ScanBuilder
     with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns
-    with SupportsPushDownLimit {
+    with SupportsPushDownLimit
+    with SupportsPushDownAggregates {
 
   private var required: StructType = fullSchema
   private var pushed: Array[Filter] = Array.empty
   private var limit: Int = -1
+  private var aggCountCols: Int = 0
+
+  /** PARTIAL COUNT(*) pushdown (supportCompletePushDown stays false):
+    * each split returns ONE row with its owned-line count, found by
+    * scanning bytes for '\n' under the same split contract as the row
+    * reader — no parse, no String, no InternalRow per line; Spark sums
+    * the per-split partials. Declined when filters are pushed (they
+    * must be evaluated on parsed fields) or a GROUP BY exists.
+    */
+  override def pushAggregation(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
+    if (pushed.nonEmpty || agg.groupByExpressions().nonEmpty ||
+      agg.aggregateExpressions().isEmpty ||
+      !agg.aggregateExpressions().forall(
+        _.isInstanceOf[org.apache.spark.sql.connector.expressions.aggregate.CountStar]))
+      return false
+    aggCountCols = agg.aggregateExpressions().length
+    required = StructType((1 to aggCountCols).map(_ =>
+      StructField("count(*)", LongType, nullable = false)))
+    true
+  }
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val (sup, unsup) = filters.partition(DelimV2.supportedFilter(_, fullSchema))
@@ -139,7 +161,7 @@ private[v2] class DelimScanBuilder(fullSchema: StructType, options: CaseInsensit
   override def isPartiallyPushed(): Boolean = true // per-split limit only
 
   override def build(): Scan =
-    new DelimScan(fullSchema, required, pushed, limit, options)
+    new DelimScan(fullSchema, required, pushed, limit, options, aggCountCols)
 }
 
 // public: query constructions and the spec assert on readSchema/pushedFilters
@@ -148,7 +170,8 @@ class DelimScan(
     required: StructType,
     val pushedFilters: Array[Filter],
     limit: Int,
-    options: CaseInsensitiveStringMap)
+    options: CaseInsensitiveStringMap,
+    aggCountCols: Int = 0)
     extends Scan with Batch with SupportsReportStatistics with SupportsRuntimeFiltering {
 
   /** Runtime (DPP-style) filters: Spark's PartitionPruning rule plugs a
@@ -167,7 +190,8 @@ class DelimScan(
   // "Unable to resolve ... given [...]" at planning (a runtime-filter
   // key is always in the output anyway, it feeds the join)
   override def filterAttributes(): Array[org.apache.spark.sql.connector.expressions.NamedReference] =
-    required.fields
+    if (aggCountCols > 0) Array.empty // a pushed-count scan has no row filters to honor
+    else required.fields
       .filter(f => DelimV2.pushableType(f.dataType))
       .map(f => org.apache.spark.sql.connector.expressions.Expressions.column(f.name))
 
@@ -189,7 +213,8 @@ class DelimScan(
     s"GraftDelim ${paths.mkString(",")} " +
       s"PushedFilters: [${pushedFilters.mkString(", ")}], " +
       s"ReadSchema: ${required.simpleString}" +
-      (if (limit >= 0) s", PushedLimit: $limit" else "")
+      (if (limit >= 0) s", PushedLimit: $limit" else "") +
+      (if (aggCountCols > 0) s", PushedAggregation: [count(*)]" else "")
 
   override def estimateStatistics(): Statistics = new Statistics {
     // pruned-width estimate, same spirit as FileScan: bytes on disk
@@ -228,8 +253,40 @@ class DelimScan(
       .map(e => e.getKey -> e.getValue)
       .filter { case (k, _) => k.startsWith("fs.") || k.startsWith("hadoop.") }
       .toMap
-    new DelimReaderFactory(
+    if (aggCountCols > 0) new DelimCountReaderFactory(aggCountCols, confMap)
+    else new DelimReaderFactory(
       fullSchema, required, pushedFilters ++ runtimeFilters, delim, limit, confMap)
+  }
+}
+
+/** Pushed-COUNT(*) readers: one output row per split carrying the
+  * owned-line count (Spark's partial-agg rewrite sums them).
+  */
+private[v2] class DelimCountReaderFactory(nCols: Int, confMap: Map[String, String])
+    extends PartitionReaderFactory {
+
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val split = partition.asInstanceOf[DelimSplit]
+    val conf = new Configuration(true)
+    confMap.foreach { case (k, v) => conf.set(k, v) }
+    val p = new HPath(split.path)
+    val in = p.getFileSystem(conf).open(p)
+    new PartitionReader[InternalRow] {
+      private var done = false
+      private var row: InternalRow = _
+      override def next(): Boolean = {
+        if (done) return false
+        val lines =
+          new LineSplitReader(in, split.start, split.start + split.length, split.fileLen)
+        var n = 0L
+        while (lines.skipLine()) n += 1
+        row = new GenericInternalRow(Array.fill[Any](nCols)(n))
+        done = true
+        true
+      }
+      override def get(): InternalRow = row
+      override def close(): Unit = in.close()
+    }
   }
 }
 
@@ -360,12 +417,43 @@ private[v2] final class LineSplitReader(
   private var spill = new Array[Byte](256)
   private var spillLen = 0
 
-  if (start != 0) readRaw() // discard the leading partial line
+  if (start != 0) skipRaw() // discard the leading partial line
 
   /** Next complete line owned by this split, or null when exhausted. */
   def nextLine(): String = {
     if (pos > end || pos >= fileLen) return null
     readRaw()
+  }
+
+  /** Advance past the next owned line WITHOUT materializing it — the
+    * pushed-COUNT(*) path: same ownership contract as nextLine, no
+    * String, no spill. Returns false when the split is exhausted.
+    */
+  def skipLine(): Boolean = {
+    if (pos > end || pos >= fileLen) return false
+    skipRaw()
+  }
+
+  /** True iff a line (possibly empty) was consumed: hitting '\n' is
+    * always a line; EOF closes a line only if bytes preceded it (an
+    * unterminated final line), matching readRaw's null-at-EOF.
+    */
+  private def skipRaw(): Boolean = {
+    var consumed = false
+    while (true) {
+      if (bufPos >= bufLen && !fill()) return consumed
+      var i = bufPos
+      while (i < bufLen && buf(i) != '\n') i += 1
+      if (i > bufPos) consumed = true
+      if (i < bufLen) {
+        pos += (i - bufPos) + 1
+        bufPos = i + 1
+        return true
+      }
+      pos += bufLen - bufPos
+      bufPos = bufLen
+    }
+    false // unreachable
   }
 
   private def fill(): Boolean = {

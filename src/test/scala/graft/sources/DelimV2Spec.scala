@@ -254,6 +254,31 @@ class DelimV2Spec extends SparkFunSuite {
     assert(leaked.isEmpty, s"failed write leaked: ${leaked.mkString(",")}")
   }
 
+  test("COUNT(*) pushdown: counted by newline scan, exact at every split size") {
+    val dir = tempDir("delimv2-count")
+    // empty line + unterminated last line: the count must mirror the
+    // row reader's line ownership exactly
+    write(s"$dir/f.txt", "a|1\n\nb|2\nc|3")
+    for (splitBytes <- Seq(1, 3, 7, 100000)) {
+      val df = spark.read.format("graft-delim")
+        .schema("k STRING, v BIGINT")
+        .option("splitBytes", splitBytes.toString)
+        .load(s"$dir/f.txt")
+      val counted = df.groupBy().count()
+      val plan = counted.queryExecution.executedPlan.toString
+      assert(plan.contains("PushedAggregation: [count(*)]"),
+        s"count not pushed (splitBytes=$splitBytes):\n$plan")
+      assert(counted.collect().head.getLong(0) === 4, s"splitBytes=$splitBytes")
+    }
+    // with a pushed filter the count must NOT push (rows need parsing);
+    // answer still exact
+    val filtered = spark.read.format("graft-delim")
+      .schema("k STRING, v BIGINT").load(s"$dir/f.txt")
+      .filter($"v" > 1).groupBy().count()
+    assert(!filtered.queryExecution.executedPlan.toString.contains("PushedAggregation"))
+    assert(filtered.collect().head.getLong(0) === 2)
+  }
+
   test("statistics report pruned width (broadcast-eligible estimate)") {
     val dir = tempDir("delimv2-stats")
     write(s"$dir/f.txt", (1 to 1000).map(i => s"$i|${"x" * 50}|$i|$i").mkString("\n"))

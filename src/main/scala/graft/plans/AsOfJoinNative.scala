@@ -360,9 +360,14 @@ object AsOfJoinNative {
     * serve, keeping the per-(key, split) extreme: ≤ splits² small rows
     * per key, constant in data size.
     *
-    * The result is identical to [[join]] for every input (the true
-    * match is either inside the left row's split or IS the boundary
-    * row), but a hot key's merge now spreads across up to `numSplits`
+    * The result is identical to [[join]] up to the operator's
+    * documented tie instability: when duplicate (key, time) right rows
+    * carry DIFFERENT payloads, the boundary reduction's max_by/min_by
+    * tie-pick may differ from the unsalted merge's sort-unstable pick —
+    * same contract both ways (one arbitrary row among the ties), but
+    * not necessarily the same row. For tie-free right sides (or
+    * tie-reduced payloads, as the spec pre-reduces) the rows are
+    * byte-identical. A hot key's merge now spreads across up to `numSplits`
     * tasks, bounding max-task at ~1/numSplits of the hot key's volume.
     * Cost vs the unsalted form: one extra reduced agg + explode on the
     * right side — the knob a job flips when key skew is known or

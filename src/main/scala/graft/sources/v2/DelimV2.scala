@@ -197,7 +197,7 @@ class DelimScan(
 
   override def filter(filters: Array[Filter]): Unit = {
     runtimeFilters = filters.filter(DelimV2.supportedFilter(_, fullSchema))
-    DelimV2.lastRuntimeFilters = runtimeFilters
+    DelimV2.recordRuntimeFilters(paths.mkString(","), runtimeFilters)
   }
 
   /** What actually arrived at runtime — asserted by the DPP spec. */
@@ -236,8 +236,11 @@ class DelimScan(
       val len = f.getLen
       if (len == 0) Nil
       else {
-        val n = math.max(1L, (len + splitBytes - 1) / splitBytes).toInt
-        (0 until n).map { i =>
+        // Long counter: (len + splitBytes - 1) / splitBytes overflows Int
+        // for a large file with a small splitBytes option, which would
+        // silently plan ZERO splits (empty range) and drop the file
+        val n = math.max(1L, (len + splitBytes - 1) / splitBytes)
+        (0L until n).map { i =>
           val start = i * splitBytes
           DelimSplit(f.getPath.toString, start, math.min(splitBytes, len - start), len)
         }
@@ -608,7 +611,7 @@ private[v2] class DelimWriterFactory(
     // commit coordinator guarantees only one of them reaches commit()
     val file = new HPath(stagingDir, f"part-$partitionId%05d-$taskId.txt")
     new DelimDataWriter(file.getFileSystem(conf).create(file, true), file.toString,
-      schema, delim)
+      schema, delim, confMap)
   }
 }
 
@@ -616,7 +619,8 @@ private[v2] class DelimDataWriter(
     out: org.apache.hadoop.fs.FSDataOutputStream,
     file: String,
     schema: StructType,
-    delim: Char)
+    delim: Char,
+    confMap: Map[String, String])
     extends org.apache.spark.sql.connector.write.DataWriter[InternalRow] {
 
   private val buffered = new java.io.BufferedOutputStream(out, 1 << 16)
@@ -658,7 +662,11 @@ private[v2] class DelimDataWriter(
   override def abort(): Unit = {
     buffered.close()
     val p = new HPath(file)
-    p.getFileSystem(new Configuration(true)).delete(p, false)
+    // same shipped fs.*/hadoop.* overlay as createWriter — a bare
+    // Configuration would resolve the wrong FileSystem off-default
+    val conf = new Configuration(true)
+    confMap.foreach { case (k, v) => conf.set(k, v) }
+    p.getFileSystem(conf).delete(p, false)
   }
 
   override def close(): Unit = ()
@@ -666,13 +674,25 @@ private[v2] class DelimDataWriter(
 
 private[graft] object DelimV2 {
 
-  /** Test observability hook: the most recent runtime-filter set any
-    * DelimScan received via `filter()` (the Scan instance is buried
-    * inside adaptive query stages at execution time — this sidesteps
-    * the traversal). Written only on the driver (scan.filter runs
+  /** Test observability hook: the most recent runtime-filter set each
+    * scan TARGET (its path list) received via `filter()` (the Scan
+    * instance is buried inside adaptive query stages at execution time —
+    * this sidesteps the traversal). Keyed per target so two concurrent
+    * DPP queries over different tables cannot race each other's
+    * observation; written only on the driver (scan.filter runs
     * driver-side before reader-factory creation).
     */
-  @volatile private[graft] var lastRuntimeFilters: Array[Filter] = Array.empty
+  private val runtimeFilterLog =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[Filter]]()
+
+  private[graft] def recordRuntimeFilters(pathKey: String, fs: Array[Filter]): Unit =
+    runtimeFilterLog.put(pathKey, fs)
+
+  private[graft] def runtimeFiltersFor(pathKey: String): Array[Filter] =
+    runtimeFilterLog.getOrDefault(pathKey, Array.empty)
+
+  private[graft] def clearRuntimeFilters(pathKey: String): Unit =
+    runtimeFilterLog.remove(pathKey)
 
   def delimiter(options: CaseInsensitiveStringMap): Char = {
     val d = options.getOrDefault("delimiter", "|")
@@ -751,7 +771,13 @@ private[graft] object DelimV2 {
       case LongType =>
         try raw.trim.toLong catch { case _: NumberFormatException => null }
       case DoubleType =>
-        try raw.trim.toDouble catch { case _: NumberFormatException => null }
+        // +0.0 and -0.0 compare EQUAL in Spark's comparison semantics,
+        // but java.lang.Double.compare orders them — and pushed filters
+        // are absorbed exactly (no residual re-check), so an unnormalized
+        // -0.0 would silently diverge from the unpushed result. Normalize
+        // both the parsed field and the filter literal (normValue) to +0.0.
+        try { val d = raw.trim.toDouble; if (d == 0.0d) 0.0d else d }
+        catch { case _: NumberFormatException => null }
       case DateType =>
         try LocalDate.parse(raw.trim).toEpochDay
         catch { case _: java.time.format.DateTimeParseException => null }
@@ -777,7 +803,9 @@ private[graft] object DelimV2 {
       case other => throw new IllegalArgumentException(
         s"graft-delim: cannot compare DATE column to $other")
     }
-    case DoubleType => v.asInstanceOf[Number].doubleValue()
+    case DoubleType =>
+      val d = v.asInstanceOf[Number].doubleValue()
+      if (d == 0.0d) 0.0d else d // -0.0 == 0.0 per Spark (see parseExternal)
     case LongType => v.asInstanceOf[Number].longValue()
     case IntegerType => v.asInstanceOf[Number].intValue()
     case StringType => v match {
@@ -818,9 +846,17 @@ private[graft] object DelimV2 {
       case LessThan(c, v) => rel(c, v, _ < 0)
       case LessThanOrEqual(c, v) => rel(c, v, _ <= 0)
       case In(c, vs) =>
+        // hash-set probe, not a linear scan: the runtime (DPP) path
+        // delivers the broadcast build-side KEY SET as an In — thousands
+        // of keys at scale — and O(rows × keys) inside the parse loop
+        // inverts the win the pruning exists for. All five pushable
+        // types hash exactly after normValue (strings/ints/longs/
+        // epoch-day dates are canonical boxes; doubles normalize -0.0,
+        // and java.lang.Double hashes NaN==NaN like Spark's equality).
         val i = at(c); val dt = types(i)
-        val nvs = vs.map(normValue(_, dt))
-        row => row(i) != null && nvs.exists(nv => cmp(dt, row(i), nv) == 0)
+        val set = new java.util.HashSet[Any](vs.length * 2)
+        vs.foreach(v => set.add(normValue(v, dt)))
+        row => row(i) != null && set.contains(row(i))
       case IsNull(c) =>
         val i = at(c); row => row(i) == null
       case IsNotNull(c) =>

@@ -173,7 +173,7 @@ class DelimV2Spec extends SparkFunSuite {
     val fact = spark.read.format("graft-delim")
       .schema("k BIGINT, payload STRING").load(s"$dir/fact.txt")
     val dim = spark.read.parquet(s"$dir/dim").filter($"grp" === 3)
-    graft.sources.v2.DelimV2.lastRuntimeFilters = Array.empty
+    graft.sources.v2.DelimV2.clearRuntimeFilters(s"$dir/fact.txt")
     val joined = fact.join(dim, "k")
     val plan = joined.queryExecution.executedPlan.toString
     assert(plan.contains("dynamicpruningexpression"),
@@ -181,11 +181,49 @@ class DelimV2Spec extends SparkFunSuite {
     val rows = joined.collect()
     // 14 surviving keys (3, 10, …, 94) × 200 fact rows each
     assert(rows.length === 14 * 200)
-    val applied = graft.sources.v2.DelimV2.lastRuntimeFilters
+    val applied = graft.sources.v2.DelimV2.runtimeFiltersFor(s"$dir/fact.txt")
     assert(applied.exists {
       case org.apache.spark.sql.sources.In("k", vs) => vs.length === 14
       case _ => false
     }, s"scan did not receive the In runtime filter: ${applied.mkString(",")}")
+  }
+
+  test("pushed In with a 10k-key set: hash-set probe, exact result") {
+    // the DPP path hands the whole broadcast build-side key set to the
+    // scan as one In — this pins that a large key set stays correct
+    // (the flat-cost-vs-set-size measurement lives in tools/Stress)
+    val dir = tempDir("delimv2-bigin")
+    write(s"$dir/f.txt", (1 to 50000).map(i => s"$i|v$i").mkString("\n"))
+    val keys = (0 until 10000).map(i => (i * 7 + 3).toLong) // 3, 10, ..., 69996
+    val df = spark.read.format("graft-delim")
+      .schema("k BIGINT, v STRING")
+      .load(s"$dir/f.txt")
+      .filter($"k".isin(keys: _*))
+    val scan = delimScan(df)
+    assert(scan.pushedFilters.exists {
+      case org.apache.spark.sql.sources.In("k", vs) => vs.length == 10000
+      case _ => false
+    }, s"10k-key In not absorbed: ${scan.pushedFilters.take(3).mkString(",")}")
+    // keys <= 50000 that are ≡ 3 (mod 7): ceil((50000 - 3 + 1) / 7) with k >= 1
+    val expected = keys.count(k => k >= 1 && k <= 50000)
+    assert(df.count() === expected)
+  }
+
+  test("pushed double filters match Spark on -0.0 and NaN") {
+    val dir = tempDir("delimv2-negzero")
+    write(s"$dir/f.txt", Seq("a|-0.0", "b|0.0", "c|1.5", "d|NaN", "e|-1.0").mkString("\n"))
+    def delim = spark.read.format("graft-delim")
+      .schema("k STRING, x DOUBLE").load(s"$dir/f.txt")
+    // unpushed truth: same rows through Spark's own CSV reader + Filter
+    def csv = spark.read.option("delimiter", "|")
+      .schema("k STRING, x DOUBLE").csv(s"$dir/f.txt")
+    for (pred <- Seq[org.apache.spark.sql.Column => org.apache.spark.sql.Column](
+      c => c === 0.0, c => c < 0.0, c => c <= 0.0, c => c > -1.0,
+      c => c === Double.NaN, c => c.isin(0.0, 1.5))) {
+      val mine = delim.filter(pred($"x")).select("k").as[String].collect().sorted
+      val ref = csv.filter(pred($"x")).select("k").as[String].collect().sorted
+      assert(mine.toSeq === ref.toSeq, s"pushed-filter divergence for $pred")
+    }
   }
 
   test("write path: typed roundtrip through the sink, no staging residue") {

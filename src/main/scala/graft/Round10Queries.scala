@@ -252,9 +252,16 @@ object Round10Queries {
     // sf0.01 gate.
     "events_correlated_outer_stream" -> { (s, dir) =>
       val out = CoreQueries.scratchDir("events_correlated_outer_stream")
+      // 2 chunks (was 4): null-emission happens at state EVICTION, which
+      // the final no-data batch sweeps under the FINAL watermark — the
+      // answer depends on that watermark only, not on how many
+      // intermediate triggers advanced it, so the extra triggers were
+      // per-trigger overhead. Two triggers + the no-data batch still
+      // exercise cross-batch buffering, mid-stream eviction, and the
+      // trailing sweep.
       def src() = StreamRun.chunkedSource(s,
         Tables.events(s, dir).filter(col("user_id") < 150),
-        s"$out/src-u150-${dir.replaceAll("[^A-Za-z0-9.]", "_")}", 4)
+        s"$out/src-u150-${dir.replaceAll("[^A-Za-z0-9.]", "_")}", 2)
       val joined = EventWindows.correlateStreamsOuter(
         src(), src().filter(col("event_type") === "purchase"),
         "user_id", "10 MINUTES", "1 minute")

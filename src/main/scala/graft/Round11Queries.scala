@@ -363,9 +363,12 @@ object Round11Queries {
     "events_correlated_full_stream" -> { (s, dir) =>
       val out = CoreQueries.scratchDir("events_correlated_full_stream")
       val ev = Tables.events(s, dir).filter(col("user_id") < 150)
+      // 2 chunks (was 4): both outer null paths emit at EVICTION under
+      // the final watermark (trailing no-data batch) — chunk-count-
+      // invariant, so the extra triggers were per-trigger overhead
       def src(t: String) = StreamRun.chunkedSource(
         s, ev.filter(col("event_type") === t),
-        s"$out/src-$t-${dir.replaceAll("[^A-Za-z0-9.]", "_")}", 4)
+        s"$out/src-$t-${dir.replaceAll("[^A-Za-z0-9.]", "_")}", 2)
       val joined = EventWindows.correlateStreamsFull(
         src("click"), src("purchase"), "user_id", "10 MINUTES", "1 minute")
       StreamRun.runAvailableNow(joined, s"$out/run", complete = false,
@@ -428,11 +431,15 @@ object Round11Queries {
       val b = ev.agg(min(unix_micros(col("ts"))), max(unix_micros(col("ts")))).head()
       val q1 = b.getLong(0) + (b.getLong(1) - b.getLong(0)) / 4
       val isLate = col("event_id") % 40 === 0 && unix_micros(col("ts")) < lit(q1)
+      // 2 on-time chunks (was 4): the displaced lefts land in their own
+      // file AFTER the backlog either way, and by then the watermark is
+      // max(ts)−delay regardless of how many triggers advanced it — the
+      // drop count and pair output are chunk-count-invariant
       val left = StreamRun.chunkedSourceWithLate(
-        s, ev.filter(!isLate), ev.filter(isLate), s"$out/srcL", 4)
+        s, ev.filter(!isLate), ev.filter(isLate), s"$out/srcL", 2)
       val right = StreamRun.chunkedSource(
         s, ev.filter(col("event_type") === "purchase"),
-        s"$out/srcR-${dir.replaceAll("[^A-Za-z0-9.]", "_")}", 4)
+        s"$out/srcR-${dir.replaceAll("[^A-Za-z0-9.]", "_")}", 2)
       val joined = EventWindows.correlateStreams(
         left, right, "user_id", "10 MINUTES", "1 minute")
       val (res, stats) = StreamRun.runAvailableNowObserved(

@@ -1,0 +1,148 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.execution.FormattedMode
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.sources.v2.DelimV2
+
+/** Round-15 depth queries.
+  *
+  * Headliner: the `graft-delim` connector learns the reference's
+  * central data model — `k=v` partition DIRECTORIES
+  * (verizon_automation_script.sh:104-115's dt=/hr= trees) — with the
+  * two pruning levers that matter at 100 TB:
+  *  - `delim_v2_partition_prune` — STATIC file-level pruning: a pushed
+  *    partition predicate drops whole directories at planning, so
+  *    their bytes are never read (r14's connector could only skip rows
+  *    AFTER reading them);
+  *  - `delim_v2_partition_dpp` — RUNTIME file-level pruning: Spark's
+  *    partition-pruning rule hands the broadcast build side's key set
+  *    to the scan, and the re-planned splits exclude every
+  *    non-matching partition FILE.
+  */
+object Round15Queries {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // STATIC partition pruning on the connector: orders serialized as
+    // an o_orderstatus=X partition tree (one coalesced file per status
+    // — deterministic file counts for the require), read back with the
+    // status as a PARTITION column (it is not in the file bytes at
+    // all). The pushed status predicate prunes at FILE level: the
+    // require pins (a) the partition-column marker and the absorbed
+    // predicate in the plan, and (b) via the planned-splits hook after
+    // a pushed-limit probe, that the two non-matching directories
+    // contributed ZERO splits. At 100 TB this is the reference's own
+    // abstraction — `WHERE dt='2024-01-01'` opens one directory, not
+    // the table — now native to the delimited-text tier.
+    "delim_v2_partition_prune" -> { (s, dir) =>
+      val out = CoreQueries.scratchDir("delim_v2_partition_prune")
+      val fact = s"$out/orders-${dir.replaceAll("[^A-Za-z0-9.]", "_")}"
+      val o = Tables.orders(s, dir)
+      for (st <- Seq("F", "O", "P")) {
+        o.filter(col("o_orderstatus") === st)
+          .select(concat_ws("|", col("o_orderkey"), col("o_custkey"),
+            col("o_totalprice"), col("o_orderdate").cast("date")).as("line"))
+          .coalesce(1)
+          .write.mode("overwrite").text(s"$fact/o_orderstatus=$st")
+      }
+      def reader = s.read.format("graft-delim")
+        .schema("o_orderkey BIGINT, o_custkey BIGINT, o_totalprice DOUBLE, " +
+          "o_orderdate DATE, o_orderstatus STRING")
+        .load(fact)
+      val df = reader
+        .filter(col("o_orderstatus") === "F" && col("o_totalprice") > 150000.0)
+        .groupBy(year(col("o_orderdate")).as("order_year"))
+        .agg(count(lit(1)).as("n_orders"),
+          round(sum("o_totalprice"), 2).as("revenue"))
+      val plan = df.queryExecution.explainString(FormattedMode)
+      require(plan.contains("PartitionColumns: [o_orderstatus]"),
+        s"status not recognized as a partition column:\n$plan")
+      require(plan.contains("EqualTo(o_orderstatus,F)"),
+        s"partition predicate not absorbed into the scan:\n$plan")
+      // file-level proof: a pushed-limit probe with the same partition
+      // predicate (reads ~1 line) — the hook records (discovered files,
+      // files kept after pruning, planned splits)
+      DelimV2.recordPlannedSplits(fact, -1, -1, -1)
+      reader.filter(col("o_orderstatus") === "F").limit(1).collect()
+      val (disc, kept, _) = DelimV2.plannedSplitsFor(fact).get
+      require(disc == 3 && kept == 1,
+        s"pruned directories must contribute ZERO splits: " +
+          s"discovered=$disc kept=$kept")
+      df
+    },
+
+    // RUNTIME (DPP) partition pruning on the connector, FILE level:
+    // events as an event_type=X partition tree joined to a parquet dim
+    // under a selective predicate — Spark plugs the broadcast build
+    // side's key set into the scan at execution, the splits are
+    // RE-PLANNED under it, and non-matching partition directories
+    // contribute zero splits (r14's `delim_v2_runtime_prune` could
+    // only drop their rows after reading the bytes). The require pins
+    // `dynamicpruningexpression` in the plan AND the planned-splits
+    // hook after execution; correctness does not depend on the pruning
+    // (the join re-checks the key), which is why file-level
+    // application is legal — the oracle certifies the join, the
+    // requires certify the pruning.
+    "delim_v2_partition_dpp" -> { (s, dir) =>
+      val out = CoreQueries.scratchDir("delim_v2_partition_dpp")
+      val fact = s"$out/events-${dir.replaceAll("[^A-Za-z0-9.]", "_")}"
+      val ev = Tables.events(s, dir)
+      val types = ev.select("event_type").distinct()
+        .collect().map(_.getString(0)).sorted // bounded: event-type domain
+      for (t <- types) {
+        ev.filter(col("event_type") === t)
+          .select(concat_ws("|", col("event_id"), col("user_id"),
+            col("value")).as("line"))
+          .coalesce(1)
+          .write.mode("overwrite").text(s"$fact/event_type=$t")
+      }
+      import s.implicits._
+      types.map(t => (t, if (t == "purchase") "hot" else "cold"))
+        .toSeq.toDF("event_type", "grp")
+        .write.mode("overwrite").parquet(s"$out/dim")
+      val factDf = s.read.format("graft-delim")
+        .schema("event_id BIGINT, user_id BIGINT, value DOUBLE, event_type STRING")
+        .load(fact)
+      val dim = s.read.parquet(s"$out/dim").filter(col("grp") === "hot")
+      val df = factDf.join(broadcast(dim), "event_type")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          round(sum("value"), 2).as("sum_value"),
+          countDistinct(col("user_id")).as("n_users"))
+      val plan = df.queryExecution.executedPlan.toString
+      require(plan.contains("dynamicpruningexpression"),
+        s"runtime filter not planned onto the delim scan:\n$plan")
+      DelimV2.recordPlannedSplits(fact, -1, -1, -1)
+      df.collect()
+      val (disc, kept, _) = DelimV2.plannedSplitsFor(fact).get
+      require(disc == types.length && kept == 1,
+        s"runtime In must prune non-matching partition FILES: " +
+          s"discovered=$disc kept=$kept")
+      df
+    }
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    // the partition tree is a lossless re-layout of orders (status in
+    // the directory name instead of the line), so the oracle recomputes
+    // straight from the parquet table
+    "delim_v2_partition_prune" ->
+      """SELECT year(CAST(o_orderdate AS DATE)) AS order_year,
+        |       count(*) AS n_orders,
+        |       round(sum(o_totalprice), 2) AS revenue
+        |FROM orders
+        |WHERE o_orderstatus = 'F' AND o_totalprice > 150000.0
+        |GROUP BY 1""".stripMargin,
+
+    "delim_v2_partition_dpp" ->
+      """SELECT event_type, count(*) AS n_events,
+        |       round(sum("value"), 2) AS sum_value,
+        |       count(DISTINCT user_id) AS n_users
+        |FROM events
+        |WHERE event_type = 'purchase'
+        |GROUP BY 1""".stripMargin
+  )
+}

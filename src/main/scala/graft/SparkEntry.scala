@@ -27,7 +27,8 @@ object SparkEntry {
       Round4Queries.queries ++ Round6Queries.queries ++ Round7Queries.queries ++
       Round10Queries.queries ++ Round11Queries.queries ++
       Round12Queries.queries ++ Round13Queries.queries ++
-      Round14Queries.queries ++ WarehouseQueries.queries
+      Round14Queries.queries ++ Round15Queries.queries ++
+      WarehouseQueries.queries
 
   def oracleSql: Map[String, String] =
     CoreQueries.oracleSql ++ ExtQueries.oracleSql ++ StreamQueries.oracleSql ++
@@ -35,7 +36,8 @@ object SparkEntry {
       Round4Queries.oracleSql ++ Round6Queries.oracleSql ++ Round7Queries.oracleSql ++
       Round10Queries.oracleSql ++ Round11Queries.oracleSql ++
       Round12Queries.oracleSql ++ Round13Queries.oracleSql ++
-      Round14Queries.oracleSql ++ WarehouseQueries.oracleSql
+      Round14Queries.oracleSql ++ Round15Queries.oracleSql ++
+      WarehouseQueries.oracleSql
 }
 
 /** Event-window and multimodal queries (SURVEY.md §2b X5/X6). Windowed

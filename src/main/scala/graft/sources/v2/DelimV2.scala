@@ -69,12 +69,15 @@ class DelimSource extends TableProvider with DataSourceRegister {
 
   /** Infer c1..cN (all STRING) from the first line of the first file —
     * the same contract core.Delim.read exposes, discoverable instead
-    * of caller-supplied.
+    * of caller-supplied — plus one STRING column per discovered `k=v`
+    * partition directory level, appended after the file fields (the
+    * Hive-layout convention).
     */
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
     val delim = DelimV2.delimiter(options)
-    val files = DelimV2.listFiles(DelimV2.paths(options), DelimV2.driverConf())
-    val nCols = files.find(_.getLen > 0).map { f =>
+    val files =
+      DelimV2.listFilesWithPartitions(DelimV2.paths(options), DelimV2.driverConf())
+    val nCols = files.map(_._1).find(_.getLen > 0).map { f =>
       val fs = f.getPath.getFileSystem(DelimV2.driverConf())
       val in = fs.open(f.getPath)
       try {
@@ -82,7 +85,9 @@ class DelimSource extends TableProvider with DataSourceRegister {
         if (line == null) 1 else line.count(_ == delim) + 1
       } finally in.close()
     }.getOrElse(1)
-    StructType((1 to nCols).map(i => StructField(s"c$i", StringType, nullable = true)))
+    val partKeys = files.headOption.map(_._2.map(_._1)).getOrElse(Nil)
+    StructType((1 to nCols).map(i => StructField(s"c$i", StringType, nullable = true)) ++
+      partKeys.map(k => StructField(k, StringType, nullable = true)))
   }
 
   override def getTable(
@@ -127,16 +132,27 @@ private[v2] class DelimScanBuilder(fullSchema: StructType, options: CaseInsensit
   private var limit: Int = -1
   private var aggCountCols: Int = 0
 
+  // one listing per query, shared by the builder's partition-awareness
+  // and the scan (files + their k=v directory values)
+  private lazy val filesWithParts =
+    DelimV2.listFilesWithPartitions(DelimV2.paths(options), DelimV2.driverConf())
+  private lazy val partKeySet: Set[String] =
+    filesWithParts.flatMap(_._2.map(_._1)).toSet
+
   /** PARTIAL COUNT(*) pushdown (supportCompletePushDown stays false):
     * each split returns ONE row with its owned-line count, found by
     * scanning bytes for '\n' under the same split contract as the row
     * reader — no parse, no String, no InternalRow per line; Spark sums
-    * the per-split partials. Declined when filters are pushed (they
-    * must be evaluated on parsed fields) or a GROUP BY exists.
+    * the per-split partials. Declined when DATA-column filters are
+    * pushed (they must be evaluated on parsed fields) or a GROUP BY
+    * exists; PARTITION-column filters are fine — they resolve at FILE
+    * level during split planning, so a partition-scoped COUNT(*) is
+    * still a zero-parse newline count over the surviving files.
     */
   override def pushAggregation(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
-    if (pushed.nonEmpty || agg.groupByExpressions().nonEmpty ||
+    if (pushed.exists(f => !f.references.forall(partKeySet.contains)) ||
+      agg.groupByExpressions().nonEmpty ||
       agg.aggregateExpressions().isEmpty ||
       !agg.aggregateExpressions().forall(
         _.isInstanceOf[org.apache.spark.sql.connector.expressions.aggregate.CountStar]))
@@ -161,7 +177,8 @@ private[v2] class DelimScanBuilder(fullSchema: StructType, options: CaseInsensit
   override def isPartiallyPushed(): Boolean = true // per-split limit only
 
   override def build(): Scan =
-    new DelimScan(fullSchema, required, pushed, limit, options, aggCountCols)
+    new DelimScan(fullSchema, required, pushed, limit, options, aggCountCols,
+      filesWithParts)
 }
 
 // public: query constructions and the spec assert on readSchema/pushedFilters
@@ -171,8 +188,59 @@ class DelimScan(
     val pushedFilters: Array[Filter],
     limit: Int,
     options: CaseInsensitiveStringMap,
-    aggCountCols: Int = 0)
+    aggCountCols: Int = 0,
+    filesWithParts: Seq[(FileStatus, Seq[(String, String)])] = null)
     extends Scan with Batch with SupportsReportStatistics with SupportsRuntimeFiltering {
+
+  private lazy val allFiles: Seq[(FileStatus, Seq[(String, String)])] =
+    Option(filesWithParts).getOrElse(
+      DelimV2.listFilesWithPartitions(DelimV2.paths(options), DelimV2.driverConf()))
+
+  /** Partition columns = schema fields matching a discovered `k=v`
+    * directory key; every other field maps POSITIONALLY (in schema
+    * order) to the file's delimited fields. Partition values come from
+    * the directory name, typed by the declared schema type.
+    */
+  private lazy val partKeySet: Set[String] =
+    allFiles.flatMap(_._2.map(_._1)).toSet.intersect(fullSchema.fieldNames.toSet)
+  private lazy val partFields: Array[StructField] =
+    fullSchema.fields.filter(f => partKeySet.contains(f.name))
+
+  private def partitionOnly(f: Filter): Boolean =
+    f.references.nonEmpty && f.references.forall(partKeySet.contains)
+
+  /** Per-file predicate from a partition-only filter: the file's k=v
+    * values, typed via the same parse/normalize path as row fields, fed
+    * to the same compiled predicate — so partition pruning and row
+    * filtering can never disagree on semantics.
+    */
+  private def partPredicate(f: Filter): Seq[(String, String)] => Boolean = {
+    val idxOf = partFields.map(_.name).zipWithIndex.toMap
+    val types = partFields.map(_.dataType)
+    val p = DelimV2.compileFilter(f, idxOf, types)
+    pvals => {
+      val ext = new Array[Any](partFields.length)
+      var i = 0
+      while (i < partFields.length) {
+        val raw = pvals.collectFirst {
+          case (k, v) if k == partFields(i).name => v }.orNull
+        ext(i) = DelimV2.parseExternal(raw, types(i))
+        i += 1
+      }
+      p(ext)
+    }
+  }
+
+  /** STATIC file-level pruning: pushed partition-only filters drop
+    * whole files (and with them their directories' bytes) at planning —
+    * the reference's own partition model (dt=/hr= trees), where the
+    * 100 TB win is never opening the non-matching directories at all.
+    */
+  private lazy val staticKept: Seq[(FileStatus, Seq[(String, String)])] = {
+    val preds = pushedFilters.filter(partitionOnly).map(partPredicate)
+    if (preds.isEmpty) allFiles
+    else allFiles.filter { case (_, pv) => preds.forall(_(pv)) }
+  }
 
   /** Runtime (DPP-style) filters: Spark's PartitionPruning rule plugs a
     * broadcast join's build-side key set into the scan as an `In`
@@ -205,7 +273,6 @@ class DelimScan(
 
   private val paths = DelimV2.paths(options)
   private val delim = DelimV2.delimiter(options)
-  private lazy val files: Seq[FileStatus] = DelimV2.listFiles(paths, DelimV2.driverConf())
 
   override def readSchema(): StructType = required
 
@@ -213,13 +280,17 @@ class DelimScan(
     s"GraftDelim ${paths.mkString(",")} " +
       s"PushedFilters: [${pushedFilters.mkString(", ")}], " +
       s"ReadSchema: ${required.simpleString}" +
+      (if (partFields.nonEmpty)
+        s", PartitionColumns: [${partFields.map(_.name).mkString(", ")}]" else "") +
       (if (limit >= 0) s", PushedLimit: $limit" else "") +
       (if (aggCountCols > 0) s", PushedAggregation: [count(*)]" else "")
 
   override def estimateStatistics(): Statistics = new Statistics {
-    // pruned-width estimate, same spirit as FileScan: bytes on disk
-    // scaled by the fraction of fields that survive pruning
-    private val total = files.map(_.getLen).sum
+    // pruned-width estimate over the STATICALLY-PRUNED file set, same
+    // spirit as FileScan: bytes on disk scaled by the fraction of
+    // fields that survive pruning — so a one-partition slice of a huge
+    // table is broadcast-eligible like any small table
+    private val total = staticKept.map(_._1.getLen).sum
     private val frac =
       if (fullSchema.isEmpty) 1.0
       else math.max(required.size, 1).toDouble / fullSchema.size
@@ -232,20 +303,34 @@ class DelimScan(
   override def planInputPartitions(): Array[InputPartition] = {
     val splitBytes = math.max(1L, options.getLong("splitBytes",
       SparkSession.active.sessionState.conf.filesMaxPartitionBytes))
-    files.flatMap { f =>
+    // RUNTIME (DPP) file-level pruning: Spark re-plans input partitions
+    // after filter(), so a runtime In on a partition column drops whole
+    // files here — their bytes are never read, the scale win row-level
+    // pruning cannot give
+    val rtPreds = runtimeFilters.filter(partitionOnly).map(partPredicate)
+    val kept =
+      if (rtPreds.isEmpty) staticKept
+      else staticKept.filter { case (_, pv) => rtPreds.forall(_(pv)) }
+    val splits = kept.flatMap { case (f, pv) =>
       val len = f.getLen
       if (len == 0) Nil
       else {
+        val partVals = partFields.map(pf =>
+          pv.collectFirst { case (k, v) if k == pf.name => v }.orNull)
         // Long counter: (len + splitBytes - 1) / splitBytes overflows Int
         // for a large file with a small splitBytes option, which would
         // silently plan ZERO splits (empty range) and drop the file
         val n = math.max(1L, (len + splitBytes - 1) / splitBytes)
         (0L until n).map { i =>
           val start = i * splitBytes
-          DelimSplit(f.getPath.toString, start, math.min(splitBytes, len - start), len)
+          DelimSplit(f.getPath.toString, start, math.min(splitBytes, len - start),
+            len, partVals)
         }
       }
-    }.toArray
+    }.toArray[InputPartition]
+    DelimV2.recordPlannedSplits(paths.mkString(","),
+      allFiles.size, kept.size, splits.length)
+    splits
   }
 
   override def createReaderFactory(): PartitionReaderFactory = {
@@ -257,8 +342,14 @@ class DelimScan(
       .filter { case (k, _) => k.startsWith("fs.") || k.startsWith("hadoop.") }
       .toMap
     if (aggCountCols > 0) new DelimCountReaderFactory(aggCountCols, confMap)
-    else new DelimReaderFactory(
-      fullSchema, required, pushedFilters ++ runtimeFilters, delim, limit, confMap)
+    else {
+      // partition-only filters were fully applied at FILE level above;
+      // re-evaluating them per row would be constant-true overhead
+      val rowFilters = (pushedFilters ++ runtimeFilters).filterNot(partitionOnly)
+      new DelimReaderFactory(
+        fullSchema, required, rowFilters, delim, limit, confMap,
+        partFields.map(_.name))
+    }
   }
 }
 
@@ -293,7 +384,9 @@ private[v2] class DelimCountReaderFactory(nCols: Int, confMap: Map[String, Strin
   }
 }
 
-private[v2] case class DelimSplit(path: String, start: Long, length: Long, fileLen: Long)
+private[v2] case class DelimSplit(
+    path: String, start: Long, length: Long, fileLen: Long,
+    partVals: Array[String] = Array.empty)
     extends InputPartition
 
 private[v2] class DelimReaderFactory(
@@ -302,7 +395,8 @@ private[v2] class DelimReaderFactory(
     filters: Array[Filter],
     delim: Char,
     limit: Int,
-    confMap: Map[String, String])
+    confMap: Map[String, String],
+    partCols: Array[String] = Array.empty)
     extends PartitionReaderFactory {
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
@@ -313,7 +407,8 @@ private[v2] class DelimReaderFactory(
     confMap.foreach { case (k, v) => conf.set(k, v) }
     val p = new HPath(split.path)
     val in = p.getFileSystem(conf).open(p)
-    new DelimPartitionReader(in, split, fullSchema, required, filters, delim, limit)
+    new DelimPartitionReader(in, split, fullSchema, required, filters, delim,
+      limit, partCols)
   }
 }
 
@@ -324,31 +419,71 @@ private[v2] class DelimPartitionReader(
     required: StructType,
     filters: Array[Filter],
     delim: Char,
-    limit: Int)
+    limit: Int,
+    partCols: Array[String] = Array.empty)
     extends PartitionReader[InternalRow] {
 
   private val lines =
     new LineSplitReader(in, split.start, split.start + split.length, split.fileLen)
 
-  // field indexes (into fullSchema) the parse must materialize:
-  // surviving output columns ∪ pushed-filter columns
   private val idxOf: Map[String, Int] =
     fullSchema.fieldNames.zipWithIndex.toMap
+  private val types: Array[DataType] = fullSchema.fields.map(_.dataType)
+
+  // schema-index → FILE field position: non-partition fields map
+  // positionally in schema order; partition fields have no file
+  // position (-1) — their values are split constants from the k=v
+  // directory, parsed once below
+  private val partIdxSet: Set[Int] = partCols.map(idxOf).toSet
+  private val filePos: Array[Int] = {
+    val m = new Array[Int](fullSchema.size)
+    var fp = 0
+    var i = 0
+    while (i < m.length) {
+      if (partIdxSet.contains(i)) m(i) = -1 else { m(i) = fp; fp += 1 }
+      i += 1
+    }
+    m
+  }
+  // partition constants at their schema slots (typed via the same
+  // parse path as file fields)
+  private val partExt: Array[Any] = {
+    val ext = new Array[Any](fullSchema.size)
+    var i = 0
+    while (i < partCols.length) {
+      val si = idxOf(partCols(i))
+      ext(si) = DelimV2.parseExternal(split.partVals(i), types(si))
+      i += 1
+    }
+    ext
+  }
+
+  // field indexes (into fullSchema) the parse must materialize:
+  // surviving output columns ∪ pushed-filter columns
   private val outputIdx: Array[Int] = required.fieldNames.map(idxOf)
   private val filterCols: Array[Int] =
     filters.flatMap(_.references).distinct.map(idxOf)
-  private val maxIdx: Int = (outputIdx ++ filterCols).foldLeft(-1)(math.max)
-  // convert ONLY the fields something consumes: the walk still has to
-  // step over delimiters up to maxIdx, but a skipped field is never
-  // substring'd or type-parsed (measured: the narrow-projection scan
-  // over a 16-field line was ~1.7× CSV with parse-all, at parity with
-  // the mask)
+  // the walk bound is in FILE positions (partition fields never appear
+  // in the line)
+  private val maxIdx: Int = (outputIdx ++ filterCols)
+    .map(filePos).foldLeft(-1)(math.max)
+  // convert ONLY the fields something consumes (by file position): the
+  // walk still has to step over delimiters up to maxIdx, but a skipped
+  // field is never substring'd or type-parsed (measured: the
+  // narrow-projection scan over a 16-field line was ~1.7× CSV with
+  // parse-all, at parity with the mask)
   private val needed: Array[Boolean] = {
     val m = new Array[Boolean](fullSchema.size)
-    (outputIdx ++ filterCols).foreach(i => m(i) = true)
+    (outputIdx ++ filterCols).foreach(i => if (filePos(i) >= 0) m(filePos(i)) = true)
     m
   }
-  private val types: Array[DataType] = fullSchema.fields.map(_.dataType)
+  // file position → schema index (for type lookup during the walk)
+  private val schemaIdxAt: Array[Int] = {
+    val m = new Array[Int](fullSchema.size)
+    var i = 0
+    while (i < filePos.length) { if (filePos(i) >= 0) m(filePos(i)) = i; i += 1 }
+    m
+  }
   private val predicates: Array[Array[Any] => Boolean] =
     filters.map(DelimV2.compileFilter(_, idxOf, types))
 
@@ -376,19 +511,22 @@ private[v2] class DelimPartitionReader(
     false
   }
 
-  /** Split + type-convert only fields 0..maxIdx (pruned parse). */
+  /** Split + type-convert only file fields 0..maxIdx (pruned parse);
+    * partition slots are pre-seeded split constants.
+    */
   private def parseLine(line: String): Array[Any] = {
-    val ext = new Array[Any](fullSchema.size)
+    val ext = partExt.clone()
     var fieldStart = 0
-    var idx = 0
+    var fp = 0
     val n = line.length
-    while (idx <= maxIdx && fieldStart <= n) {
+    while (fp <= maxIdx && fieldStart <= n) {
       val i = line.indexOf(delim.toInt, fieldStart)
-      if (needed(idx)) {
+      if (needed(fp)) {
+        val si = schemaIdxAt(fp)
         val raw = if (i < 0) line.substring(fieldStart) else line.substring(fieldStart, i)
-        ext(idx) = DelimV2.parseExternal(raw, types(idx))
+        ext(si) = DelimV2.parseExternal(raw, types(si))
       }
-      idx += 1
+      fp += 1
       fieldStart = if (i < 0) n + 1 else i + 1
     }
     ext
@@ -711,6 +849,9 @@ private[graft] object DelimV2 {
   def driverConf(): Configuration =
     SparkSession.active.sessionState.newHadoopConf()
 
+  /** Hive's null-partition directory token. */
+  val HiveDefaultPartition = "__HIVE_DEFAULT_PARTITION__"
+
   /** A missing path yields NO files rather than an error: schema
     * inference runs on the WRITE path too, where the target directory
     * may not exist yet (a read of a truly missing path then surfaces
@@ -718,17 +859,60 @@ private[graft] object DelimV2 {
     * reads every caller uses never hit).
     */
   def listFiles(paths: Seq[String], conf: Configuration): Seq[FileStatus] =
+    listFilesWithPartitions(paths, conf).map(_._1)
+
+  /** Recursive listing with `k=v` partition-directory discovery — the
+    * reference's central table layout (dt=.../hr=... directories)
+    * understood by the connector itself. Each data file carries the
+    * (key, value) pairs of the partition directories on its path, in
+    * path order; `__HIVE_DEFAULT_PARTITION__` decodes to null. A
+    * subdirectory NOT in k=v form is ignored (like `_temporary`): the
+    * layout contract is flat files or partition trees, never loose
+    * nesting.
+    */
+  def listFilesWithPartitions(
+      paths: Seq[String], conf: Configuration): Seq[(FileStatus, Seq[(String, String)])] = {
+    def recurse(fs: FileSystem, st: FileStatus,
+        pvals: Seq[(String, String)]): Seq[(FileStatus, Seq[(String, String)])] =
+      if (st.isFile) Seq((st, pvals))
+      else fs.listStatus(st.getPath).toSeq.flatMap { c =>
+        val n = c.getPath.getName
+        if (n.startsWith("_") || n.startsWith(".")) Nil
+        else if (c.isFile) Seq((c, pvals))
+        else {
+          val eq = n.indexOf('=')
+          if (eq <= 0) Nil
+          else {
+            val v0 = n.substring(eq + 1)
+            val v = if (v0 == HiveDefaultPartition) null else v0
+            recurse(fs, c, pvals :+ (n.substring(0, eq) -> v))
+          }
+        }
+      }
     paths.flatMap { p =>
       val hp = new HPath(p)
       val fs = hp.getFileSystem(conf)
-      val matched = Option(fs.globStatus(hp)).map(_.toSeq).getOrElse(Seq.empty)
-      matched.flatMap { st =>
-        if (st.isDirectory) fs.listStatus(st.getPath).toSeq.filter(_.isFile) else Seq(st)
-      }
-    }.filterNot { st =>
+      Option(fs.globStatus(hp)).map(_.toSeq).getOrElse(Seq.empty)
+        .flatMap(st => recurse(fs, st, Nil))
+    }.filterNot { case (st, _) =>
       val n = st.getPath.getName
       n.startsWith("_") || n.startsWith(".")
-    }.sortBy(_.getPath.toString)
+    }.sortBy(_._1.getPath.toString)
+  }
+
+  /** Test observability hook for FILE-level pruning, keyed per scan
+    * target like the runtime-filter log: (discovered files, files kept
+    * after static+runtime partition pruning, planned splits).
+    */
+  private val plannedSplitsLog =
+    new java.util.concurrent.ConcurrentHashMap[String, (Int, Int, Int)]()
+
+  private[graft] def recordPlannedSplits(
+      pathKey: String, discovered: Int, kept: Int, splits: Int): Unit =
+    plannedSplitsLog.put(pathKey, (discovered, kept, splits))
+
+  private[graft] def plannedSplitsFor(pathKey: String): Option[(Int, Int, Int)] =
+    Option(plannedSplitsLog.get(pathKey))
 
   private val pushableTypes: Set[DataType] =
     Set(StringType, IntegerType, LongType, DoubleType, DateType)

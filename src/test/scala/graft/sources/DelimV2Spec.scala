@@ -188,6 +188,111 @@ class DelimV2Spec extends SparkFunSuite {
     }, s"scan did not receive the In runtime filter: ${applied.mkString(",")}")
   }
 
+  private def writePartitioned(dir: String): Unit = {
+    // two-level k=v tree with typed partition values and a null
+    // partition: region (string) × pday (date)
+    def put(region: String, pday: String, lines: Seq[String]): Unit = {
+      val d = Paths.get(dir, s"region=$region", s"pday=$pday")
+      Files.createDirectories(d)
+      write(s"$d/part-0.txt", lines.mkString("\n") + "\n")
+    }
+    put("east", "2024-01-01", Seq("1|10.5", "2|20.0"))
+    put("east", "2024-01-02", Seq("3|30.0"))
+    put("west", "2024-01-01", Seq("4|40.0", "5|50.5"))
+    put("__HIVE_DEFAULT_PARTITION__", "2024-01-02", Seq("6|60.0"))
+  }
+
+  private val partSchema = "k BIGINT, v DOUBLE, region STRING, pday DATE"
+
+  test("k=v partition discovery: typed directory values as schema columns") {
+    val dir = tempDir("delimv2-part")
+    writePartitioned(dir)
+    val df = spark.read.format("graft-delim").schema(partSchema).load(dir)
+    val rows = df.collect().map(r => (r.getLong(0),
+      if (r.isNullAt(2)) null else r.getString(2),
+      r.getDate(3).toString)).sortBy(_._1)
+    assert(rows.toSeq === Seq(
+      (1L, "east", "2024-01-01"), (2L, "east", "2024-01-01"),
+      (3L, "east", "2024-01-02"), (4L, "west", "2024-01-01"),
+      (5L, "west", "2024-01-01"), (6L, null, "2024-01-02")))
+    // inference appends the discovered keys after c1..cN
+    val inferred = spark.read.format("graft-delim").load(dir).schema
+    assert(inferred.fieldNames.toSeq === Seq("c1", "c2", "region", "pday"))
+  }
+
+  test("static partition pruning drops whole files at planning") {
+    val dir = tempDir("delimv2-part-static")
+    writePartitioned(dir)
+    graft.sources.v2.DelimV2.recordPlannedSplits(dir, -1, -1, -1)
+    val df = spark.read.format("graft-delim").schema(partSchema).load(dir)
+      .filter($"region" === "east" && $"pday" === java.sql.Date.valueOf("2024-01-01"))
+      .select($"k", $"v")
+    assert(df.as[(Long, Double)].collect().sorted.toSeq ===
+      Seq((1L, 10.5), (2L, 20.0)))
+    val Some((discovered, kept, splits)) =
+      graft.sources.v2.DelimV2.plannedSplitsFor(dir)
+    assert(discovered === 4 && kept === 1 && splits === 1,
+      s"expected 4 files -> 1 kept, got ($discovered, $kept, $splits)")
+  }
+
+  test("IsNull on a partition column matches __HIVE_DEFAULT_PARTITION__ only") {
+    val dir = tempDir("delimv2-part-null")
+    writePartitioned(dir)
+    val df = spark.read.format("graft-delim").schema(partSchema).load(dir)
+      .filter($"region".isNull)
+    assert(df.select($"k").as[Long].collect().toSeq === Seq(6L))
+    val Some((_, kept, _)) = graft.sources.v2.DelimV2.plannedSplitsFor(dir)
+    assert(kept === 1)
+  }
+
+  test("runtime (DPP) filtering prunes at FILE level on a partition column") {
+    val dir = tempDir("delimv2-part-dpp")
+    // fact: region-partitioned delim; dim: parquet (region, grp) with a
+    // selective non-foldable predicate — the RuntimeFilterSpec recipe
+    def put(region: String, n: Int): Unit = {
+      val d = Paths.get(dir, "fact", s"region=$region")
+      Files.createDirectories(d)
+      write(s"$d/part-0.txt", (1 to 200).map(i => s"${i + n}|${i * 1.0}").mkString("\n"))
+    }
+    Seq("east" -> 0, "west" -> 1000, "north" -> 2000, "south" -> 3000)
+      .foreach { case (r, n) => put(r, n) }
+    Seq(("east", "hot"), ("west", "cold"), ("north", "cold"), ("south", "cold"))
+      .toDF("region", "grp").write.mode("overwrite").parquet(s"$dir/dim")
+    val fact = spark.read.format("graft-delim")
+      .schema("k BIGINT, v DOUBLE, region STRING").load(s"$dir/fact")
+    val dim = spark.read.parquet(s"$dir/dim").filter($"grp" === "hot")
+    graft.sources.v2.DelimV2.recordPlannedSplits(s"$dir/fact", -1, -1, -1)
+    val joined = fact.join(broadcast(dim), "region")
+      .agg(count(lit(1)).as("n"), sum($"v").as("sv"))
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruningexpression"),
+      s"no runtime filter planned on the delim scan:\n$plan")
+    val Array(row) = joined.collect()
+    assert(row.getLong(0) === 200)
+    val Some((discovered, kept, splits)) =
+      graft.sources.v2.DelimV2.plannedSplitsFor(s"$dir/fact")
+    assert(discovered === 4 && kept === 1 && splits === 1,
+      s"runtime In must prune non-matching partition FILES: " +
+        s"($discovered, $kept, $splits)")
+  }
+
+  test("partition-scoped COUNT(*) still pushes down (file-level filters only)") {
+    val dir = tempDir("delimv2-part-count")
+    writePartitioned(dir)
+    val df = spark.read.format("graft-delim").schema(partSchema).load(dir)
+      .filter($"region" === "east")
+      .groupBy().agg(count(lit(1)).as("n"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedAggregation: [count(*)]"),
+      s"partition-only filter must not block the count pushdown:\n$plan")
+    assert(df.as[Long].head() === 3L)
+    // a DATA-column filter still declines the pushdown
+    val df2 = spark.read.format("graft-delim").schema(partSchema).load(dir)
+      .filter($"v" > 15.0).groupBy().agg(count(lit(1)).as("n"))
+    assert(!df2.queryExecution.executedPlan.toString.contains("PushedAggregation"))
+    assert(df2.as[Long].head() === 5L)
+  }
+
   test("pushed In with a 10k-key set: hash-set probe, exact result") {
     // the DPP path hands the whole broadcast build-side key set to the
     // scan as one In — this pins that a large key set stays correct

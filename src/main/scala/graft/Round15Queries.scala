@@ -122,6 +122,40 @@ object Round15Queries {
         s"runtime In must prune non-matching partition FILES: " +
           s"discovered=$disc kept=$kept")
       df
+    },
+
+    // Pushed TopN on the connector (the scan-level feature after
+    // limit): `ORDER BY price DESC LIMIT 10` keeps a 10-row bounded
+    // heap PER SPLIT — k·splits rows enter the final merge instead of
+    // the corpus entering a full-width sort. The requires pin the
+    // pushed-TopN marker, the absorbed filter it composes with, and
+    // the no-sort plan: TakeOrderedAndProject over the scan, no Sort
+    // node anywhere. splitBytes=64 KiB forces multi-split heaps at
+    // every SF; the unique-key tie-break keeps the answer
+    // deterministic for the hash compare.
+    "delim_v2_topn_pushdown" -> { (s, dir) =>
+      val out = CoreQueries.scratchDir("delim_v2_topn_pushdown")
+      Tables.orders(s, dir)
+        .select(concat_ws("|", col("o_orderkey"), col("o_custkey"),
+          col("o_totalprice"), col("o_orderpriority")).as("line"))
+        .write.mode("overwrite").text(s"$out/orders")
+      val df = s.read.format("graft-delim")
+        .schema("o_orderkey BIGINT, o_custkey BIGINT, o_totalprice DOUBLE, " +
+          "o_orderpriority STRING")
+        .option("splitBytes", (64 * 1024).toString)
+        .load(s"$out/orders")
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(10)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      val plan = df.queryExecution.executedPlan.toString
+      require(plan.contains("PushedTopN"),
+        s"TopN not pushed into the delim scan:\n$plan")
+      require(plan.contains("EqualTo(o_orderpriority,1-URGENT)"),
+        s"filter must compose with the pushed TopN:\n$plan")
+      require(plan.contains("TakeOrderedAndProject") && !plan.contains("+- Sort"),
+        s"final merge must be a TakeOrdered, not a full sort:\n$plan")
+      df
     }
   )
 
@@ -143,6 +177,13 @@ object Round15Queries {
         |       count(DISTINCT user_id) AS n_users
         |FROM events
         |WHERE event_type = 'purchase'
-        |GROUP BY 1""".stripMargin
+        |GROUP BY 1""".stripMargin,
+
+    "delim_v2_topn_pushdown" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice
+        |FROM orders
+        |WHERE o_orderpriority = '1-URGENT'
+        |ORDER BY o_totalprice DESC, o_orderkey
+        |LIMIT 10""".stripMargin
   )
 }

@@ -125,11 +125,13 @@ private[v2] class DelimScanBuilder(fullSchema: StructType, options: CaseInsensit
     with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns
     with SupportsPushDownLimit
+    with SupportsPushDownTopN
     with SupportsPushDownAggregates {
 
   private var required: StructType = fullSchema
   private var pushed: Array[Filter] = Array.empty
   private var limit: Int = -1
+  private var topN: Array[DelimSortKey] = Array.empty
   private var aggCountCols: Int = 0
 
   // one listing per query, shared by the builder's partition-awareness
@@ -174,12 +176,46 @@ private[v2] class DelimScanBuilder(fullSchema: StructType, options: CaseInsensit
   override def pruneColumns(requiredSchema: StructType): Unit = required = requiredSchema
 
   override def pushLimit(l: Int): Boolean = { limit = l; true }
-  override def isPartiallyPushed(): Boolean = true // per-split limit only
+  override def isPartiallyPushed(): Boolean = true // per-split limit/top-k only
+
+  /** Partial TopN pushdown: `ORDER BY ... LIMIT k` keeps a k-row
+    * bounded heap PER SPLIT instead of emitting every row — the final
+    * merge (Spark's TakeOrderedAndProject over ≤ k·splits rows)
+    * replaces a full-width sort of the corpus. Accepted when every
+    * sort key is a plain column of a pushable type; Spark re-orders
+    * the survivors, so per-split emission order does not matter.
+    */
+  override def pushTopN(
+      orders: Array[org.apache.spark.sql.connector.expressions.SortOrder],
+      l: Int): Boolean = {
+    val keys = orders.map { so =>
+      val colName = so.expression() match {
+        case r: org.apache.spark.sql.connector.expressions.NamedReference
+            if r.fieldNames.length == 1 => r.fieldNames.head
+        case _ => return false
+      }
+      if (!fullSchema.fieldNames.contains(colName) ||
+        !DelimV2.pushableType(fullSchema(colName).dataType)) return false
+      DelimSortKey(colName,
+        so.direction() ==
+          org.apache.spark.sql.connector.expressions.SortDirection.DESCENDING,
+        so.nullOrdering() ==
+          org.apache.spark.sql.connector.expressions.NullOrdering.NULLS_FIRST)
+    }
+    if (keys.isEmpty) return false
+    topN = keys
+    limit = l
+    true
+  }
 
   override def build(): Scan =
     new DelimScan(fullSchema, required, pushed, limit, options, aggCountCols,
-      filesWithParts)
+      filesWithParts, topN)
 }
+
+/** One pushed sort key: column, direction, null placement. */
+private[v2] case class DelimSortKey(
+    col: String, desc: Boolean, nullsFirst: Boolean)
 
 // public: query constructions and the spec assert on readSchema/pushedFilters
 class DelimScan(
@@ -189,7 +225,8 @@ class DelimScan(
     limit: Int,
     options: CaseInsensitiveStringMap,
     aggCountCols: Int = 0,
-    filesWithParts: Seq[(FileStatus, Seq[(String, String)])] = null)
+    filesWithParts: Seq[(FileStatus, Seq[(String, String)])] = null,
+    topN: Array[DelimSortKey] = Array.empty)
     extends Scan with Batch with SupportsReportStatistics with SupportsRuntimeFiltering {
 
   private lazy val allFiles: Seq[(FileStatus, Seq[(String, String)])] =
@@ -282,7 +319,10 @@ class DelimScan(
       s"ReadSchema: ${required.simpleString}" +
       (if (partFields.nonEmpty)
         s", PartitionColumns: [${partFields.map(_.name).mkString(", ")}]" else "") +
-      (if (limit >= 0) s", PushedLimit: $limit" else "") +
+      (if (topN.nonEmpty)
+        s", PushedTopN: ORDER BY [${topN.map(k => k.col +
+          (if (k.desc) " DESC" else " ASC")).mkString(", ")}] LIMIT $limit"
+      else if (limit >= 0) s", PushedLimit: $limit" else "") +
       (if (aggCountCols > 0) s", PushedAggregation: [count(*)]" else "")
 
   override def estimateStatistics(): Statistics = new Statistics {
@@ -348,7 +388,7 @@ class DelimScan(
       val rowFilters = (pushedFilters ++ runtimeFilters).filterNot(partitionOnly)
       new DelimReaderFactory(
         fullSchema, required, rowFilters, delim, limit, confMap,
-        partFields.map(_.name))
+        partFields.map(_.name), topN)
     }
   }
 }
@@ -396,7 +436,8 @@ private[v2] class DelimReaderFactory(
     delim: Char,
     limit: Int,
     confMap: Map[String, String],
-    partCols: Array[String] = Array.empty)
+    partCols: Array[String] = Array.empty,
+    topN: Array[DelimSortKey] = Array.empty)
     extends PartitionReaderFactory {
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
@@ -408,7 +449,7 @@ private[v2] class DelimReaderFactory(
     val p = new HPath(split.path)
     val in = p.getFileSystem(conf).open(p)
     new DelimPartitionReader(in, split, fullSchema, required, filters, delim,
-      limit, partCols)
+      limit, partCols, topN)
   }
 }
 
@@ -420,7 +461,8 @@ private[v2] class DelimPartitionReader(
     filters: Array[Filter],
     delim: Char,
     limit: Int,
-    partCols: Array[String] = Array.empty)
+    partCols: Array[String] = Array.empty,
+    topN: Array[DelimSortKey] = Array.empty)
     extends PartitionReader[InternalRow] {
 
   private val lines =
@@ -459,10 +501,10 @@ private[v2] class DelimPartitionReader(
   }
 
   // field indexes (into fullSchema) the parse must materialize:
-  // surviving output columns ∪ pushed-filter columns
+  // surviving output columns ∪ pushed-filter columns ∪ pushed sort keys
   private val outputIdx: Array[Int] = required.fieldNames.map(idxOf)
   private val filterCols: Array[Int] =
-    filters.flatMap(_.references).distinct.map(idxOf)
+    (filters.flatMap(_.references) ++ topN.map(_.col)).distinct.map(idxOf)
   // the walk bound is in FILE positions (partition fields never appear
   // in the line)
   private val maxIdx: Int = (outputIdx ++ filterCols)
@@ -490,7 +532,73 @@ private[v2] class DelimPartitionReader(
   private var current: InternalRow = _
   private var emitted = 0
 
+  /** Pushed-TopN comparator over parsed field arrays: SQL ordering
+    * with explicit null placement; ties compare equal (Spark's final
+    * TakeOrdered re-sorts the survivors, so per-split tie picks only
+    * need to keep SOME k-best set).
+    */
+  private lazy val topNCmp: java.util.Comparator[Array[Any]] =
+    new java.util.Comparator[Array[Any]] {
+      private val keys = topN.map(k => (idxOf(k.col), k.desc, k.nullsFirst))
+      override def compare(a: Array[Any], b: Array[Any]): Int = {
+        var i = 0
+        while (i < keys.length) {
+          val (ci, desc, nullsFirst) = keys(i)
+          val x = a(ci); val y = b(ci)
+          val c =
+            if (x == null && y == null) 0
+            else if (x == null) { if (nullsFirst) -1 else 1 }
+            else if (y == null) { if (nullsFirst) 1 else -1 }
+            else {
+              val base = DelimV2.cmp(types(ci), x, y)
+              if (desc) -base else base
+            }
+          if (c != 0) return c
+          i += 1
+        }
+        0
+      }
+    }
+  private var topNDrain: java.util.Iterator[Array[Any]] = _
+
+  /** TopN mode: drain the split through the filters into a k-bounded
+    * heap (worst-on-top), then emit the survivors — memory is O(k), and
+    * `LIMIT k` over a 100 TB directory ships k rows per split into the
+    * final merge instead of a full-corpus sort.
+    */
+  private def nextTopN(): Boolean = {
+    if (topNDrain == null) {
+      val heap = new java.util.PriorityQueue[Array[Any]](
+        math.max(1, limit), topNCmp.reversed())
+      if (limit > 0) {
+        var line = lines.nextLine()
+        while (line != null) {
+          val ext = parseLine(line)
+          if (predicates.forall(_(ext))) {
+            if (heap.size < limit) heap.add(ext)
+            else if (topNCmp.compare(ext, heap.peek()) < 0) {
+              heap.poll(); heap.add(ext)
+            }
+          }
+          line = lines.nextLine()
+        }
+      }
+      topNDrain = heap.iterator()
+    }
+    if (!topNDrain.hasNext) return false
+    val ext = topNDrain.next()
+    val out = new Array[Any](outputIdx.length)
+    var i = 0
+    while (i < outputIdx.length) {
+      out(i) = DelimV2.toInternal(ext(outputIdx(i)), types(outputIdx(i)))
+      i += 1
+    }
+    current = new GenericInternalRow(out)
+    true
+  }
+
   override def next(): Boolean = {
+    if (topN.nonEmpty) return nextTopN()
     if (limit >= 0 && emitted >= limit) return false
     var line = lines.nextLine()
     while (line != null) {
@@ -1001,7 +1109,7 @@ private[graft] object DelimV2 {
       throw new IllegalArgumentException(s"graft-delim: unsupported type $other")
   }
 
-  private def cmp(dt: DataType, a: Any, b: Any): Int = dt match {
+  private[v2] def cmp(dt: DataType, a: Any, b: Any): Int = dt match {
     case StringType => a.asInstanceOf[String].compareTo(b.asInstanceOf[String])
     case IntegerType => Integer.compare(a.asInstanceOf[Int], b.asInstanceOf[Int])
     case LongType | DateType =>

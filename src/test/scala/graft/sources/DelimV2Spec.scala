@@ -293,6 +293,55 @@ class DelimV2Spec extends SparkFunSuite {
     assert(df2.as[Long].head() === 5L)
   }
 
+  test("pushed TopN: per-split k-heap, exact vs full sort, any split size") {
+    val dir = tempDir("delimv2-topn")
+    // values with nulls + duplicates; unique tie-break key k keeps the
+    // expected answer deterministic
+    val lines = (1 to 5000).map { i =>
+      val v = if (i % 97 == 0) "" else ((i * 7919) % 1000).toString
+      s"$i|$v"
+    }
+    write(s"$dir/f.txt", lines.mkString("\n"))
+    for (splitBytes <- Seq(64, 4096, 1000000)) {
+      def delim = spark.read.format("graft-delim")
+        .schema("k BIGINT, v BIGINT")
+        .option("splitBytes", splitBytes.toString)
+        .load(s"$dir/f.txt")
+      def csv = spark.read.option("delimiter", "|")
+        .schema("k BIGINT, v BIGINT").csv(s"$dir/f.txt")
+      for ((ord, label) <- Seq(
+        (Seq($"v".desc_nulls_last, $"k".asc), "desc-nulls-last"),
+        (Seq($"v".asc_nulls_first, $"k".desc), "asc-nulls-first"))) {
+        val mine = delim.orderBy(ord: _*).limit(25)
+        val plan = mine.queryExecution.executedPlan.toString
+        assert(plan.contains("PushedTopN"),
+          s"TopN not pushed ($label, splitBytes=$splitBytes):\n$plan")
+        val got = mine.collect().map(r => (r.getLong(0),
+          if (r.isNullAt(1)) null else r.getLong(1)))
+        val want = csv.orderBy(ord: _*).limit(25).collect()
+          .map(r => (r.getLong(0), if (r.isNullAt(1)) null else r.getLong(1)))
+        assert(got.toSeq === want.toSeq, s"$label splitBytes=$splitBytes")
+      }
+    }
+  }
+
+  test("pushed TopN composes with pushed filters and pruning") {
+    val dir = tempDir("delimv2-topn-filter")
+    write(s"$dir/f.txt",
+      (1 to 2000).map(i => s"$i|${i % 5}|x$i").mkString("\n"))
+    val df = spark.read.format("graft-delim")
+      .schema("k BIGINT, grp BIGINT, s STRING")
+      .option("splitBytes", "512")
+      .load(s"$dir/f.txt")
+      .filter($"grp" === 3)
+      .orderBy($"k".desc).limit(7)
+      .select($"k")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedTopN") && plan.contains("EqualTo(grp,3)"), plan)
+    assert(df.as[Long].collect().toSeq ===
+      (1 to 2000).filter(_ % 5 == 3).sorted.reverse.take(7).map(_.toLong))
+  }
+
   test("pushed In with a 10k-key set: hash-set probe, exact result") {
     // the DPP path hands the whole broadcast build-side key set to the
     // scan as one In — this pins that a large key set stays correct

@@ -24,7 +24,71 @@ import graft.sources.v2.DelimV2
   */
 object Round15Queries {
 
+  /** The payload-bearing as-of SQL (round-14 "what's missing" #3): a
+    * LATERAL top-1 that returns the matched row's COLUMNS, not just its
+    * time. ONE text, run in Spark (the extended AsOfRewriteRule
+    * collapses it onto the native operator) and verbatim in DuckDB.
+    * The clicks CTE reduces to one row per (user, ts) so the top-1 is
+    * tie-free — ORDER-BY-LIMIT ties are nondeterministic in ANY
+    * engine, so a hash-compared certification must exclude them.
+    */
+  private def asofLateralSqlText(events: String): String =
+    s"""WITH clicks AS (
+       |  SELECT user_id AS q_user, ts AS q_ts, max(event_id) AS q_id
+       |  FROM $events
+       |  WHERE event_type = 'click'
+       |  GROUP BY 1, 2)
+       |SELECT e.event_id, e.user_id, q.q_ts AS click_ts, q.q_id AS click_id
+       |FROM $events e, LATERAL (
+       |  SELECT q_ts, q_id FROM clicks q
+       |  WHERE q.q_user = e.user_id AND q.q_ts <= e.ts
+       |  ORDER BY q.q_ts DESC LIMIT 1) q
+       |WHERE e.event_type = 'error'""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // The LATERAL as-of front door: without the rewrite, Spark
+    // decorrelates the top-1 into the domain sandwich PLUS a
+    // WindowGroupLimit re-sort of the full right side per (key, time)
+    // group — the same |distinct ts| × |R| nested-loop shape the
+    // scalar rewrite killed, now with payload columns. The extended
+    // matcher collapses it onto the native operator with the payloads
+    // riding through; the requires pin the fire (backward, no
+    // tolerance), the ABSENCE of the ranking machinery (Window /
+    // WindowGroupLimit both gone), and the nested-loop-free plan.
+    "asof_lateral_auto" -> { (s, dir) =>
+      plans.AsOfRewriteRule.installLate(s)
+      val key = plans.AsOfRewriteRule.EnabledKey
+      val prev = s.conf.getOption(key)
+      s.conf.set(key, "true")
+      try {
+        Tables.events(s, dir).createOrReplaceTempView("asql15_events")
+        val df = s.sql(asofLateralSqlText("asql15_events"))
+        val opt = df.queryExecution.optimizedPlan
+        val nodes = opt.collect {
+          case p: plans.AsOfJoinPlan
+              if !p.forward && p.toleranceMicros.isEmpty => p
+        }
+        require(nodes.nonEmpty,
+          s"lateral as-of rewrite did not fire:\n$opt")
+        val leftoverRanking = opt.collect {
+          case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+          case w: org.apache.spark.sql.catalyst.plans.logical.WindowGroupLimit => w
+        }
+        require(leftoverRanking.isEmpty,
+          s"ranking sandwich survived the rewrite:\n$opt")
+        val plan = df.queryExecution.explainString(FormattedMode)
+        require(!plan.contains("BroadcastNestedLoopJoin") &&
+          !plan.contains("CartesianProduct"),
+          "rewrite enabled but the domain join still nested-loops")
+        val out = CoreQueries.scratchDir("asof_lateral_auto")
+        df.write.mode("overwrite").parquet(out)
+        s.read.parquet(out)
+      } finally prev match {
+        case Some(v) => s.conf.set(key, v)
+        case None    => s.conf.unset(key)
+      }
+    },
 
     // STATIC partition pruning on the connector: orders serialized as
     // an o_orderstatus=X partition tree (one coalesced file per status
@@ -160,6 +224,10 @@ object Round15Queries {
   )
 
   def oracleSql: Map[String, String] = Map(
+    // the SAME text the engine ran (modulo the view name): DuckDB
+    // executes the lateral top-1 directly
+    "asof_lateral_auto" -> asofLateralSqlText("events"),
+
     // the partition tree is a lossless re-layout of orders (status in
     // the directory name instead of the line), so the oracle recomputes
     // straight from the parquet table

@@ -116,7 +116,8 @@ case class AsOfRewriteRule(session: SparkSession)
     if (!conf.getConfString(EnabledKey, "false").trim
         .equalsIgnoreCase("true")) plan
     else plan.transformUp {
-      case p @ Project(_, _: Join) => rewrite(p).getOrElse(p)
+      case p @ Project(_, _: Join) =>
+        rewrite(p).orElse(rewriteLateral(p)).getOrElse(p)
     }
   }
 
@@ -334,6 +335,244 @@ case class AsOfRewriteRule(session: SparkSession)
       logInfo(s"as-of rewrite fired: keys=${keyPairs.length} " +
         s"forward=$forward tol=$tolMicros payload=${rtAttr.name}")
       Some(Project(newList, node))
+
+    case _ => None
+  }
+
+  /** The PAYLOAD-bearing as-of spelling — a correlated LATERAL top-1:
+    *
+    * {{{
+    *   SELECT e.*, q.px, q.ts FROM events e, LATERAL (
+    *     SELECT px, ts FROM quotes q
+    *     WHERE q.k = e.k AND q.ts <= e.ts
+    *     ORDER BY q.ts DESC LIMIT 1) q
+    * }}}
+    *
+    * Decorrelation turns it into the domain sandwich with a ranking
+    * stage on top (probed shape, tools/Probe):
+    *
+    * {{{
+    *   Project [l.*, payloads...]
+    *   +- Join Inner ((dom#D <=> lt) AND (rk = lk))
+    *      :- L
+    *      +- Project [payloads..., dom#D, rk]
+    *         +- Filter (rn <= 1)
+    *            +- Window [row_number() over (partition by rk, dom
+    *                 order by rt DESC)] ...
+    *               +- WindowGroupLimit [rk, dom], [rt DESC], rn, 1
+    *                  +- Project [...]
+    *                     +- Join Inner (rt <= dom#D)
+    *                        :- Aggregate [lt], [lt AS dom#D]
+    *                        +- R
+    * }}}
+    *
+    * — the same |distinct left times| × |R| nested-loop domain join as
+    * the scalar form, PLUS a per-(key, domain-time) ranking of the full
+    * right side. The value per left row is the as-of matched ROW, so
+    * the sandwich collapses to the native operator with the payload
+    * columns riding through:
+    *
+    * {{{
+    *   Project [l.*, payloads...]
+    *   +- Filter isnotnull(rt')     // inner lateral drops no-match rows
+    *      +- AsOfJoin [lk], [rk], lt, rt, backward
+    * }}}
+    *
+    * `ORDER BY rt DESC` with theta `rt <= dom` is backward; `ASC` with
+    * `rt >= dom` forward. Same provenance guards as the scalar matcher:
+    * the domain aggregate must be decorrelation's DISTINCT of the left
+    * time attr (exprId equality + pass-through alias), the outer
+    * condition must be exactly the null-safe domain equality plus plain
+    * equi keys, and the window partition must be exactly {domain} ∪
+    * keys (anything else would rank across different groups than the
+    * join-back restores). Equivalence notes: a left row with a NULL
+    * time or key gets no candidates in the original (theta/equality
+    * reject nulls) and no match in the operator (the merge skips
+    * nulls), so the IsNotNull filter drops it either way; ties at the
+    * matched time are the operator's documented one-arbitrary-row
+    * instability, identical in kind to row_number's pick among equal
+    * sort keys.
+    */
+  private def rewriteLateral(p: Project): Option[LogicalPlan] = p.child match {
+    case Join(l, rightSide, Inner, Some(cond), _) =>
+      // 1. peel the ranking sandwich: Project? > Filter(rn<=1) >
+      //    Window(row_number) > {Project | WindowGroupLimit |
+      //    Filter(isnotnull...)}* > Join(domAgg, r, Inner, theta).
+      //    Optimizer passes interleave extra nodes on real tables:
+      //    InferFiltersFromConstraints adds isnotnull on the join keys
+      //    and InferWindowGroupLimit re-fires around it (probed shape,
+      //    tools/Probe) — so the walk collects them for verification
+      //    instead of demanding one fixed layering.
+      def peelProjects(plan: LogicalPlan): Option[LogicalPlan] = plan match {
+        case Project(list, child) =>
+          // attribute-only passthrough (decorrelation emits no compute here)
+          if (list.forall(_.isInstanceOf[Attribute])) peelProjects(child)
+          else None
+        case other => Some(other)
+      }
+      val (rnCond, windowNode) = peelProjects(rightSide) match {
+        case Some(Filter(c, w: Window)) => (c, w)
+        case _ => return None
+      }
+      // the rank filter: rn <= 1 or rn = 1 over the window's row_number
+      val rnAlias = windowNode.windowExpressions match {
+        case Seq(al @ Alias(WindowExpression(_: RowNumber, _), _)) => al
+        case _ => return None
+      }
+      val rnOk = rnCond match {
+        case LessThanOrEqual(a: Attribute, Literal(1, _)) =>
+          a.exprId == rnAlias.exprId
+        case EqualTo(a: Attribute, Literal(1, _)) => a.exprId == rnAlias.exprId
+        case _ => false
+      }
+      if (!rnOk) return None
+      // below the window: WindowGroupLimits must be limit-1 (specs
+      // verified against the window once the keys are known); Filters
+      // may only be conjunctions of isnotnull over attributes (legality
+      // verified below: keys/time only — a null key or time can never
+      // be the as-of match, so dropping those rows early is neutral,
+      // while a null-rejection on a PAYLOAD column would change which
+      // row matches and must bail)
+      val wgls = scala.collection.mutable.ArrayBuffer
+        .empty[(Seq[Expression], Seq[SortOrder])]
+      val notNullAttrs = scala.collection.mutable.ArrayBuffer.empty[Attribute]
+      def peelBelow(plan: LogicalPlan): Option[LogicalPlan] = plan match {
+        case Project(list, child) if list.forall(_.isInstanceOf[Attribute]) =>
+          peelBelow(child)
+        case WindowGroupLimit(ps, os, _, 1, child) =>
+          wgls += ((ps, os)); peelBelow(child)
+        case Filter(c, child) =>
+          splitConjunctivePredicates(c).foreach {
+            case IsNotNull(a: Attribute) => notNullAttrs += a
+            case _ => return None
+          }
+          peelBelow(child)
+        case other => Some(other)
+      }
+      val (domAgg, r, theta) = peelBelow(windowNode.child) match {
+        case Some(Join(da: Aggregate, rr, Inner, Some(t), _)) => (da, rr, t)
+        case _ => return None
+      }
+
+      // 2. the domain side: DISTINCT of one expression, one output
+      if (domAgg.aggregateExpressions.length != 1 ||
+          domAgg.groupingExpressions.length != 1) return None
+      val domAttr = domAgg.output.head
+
+      // 3. theta: ONE non-strict as-of conjunct against the domain attr
+      val (rtExpr, forward) = theta match {
+        case LessThanOrEqual(x, d: Attribute)
+            if d.exprId == domAttr.exprId => (x, false)
+        case GreaterThanOrEqual(d: Attribute, x)
+            if d.exprId == domAttr.exprId => (x, false)
+        case GreaterThanOrEqual(x, d: Attribute)
+            if d.exprId == domAttr.exprId => (x, true)
+        case LessThanOrEqual(d: Attribute, x)
+            if d.exprId == domAttr.exprId => (x, true)
+        case _ => return None
+      }
+      if (!rtExpr.references.subsetOf(r.outputSet)) return None
+      val rtAttr = stripCast(rtExpr) match {
+        case a: Attribute if r.outputSet.contains(a) => a
+        case _ => return None
+      }
+
+      // 4. the sort must rank the SAME time attribute in the direction
+      //    matching the theta (DESC = latest-at-or-before = backward;
+      //    ASC = earliest-at-or-after = forward); null placement is
+      //    irrelevant — the theta already rejected null times
+      val sortOk = windowNode.orderSpec match {
+        case Seq(SortOrder(se, dir, _, _)) =>
+          (stripCast(se) match {
+            case a: Attribute => a.exprId == rtAttr.exprId
+            case _ => false
+          }) && (dir == (if (forward) Ascending else Descending))
+        case _ => false
+      }
+      if (!sortOk) return None
+
+      // 5. outer condition: (dom <=> lt) + plain equi keys, nothing else
+      var ltAttrOpt: Option[Attribute] = None
+      val keyPairs = scala.collection.mutable.ArrayBuffer
+        .empty[(Attribute, Attribute)]
+      val rOut = r.outputSet
+      def classify(a: Expression, b: Expression, nullSafe: Boolean): Boolean =
+        (a, b) match {
+          case (x: Attribute, y: Attribute)
+              if x.exprId == domAttr.exprId && l.outputSet.contains(y) =>
+            if (ltAttrOpt.isDefined) false else { ltAttrOpt = Some(y); true }
+          case (x: Attribute, y: Attribute)
+              if y.exprId == domAttr.exprId && l.outputSet.contains(x) =>
+            if (ltAttrOpt.isDefined) false else { ltAttrOpt = Some(x); true }
+          case (x: Attribute, y: Attribute) if !nullSafe &&
+              rOut.contains(x) && l.outputSet.contains(y) =>
+            keyPairs += ((y, x)); true
+          case (x: Attribute, y: Attribute) if !nullSafe &&
+              rOut.contains(y) && l.outputSet.contains(x) =>
+            keyPairs += ((x, y)); true
+          case _ => false
+        }
+      val allClassified = splitConjunctivePredicates(cond).forall {
+        case EqualNullSafe(a, b) => classify(a, b, nullSafe = true)
+        case EqualTo(a, b)       => classify(a, b, nullSafe = false)
+        case _                   => false
+      }
+      if (!allClassified || ltAttrOpt.isEmpty || keyPairs.isEmpty) return None
+
+      // 6. window partition must be exactly {domain} ∪ equated keys
+      val partIds = windowNode.partitionSpec.map {
+        case a: Attribute => a.exprId
+        case _ => return None
+      }.toSet
+      if (partIds != keyPairs.map(_._2.exprId).toSet + domAttr.exprId)
+        return None
+      // every peeled WindowGroupLimit must rank under the SAME spec —
+      // they were inferred FROM this window, but verify rather than trust
+      for ((ps, os) <- wgls) {
+        val wglIds = ps.map {
+          case a: Attribute => a.exprId
+          case _ => return None
+        }.toSet
+        if (wglIds != partIds || os != windowNode.orderSpec) return None
+      }
+      // peeled null-rejections may only touch the keys or the time:
+      // those rows can never be the as-of match either way
+      val nullOkIds = keyPairs.map(_._2.exprId).toSet + rtAttr.exprId
+      if (!notNullAttrs.forall(a => nullOkIds.contains(a.exprId)))
+        return None
+
+      // 7. PROVENANCE (same argument as the scalar matcher): the domain
+      //    aggregate must be decorrelation's DISTINCT of the left time
+      val domGroupExpr = domAgg.groupingExpressions.head
+      val domGroupOk = domGroupExpr match {
+        case a: Attribute => a.exprId == ltAttrOpt.get.exprId
+        case _ => false
+      }
+      val domPassThrough = domAgg.aggregateExpressions.head match {
+        case Alias(c, _) => c.semanticEquals(domGroupExpr)
+        case e => e.semanticEquals(domGroupExpr)
+      }
+      if (!domGroupOk || !domPassThrough) return None
+
+      // 8. the parent projection may use only L attrs and R attrs (the
+      //    payloads); the domain/rank passthroughs die with the rewrite
+      val allowed = l.outputSet ++ rOut
+      if (!p.projectList.forall(_.references.subsetOf(allowed))) return None
+
+      val ltExpr = asTime(ltAttrOpt.get).getOrElse(return None)
+      val rtTime = asTime(rtAttr).getOrElse(return None)
+      if (ltExpr.dataType != rtTime.dataType) return None
+
+      val node = AsOfJoinPlan(l, r,
+        keyPairs.map(_._1).toSeq, keyPairs.map(_._2).toSeq,
+        ltExpr, rtTime, forward, None)
+      val rtOut = node.output
+        .find(_.exprId == rtAttr.exprId).getOrElse(return None)
+      logInfo(s"as-of LATERAL rewrite fired: keys=${keyPairs.length} " +
+        s"forward=$forward payloads=${rOut.map(_.name).mkString(",")}")
+      // inner lateral semantics: a left row with no match is dropped —
+      // the operator emits it with a NULL matched time, so filter on it
+      Some(Project(p.projectList, Filter(IsNotNull(rtOut), node)))
 
     case _ => None
   }

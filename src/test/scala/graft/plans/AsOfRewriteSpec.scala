@@ -181,6 +181,106 @@ class AsOfRewriteSpec extends SparkFunSuite {
              FROM asof_l l""", expectFire = false)
   }
 
+  /** Lateral variant of [[check]]: additionally pins that the fired
+    * plan carries NO ranking machinery — the Window/WindowGroupLimit
+    * sandwich must be gone, not merely topped by the operator.
+    */
+  private def checkLateral(sql: String, expectFire: Boolean): Unit = {
+    check(sql, expectFire)
+    if (expectFire) {
+      spark.conf.set(AsOfRewriteRule.EnabledKey, "true")
+      try {
+        val plan = spark.sql(sql).queryExecution.optimizedPlan
+        val leftover = plan.collect {
+          case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+          case w: org.apache.spark.sql.catalyst.plans.logical.WindowGroupLimit => w
+        }
+        assert(leftover.isEmpty, s"ranking sandwich survived the rewrite:\n$plan")
+      } finally spark.conf.unset(AsOfRewriteRule.EnabledKey)
+    }
+  }
+
+  test("LATERAL top-1 backward fires with the payload riding through") {
+    checkLateral("""SELECT l.id, q.rk2, q.rt
+             FROM asof_l l, LATERAL (
+               SELECT rk2, rt FROM asof_r r
+               WHERE r.rk = l.k AND r.rt <= l.t
+               ORDER BY r.rt DESC LIMIT 1) q""", expectFire = true)
+  }
+
+  test("LATERAL top-1 forward fires (ASC with >=)") {
+    checkLateral("""SELECT l.id, q.rk2, q.rt
+             FROM asof_l l, LATERAL (
+               SELECT rk2, rt FROM asof_r r
+               WHERE r.rk = l.k AND r.rt >= l.t
+               ORDER BY r.rt ASC LIMIT 1) q""", expectFire = true)
+  }
+
+  test("LATERAL composite key fires") {
+    checkLateral("""SELECT l.id, q.rt
+             FROM asof_l l, LATERAL (
+               SELECT rt FROM asof_r r
+               WHERE r.rk = l.k AND r.rk2 = l.k2 AND r.rt <= l.t
+               ORDER BY r.rt DESC LIMIT 1) q""", expectFire = true)
+  }
+
+  test("LATERAL mismatched sort direction does not fire") {
+    // latest-at-or-AFTER is not an as-of match; must stay untouched
+    checkLateral("""SELECT l.id, q.rt
+             FROM asof_l l, LATERAL (
+               SELECT rt FROM asof_r r
+               WHERE r.rk = l.k AND r.rt >= l.t
+               ORDER BY r.rt DESC LIMIT 1) q""", expectFire = false)
+  }
+
+  test("LATERAL LIMIT 2 does not fire (top-1 only)") {
+    checkLateral("""SELECT l.id, q.rt
+             FROM asof_l l, LATERAL (
+               SELECT rt FROM asof_r r
+               WHERE r.rk = l.k AND r.rt <= l.t
+               ORDER BY r.rt DESC LIMIT 2) q""", expectFire = false)
+  }
+
+  test("LATERAL sort on a non-theta column does not fire") {
+    checkLateral("""SELECT l.id, q.rk2
+             FROM asof_l l, LATERAL (
+               SELECT rk2, rt FROM asof_r r
+               WHERE r.rk = l.k AND r.rt <= l.t
+               ORDER BY r.rk2 DESC LIMIT 1) q""", expectFire = false)
+  }
+
+  test("LATERAL strict theta does not fire") {
+    checkLateral("""SELECT l.id, q.rt
+             FROM asof_l l, LATERAL (
+               SELECT rt FROM asof_r r
+               WHERE r.rk = l.k AND r.rt < l.t
+               ORDER BY r.rt DESC LIMIT 1) q""", expectFire = false)
+  }
+
+  test("LATERAL inner semantics: null keys/times and no-match lefts drop") {
+    ready
+    Seq((1L, Some(ts("2024-01-01 10:30:00")), "a"), // matches t1's quote
+      (1L, None, "b"), // null left time: no candidates either way
+      (99L, Some(ts("2024-01-01 10:30:00")), "c"), // unknown key: dropped
+      (2L, Some(ts("2024-01-01 09:00:00")), "d") // key exists, all rts after
+    ).toDF("k", "t", "id").createOrReplaceTempView("asof_lat_l")
+    checkLateral("""SELECT l.id, q.rt
+             FROM asof_lat_l l, LATERAL (
+               SELECT rt FROM asof_r r
+               WHERE r.rk = l.k AND r.rt <= l.t
+               ORDER BY r.rt DESC LIMIT 1) q""", expectFire = true)
+    // only 'a' survives either path — pin the absolute answer too, not
+    // just on-vs-off equality
+    spark.conf.set(AsOfRewriteRule.EnabledKey, "true")
+    try {
+      val rows = spark.sql("""SELECT l.id FROM asof_lat_l l, LATERAL (
+               SELECT rt FROM asof_r r
+               WHERE r.rk = l.k AND r.rt <= l.t
+               ORDER BY r.rt DESC LIMIT 1) q""").collect().map(_.getString(0))
+      assert(rows.toSeq == Seq("a"))
+    } finally spark.conf.unset(AsOfRewriteRule.EnabledKey)
+  }
+
   test("null keys and times keep SQL semantics through the rewrite") {
     ready
     Seq(

@@ -220,6 +220,41 @@ object Round15Queries {
       require(plan.contains("TakeOrderedAndProject") && !plan.contains("+- Sort"),
         s"final merge must be a TakeOrdered, not a full sort:\n$plan")
       df
+    },
+
+    // IVF-PQ composition (round-14 "what's missing" #2): the IVF
+    // coarse quantizer prunes WHICH vectors get scored (routed cells
+    // only) and PQ shrinks WHAT a scored vector costs (8 one-byte
+    // codes, 32x compression) — flat ADC scanned every corpus code per
+    // query batch; this is the sublinear 100 TB ANN shape. Same
+    // planted-cluster corpus and exact-baseline verdict as the
+    // IVF/PQ siblings, recall_ok pinned >= 0.9, PLUS the measured
+    // sublinearity proof: max per-query ADC candidate count < half the
+    // corpus (actual ~11% — probeFrac 0.1 over 64 cells), certified
+    // from the ADC join's own output, not the plan text.
+    "similarity_ivfpq_topk" -> { (s, dir) =>
+      val e = ext.SimSearch.clusteredView(Tables.embeddings(s, dir),
+        "vec_id", "embedding",
+        nClusters = Round2Queries.IvfNClusters,
+        mix = Round2Queries.IvfMix.toDouble)
+      val q = e.filter(col("vec_id") < 100)
+      val ipq = ext.SimSearch.ivfPqTopK(e, "vec_id", "embedding", 3,
+          nCentroids = 64, lloydIters = 0, probeFrac = 0.1,
+          rerank = 16, pqLloydIters = 1,
+          queries = Some(q), withScanCount = true)
+        .select(col("id_q"), col("neighbor_id"), lit(1L).as("hit"),
+          col("n_scored"))
+      val nCorpus = e.agg(count(lit(1)).as("n_corpus"))
+      ext.SimSearch.topKBruteForce(q, e, "vec_id", "embedding", 3)
+        .join(ipq, Seq("id_q", "neighbor_id"), "left_outer")
+        .agg(count(lit(1)).as("n_exact"),
+          round(sum(col("cos")), 2).as("sum_cos"),
+          (sum(coalesce(col("hit"), lit(0L))).cast("double")
+            >= count(lit(1)) * 0.9).as("recall_ok"),
+          max(col("n_scored")).as("max_scored"))
+        .crossJoin(nCorpus)
+        .select(col("n_exact"), col("sum_cos"), col("recall_ok"),
+          (col("max_scored") < col("n_corpus") * 0.5).as("sublinear_ok"))
     }
   )
 
@@ -252,6 +287,29 @@ object Round15Queries {
         |FROM orders
         |WHERE o_orderpriority = '1-URGENT'
         |ORDER BY o_totalprice DESC, o_orderkey
-        |LIMIT 10""".stripMargin
+        |LIMIT 10""".stripMargin,
+
+    // identical exact-baseline relation to the IVF/PQ siblings' oracles
+    // (same clustered view, same ranking); the IVF-PQ path has to hit
+    // >= 90% of it AND prove the sublinear scan (literal-true verdicts)
+    "similarity_ivfpq_topk" ->
+      s"""WITH ctr AS (
+         |  SELECT vec_id AS cid, embedding AS cemb
+         |  FROM embeddings WHERE vec_id < ${Round2Queries.IvfNClusters}),
+         |v AS (
+         |  SELECT e.vec_id, list_transform(range(len(cemb)),
+         |           i -> CAST(cemb[i + 1] + ${Round2Queries.IvfMix} * e.embedding[i + 1] AS REAL)) AS emb
+         |  FROM embeddings e JOIN ctr ON e.vec_id % ${Round2Queries.IvfNClusters} = ctr.cid),
+         |s AS (
+         |  SELECT q.vec_id AS id_q, c.vec_id AS neighbor_id,
+         |         round(list_cosine_similarity(q.emb, c.emb), 6) AS cos
+         |  FROM v q JOIN v c ON q.vec_id <> c.vec_id
+         |  WHERE q.vec_id < 100)
+         |SELECT count(*) AS n_exact, round(sum(cos), 2) AS sum_cos,
+         |       true AS recall_ok, true AS sublinear_ok FROM (
+         |  SELECT cos, row_number() OVER (PARTITION BY id_q
+         |           ORDER BY cos DESC, neighbor_id) AS rank
+         |  FROM s)
+         |WHERE rank <= 3""".stripMargin
   )
 }

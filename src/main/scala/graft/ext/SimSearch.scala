@@ -207,35 +207,9 @@ object SimSearch {
     val probe =
       if (probeFrac > 0) math.max(1, math.ceil(probeFrac * nCells).toInt)
       else nProbe
-    // deterministic count-free init: the nCells first vectors in xxhash64
-    // order — a TakeOrdered (per-partition top-k), not a full sort, and
-    // uniformly spread over the corpus without knowing N
-    val init = vecs.orderBy(xxhash64(col("id")), col("id")).limit(nCells)
-      .select(col("id").as("cell"), col("v").as("cv"), col("n").as("cn"))
-    val centroids = broadcast(
-      refineCentroids(vecs, init, lloydIters, trainSample))
-    def nearestCells(src: DataFrame, keep: Int, outId: String): DataFrame = {
-      // project the vector payload away BEFORE the ranking shuffle: the
-      // N×c scored rows move as (id, cell, score) triples, not with
-      // the embedding arrays attached
-      val scored = src.select(col("id").as(outId), col("v"), col("n"))
-        .join(centroids)
-        .select(col(outId), col("cell"),
-          round(dot(col("v"), col("cv")) / (col("n") * col("cn")), 6).as("ccos"))
-      if (keep == 1) {
-        // the corpus-assignment case (every vector, one cell): a hash
-        // aggregation with map-side combine — argmax(ccos, tie: min cell)
-        // — beats a window here because the N×c rows reduce to N before
-        // the shuffle instead of sorting inside it
-        scored.groupBy(col(outId))
-          .agg(max_by(col("cell"), struct(col("ccos"), -col("cell"))).as("cell"))
-      } else {
-        val w = Window.partitionBy(col(outId)).orderBy(col("ccos").desc, col("cell"))
-        scored.withColumn("crank", row_number().over(w))
-          .filter(col("crank") <= keep)
-          .select(col(outId), col("cell"))
-      }
-    }
+    val centroids = buildCentroids(vecs, nCells, lloydIters, trainSample)
+    def nearestCells(src: DataFrame, keep: Int, outId: String): DataFrame =
+      SimSearch.nearestCells(src, centroids, keep, outId)
     val qVecs = queries.map(withNorm(_, idCol, vecCol, "")).getOrElse(vecs)
     val corpusCells = nearestCells(vecs, 1, "id_c")
       .join(vecs.select(col("id").as("id_c"), col("v").as("v_c"), col("n").as("n_c")), Seq("id_c"))
@@ -249,6 +223,44 @@ object SimSearch {
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("id_q"), col("id_c").as("neighbor_id"), col("rank"))
+  }
+
+  /** Broadcast IVF centroid table (cell, cv, cn): deterministic
+    * count-free init — the nCells first vectors in xxhash64 order (a
+    * TakeOrdered, not a full sort, uniformly spread over the corpus
+    * without knowing N) — refined by [[refineCentroids]].
+    */
+  private[ext] def buildCentroids(
+      vecs: DataFrame, nCells: Int, lloydIters: Int, trainSample: Int): DataFrame = {
+    val init = vecs.orderBy(xxhash64(col("id")), col("id")).limit(nCells)
+      .select(col("id").as("cell"), col("v").as("cv"), col("n").as("cn"))
+    broadcast(refineCentroids(vecs, init, lloydIters, trainSample))
+  }
+
+  /** (outId, cell) assignments against a broadcast centroid table. The
+    * vector payload is projected away BEFORE the ranking shuffle: the
+    * N×c scored rows move as (id, cell, score) triples, not with the
+    * embedding arrays attached.
+    */
+  private[ext] def nearestCells(
+      src: DataFrame, centroids: DataFrame, keep: Int, outId: String): DataFrame = {
+    val scored = src.select(col("id").as(outId), col("v"), col("n"))
+      .join(centroids)
+      .select(col(outId), col("cell"),
+        round(dot(col("v"), col("cv")) / (col("n") * col("cn")), 6).as("ccos"))
+    if (keep == 1) {
+      // the corpus-assignment case (every vector, one cell): a hash
+      // aggregation with map-side combine — argmax(ccos, tie: min cell)
+      // — beats a window here because the N×c rows reduce to N before
+      // the shuffle instead of sorting inside it
+      scored.groupBy(col(outId))
+        .agg(max_by(col("cell"), struct(col("ccos"), -col("cell"))).as("cell"))
+    } else {
+      val w = Window.partitionBy(col(outId)).orderBy(col("ccos").desc, col("cell"))
+      scored.withColumn("crank", row_number().over(w))
+        .filter(col("crank") <= keep)
+        .select(col(outId), col("cell"))
+    }
   }
 
   /** Product-quantization ANN (FAISS PQ/ADC shape): compress each
@@ -286,50 +298,153 @@ object SimSearch {
     require(dim % m == 0, s"dim $dim must split into $m subspaces")
     val sub = dim / m
     val vecs = CacheScope.cached(withNorm(emb, idCol, vecCol, ""))
-    // sub-vector explosion: (id, j, sv) — slice is 1-based
-    def subVecs(src: DataFrame, outId: String): DataFrame =
-      src.select(col("id").as(outId), explode(sequence(lit(0), lit(m - 1))).as("j"),
-          col("v"))
-        .select(col(outId), col("j"),
-          expr(s"slice(v, j * $sub + 1, $sub)").as("sv"))
-    // codebook init: sub-vectors of k anchor corpus vectors
+    val codebook = buildPqCodebook(vecs, m, k, sub, lloydIters, trainSample)
+    val corpusCodes = pqEncode(vecs, codebook, "id_c", m, sub)
+    val qVecs = queries.map(withNorm(_, idCol, vecCol, "")).getOrElse(vecs)
+    val lut = pqLut(qVecs, codebook, m, sub)
+    val approx = corpusCodes.join(lut, Seq("j", "code"))
+      .filter(col("id_q") =!= col("id_c"))
+      .groupBy(col("id_q"), col("id_c"))
+      .agg(sum(col("pdot")).as("adot"))
+    pqRerank(approx, qVecs, vecs, topK, rerank)
+  }
+
+  /** IVF-PQ composition — the standard 100 TB ANN shape: the IVF coarse
+    * quantizer prunes WHICH corpus vectors a query scores (only its
+    * `nProbe` nearest cells' members) and PQ shrinks WHAT a scored
+    * vector costs (m one-byte codes instead of the float array), so a
+    * query batch touches a sublinear, 32×-compressed slice of the
+    * corpus. Flat [[pqTopK]] joins the LUT against ALL corpus codes —
+    * linear scan per query batch, correct for the memory story only;
+    * here the ADC join's corpus side is the cell-restricted candidate
+    * set by construction: `routed` (query cell ⨝ corpus cell) gates the
+    * code table BEFORE any scoring.
+    *
+    * Pipeline: one shared centroid table (broadcast) assigns corpus
+    * cells (argmax agg) and routes queries (top-`probe` window);
+    * `routed` candidate pairs = cell-mates; PQ codebook + one-time
+    * full-corpus encoding (at 100 TB the codes are the stored index —
+    * built once, not per query); ADC scores routed pairs via the
+    * broadcast per-query LUT; the top `rerank·topK` approximate
+    * candidates are exactly re-ranked. Determinism matches the
+    * siblings: xxhash64-ordered seeds, min-code/min-cell tie-breaks,
+    * 6-dp-rounded final scores with id tie-break.
+    *
+    * `withScanCount = true` adds an `n_scored` column (candidates ADC-
+    * scored for that query) — the certification query's measured proof
+    * that the scan was sublinear, priced at one extra count-window over
+    * the already-shuffled approx partitions.
+    */
+  def ivfPqTopK(
+      emb: DataFrame, idCol: String, vecCol: String, topK: Int,
+      nCentroids: Int = 0, nProbe: Int = 4, lloydIters: Int = 2,
+      trainSample: Int = 4096, probeFrac: Double = 0.0,
+      m: Int = 8, k: Int = 16, dim: Int = 64, rerank: Int = 16,
+      pqLloydIters: Int = 1, pqTrainSample: Int = 2048,
+      corpusCount: Long = -1L,
+      queries: Option[DataFrame] = None,
+      withScanCount: Boolean = false): DataFrame = {
+    require(dim % m == 0, s"dim $dim must split into $m subspaces")
+    val sub = dim / m
+    val vecs = CacheScope.cached(withNorm(emb, idCol, vecCol, ""))
+    val nCells =
+      if (nCentroids > 0) nCentroids
+      else {
+        val n = if (corpusCount >= 0) corpusCount else vecs.count()
+        math.max(8, math.ceil(math.sqrt(
+          math.max(1.0, nProbe.toDouble) * n)).toInt)
+      }
+    val probe =
+      if (probeFrac > 0) math.max(1, math.ceil(probeFrac * nCells).toInt)
+      else nProbe
+    val centroids = buildCentroids(vecs, nCells, lloydIters, trainSample)
+    val qVecs = queries.map(withNorm(_, idCol, vecCol, "")).getOrElse(vecs)
+    // the IVF gate: candidate pairs are cell-mates ONLY — this join is
+    // what makes the downstream ADC scan sublinear in the corpus
+    val routed = nearestCells(qVecs, centroids, probe, "id_q")
+      .join(nearestCells(vecs, centroids, 1, "id_c"), Seq("cell"))
+      .filter(col("id_q") =!= col("id_c"))
+      .select(col("id_q"), col("id_c"))
+    val codebook = buildPqCodebook(vecs, m, k, sub, pqLloydIters, pqTrainSample)
+    val corpusCodes = pqEncode(vecs, codebook, "id_c", m, sub)
+    val lut = pqLut(qVecs, codebook, m, sub)
+    // ADC over the routed subset: codes fan out ×m only for candidates
+    val approx = routed.join(corpusCodes, Seq("id_c"))
+      .join(lut, Seq("id_q", "j", "code"))
+      .groupBy(col("id_q"), col("id_c"))
+      .agg(sum(col("pdot")).as("adot"))
+    val counted =
+      if (!withScanCount) approx
+      else approx.withColumn("n_scored",
+        count(lit(1)).over(Window.partitionBy(col("id_q"))))
+    val ranked = pqRerank(counted, qVecs, vecs, topK, rerank,
+      extra = if (withScanCount) Seq("n_scored") else Nil)
+    ranked
+  }
+
+  /** Sub-vector explosion: (outId, j, sv) — slice is 1-based. */
+  private def subVecs(src: DataFrame, outId: String, m: Int, sub: Int): DataFrame =
+    src.select(col("id").as(outId), explode(sequence(lit(0), lit(m - 1))).as("j"),
+        col("v"))
+      .select(col(outId), col("j"),
+        expr(s"slice(v, j * $sub + 1, $sub)").as("sv"))
+
+  /** PQ codebook (j, code, cw), broadcast: sub-vectors of the first `k`
+    * corpus vectors in xxhash64(id) order (no RNG, no corpus count),
+    * refined by `lloydIters` per-subspace k-means steps over a bounded
+    * deterministic sample.
+    */
+  private[ext] def buildPqCodebook(
+      vecs: DataFrame, m: Int, k: Int, sub: Int,
+      lloydIters: Int, trainSample: Int): DataFrame = {
     val anchors = vecs.orderBy(xxhash64(col("id")), col("id")).limit(k)
       .select(col("id"), col("v"),
         row_number().over(Window.orderBy(xxhash64(col("id")), col("id")))
           .as("code"))
       .select(col("id"), col("v"), (col("code") - 1).as("code"))
     val init = subVecs(anchors.select(col("id").as("aid"), col("v"), col("code"))
-        .withColumnRenamed("aid", "id"), "id")
+        .withColumnRenamed("aid", "id"), "id", m, sub)
       .join(anchors.select(col("id"), col("code")), Seq("id"))
       .select(col("j"), col("code"), col("sv").as("cw"))
-    val codebook = broadcast(refinePqCodebook(
-      subVecs(vecs, "id"), init, lloydIters, trainSample))
-    // encode: nearest codeword per (vector, subspace) by L2 —
-    // argmin ||sv - cw||² = argmin (cw·cw − 2·sv·cw); ties → min code
-    def encode(src: DataFrame, outId: String): DataFrame =
-      subVecs(src, outId).join(codebook, Seq("j"))
-        .select(col(outId), col("j"), col("code"),
-          (dot(col("cw"), col("cw")) - lit(2.0) * dot(col("sv"), col("cw")))
-            .as("d2"))
-        .groupBy(col(outId), col("j"))
-        .agg(min_by(col("code"), struct(col("d2"), col("code"))).as("code"))
-    val corpusCodes = encode(vecs, "id_c")
-    val qVecs = queries.map(withNorm(_, idCol, vecCol, "")).getOrElse(vecs)
-    // per-query LUT: partial dot of each query sub-vector with every
-    // codeword — |queries|·m·k small rows, broadcast to the code scan
-    val lut = broadcast(subVecs(qVecs, "id_q").join(codebook, Seq("j"))
+    broadcast(refinePqCodebook(
+      subVecs(vecs, "id", m, sub), init, lloydIters, trainSample))
+  }
+
+  /** Encode: nearest codeword per (vector, subspace) by L2 —
+    * argmin ||sv - cw||² = argmin (cw·cw − 2·sv·cw); ties → min code.
+    */
+  private def pqEncode(
+      src: DataFrame, codebook: DataFrame, outId: String,
+      m: Int, sub: Int): DataFrame =
+    subVecs(src, outId, m, sub).join(codebook, Seq("j"))
+      .select(col(outId), col("j"), col("code"),
+        (dot(col("cw"), col("cw")) - lit(2.0) * dot(col("sv"), col("cw")))
+          .as("d2"))
+      .groupBy(col(outId), col("j"))
+      .agg(min_by(col("code"), struct(col("d2"), col("code"))).as("code"))
+
+  /** Per-query ADC lookup table (id_q, j, code, pdot), broadcast:
+    * partial dot of each query sub-vector with every codeword —
+    * |queries|·m·k small rows.
+    */
+  private def pqLut(
+      qVecs: DataFrame, codebook: DataFrame, m: Int, sub: Int): DataFrame =
+    broadcast(subVecs(qVecs, "id_q", m, sub).join(codebook, Seq("j"))
       .select(col("id_q"), col("j"), col("code"),
         dot(col("sv"), col("cw")).as("pdot")))
-    val approx = corpusCodes.join(lut, Seq("j", "code"))
-      .filter(col("id_q") =!= col("id_c"))
-      .groupBy(col("id_q"), col("id_c"))
-      .agg(sum(col("pdot")).as("adot"))
+
+  /** Shared PQ tail: keep the top `rerank·topK` candidates by
+    * approximate ADC score, re-rank them exactly, emit top-k with true
+    * cosines (`extra` columns ride through from the approx side).
+    */
+  private def pqRerank(
+      approx: DataFrame, qVecs: DataFrame, vecs: DataFrame,
+      topK: Int, rerank: Int, extra: Seq[String] = Nil): DataFrame = {
     val wA = Window.partitionBy(col("id_q"))
       .orderBy(col("adot").desc, col("id_c"))
     val cands = approx.withColumn("arank", row_number().over(wA))
       .filter(col("arank") <= rerank * topK)
-      .select(col("id_q"), col("id_c"))
-    // exact re-rank of the candidate set only
+      .select((Seq("id_q", "id_c") ++ extra).map(col): _*)
     val scored = cands
       .join(qVecs.select(col("id").as("id_q"), col("v").as("v_q"),
         col("n").as("n_q")), Seq("id_q"))
@@ -340,7 +455,8 @@ object SimSearch {
     val w = Window.partitionBy(col("id_q")).orderBy(col("cos").desc, col("id_c"))
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= topK)
-      .select(col("id_q"), col("id_c").as("neighbor_id"), col("rank"), col("cos"))
+      .select(Seq(col("id_q"), col("id_c").as("neighbor_id"),
+        col("rank"), col("cos")) ++ extra.map(col): _*)
   }
 
   /** Per-subspace Lloyd refinement of the PQ codebook over a bounded

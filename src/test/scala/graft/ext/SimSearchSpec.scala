@@ -98,6 +98,30 @@ class SimSearchSpec extends SparkFunSuite {
       exactCos.get(pair).foreach(ec => assert(math.abs(ec - cos) < 1e-9)) }
   }
 
+  test("ivfPqTopK: sublinear candidate sets, high recall on the clustered view") {
+    val e = SimSearch.clusteredView(Tables.embeddings(spark, sf001),
+      "vec_id", "embedding", nClusters = 20, mix = 0.15)
+    val q = e.filter($"vec_id" < 50)
+    val n = e.count()
+    val got = SimSearch.ivfPqTopK(e, "vec_id", "embedding", 3,
+        nCentroids = 25, lloydIters = 0, probeFrac = 0.2,
+        rerank = 16, pqLloydIters = 1, queries = Some(q),
+        withScanCount = true)
+      .collect()
+    assert(got.groupBy(_.getLong(0)).forall(_._2.length <= 3))
+    assert(got.forall(r => r.getLong(0) != r.getLong(1)))
+    // the IVF gate made the ADC scan SUBLINEAR: every query scored a
+    // strict subset of the corpus (n_scored rides out of the ADC join)
+    val maxScored = got.map(_.getLong(4)).max
+    assert(maxScored < n - 1,
+      s"ADC scan was not cell-restricted: $maxScored of ${n - 1}")
+    val exact = SimSearch.topKBruteForce(q, e, "vec_id", "embedding", 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val hits = got.count(r => exact((r.getLong(0), r.getLong(1))))
+    assert(hits.toDouble / exact.size >= 0.8,
+      s"IVF-PQ recall too low on planted clusters: $hits/${exact.size}")
+  }
+
   test("Lloyd-refined centroids lift IVF recall@1 over the hash-ordered init") {
     val e = Tables.embeddings(spark, sf001)
     val exact1 = SimSearch.topKBruteForce(e, e, "vec_id", "embedding", 1)

@@ -1,5 +1,7 @@
 package graft
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.execution.FormattedMode
 import org.apache.spark.sql.functions._
@@ -222,6 +224,63 @@ object Round15Queries {
       df
     },
 
+    // Streaming as-of against an EVOLVING dimension (round-14 verdict
+    // ask #7): asof_stream_enrich joined a static right side; the
+    // production stale-quote shape appends dimension rows between
+    // triggers. SNAPSHOT RULE, certified here: trigger b sees exactly
+    // the dimension generations appended before it — gen <= b, gen =
+    // o_orderkey % 4 — so an early event can NEVER be enriched by a
+    // dimension row that had not landed yet (time-travel), and a
+    // later trigger picks up the newer generations without reprocessing
+    // old events. The union of the batch-partitioned emissions is
+    // therefore NOT one batch as-of (the static query's oracle): it is
+    // the per-batch as-of under each batch's own snapshot, which the
+    // oracle replays row-for-row because the source uses the
+    // rank-chunked layout — batch = ntile(4) OVER (ORDER BY ts,
+    // event_id), a total order DuckDB reproduces exactly (the plain
+    // chunked layout's sampled range boundaries could not be). The
+    // requires pin a real 4-trigger run, the native as-of exec in
+    // EVERY batch, and the batch-id domain the snapshot rule keyed on.
+    "asof_stream_enrich_evolving" -> { (s, dir) =>
+      import graft.stream.StreamRun
+      val out = CoreQueries.scratchDir("asof_stream_enrich_evolving")
+      val nChunks = 4
+      val src = StreamRun.rankChunkedSource(s,
+        Tables.events(s, dir).select("event_id", "user_id", "ts"),
+        s"$out/src-${dir.replaceAll("[^A-Za-z0-9.]", "_")}", nChunks)
+      val dim = Tables.orders(s, dir).select(
+        col("o_custkey"), col("o_orderdate"),
+        col("o_orderdate").as("matched_order_date"),
+        pmod(col("o_orderkey"), lit(nChunks.toLong)).as("gen"))
+      val batchesWithAsOf = new java.util.concurrent.atomic.AtomicInteger
+      val seenBatches = java.util.concurrent.ConcurrentHashMap.newKeySet[Long]()
+      val (result, stats) = StreamRun.runAvailableNowSummarizedById(
+        src, s"$out/run",
+        (batch, id) => {
+          seenBatches.add(id)
+          // the snapshot: generations landed before this trigger
+          val snap = dim.filter(col("gen") <= lit(id)).drop("gen")
+          val enriched = plans.AsOfJoinNative.join(
+              batch.select("event_id", "user_id", "ts"), snap,
+              "user_id", "o_custkey", "ts", "o_orderdate",
+              Seq("matched_order_date"))
+            .select("event_id", "user_id", "matched_order_date")
+          if (enriched.queryExecution.optimizedPlan.collect {
+              case p: plans.AsOfJoinPlan => p }.nonEmpty)
+            batchesWithAsOf.incrementAndGet()
+          enriched
+        })
+      val dataBatches = stats.count(_.inputRows > 0)
+      require(dataBatches == nChunks,
+        s"expected exactly $nChunks data triggers, got $dataBatches")
+      require(batchesWithAsOf.get() >= dataBatches,
+        "a micro-batch was enriched without the native as-of operator")
+      val ids = seenBatches.iterator().asScala.toSet
+      require((0L until nChunks.toLong).toSet.subsetOf(ids),
+        s"snapshot rule keyed on unexpected batch ids: $ids")
+      result.select("event_id", "user_id", "matched_order_date")
+    },
+
     // IVF-PQ composition (round-14 "what's missing" #2): the IVF
     // coarse quantizer prunes WHICH vectors get scored (routed cells
     // only) and PQ shrinks WHAT a scored vector costs (8 one-byte
@@ -288,6 +347,22 @@ object Round15Queries {
         |WHERE o_orderpriority = '1-URGENT'
         |ORDER BY o_totalprice DESC, o_orderkey
         |LIMIT 10""".stripMargin,
+
+    // replays the engine's snapshot rule row-for-row: batch = the same
+    // ntile(4) total order the rank-chunked source wrote, generation =
+    // o_orderkey % 4, and the as-of match may only use generations <=
+    // the event's batch — a dimension row "from the future" anywhere
+    // in the corpus hash-mismatches
+    "asof_stream_enrich_evolving" ->
+      """WITH ev AS (
+        |  SELECT event_id, user_id, ts,
+        |         ntile(4) OVER (ORDER BY ts, event_id) - 1 AS batch
+        |  FROM events)
+        |SELECT e.event_id, e.user_id,
+        |       (SELECT max(o.o_orderdate) FROM orders o
+        |        WHERE o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+        |          AND o.o_orderkey % 4 <= e.batch) AS matched_order_date
+        |FROM ev e""".stripMargin,
 
     // identical exact-baseline relation to the IVF/PQ siblings' oracles
     // (same clustered view, same ranking); the IVF-PQ path has to hit

@@ -342,6 +342,95 @@ object AsOfJoinNative {
       .select((leftCols ++ payload).map(col): _*)
   }
 
+  /** Adaptive front door: [[join]] or [[joinSkewSalted]], chosen from a
+    * cheap key-histogram sample — the caller no longer has to KNOW the
+    * skew. Salting costs ~2× wall and shuffle when keys are uniform
+    * (STRESS.md, round 14) while the plain merge serializes a hot key
+    * through one task, so neither always-on nor always-off is right;
+    * the decision needs data.
+    *
+    * The probe is ONE Spark job: both sides' column-pruned (key, time)
+    * scans union into a deterministic 1/64 hash sample (no rand() —
+    * retries resample identically), reduced to per-side max-key-count /
+    * total-count. If either side's hottest key owns ≥ `hotFraction` of
+    * its sampled rows, the time-split salted path engages.
+    *
+    * PRICE, measured honestly (STRESS `asofauto`): the probe is a
+    * CONSTANT ~0.5–0.9 s at sf0.1×64 — one narrow scan plus one tiny
+    * aggregation — independent of row width (the join shuffles full
+    * rows; the probe never does). On the fixture, where the entire
+    * uniform join is ~1 s of mostly fixed stage overhead, that reads
+    * as 1.4–1.8×; on the joins auto mode exists for (minutes of wall,
+    * where an unmitigated hot key is a 6× straggler) the same probe
+    * prices at percent level. Sub-second joins should call [[join]]
+    * directly — which remains the default front door.
+    */
+  def joinAuto(
+      left: DataFrame, right: DataFrame,
+      leftKey: String, rightKey: String,
+      leftTime: String, rightTime: String,
+      payload: Seq[String],
+      forward: Boolean = false,
+      toleranceSeconds: Option[Long] = None,
+      hotFraction: Double = 0.10,
+      numSplits: Int = 32): DataFrame =
+    joinAutoWithDecision(left, right, leftKey, rightKey, leftTime, rightTime,
+      payload, forward, toleranceSeconds, hotFraction, numSplits)._1
+
+  /** [[joinAuto]] exposing the decision for certification/diagnostics:
+    * (result, salting engaged, max sampled hot-key fraction).
+    */
+  def joinAutoWithDecision(
+      left: DataFrame, right: DataFrame,
+      leftKey: String, rightKey: String,
+      leftTime: String, rightTime: String,
+      payload: Seq[String],
+      forward: Boolean = false,
+      toleranceSeconds: Option[Long] = None,
+      hotFraction: Double = 0.10,
+      numSplits: Int = 32): (DataFrame, Boolean, Double) = {
+    require(hotFraction > 0 && hotFraction <= 1.0,
+      s"hotFraction must be in (0, 1], got $hotFraction")
+    val hot = maxHotKeyFraction(left, leftKey, leftTime,
+      right, rightKey, rightTime)
+    if (hot >= hotFraction)
+      (joinSkewSalted(left, right, leftKey, rightKey, leftTime, rightTime,
+        payload, forward, toleranceSeconds, numSplits), true, hot)
+    else
+      (join(left, right, leftKey, rightKey, leftTime, rightTime,
+        payload, forward, toleranceSeconds), false, hot)
+  }
+
+  /** Max over both sides of the hottest key's share of a deterministic
+    * 1/64 hash sample of (key, time) — ONE Spark job for both probes
+    * (the two pruned scans union into a single per-(side, key-hash)
+    * count; keys are compared HASHED so heterogeneous key types union
+    * cleanly — a 64-bit hash collision misattributes a count, which at
+    * a 10% decision threshold is noise). Four bounded values to the
+    * driver, same discipline as the salted form's range probe. An
+    * empty sample reads as 0.0 (no evidence of skew → plain path).
+    */
+  private def maxHotKeyFraction(
+      left: DataFrame, leftKey: String, leftTime: String,
+      right: DataFrame, rightKey: String, rightTime: String): Double = {
+    def sampled(df: DataFrame, key: String, time: String, side: Int) =
+      df.select(F.lit(side).as("__asof_s"),
+          F.xxhash64(col(key)).as("__asof_k"),
+          F.xxhash64(col(key), col(time)).as("__asof_h"))
+        .filter(F.pmod(col("__asof_h"), F.lit(64L)) === F.lit(0L))
+    val rows = sampled(left, leftKey, leftTime, 0)
+      .unionByName(sampled(right, rightKey, rightTime, 1))
+      .groupBy(col("__asof_s"), col("__asof_k"))
+      .agg(F.count(F.lit(1)).as("__asof_c"))
+      .groupBy(col("__asof_s"))
+      .agg(F.max(col("__asof_c")).as("mx"), F.sum(col("__asof_c")).as("tot"))
+      .collect()
+    rows.map { r =>
+      if (r.isNullAt(1) || r.isNullAt(2) || r.getLong(2) == 0L) 0.0
+      else r.getLong(1).toDouble / r.getLong(2).toDouble
+    }.foldLeft(0.0)(math.max)
+  }
+
   /** Hot-key-safe as-of join: [[join]] with the key space TIME-SPLIT.
     *
     * Why: [[AsOfJoinExec]] declares `ClusteredDistribution` on the join

@@ -1,7 +1,7 @@
 package graft.stream
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, ntile}
 import org.apache.spark.sql.streaming.Trigger
 
 import graft.core.Scratch
@@ -277,7 +277,16 @@ object StreamRun {
     * why the per-batch outputs must be union-composable.
     */
   def runAvailableNowSummarized(streaming: DataFrame, outDir: String,
-      summarize: DataFrame => DataFrame): (DataFrame, Seq[TriggerStats]) = {
+      summarize: DataFrame => DataFrame): (DataFrame, Seq[TriggerStats]) =
+    runAvailableNowSummarizedById(streaming, outDir,
+      (batch, _) => summarize(batch))
+
+  /** [[runAvailableNowSummarized]] with the BATCH ID handed to the
+    * per-trigger transform — the hook a trigger-dependent snapshot rule
+    * needs (e.g. "batch b joins dimension generations ≤ b").
+    */
+  def runAvailableNowSummarizedById(streaming: DataFrame, outDir: String,
+      summarize: (DataFrame, Long) => DataFrame): (DataFrame, Seq[TriggerStats]) = {
     val spark = streaming.sparkSession
     Scratch.rmTree(outDir)
     val sink = s"$outDir/result"
@@ -287,12 +296,60 @@ object StreamRun {
         .trigger(Trigger.AvailableNow())
         .option("checkpointLocation", s"$outDir/ckpt")
         .foreachBatch((batch: DataFrame, id: Long) =>
-          writeBatchPartition(summarize(batch), sink, id))
+          writeBatchPartition(summarize(batch, id), sink, id))
         .start()
       q.awaitTermination()
       q.recentProgress.toSeq.map(triggerStats)
     }
     (readSink(spark, sink), stats)
+  }
+
+  /** [[chunkedSource]] with an ORACLE-REPRODUCIBLE chunk rule: chunk b
+    * = `ntile(chunks) OVER (ORDER BY tsCol, idCol)` − 1 — a total order
+    * any engine can replay row-for-row, unlike repartitionByRange's
+    * SAMPLED boundaries. One file per chunk, mtimes stamped in chunk
+    * order, so trigger b consumes exactly chunk b; a query whose
+    * ANSWER depends on which batch a row arrived in (evolving-dimension
+    * snapshots) needs this — the plain chunked layout only guarantees
+    * event-time ordering, not a cross-engine batch assignment. The
+    * global-sort ntile is a fixture-build cost, paid once per (source,
+    * chunks) under the same reuse marker as chunkedSource.
+    */
+  def rankChunkedSource(
+      spark: SparkSession, df: DataFrame, dir: String, chunks: Int,
+      tsCol: String = "ts", idCol: String = "event_id"): DataFrame = {
+    val marker = java.nio.file.Paths.get(dir, "_GRAFT_READY")
+    val wanted = s"rank;chunks=$chunks;ts=${df.schema(tsCol).dataType.simpleString};id=$idCol"
+    val reusable = java.nio.file.Files.exists(marker) &&
+      java.nio.file.Files.readString(marker) == wanted
+    if (!reusable) {
+      Scratch.rmTree(dir)
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col(tsCol), col(idCol))
+      val chunked = df
+        .withColumn("__chunk", ntile(chunks).over(w) - 1)
+        .cache()
+      try {
+        for (b <- 0 until chunks) {
+          val tmp = s"$dir-build-$b"
+          Scratch.rmTree(tmp)
+          chunked.filter(col("__chunk") === b).drop("__chunk")
+            .coalesce(1).write.parquet(tmp)
+          val part = new java.io.File(tmp).listFiles()
+            .filter(_.getName.startsWith("part-")).head
+          java.nio.file.Files.move(part.toPath,
+            java.nio.file.Paths.get(dir, f"part-$b%05d.parquet"))
+          Scratch.rmTree(tmp)
+        }
+      } finally chunked.unpersist()
+      stampMtimesInPartOrder(dir)
+      java.nio.file.Files.writeString(marker, wanted)
+    }
+    val schema = spark.read.parquet(dir).schema
+    spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir)
   }
 
   /** Update-mode variant: each trigger lands only the CHANGED rows of

@@ -128,7 +128,13 @@ class PlanAuditSpec extends SparkFunSuite {
       // round 14: per-trigger native as-of inside foreachBatch; the
       // batch plan is require'd to carry the AsOfJoin exec at
       // construction, read-back is a plain parquet scan
-      "asof_stream_enrich")
+      "asof_stream_enrich",
+      // round 15: same shape against the evolving dimension (per-batch
+      // snapshot as-of, exec require'd per trigger); plus the two
+      // connector partition-pruning queries whose requires execute a
+      // probe/collect at construction to read the planned-splits hook
+      "asof_stream_enrich_evolving", "delim_v2_partition_prune",
+      "delim_v2_partition_dpp")
     val offenders = SparkEntry.queries.keys.toSeq.sorted
       .filterNot(exactBaselines)
       .filterNot(eagerStreamRuns)

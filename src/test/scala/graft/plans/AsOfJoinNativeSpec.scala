@@ -185,6 +185,32 @@ class AsOfJoinNativeSpec extends SparkFunSuite {
     }
   }
 
+  test("joinAuto engages salting on a hot key, stays plain on uniform keys") {
+    val base = ts("2024-01-01 00:00:00").getTime
+    def mk(keyOf: Int => Long, n: Int) =
+      (1 to n).map(i => (keyOf(i), new Timestamp(base + i * 1000L), s"r$i"))
+    // hot: one key owns 50% of rows; uniform: 100 keys evenly
+    val hotL = mk(i => if (i % 2 == 0) 1L else (i % 100).toLong, 2000)
+      .toDF("k", "t", "id")
+    val hotR = mk(i => if (i % 2 == 0) 1L else (i % 100).toLong, 1500)
+      .map { case (k, t, _) => (k, t, t) }.toDF("rk", "rt", "pay")
+      .groupBy("rk", "rt").agg(max("pay").as("pay"))
+    val uniL = mk(i => (i % 100).toLong, 2000).toDF("k", "t", "id")
+    val uniR = mk(i => (i % 100).toLong, 1500)
+      .map { case (k, t, _) => (k, t, t) }.toDF("rk", "rt", "pay")
+      .groupBy("rk", "rt").agg(max("pay").as("pay"))
+    val (hotDf, hotEngaged, hotFrac) = AsOfJoinNative.joinAutoWithDecision(
+      hotL, hotR, "k", "rk", "t", "rt", Seq("pay"))
+    assert(hotEngaged, f"hot key missed: sampled frac=$hotFrac%.3f")
+    assert(sortedRows(hotDf) == sortedRows(AsOfJoinNative.join(
+      hotL, hotR, "k", "rk", "t", "rt", Seq("pay"))))
+    val (uniDf, uniEngaged, uniFrac) = AsOfJoinNative.joinAutoWithDecision(
+      uniL, uniR, "k", "rk", "t", "rt", Seq("pay"))
+    assert(!uniEngaged, f"uniform stream salted: sampled frac=$uniFrac%.3f")
+    assert(sortedRows(uniDf) == sortedRows(AsOfJoinNative.join(
+      uniL, uniR, "k", "rk", "t", "rt", Seq("pay"))))
+  }
+
   test("skew-salted plans the native exec on the (key, split) keys") {
     val ev = Tables.events(spark, sf001).select("event_id", "user_id", "ts")
     val o = Tables.orders(spark, sf001)

@@ -586,6 +586,34 @@ object Stress {
       }
     }
 
+    // Pushed-In scan cost vs key-set size on the delim connector
+    // (round-14 "what's wrong" #1): the runtime (DPP) path hands the
+    // scan the ENTIRE broadcast build-side key set as one In, so the
+    // per-row evaluation must be O(1) — the old linear nvs.exists made
+    // it O(rows × keys), inverting the pruning win exactly when the
+    // dim is large. With the hash-set probe the scan wall must stay
+    // ~flat from 16 to 32768 keys (plans are built untimed — a 32k-
+    // literal isin costs driver analysis time that is not scan cost).
+    if (sections("deliminset")) {
+      val p = s"/tmp/graft-stress/deliminset-$sfKey"
+      graft.core.Scratch.rmTree(p)
+      ev0.select(concat_ws("|", col("event_id"), col("user_id"),
+          col("value")).as("line"))
+        .write.mode("overwrite").text(p)
+      val n = ev0.count()
+      def scan = spark.read.format("graft-delim")
+        .schema("event_id BIGINT, user_id BIGINT, value DOUBLE").load(p)
+      for (k <- Seq(16, 1024, 32768)) {
+        val keys = (0 until k).map(i => i.toLong * 7L + 1L)
+        val df = scan.filter(col("event_id").isin(keys: _*))
+          .agg(count(lit(1)).as("n"), sum(col("value")).as("sv"))
+        df.head // untimed: plan analysis + JIT
+        run("delim_in_hashset", k, n) {
+          (df.head.getLong(0), s"keys=$k")
+        }
+      }
+    }
+
     // As-of SQL rewrite, rule ON vs OFF. The unrewritten decorrelation
     // is NOT the obvious per-key lookup: Spark builds the subquery's
     // domain from the distinct correlated TIMES only, so the inner

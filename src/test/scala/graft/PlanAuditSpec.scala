@@ -87,6 +87,10 @@ class PlanAuditSpec extends SparkFunSuite {
       // verification-pinned: exact baseline + 1-row summary crosses:
       "dedup_simhash", "dedup_stream_ingest", "similarity_ann_topk",
       "similarity_ivf_topk", "similarity_ivf_batch", "similarity_pq_topk",
+      // round 15: the SAME embedded exact O(N²) recall baseline as the
+      // IVF/PQ siblings (the production ADC path is the cell-gated
+      // equi join; the cartesian is topKBruteForce's verdict side)
+      "similarity_ivfpq_topk",
       // 1-row summary crossJoin (sketch estimate × exact count):
       "hll_union_estimate", "hll_sketch_roundtrip",
       // 1-row summary crosses ONLY (round 13 moved the edge source to

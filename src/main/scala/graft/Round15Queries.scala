@@ -47,7 +47,68 @@ object Round15Queries {
        |  ORDER BY q.q_ts DESC LIMIT 1) q
        |WHERE e.event_type = 'error'""".stripMargin
 
+  /** LEFT-outer spelling of the same payload as-of: no-match events
+    * survive with NULL click columns — the operator's output as-is (no
+    * inner filter). Both engines parse this text verbatim.
+    */
+  private def asofLateralLeftSqlText(events: String): String =
+    s"""WITH clicks AS (
+       |  SELECT user_id AS q_user, ts AS q_ts, max(event_id) AS q_id
+       |  FROM $events
+       |  WHERE event_type = 'click'
+       |  GROUP BY 1, 2)
+       |SELECT e.event_id, e.user_id, q.q_ts AS click_ts, q.q_id AS click_id
+       |FROM $events e LEFT OUTER JOIN LATERAL (
+       |  SELECT q_ts, q_id FROM clicks q
+       |  WHERE q.q_user = e.user_id AND q.q_ts <= e.ts
+       |  ORDER BY q.q_ts DESC LIMIT 1) q ON true
+       |WHERE e.event_type = 'purchase'""".stripMargin
+
+  /** Shared runner for the two lateral as-of certifications. */
+  private def runLateralAsof(
+      s: SparkSession, dir: String, name: String, sql: String): DataFrame = {
+    plans.AsOfRewriteRule.installLate(s)
+    val key = plans.AsOfRewriteRule.EnabledKey
+    val prev = s.conf.getOption(key)
+    s.conf.set(key, "true")
+    try {
+      Tables.events(s, dir).createOrReplaceTempView("asql15_events")
+      val df = s.sql(sql)
+      val opt = df.queryExecution.optimizedPlan
+      val nodes = opt.collect {
+        case p: plans.AsOfJoinPlan
+            if !p.forward && p.toleranceMicros.isEmpty => p
+      }
+      require(nodes.nonEmpty, s"lateral as-of rewrite did not fire:\n$opt")
+      val leftoverRanking = opt.collect {
+        case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+        case w: org.apache.spark.sql.catalyst.plans.logical.WindowGroupLimit => w
+      }
+      require(leftoverRanking.isEmpty,
+        s"ranking sandwich survived the rewrite:\n$opt")
+      val plan = df.queryExecution.explainString(FormattedMode)
+      require(!plan.contains("BroadcastNestedLoopJoin") &&
+        !plan.contains("CartesianProduct"),
+        "rewrite enabled but the domain join still nested-loops")
+      val out = CoreQueries.scratchDir(name)
+      df.write.mode("overwrite").parquet(out)
+      s.read.parquet(out)
+    } finally prev match {
+      case Some(v) => s.conf.set(key, v)
+      case None    => s.conf.unset(key)
+    }
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // The LEFT-outer lateral as-of: the spelling that KEEPS no-match
+    // rows with nulls — the operator's own output, no inner filter.
+    // Same collapse, same requires; the purchase-side left means real
+    // null rows exist at every SF (purchases with no prior click).
+    "asof_lateral_left_auto" -> { (s, dir) =>
+      runLateralAsof(s, dir, "asof_lateral_left_auto",
+        asofLateralLeftSqlText("asql15_events"))
+    },
 
     // The LATERAL as-of front door: without the rewrite, Spark
     // decorrelates the top-1 into the domain sandwich PLUS a
@@ -59,37 +120,8 @@ object Round15Queries {
     // tolerance), the ABSENCE of the ranking machinery (Window /
     // WindowGroupLimit both gone), and the nested-loop-free plan.
     "asof_lateral_auto" -> { (s, dir) =>
-      plans.AsOfRewriteRule.installLate(s)
-      val key = plans.AsOfRewriteRule.EnabledKey
-      val prev = s.conf.getOption(key)
-      s.conf.set(key, "true")
-      try {
-        Tables.events(s, dir).createOrReplaceTempView("asql15_events")
-        val df = s.sql(asofLateralSqlText("asql15_events"))
-        val opt = df.queryExecution.optimizedPlan
-        val nodes = opt.collect {
-          case p: plans.AsOfJoinPlan
-              if !p.forward && p.toleranceMicros.isEmpty => p
-        }
-        require(nodes.nonEmpty,
-          s"lateral as-of rewrite did not fire:\n$opt")
-        val leftoverRanking = opt.collect {
-          case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
-          case w: org.apache.spark.sql.catalyst.plans.logical.WindowGroupLimit => w
-        }
-        require(leftoverRanking.isEmpty,
-          s"ranking sandwich survived the rewrite:\n$opt")
-        val plan = df.queryExecution.explainString(FormattedMode)
-        require(!plan.contains("BroadcastNestedLoopJoin") &&
-          !plan.contains("CartesianProduct"),
-          "rewrite enabled but the domain join still nested-loops")
-        val out = CoreQueries.scratchDir("asof_lateral_auto")
-        df.write.mode("overwrite").parquet(out)
-        s.read.parquet(out)
-      } finally prev match {
-        case Some(v) => s.conf.set(key, v)
-        case None    => s.conf.unset(key)
-      }
+      runLateralAsof(s, dir, "asof_lateral_auto",
+        asofLateralSqlText("asql15_events"))
     },
 
     // STATIC partition pruning on the connector: orders serialized as
@@ -321,6 +353,7 @@ object Round15Queries {
     // the SAME text the engine ran (modulo the view name): DuckDB
     // executes the lateral top-1 directly
     "asof_lateral_auto" -> asofLateralSqlText("events"),
+    "asof_lateral_left_auto" -> asofLateralLeftSqlText("events"),
 
     // the partition tree is a lossless re-layout of orders (status in
     // the directory name instead of the line), so the oracle recomputes

@@ -394,7 +394,13 @@ case class AsOfRewriteRule(session: SparkSession)
     * sort keys.
     */
   private def rewriteLateral(p: Project): Option[LogicalPlan] = p.child match {
-    case Join(l, rightSide, Inner, Some(cond), _) =>
+    // Inner = the comma-LATERAL spelling (drop no-match lefts);
+    // LeftOuter = `LEFT [OUTER] JOIN LATERAL ... ON true` (keep them
+    // with nulls) — identical decorrelated sandwich except the
+    // join-back type (probed both, tools/Probe), and the operator's
+    // null-match output IS the left-outer semantics directly
+    case Join(l, rightSide, jt, Some(cond), _)
+        if jt == Inner || jt == LeftOuter =>
       // 1. peel the ranking sandwich: Project? > Filter(rn<=1) >
       //    Window(row_number) > {Project | WindowGroupLimit |
       //    Filter(isnotnull...)}* > Join(domAgg, r, Inner, theta).
@@ -568,11 +574,16 @@ case class AsOfRewriteRule(session: SparkSession)
         ltExpr, rtTime, forward, None)
       val rtOut = node.output
         .find(_.exprId == rtAttr.exprId).getOrElse(return None)
-      logInfo(s"as-of LATERAL rewrite fired: keys=${keyPairs.length} " +
+      logInfo(s"as-of LATERAL rewrite fired: type=$jt keys=${keyPairs.length} " +
         s"forward=$forward payloads=${rOut.map(_.name).mkString(",")}")
       // inner lateral semantics: a left row with no match is dropped —
-      // the operator emits it with a NULL matched time, so filter on it
-      Some(Project(p.projectList, Filter(IsNotNull(rtOut), node)))
+      // the operator emits it with a NULL matched time, so filter on
+      // it; the LEFT OUTER spelling keeps those rows with nulls, which
+      // is the operator's output as-is
+      if (jt == Inner)
+        Some(Project(p.projectList, Filter(IsNotNull(rtOut), node)))
+      else
+        Some(Project(p.projectList, node))
 
     case _ => None
   }

@@ -281,6 +281,27 @@ class AsOfRewriteSpec extends SparkFunSuite {
     } finally spark.conf.unset(AsOfRewriteRule.EnabledKey)
   }
 
+  test("LEFT JOIN LATERAL fires WITHOUT the inner filter: no-match lefts kept") {
+    ready
+    checkLateral("""SELECT l.id, q.rk2, q.rt
+             FROM asof_l l LEFT OUTER JOIN LATERAL (
+               SELECT rk2, rt FROM asof_r r
+               WHERE r.rk = l.k AND r.rt <= l.t
+               ORDER BY r.rt DESC LIMIT 1) q ON true""", expectFire = true)
+    // a left key with no right rows must SURVIVE with nulls (t5: k=3)
+    spark.conf.set(AsOfRewriteRule.EnabledKey, "true")
+    try {
+      val rows = spark.sql("""SELECT l.id, q.rt
+             FROM asof_l l LEFT OUTER JOIN LATERAL (
+               SELECT rt FROM asof_r r
+               WHERE r.rk = l.k AND r.rt <= l.t
+               ORDER BY r.rt DESC LIMIT 1) q ON true""").collect()
+      assert(rows.length == 5, "left-outer lateral must keep every left row")
+      val t5 = rows.find(_.getString(0) == "t5").get
+      assert(t5.isNullAt(1), "no-match left must carry a NULL payload")
+    } finally spark.conf.unset(AsOfRewriteRule.EnabledKey)
+  }
+
   test("null keys and times keep SQL semantics through the rewrite") {
     ready
     Seq(

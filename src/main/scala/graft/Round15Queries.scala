@@ -222,6 +222,46 @@ object Round15Queries {
       df
     },
 
+    // The connector's PARTITIONED WRITE path closing the loop with its
+    // partition-discovery read path: events written through the
+    // graft-delim SINK with option("partitionBy", "event_type") — the
+    // staged-commit protocol now renames each task's per-value staged
+    // files into k=v subdirectories, partition values live in the
+    // directory names (not the line bytes), and truncate-on-overwrite
+    // replaces whole partition subtrees. Read back through the same
+    // connector with the partition column typed from the directory,
+    // statically pruned to one partition (zero splits from the other
+    // four — require'd via the planned-splits hook), aggregated under
+    // the parquet oracle: a row routed to the wrong directory, a
+    // partition value mangled in formatting, or a leaked staged file
+    // anywhere hash-mismatches.
+    "delim_v2_partition_write" -> { (s, dir) =>
+      val out = CoreQueries.scratchDir("delim_v2_partition_write")
+      val fact = s"$out/events"
+      Tables.events(s, dir)
+        .select(col("event_id"), col("user_id"), col("value"), col("event_type"))
+        .write.format("graft-delim").option("partitionBy", "event_type")
+        .mode("overwrite").save(fact)
+      def reader = s.read.format("graft-delim")
+        .schema("event_id BIGINT, user_id BIGINT, value DOUBLE, event_type STRING")
+        .load(fact)
+      val df = reader
+        .filter(col("event_type") === "click")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          round(sum("value"), 2).as("sum_value"),
+          countDistinct(col("user_id")).as("n_users"))
+      val plan = df.queryExecution.explainString(FormattedMode)
+      require(plan.contains("PartitionColumns: [event_type]"),
+        s"written layout not discovered as partitioned:\n$plan")
+      DelimV2.recordPlannedSplits(fact, -1, -1, -1)
+      reader.filter(col("event_type") === "click").limit(1).collect()
+      val (disc, kept, _) = DelimV2.plannedSplitsFor(fact).get
+      require(kept < disc,
+        s"pruned partitions must contribute zero splits: ($disc, $kept)")
+      df
+    },
+
     // Pushed TopN on the connector (the scan-level feature after
     // limit): `ORDER BY price DESC LIMIT 10` keeps a 10-row bounded
     // heap PER SPLIT — k·splits rows enter the final merge instead of
@@ -372,6 +412,14 @@ object Round15Queries {
         |       count(DISTINCT user_id) AS n_users
         |FROM events
         |WHERE event_type = 'purchase'
+        |GROUP BY 1""".stripMargin,
+
+    "delim_v2_partition_write" ->
+      """SELECT event_type, count(*) AS n_events,
+        |       round(sum("value"), 2) AS sum_value,
+        |       count(DISTINCT user_id) AS n_users
+        |FROM events
+        |WHERE event_type = 'click'
         |GROUP BY 1""".stripMargin,
 
     "delim_v2_topn_pushdown" ->

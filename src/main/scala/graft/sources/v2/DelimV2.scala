@@ -772,6 +772,19 @@ private[v2] final class LineSplitReader(
   * corrupt row framing silently. Nulls write as empty fields (which
   * read back as null for typed columns and "" for strings — the
   * format cannot distinguish an empty string from a string null).
+  *
+  * PARTITIONED writes: `option("partitionBy", "k1,k2")` lays the sink
+  * out as the `k=v` directory tree the read side discovers — partition
+  * values become directory names (formatted exactly as the reader
+  * parses them; null → `__HIVE_DEFAULT_PARTITION__`) and are NOT
+  * written into the line, keeping the read side's positional contract.
+  * It is an option rather than `.partitionBy(...)` because Spark's V2
+  * path-based save rejects writer-level partitioning for TableProvider
+  * sources. Each task streams rows into one staged file per partition
+  * value it sees (dynamic partitioning — callers with many values per
+  * task should pre-repartition by the partition columns, same advice
+  * as every dynamic-partition sink); the job commit renames each
+  * staged file into its `k=v` subdirectory.
   */
 private[v2] class DelimWriteBuilder(
     info: org.apache.spark.sql.connector.write.LogicalWriteInfo,
@@ -784,13 +797,25 @@ private[v2] class DelimWriteBuilder(
     doTruncate = true; this
   }
 
-  override def build(): org.apache.spark.sql.connector.write.Write =
-    new DelimWrite(info.schema(), info.queryId(), DelimV2.paths(options).head,
-      DelimV2.delimiter(options), doTruncate)
+  override def build(): org.apache.spark.sql.connector.write.Write = {
+    val partCols = Option(options.get("partitionBy")).toSeq
+      .flatMap(_.split(",").map(_.trim)).filter(_.nonEmpty)
+    val schema = info.schema()
+    partCols.foreach { c =>
+      require(schema.fieldNames.contains(c),
+        s"graft-delim: partitionBy column $c not in the write schema " +
+          s"${schema.fieldNames.mkString("[", ", ", "]")}")
+    }
+    require(partCols.size < schema.size,
+      "graft-delim: partitionBy cannot cover every column (no data fields left)")
+    new DelimWrite(schema, info.queryId(), DelimV2.paths(options).head,
+      DelimV2.delimiter(options), doTruncate, partCols)
+  }
 }
 
 private[v2] class DelimWrite(
-    schema: StructType, queryId: String, path: String, delim: Char, truncate: Boolean)
+    schema: StructType, queryId: String, path: String, delim: Char,
+    truncate: Boolean, partCols: Seq[String] = Nil)
     extends org.apache.spark.sql.connector.write.Write
     with org.apache.spark.sql.connector.write.BatchWrite {
 
@@ -811,7 +836,7 @@ private[v2] class DelimWrite(
       .map(e => e.getKey -> e.getValue)
       .filter { case (k, _) => k.startsWith("fs.") || k.startsWith("hadoop.") }
       .toMap
-    new DelimWriterFactory(schema, delim, staging.toString, confMap)
+    new DelimWriterFactory(schema, delim, staging.toString, confMap, partCols)
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
@@ -819,17 +844,22 @@ private[v2] class DelimWrite(
     val target = new HPath(path)
     if (truncate) {
       // clear the previous generation only at COMMIT — a failed job
-      // leaves the old data intact
+      // leaves the old data intact. Flat files AND k=v partition
+      // subtrees are the old generation; staging/marker files are not.
       Option(fs.listStatus(target)).getOrElse(Array.empty)
-        .filter(st => st.isFile && !st.getPath.getName.startsWith("_") &&
-          !st.getPath.getName.startsWith("."))
-        .foreach(st => fs.delete(st.getPath, false))
+        .filterNot(st => st.getPath.getName.startsWith("_") ||
+          st.getPath.getName.startsWith("."))
+        .filter(st => st.isFile || st.getPath.getName.contains("="))
+        .foreach(st => fs.delete(st.getPath, st.isDirectory))
     }
     messages.foreach {
-      case DelimCommit(file) =>
+      case DelimCommit(staged) => staged.foreach { case (subdir, file) =>
         val src = new HPath(file)
-        if (!fs.rename(src, new HPath(target, src.getName)))
+        val dstDir = if (subdir.isEmpty) target else new HPath(target, subdir)
+        if (subdir.nonEmpty) fs.mkdirs(dstDir)
+        if (!fs.rename(src, new HPath(dstDir, src.getName)))
           throw new java.io.IOException(s"graft-delim: commit rename failed for $src")
+      }
       case other =>
         throw new IllegalStateException(s"graft-delim: foreign commit message $other")
     }
@@ -842,77 +872,135 @@ private[v2] class DelimWrite(
   }
 }
 
-private[v2] case class DelimCommit(stagedFile: String)
+/** One task's staged output: (k=v subdirectory — empty for a flat
+  * write, staged file path) per partition value the task saw.
+  */
+private[v2] case class DelimCommit(staged: Seq[(String, String)])
     extends org.apache.spark.sql.connector.write.WriterCommitMessage
 
 private[v2] class DelimWriterFactory(
-    schema: StructType, delim: Char, stagingDir: String, confMap: Map[String, String])
+    schema: StructType, delim: Char, stagingDir: String,
+    confMap: Map[String, String], partCols: Seq[String] = Nil)
     extends org.apache.spark.sql.connector.write.DataWriterFactory {
 
   override def createWriter(partitionId: Int, taskId: Long)
-      : org.apache.spark.sql.connector.write.DataWriter[InternalRow] = {
-    val conf = new Configuration(true)
-    confMap.foreach { case (k, v) => conf.set(k, v) }
-    // taskId in the name keeps retries/speculation collision-free; the
-    // commit coordinator guarantees only one of them reaches commit()
-    val file = new HPath(stagingDir, f"part-$partitionId%05d-$taskId.txt")
-    new DelimDataWriter(file.getFileSystem(conf).create(file, true), file.toString,
-      schema, delim, confMap)
-  }
+      : org.apache.spark.sql.connector.write.DataWriter[InternalRow] =
+    // taskId in the staged names keeps retries/speculation
+    // collision-free; the commit coordinator guarantees only one of
+    // them reaches commit()
+    new DelimDataWriter(stagingDir, f"part-$partitionId%05d-$taskId",
+      schema, delim, confMap, partCols)
 }
 
 private[v2] class DelimDataWriter(
-    out: org.apache.hadoop.fs.FSDataOutputStream,
-    file: String,
+    stagingDir: String,
+    fileStem: String,
     schema: StructType,
     delim: Char,
-    confMap: Map[String, String])
+    confMap: Map[String, String],
+    partCols: Seq[String] = Nil)
     extends org.apache.spark.sql.connector.write.DataWriter[InternalRow] {
 
-  private val buffered = new java.io.BufferedOutputStream(out, 1 << 16)
+  private def conf(): Configuration = {
+    // defaults load executor-side; the driver's fs.*/hadoop.* overlay
+    val c = new Configuration(true)
+    confMap.foreach { case (k, v) => c.set(k, v) }
+    c
+  }
+
   private val types = schema.fields.map(_.dataType)
+  private val partIdx: Array[Int] = partCols.map(schema.fieldIndex).toArray
+  private val isPart: Array[Boolean] = {
+    val m = new Array[Boolean](schema.size)
+    partIdx.foreach(m(_) = true)
+    m
+  }
   private val sb = new java.lang.StringBuilder(128)
+  // one staged stream per partition value this task sees (a flat write
+  // uses the single "" key); values-per-task is the caller's dynamic-
+  // partitioning discipline, as with every such sink
+  private val streams =
+    scala.collection.mutable.LinkedHashMap.empty[String, java.io.OutputStream]
+  private val staged =
+    scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+
+  private def fieldString(row: InternalRow, i: Int): String = types(i) match {
+    case StringType => row.getUTF8String(i).toString
+    case IntegerType => row.getInt(i).toString
+    case LongType => row.getLong(i).toString
+    case DoubleType => row.getDouble(i).toString
+    case DateType => LocalDate.ofEpochDay(row.getInt(i).toLong).toString
+    case other =>
+      throw new IllegalArgumentException(s"graft-delim: unsupported write type $other")
+  }
+
+  /** `k=v/k2=v2` subdirectory for the row (formatted exactly as the
+    * reader parses it back; null → the Hive default-partition token;
+    * separators in a value would corrupt the LAYOUT, so they throw
+    * like the delimiter guard does for line fields).
+    */
+  private def partSubdir(row: InternalRow): String =
+    partIdx.zipWithIndex.map { case (si, i) =>
+      val v =
+        if (row.isNullAt(si)) DelimV2.HiveDefaultPartition
+        else fieldString(row, si)
+      if (v.exists(c => c == '/' || c == '=' || c == '\n' || c == '\r'))
+        throw new IllegalArgumentException(
+          s"graft-delim: partition value '$v' (column ${partCols(i)}) " +
+            "contains a path separator or '='")
+      s"${partCols(i)}=$v"
+    }.mkString("/")
+
+  private def streamFor(subdir: String): java.io.OutputStream =
+    streams.getOrElseUpdate(subdir, {
+      // per-task ordinal, not a value hash: two partition values must
+      // never collide on a staged name
+      val suffix = if (subdir.isEmpty) "" else f"-p${staged.size}%04d"
+      val file = new HPath(stagingDir, s"$fileStem$suffix.txt")
+      staged += ((subdir, file.toString))
+      new java.io.BufferedOutputStream(
+        file.getFileSystem(conf()).create(file, true), 1 << 16)
+    })
 
   override def write(row: InternalRow): Unit = {
     sb.setLength(0)
+    var first = true
     var i = 0
     while (i < types.length) {
-      if (i > 0) sb.append(delim)
-      if (!row.isNullAt(i)) {
-        val s = types(i) match {
-          case StringType => row.getUTF8String(i).toString
-          case IntegerType => row.getInt(i).toString
-          case LongType => row.getLong(i).toString
-          case DoubleType => row.getDouble(i).toString
-          case DateType => LocalDate.ofEpochDay(row.getInt(i).toLong).toString
-          case other =>
-            throw new IllegalArgumentException(s"graft-delim: unsupported write type $other")
+      if (!isPart(i)) { // partition values live in the directory name
+        if (!first) sb.append(delim)
+        first = false
+        if (!row.isNullAt(i)) {
+          val s = fieldString(row, i)
+          if (s.indexOf(delim.toInt) >= 0 || s.indexOf('\n') >= 0 || s.indexOf('\r') >= 0)
+            throw new IllegalArgumentException(
+              s"graft-delim: field value contains delimiter or newline " +
+                s"(column ${schema.fieldNames(i)}); the format has no quoting")
+          sb.append(s)
         }
-        if (s.indexOf(delim.toInt) >= 0 || s.indexOf('\n') >= 0 || s.indexOf('\r') >= 0)
-          throw new IllegalArgumentException(
-            s"graft-delim: field value contains delimiter or newline " +
-              s"(column ${schema.fieldNames(i)}); the format has no quoting")
-        sb.append(s)
       }
       i += 1
     }
     sb.append('\n')
-    buffered.write(sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val out = if (partIdx.isEmpty) streamFor("") else streamFor(partSubdir(row))
+    out.write(sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
   }
 
   override def commit(): org.apache.spark.sql.connector.write.WriterCommitMessage = {
-    buffered.close()
-    DelimCommit(file)
+    streams.values.foreach(_.close())
+    // an empty flat task still stages its (empty) file lazily never —
+    // emit the single flat file only if it was opened; partitioned
+    // tasks stage only the values they saw
+    DelimCommit(staged.toSeq)
   }
 
   override def abort(): Unit = {
-    buffered.close()
-    val p = new HPath(file)
-    // same shipped fs.*/hadoop.* overlay as createWriter — a bare
-    // Configuration would resolve the wrong FileSystem off-default
-    val conf = new Configuration(true)
-    confMap.foreach { case (k, v) => conf.set(k, v) }
-    p.getFileSystem(conf).delete(p, false)
+    streams.values.foreach(s => try s.close() catch { case _: Throwable => () })
+    val c = conf()
+    staged.foreach { case (_, f) =>
+      val p = new HPath(f)
+      p.getFileSystem(c).delete(p, false)
+    }
   }
 
   override def close(): Unit = ()

@@ -138,7 +138,7 @@ class PlanAuditSpec extends SparkFunSuite {
       // connector partition-pruning queries whose requires execute a
       // probe/collect at construction to read the planned-splits hook
       "asof_stream_enrich_evolving", "delim_v2_partition_prune",
-      "delim_v2_partition_dpp")
+      "delim_v2_partition_dpp", "delim_v2_partition_write")
     val offenders = SparkEntry.queries.keys.toSeq.sorted
       .filterNot(exactBaselines)
       .filterNot(eagerStreamRuns)

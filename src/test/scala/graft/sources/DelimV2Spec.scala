@@ -446,6 +446,70 @@ class DelimV2Spec extends SparkFunSuite {
     assert(leaked.isEmpty, s"failed write leaked: ${leaked.mkString(",")}")
   }
 
+  test("partitioned write: k=v layout readable with typed partition columns") {
+    val dir = tempDir("delimv2-pwrite")
+    val src = spark.range(1, 301).select(
+      $"id".as("k"),
+      ($"id" * 1.5).as("v"),
+      concat(lit("r"), $"id" % 3).as("region"),
+      when($"id" % 7 === 0, lit(null).cast("string"))
+        .otherwise(concat(lit("g"), $"id" % 2)).as("grp"))
+    src.write.format("graft-delim")
+      .option("partitionBy", "region,grp")
+      .mode("overwrite").save(s"$dir/t")
+    // the layout IS the k=v tree (null -> the Hive default token)
+    val dirs = new java.io.File(s"$dir/t").listFiles().filter(_.isDirectory)
+      .map(_.getName).sorted
+    assert(dirs.toSeq === Seq("region=r0", "region=r1", "region=r2"))
+    assert(new java.io.File(s"$dir/t/region=r1").listFiles()
+      .filter(_.isDirectory).map(_.getName).sorted.toSeq
+      === Seq("grp=__HIVE_DEFAULT_PARTITION__", "grp=g0", "grp=g1"))
+    // partition values are NOT in the line bytes
+    val firstLine = {
+      val f = new java.io.File(s"$dir/t/region=r0/grp=g0").listFiles()
+        .filter(_.getName.endsWith(".txt")).head
+      Files.readAllLines(f.toPath).get(0)
+    }
+    assert(firstLine.count(_ == '|') === 1, s"line carries extra fields: $firstLine")
+    val back = spark.read.format("graft-delim")
+      .schema("k BIGINT, v DOUBLE, region STRING, grp STRING")
+      .load(s"$dir/t")
+    assert(back.count() === 300)
+    assert(back.exceptAll(src).isEmpty && src.exceptAll(back).isEmpty)
+    // and the written layout prunes at file level like any k=v tree
+    graft.sources.v2.DelimV2.recordPlannedSplits(s"$dir/t", -1, -1, -1)
+    back.filter($"region" === "r1" && $"grp".isNull).count()
+    val Some((disc, kept, _)) =
+      graft.sources.v2.DelimV2.plannedSplitsFor(s"$dir/t")
+    assert(kept < disc, s"written partitions must prune: ($disc, $kept)")
+  }
+
+  test("partitioned write: overwrite replaces partition subtrees; guards throw") {
+    val dir = tempDir("delimv2-pwrite-ow")
+    def w(n: Int) = spark.range(n).select($"id", concat(lit("p"), $"id" % 2).as("pc"))
+      .write.format("graft-delim").option("partitionBy", "pc")
+      .mode("overwrite").save(s"$dir/t")
+    w(100); w(40)
+    val back = spark.read.format("graft-delim")
+      .schema("id BIGINT, pc STRING").load(s"$dir/t")
+    assert(back.count() === 40, "overwrite must replace the partition subtrees")
+    // a partition value carrying '/' or '=' corrupts the LAYOUT: throw
+    val bad = spark.range(3).select($"id", lit("a/b").as("pc"))
+    val ex = intercept[Exception] {
+      bad.write.format("graft-delim").option("partitionBy", "pc")
+        .mode("overwrite").save(s"$dir/t2")
+    }
+    assert(ex.getMessage != null)
+    // partitionBy over every column leaves no data fields: reject
+    val ex2 = intercept[Exception] {
+      spark.range(3).select(concat(lit("x"), $"id").as("pc"))
+        .write.format("graft-delim").option("partitionBy", "pc")
+        .mode("overwrite").save(s"$dir/t3")
+    }
+    assert(ex2.getMessage.contains("partitionBy") ||
+      Option(ex2.getCause).exists(_.getMessage.contains("partitionBy")))
+  }
+
   test("COUNT(*) pushdown: counted by newline scan, exact at every split size") {
     val dir = tempDir("delimv2-count")
     // empty line + unterminated last line: the count must mirror the

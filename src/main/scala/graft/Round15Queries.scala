@@ -262,6 +262,37 @@ object Round15Queries {
       df
     },
 
+    // DYNAMIC partition overwrite on the connector — the reference's
+    // `INSERT OVERWRITE TABLE ... PARTITION (dt)` nightly-load shape
+    // (verizon_automation_script.sh's partitioned tables): generation 1
+    // lands all event_type partitions; generation 2 OVERWRITES ONLY the
+    // 'error' partition with a corrected feed (value + 1.00 — exact in
+    // doubles), touching nothing else. The job commit derives the
+    // replacement set from the commit messages' own k=v subdirs, so an
+    // untouched partition keeps its files byte-for-byte. The oracle
+    // recomputes the post-load state from parquet: a wiped untouched
+    // partition, a survived stale 'error' row, or a double-applied
+    // correction all hash-mismatch.
+    "delim_v2_partition_overwrite" -> { (s, dir) =>
+      val out = CoreQueries.scratchDir("delim_v2_partition_overwrite")
+      val fact = s"$out/events"
+      val ev = Tables.events(s, dir)
+        .select(col("event_id"), col("user_id"), col("value"), col("event_type"))
+      ev.write.format("graft-delim").option("partitionBy", "event_type")
+        .mode("overwrite").save(fact)
+      ev.filter(col("event_type") === "error")
+        .withColumn("value", col("value") + 1.0)
+        .write.format("graft-delim").option("partitionBy", "event_type")
+        .option("overwriteMode", "dynamic")
+        .mode("overwrite").save(fact)
+      s.read.format("graft-delim")
+        .schema("event_id BIGINT, user_id BIGINT, value DOUBLE, event_type STRING")
+        .load(fact)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          round(sum("value"), 2).as("sum_value"))
+    },
+
     // Pushed TopN on the connector (the scan-level feature after
     // limit): `ORDER BY price DESC LIMIT 10` keeps a 10-row bounded
     // heap PER SPLIT — k·splits rows enter the final merge instead of
@@ -420,6 +451,14 @@ object Round15Queries {
         |       count(DISTINCT user_id) AS n_users
         |FROM events
         |WHERE event_type = 'click'
+        |GROUP BY 1""".stripMargin,
+
+    "delim_v2_partition_overwrite" ->
+      """SELECT event_type, count(*) AS n_events,
+        |       round(sum(CASE WHEN event_type = 'error'
+        |                      THEN "value" + 1.0 ELSE "value" END), 2)
+        |         AS sum_value
+        |FROM events
         |GROUP BY 1""".stripMargin,
 
     "delim_v2_topn_pushdown" ->

@@ -808,14 +808,25 @@ private[v2] class DelimWriteBuilder(
     }
     require(partCols.size < schema.size,
       "graft-delim: partitionBy cannot cover every column (no data fields left)")
+    val dynamic =
+      options.getOrDefault("overwriteMode", "static").trim.toLowerCase match {
+        case "static" => false
+        case "dynamic" =>
+          require(partCols.nonEmpty,
+            "graft-delim: overwriteMode=dynamic needs partitionBy")
+          true
+        case other => throw new IllegalArgumentException(
+          s"graft-delim: overwriteMode must be static or dynamic, got '$other'")
+      }
     new DelimWrite(schema, info.queryId(), DelimV2.paths(options).head,
-      DelimV2.delimiter(options), doTruncate, partCols)
+      DelimV2.delimiter(options), doTruncate, partCols, dynamic)
   }
 }
 
 private[v2] class DelimWrite(
     schema: StructType, queryId: String, path: String, delim: Char,
-    truncate: Boolean, partCols: Seq[String] = Nil)
+    truncate: Boolean, partCols: Seq[String] = Nil,
+    dynamicOverwrite: Boolean = false)
     extends org.apache.spark.sql.connector.write.Write
     with org.apache.spark.sql.connector.write.BatchWrite {
 
@@ -842,10 +853,25 @@ private[v2] class DelimWrite(
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val fs = staging.getFileSystem(DelimV2.driverConf())
     val target = new HPath(path)
-    if (truncate) {
-      // clear the previous generation only at COMMIT — a failed job
-      // leaves the old data intact. Flat files AND k=v partition
-      // subtrees are the old generation; staging/marker files are not.
+    if (truncate && dynamicOverwrite) {
+      // DYNAMIC overwrite (the INSERT OVERWRITE ... PARTITION nightly-
+      // load semantics): replace ONLY the partitions this job wrote —
+      // the commit messages carry exactly the touched k=v subdirs, so
+      // untouched partitions keep their previous generation
+      messages.flatMap {
+        case DelimCommit(staged) => staged.map(_._1)
+        case other => throw new IllegalStateException(
+          s"graft-delim: foreign commit message $other")
+      }.distinct.filter(_.nonEmpty)
+        .foreach { subdir =>
+          val d = new HPath(target, subdir)
+          if (fs.exists(d)) fs.delete(d, true)
+        }
+    } else if (truncate) {
+      // STATIC overwrite: clear the previous generation only at COMMIT
+      // — a failed job leaves the old data intact. Flat files AND k=v
+      // partition subtrees are the old generation; staging/marker
+      // files are not.
       Option(fs.listStatus(target)).getOrElse(Array.empty)
         .filterNot(st => st.getPath.getName.startsWith("_") ||
           st.getPath.getName.startsWith("."))

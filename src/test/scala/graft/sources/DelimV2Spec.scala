@@ -510,6 +510,38 @@ class DelimV2Spec extends SparkFunSuite {
       Option(ex2.getCause).exists(_.getMessage.contains("partitionBy")))
   }
 
+  test("dynamic partition overwrite replaces only the touched partitions") {
+    val dir = tempDir("delimv2-dynow")
+    def write(df: org.apache.spark.sql.DataFrame, mode: String): Unit =
+      df.write.format("graft-delim")
+        .option("partitionBy", "pc").option("overwriteMode", mode)
+        .mode("overwrite").save(s"$dir/t")
+    // generation 1: partitions p0/p1/p2, 30 rows each
+    write(spark.range(90).select($"id", concat(lit("p"), $"id" % 3).as("pc")),
+      "static")
+    // generation 2, DYNAMIC: only p1 rewritten (5 rows)
+    write(spark.range(1000, 1005)
+      .select($"id", lit("p1").as("pc")), "dynamic")
+    val back = spark.read.format("graft-delim")
+      .schema("id BIGINT, pc STRING").load(s"$dir/t")
+    val byPc = back.groupBy("pc").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byPc === Map("p0" -> 30L, "p1" -> 5L, "p2" -> 30L),
+      s"dynamic overwrite must replace ONLY p1: $byPc")
+    assert(back.filter($"pc" === "p1").agg(min($"id")).head.getLong(0) === 1000L)
+    // STATIC overwrite of the same slice wipes the other partitions
+    write(spark.range(7).select($"id", lit("p1").as("pc")), "static")
+    assert(spark.read.format("graft-delim")
+      .schema("id BIGINT, pc STRING").load(s"$dir/t").count() === 7)
+    // guard: dynamic without partitionBy is meaningless
+    val ex = intercept[Exception] {
+      spark.range(3).select($"id").write.format("graft-delim")
+        .option("overwriteMode", "dynamic").mode("overwrite").save(s"$dir/t2")
+    }
+    assert(ex.getMessage.contains("dynamic") ||
+      Option(ex.getCause).exists(_.getMessage.contains("dynamic")))
+  }
+
   test("COUNT(*) pushdown: counted by newline scan, exact at every split size") {
     val dir = tempDir("delimv2-count")
     // empty line + unterminated last line: the count must mirror the

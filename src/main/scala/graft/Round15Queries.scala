@@ -293,6 +293,50 @@ object Round15Queries {
           round(sum("value"), 2).as("sum_value"))
     },
 
+    // The connector as a CATALOG table — the reference's EXTERNAL-TABLE
+    // model in pure SQL (`CREATE EXTERNAL TABLE ... PARTITIONED BY ...
+    // LOCATION ...` is how every reference table exists): CREATE TABLE
+    // USING graft-delim over the partition-written layout, then a
+    // plain SQL aggregate with a partition predicate — no DataFrame
+    // reader call anywhere. The table-level OPTIONS (path, partitionBy)
+    // resolve through the catalog hop into the scan, the partition
+    // predicate still prunes at FILE level (require'd via the hook),
+    // and the pushed filter marker survives. DROP IF EXISTS first: the
+    // bench constructs every query twice in one session.
+    "delim_v2_sql_table" -> { (s, dir) =>
+      val out = CoreQueries.scratchDir("delim_v2_sql_table")
+      val fact = s"$out/events"
+      Tables.events(s, dir)
+        .select(col("event_id"), col("user_id"), col("value"), col("event_type"))
+        .write.format("graft-delim").option("partitionBy", "event_type")
+        .mode("overwrite").save(fact)
+      s.sql("DROP TABLE IF EXISTS graft_delim_events_t")
+      s.sql(s"""CREATE TABLE graft_delim_events_t
+        (event_id BIGINT, user_id BIGINT, value DOUBLE, event_type STRING)
+        USING `graft-delim` OPTIONS (path '$fact', partitionBy 'event_type')""")
+      val df = s.sql(
+        """SELECT event_type, count(*) AS n_events,
+          |       round(sum(value), 2) AS sum_value
+          |FROM graft_delim_events_t
+          |WHERE event_type IN ('click', 'purchase')
+          |GROUP BY event_type""".stripMargin)
+      // reset the hook BEFORE touching the plan: rendering the executed
+      // plan materializes the scan's lazy input partitions (which is
+      // when the hook records), so a reset after it would erase the
+      // real counts
+      DelimV2.recordPlannedSplits(fact, -1, -1, -1)
+      val plan = df.queryExecution.executedPlan.toString
+      require(plan.contains("PartitionColumns: [event_type]"),
+        s"catalog hop lost the partition layout:\n$plan")
+      require(plan.contains("In(event_type"),
+        s"partition predicate not absorbed through the catalog:\n$plan")
+      df.collect()
+      val (disc, kept, _) = DelimV2.plannedSplitsFor(fact).get
+      require(kept < disc && kept > 0,
+        s"partition predicate must prune files through SQL: ($disc, $kept)")
+      df
+    },
+
     // Pushed TopN on the connector (the scan-level feature after
     // limit): `ORDER BY price DESC LIMIT 10` keeps a 10-row bounded
     // heap PER SPLIT — k·splits rows enter the final merge instead of
@@ -460,6 +504,13 @@ object Round15Queries {
         |         AS sum_value
         |FROM events
         |GROUP BY 1""".stripMargin,
+
+    "delim_v2_sql_table" ->
+      """SELECT event_type, count(*) AS n_events,
+        |       round(sum("value"), 2) AS sum_value
+        |FROM events
+        |WHERE event_type IN ('click', 'purchase')
+        |GROUP BY event_type""".stripMargin,
 
     "delim_v2_topn_pushdown" ->
       """SELECT o_orderkey, o_custkey, o_totalprice

@@ -112,12 +112,30 @@ private[v2] class DelimTable(tableSchema: StructType, options: CaseInsensitiveSt
       TableCapability.TRUNCATE, TableCapability.ACCEPT_ANY_SCHEMA)
 
   override def newScanBuilder(caseInsensitiveOptions: CaseInsensitiveStringMap): ScanBuilder =
-    new DelimScanBuilder(tableSchema, caseInsensitiveOptions)
+    new DelimScanBuilder(tableSchema, DelimTable.merged(options, caseInsensitiveOptions))
 
   override def newWriteBuilder(
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
       : org.apache.spark.sql.connector.write.WriteBuilder =
-    new DelimWriteBuilder(info, options)
+    new DelimWriteBuilder(info,
+      DelimTable.merged(options, info.options()), tableSchema)
+}
+
+private[v2] object DelimTable {
+  /** Table-level properties overlaid with the per-operation options —
+    * a CATALOG table (`CREATE TABLE ... USING graft-delim OPTIONS
+    * (path ...)`) carries path/delimiter/partitionBy in its table
+    * properties, while a SQL `SELECT`/`INSERT` hands the builders
+    * EMPTY per-operation options; path reads (`.load(p)`) carry them
+    * per-operation. Per-operation keys win on conflict.
+    */
+  def merged(table: CaseInsensitiveStringMap,
+      op: CaseInsensitiveStringMap): CaseInsensitiveStringMap = {
+    val m = new java.util.HashMap[String, String]()
+    table.entrySet().forEach(e => m.put(e.getKey, e.getValue))
+    op.entrySet().forEach(e => m.put(e.getKey, e.getValue))
+    new CaseInsensitiveStringMap(m)
+  }
 }
 
 private[v2] class DelimScanBuilder(fullSchema: StructType, options: CaseInsensitiveStringMap)
@@ -788,7 +806,8 @@ private[v2] final class LineSplitReader(
   */
 private[v2] class DelimWriteBuilder(
     info: org.apache.spark.sql.connector.write.LogicalWriteInfo,
-    options: CaseInsensitiveStringMap)
+    options: CaseInsensitiveStringMap,
+    tableSchema: StructType = new StructType())
     extends org.apache.spark.sql.connector.write.WriteBuilder
     with org.apache.spark.sql.connector.write.SupportsTruncate {
 
@@ -800,7 +819,19 @@ private[v2] class DelimWriteBuilder(
   override def build(): org.apache.spark.sql.connector.write.Write = {
     val partCols = Option(options.get("partitionBy")).toSeq
       .flatMap(_.split(",").map(_.trim)).filter(_.nonEmpty)
-    val schema = info.schema()
+    val qSchema = info.schema()
+    // SQL INSERT resolves BY POSITION (ACCEPT_ANY_SCHEMA hands the
+    // QUERY's schema through — `INSERT ... VALUES` arrives as col1..
+    // colN): when a partition column is missing from the query's
+    // names but the declared table schema matches in arity, adopt the
+    // table's names positionally — standard INSERT semantics
+    val schema =
+      if (partCols.nonEmpty && tableSchema.size == qSchema.size &&
+        partCols.forall(tableSchema.fieldNames.contains) &&
+        !partCols.forall(qSchema.fieldNames.contains))
+        StructType(qSchema.fields.zip(tableSchema.fields)
+          .map { case (q, t) => q.copy(name = t.name) })
+      else qSchema
     partCols.foreach { c =>
       require(schema.fieldNames.contains(c),
         s"graft-delim: partitionBy column $c not in the write schema " +
@@ -1045,14 +1076,23 @@ private[graft] object DelimV2 {
   private val runtimeFilterLog =
     new java.util.concurrent.ConcurrentHashMap[String, Array[Filter]]()
 
+  // a CATALOG table's location carries the scheme (file:/... or
+  // file:///...), a path read does not — key both observability hooks
+  // scheme-free with leading slashes collapsed, so a test addresses
+  // the target the same way regardless of the front door
+  private def hookKey(pathKey: String): String = {
+    val p = pathKey.stripPrefix("file:")
+    if (p.startsWith("/")) "/" + p.dropWhile(_ == '/') else p
+  }
+
   private[graft] def recordRuntimeFilters(pathKey: String, fs: Array[Filter]): Unit =
-    runtimeFilterLog.put(pathKey, fs)
+    runtimeFilterLog.put(hookKey(pathKey), fs)
 
   private[graft] def runtimeFiltersFor(pathKey: String): Array[Filter] =
-    runtimeFilterLog.getOrDefault(pathKey, Array.empty)
+    runtimeFilterLog.getOrDefault(hookKey(pathKey), Array.empty)
 
   private[graft] def clearRuntimeFilters(pathKey: String): Unit =
-    runtimeFilterLog.remove(pathKey)
+    runtimeFilterLog.remove(hookKey(pathKey))
 
   def delimiter(options: CaseInsensitiveStringMap): Char = {
     val d = options.getOrDefault("delimiter", "|")
@@ -1131,10 +1171,14 @@ private[graft] object DelimV2 {
 
   private[graft] def recordPlannedSplits(
       pathKey: String, discovered: Int, kept: Int, splits: Int): Unit =
-    plannedSplitsLog.put(pathKey, (discovered, kept, splits))
+    plannedSplitsLog.put(hookKey(pathKey), (discovered, kept, splits))
 
   private[graft] def plannedSplitsFor(pathKey: String): Option[(Int, Int, Int)] =
-    Option(plannedSplitsLog.get(pathKey))
+    Option(plannedSplitsLog.get(hookKey(pathKey)))
+
+  /** Diagnostic: the hook keys currently recorded (failure messages). */
+  private[graft] def plannedSplitsKeys: Seq[String] =
+    plannedSplitsLog.keySet().asScala.toSeq.sorted
 
   private val pushableTypes: Set[DataType] =
     Set(StringType, IntegerType, LongType, DoubleType, DateType)

@@ -22,6 +22,27 @@ object Probe {
     val sf = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
     graft.core.Tables.events(spark, sf).createOrReplaceTempView("ev")
 
+    // --- catalog front door probe: CREATE TABLE ... USING graft-delim
+    val dir0 = java.nio.file.Files.createTempDirectory("delimcat").toString
+    spark.range(10).selectExpr("id", "concat('g', id % 2) AS pc")
+      .write.format("graft-delim").option("partitionBy", "pc")
+      .mode("overwrite").save(s"$dir0/t")
+    try {
+      spark.sql("DROP TABLE IF EXISTS probe_delim")
+      spark.sql(s"""CREATE TABLE probe_delim (id BIGINT, pc STRING)
+        USING `graft-delim` OPTIONS (path '$dir0/t')""")
+      println("CATALOG CREATE OK")
+      spark.sql("SELECT pc, count(*) AS n FROM probe_delim GROUP BY 1 ORDER BY 1").show()
+      spark.sql("SELECT count(*) FROM probe_delim WHERE pc = 'g1'").show()
+      println(spark.sql("SELECT * FROM probe_delim WHERE pc = 'g1'")
+        .queryExecution.executedPlan.toString.take(800))
+      spark.sql("INSERT INTO probe_delim VALUES (100, 'g0')")
+      println("INSERT OK")
+      spark.sql("SELECT count(*) AS after_insert FROM probe_delim").show()
+    } catch {
+      case e: Throwable => println(s"CATALOG PROBE FAILED: ${e.getMessage.take(300)}")
+    }
+
     val sql =
       """WITH clicks AS (
         |  SELECT user_id AS q_user, ts AS q_ts, max(event_id) AS q_id

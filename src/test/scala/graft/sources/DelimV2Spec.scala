@@ -542,6 +542,45 @@ class DelimV2Spec extends SparkFunSuite {
       Option(ex.getCause).exists(_.getMessage.contains("dynamic")))
   }
 
+  test("catalog front door: CREATE TABLE USING graft-delim, SELECT, INSERT") {
+    val dir = tempDir("delimv2-catalog")
+    spark.range(20).select($"id", concat(lit("g"), $"id" % 2).as("pc"))
+      .write.format("graft-delim").option("partitionBy", "pc")
+      .mode("overwrite").save(s"$dir/t")
+    spark.sql("DROP TABLE IF EXISTS delim_spec_t")
+    try {
+      spark.sql(s"""CREATE TABLE delim_spec_t (id BIGINT, pc STRING)
+        USING `graft-delim` OPTIONS (path '$dir/t', partitionBy 'pc')""")
+      // SQL read resolves the table-level path/partition options
+      val n = spark.sql("SELECT count(*) AS n FROM delim_spec_t").as[Long].head()
+      assert(n === 20)
+      // pushdown + partition recognition survive the catalog hop
+      val plan = spark.sql("SELECT id FROM delim_spec_t WHERE pc = 'g1'")
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("EqualTo(pc,g1)") &&
+        plan.contains("PartitionColumns: [pc]"), plan)
+      // and the partition filter prunes at FILE level through SQL (the
+      // catalog stores the location WITH the scheme — the hook keys on
+      // the scan's own path string)
+      graft.sources.v2.DelimV2.recordPlannedSplits(s"$dir/t", -1, -1, -1)
+      spark.sql("SELECT count(*) FROM delim_spec_t WHERE pc = 'g1'").collect()
+      val Some((disc, kept, _)) =
+        graft.sources.v2.DelimV2.plannedSplitsFor(s"$dir/t")
+      assert(kept < disc, s"catalog read must file-prune: ($disc, $kept)")
+      // INSERT INTO appends THROUGH the partitioned sink (table-level
+      // partitionBy option routes the new row into its k=v dir)
+      spark.sql("INSERT INTO delim_spec_t VALUES (100, 'g0')")
+      assert(spark.sql("SELECT count(*) AS n FROM delim_spec_t")
+        .as[Long].head() === 21)
+      assert(new java.io.File(s"$dir/t/pc=g0").listFiles()
+        .count(_.getName.endsWith(".txt")) >= 2, "insert must land in pc=g0")
+      // INSERT OVERWRITE = the connector's truncate path
+      spark.sql("INSERT OVERWRITE delim_spec_t VALUES (1, 'g9')")
+      val rows = spark.sql("SELECT id, pc FROM delim_spec_t").collect()
+      assert(rows.length === 1 && rows.head.getString(1) === "g9")
+    } finally spark.sql("DROP TABLE IF EXISTS delim_spec_t")
+  }
+
   test("COUNT(*) pushdown: counted by newline scan, exact at every split size") {
     val dir = tempDir("delimv2-count")
     // empty line + unterminated last line: the count must mirror the

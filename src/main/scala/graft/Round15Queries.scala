@@ -337,6 +337,46 @@ object Round15Queries {
       df
     },
 
+    // The connector as a STREAMING SINK — the landing-directory
+    // PRODUCER role (every reference table is such a directory; this
+    // is how one gets fed): the events stream written per trigger
+    // through writeStream.format("graft-delim") into a k=v tree.
+    // Each epoch commits like a small batch job onto DETERMINISTIC
+    // (epoch, partition)-keyed file names, so a replayed epoch
+    // overwrites its own files instead of duplicating rows —
+    // at-least-once execution, exactly-once landed bytes. The oracle
+    // recomputes from parquet: a dropped epoch, a duplicated replay,
+    // or a row routed to the wrong partition directory all
+    // hash-mismatch; the require pins a real multi-trigger run.
+    "delim_v2_stream_sink" -> { (s, dir) =>
+      import graft.stream.StreamRun
+      val out = CoreQueries.scratchDir("delim_v2_stream_sink")
+      val sink = s"$out/landed"
+      graft.core.Scratch.rmTree(sink)
+      graft.core.Scratch.rmTree(s"$out/ckpt")
+      val src = Round7Queries.eventsChunks(s, dir)
+      val q = src
+        .select(col("event_id"), col("user_id"), col("value"), col("event_type"))
+        .writeStream.format("graft-delim")
+        .option("path", sink)
+        .option("partitionBy", "event_type")
+        .option("checkpointLocation", s"$out/ckpt")
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val dataBatches = q.recentProgress.count(_.numInputRows > 0)
+      require(dataBatches >= 4,
+        s"expected a real multi-trigger landing run, got $dataBatches")
+      s.read.format("graft-delim")
+        .schema("event_id BIGINT, user_id BIGINT, value DOUBLE, event_type STRING")
+        .load(sink)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          round(sum("value"), 2).as("sum_value"),
+          countDistinct(col("user_id")).as("n_users"))
+    },
+
     // Pushed TopN on the connector (the scan-level feature after
     // limit): `ORDER BY price DESC LIMIT 10` keeps a 10-row bounded
     // heap PER SPLIT — k·splits rows enter the final merge instead of
@@ -511,6 +551,13 @@ object Round15Queries {
         |FROM events
         |WHERE event_type IN ('click', 'purchase')
         |GROUP BY event_type""".stripMargin,
+
+    "delim_v2_stream_sink" ->
+      """SELECT event_type, count(*) AS n_events,
+        |       round(sum("value"), 2) AS sum_value,
+        |       count(DISTINCT user_id) AS n_users
+        |FROM events
+        |GROUP BY 1""".stripMargin,
 
     "delim_v2_topn_pushdown" ->
       """SELECT o_orderkey, o_custkey, o_totalprice

@@ -109,7 +109,8 @@ private[v2] class DelimTable(tableSchema: StructType, options: CaseInsensitiveSt
   // inferred one
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
-      TableCapability.TRUNCATE, TableCapability.ACCEPT_ANY_SCHEMA)
+      TableCapability.TRUNCATE, TableCapability.ACCEPT_ANY_SCHEMA,
+      TableCapability.STREAMING_WRITE)
 
   override def newScanBuilder(caseInsensitiveOptions: CaseInsensitiveStringMap): ScanBuilder =
     new DelimScanBuilder(tableSchema, DelimTable.merged(options, caseInsensitiveOptions))
@@ -890,7 +891,7 @@ private[v2] class DelimWrite(
       // the commit messages carry exactly the touched k=v subdirs, so
       // untouched partitions keep their previous generation
       messages.flatMap {
-        case DelimCommit(staged) => staged.map(_._1)
+        case DelimCommit(staged) => staged.map(_.subdir)
         case other => throw new IllegalStateException(
           s"graft-delim: foreign commit message $other")
       }.distinct.filter(_.nonEmpty)
@@ -909,17 +910,7 @@ private[v2] class DelimWrite(
         .filter(st => st.isFile || st.getPath.getName.contains("="))
         .foreach(st => fs.delete(st.getPath, st.isDirectory))
     }
-    messages.foreach {
-      case DelimCommit(staged) => staged.foreach { case (subdir, file) =>
-        val src = new HPath(file)
-        val dstDir = if (subdir.isEmpty) target else new HPath(target, subdir)
-        if (subdir.nonEmpty) fs.mkdirs(dstDir)
-        if (!fs.rename(src, new HPath(dstDir, src.getName)))
-          throw new java.io.IOException(s"graft-delim: commit rename failed for $src")
-      }
-      case other =>
-        throw new IllegalStateException(s"graft-delim: foreign commit message $other")
-    }
+    DelimWrite.promote(fs, target, messages)
     fs.delete(staging, true) // drops any uncommitted stray files with it
   }
 
@@ -927,12 +918,96 @@ private[v2] class DelimWrite(
     val fs = staging.getFileSystem(DelimV2.driverConf())
     fs.delete(staging, true)
   }
+
+  /** STREAMING sink form (`writeStream.format("graft-delim")`): each
+    * epoch commits like a small batch job — staged files promoted
+    * under DETERMINISTIC (epoch, partition)-keyed final names, so a
+    * REPLAYED epoch (failure after the work, before the checkpoint
+    * commit) overwrites its own files instead of duplicating rows:
+    * at-least-once execution, exactly-once LANDED bytes. Append output
+    * mode only (an overwrite-per-epoch stream is `complete` mode,
+    * which this landing-directory sink deliberately rejects); the
+    * staging directory is shared by all epochs and stays for the
+    * stream's life — underscore-prefixed, invisible to reads.
+    */
+  override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite =
+    new org.apache.spark.sql.connector.write.streaming.StreamingWrite {
+      require(!truncate,
+        "graft-delim streaming sink supports APPEND output mode only")
+
+      override def createStreamingWriterFactory(
+          info: PhysicalWriteInfo)
+          : org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory = {
+        val hc = DelimV2.driverConf()
+        staging.getFileSystem(hc).mkdirs(staging)
+        val confMap = hc.iterator().asScala
+          .map(e => e.getKey -> e.getValue)
+          .filter { case (k, _) => k.startsWith("fs.") || k.startsWith("hadoop.") }
+          .toMap
+        val stagingDir = staging.toString
+        val s = schema; val d = delim; val pc = partCols
+        (partitionId: Int, taskId: Long, epochId: Long) =>
+          new DelimDataWriter(stagingDir,
+            f"part-$epochId-$partitionId%05d-$taskId",
+            s, d, confMap, pc,
+            finalStem = f"part-$epochId-$partitionId%05d")
+      }
+
+      override def commit(epochId: Long,
+          messages: Array[WriterCommitMessage]): Unit = {
+        val fs = staging.getFileSystem(DelimV2.driverConf())
+        DelimWrite.promote(fs, new HPath(path), messages)
+      }
+
+      override def abort(epochId: Long,
+          messages: Array[WriterCommitMessage]): Unit = {
+        val fs = staging.getFileSystem(DelimV2.driverConf())
+        messages.foreach {
+          case DelimCommit(staged) =>
+            staged.foreach(sf => fs.delete(new HPath(sf.path), false))
+          case _ => ()
+        }
+      }
+    }
 }
 
-/** One task's staged output: (k=v subdirectory — empty for a flat
-  * write, staged file path) per partition value the task saw.
+private[v2] object DelimWrite {
+  import org.apache.spark.sql.connector.write.WriterCommitMessage
+
+  /** Promote staged files to their final names (shared by the batch
+    * job commit and each streaming epoch commit): an existing file
+    * under the final name is REPLACED — a no-op for batch (staged
+    * names are attempt-unique) and the replay-idempotence rule for
+    * streaming epochs.
+    */
+  def promote(fs: FileSystem, target: HPath,
+      messages: Array[WriterCommitMessage]): Unit =
+    messages.foreach {
+      case DelimCommit(staged) => staged.foreach { sf =>
+        val src = new HPath(sf.path)
+        val dstDir = if (sf.subdir.isEmpty) target else new HPath(target, sf.subdir)
+        if (sf.subdir.nonEmpty) fs.mkdirs(dstDir)
+        val dst = new HPath(dstDir, sf.finalName)
+        if (fs.exists(dst)) fs.delete(dst, false)
+        if (!fs.rename(src, dst))
+          throw new java.io.IOException(s"graft-delim: commit rename failed for $src")
+      }
+      case other =>
+        throw new IllegalStateException(s"graft-delim: foreign commit message $other")
+    }
+}
+
+/** One staged file: its k=v subdirectory (empty for a flat write), the
+  * staged path (unique per task ATTEMPT — retries never collide), and
+  * the DETERMINISTIC final name (streaming epochs key it by
+  * (epoch, partition) so a replayed epoch overwrites its own files
+  * instead of duplicating them; batch keeps the staged name).
   */
-private[v2] case class DelimCommit(staged: Seq[(String, String)])
+private[v2] case class DelimStagedFile(
+    subdir: String, path: String, finalName: String)
+
+/** One task's staged output, one entry per partition value it saw. */
+private[v2] case class DelimCommit(staged: Seq[DelimStagedFile])
     extends org.apache.spark.sql.connector.write.WriterCommitMessage
 
 private[v2] class DelimWriterFactory(
@@ -955,8 +1030,15 @@ private[v2] class DelimDataWriter(
     schema: StructType,
     delim: Char,
     confMap: Map[String, String],
-    partCols: Seq[String] = Nil)
+    partCols: Seq[String] = Nil,
+    /** Deterministic final-name stem; defaults to the staged stem
+      * (batch). Streaming epochs pass (epoch, partition) so replays
+      * promote onto the same names.
+      */
+    finalStem: String = null)
     extends org.apache.spark.sql.connector.write.DataWriter[InternalRow] {
+
+  private val finStem = Option(finalStem).getOrElse(fileStem)
 
   private def conf(): Configuration = {
     // defaults load executor-side; the driver's fs.*/hadoop.* overlay
@@ -979,7 +1061,7 @@ private[v2] class DelimDataWriter(
   private val streams =
     scala.collection.mutable.LinkedHashMap.empty[String, java.io.OutputStream]
   private val staged =
-    scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    scala.collection.mutable.ArrayBuffer.empty[DelimStagedFile]
 
   private def fieldString(row: InternalRow, i: Int): String = types(i) match {
     case StringType => row.getUTF8String(i).toString
@@ -1011,10 +1093,12 @@ private[v2] class DelimDataWriter(
   private def streamFor(subdir: String): java.io.OutputStream =
     streams.getOrElseUpdate(subdir, {
       // per-task ordinal, not a value hash: two partition values must
-      // never collide on a staged name
+      // never collide on a staged name. The ordinal is deterministic
+      // given the task's row order, so replayed epochs regenerate the
+      // same FINAL names (staged names stay attempt-unique via taskId).
       val suffix = if (subdir.isEmpty) "" else f"-p${staged.size}%04d"
       val file = new HPath(stagingDir, s"$fileStem$suffix.txt")
-      staged += ((subdir, file.toString))
+      staged += DelimStagedFile(subdir, file.toString, s"$finStem$suffix.txt")
       new java.io.BufferedOutputStream(
         file.getFileSystem(conf()).create(file, true), 1 << 16)
     })
@@ -1054,8 +1138,8 @@ private[v2] class DelimDataWriter(
   override def abort(): Unit = {
     streams.values.foreach(s => try s.close() catch { case _: Throwable => () })
     val c = conf()
-    staged.foreach { case (_, f) =>
-      val p = new HPath(f)
+    staged.foreach { sf =>
+      val p = new HPath(sf.path)
       p.getFileSystem(c).delete(p, false)
     }
   }

@@ -139,7 +139,8 @@ class PlanAuditSpec extends SparkFunSuite {
       // probe/collect at construction to read the planned-splits hook
       "asof_stream_enrich_evolving", "delim_v2_partition_prune",
       "delim_v2_partition_dpp", "delim_v2_partition_write",
-      "delim_v2_partition_overwrite", "delim_v2_sql_table")
+      "delim_v2_partition_overwrite", "delim_v2_sql_table",
+      "delim_v2_stream_sink")
     val offenders = SparkEntry.queries.keys.toSeq.sorted
       .filterNot(exactBaselines)
       .filterNot(eagerStreamRuns)

@@ -64,9 +64,10 @@ object Round15Queries {
        |  ORDER BY q.q_ts DESC LIMIT 1) q ON true
        |WHERE e.event_type = 'purchase'""".stripMargin
 
-  /** Shared runner for the two lateral as-of certifications. */
+  /** Shared runner for the lateral as-of certifications. */
   private def runLateralAsof(
-      s: SparkSession, dir: String, name: String, sql: String): DataFrame = {
+      s: SparkSession, dir: String, name: String, sql: String,
+      tolMicros: Option[Long] = None): DataFrame = {
     plans.AsOfRewriteRule.installLate(s)
     val key = plans.AsOfRewriteRule.EnabledKey
     val prev = s.conf.getOption(key)
@@ -77,9 +78,10 @@ object Round15Queries {
       val opt = df.queryExecution.optimizedPlan
       val nodes = opt.collect {
         case p: plans.AsOfJoinPlan
-            if !p.forward && p.toleranceMicros.isEmpty => p
+            if !p.forward && p.toleranceMicros == tolMicros => p
       }
-      require(nodes.nonEmpty, s"lateral as-of rewrite did not fire:\n$opt")
+      require(nodes.nonEmpty,
+        s"lateral as-of rewrite did not fire with tol=$tolMicros:\n$opt")
       val leftoverRanking = opt.collect {
         case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
         case w: org.apache.spark.sql.catalyst.plans.logical.WindowGroupLimit => w
@@ -99,6 +101,21 @@ object Round15Queries {
     }
   }
 
+  /** Tolerance-bounded lateral: the stale-quote payload spelling. */
+  private def asofLateralTolSqlText(events: String): String =
+    s"""WITH clicks AS (
+       |  SELECT user_id AS q_user, ts AS q_ts, max(event_id) AS q_id
+       |  FROM $events
+       |  WHERE event_type = 'click'
+       |  GROUP BY 1, 2)
+       |SELECT e.event_id, e.user_id, q.q_ts AS click_ts, q.q_id AS click_id
+       |FROM $events e, LATERAL (
+       |  SELECT q_ts, q_id FROM clicks q
+       |  WHERE q.q_user = e.user_id AND q.q_ts <= e.ts
+       |    AND q.q_ts >= e.ts - INTERVAL 1 HOUR
+       |  ORDER BY q.q_ts DESC LIMIT 1) q
+       |WHERE e.event_type = 'error'""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // The LEFT-outer lateral as-of: the spelling that KEEPS no-match
@@ -108,6 +125,18 @@ object Round15Queries {
     "asof_lateral_left_auto" -> { (s, dir) =>
       runLateralAsof(s, dir, "asof_lateral_left_auto",
         asofLateralLeftSqlText("asql15_events"))
+    },
+
+    // The stale-quote LATERAL: the tolerance-bounded payload as-of a
+    // real user writes — latest click within 1 hour before each error,
+    // RETURNING THE CLICK'S COLUMNS. The rewrite maps the extra bound
+    // onto the operator's toleranceMicros (require'd EXACTLY — a fire
+    // that dropped the tolerance would look right in a name-only plan
+    // check and return wrong rows); DuckDB evaluates the bound
+    // directly, so any divergence hash-mismatches.
+    "asof_lateral_tolerance_auto" -> { (s, dir) =>
+      runLateralAsof(s, dir, "asof_lateral_tolerance_auto",
+        asofLateralTolSqlText("asql15_events"), tolMicros = Some(3600000000L))
     },
 
     // The LATERAL as-of front door: without the rewrite, Spark
@@ -509,6 +538,7 @@ object Round15Queries {
     // executes the lateral top-1 directly
     "asof_lateral_auto" -> asofLateralSqlText("events"),
     "asof_lateral_left_auto" -> asofLateralLeftSqlText("events"),
+    "asof_lateral_tolerance_auto" -> asofLateralTolSqlText("events"),
 
     // the partition tree is a lossless re-layout of orders (status in
     // the directory name instead of the line), so the oracle recomputes

@@ -465,22 +465,67 @@ case class AsOfRewriteRule(session: SparkSession)
           domAgg.groupingExpressions.length != 1) return None
       val domAttr = domAgg.output.head
 
-      // 3. theta: ONE non-strict as-of conjunct against the domain attr
-      val (rtExpr, forward) = theta match {
+      // 3. theta: ONE non-strict as-of conjunct against the domain
+      //    attr, plus optionally ONE tolerance conjunct — the same
+      //    grammar as the scalar matcher (the stale-quote bound
+      //    `AND rt >= e.ts - INTERVAL x` decorrelates to
+      //    `rt >= dom + INTERVAL '-x'`; strict bounds tighten by 1µs)
+      def asOfConj(c: Expression): Option[(Expression, Boolean)] = c match {
         case LessThanOrEqual(x, d: Attribute)
-            if d.exprId == domAttr.exprId => (x, false)
+            if d.exprId == domAttr.exprId => Some((x, false))
         case GreaterThanOrEqual(d: Attribute, x)
-            if d.exprId == domAttr.exprId => (x, false)
+            if d.exprId == domAttr.exprId => Some((x, false))
         case GreaterThanOrEqual(x, d: Attribute)
-            if d.exprId == domAttr.exprId => (x, true)
+            if d.exprId == domAttr.exprId => Some((x, true))
         case LessThanOrEqual(d: Attribute, x)
-            if d.exprId == domAttr.exprId => (x, true)
-        case _ => return None
+            if d.exprId == domAttr.exprId => Some((x, true))
+        case _ => None
       }
+      def domShift(e: Expression): Option[Long] = e match {
+        case TimestampAddInterval(d: Attribute,
+            Literal(micros: Long, _: DayTimeIntervalType), _)
+            if d.exprId == domAttr.exprId => Some(micros)
+        case _ => None
+      }
+      def tolConj(c: Expression, fwd: Boolean): Option[(Expression, Long)] = {
+        val m: Option[(Expression, Long, Boolean)] = c match {
+          case GreaterThanOrEqual(x, e) if !fwd => domShift(e).map((x, _, false))
+          case LessThanOrEqual(e, x) if !fwd => domShift(e).map((x, _, false))
+          case GreaterThan(x, e) if !fwd => domShift(e).map((x, _, true))
+          case LessThan(e, x) if !fwd => domShift(e).map((x, _, true))
+          case LessThanOrEqual(x, e) if fwd => domShift(e).map((x, _, false))
+          case GreaterThanOrEqual(e, x) if fwd => domShift(e).map((x, _, false))
+          case LessThan(x, e) if fwd => domShift(e).map((x, _, true))
+          case GreaterThan(e, x) if fwd => domShift(e).map((x, _, true))
+          case _ => None
+        }
+        m.flatMap { case (x, shift, strict) =>
+          val tol = if (fwd) shift else -shift
+          if (tol < 0) None else Some((x, if (strict) tol - 1 else tol))
+        }
+      }
+      val parsedTheta = splitConjunctivePredicates(theta) match {
+        case Seq(c) => asOfConj(c).map { case (x, fwd) => (x, fwd, None) }
+        case Seq(c1, c2) =>
+          asOfConj(c1).flatMap { case (x, fwd) =>
+            tolConj(c2, fwd).map(t => (x, fwd, Some(t))) }
+            .orElse(asOfConj(c2).flatMap { case (x, fwd) =>
+              tolConj(c1, fwd).map(t => (x, fwd, Some(t))) })
+        case _ => None
+      }
+      val (rtExpr, forward, tolParsed) = parsedTheta.getOrElse(return None)
       if (!rtExpr.references.subsetOf(r.outputSet)) return None
       val rtAttr = stripCast(rtExpr) match {
         case a: Attribute if r.outputSet.contains(a) => a
         case _ => return None
+      }
+      // the tolerance bound must constrain the SAME right time column
+      val tolMicros = tolParsed match {
+        case None => None
+        case Some((x, tol)) => stripCast(x) match {
+          case a: Attribute if a.exprId == rtAttr.exprId => Some(tol)
+          case _ => return None
+        }
       }
 
       // 4. the sort must rank the SAME time attribute in the direction
@@ -571,11 +616,11 @@ case class AsOfRewriteRule(session: SparkSession)
 
       val node = AsOfJoinPlan(l, r,
         keyPairs.map(_._1).toSeq, keyPairs.map(_._2).toSeq,
-        ltExpr, rtTime, forward, None)
+        ltExpr, rtTime, forward, tolMicros)
       val rtOut = node.output
         .find(_.exprId == rtAttr.exprId).getOrElse(return None)
       logInfo(s"as-of LATERAL rewrite fired: type=$jt keys=${keyPairs.length} " +
-        s"forward=$forward payloads=${rOut.map(_.name).mkString(",")}")
+        s"forward=$forward tol=$tolMicros payloads=${rOut.map(_.name).mkString(",")}")
       // inner lateral semantics: a left row with no match is dropped —
       // the operator emits it with a NULL matched time, so filter on
       // it; the LEFT OUTER spelling keeps those rows with nulls, which

@@ -281,6 +281,34 @@ class AsOfRewriteSpec extends SparkFunSuite {
     } finally spark.conf.unset(AsOfRewriteRule.EnabledKey)
   }
 
+  test("LATERAL tolerance conjunct fires and preserves the answer") {
+    checkLateral("""SELECT l.id, q.rk2, q.rt
+             FROM asof_l l, LATERAL (
+               SELECT rk2, rt FROM asof_r r
+               WHERE r.rk = l.k AND r.rt <= l.t
+                 AND r.rt >= l.t - INTERVAL 1 HOUR
+               ORDER BY r.rt DESC LIMIT 1) q""", expectFire = true)
+  }
+
+  test("LATERAL strict tolerance fires (1µs tightening)") {
+    checkLateral("""SELECT l.id, q.rt
+             FROM asof_l l, LATERAL (
+               SELECT rt FROM asof_r r
+               WHERE r.rk = l.k AND r.rt <= l.t
+                 AND r.rt > l.t - INTERVAL 30 MINUTE
+               ORDER BY r.rt DESC LIMIT 1) q""", expectFire = true)
+  }
+
+  test("LATERAL tolerance shifted the wrong way does not fire") {
+    // a bound ABOVE the as-of time is not a backward tolerance
+    checkLateral("""SELECT l.id, q.rt
+             FROM asof_l l, LATERAL (
+               SELECT rt FROM asof_r r
+               WHERE r.rk = l.k AND r.rt <= l.t
+                 AND r.rt >= l.t + INTERVAL 1 HOUR
+               ORDER BY r.rt DESC LIMIT 1) q""", expectFire = false)
+  }
+
   test("LEFT JOIN LATERAL fires WITHOUT the inner filter: no-match lefts kept") {
     ready
     checkLateral("""SELECT l.id, q.rk2, q.rt

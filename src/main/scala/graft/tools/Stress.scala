@@ -586,6 +586,42 @@ object Stress {
       }
     }
 
+    // Write-path throughput on the delim connector: flat staged-commit
+    // vs PARTITIONED (per-task per-value staged files) vs dynamic
+    // overwrite of one partition. Prices the k=v layout honestly: the
+    // partitioned write splits each task's output across ~5 streams
+    // (event types) and the commit renames ~5× the files.
+    for (amp <- amps if sections("delimwrite")) {
+      val src = {
+        val p = s"/tmp/graft-stress/delimwrite-src-$sfKey-$amp"
+        graft.core.Scratch.rmTree(p)
+        Amplify.events(ev0, amp)
+          .select(col("event_id"), col("user_id"), col("value"),
+            col("event_type"))
+          .write.parquet(p)
+        spark.read.parquet(p)
+      }
+      val n = src.count()
+      val out = s"/tmp/graft-stress/delimwrite-out-$sfKey-$amp"
+      run("delim_write_flat", amp, n) {
+        src.write.format("graft-delim").mode("overwrite").save(s"$out/flat")
+        (n, "")
+      }
+      run("delim_write_partitioned", amp, n) {
+        src.write.format("graft-delim").option("partitionBy", "event_type")
+          .mode("overwrite").save(s"$out/part")
+        (n, "")
+      }
+      val errN = src.filter(col("event_type") === "error").count()
+      run("delim_write_dynamic_one", amp, errN) {
+        src.filter(col("event_type") === "error")
+          .write.format("graft-delim").option("partitionBy", "event_type")
+          .option("overwriteMode", "dynamic")
+          .mode("overwrite").save(s"$out/part")
+        (errN, "replaced=error only")
+      }
+    }
+
     // Pushed-In scan cost vs key-set size on the delim connector
     // (round-14 "what's wrong" #1): the runtime (DPP) path hands the
     // scan the ENTIRE broadcast build-side key set as one In, so the

@@ -50,10 +50,11 @@ object Probe {
         |  WHERE event_type = 'click'
         |  GROUP BY 1, 2)
         |SELECT e.event_id, e.user_id, q.q_ts AS click_ts, q.q_id AS click_id
-        |FROM ev e LEFT OUTER JOIN LATERAL (
+        |FROM ev e, LATERAL (
         |  SELECT q_ts, q_id FROM clicks q
         |  WHERE q.q_user = e.user_id AND q.q_ts <= e.ts
-        |  ORDER BY q.q_ts DESC LIMIT 1) q ON true
+        |    AND q.q_ts >= e.ts - INTERVAL 1 HOUR
+        |  ORDER BY q.q_ts DESC LIMIT 1) q
         |WHERE e.event_type = 'error'""".stripMargin
     val df = spark.sql(sql)
     println("=== OPTIMIZED (rule off) ===")

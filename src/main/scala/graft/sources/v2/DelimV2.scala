@@ -85,7 +85,10 @@ class DelimSource extends TableProvider with DataSourceRegister {
         if (line == null) 1 else line.count(_ == delim) + 1
       } finally in.close()
     }.getOrElse(1)
-    val partKeys = files.headOption.map(_._2.map(_._1)).getOrElse(Nil)
+    // union partition keys across ALL files (first-seen path order):
+    // a flat file sorting ahead of the k=v dirs, or heterogeneous
+    // partition depths, must not silently drop directory columns
+    val partKeys = files.iterator.flatMap(_._2.map(_._1)).toSeq.distinct
     StructType((1 to nCols).map(i => StructField(s"c$i", StringType, nullable = true)) ++
       partKeys.map(k => StructField(k, StringType, nullable = true)))
   }
@@ -1092,13 +1095,16 @@ private[v2] class DelimDataWriter(
 
   private def streamFor(subdir: String): java.io.OutputStream =
     streams.getOrElseUpdate(subdir, {
-      // per-task ordinal, not a value hash: two partition values must
-      // never collide on a staged name. The ordinal is deterministic
-      // given the task's row order, so replayed epochs regenerate the
-      // same FINAL names (staged names stay attempt-unique via taskId).
+      // the ordinal keeps STAGED names unique across this task's
+      // partition values (they share one flat staging dir); the FINAL
+      // name needs no suffix — it lands inside the k=v subdir, where
+      // finStem (partitionId+taskId for batch, epoch+partition for
+      // streaming epochs) is already unique — so a replayed epoch
+      // promotes onto identical names no matter what order its rows
+      // (and hence partition values) arrive in
       val suffix = if (subdir.isEmpty) "" else f"-p${staged.size}%04d"
       val file = new HPath(stagingDir, s"$fileStem$suffix.txt")
-      staged += DelimStagedFile(subdir, file.toString, s"$finStem$suffix.txt")
+      staged += DelimStagedFile(subdir, file.toString, s"$finStem.txt")
       new java.io.BufferedOutputStream(
         file.getFileSystem(conf()).create(file, true), 1 << 16)
     })
@@ -1182,6 +1188,60 @@ private[graft] object DelimV2 {
     val d = options.getOrDefault("delimiter", "|")
     require(d.length == 1, s"graft-delim: delimiter must be one char, got '$d'")
     d.charAt(0)
+  }
+
+  /** RFC-4180-style quote character, honored by BOTH the parser (a
+    * field starting with the quote runs to its closing quote; `""`
+    * inside is an escaped quote; the delimiter is data inside quotes)
+    * and the writer (a field containing the delimiter, the quote,
+    * '\n', or '\r' is written quoted with doubled quotes — the
+    * reference's naive `split` on such data is the corruption this
+    * format exists to fix). `quote=none` (or empty) disables quoting:
+    * the legacy raw format where such fields are unrepresentable and
+    * the writer throws. Returns the quote code point, or -1.
+    */
+  def quoteChar(options: CaseInsensitiveStringMap): Int = {
+    val q = options.getOrDefault("quote", "\"")
+    if (q.isEmpty || q.equalsIgnoreCase("none")) -1
+    else {
+      require(q.length == 1, s"graft-delim: quote must be one char or 'none', got '$q'")
+      require(q.charAt(0) != delimiter(options),
+        "graft-delim: quote and delimiter must differ")
+      q.charAt(0).toInt
+    }
+  }
+
+  /** SPLIT-OWNERSHIP CONTRACT for quoted newlines: with the default
+    * `multiLine=false`, records are framed by newlines REGARDLESS of
+    * quotes — byte-range splits stay valid, and a file whose quoted
+    * fields embed newlines is simply not readable in this mode (same
+    * contract as Spark's CSV source). `multiLine=true` plans ONE split
+    * per file and frames records quote-aware (a '\n' inside an open
+    * quote is field data), trading intra-file split parallelism for
+    * full RFC 4180 — at 100 TB the parallelism lives across the many
+    * files of the directory, so the trade is per-file only.
+    */
+  def multiLine(options: CaseInsensitiveStringMap): Boolean = {
+    val m = java.lang.Boolean.parseBoolean(options.getOrDefault("multiLine", "false"))
+    require(!m || quoteChar(options) >= 0,
+      "graft-delim: multiLine requires quoting enabled")
+    m
+  }
+
+  /** Quote-aware field count of one record (parity walk; used by
+    * schema inference). Falls back to a plain delimiter count with
+    * quoting disabled.
+    */
+  def countFields(line: String, delim: Char, quote: Int): Int = {
+    if (quote < 0) return line.count(_ == delim) + 1
+    var n = 1; var i = 0; var inQ = false
+    while (i < line.length) {
+      val c = line.charAt(i)
+      if (c.toInt == quote) inQ = !inQ
+      else if (c == delim && !inQ) n += 1
+      i += 1
+    }
+    n
   }
 
   def paths(options: CaseInsensitiveStringMap): Seq[String] = {
@@ -1351,8 +1411,23 @@ private[graft] object DelimV2 {
       throw new IllegalArgumentException(s"graft-delim: unsupported type $other")
   }
 
+  /** Code-point string compare == UTF-8 binary order (what Spark uses
+    * for string sorts/ranges); java.lang.String.compareTo is UTF-16
+    * code-UNIT order, which diverges for supplementary-plane chars vs
+    * U+E000–U+FFFF. Allocation-free (no UTF8String round-trip per row).
+    */
+  private def cmpCodePoints(a: String, b: String): Int = {
+    var i = 0; var j = 0
+    while (i < a.length && j < b.length) {
+      val ca = a.codePointAt(i); val cb = b.codePointAt(j)
+      if (ca != cb) return Integer.compare(ca, cb)
+      i += Character.charCount(ca); j += Character.charCount(cb)
+    }
+    Integer.compare(a.length - i, b.length - j)
+  }
+
   private[v2] def cmp(dt: DataType, a: Any, b: Any): Int = dt match {
-    case StringType => a.asInstanceOf[String].compareTo(b.asInstanceOf[String])
+    case StringType => cmpCodePoints(a.asInstanceOf[String], b.asInstanceOf[String])
     case IntegerType => Integer.compare(a.asInstanceOf[Int], b.asInstanceOf[Int])
     case LongType | DateType =>
       java.lang.Long.compare(a.asInstanceOf[Long], b.asInstanceOf[Long])

@@ -319,7 +319,8 @@ object StreamRun {
       spark: SparkSession, df: DataFrame, dir: String, chunks: Int,
       tsCol: String = "ts", idCol: String = "event_id"): DataFrame = {
     val marker = java.nio.file.Paths.get(dir, "_GRAFT_READY")
-    val wanted = s"rank;chunks=$chunks;ts=${df.schema(tsCol).dataType.simpleString};id=$idCol"
+    val wanted =
+      s"rank;chunks=$chunks;ts=$tsCol:${df.schema(tsCol).dataType.simpleString};id=$idCol"
     val reusable = java.nio.file.Files.exists(marker) &&
       java.nio.file.Files.readString(marker) == wanted
     if (!reusable) {

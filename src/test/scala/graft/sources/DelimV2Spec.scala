@@ -666,6 +666,57 @@ class DelimV2Spec extends SparkFunSuite {
     assert(filtered.collect().head.getLong(0) === 2)
   }
 
+  test("pushed string ranges and TopN use UTF-8 binary order (supplementary plane)") {
+    val dir = tempDir("delimv2-utf8ord")
+    // U+E000 (private-use, single UTF-16 unit 0xE000) vs U+10000
+    // (supplementary, surrogate pair starting 0xD800): UTF-16 code-unit
+    // order says U+10000 < U+E000; Spark (UTF-8 binary = code-point)
+    // order says U+E000 < U+10000. Pushed filters are absorbed exactly
+    // (no residual re-check), so a wrong comparator changes ANSWERS.
+    val lo = ""
+    val hi = new String(Character.toChars(0x10000))
+    write(s"$dir/f.txt", s"$lo|1\n$hi|2\n")
+    val df = spark.read.format("graft-delim")
+      .schema("s STRING, v BIGINT").load(s"$dir/f.txt")
+    assert(df.filter($"s" > lo).collect().map(_.getLong(1)).toSeq === Seq(2L))
+    assert(df.filter($"s" < hi).collect().map(_.getLong(1)).toSeq === Seq(1L))
+    // TopN pushdown: the per-split heap must keep the same survivor the
+    // final TakeOrdered would pick
+    val top = df.orderBy($"s").limit(1).collect()
+    assert(top.map(_.getLong(1)).toSeq === Seq(1L))
+  }
+
+  test("inferSchema unions partition keys across files (flat file at root included)") {
+    val dir = tempDir("delimv2-inferpart")
+    // "a.txt" path-sorts AHEAD of the k=v directory: taking keys from
+    // the first file only would silently drop the partition column
+    write(s"$dir/a.txt", "1|x\n")
+    Files.createDirectories(Paths.get(s"$dir/k=g1"))
+    write(s"$dir/k=g1/b.txt", "2|y\n")
+    val df = spark.read.format("graft-delim").load(dir)
+    assert(df.schema.fieldNames.toSeq === Seq("c1", "c2", "k"))
+    val rows = df.orderBy($"c1").collect()
+    assert(rows.map(r => Option(r.getString(2))).toSeq === Seq(None, Some("g1")))
+  }
+
+  test("partitioned final names carry no row-order-dependent ordinal") {
+    val dir = tempDir("delimv2-finalname")
+    // two partition values from one task: the final name inside each
+    // k=v subdir must be identical regardless of which value the task
+    // saw first (streaming-epoch replay idempotence depends on it)
+    Seq((1L, "g0"), (2L, "g1"), (3L, "g0"))
+      .toDF("id", "pc").coalesce(1)
+      .write.format("graft-delim").option("partitionBy", "pc")
+      .mode("overwrite").save(s"$dir/out")
+    val names = for {
+      sub <- Seq("pc=g0", "pc=g1")
+      f <- new java.io.File(s"$dir/out/$sub").listFiles().toSeq
+      if f.getName.endsWith(".txt")
+    } yield f.getName
+    assert(names.size === 2)
+    assert(names.distinct.size === 1, s"ordinal leaked into final names: $names")
+  }
+
   test("statistics report pruned width (broadcast-eligible estimate)") {
     val dir = tempDir("delimv2-stats")
     write(s"$dir/f.txt", (1 to 1000).map(i => s"$i|${"x" * 50}|$i|$i").mkString("\n"))

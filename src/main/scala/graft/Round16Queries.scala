@@ -1,0 +1,123 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.ext.{Dedup, SimSearch}
+
+/** Round-16 depth queries.
+  *
+  * Headliner: RFC-4180 quoting in the `graft-delim` connector — the
+  * reference's naive delimiter split (compare_tables.sh:5 pipes `cut`
+  * over raw lines) silently corrupts any field containing the
+  * delimiter; round 15's connector refused to write such fields at
+  * all. Now ANY string value round-trips: the writer quotes fields
+  * containing the delimiter/quote/newline (doubling embedded quotes),
+  * the reader's pruned parse walks quote-aware, and `multiLine=true`
+  * reads whole-file splits so quoted newlines keep exact record
+  * framing (the documented split-ownership contract — at 100 TB the
+  * parallelism lives across the directory's many files, so the trade
+  * is per-file only).
+  */
+object Round16Queries {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // documents.text pushed through sink → scan with adversarial
+    // content appended: an embedded delimiter, a doubled quote, and a
+    // newline per row. The aggregate fingerprints the full round-trip
+    // (count, char mass, md5-derived content signature) against the
+    // SAME derivation computed directly over the parquet by DuckDB —
+    // any framing slip, quote-escape slip, or lost byte breaks the sig.
+    "delim_v2_quoted" -> { (s, dir) =>
+      val out = CoreQueries.scratchDir("delim_v2_quoted")
+      s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"),
+          concat(col("text"), lit("|tail \"q\"\nline2")).as("t"),
+          col("n_chars"))
+        .write.format("graft-delim").mode("overwrite").save(s"$out/docs")
+      s.read.format("graft-delim")
+        .schema("doc_id BIGINT, t STRING, n_chars BIGINT")
+        .option("multiLine", "true")
+        .load(s"$out/docs")
+        .agg(
+          count(lit(1)).as("n_rows"),
+          sum(length(col("t"))).as("total_chars"),
+          sum(conv(substring(md5(col("t")), 1, 8), 16, 10).cast("long"))
+            .as("content_sig"),
+          sum(col("n_chars")).as("sum_n_chars"))
+    },
+
+    // Scalable embedding-space dedup (SemDeDup shape) — closes the one
+    // remaining O(N²) production path: dedup_embedding_cosine's exact
+    // all-pairs join becomes IVF cell-mate candidates → exact cosine
+    // threshold → connected components → keep-best. Certified on the
+    // planted-cluster view against the exact all-pairs baseline: the
+    // oracle recomputes the exact pair count and id-signature from the
+    // parquet; recall (thresholded ANN pairs vs exact pairs), candidate
+    // sublinearity (scored candidates < half of all pairs), and
+    // cluster-assignment agreement with the exact pipeline's components
+    // are engine-measured booleans the oracle expects literally true.
+    "dedup_embedding_ann" -> { (s, dir) =>
+      val thr = 0.6
+      val e = SimSearch.clusteredView(Tables.embeddings(s, dir),
+        "vec_id", "embedding",
+        nClusters = Round2Queries.IvfNClusters,
+        mix = Round2Queries.IvfMix.toDouble)
+      val (assign, candidates) = Dedup.embeddingNearDups(
+        e, "vec_id", "embedding", thr,
+        nCentroids = 64, nProbe = 2, lloydIters = 0)
+      val annPairs = candidates.filter(col("cos") >= thr)
+        .select(col("id_a"), col("id_b"), lit(1L).as("hit"))
+      val exact = SimSearch.cosinePairs(e, "vec_id", "embedding", thr)
+      val exactAssign = Dedup.connectedComponents(
+        e.select(col("vec_id").as("id")), exact)
+      val agreement = assign.withColumnRenamed("cluster_rep", "ann_rep")
+        .join(exactAssign, Seq("id"))
+        .agg((sum(when(col("ann_rep") === col("cluster_rep"), 1L).otherwise(0L))
+          >= count(lit(1)) * 0.9).as("cluster_agree_ok"))
+      val nCand = candidates.agg(count(lit(1)).as("n_cand"))
+      val nCorpus = e.agg(count(lit(1)).cast("double").as("n_corpus"))
+      exact.join(annPairs, Seq("id_a", "id_b"), "left_outer")
+        .agg(count(lit(1)).as("n_exact"),
+          sum(col("id_a") * 100000L + col("id_b")).as("pair_sig"),
+          (sum(coalesce(col("hit"), lit(0L))).cast("double")
+            >= count(lit(1)) * 0.9).as("recall_ok"))
+        .crossJoin(nCand).crossJoin(nCorpus).crossJoin(agreement)
+        .select(col("n_exact"), col("pair_sig"), col("recall_ok"),
+          (col("n_cand") < col("n_corpus") * (col("n_corpus") - 1) / 2 * 0.5)
+            .as("sublinear_ok"),
+          col("cluster_agree_ok"))
+    })
+
+  def oracleSql: Map[String, String] = Map(
+
+    "delim_v2_quoted" ->
+      """SELECT count(*) AS n_rows,
+        |       CAST(sum(length(t)) AS BIGINT) AS total_chars,
+        |       CAST(sum(('0x' || substr(md5(t), 1, 8))::UBIGINT) AS BIGINT)
+        |         AS content_sig,
+        |       CAST(sum(n_chars) AS BIGINT) AS sum_n_chars
+        |FROM (SELECT text || '|tail "q"' || chr(10) || 'line2' AS t, n_chars
+        |      FROM documents)""".stripMargin,
+
+    // exact all-pairs baseline over the SAME planted-cluster view the
+    // engine deduplicates (count + id signature recomputed from the
+    // parquet); the ANN pipeline's recall/sublinearity/agreement
+    // verdicts must come back literally true
+    "dedup_embedding_ann" ->
+      s"""WITH ctr AS (
+         |  SELECT vec_id AS cid, embedding AS cemb
+         |  FROM embeddings WHERE vec_id < ${Round2Queries.IvfNClusters}),
+         |v AS (
+         |  SELECT e.vec_id, list_transform(range(len(cemb)),
+         |           i -> CAST(cemb[i + 1] + ${Round2Queries.IvfMix} * e.embedding[i + 1] AS REAL)) AS emb
+         |  FROM embeddings e JOIN ctr ON e.vec_id % ${Round2Queries.IvfNClusters} = ctr.cid)
+         |SELECT count(*) AS n_exact,
+         |       CAST(sum(a.vec_id * 100000 + b.vec_id) AS BIGINT) AS pair_sig,
+         |       true AS recall_ok, true AS sublinear_ok,
+         |       true AS cluster_agree_ok
+         |FROM v a JOIN v b ON a.vec_id < b.vec_id
+         |WHERE list_cosine_similarity(a.emb, b.emb) >= 0.6""".stripMargin)
+}

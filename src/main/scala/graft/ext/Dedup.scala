@@ -460,6 +460,66 @@ object Dedup {
         bit_count(col("in_sh").bitwiseXOR(col("c_sh"))).as("hamming"))
   }
 
+  // --------------------------------------- Embedding-space dedup (ANN)
+
+  /** SemDeDup-shaped embedding near-dup pipeline — the scalable
+    * replacement for the exact all-pairs [[SimSearch.cosinePairs]]
+    * path: IVF cell-mate candidate generation → exact cosine threshold
+    * → [[connectedComponents]] → keep-best (min id representative).
+    *
+    * Candidate generation assigns every vector to its `nProbe` nearest
+    * IVF cells (multi-probe: a cluster split across two adjacent cells
+    * by the coarse quantizer still meets in their shared second-nearest
+    * cell) and pairs cell-mates — per-cell equi-joins, never all-pairs,
+    * so the scored pair count is Σ_cells |c|² · nProbe² instead of N².
+    * At 100 TB: cells shuffle on the cell key, candidate dedup and the
+    * vector re-attach shuffle on ids, and the CC loop is the certified
+    * distributed path — no driver materialization anywhere.
+    *
+    * Returns (assignment, candidates): assignment = (id, cluster_rep)
+    * for EVERY corpus id (singletons map to themselves — the same
+    * contract as [[nearDupClusters]]); candidates = the scored
+    * candidate pairs (id_a, id_b, cos) BEFORE thresholding, so callers
+    * can measure the sublinearity of the candidate set and the recall
+    * of the thresholded pairs against an exact baseline.
+    */
+  def embeddingNearDups(
+      emb: DataFrame, idCol: String, vecCol: String, threshold: Double,
+      nCentroids: Int, nProbe: Int = 2, lloydIters: Int = 2,
+      trainSample: Int = 4096,
+      /** Forwarded to [[connectedComponents]]; 0 forces the distributed
+        * label-propagation loop (the 100 TB path). */
+      maxDriverEdges: Long = 2000000L): (DataFrame, DataFrame) = {
+    require(nCentroids > 0, "embeddingNearDups: nCentroids must be explicit " +
+      "(self-sizing would pay a corpus count per call)")
+    val vecs = CacheScope.cached(SimSearch.withNorm(emb, idCol, vecCol, ""))
+    val centroids =
+      SimSearch.buildCentroids(vecs, nCentroids, lloydIters, trainSample)
+    // (id, cell) multi-assignment; the vector payload is NOT attached
+    // here — the cell join moves (id, cell) pairs only
+    val cells = SimSearch.nearestCells(vecs, centroids, nProbe, "id")
+    // cell-mate pairs, deduped on (id_a, id_b) BEFORE the vectors are
+    // re-attached (a pair sharing both probe cells must score once)
+    val candIds = cells.select(col("cell"), col("id").as("id_a"))
+      .join(cells.select(col("cell"), col("id").as("id_b")), Seq("cell"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b")).distinct()
+    val candidates = candIds
+      .join(vecs.select(col("id").as("id_a"), col("v").as("v_a"), col("n").as("n_a")),
+        Seq("id_a"))
+      .join(vecs.select(col("id").as("id_b"), col("v").as("v_b"), col("n").as("n_b")),
+        Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(SimSearch.dot(col("v_a"), col("v_b")) / (col("n_a") * col("n_b")), 6)
+          .as("cos"))
+    val pairs = candidates.filter(col("cos") >= threshold)
+      .select(col("id_a"), col("id_b"))
+    val nodes = emb.select(col(idCol).as("id"))
+    val assignment =
+      connectedComponents(nodes, pairs, maxDriverEdges = maxDriverEdges)
+    (assignment, candidates)
+  }
+
   // ------------------------------------------------- Dedup clustering
 
   /** Convergence/volume stats of one [[connectedComponents]] run:

@@ -40,7 +40,7 @@ object SimSearch {
   /** Vectors with pre-computed norms — compute the norm once per vector,
     * not once per pair (N·k times cheaper on the pair side).
     */
-  private def withNorm(df: DataFrame, idCol: String, vecCol: String, suffix: String): DataFrame =
+  private[ext] def withNorm(df: DataFrame, idCol: String, vecCol: String, suffix: String): DataFrame =
     df.select(
       col(idCol).as(s"id$suffix"),
       col(vecCol).as(s"v$suffix"),

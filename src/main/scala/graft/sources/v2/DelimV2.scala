@@ -75,14 +75,16 @@ class DelimSource extends TableProvider with DataSourceRegister {
     */
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
     val delim = DelimV2.delimiter(options)
+    val quote = DelimV2.quoteChar(options)
+    val framing = if (DelimV2.multiLine(options)) quote else -1
     val files =
       DelimV2.listFilesWithPartitions(DelimV2.paths(options), DelimV2.driverConf())
     val nCols = files.map(_._1).find(_.getLen > 0).map { f =>
       val fs = f.getPath.getFileSystem(DelimV2.driverConf())
       val in = fs.open(f.getPath)
       try {
-        val line = new LineSplitReader(in, 0L, f.getLen, f.getLen).nextLine()
-        if (line == null) 1 else line.count(_ == delim) + 1
+        val line = new LineSplitReader(in, 0L, f.getLen, f.getLen, framing).nextLine()
+        if (line == null) 1 else DelimV2.countFields(line, delim, quote)
       } finally in.close()
     }.getOrElse(1)
     // union partition keys across ALL files (first-seen path order):
@@ -332,6 +334,8 @@ class DelimScan(
 
   private val paths = DelimV2.paths(options)
   private val delim = DelimV2.delimiter(options)
+  private val quote = DelimV2.quoteChar(options)
+  private val multiLine = DelimV2.multiLine(options)
 
   override def readSchema(): StructType = required
 
@@ -379,13 +383,17 @@ class DelimScan(
       else {
         val partVals = partFields.map(pf =>
           pv.collectFirst { case (k, v) if k == pf.name => v }.orNull)
+        // multiLine: quote parity is unknowable from a mid-file offset,
+        // so record framing needs the whole file — ONE split per file
+        // (parallelism comes from the directory's many files)
+        val per = if (multiLine) len else splitBytes
         // Long counter: (len + splitBytes - 1) / splitBytes overflows Int
         // for a large file with a small splitBytes option, which would
         // silently plan ZERO splits (empty range) and drop the file
-        val n = math.max(1L, (len + splitBytes - 1) / splitBytes)
+        val n = math.max(1L, (len + per - 1) / per)
         (0L until n).map { i =>
-          val start = i * splitBytes
-          DelimSplit(f.getPath.toString, start, math.min(splitBytes, len - start),
+          val start = i * per
+          DelimSplit(f.getPath.toString, start, math.min(per, len - start),
             len, partVals)
         }
       }
@@ -403,14 +411,16 @@ class DelimScan(
       .map(e => e.getKey -> e.getValue)
       .filter { case (k, _) => k.startsWith("fs.") || k.startsWith("hadoop.") }
       .toMap
-    if (aggCountCols > 0) new DelimCountReaderFactory(aggCountCols, confMap)
+    if (aggCountCols > 0)
+      new DelimCountReaderFactory(aggCountCols, confMap,
+        if (multiLine) quote else -1)
     else {
       // partition-only filters were fully applied at FILE level above;
       // re-evaluating them per row would be constant-true overhead
       val rowFilters = (pushedFilters ++ runtimeFilters).filterNot(partitionOnly)
       new DelimReaderFactory(
         fullSchema, required, rowFilters, delim, limit, confMap,
-        partFields.map(_.name), topN)
+        partFields.map(_.name), topN, quote, multiLine)
     }
   }
 }
@@ -418,7 +428,8 @@ class DelimScan(
 /** Pushed-COUNT(*) readers: one output row per split carrying the
   * owned-line count (Spark's partial-agg rewrite sums them).
   */
-private[v2] class DelimCountReaderFactory(nCols: Int, confMap: Map[String, String])
+private[v2] class DelimCountReaderFactory(nCols: Int, confMap: Map[String, String],
+    framingQuote: Int = -1)
     extends PartitionReaderFactory {
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
@@ -433,7 +444,8 @@ private[v2] class DelimCountReaderFactory(nCols: Int, confMap: Map[String, Strin
       override def next(): Boolean = {
         if (done) return false
         val lines =
-          new LineSplitReader(in, split.start, split.start + split.length, split.fileLen)
+          new LineSplitReader(in, split.start, split.start + split.length,
+            split.fileLen, framingQuote)
         var n = 0L
         while (lines.skipLine()) n += 1
         row = new GenericInternalRow(Array.fill[Any](nCols)(n))
@@ -459,7 +471,9 @@ private[v2] class DelimReaderFactory(
     limit: Int,
     confMap: Map[String, String],
     partCols: Array[String] = Array.empty,
-    topN: Array[DelimSortKey] = Array.empty)
+    topN: Array[DelimSortKey] = Array.empty,
+    quote: Int = -1,
+    multiLine: Boolean = false)
     extends PartitionReaderFactory {
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
@@ -471,7 +485,7 @@ private[v2] class DelimReaderFactory(
     val p = new HPath(split.path)
     val in = p.getFileSystem(conf).open(p)
     new DelimPartitionReader(in, split, fullSchema, required, filters, delim,
-      limit, partCols, topN)
+      limit, partCols, topN, quote, multiLine)
   }
 }
 
@@ -484,11 +498,19 @@ private[v2] class DelimPartitionReader(
     delim: Char,
     limit: Int,
     partCols: Array[String] = Array.empty,
-    topN: Array[DelimSortKey] = Array.empty)
+    topN: Array[DelimSortKey] = Array.empty,
+    /** Quote code point for field parsing (RFC-4180: leading quote
+      * opens a quoted field, `""` escapes, delimiter is data inside),
+      * or -1 for the raw legacy walk. */
+    quote: Int = -1,
+    /** Quote-aware record FRAMING (multiLine): quoted fields may span
+      * newlines; requires whole-file splits. */
+    multiLine: Boolean = false)
     extends PartitionReader[InternalRow] {
 
   private val lines =
-    new LineSplitReader(in, split.start, split.start + split.length, split.fileLen)
+    new LineSplitReader(in, split.start, split.start + split.length, split.fileLen,
+      if (multiLine) quote else -1)
 
   private val idxOf: Map[String, Int] =
     fullSchema.fieldNames.zipWithIndex.toMap
@@ -642,22 +664,74 @@ private[v2] class DelimPartitionReader(
   }
 
   /** Split + type-convert only file fields 0..maxIdx (pruned parse);
-    * partition slots are pre-seeded split constants.
+    * partition slots are pre-seeded split constants. With quoting
+    * enabled the walk is quote-aware — a skipped field still steps
+    * over its quoted region, but is never substring'd or unescaped.
     */
   private def parseLine(line: String): Array[Any] = {
     val ext = partExt.clone()
     var fieldStart = 0
     var fp = 0
     val n = line.length
-    while (fp <= maxIdx && fieldStart <= n) {
-      val i = line.indexOf(delim.toInt, fieldStart)
-      if (needed(fp)) {
-        val si = schemaIdxAt(fp)
-        val raw = if (i < 0) line.substring(fieldStart) else line.substring(fieldStart, i)
-        ext(si) = DelimV2.parseExternal(raw, types(si))
+    if (quote < 0) {
+      while (fp <= maxIdx && fieldStart <= n) {
+        val i = line.indexOf(delim.toInt, fieldStart)
+        if (needed(fp)) {
+          val si = schemaIdxAt(fp)
+          val raw = if (i < 0) line.substring(fieldStart) else line.substring(fieldStart, i)
+          ext(si) = DelimV2.parseExternal(raw, types(si))
+        }
+        fp += 1
+        fieldStart = if (i < 0) n + 1 else i + 1
       }
-      fp += 1
-      fieldStart = if (i < 0) n + 1 else i + 1
+    } else {
+      while (fp <= maxIdx && fieldStart <= n) {
+        if (fieldStart < n && line.charAt(fieldStart).toInt == quote) {
+          // quoted field: run to the closing quote; "" is an escaped quote
+          var i = fieldStart + 1
+          var esc = false
+          var close = -1
+          while (close < 0 && i < n) {
+            if (line.charAt(i).toInt == quote) {
+              if (i + 1 < n && line.charAt(i + 1).toInt == quote) { esc = true; i += 2 }
+              else close = i
+            } else i += 1
+          }
+          if (close < 0) close = n // unterminated quote: rest of record
+          if (needed(fp)) {
+            val si = schemaIdxAt(fp)
+            val raw =
+              if (!esc) line.substring(fieldStart + 1, close)
+              else {
+                val sb = new java.lang.StringBuilder(close - fieldStart)
+                var j = fieldStart + 1
+                while (j < close) {
+                  val c = line.charAt(j)
+                  sb.append(c)
+                  j += (if (c.toInt == quote) 2 else 1) // emit one of the pair
+                }
+                sb.toString
+              }
+            ext(si) = DelimV2.parseExternal(raw, types(si))
+          }
+          // next delimiter after the closing quote (trailing garbage
+          // before it is ignored — the lenient malformed-input stance
+          // Spark's CSV parser takes by default)
+          var d = close + 1
+          while (d < n && line.charAt(d) != delim) d += 1
+          fieldStart = if (d < n) d + 1 else n + 1
+        } else {
+          val i = line.indexOf(delim.toInt, fieldStart)
+          if (needed(fp)) {
+            val si = schemaIdxAt(fp)
+            val raw =
+              if (i < 0) line.substring(fieldStart) else line.substring(fieldStart, i)
+            ext(si) = DelimV2.parseExternal(raw, types(si))
+          }
+          fieldStart = if (i < 0) n + 1 else i + 1
+        }
+        fp += 1
+      }
     }
     ext
   }
@@ -677,7 +751,17 @@ private[v2] class DelimPartitionReader(
   * reader at sf0.1, this one is at parity).
   */
 private[v2] final class LineSplitReader(
-    in: FSDataInputStream, start: Long, end: Long, fileLen: Long) {
+    in: FSDataInputStream, start: Long, end: Long, fileLen: Long,
+    /** Quote code point for QUOTE-AWARE record framing (multiLine
+      * mode: a '\n' under odd quote parity is field data, not a record
+      * end), or -1 for plain newline framing. Quote-aware framing is
+      * only sound from byte 0 — parity is unknowable mid-file — so it
+      * requires the whole-file splits multiLine plans.
+      */
+    quote: Int = -1) {
+
+  require(quote < 0 || start == 0,
+    "graft-delim: quote-aware framing requires a whole-file split")
 
   in.seek(start)
   private val buf = new Array[Byte](1 << 16)
@@ -711,10 +795,18 @@ private[v2] final class LineSplitReader(
     */
   private def skipRaw(): Boolean = {
     var consumed = false
+    var inQ = false
     while (true) {
       if (bufPos >= bufLen && !fill()) return consumed
       var i = bufPos
-      while (i < bufLen && buf(i) != '\n') i += 1
+      if (quote < 0) {
+        while (i < bufLen && buf(i) != '\n') i += 1
+      } else {
+        while (i < bufLen && (buf(i) != '\n' || inQ)) {
+          if (buf(i) == quote) inQ = !inQ
+          i += 1
+        }
+      }
       if (i > bufPos) consumed = true
       if (i < bufLen) {
         pos += (i - bufPos) + 1
@@ -737,6 +829,7 @@ private[v2] final class LineSplitReader(
   /** Read one line (up to '\n' or EOF), strip trailing '\r', advance pos. */
   private def readRaw(): String = {
     spillLen = 0
+    var inQ = false
     while (true) {
       if (bufPos >= bufLen && !fill()) {
         // EOF: the spill (if any) is the final unterminated line
@@ -744,7 +837,14 @@ private[v2] final class LineSplitReader(
         return mkString(spill, 0, spillLen)
       }
       var i = bufPos
-      while (i < bufLen && buf(i) != '\n') i += 1
+      if (quote < 0) {
+        while (i < bufLen && buf(i) != '\n') i += 1
+      } else {
+        while (i < bufLen && (buf(i) != '\n' || inQ)) {
+          if (buf(i) == quote) inQ = !inQ
+          i += 1
+        }
+      }
       if (i < bufLen) { // newline at i
         val res =
           if (spillLen == 0) mkString(buf, bufPos, i - bufPos)
@@ -789,11 +889,18 @@ private[v2] final class LineSplitReader(
   * speculative duplicate or failed task can never leak a partial file
   * into the data directory (its stray staged file dies with staging).
   *
-  * The format has no quoting: a field containing the delimiter, '\n',
-  * or '\r' is unrepresentable, and the writer THROWS rather than
-  * corrupt row framing silently. Nulls write as empty fields (which
-  * read back as null for typed columns and "" for strings — the
-  * format cannot distinguish an empty string from a string null).
+  * QUOTING (RFC 4180): a field containing the delimiter, the quote
+  * char, '\n', or '\r' is written wrapped in quotes with embedded
+  * quotes doubled — so ANY string value round-trips through the
+  * format (the reference's naive `split`, compare_tables.sh:5, is the
+  * corruption this fixes). A field with an embedded NEWLINE reads
+  * back only under `multiLine=true` (whole-file splits; see
+  * DelimV2.multiLine for the split-ownership contract). With
+  * `quote=none` the legacy behavior returns: such fields are
+  * unrepresentable and the writer THROWS rather than corrupt row
+  * framing silently. Nulls write as empty fields (which read back as
+  * null for typed columns and "" for strings — the format does not
+  * distinguish an empty string from a string null).
   *
   * PARTITIONED writes: `option("partitionBy", "k1,k2")` lays the sink
   * out as the `k=v` directory tree the read side discovers — partition
@@ -854,14 +961,16 @@ private[v2] class DelimWriteBuilder(
           s"graft-delim: overwriteMode must be static or dynamic, got '$other'")
       }
     new DelimWrite(schema, info.queryId(), DelimV2.paths(options).head,
-      DelimV2.delimiter(options), doTruncate, partCols, dynamic)
+      DelimV2.delimiter(options), doTruncate, partCols, dynamic,
+      DelimV2.quoteChar(options))
   }
 }
 
 private[v2] class DelimWrite(
     schema: StructType, queryId: String, path: String, delim: Char,
     truncate: Boolean, partCols: Seq[String] = Nil,
-    dynamicOverwrite: Boolean = false)
+    dynamicOverwrite: Boolean = false,
+    quote: Int = -1)
     extends org.apache.spark.sql.connector.write.Write
     with org.apache.spark.sql.connector.write.BatchWrite {
 
@@ -882,7 +991,7 @@ private[v2] class DelimWrite(
       .map(e => e.getKey -> e.getValue)
       .filter { case (k, _) => k.startsWith("fs.") || k.startsWith("hadoop.") }
       .toMap
-    new DelimWriterFactory(schema, delim, staging.toString, confMap, partCols)
+    new DelimWriterFactory(schema, delim, staging.toString, confMap, partCols, quote)
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
@@ -948,12 +1057,13 @@ private[v2] class DelimWrite(
           .filter { case (k, _) => k.startsWith("fs.") || k.startsWith("hadoop.") }
           .toMap
         val stagingDir = staging.toString
-        val s = schema; val d = delim; val pc = partCols
+        val s = schema; val d = delim; val pc = partCols; val q = quote
         (partitionId: Int, taskId: Long, epochId: Long) =>
           new DelimDataWriter(stagingDir,
             f"part-$epochId-$partitionId%05d-$taskId",
             s, d, confMap, pc,
-            finalStem = f"part-$epochId-$partitionId%05d")
+            finalStem = f"part-$epochId-$partitionId%05d",
+            quote = q)
       }
 
       override def commit(epochId: Long,
@@ -1015,7 +1125,8 @@ private[v2] case class DelimCommit(staged: Seq[DelimStagedFile])
 
 private[v2] class DelimWriterFactory(
     schema: StructType, delim: Char, stagingDir: String,
-    confMap: Map[String, String], partCols: Seq[String] = Nil)
+    confMap: Map[String, String], partCols: Seq[String] = Nil,
+    quote: Int = -1)
     extends org.apache.spark.sql.connector.write.DataWriterFactory {
 
   override def createWriter(partitionId: Int, taskId: Long)
@@ -1024,7 +1135,7 @@ private[v2] class DelimWriterFactory(
     // collision-free; the commit coordinator guarantees only one of
     // them reaches commit()
     new DelimDataWriter(stagingDir, f"part-$partitionId%05d-$taskId",
-      schema, delim, confMap, partCols)
+      schema, delim, confMap, partCols, quote = quote)
 }
 
 private[v2] class DelimDataWriter(
@@ -1038,7 +1149,10 @@ private[v2] class DelimDataWriter(
       * (batch). Streaming epochs pass (epoch, partition) so replays
       * promote onto the same names.
       */
-    finalStem: String = null)
+    finalStem: String = null,
+    /** Quote code point for RFC-4180 quoting of fields containing the
+      * delimiter/quote/newline, or -1 (legacy: such fields throw). */
+    quote: Int = -1)
     extends org.apache.spark.sql.connector.write.DataWriter[InternalRow] {
 
   private val finStem = Option(finalStem).getOrElse(fileStem)
@@ -1119,11 +1233,28 @@ private[v2] class DelimDataWriter(
         first = false
         if (!row.isNullAt(i)) {
           val s = fieldString(row, i)
-          if (s.indexOf(delim.toInt) >= 0 || s.indexOf('\n') >= 0 || s.indexOf('\r') >= 0)
+          val needsQ = s.indexOf(delim.toInt) >= 0 || s.indexOf('\n') >= 0 ||
+            s.indexOf('\r') >= 0 || (quote >= 0 && s.indexOf(quote) >= 0)
+          if (!needsQ) sb.append(s)
+          else if (quote < 0)
             throw new IllegalArgumentException(
               s"graft-delim: field value contains delimiter or newline " +
-                s"(column ${schema.fieldNames(i)}); the format has no quoting")
-          sb.append(s)
+                s"(column ${schema.fieldNames(i)}) and quoting is disabled " +
+                "(quote=none)")
+          else {
+            // RFC 4180: wrap in quotes, double embedded quotes. A field
+            // with an embedded newline reads back only under
+            // multiLine=true (the documented split-ownership contract).
+            sb.append(quote.toChar)
+            var j = 0
+            while (j < s.length) {
+              val c = s.charAt(j)
+              sb.append(c)
+              if (c.toInt == quote) sb.append(c)
+              j += 1
+            }
+            sb.append(quote.toChar)
+          }
         }
       }
       i += 1
@@ -1207,6 +1338,8 @@ private[graft] object DelimV2 {
       require(q.length == 1, s"graft-delim: quote must be one char or 'none', got '$q'")
       require(q.charAt(0) != delimiter(options),
         "graft-delim: quote and delimiter must differ")
+      // framing scans raw UTF-8 bytes: the quote must be one byte
+      require(q.charAt(0) < 128, "graft-delim: quote must be ASCII")
       q.charAt(0).toInt
     }
   }

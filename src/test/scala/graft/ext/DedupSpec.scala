@@ -286,4 +286,55 @@ class DedupSpec extends SparkFunSuite {
     assert(exact.nonEmpty)
     assert(postings == exact)
   }
+
+  test("embeddingNearDups: assignment matches exact all-pairs pipeline on planted clusters") {
+    val e = SimSearch.clusteredView(
+      Tables.embeddings(spark, sf001), "vec_id", "embedding",
+      nClusters = 20, mix = 0.15)
+      .filter(col("vec_id") < 200)
+    val (assign, candidates) = Dedup.embeddingNearDups(
+      e, "vec_id", "embedding", 0.6, nCentroids = 32, nProbe = 2,
+      lloydIters = 0)
+    val exactPairs = SimSearch.cosinePairs(e, "vec_id", "embedding", 0.6)
+    val exactAssign = Dedup.connectedComponents(
+      e.select(col("vec_id").as("id")), exactPairs)
+    // recall: every exact pair appears among the thresholded candidates
+    val ann = candidates.filter(col("cos") >= 0.6).select("id_a", "id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exa = exactPairs.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exa.nonEmpty, "planted view produced no exact near-dup pairs")
+    val recall = exa.count(ann).toDouble / exa.size
+    assert(recall >= 0.9, s"recall $recall below 0.9 (${exa.size} exact pairs)")
+    // candidate set is sublinear in the pair space
+    val n = e.count()
+    assert(candidates.count() < n * (n - 1) / 2 * 0.5,
+      "candidate set not sublinear vs all pairs")
+    // full-pipeline agreement: representatives match the exact CC's
+    val joined = assign.withColumnRenamed("cluster_rep", "ann_rep")
+      .join(exactAssign, Seq("id"))
+    val total = joined.count()
+    val agree = joined.filter(col("ann_rep") === col("cluster_rep")).count()
+    assert(total === n)
+    assert(agree.toDouble / total >= 0.9,
+      s"cluster agreement $agree/$total below 0.9")
+  }
+
+  test("embeddingNearDups: singletons map to themselves; distributed CC path agrees") {
+    val e = SimSearch.clusteredView(
+      Tables.embeddings(spark, sf001), "vec_id", "embedding",
+      nClusters = 20, mix = 0.15)
+      .filter(col("vec_id") < 120)
+    val (driver, _) = Dedup.embeddingNearDups(
+      e, "vec_id", "embedding", 0.6, nCentroids = 16, nProbe = 2,
+      lloydIters = 0)
+    val (looped, _) = Dedup.embeddingNearDups(
+      e, "vec_id", "embedding", 0.6, nCentroids = 16, nProbe = 2,
+      lloydIters = 0, maxDriverEdges = 0L)
+    val d = driver.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val l = looped.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(d === l, "driver union-find and distributed loop disagree")
+    assert(d.size === 120)
+    // every id has an assignment and reps are component minima
+    d.foreach { case (id, rep) => assert(rep <= id) }
+  }
 }

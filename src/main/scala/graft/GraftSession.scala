@@ -52,6 +52,10 @@ object GraftSession {
       // values instead of failing the read (see core.Tables.events)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.parquet.aggregatePushdown", "true")
+      // the graft-delim partition-DDL catalog (SHOW PARTITIONS /
+      // ALTER TABLE ADD|DROP PARTITION on k=v trees)
+      .config(s"spark.sql.catalog.${graft.sources.v2.GraftCatalog.Name}",
+        classOf[graft.sources.v2.GraftCatalog].getName)
       // RocksDB is the DEFAULT state store provider for every stateful
       // streaming query, not just the transformWithState tier that
       // requires it: at production state volume the in-memory provider
@@ -104,6 +108,9 @@ object GraftSession {
     // the correlated-scalar as-of sandwich likewise only exists after
     // decorrelation; its rewrite targets the native as-of operator
     graft.plans.AsOfRewriteRule.installLate(spark)
+    // the SQL DDL front door for graft-delim partition trees
+    // (SHOW PARTITIONS / ALTER TABLE ADD|DROP PARTITION)
+    graft.sources.v2.GraftCatalog.register(spark)
     spark
   }
 

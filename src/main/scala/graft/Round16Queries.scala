@@ -49,6 +49,55 @@ object Round16Queries {
           sum(col("n_chars")).as("sum_n_chars"))
     },
 
+    // Manifest-committed snapshot reads: a graft-delim commit swaps an
+    // atomic `_manifest` listing the generation's files; readers list
+    // FROM it (one small-file read, no namespace crawl — the 100 TB
+    // metadata win) and therefore see exactly one committed generation.
+    // Certified by overwriting generation 1 with generation 2 and
+    // planting an uncommitted stray file: the aggregate must equal the
+    // generation-2-only oracle — any stray byte or stale-generation
+    // file breaks count, revenue, or the key signature.
+    "delim_v2_snapshot_read" -> { (s, dir) =>
+      val out = CoreQueries.scratchDir("delim_v2_snapshot_read")
+      val orders = Tables.orders(s, dir)
+      orders.filter(col("o_totalprice") <= 100000.0)
+        .select(col("o_orderkey"), col("o_totalprice"))
+        .write.format("graft-delim").mode("overwrite").save(s"$out/t")
+      orders.filter(col("o_totalprice") > 100000.0)
+        .select(col("o_orderkey"), col("o_totalprice"))
+        .write.format("graft-delim").mode("overwrite").save(s"$out/t")
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(s"$out/t/stray.txt"),
+        "999999999|123456.78\n".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      s.read.format("graft-delim")
+        .schema("o_orderkey BIGINT, o_totalprice DOUBLE")
+        .load(s"$out/t")
+        .agg(count(lit(1)).as("n_rows"),
+          round(sum(col("o_totalprice")), 2).as("revenue"),
+          sum(col("o_orderkey")).as("key_sig"))
+    },
+
+    // Partition DDL front door (the reference's S1 surface,
+    // verizon_automation_script.sh:104,138): `SHOW PARTITIONS` against a
+    // `CREATE TABLE ... USING graft-delim PARTITIONED BY ... LOCATION`
+    // table through GraftCatalog's native v2 partition management —
+    // the partition list is read from the k=v directory tree, the
+    // oracle recomputes it as the distinct partition values of the
+    // parquet source. ADD/DROP PARTITION are spec-certified
+    // (GraftCatalogSpec) including the DROP manifest swap.
+    "delim_v2_show_partitions" -> { (s, dir) =>
+      val out = CoreQueries.scratchDir("delim_v2_show_partitions")
+      Tables.events(s, dir)
+        .select(col("event_id"), col("user_id"), col("value"), col("event_type"))
+        .write.format("graft-delim").option("partitionBy", "event_type")
+        .mode("overwrite").save(s"$out/t")
+      s.sql("DROP TABLE IF EXISTS graft_cat.default.show_parts_events")
+      s.sql(s"""CREATE TABLE graft_cat.default.show_parts_events
+        (event_id BIGINT, user_id BIGINT, value DOUBLE, event_type STRING)
+        USING `graft-delim` PARTITIONED BY (event_type) LOCATION '$out/t'""")
+      s.sql("SHOW PARTITIONS graft_cat.default.show_parts_events")
+    },
+
     // Scalable embedding-space dedup (SemDeDup shape) — closes the one
     // remaining O(N²) production path: dedup_embedding_cosine's exact
     // all-pairs join becomes IVF cell-mate candidates → exact cosine
@@ -101,6 +150,19 @@ object Round16Queries {
         |       CAST(sum(n_chars) AS BIGINT) AS sum_n_chars
         |FROM (SELECT text || '|tail "q"' || chr(10) || 'line2' AS t, n_chars
         |      FROM documents)""".stripMargin,
+
+    // generation 2 only: the overwritten generation 1 and the stray
+    // uncommitted file must leave no trace in any column
+    "delim_v2_snapshot_read" ->
+      """SELECT count(*) AS n_rows,
+        |       round(sum(o_totalprice), 2) AS revenue,
+        |       CAST(sum(o_orderkey) AS BIGINT) AS key_sig
+        |FROM orders
+        |WHERE o_totalprice > 100000.0""".stripMargin,
+
+    "delim_v2_show_partitions" ->
+      """SELECT DISTINCT 'event_type=' || event_type AS partition
+        |FROM events""".stripMargin,
 
     // exact all-pairs baseline over the SAME planted-cluster view the
     // engine deduplicates (count + id signature recomputed from the

@@ -991,38 +991,54 @@ private[v2] class DelimWrite(
       .map(e => e.getKey -> e.getValue)
       .filter { case (k, _) => k.startsWith("fs.") || k.startsWith("hadoop.") }
       .toMap
-    new DelimWriterFactory(schema, delim, staging.toString, confMap, partCols, quote)
+    new DelimWriterFactory(schema, delim, staging.toString, confMap, partCols, quote,
+      genToken = queryId.replace("-", "").take(8))
   }
 
+  /** MANIFEST-SWAP commit — the snapshot-isolation sequence:
+    *  1. promote the new generation's files (their names carry the
+    *     job's generation token, so they coexist with the live files);
+    *  2. atomically swap `_manifest` to the new snapshot — the single
+    *     visibility flip: a reader planning before it sees exactly the
+    *     old generation, after it exactly the new one, never a mix;
+    *  3. delete the files the new snapshot no longer references
+    *     (static overwrite: the whole previous generation; dynamic:
+    *     only the replaced partitions' files).
+    * A failure between 1 and 2 leaves orphan unreferenced files (and
+    * the old snapshot intact); between 2 and 3 leaves the new snapshot
+    * live with dead bytes on disk — both are garbage, never corruption.
+    */
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val fs = staging.getFileSystem(DelimV2.driverConf())
     val target = new HPath(path)
-    if (truncate && dynamicOverwrite) {
-      // DYNAMIC overwrite (the INSERT OVERWRITE ... PARTITION nightly-
-      // load semantics): replace ONLY the partitions this job wrote —
-      // the commit messages carry exactly the touched k=v subdirs, so
-      // untouched partitions keep their previous generation
-      messages.flatMap {
-        case DelimCommit(staged) => staged.map(_.subdir)
-        case other => throw new IllegalStateException(
-          s"graft-delim: foreign commit message $other")
-      }.distinct.filter(_.nonEmpty)
-        .foreach { subdir =>
-          val d = new HPath(target, subdir)
-          if (fs.exists(d)) fs.delete(d, true)
-        }
-    } else if (truncate) {
-      // STATIC overwrite: clear the previous generation only at COMMIT
-      // — a failed job leaves the old data intact. Flat files AND k=v
-      // partition subtrees are the old generation; staging/marker
-      // files are not.
-      Option(fs.listStatus(target)).getOrElse(Array.empty)
-        .filterNot(st => st.getPath.getName.startsWith("_") ||
-          st.getPath.getName.startsWith("."))
-        .filter(st => st.isFile || st.getPath.getName.contains("="))
-        .foreach(st => fs.delete(st.getPath, st.isDirectory))
+    val newFiles: Seq[DelimStagedFile] = messages.toSeq.flatMap {
+      case DelimCommit(staged) => staged
+      case other => throw new IllegalStateException(
+        s"graft-delim: foreign commit message $other")
     }
+    // previous snapshot: the manifest when present, else the legacy
+    // recursive listing (first manifest-commit over a legacy layout)
+    val prev = DelimV2.snapshotEntries(fs, target, fs.getConf)
+    val newEntries = newFiles.map(sf =>
+      (sf.length,
+        if (sf.subdir.isEmpty) sf.finalName else s"${sf.subdir}/${sf.finalName}"))
+    val survivors: Seq[(Long, String)] =
+      if (truncate && dynamicOverwrite) {
+        // replace ONLY the partitions this job wrote (INSERT OVERWRITE
+        // ... PARTITION nightly-load semantics)
+        val replaced = newFiles.map(_.subdir).filter(_.nonEmpty).toSet
+        prev.filterNot { case (_, rel) =>
+          replaced.exists(sd => rel.startsWith(sd + "/")) }
+      } else if (truncate) Nil
+      else prev
     DelimWrite.promote(fs, target, messages)
+    val newSet = newEntries.map(_._2).toSet
+    val manifest = survivors.filterNot(e => newSet.contains(e._2)) ++ newEntries
+    DelimV2.writeManifest(fs, target, manifest)
+    val live = manifest.map(_._2).toSet
+    prev.map(_._2).filterNot(live).foreach { rel =>
+      fs.delete(new HPath(target, rel), false)
+    }
     fs.delete(staging, true) // drops any uncommitted stray files with it
   }
 
@@ -1069,7 +1085,22 @@ private[v2] class DelimWrite(
       override def commit(epochId: Long,
           messages: Array[WriterCommitMessage]): Unit = {
         val fs = staging.getFileSystem(DelimV2.driverConf())
-        DelimWrite.promote(fs, new HPath(path), messages)
+        val target = new HPath(path)
+        DelimWrite.promote(fs, target, messages)
+        // manifest append, deduped by path: a REPLAYED epoch's files
+        // carry the same (epoch, partition) final names, so its
+        // entries REPLACE rather than duplicate — the manifest stays
+        // exactly-once like the landed bytes
+        val newEntries = messages.toSeq.flatMap {
+          case DelimCommit(staged) => staged.map(sf =>
+            (sf.length, if (sf.subdir.isEmpty) sf.finalName
+            else s"${sf.subdir}/${sf.finalName}"))
+          case _ => Nil
+        }
+        val prev = DelimV2.snapshotEntries(fs, target, fs.getConf)
+        val newSet = newEntries.map(_._2).toSet
+        DelimV2.writeManifest(fs, target,
+          prev.filterNot(e => newSet.contains(e._2)) ++ newEntries)
       }
 
       override def abort(epochId: Long,
@@ -1111,13 +1142,16 @@ private[v2] object DelimWrite {
 }
 
 /** One staged file: its k=v subdirectory (empty for a flat write), the
-  * staged path (unique per task ATTEMPT — retries never collide), and
-  * the DETERMINISTIC final name (streaming epochs key it by
+  * staged path (unique per task ATTEMPT — retries never collide), the
+  * DETERMINISTIC final name (streaming epochs key it by
   * (epoch, partition) so a replayed epoch overwrites its own files
-  * instead of duplicating them; batch keeps the staged name).
+  * instead of duplicating them; batch names carry a generation token
+  * so successive generations coexist until the manifest swap), and the
+  * byte length (recorded into the manifest so readers never stat the
+  * data files).
   */
 private[v2] case class DelimStagedFile(
-    subdir: String, path: String, finalName: String)
+    subdir: String, path: String, finalName: String, length: Long = -1L)
 
 /** One task's staged output, one entry per partition value it saw. */
 private[v2] case class DelimCommit(staged: Seq[DelimStagedFile])
@@ -1126,16 +1160,24 @@ private[v2] case class DelimCommit(staged: Seq[DelimStagedFile])
 private[v2] class DelimWriterFactory(
     schema: StructType, delim: Char, stagingDir: String,
     confMap: Map[String, String], partCols: Seq[String] = Nil,
-    quote: Int = -1)
+    quote: Int = -1,
+    /** Short per-job generation token baked into the final names so
+      * two generations of a table NEVER share a file name — the
+      * manifest-swap commit promotes the new generation alongside the
+      * old one before flipping visibility, which is only sound if the
+      * promote cannot overwrite live old-generation bytes. */
+    genToken: String = "")
     extends org.apache.spark.sql.connector.write.DataWriterFactory {
 
   override def createWriter(partitionId: Int, taskId: Long)
-      : org.apache.spark.sql.connector.write.DataWriter[InternalRow] =
+      : org.apache.spark.sql.connector.write.DataWriter[InternalRow] = {
     // taskId in the staged names keeps retries/speculation
     // collision-free; the commit coordinator guarantees only one of
     // them reaches commit()
-    new DelimDataWriter(stagingDir, f"part-$partitionId%05d-$taskId",
+    val tok = if (genToken.isEmpty) "" else s"-$genToken"
+    new DelimDataWriter(stagingDir, f"part-$partitionId%05d-$taskId$tok",
       schema, delim, confMap, partCols, quote = quote)
+  }
 }
 
 private[v2] class DelimDataWriter(
@@ -1179,6 +1221,10 @@ private[v2] class DelimDataWriter(
     scala.collection.mutable.LinkedHashMap.empty[String, java.io.OutputStream]
   private val staged =
     scala.collection.mutable.ArrayBuffer.empty[DelimStagedFile]
+  // bytes written per subdir stream — reported in the commit message so
+  // the job commit can write manifest lengths without statting files
+  private val written =
+    scala.collection.mutable.HashMap.empty[String, Long].withDefaultValue(0L)
 
   private def fieldString(row: InternalRow, i: Int): String = types(i) match {
     case StringType => row.getUTF8String(i).toString
@@ -1260,8 +1306,10 @@ private[v2] class DelimDataWriter(
       i += 1
     }
     sb.append('\n')
-    val out = if (partIdx.isEmpty) streamFor("") else streamFor(partSubdir(row))
-    out.write(sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val sub = if (partIdx.isEmpty) "" else partSubdir(row)
+    val bytes = sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    streamFor(sub).write(bytes)
+    written(sub) += bytes.length
   }
 
   override def commit(): org.apache.spark.sql.connector.write.WriterCommitMessage = {
@@ -1269,7 +1317,7 @@ private[v2] class DelimDataWriter(
     // an empty flat task still stages its (empty) file lazily never —
     // emit the single flat file only if it was opened; partitioned
     // tasks stage only the values they saw
-    DelimCommit(staged.toSeq)
+    DelimCommit(staged.toSeq.map(sf => sf.copy(length = written(sf.subdir))))
   }
 
   override def abort(): Unit = {
@@ -1391,6 +1439,75 @@ private[graft] object DelimV2 {
   /** Hive's null-partition directory token. */
   val HiveDefaultPartition = "__HIVE_DEFAULT_PARTITION__"
 
+  /** SNAPSHOT MANIFEST: the committed-files list a writing job swaps in
+    * atomically at commit (`length<TAB>relative/path` lines). When
+    * present at a table root, readers list FROM it — a planning-time
+    * snapshot: a reader planned mid-overwrite sees exactly the old or
+    * the new generation, never a mix — and skip the recursive directory
+    * walk entirely (at 100 TB, one small-file read instead of a
+    * namespace crawl). Directories without one (legacy layouts, text
+    * fixtures) fall back to the recursive listing.
+    */
+  val ManifestFile = "_manifest"
+
+  /** The committed snapshot's (length, relative path) entries, or None
+    * when the directory carries no manifest.
+    */
+  private[graft] def readManifest(
+      fs: FileSystem, target: HPath): Option[Seq[(Long, String)]] = {
+    val mf = new HPath(target, ManifestFile)
+    if (!fs.exists(mf)) None
+    else {
+      val in = fs.open(mf)
+      try {
+        val src = scala.io.Source.fromInputStream(in, "UTF-8")
+        Some(src.getLines().filter(_.nonEmpty).map { l =>
+          val t = l.indexOf('\t')
+          (l.substring(0, t).toLong, l.substring(t + 1))
+        }.toList)
+      } finally in.close()
+    }
+  }
+
+  /** Atomically swap the manifest to `entries`: write a tmp file, then
+    * FileContext rename with OVERWRITE — atomic on HDFS and the local
+    * FS, so there is neither a partial-manifest nor a missing-manifest
+    * window (a delete+rename pair would expose the fallback listing —
+    * and with it a mixed generation — between the two calls).
+    */
+  private[graft] def writeManifest(
+      fs: FileSystem, target: HPath, entries: Seq[(Long, String)]): Unit = {
+    val tmp = new HPath(target,
+      s"$ManifestFile.tmp-${java.util.UUID.randomUUID().toString.take(8)}")
+    // FileContext for BOTH create and rename: the FileSystem facade is
+    // checksum-wrapped on file:// and would leave orphan .crc sidecars
+    // behind the raw rename
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+      target.toUri, fs.getConf)
+    val out = fc.create(tmp,
+      java.util.EnumSet.of(org.apache.hadoop.fs.CreateFlag.CREATE,
+        org.apache.hadoop.fs.CreateFlag.OVERWRITE))
+    try entries.foreach { case (len, rel) =>
+      out.write(s"$len\t$rel\n".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    } finally out.close()
+    fc.rename(tmp, new HPath(target, ManifestFile),
+      org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+  }
+
+  /** (length, root-relative path) of every live data file — the
+    * manifest when present, else the recursive listing (the previous-
+    * generation input to a committing writer).
+    */
+  private[v2] def snapshotEntries(
+      fs: FileSystem, target: HPath, conf: Configuration): Seq[(Long, String)] =
+    readManifest(fs, target).getOrElse {
+      val root = fs.makeQualified(target).toUri
+      listFilesWithPartitions(Seq(target.toString), conf).map { case (st, _) =>
+        val rel = root.relativize(fs.makeQualified(st.getPath).toUri).getPath
+        (st.getLen, rel)
+      }
+    }
+
   /** A missing path yields NO files rather than an error: schema
     * inference runs on the WRITE path too, where the target directory
     * may not exist yet (a read of a truly missing path then surfaces
@@ -1432,7 +1549,29 @@ private[graft] object DelimV2 {
       val hp = new HPath(p)
       val fs = hp.getFileSystem(conf)
       Option(fs.globStatus(hp)).map(_.toSeq).getOrElse(Seq.empty)
-        .flatMap(st => recurse(fs, st, Nil))
+        .flatMap { st =>
+          // a committed manifest at a directory root IS the listing
+          // (the snapshot-isolation and no-namespace-crawl contract);
+          // partition values parse from the entries' k=v path segments
+          val manifest =
+            if (st.isDirectory) readManifest(fs, st.getPath) else None
+          manifest match {
+            case Some(entries) => entries.map { case (len, rel) =>
+              val pvals = rel.split('/').dropRight(1).toSeq.flatMap { seg =>
+                val eq = seg.indexOf('=')
+                if (eq <= 0) None
+                else {
+                  val v0 = seg.substring(eq + 1)
+                  Some(seg.substring(0, eq) ->
+                    (if (v0 == HiveDefaultPartition) null else v0))
+                }
+              }
+              (new FileStatus(len, false, 1, 0L, 0L,
+                new HPath(st.getPath, rel)), pvals)
+            }
+            case None => recurse(fs, st, Nil)
+          }
+        }
     }.filterNot { case (st, _) =>
       val n = st.getPath.getName
       n.startsWith("_") || n.startsWith(".")

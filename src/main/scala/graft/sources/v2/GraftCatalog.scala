@@ -1,0 +1,257 @@
+package graft.sources.v2
+
+import java.util.concurrent.ConcurrentHashMap
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.fs.{Path => HPath}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog._
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** A DataSource-V2 `TableCatalog` for `graft-delim` tables — the SQL
+  * DDL front door the reference drives through Hive
+  * (`SHOW PARTITIONS`, `ALTER TABLE ... ADD|DROP PARTITION`;
+  * verizon_automation_script.sh:104,138). Registered by
+  * `GraftSession.configure` as `graft_cat`, so
+  *
+  * {{{
+  *   CREATE TABLE graft_cat.default.t (...) USING graft-delim
+  *     PARTITIONED BY (k) LOCATION '/data/t'
+  *   SHOW PARTITIONS graft_cat.default.t
+  *   ALTER TABLE graft_cat.default.t ADD PARTITION (k='v')
+  *   ALTER TABLE graft_cat.default.t DROP PARTITION (k='v')
+  * }}}
+  *
+  * run through Spark's native v2 exec nodes against the connector's
+  * `k=v` directory trees. Partition IDENTITY is directory existence
+  * (an added-but-empty partition lists, like Hive's); row visibility
+  * stays with the snapshot manifest — DROP PARTITION swaps the
+  * manifest before deleting the subtree, so concurrent readers keep
+  * planning a consistent generation.
+  *
+  * Table metadata lives in-memory per session (the catalog is a
+  * session-scoped front door over self-describing directory layouts,
+  * not a metastore); the data and partition state are entirely in the
+  * file tree + manifest, so a re-created table over the same location
+  * sees the same partitions.
+  */
+class GraftCatalog extends TableCatalog with SupportsNamespaces {
+
+  private var catalogName: String = "graft_cat"
+  private val tables =
+    new ConcurrentHashMap[String, (StructType, Seq[String], Map[String, String])]()
+
+  private def key(ident: Identifier): String =
+    (ident.namespace() :+ ident.name()).mkString(".")
+
+  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit =
+    catalogName = name
+
+  override def name(): String = catalogName
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    val prefix = namespace.mkString(".") + "."
+    tables.keySet().asScala.toArray.filter(_.startsWith(prefix)).map { k =>
+      Identifier.of(namespace, k.stripPrefix(prefix))
+    }
+  }
+
+  override def loadTable(ident: Identifier): Table = {
+    val (schema, partCols, props) = Option(tables.get(key(ident)))
+      .getOrElse(throw new org.apache.spark.sql.catalyst.analysis
+        .NoSuchTableException(ident))
+    val m = new java.util.HashMap[String, String]()
+    props.foreach { case (k, v) => m.put(k, v) }
+    if (partCols.nonEmpty) m.put("partitionBy", partCols.mkString(","))
+    new DelimPartitionedTable(schema, new CaseInsensitiveStringMap(m), partCols)
+  }
+
+  override def createTable(
+      ident: Identifier, schema: StructType, partitions: Array[Transform],
+      properties: java.util.Map[String, String]): Table = {
+    val partCols = partitions.toSeq.map {
+      case t if t.name == "identity" && t.references.length == 1 =>
+        t.references.head.fieldNames.mkString(".")
+      case other => throw new UnsupportedOperationException(
+        s"graft-delim catalog: only identity partitioning, got $other")
+    }
+    partCols.foreach { c =>
+      require(schema.fieldNames.contains(c),
+        s"graft-delim catalog: partition column $c not in the table schema")
+    }
+    // OPTIONS arrive "option."-prefixed; LOCATION as "location"
+    val opts = properties.asScala.collect {
+      case (k, v) if k.startsWith(TableCatalog.OPTION_PREFIX) =>
+        k.stripPrefix(TableCatalog.OPTION_PREFIX) -> v
+    }.toMap
+    val path = opts.getOrElse("path",
+      Option(properties.get(TableCatalog.PROP_LOCATION)).getOrElse(
+        throw new IllegalArgumentException(
+          "graft-delim catalog: LOCATION or OPTIONS(path ...) required")))
+    val props = opts + ("path" -> path)
+    val hp = new HPath(path)
+    hp.getFileSystem(DelimV2.driverConf()).mkdirs(hp)
+    tables.put(key(ident), (schema, partCols, props))
+    loadTable(ident)
+  }
+
+  override def alterTable(ident: Identifier, changes: TableChange*): Table =
+    throw new UnsupportedOperationException(
+      "graft-delim catalog: ALTER TABLE column changes not supported")
+
+  override def dropTable(ident: Identifier): Boolean =
+    tables.remove(key(ident)) != null
+
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {
+    val e = tables.remove(key(oldIdent))
+    if (e == null)
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(oldIdent)
+    tables.put(key(newIdent), e)
+  }
+
+  // ------------------------------------------------------- namespaces
+
+  override def listNamespaces(): Array[Array[String]] = Array(Array("default"))
+
+  override def listNamespaces(namespace: Array[String]): Array[Array[String]] =
+    Array.empty
+
+  override def loadNamespaceMetadata(
+      namespace: Array[String]): java.util.Map[String, String] = {
+    if (namespace.nonEmpty && !namespaceExists(namespace))
+      throw new org.apache.spark.sql.catalyst.analysis
+        .NoSuchNamespaceException(namespace)
+    java.util.Collections.emptyMap()
+  }
+
+  override def namespaceExists(namespace: Array[String]): Boolean =
+    namespace.isEmpty || namespace.sameElements(Array("default")) ||
+      tables.keySet().asScala.exists(_.startsWith(namespace.mkString(".") + "."))
+
+  override def createNamespace(
+      namespace: Array[String], metadata: java.util.Map[String, String]): Unit = ()
+
+  override def alterNamespace(
+      namespace: Array[String], changes: NamespaceChange*): Unit =
+    throw new UnsupportedOperationException("graft-delim catalog: ALTER NAMESPACE")
+
+  override def dropNamespace(
+      namespace: Array[String], cascade: Boolean): Boolean = false
+}
+
+object GraftCatalog {
+  /** Conf key under which [[graft.GraftSession]] registers the catalog. */
+  val Name = "graft_cat"
+
+  def register(spark: SparkSession): Unit =
+    spark.conf.set(s"spark.sql.catalog.$Name", classOf[GraftCatalog].getName)
+}
+
+/** A catalog-managed [[DelimTable]] with native partition DDL: the
+  * partition list is the `k=v` DIRECTORY tree (so an `ADD PARTITION`
+  * with no rows yet still lists, Hive-style); `DROP PARTITION` swaps
+  * the snapshot manifest BEFORE deleting the subtree, keeping
+  * concurrent readers on a consistent generation.
+  */
+private[v2] class DelimPartitionedTable(
+    tableSchema: StructType, options: CaseInsensitiveStringMap,
+    partCols: Seq[String])
+    extends DelimTable(tableSchema, options) with SupportsPartitionManagement {
+
+  private def root = new HPath(DelimV2.paths(options).head)
+  private def fs = root.getFileSystem(DelimV2.driverConf())
+
+  override def partitionSchema(): StructType =
+    StructType(partCols.map(c => tableSchema(c)))
+
+  /** `k=v/...` subdirectory for a partition identifier, formatted
+    * exactly as the writer lays partitions out (null → the Hive
+    * default-partition token).
+    */
+  private def subdirOf(ident: InternalRow): String = {
+    val ps = partitionSchema()
+    ps.fields.zipWithIndex.map { case (f, i) =>
+      val v =
+        if (ident.isNullAt(i)) DelimV2.HiveDefaultPartition
+        else ident.get(i, f.dataType) match {
+          case u: org.apache.spark.unsafe.types.UTF8String => u.toString
+          case d: java.lang.Integer
+              if f.dataType == org.apache.spark.sql.types.DateType =>
+            java.time.LocalDate.ofEpochDay(d.toLong).toString
+          case other => other.toString
+        }
+      s"${f.name}=$v"
+    }.mkString("/")
+  }
+
+  override def createPartition(
+      ident: InternalRow, properties: java.util.Map[String, String]): Unit = {
+    val d = new HPath(root, subdirOf(ident))
+    if (fs.exists(d))
+      throw new org.apache.spark.sql.catalyst.analysis
+        .PartitionsAlreadyExistException(name(), ident, partitionSchema())
+    fs.mkdirs(d)
+  }
+
+  override def dropPartition(ident: InternalRow): Boolean = {
+    val sub = subdirOf(ident)
+    val d = new HPath(root, sub)
+    if (!fs.exists(d)) return false
+    // manifest swap FIRST: readers stop seeing the partition's rows
+    // atomically; the subtree delete that follows only reclaims bytes
+    // no snapshot references anymore
+    DelimV2.readManifest(fs, root).foreach { entries =>
+      DelimV2.writeManifest(fs, root,
+        entries.filterNot(_._2.startsWith(sub + "/")))
+    }
+    fs.delete(d, true)
+  }
+
+  override def replacePartitionMetadata(
+      ident: InternalRow, properties: java.util.Map[String, String]): Unit = ()
+
+  override def loadPartitionMetadata(
+      ident: InternalRow): java.util.Map[String, String] =
+    java.util.Collections.emptyMap()
+
+  /** Partition identifiers from the DIRECTORY tree (in path order),
+    * optionally prefix-filtered by `names`/`ident` (the
+    * `SHOW PARTITIONS ... PARTITION(k=v)` form).
+    */
+  override def listPartitionIdentifiers(
+      names: Array[String], ident: InternalRow): Array[InternalRow] = {
+    val ps = partitionSchema()
+    val types = ps.fields.map(_.dataType)
+    def walk(dir: HPath, depth: Int, acc: Array[Any]): Seq[Array[Any]] =
+      if (depth == partCols.length) Seq(acc)
+      else Option(fs.listStatus(dir)).getOrElse(Array.empty).toSeq
+        .filter(_.isDirectory)
+        .flatMap { st =>
+          val n = st.getPath.getName
+          val eq = n.indexOf('=')
+          if (eq <= 0 || n.substring(0, eq) != partCols(depth)) Nil
+          else {
+            val raw = n.substring(eq + 1)
+            val ext =
+              if (raw == DelimV2.HiveDefaultPartition) null
+              else DelimV2.parseExternal(raw, types(depth))
+            walk(st.getPath, depth + 1,
+              acc :+ DelimV2.toInternal(ext, types(depth)))
+          }
+        }
+    val rows = walk(root, 0, Array.empty).map(vs => new GenericInternalRow(vs))
+    val nameIdx = names.map(n => partCols.indexOf(n))
+    rows.filter { r =>
+      nameIdx.zipWithIndex.forall { case (pi, fi) =>
+        val want = ident.get(fi, types(pi))
+        val got = r.get(pi, types(pi))
+        (want == null && got == null) || (want != null && want == got)
+      }
+    }.toArray
+  }
+}

@@ -91,6 +91,11 @@ class PlanAuditSpec extends SparkFunSuite {
       // IVF/PQ siblings (the production ADC path is the cell-gated
       // equi join; the cartesian is topKBruteForce's verdict side)
       "similarity_ivfpq_topk",
+      // round 16: exact all-pairs recall baseline + 1-row verdict
+      // crosses; the production path (Dedup.embeddingNearDups) is
+      // cell-keyed equi-joins end to end, pinned cartesian-free by the
+      // dedicated test below
+      "dedup_embedding_ann",
       // 1-row summary crossJoin (sketch estimate × exact count):
       "hll_union_estimate", "hll_sketch_roundtrip",
       // 1-row summary crosses ONLY (round 13 moved the edge source to
@@ -162,6 +167,38 @@ class PlanAuditSpec extends SparkFunSuite {
     assert(p.contains("tok"), p)
     assert(!p.contains("rangepartitioning"),
       s"prefix selection plans a global sort:\n$p")
+  }
+
+  test("embedding dedup production path: cell-keyed equi-joins, never corpus×corpus") {
+    // the SemDeDup pipeline's candidate generation must be the per-cell
+    // equi-join (cells shuffled on the cell key, vectors re-attached by
+    // id); the exact all-pairs corpus join exists only in the
+    // certification query's baseline lens, not here. The
+    // BroadcastNestedLoopJoins that DO appear are the N×c scoring of
+    // every vector against the BROADCAST centroid table (c = nCentroids,
+    // bounded by a TakeOrdered seed) — linear in the corpus, the
+    // standard IVF assignment shape shared with the similarity_ivf*
+    // queries; a corpus×corpus join would have no broadcast side.
+    val e = graft.ext.SimSearch.clusteredView(
+      graft.core.Tables.embeddings(spark, sf001), "vec_id", "embedding",
+      nClusters = 20, mix = 0.15)
+    val (assign, candidates) = graft.ext.Dedup.embeddingNearDups(
+      e, "vec_id", "embedding", 0.6, nCentroids = 16, nProbe = 2,
+      lloydIters = 0)
+    for (df <- Seq(assign, candidates)) {
+      val p = df.queryExecution.explainString(FormattedMode)
+      assert(!p.contains("CartesianProduct"),
+        s"cartesian in the embedding-dedup production path:\n$p")
+      // every nested-loop join must be against a broadcast (the
+      // centroid table); the candidate pair join itself is keyed
+      assert(!p.contains("BroadcastNestedLoopJoin") ||
+        p.contains("BroadcastExchange"), p)
+    }
+    val cp = candidates.queryExecution.explainString(FormattedMode)
+    assert("(?s)(SortMergeJoin|ShuffledHashJoin).*cell".r
+      .findFirstIn(cp).isDefined ||
+      "Left keys.*cell".r.findFirstIn(cp).isDefined,
+      s"candidate generation is not a cell-keyed equi-join:\n$cp")
   }
 
   test("contamination screen joins map-side against a broadcast shingle set") {

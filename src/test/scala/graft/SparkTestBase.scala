@@ -16,6 +16,9 @@ object TestSpark {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+      // the graft-delim partition-DDL catalog, like GraftSession wires it
+      .config("spark.sql.catalog.graft_cat",
+        classOf[graft.sources.v2.GraftCatalog].getName)
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s

@@ -809,6 +809,82 @@ class DelimV2Spec extends SparkFunSuite {
       Option(err.getCause).exists(_.getMessage.contains("quoting is disabled")))
   }
 
+  test("manifest snapshot: committed list is authoritative, stray files invisible") {
+    val dir = tempDir("delimv2-manifest")
+    Seq((1L, 10.0), (2L, 20.0)).toDF("id", "v")
+      .write.format("graft-delim").mode("overwrite").save(s"$dir/out")
+    assert(Files.exists(Paths.get(s"$dir/out/_manifest")))
+    // a file dropped into the directory OUTSIDE a commit is not part of
+    // any snapshot and must not be read
+    write(s"$dir/out/stray.txt", "99|999.0\n")
+    val back = spark.read.format("graft-delim")
+      .schema("id BIGINT, v DOUBLE").load(s"$dir/out")
+    assert(back.agg(sum($"v")).head.getDouble(0) === 30.0)
+    // manifest lengths match the files (readers never stat data files)
+    val fs = new org.apache.hadoop.fs.Path(s"$dir/out")
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val entries = graft.sources.v2.DelimV2.readManifest(
+      fs, new org.apache.hadoop.fs.Path(s"$dir/out")).get
+    entries.foreach { case (len, rel) =>
+      assert(len === new java.io.File(s"$dir/out/$rel").length(), rel)
+    }
+  }
+
+  test("manifest snapshot: a reader planned mid-overwrite sees old XOR new, never a mix") {
+    val dir = tempDir("delimv2-snapiso")
+    val hp = new org.apache.hadoop.fs.Path(s"$dir/out")
+    val fs = hp.getFileSystem(spark.sessionState.newHadoopConf())
+    def total(): Double = spark.read.format("graft-delim")
+      .schema("id BIGINT, v DOUBLE").load(s"$dir/out")
+      .agg(sum($"v")).head.getDouble(0)
+    Seq((1L, 1.0), (2L, 2.0)).toDF("id", "v")
+      .write.format("graft-delim").mode("overwrite").save(s"$dir/out")
+    assert(total() === 3.0)
+    // PHASE 1 of a new overwrite: the new generation's files land
+    // (generation-unique names) but the manifest has NOT swapped —
+    // readers still see exactly the old snapshot
+    write(s"$dir/out/part-00000-777-deadbeef.txt", "3|100.0\n4|200.0\n")
+    assert(total() === 3.0, "reader saw uncommitted generation")
+    // PHASE 2: the atomic manifest swap — readers now see exactly the
+    // new snapshot (old files still on disk until phase 3 deletes them)
+    graft.sources.v2.DelimV2.writeManifest(fs, hp,
+      Seq((18L, "part-00000-777-deadbeef.txt")))
+    assert(total() === 300.0, "reader saw a mixed or stale generation")
+    // and a REAL overwrite ends with only its own generation live
+    Seq((9L, 9.0)).toDF("id", "v")
+      .write.format("graft-delim").mode("overwrite").save(s"$dir/out")
+    assert(total() === 9.0)
+    val live = graft.sources.v2.DelimV2.readManifest(fs, hp).get.map(_._2)
+    assert(live.size === 1)
+    // dead generations' files were deleted at commit
+    assert(!new java.io.File(s"$dir/out/part-00000-777-deadbeef.txt").exists())
+  }
+
+  test("manifest snapshot: streaming epochs append exactly-once entries") {
+    val dir = tempDir("delimv2-streammanifest")
+    for (b <- 0 until 3)
+      spark.range(b * 10, (b + 1) * 10).select($"id")
+        .coalesce(1).write.parquet(s"$dir/src/b$b")
+    val src = spark.readStream.schema("id BIGINT")
+      .option("maxFilesPerTrigger", "1").parquet(s"$dir/src/b*")
+    val q = src.writeStream.format("graft-delim")
+      .option("path", s"$dir/out")
+      .option("checkpointLocation", s"$dir/ckpt")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val hp = new org.apache.hadoop.fs.Path(s"$dir/out")
+    val fs = hp.getFileSystem(spark.sessionState.newHadoopConf())
+    val entries = graft.sources.v2.DelimV2.readManifest(fs, hp).get
+    assert(entries.size === entries.map(_._2).distinct.size)
+    val back = spark.read.format("graft-delim")
+      .schema("id BIGINT").load(s"$dir/out")
+    assert(back.count() === 30)
+    assert(entries.size === new java.io.File(s"$dir/out").listFiles()
+      .count(_.getName.endsWith(".txt")))
+  }
+
   test("statistics report pruned width (broadcast-eligible estimate)") {
     val dir = tempDir("delimv2-stats")
     write(s"$dir/f.txt", (1 to 1000).map(i => s"$i|${"x" * 50}|$i|$i").mkString("\n"))

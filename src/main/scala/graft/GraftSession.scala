@@ -56,6 +56,10 @@ object GraftSession {
       // ALTER TABLE ADD|DROP PARTITION on k=v trees)
       .config(s"spark.sql.catalog.${graft.sources.v2.GraftCatalog.Name}",
         classOf[graft.sources.v2.GraftCatalog].getName)
+      // storage-partitioned reads: honor a V2 scan's reported
+      // key-grouped partitioning (graft-delim `clustered` reads elide
+      // the Exchange for groupBy/join on the layout key)
+      .config("spark.sql.sources.v2.bucketing.enabled", "true")
       // RocksDB is the DEFAULT state store provider for every stateful
       // streaming query, not just the transformWithState tier that
       // requires it: at production state volume the in-memory provider

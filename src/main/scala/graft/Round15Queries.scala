@@ -65,9 +65,10 @@ object Round15Queries {
        |WHERE e.event_type = 'purchase'""".stripMargin
 
   /** Shared runner for the lateral as-of certifications. */
-  private def runLateralAsof(
+  private[graft] def runLateralAsof(
       s: SparkSession, dir: String, name: String, sql: String,
-      tolMicros: Option[Long] = None): DataFrame = {
+      tolMicros: Option[Long] = None,
+      nearest: Boolean = false): DataFrame = {
     plans.AsOfRewriteRule.installLate(s)
     val key = plans.AsOfRewriteRule.EnabledKey
     val prev = s.conf.getOption(key)
@@ -78,10 +79,12 @@ object Round15Queries {
       val opt = df.queryExecution.optimizedPlan
       val nodes = opt.collect {
         case p: plans.AsOfJoinPlan
-            if !p.forward && p.toleranceMicros == tolMicros => p
+            if !p.forward && p.toleranceMicros == tolMicros &&
+              p.nearest == nearest => p
       }
       require(nodes.nonEmpty,
-        s"lateral as-of rewrite did not fire with tol=$tolMicros:\n$opt")
+        s"lateral as-of rewrite did not fire with tol=$tolMicros " +
+          s"nearest=$nearest:\n$opt")
       val leftoverRanking = opt.collect {
         case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
         case w: org.apache.spark.sql.catalyst.plans.logical.WindowGroupLimit => w

@@ -22,6 +22,25 @@ import graft.ext.{Dedup, SimSearch}
   */
 object Round16Queries {
 
+  /** Shared DuckDB oracle for both nearest-as-of certifications. */
+  private val NearestOracleSql =
+    """WITH clicks AS (
+      |  SELECT user_id AS q_user, ts AS q_ts, max(event_id) AS q_id
+      |  FROM events
+      |  WHERE event_type = 'click'
+      |  GROUP BY 1, 2)
+      |SELECT e.event_id, e.user_id,
+      |       (SELECT q_ts FROM clicks q
+      |        WHERE q.q_user = e.user_id
+      |        ORDER BY abs(epoch_us(q.q_ts) - epoch_us(e.ts)), q.q_ts
+      |        LIMIT 1) AS near_ts,
+      |       (SELECT q_id FROM clicks q
+      |        WHERE q.q_user = e.user_id
+      |        ORDER BY abs(epoch_us(q.q_ts) - epoch_us(e.ts)), q.q_ts
+      |        LIMIT 1) AS near_id
+      |FROM events e
+      |WHERE e.event_type = 'error'""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // documents.text pushed through sink → scan with adversarial
@@ -77,6 +96,33 @@ object Round16Queries {
           sum(col("o_orderkey")).as("key_sig"))
     },
 
+    // SupportsReportPartitioning: a `clustered` read reports the k=v
+    // layout as KeyGroupedPartitioning, so the groupBy on the layout
+    // key plans WITHOUT an Exchange — the co-located-aggregation win
+    // core.Bucketing proves for parquet, now native to the connector
+    // (at 100 TB this deletes the full-table shuffle that normally
+    // precedes every per-partition rollup). The require pins the
+    // shuffle-free plan; the oracle recomputes the rollup from parquet.
+    "delim_v2_clustered_agg" -> { (s, dir) =>
+      val out = CoreQueries.scratchDir("delim_v2_clustered_agg")
+      Tables.events(s, dir)
+        .select(col("event_id"), col("user_id"), col("value"), col("event_type"))
+        .write.format("graft-delim").option("partitionBy", "event_type")
+        .mode("overwrite").save(s"$out/t")
+      val df = s.read.format("graft-delim")
+        .schema("event_id BIGINT, user_id BIGINT, value DOUBLE, event_type STRING")
+        .option("clustered", "true")
+        .load(s"$out/t")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          round(sum(col("value")), 2).as("sum_value"),
+          countDistinct(col("user_id")).as("n_users"))
+      val plan = df.queryExecution.executedPlan.toString
+      require(!plan.contains("Exchange"),
+        s"clustered read did not elide the aggregation shuffle:\n$plan")
+      df
+    },
+
     // Partition DDL front door (the reference's S1 surface,
     // verizon_automation_script.sh:104,138): `SHOW PARTITIONS` against a
     // `CREATE TABLE ... USING graft-delim PARTITIONED BY ... LOCATION`
@@ -96,6 +142,57 @@ object Round16Queries {
         (event_id BIGINT, user_id BIGINT, value DOUBLE, event_type STRING)
         USING `graft-delim` PARTITIONED BY (event_type) LOCATION '$out/t'""")
       s.sql("SHOW PARTITIONS graft_cat.default.show_parts_events")
+    },
+
+    // NEAREST-mode as-of (the third direction after backward/forward):
+    // match the click minimizing |Δt| around each error event,
+    // equidistant tie → the PRIOR row. Same O(1)-state single-pass
+    // merge — the backward advance leaves the earliest FOLLOWING row
+    // as the unconsumed head, so nearest costs exactly one extra
+    // comparison per left row. Oracle: DuckDB's correlated min-abs
+    // top-1 (ORDER BY abs LIMIT 1 with the same prior tie-break).
+    "asof_join_nearest" -> { (s, dir) =>
+      val ev = Tables.events(s, dir)
+      val errors = ev.filter(col("event_type") === "error")
+        .select("event_id", "user_id", "ts")
+      val clicks = ev.filter(col("event_type") === "click")
+        .groupBy(col("user_id").as("c_user"), col("ts").as("c_ts"))
+        .agg(max("event_id").as("c_id"))
+        .select(col("c_user"), col("c_ts"), col("c_ts").as("near_ts"), col("c_id"))
+      val df = plans.AsOfJoinNative.join(errors, clicks, "user_id", "c_user",
+          "ts", "c_ts", Seq("near_ts", "c_id"), nearest = true)
+        .select(col("event_id"), col("user_id"), col("near_ts"),
+          col("c_id").as("near_id"))
+      require(df.queryExecution.optimizedPlan.collect {
+        case p: plans.AsOfJoinPlan if p.nearest => p }.nonEmpty,
+        "nearest as-of operator missing from plan")
+      df
+    },
+
+    // The SQL spelling of nearest: LATERAL `ORDER BY abs(q_ts - e.ts),
+    // q_ts LIMIT 1` (the rt ASC tie-break IS the operator's
+    // tie → prior rule; the IS NOT NULL conjuncts are the grammar's
+    // null-evidence requirement — without a theta to reject null
+    // times, a null would win the NULLS FIRST sort in the subquery but
+    // never match the operator). Spark's analyzer rejects the
+    // correlated expression directly in ORDER BY, so the portable
+    // spelling projects the distance as a select-list alias.
+    // Decorrelation builds an UNCONDITIONED domain × clicks cross join
+    // around it — AsOfRewriteRule collapses the whole sandwich onto
+    // AsOfJoinPlan(nearest), require'd by the shared runner.
+    "asof_lateral_nearest_auto" -> { (s, dir) =>
+      Round15Queries.runLateralAsof(s, dir, "asof_lateral_nearest_auto",
+        """SELECT e.event_id, e.user_id, q.q_ts AS near_ts, q.q_id AS near_id
+          |FROM asql15_events e LEFT OUTER JOIN LATERAL (
+          |  SELECT q_ts, q_id, abs(q.q_ts - e.ts) AS d FROM (
+          |    SELECT user_id AS q_user, ts AS q_ts, max(event_id) AS q_id
+          |    FROM asql15_events
+          |    WHERE event_type = 'click'
+          |    GROUP BY 1, 2) q
+          |  WHERE q.q_user = e.user_id AND q.q_ts IS NOT NULL
+          |  ORDER BY d, q_ts LIMIT 1) q ON true
+          |WHERE e.event_type = 'error' AND e.ts IS NOT NULL""".stripMargin,
+        nearest = true)
     },
 
     // Scalable embedding-space dedup (SemDeDup shape) — closes the one
@@ -163,6 +260,19 @@ object Round16Queries {
     "delim_v2_show_partitions" ->
       """SELECT DISTINCT 'event_type=' || event_type AS partition
         |FROM events""".stripMargin,
+
+    "delim_v2_clustered_agg" ->
+      """SELECT event_type, count(*) AS n_events,
+        |       round(sum("value"), 2) AS sum_value,
+        |       count(DISTINCT user_id) AS n_users
+        |FROM events
+        |GROUP BY 1""".stripMargin,
+
+    // correlated min-|Δt| top-1 with the identical prior tie-break;
+    // epoch arithmetic because DuckDB's interval abs and Spark's
+    // timestamp subtraction spell differently, same ordering
+    "asof_join_nearest" -> NearestOracleSql,
+    "asof_lateral_nearest_auto" -> NearestOracleSql,
 
     // exact all-pairs baseline over the SAME planted-cluster view the
     // engine deduplicates (count + id signature recomputed from the

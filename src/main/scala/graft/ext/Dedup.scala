@@ -872,15 +872,40 @@ object Dedup {
         * rule is salt-independent; the pair lands in the lane of its
         * container's hash) — recall stays 1.0, unlike a df-cut.
         */
-      hotTokenDf: Long = 0L, hotTokenSalts: Int = 16): DataFrame = {
+      hotTokenDf: Long = 0L, hotTokenSalts: Int = 16,
+      /** BROADCAST cutover for the candidate join (rep-group count at
+        * or below this broadcasts the prefix side): a BroadcastHashJoin
+        * probes from the POSTINGS side's uniform partitioning, so the
+        * candidate production parallelism follows data placement, not
+        * the token-key distribution — on a small-vocabulary corpus the
+        * shuffle join funnels all work through |distinct prefix tokens|
+        * tasks (measured 4.6 s → 1.5 s at sf0.1, 18 tokens on 32
+        * cores). Budget: ~5 prefix rows × ~400 B per rep ≈ 200 MB of
+        * broadcast at the default; at 100 TB the prefix side is
+        * corpus-sized and the shuffle join (+ hot-token lanes for
+        * clique skew) is the path. Same size-gated physical-strategy
+        * discipline as `MinHashParams.bruteForceMaxDocs`; 0 forces the
+        * shuffle join.
+        */
+      broadcastPrefixMaxDocs: Long = 100000L): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0, s"threshold: $threshold")
     GraftFunctions.register(docs.sparkSession)
     import org.apache.spark.sql.expressions.Window
-    val sets = CacheScope.cached(docs.select(
+    // IDENTICAL-SET COLLAPSE: docs with the same shingle set are one
+    // node in the join (the same move nearDupClusters makes) — the
+    // prefix join, dedup, and verification all run on group
+    // REPRESENTATIVES, and member pairs are expanded afterwards by
+    // cheap keyed joins (within a group, containment is exactly 1.0;
+    // across groups, every member pair shares its reps' value). On the
+    // dup-dense fixture this cuts the verified candidate volume ~40%.
+    val groups = CacheScope.cached(docs.select(
         col(idCol).as("id"),
         Text.hashedShingleSet(col(textCol), shingleN).as("s"))
       .withColumn("sz", size(col("s")))
-      .filter(col("sz") > 0))
+      .filter(col("sz") > 0)
+      .groupBy(col("s"), col("sz"))
+      .agg(min("id").as("id"), collect_list("id").as("members")))
+    val sets = groups.select(col("id"), col("s"), col("sz"))
     val toks = sets.select(col("id"), col("sz"), explode(col("s")).as("tok"))
     val dfreq = toks.groupBy("tok").agg(count(lit(1)).as("df"))
     // Rarest-first rank within each document; the prefix keeps the
@@ -923,7 +948,7 @@ object Dedup {
       .select(col("id").as("id_x"), col("sz").as("sz_x"),
         col("s").as("s_x"), col("parr"))
       .select(col("id_x"), col("sz_x"), col("s_x"), col("parr"),
-        explode(col("parr")).as("tok"))
+        posexplode(col("parr")).as(Seq("pi", "tok")))
     val fy0 = sets
       .select(col("id").as("id_y"), col("sz").as("sz_y"),
         col("s").as("s_y"), explode(col("s")).as("tok"))
@@ -949,21 +974,57 @@ object Dedup {
           .drop("is_hot")
         (pxh, fyh)
       }
-    // codegen'd kernel — the HOF spelling (element_at(filter(...)))
-    // is interpreted and knocks the join out of whole-stage codegen
-    def firstShared = call_function(
-      "graft_sorted_first_contained", col("parr"), col("s_y"))
-    def inter = call_function(
-      "graft_sorted_intersect_count", col("s_x"), col("s_y")).cast("double")
-    px.join(fy, px("tok") === fy("tok") && px("lane") === fy("lane") &&
-        (col("sz_x") < col("sz_y") ||
-          (col("sz_x") === col("sz_y") && col("id_x") < col("id_y"))) &&
-        px("tok") === firstShared &&
-        inter >= lit(threshold) * least(col("sz_x"), col("sz_y")))
-      .select(
-        least(col("id_x"), col("id_y")).as("id_a"),
-        greatest(col("id_x"), col("id_y")).as("id_b"),
-        round(inter / least(col("sz_x"), col("sz_y")), 6).as("containment"))
+    // FUSED codegen'd kernel (functions.ContainmentVerify): first-shared
+    // dedup + merge-intersect with the PPJoin positional early abort in
+    // ONE generated block per joined row — the HOF spelling
+    // (element_at(filter(...))) is interpreted and knocks the join out
+    // of whole-stage codegen, and the unfused two-kernel form paid a
+    // second array decode plus full merges on failing candidates
+    def ver = call_function("graft_containment_verify",
+      col("parr"), col("pi"), col("s_x"), col("s_y"), lit(threshold))
+      .cast("double")
+    def orient = col("sz_x") < col("sz_y") ||
+      (col("sz_x") === col("sz_y") && col("id_x") < col("id_y"))
+    def verified = ver >= lit(threshold) * least(col("sz_x"), col("sz_y"))
+    // the broadcast cutover needs the rep count; groups is cached, so
+    // this is a metadata-cheap action (same move the LSH cutover makes)
+    val nReps = sets.count()
+    val joined =
+      if (broadcastPrefixMaxDocs > 0 && nReps <= broadcastPrefixMaxDocs) {
+        // skew-free shape: probe-side partitioning (uniform round-robin)
+        // carries the parallelism; lanes are pointless here
+        val par = docs.sparkSession.sparkContext.defaultParallelism
+        fy0.repartition(par).join(broadcast(px0),
+          px0("tok") === fy0("tok") && orient && verified)
+      } else
+        px.join(fy,
+          px("tok") === fy("tok") && px("lane") === fy("lane") &&
+            orient && verified)
+    val repPairs = joined
+      .select(col("id_x"), col("id_y"),
+        // the pair passed, so no abort can fire: the plain merge kernel
+        // recomputes the count without re-walking the prefix scan
+        round(call_function("graft_sorted_intersect_count",
+            col("s_x"), col("s_y")).cast("double")
+          / least(col("sz_x"), col("sz_y")), 6).as("containment"))
+    // expand rep pairs to member pairs (keyed joins against the small
+    // group table), plus the intra-group pairs (identical sets:
+    // containment exactly 1.0, qualifying at any threshold <= 1)
+    val mem = groups.select(col("id").as("rep"), col("members"))
+    val cross = repPairs
+      .join(mem.select(col("rep").as("id_x"), col("members").as("mx")), Seq("id_x"))
+      .join(mem.select(col("rep").as("id_y"), col("members").as("my")), Seq("id_y"))
+      .select(col("containment"), explode(col("mx")).as("ida"), col("my"))
+      .select(col("containment"), col("ida"), explode(col("my")).as("idb"))
+      .select(least(col("ida"), col("idb")).as("id_a"),
+        greatest(col("ida"), col("idb")).as("id_b"), col("containment"))
+    val intra = groups.filter(size(col("members")) > 1)
+      .select(explode(col("members")).as("ida"), col("members"))
+      .select(col("ida"), explode(col("members")).as("idb"))
+      .filter(col("ida") < col("idb"))
+      .select(col("ida").as("id_a"), col("idb").as("id_b"),
+        lit(1.0).as("containment"))
+    cross.unionByName(intra)
   }
 
   /** Exact n-gram Jaccard pairs from the INVERTED INDEX — the same

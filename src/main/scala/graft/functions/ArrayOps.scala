@@ -303,3 +303,139 @@ case class SortedFirstContained(left: Expression, right: Expression)
       newLeft: Expression, newRight: Expression): SortedFirstContained =
     copy(left = newLeft, right = newRight)
 }
+
+/** The containment-join verification kernel, fused: for a candidate row
+  * (prefix array `parr` of the containee, the PREFIX POSITION `pi` the
+  * join matched at, both full SORTED shingle sets), in ONE generated-
+  * code block:
+  *  1. FIRST-SHARED dedup — the pair materializes only at the df-first
+  *    prefix shingle present in the container's set. The join key
+  *    already guarantees parr[pi] is in the container, so the check
+  *    reduces to "none of parr[0..pi-1] is" — pi membership probes,
+  *    zero for the pi = 0 rows, instead of re-searching the matched
+  *    token itself;
+  *  2. merge-intersect of the two sorted sets with the PPJoin-style
+  *    POSITIONAL early abort: at merge position (i, j) with m matches,
+  *    at most m + min(|x|-i, |y|-j) matches are still reachable — as
+  *    soon as that upper bound fails the caller's threshold compare
+  *    (evaluated on the SAME doubles), the merge stops.
+  * Returns the exact intersection count, or -1 when the row is deduped
+  * away or provably below threshold (the caller's `>= t*min(sz)`
+  * predicate then fails, exactly as if the full count had been
+  * compared — the abort tests the bound with the identical double
+  * arithmetic, so no passing pair is ever cut).
+  *
+  * Fusing matters because the unfused pipeline ran the first-shared
+  * scan on EVERY joined row and the full merge on every survivor — two
+  * kernel evaluations and no abort; this is one evaluation and a
+  * bounded merge (measured on the sf0.1 containment query: the two
+  * kernels were ~4.7 s of a 9.3 s join).
+  */
+case class ContainmentVerify(
+    parr: Expression, pos: Expression,
+    sx: Expression, sy: Expression, threshold: Double)
+    extends org.apache.spark.sql.catalyst.expressions.QuaternaryExpression {
+
+  override def first: Expression = parr
+  override def second: Expression = pos
+  override def third: Expression = sx
+  override def fourth: Expression = sy
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "graft_containment_verify"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (parr.dataType, pos.dataType, sx.dataType, sy.dataType) match {
+      case (ArrayType(LongType, _), IntegerType,
+          ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (array<bigint>, int, array<bigint>, " +
+          s"array<bigint>), got $other")
+    }
+
+  override def nullSafeEval(p0: Any, t0: Any, x0: Any, y0: Any): Any = {
+    val p = p0.asInstanceOf[ArrayData]
+    val pi = t0.asInstanceOf[Int]
+    val x = x0.asInstanceOf[ArrayData]
+    val y = y0.asInstanceOf[ArrayData]
+    val ny = y.numElements()
+    // 1. first-shared dedup: no EARLIER prefix shingle may be in y
+    //    (the join key guarantees parr(pi) itself is)
+    var k = 0
+    while (k < pi) {
+      val v = p.getLong(k)
+      var lo = 0; var hi = ny - 1
+      while (lo <= hi) {
+        val mid = (lo + hi) >>> 1
+        val mv = y.getLong(mid)
+        if (mv == v) return java.lang.Integer.valueOf(-1)
+        else if (mv < v) lo = mid + 1
+        else hi = mid - 1
+      }
+      k += 1
+    }
+    // 2. merge with positional early abort
+    val nx = x.numElements()
+    val limit = threshold * math.min(nx, ny)
+    var i = 0; var j = 0; var m = 0
+    while (i < nx && j < ny) {
+      if ((m + math.min(nx - i, ny - j)).toDouble < limit)
+        return java.lang.Integer.valueOf(-1)
+      val xv = x.getLong(i); val yv = y.getLong(j)
+      if (xv == yv) { m += 1; i += 1; j += 1 }
+      else if (xv < yv) i += 1
+      else j += 1
+    }
+    java.lang.Integer.valueOf(m)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (p, t, x, y) => {
+      val ny = ctx.freshName("ny")
+      val nx = ctx.freshName("nx")
+      val k = ctx.freshName("k"); val v = ctx.freshName("v")
+      val lo = ctx.freshName("lo"); val hi = ctx.freshName("hi")
+      val mid = ctx.freshName("mid"); val mv = ctx.freshName("mv")
+      val dup = ctx.freshName("dup")
+      val i = ctx.freshName("i"); val j = ctx.freshName("j")
+      val m = ctx.freshName("m"); val lim = ctx.freshName("lim")
+      val xv = ctx.freshName("xv"); val yv = ctx.freshName("yv")
+      val rem = ctx.freshName("rem")
+      s"""
+         |int $ny = $y.numElements();
+         |boolean $dup = false;
+         |for (int $k = 0; $k < $t && !$dup; $k++) {
+         |  long $v = $p.getLong($k);
+         |  int $lo = 0, $hi = $ny - 1;
+         |  while ($lo <= $hi) {
+         |    int $mid = ($lo + $hi) >>> 1;
+         |    long $mv = $y.getLong($mid);
+         |    if ($mv == $v) { $dup = true; break; }
+         |    else if ($mv < $v) $lo = $mid + 1;
+         |    else $hi = $mid - 1;
+         |  }
+         |}
+         |${ev.value} = -1;
+         |if (!$dup) {
+         |  int $nx = $x.numElements();
+         |  double $lim = $threshold * (double) java.lang.Math.min($nx, $ny);
+         |  int $i = 0, $j = 0, $m = 0;
+         |  while ($i < $nx && $j < $ny) {
+         |    int $rem = $m + java.lang.Math.min($nx - $i, $ny - $j);
+         |    if ((double) $rem < $lim) { $m = -1; break; }
+         |    long $xv = $x.getLong($i);
+         |    long $yv = $y.getLong($j);
+         |    if ($xv == $yv) { $m++; $i++; $j++; }
+         |    else if ($xv < $yv) $i++;
+         |    else $j++;
+         |  }
+         |  ${ev.value} = $m;
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression,
+      newThird: Expression, newFourth: Expression): ContainmentVerify =
+    copy(parr = newFirst, pos = newSecond, sx = newThird, sy = newFourth)
+}

@@ -117,6 +117,12 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction(
       "graft_sorted_first_contained",
       exprs => SortedFirstContained(exprs(0), exprs(1)), "built-in")
+    // threshold is baked into the generated merge-abort bound, so it
+    // must be a foldable literal
+    reg.createOrReplaceTempFunction(
+      "graft_containment_verify",
+      exprs => ContainmentVerify(exprs(0), exprs(1), exprs(2), exprs(3),
+        exprs(4).eval().asInstanceOf[Number].doubleValue()), "built-in")
     // k and seed must be foldable literals: they parameterize the hash
     // family baked into the generated code.
     reg.createOrReplaceTempFunction(

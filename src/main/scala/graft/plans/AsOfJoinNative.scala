@@ -60,7 +60,11 @@ case class AsOfJoinPlan(
     leftTime: Expression,
     rightTime: Expression,
     forward: Boolean,
-    toleranceMicros: Option[Long]) extends BinaryNode {
+    toleranceMicros: Option[Long],
+    /** NEAREST mode: match the right row minimizing |Δt| within the
+      * tolerance, equidistant tie → the PRIOR row; `forward` is
+      * ignored. */
+    nearest: Boolean = false) extends BinaryNode {
 
   require(leftKeys.length == rightKeys.length && leftKeys.nonEmpty,
     "as-of join needs matching non-empty key lists")
@@ -85,8 +89,8 @@ case class AsOfJoinPlan(
   */
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoinPlan(l, r, lk, rk, lt, rt, fwd, tol) =>
-      AsOfJoinExec(lk, rk, lt, rt, fwd, tol, planLater(l), planLater(r)) :: Nil
+    case AsOfJoinPlan(l, r, lk, rk, lt, rt, fwd, tol, near) =>
+      AsOfJoinExec(lk, rk, lt, rt, fwd, tol, planLater(l), planLater(r), near) :: Nil
     case _ => Nil
   }
 }
@@ -124,7 +128,8 @@ case class AsOfJoinExec(
     forward: Boolean,
     toleranceMicros: Option[Long],
     left: SparkPlan,
-    right: SparkPlan) extends BinaryExecNode {
+    right: SparkPlan,
+    nearest: Boolean = false) extends BinaryExecNode {
 
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
@@ -159,6 +164,7 @@ case class AsOfJoinExec(
     val lAttrs = left.output
     val rAttrs = right.output
     val fwd = forward
+    val near = nearest
     val tol = toleranceMicros
     val keyTypes = leftKeys.map(_.dataType)
 
@@ -250,7 +256,8 @@ case class AsOfJoinExec(
             resultProj(joined(lrow, nullRight))
           } else {
             val lt = lkt.getLong(nKeys)
-            if (fwd) mergeForward(lrow, lkt, lt)
+            if (near) mergeNearest(lrow, lkt, lt)
+            else if (fwd) mergeForward(lrow, lkt, lt)
             else mergeBackward(lrow, lkt, lt)
           }
         }
@@ -272,6 +279,37 @@ case class AsOfJoinExec(
           val ok = matched != null && keyOrd.compare(matchedKey, lkt) == 0 &&
             lt - matchedT <= tolMicros
           resultProj(joined(lrow, if (ok) matched else nullRight))
+        }
+
+        /** NEAREST: advance exactly like backward (the last key-equal
+          * row with rt <= lt stays copied in `matched`); once the
+          * advance stops, the UNCONSUMED head — if key-equal — is the
+          * earliest following candidate. Pick whichever side has the
+          * smaller in-tolerance delta; equidistant tie takes the PRIOR
+          * (strict `<` on the forward delta). O(1) state, same as the
+          * two single-direction merges.
+          */
+        private def mergeNearest(lrow: InternalRow, lkt: UnsafeRow, lt: Long): InternalRow = {
+          var advancing = true
+          while (advancing && loadHead()) {
+            if (rHeadNullKey) { consumeHead() }
+            else {
+              val cmp = keyOrd.compare(rHeadKT, lkt)
+              if (cmp < 0) { consumeHead() }
+              else if (cmp == 0 && rHeadT <= lt) {
+                matchedT = rHeadT
+                matchedKey = keep(rHeadKT, matchKeyBuf)
+                matched = keep(consumeHead(), matchBuf)
+              } else advancing = false
+            }
+          }
+          val bwdOk = matched != null && keyOrd.compare(matchedKey, lkt) == 0 &&
+            lt - matchedT <= tolMicros
+          val fwdOk = loadHead() && !rHeadNullKey &&
+            keyOrd.compare(rHeadKT, lkt) == 0 && rHeadT - lt <= tolMicros
+          val useFwd = fwdOk && (!bwdOk || (rHeadT - lt) < (lt - matchedT))
+          resultProj(joined(lrow,
+            if (useFwd) rBuf.head else if (bwdOk) matched else nullRight))
         }
 
         private def mergeForward(lrow: InternalRow, lkt: UnsafeRow, lt: Long): InternalRow = {
@@ -321,7 +359,9 @@ object AsOfJoinNative {
       leftTime: String, rightTime: String,
       payload: Seq[String],
       forward: Boolean = false,
-      toleranceSeconds: Option[Long] = None): DataFrame = {
+      toleranceSeconds: Option[Long] = None,
+      /** Nearest mode: minimize |Δt| (tie → prior); `forward` ignored. */
+      nearest: Boolean = false): DataFrame = {
 
     val leftCols = left.columns.toSeq
     validate(left, right, payload)
@@ -337,7 +377,7 @@ object AsOfJoinNative {
       lPlan, rPlan,
       Seq(attr(lPlan, leftKey)), Seq(attr(rPlan, rightKey)),
       attr(lPlan, LtCol), attr(rPlan, RtCol),
-      forward, toleranceSeconds.map(_ * 1000000L))
+      forward, toleranceSeconds.map(_ * 1000000L), nearest)
     GraftSqlShim.ofRows(sessionOf(left), node)
       .select((leftCols ++ payload).map(col): _*)
   }

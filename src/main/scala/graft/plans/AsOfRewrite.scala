@@ -442,9 +442,21 @@ case class AsOfRewriteRule(session: SparkSession)
       val wgls = scala.collection.mutable.ArrayBuffer
         .empty[(Seq[Expression], Seq[SortOrder])]
       val notNullAttrs = scala.collection.mutable.ArrayBuffer.empty[Attribute]
+      // the NEAREST spelling (`ORDER BY d, rt LIMIT 1` with
+      // `d = abs(rt - e.ts)` computed in the subquery's select list)
+      // decorrelates with the |Δt| alias COMPUTED in the project under
+      // the WindowGroupLimits — record it (at most one) instead of
+      // bailing on the non-attribute projection
+      var absAlias: Option[Alias] = None
       def peelBelow(plan: LogicalPlan): Option[LogicalPlan] = plan match {
-        case Project(list, child) if list.forall(_.isInstanceOf[Attribute]) =>
-          peelBelow(child)
+        case Project(list, child) =>
+          val aliases = list.collect { case a: Alias => a }
+          if (!list.forall(e => e.isInstanceOf[Attribute] || e.isInstanceOf[Alias]))
+            None
+          else if (aliases.isEmpty) peelBelow(child)
+          else if (aliases.length == 1 && absAlias.isEmpty) {
+            absAlias = Some(aliases.head); peelBelow(child)
+          } else None
         case WindowGroupLimit(ps, os, _, 1, child) =>
           wgls += ((ps, os)); peelBelow(child)
         case Filter(c, child) =>
@@ -455,8 +467,11 @@ case class AsOfRewriteRule(session: SparkSession)
           peelBelow(child)
         case other => Some(other)
       }
-      val (domAgg, r, theta) = peelBelow(windowNode.child) match {
-        case Some(Join(da: Aggregate, rr, Inner, Some(t), _)) => (da, rr, t)
+      // theta = None is the nearest sandwich: decorrelation of the
+      // key-only correlation builds an UNCONDITIONED domain × right
+      // cross join (the catastrophic shape this rewrite deletes)
+      val (domAgg, r, thetaOpt) = peelBelow(windowNode.child) match {
+        case Some(Join(da: Aggregate, rr, Inner, t, _)) => (da, rr, t)
         case _ => return None
       }
 
@@ -504,43 +519,91 @@ case class AsOfRewriteRule(session: SparkSession)
           if (tol < 0) None else Some((x, if (strict) tol - 1 else tol))
         }
       }
-      val parsedTheta = splitConjunctivePredicates(theta) match {
-        case Seq(c) => asOfConj(c).map { case (x, fwd) => (x, fwd, None) }
-        case Seq(c1, c2) =>
-          asOfConj(c1).flatMap { case (x, fwd) =>
-            tolConj(c2, fwd).map(t => (x, fwd, Some(t))) }
-            .orElse(asOfConj(c2).flatMap { case (x, fwd) =>
-              tolConj(c1, fwd).map(t => (x, fwd, Some(t))) })
-        case _ => None
-      }
-      val (rtExpr, forward, tolParsed) = parsedTheta.getOrElse(return None)
-      if (!rtExpr.references.subsetOf(r.outputSet)) return None
-      val rtAttr = stripCast(rtExpr) match {
-        case a: Attribute if r.outputSet.contains(a) => a
-        case _ => return None
-      }
-      // the tolerance bound must constrain the SAME right time column
-      val tolMicros = tolParsed match {
-        case None => None
-        case Some((x, tol)) => stripCast(x) match {
-          case a: Attribute if a.exprId == rtAttr.exprId => Some(tol)
-          case _ => return None
-        }
-      }
-
-      // 4. the sort must rank the SAME time attribute in the direction
-      //    matching the theta (DESC = latest-at-or-before = backward;
-      //    ASC = earliest-at-or-after = forward); null placement is
-      //    irrelevant — the theta already rejected null times
-      val sortOk = windowNode.orderSpec match {
-        case Seq(SortOrder(se, dir, _, _)) =>
-          (stripCast(se) match {
-            case a: Attribute => a.exprId == rtAttr.exprId
+      val (rtAttr, forward, tolMicros, nearestMode) = thetaOpt match {
+        case Some(theta) =>
+          // a computing projection below the window has no place in the
+          // backward/forward sandwich — provenance fails
+          if (absAlias.isDefined) return None
+          val parsedTheta = splitConjunctivePredicates(theta) match {
+            case Seq(c) => asOfConj(c).map { case (x, fwd) => (x, fwd, None) }
+            case Seq(c1, c2) =>
+              asOfConj(c1).flatMap { case (x, fwd) =>
+                tolConj(c2, fwd).map(t => (x, fwd, Some(t))) }
+                .orElse(asOfConj(c2).flatMap { case (x, fwd) =>
+                  tolConj(c1, fwd).map(t => (x, fwd, Some(t))) })
+            case _ => None
+          }
+          val (rtExpr, fwd0, tolParsed) = parsedTheta.getOrElse(return None)
+          if (!rtExpr.references.subsetOf(r.outputSet)) return None
+          val rt0 = stripCast(rtExpr) match {
+            case a: Attribute if r.outputSet.contains(a) => a
+            case _ => return None
+          }
+          // the tolerance bound must constrain the SAME right time column
+          val tol0 = tolParsed match {
+            case None => None
+            case Some((x, tol)) => stripCast(x) match {
+              case a: Attribute if a.exprId == rt0.exprId => Some(tol)
+              case _ => return None
+            }
+          }
+          // 4. the sort must rank the SAME time attribute in the
+          //    direction matching the theta (DESC = latest-at-or-before
+          //    = backward; ASC = earliest-at-or-after = forward); null
+          //    placement is irrelevant — the theta rejected null times
+          val sortOk = windowNode.orderSpec match {
+            case Seq(SortOrder(se, dir, _, _)) =>
+              (stripCast(se) match {
+                case a: Attribute => a.exprId == rt0.exprId
+                case _ => false
+              }) && (dir == (if (fwd0) Ascending else Descending))
             case _ => false
-          }) && (dir == (if (forward) Ascending else Descending))
-        case _ => false
+          }
+          if (!sortOk) return None
+          (rt0, fwd0, tol0, false)
+
+        case None =>
+          // NEAREST grammar: no theta; the peeled projection computed
+          // d = abs(rt - dom) (either operand order; timestamps
+          // subtract via SubtractTimestamps, longs via Subtract), and
+          // the window sorts (d ASC, rt ASC). The rt ASC tie-break IS
+          // the operator's equidistant-tie-takes-prior rule — without
+          // an explicit tie-break the subquery's pick among equidistant
+          // candidates is nondeterministic and the rewrite must not
+          // pin one.
+          val d = absAlias.getOrElse(return None)
+          val operands = d.child match {
+            case Abs(inner, _) => inner match {
+              case st: SubtractTimestamps => Some((st.left, st.right))
+              case Subtract(x, y, _) => Some((x, y))
+              case _ => None
+            }
+            case _ => None
+          }
+          val (o1, o2) = operands.getOrElse(return None)
+          def attrOf(e: Expression): Option[Attribute] = stripCast(e) match {
+            case a: Attribute => Some(a)
+            case _ => None
+          }
+          val rt0 = (attrOf(o1), attrOf(o2)) match {
+            case (Some(a), Some(b))
+                if a.exprId == domAttr.exprId && r.outputSet.contains(b) => b
+            case (Some(a), Some(b))
+                if b.exprId == domAttr.exprId && r.outputSet.contains(a) => a
+            case _ => return None
+          }
+          val sortOk = windowNode.orderSpec match {
+            case Seq(SortOrder(d1: Attribute, Ascending, _, _),
+                SortOrder(se2, Ascending, _, _)) =>
+              d1.exprId == d.exprId && (stripCast(se2) match {
+                case a: Attribute => a.exprId == rt0.exprId
+                case _ => false
+              })
+            case _ => false
+          }
+          if (!sortOk) return None
+          (rt0, false, None, true)
       }
-      if (!sortOk) return None
 
       // 5. outer condition: (dom <=> lt) + plain equi keys, nothing else
       var ltAttrOpt: Option[Attribute] = None
@@ -592,6 +655,29 @@ case class AsOfRewriteRule(session: SparkSession)
       if (!notNullAttrs.forall(a => nullOkIds.contains(a.exprId)))
         return None
 
+      // NEAREST soundness: the theta grammars reject null times
+      // structurally (a null never satisfies rt <= dom), but the
+      // nearest sandwich has no theta — a NULL time reaches the sort,
+      // where `d ASC NULLS FIRST` would PICK the null-distance row
+      // while the operator never matches nulls. Demand non-null
+      // evidence for both time columns (non-nullable attr, a peeled
+      // IsNotNull, or a plan constraint — the spelling's `WHERE ts IS
+      // NOT NULL` conjuncts land as one of these) and bail otherwise:
+      // the unrewritten plan stays correct, just slow.
+      def nonNullEvidence(plan: LogicalPlan, a: Attribute): Boolean =
+        !a.nullable || plan.constraints.exists {
+          case IsNotNull(e) => stripCast(e) match {
+            case x: Attribute => x.exprId == a.exprId
+            case _ => false
+          }
+          case _ => false
+        }
+      if (nearestMode) {
+        if (!nonNullEvidence(l, ltAttrOpt.get)) return None
+        if (!(notNullAttrs.exists(_.exprId == rtAttr.exprId) ||
+            nonNullEvidence(r, rtAttr))) return None
+      }
+
       // 7. PROVENANCE (same argument as the scalar matcher): the domain
       //    aggregate must be decorrelation's DISTINCT of the left time
       val domGroupExpr = domAgg.groupingExpressions.head
@@ -616,11 +702,12 @@ case class AsOfRewriteRule(session: SparkSession)
 
       val node = AsOfJoinPlan(l, r,
         keyPairs.map(_._1).toSeq, keyPairs.map(_._2).toSeq,
-        ltExpr, rtTime, forward, tolMicros)
+        ltExpr, rtTime, forward, tolMicros, nearestMode)
       val rtOut = node.output
         .find(_.exprId == rtAttr.exprId).getOrElse(return None)
       logInfo(s"as-of LATERAL rewrite fired: type=$jt keys=${keyPairs.length} " +
-        s"forward=$forward tol=$tolMicros payloads=${rOut.map(_.name).mkString(",")}")
+        s"forward=$forward nearest=$nearestMode tol=$tolMicros " +
+        s"payloads=${rOut.map(_.name).mkString(",")}")
       // inner lateral semantics: a left row with no match is dropped —
       // the operator emits it with a NULL matched time, so filter on
       // it; the LEFT OUTER spelling keeps those rows with nulls, which

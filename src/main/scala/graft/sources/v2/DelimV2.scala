@@ -251,7 +251,8 @@ class DelimScan(
     aggCountCols: Int = 0,
     filesWithParts: Seq[(FileStatus, Seq[(String, String)])] = null,
     topN: Array[DelimSortKey] = Array.empty)
-    extends Scan with Batch with SupportsReportStatistics with SupportsRuntimeFiltering {
+    extends Scan with Batch with SupportsReportStatistics with SupportsRuntimeFiltering
+    with org.apache.spark.sql.connector.read.SupportsReportPartitioning {
 
   private lazy val allFiles: Seq[(FileStatus, Seq[(String, String)])] =
     Option(filesWithParts).getOrElse(
@@ -336,6 +337,34 @@ class DelimScan(
   private val delim = DelimV2.delimiter(options)
   private val quote = DelimV2.quoteChar(options)
   private val multiLine = DelimV2.multiLine(options)
+  // `clustered` opts the scan into REPORTING its k=v layout as
+  // key-grouped partitioning (SupportsReportPartitioning below):
+  // a groupBy/join on the layout key then plans with NO Exchange.
+  // Opt-in, not automatic, because Spark's storage-partitioned
+  // grouping merges all of a partition value's splits into ONE task —
+  // exactly right when the query exploits the clustering, a
+  // parallelism loss when it does not.
+  private val clustered =
+    java.lang.Boolean.parseBoolean(options.getOrDefault("clustered", "false"))
+
+  /** The k=v directory layout, reported as key-grouped partitioning
+    * when the read opted in via `clustered` (and the query is not the
+    * pushed-count form, whose output is per-split partials).
+    */
+  override def outputPartitioning()
+      : org.apache.spark.sql.connector.read.partitioning.Partitioning =
+    if (clustered && partFields.nonEmpty && aggCountCols == 0) {
+      val nKeys = staticKept.map { case (_, pv) =>
+        partFields.map(pf =>
+          pv.collectFirst { case (k, v) if k == pf.name => v }.orNull).toSeq
+      }.distinct.size
+      new org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning(
+        partFields.map(f =>
+          org.apache.spark.sql.connector.expressions.Expressions.identity(f.name)
+            .asInstanceOf[org.apache.spark.sql.connector.expressions.Expression]),
+        nKeys)
+    } else
+      new org.apache.spark.sql.connector.read.partitioning.UnknownPartitioning(0)
 
   override def readSchema(): StructType = required
 
@@ -383,6 +412,13 @@ class DelimScan(
       else {
         val partVals = partFields.map(pf =>
           pv.collectFirst { case (k, v) if k == pf.name => v }.orNull)
+        val partKey =
+          if (!clustered) null
+          else partFields.indices.map { i =>
+            DelimV2.toInternal(
+              DelimV2.parseExternal(partVals(i), partFields(i).dataType),
+              partFields(i).dataType)
+          }.toArray
         // multiLine: quote parity is unknowable from a mid-file offset,
         // so record framing needs the whole file — ONE split per file
         // (parallelism comes from the directory's many files)
@@ -394,7 +430,7 @@ class DelimScan(
         (0L until n).map { i =>
           val start = i * per
           DelimSplit(f.getPath.toString, start, math.min(per, len - start),
-            len, partVals)
+            len, partVals, partKey)
         }
       }
     }.toArray[InputPartition]
@@ -460,8 +496,18 @@ private[v2] class DelimCountReaderFactory(nCols: Int, confMap: Map[String, Strin
 
 private[v2] case class DelimSplit(
     path: String, start: Long, length: Long, fileLen: Long,
-    partVals: Array[String] = Array.empty)
+    partVals: Array[String] = Array.empty,
+    /** Typed (internal-representation) partition values, present when
+      * the scan reports key-grouped partitioning — Spark groups splits
+      * by this key so a groupBy/join on the layout key plans with no
+      * Exchange. */
+    partKey: Array[Any] = null)
     extends InputPartition
+    with org.apache.spark.sql.connector.read.HasPartitionKey {
+
+  override def partitionKey(): InternalRow =
+    new GenericInternalRow(if (partKey == null) Array.empty[Any] else partKey)
+}
 
 private[v2] class DelimReaderFactory(
     fullSchema: StructType,

@@ -19,6 +19,7 @@ object TestSpark {
       // the graft-delim partition-DDL catalog, like GraftSession wires it
       .config("spark.sql.catalog.graft_cat",
         classOf[graft.sources.v2.GraftCatalog].getName)
+      .config("spark.sql.sources.v2.bucketing.enabled", "true")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s

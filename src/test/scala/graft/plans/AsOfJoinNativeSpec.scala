@@ -36,6 +36,62 @@ class AsOfJoinNativeSpec extends SparkFunSuite {
     assert(sortedRows(native) == sortedRows(window))
   }
 
+  test("nearest mode: min |Δt| wins, equidistant tie takes the prior row") {
+    val quotes = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 100.0),
+      (1L, ts("2024-01-01 12:00:00"), 120.0),
+      (2L, ts("2024-01-01 09:00:00"), 200.0)
+    ).toDF("q_key", "q_ts", "price")
+    val trades = Seq(
+      (1L, ts("2024-01-01 10:30:00"), "bwd_nearer"),   // 30m back vs 90m fwd
+      (1L, ts("2024-01-01 11:45:00"), "fwd_nearer"),   // 105m back vs 15m fwd
+      (1L, ts("2024-01-01 11:00:00"), "tie_prior"),    // 60m both → prior
+      (1L, ts("2024-01-01 09:00:00"), "before_all"),   // only fwd exists
+      (2L, ts("2024-01-01 10:00:00"), "after_all"),    // only bwd exists
+      (3L, ts("2024-01-01 10:00:00"), "keyless")       // no match
+    ).toDF("t_key", "t_ts", "trade_id")
+    val near = AsOfJoinNative.join(trades, quotes,
+      "t_key", "q_key", "t_ts", "q_ts", Seq("price"), nearest = true)
+    val got = near.collect()
+      .map(r => r.getString(2) -> Option(r.get(3)).map(_.asInstanceOf[Double]))
+      .toMap
+    assert(got("bwd_nearer") === Some(100.0))
+    assert(got("fwd_nearer") === Some(120.0))
+    assert(got("tie_prior") === Some(100.0), "equidistant tie must take the prior")
+    assert(got("before_all") === Some(100.0))
+    assert(got("after_all") === Some(200.0))
+    assert(got("keyless") === None)
+    // tolerance applies to |Δt| on both sides
+    val tol = AsOfJoinNative.join(trades, quotes,
+      "t_key", "q_key", "t_ts", "q_ts", Seq("price"),
+      nearest = true, toleranceSeconds = Some(20 * 60))
+    val gotTol = tol.collect()
+      .map(r => r.getString(2) -> Option(r.get(3)).map(_.asInstanceOf[Double]))
+      .toMap
+    assert(gotTol("fwd_nearer") === Some(120.0)) // 15m fwd within 20m
+    assert(gotTol("bwd_nearer") === None)        // 30m back outside 20m
+    assert(gotTol("tie_prior") === None)
+  }
+
+  test("nearest mode: differential vs per-row min-|Δt| over the events fixture") {
+    val ev = Tables.events(spark, sf001)
+    val errors = ev.filter($"event_type" === "error")
+      .select($"event_id", $"user_id", $"ts")
+    val clicks = ev.filter($"event_type" === "click")
+      .groupBy($"user_id".as("c_user"), $"ts".as("c_ts"))
+      .agg(max("event_id").as("c_id"))
+    val near = AsOfJoinNative.join(errors, clicks,
+      "user_id", "c_user", "ts", "c_ts", Seq("c_ts"), nearest = true)
+      .select($"event_id", col("c_ts").as("near_ts"))
+    // oracle: window-free brute force — join all candidates, keep the
+    // min (|Δ|, c_ts) per event (same tie rule: prior = smaller c_ts)
+    val brute = errors.join(clicks, $"user_id" === $"c_user", "left_outer")
+      .withColumn("d", abs(unix_micros($"c_ts") - unix_micros($"ts")))
+      .groupBy($"event_id")
+      .agg(min_by($"c_ts", struct($"d", $"c_ts")).as("near_ts"))
+    assert(sortedRows(near) == sortedRows(brute))
+  }
+
   test("native plan contains AsOfJoinExec and exactly two shuffles") {
     val quotes = Seq((1L, ts("2024-01-01 10:00:00"), 1.0)).toDF("k", "t", "v")
     val trades = Seq((1L, ts("2024-01-01 10:30:00"), "x")).toDF("k2", "t2", "id")

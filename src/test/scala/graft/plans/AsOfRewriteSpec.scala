@@ -400,4 +400,100 @@ class AsOfRewriteSpec extends SparkFunSuite {
       assert(df.count() > 0)
     } finally spark.conf.unset(AsOfRewriteRule.EnabledKey)
   }
+
+  // parquet-backed twins of the fixture views: a LocalRelation folds
+  // the `IS NOT NULL` filters into itself, which erases the
+  // null-evidence the nearest grammar requires (the same reason DPP
+  // specs can't use local relations)
+  private lazy val readyNearest: Unit = {
+    ready
+    val d = tempDir("asof-nearest")
+    spark.table("asof_l").write.mode("overwrite").parquet(s"$d/l")
+    spark.table("asof_r").write.mode("overwrite").parquet(s"$d/r")
+    spark.read.parquet(s"$d/l").createOrReplaceTempView("asof_lp")
+    spark.read.parquet(s"$d/r").createOrReplaceTempView("asof_rp")
+  }
+
+  private def nearestFired(sql: String): Boolean = {
+    readyNearest
+    spark.conf.set(AsOfRewriteRule.EnabledKey, "true")
+    try spark.sql(sql).queryExecution.optimizedPlan.collect {
+      case p: AsOfJoinPlan if p.nearest => p }.nonEmpty
+    finally spark.conf.unset(AsOfRewriteRule.EnabledKey)
+  }
+
+  /** [[check]] against the parquet-backed views. */
+  private def checkNearest(sql: String, expectFire: Boolean): Unit = {
+    readyNearest
+    val off = spark.sql(sql).collect().map(_.toString).sorted.toSeq
+    spark.conf.set(AsOfRewriteRule.EnabledKey, "true")
+    try {
+      val df = spark.sql(sql)
+      val fired = df.queryExecution.optimizedPlan.collect {
+        case p: AsOfJoinPlan => p
+      }.nonEmpty
+      assert(fired == expectFire,
+        s"expected fire=$expectFire:\n${df.queryExecution.optimizedPlan}")
+      val on = df.collect().map(_.toString).sorted.toSeq
+      assert(on == off, s"rewrite changed the answer for:\n$sql")
+    } finally spark.conf.unset(AsOfRewriteRule.EnabledKey)
+  }
+
+  test("nearest lateral (ORDER BY abs alias, rt tie-break) fires and preserves the answer") {
+    checkNearest("""SELECT l.id, q.rt AS near_rt
+             FROM asof_lp l LEFT OUTER JOIN LATERAL (
+               SELECT rt, abs(r.rt - l.t) AS d FROM asof_rp r
+               WHERE r.rk = l.k AND r.rt IS NOT NULL
+               ORDER BY d, rt LIMIT 1) q ON true
+             WHERE l.t IS NOT NULL""", expectFire = true)
+  }
+
+  test("nearest: equidistant tie resolves to the prior row under the rewrite") {
+    ready
+    // l.t = 10:30 sits exactly 30m from rt 10:00 and rt 11:00 for
+    // (k=1, rk=1): the ASC tie-break picks 10:00 (the prior) in the
+    // subquery, and the operator's tie rule must agree
+    readyNearest
+    val sql = """SELECT l.id, q.rt AS near_rt
+                 FROM asof_lp l LEFT OUTER JOIN LATERAL (
+                   SELECT rt, abs(r.rt - l.t) AS d FROM asof_rp r
+                   WHERE r.rk = l.k AND r.rt IS NOT NULL
+                   ORDER BY d, rt LIMIT 1) q ON true
+                 WHERE l.t IS NOT NULL AND l.id = 't1'""".stripMargin
+    spark.conf.set(AsOfRewriteRule.EnabledKey, "true")
+    try {
+      val row = spark.sql(sql).collect().head
+      assert(row.getTimestamp(1) === ts("2024-01-01 10:00:00"))
+    } finally spark.conf.unset(AsOfRewriteRule.EnabledKey)
+  }
+
+  test("nearest bails without the rt tie-break (nondeterministic pick must not be pinned)") {
+    assert(!nearestFired(
+      """SELECT l.id, q.rt AS near_rt
+         FROM asof_lp l LEFT OUTER JOIN LATERAL (
+           SELECT rt, abs(r.rt - l.t) AS d FROM asof_rp r
+           WHERE r.rk = l.k AND r.rt IS NOT NULL
+           ORDER BY d LIMIT 1) q ON true
+         WHERE l.t IS NOT NULL"""))
+  }
+
+  test("nearest bails without non-null time evidence (null would win the subquery sort)") {
+    // no `l.t IS NOT NULL`: a null left time picks the min-rt candidate
+    // in the subquery but never matches the operator — must not rewrite
+    assert(!nearestFired(
+      """SELECT l.id, q.rt AS near_rt
+         FROM asof_lp l LEFT OUTER JOIN LATERAL (
+           SELECT rt, abs(r.rt - l.t) AS d FROM asof_rp r
+           WHERE r.rk = l.k AND r.rt IS NOT NULL
+           ORDER BY d, rt LIMIT 1) q ON true"""))
+    // no `r.rt IS NOT NULL`: a null candidate sorts NULLS FIRST and
+    // wins in the subquery but is skipped by the operator
+    assert(!nearestFired(
+      """SELECT l.id, q.rt AS near_rt
+         FROM asof_lp l LEFT OUTER JOIN LATERAL (
+           SELECT rt, abs(r.rt - l.t) AS d FROM asof_rp r
+           WHERE r.rk = l.k
+           ORDER BY d, rt LIMIT 1) q ON true
+         WHERE l.t IS NOT NULL"""))
+  }
 }

@@ -885,6 +885,32 @@ class DelimV2Spec extends SparkFunSuite {
       .count(_.getName.endsWith(".txt")))
   }
 
+  test("clustered read reports key-grouped partitioning: no Exchange for layout-key agg") {
+    val dir = tempDir("delimv2-clustered")
+    Seq((1L, 1.0, "a"), (2L, 2.0, "b"), (3L, 3.0, "a"), (4L, 4.0, "c"))
+      .toDF("id", "v", "pc")
+      .write.format("graft-delim").option("partitionBy", "pc")
+      .mode("overwrite").save(s"$dir/t")
+    def read(clustered: Boolean) = spark.read.format("graft-delim")
+      .schema("id BIGINT, v DOUBLE, pc STRING")
+      .option("clustered", clustered.toString)
+      .load(s"$dir/t")
+    // clustered: the groupBy on the layout key plans shuffle-free
+    val agg = read(clustered = true)
+      .groupBy($"pc").agg(sum($"v").as("sv"))
+    val plan = agg.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"Exchange in clustered agg:\n$plan")
+    assert(agg.collect().map(r => (r.getString(0), r.getDouble(1))).sorted.toSeq
+      === Seq(("a", 4.0), ("b", 2.0), ("c", 4.0)))
+    // default (unclustered): identical answer, ordinary shuffled agg —
+    // per-split parallelism is kept for queries that don't exploit the
+    // layout
+    val agg2 = read(clustered = false).groupBy($"pc").agg(sum($"v").as("sv"))
+    assert(agg2.queryExecution.executedPlan.toString.contains("Exchange"))
+    assert(agg2.collect().map(r => (r.getString(0), r.getDouble(1))).sorted.toSeq
+      === Seq(("a", 4.0), ("b", 2.0), ("c", 4.0)))
+  }
+
   test("statistics report pruned width (broadcast-eligible estimate)") {
     val dir = tempDir("delimv2-stats")
     write(s"$dir/f.txt", (1 to 1000).map(i => s"$i|${"x" * 50}|$i|$i").mkString("\n"))

@@ -164,8 +164,13 @@ object Round10Queries {
       val (mn, mx) = (b.getLong(0), b.getLong(1))
       val q1 = mn + (mx - mn) / 4
       val isLate = col("event_id") % 50 === 0 && unix_micros(col("ts")) < lit(q1)
+      // 2 on-time chunks (was 4), the same cut the join-late audit took
+      // in round 15: the displaced file lands AFTER the backlog either
+      // way, and by then the watermark sits at max(ts)−delay regardless
+      // of how many triggers advanced it — the drop accounting and the
+      // certified output are chunk-count-invariant
       val src = StreamRun.chunkedSourceWithLate(
-        s, ev.filter(!isLate), ev.filter(isLate), s"$out/src", 4)
+        s, ev.filter(!isLate), ev.filter(isLate), s"$out/src", 2)
       val (streamed, stats) = StreamRun.runAvailableNowObserved(
         EventWindows.tumblingStream(src, "1 hour", "1 hour"),
         s"$out/run", complete = false)

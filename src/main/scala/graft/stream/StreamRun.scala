@@ -538,7 +538,11 @@ object StreamRun {
   def runProcessingTimeLive(
       df: DataFrame, transform: DataFrame => DataFrame,
       outDir: String, chunks: Int = 4, tsCol: String = "ts",
-      triggerMs: Long = 200L, landEveryMs: Long = 450L,
+      // land cadence must stay SLOWER than the trigger cadence (that
+      // gap is what proves triggers run BETWEEN arrivals — the live
+      // property); 250 vs 200 ms keeps the proof while shaving ~0.8 s
+      // of pure waiting per certification vs the original 450
+      triggerMs: Long = 200L, landEveryMs: Long = 250L,
       timeoutMs: Long = 120000L,
       outputMode: String = "append"): (DataFrame, Seq[TriggerStats]) = {
     val spark = df.sparkSession

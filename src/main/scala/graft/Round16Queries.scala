@@ -56,9 +56,11 @@ object Round16Queries {
           concat(col("text"), lit("|tail \"q\"\nline2")).as("t"),
           col("n_chars"))
         .write.format("graft-delim").mode("overwrite").save(s"$out/docs")
+      // NO multiLine option: the committed manifest flags the quoted
+      // newlines, so the reader auto-engages whole-file framing — the
+      // writer knew, readers should not have to
       s.read.format("graft-delim")
         .schema("doc_id BIGINT, t STRING, n_chars BIGINT")
-        .option("multiLine", "true")
         .load(s"$out/docs")
         .agg(
           count(lit(1)).as("n_rows"),

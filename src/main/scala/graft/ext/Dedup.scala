@@ -988,7 +988,9 @@ object Dedup {
     def verified = ver >= lit(threshold) * least(col("sz_x"), col("sz_y"))
     // the broadcast cutover needs the rep count; groups is cached, so
     // this is a metadata-cheap action (same move the LSH cutover makes)
-    val nReps = sets.count()
+    // — skipped entirely when the cutover is disabled, so the 100 TB
+    // force-shuffle caller never pays a count pass for an unused answer
+    lazy val nReps = sets.count()
     val joined =
       if (broadcastPrefixMaxDocs > 0 && nReps <= broadcastPrefixMaxDocs) {
         // skew-free shape: probe-side partitioning (uniform round-robin)

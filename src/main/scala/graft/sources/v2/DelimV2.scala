@@ -76,7 +76,11 @@ class DelimSource extends TableProvider with DataSourceRegister {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
     val delim = DelimV2.delimiter(options)
     val quote = DelimV2.quoteChar(options)
-    val framing = if (DelimV2.multiLine(options)) quote else -1
+    val framing =
+      if (DelimV2.multiLine(options) ||
+        DelimV2.manifestMultiLine(DelimV2.paths(options), DelimV2.driverConf()))
+        quote
+      else -1
     val files =
       DelimV2.listFilesWithPartitions(DelimV2.paths(options), DelimV2.driverConf())
     val nCols = files.map(_._1).find(_.getLen > 0).map { f =>
@@ -336,7 +340,16 @@ class DelimScan(
   private val paths = DelimV2.paths(options)
   private val delim = DelimV2.delimiter(options)
   private val quote = DelimV2.quoteChar(options)
-  private val multiLine = DelimV2.multiLine(options)
+  // explicit option OR the committed manifest's multiline flag — the
+  // writer recorded that it quoted newlines, so readers frame
+  // whole-file automatically instead of silently misframing
+  private val multiLine = DelimV2.multiLine(options) || {
+    val m = DelimV2.manifestMultiLine(paths, DelimV2.driverConf())
+    if (m) require(DelimV2.quoteChar(options) >= 0,
+      "graft-delim: this table's manifest flags quoted newlines; " +
+        "it cannot be read with quote=none")
+    m
+  }
   // `clustered` opts the scan into REPORTING its k=v layout as
   // key-grouped partitioning (SupportsReportPartitioning below):
   // a groupBy/join on the layout key then plans with NO Exchange.
@@ -1058,13 +1071,18 @@ private[v2] class DelimWrite(
     val fs = staging.getFileSystem(DelimV2.driverConf())
     val target = new HPath(path)
     val newFiles: Seq[DelimStagedFile] = messages.toSeq.flatMap {
-      case DelimCommit(staged) => staged
+      case DelimCommit(staged, _) => staged
       case other => throw new IllegalStateException(
         s"graft-delim: foreign commit message $other")
     }
+    val newMulti = messages.exists {
+      case DelimCommit(_, m) => m
+      case _ => false
+    }
     // previous snapshot: the manifest when present, else the legacy
     // recursive listing (first manifest-commit over a legacy layout)
-    val prev = DelimV2.snapshotEntries(fs, target, fs.getConf)
+    val prevM = DelimV2.snapshotManifest(fs, target, fs.getConf)
+    val prev = prevM.entries
     val newEntries = newFiles.map(sf =>
       (sf.length,
         if (sf.subdir.isEmpty) sf.finalName else s"${sf.subdir}/${sf.finalName}"))
@@ -1080,9 +1098,22 @@ private[v2] class DelimWrite(
     DelimWrite.promote(fs, target, messages)
     val newSet = newEntries.map(_._2).toSet
     val manifest = survivors.filterNot(e => newSet.contains(e._2)) ++ newEntries
-    DelimV2.writeManifest(fs, target, manifest)
+    // the multiline flag follows the LIVE files: a static overwrite
+    // carries only the new generation's evidence, append/dynamic OR in
+    // the previous flag (conservative — framing stays correct, only
+    // split parallelism is traded)
+    val flag = newMulti || (survivors.nonEmpty && prevM.multiLine)
+    DelimV2.writeManifest(fs, target, manifest, flag)
     val live = manifest.map(_._2).toSet
-    prev.map(_._2).filterNot(live).foreach { rel =>
+    if (truncate && !dynamicOverwrite)
+      // static overwrite sweeps EVERYTHING dead — not just the files
+      // the previous snapshot listed: crash-orphans from failed
+      // commits die here (the pre-manifest overwrite's cleanup
+      // restored), and emptied k=v directories are pruned so
+      // directory-identity surfaces (SHOW PARTITIONS) don't keep
+      // listing partitions the overwrite deleted
+      DelimWrite.sweepDead(fs, target, live)
+    else prev.map(_._2).filterNot(live).foreach { rel =>
       fs.delete(new HPath(target, rel), false)
     }
     fs.delete(staging, true) // drops any uncommitted stray files with it
@@ -1138,22 +1169,27 @@ private[v2] class DelimWrite(
         // entries REPLACE rather than duplicate — the manifest stays
         // exactly-once like the landed bytes
         val newEntries = messages.toSeq.flatMap {
-          case DelimCommit(staged) => staged.map(sf =>
+          case DelimCommit(staged, _) => staged.map(sf =>
             (sf.length, if (sf.subdir.isEmpty) sf.finalName
             else s"${sf.subdir}/${sf.finalName}"))
           case _ => Nil
         }
-        val prev = DelimV2.snapshotEntries(fs, target, fs.getConf)
+        val newMulti = messages.exists {
+          case DelimCommit(_, m) => m
+          case _ => false
+        }
+        val prevM = DelimV2.snapshotManifest(fs, target, fs.getConf)
         val newSet = newEntries.map(_._2).toSet
         DelimV2.writeManifest(fs, target,
-          prev.filterNot(e => newSet.contains(e._2)) ++ newEntries)
+          prevM.entries.filterNot(e => newSet.contains(e._2)) ++ newEntries,
+          prevM.multiLine || newMulti)
       }
 
       override def abort(epochId: Long,
           messages: Array[WriterCommitMessage]): Unit = {
         val fs = staging.getFileSystem(DelimV2.driverConf())
         messages.foreach {
-          case DelimCommit(staged) =>
+          case DelimCommit(staged, _) =>
             staged.foreach(sf => fs.delete(new HPath(sf.path), false))
           case _ => ()
         }
@@ -1164,6 +1200,41 @@ private[v2] class DelimWrite(
 private[v2] object DelimWrite {
   import org.apache.spark.sql.connector.write.WriterCommitMessage
 
+  /** Static-overwrite cleanup: delete every data file under `target`
+    * whose root-relative path is not in `live`, then prune k=v
+    * directories left empty. Underscore/dot entries at the ROOT
+    * (the manifest, markers, staging) survive; inside a dead partition
+    * directory they die with it (checksum sidecars must not keep a
+    * deleted partition listable). Foreign non-k=v subdirectories are
+    * left untouched.
+    */
+  private[v2] def sweepDead(
+      fs: FileSystem, target: HPath, live: Set[String]): Unit = {
+    val root = fs.makeQualified(target).toUri
+    def walk(dir: HPath, isRoot: Boolean): Boolean = { // true = keep dir
+      var keep = false
+      Option(fs.listStatus(dir)).getOrElse(Array.empty).foreach { st =>
+        val n = st.getPath.getName
+        if (st.isDirectory) {
+          if (n.startsWith("_") || n.startsWith(".")) {
+            if (isRoot) keep = true // staging lives until the job ends
+          } else if (n.contains("=")) {
+            if (walk(st.getPath, isRoot = false)) keep = true
+            else fs.delete(st.getPath, true)
+          } else keep = true
+        } else if (n.startsWith("_") || n.startsWith(".")) {
+          if (isRoot) keep = true
+        } else {
+          val rel = root.relativize(fs.makeQualified(st.getPath).toUri).getPath
+          if (live.contains(rel)) keep = true
+          else fs.delete(st.getPath, false)
+        }
+      }
+      keep
+    }
+    walk(target, isRoot = true)
+  }
+
   /** Promote staged files to their final names (shared by the batch
     * job commit and each streaming epoch commit): an existing file
     * under the final name is REPLACED — a no-op for batch (staged
@@ -1173,7 +1244,7 @@ private[v2] object DelimWrite {
   def promote(fs: FileSystem, target: HPath,
       messages: Array[WriterCommitMessage]): Unit =
     messages.foreach {
-      case DelimCommit(staged) => staged.foreach { sf =>
+      case DelimCommit(staged, _) => staged.foreach { sf =>
         val src = new HPath(sf.path)
         val dstDir = if (sf.subdir.isEmpty) target else new HPath(target, sf.subdir)
         if (sf.subdir.nonEmpty) fs.mkdirs(dstDir)
@@ -1199,8 +1270,11 @@ private[v2] object DelimWrite {
 private[v2] case class DelimStagedFile(
     subdir: String, path: String, finalName: String, length: Long = -1L)
 
-/** One task's staged output, one entry per partition value it saw. */
-private[v2] case class DelimCommit(staged: Seq[DelimStagedFile])
+/** One task's staged output, one entry per partition value it saw,
+  * plus whether any written field embedded a newline (drives the
+  * manifest's multiline flag → automatic reader framing). */
+private[v2] case class DelimCommit(
+    staged: Seq[DelimStagedFile], multiLine: Boolean = false)
     extends org.apache.spark.sql.connector.write.WriterCommitMessage
 
 private[v2] class DelimWriterFactory(
@@ -1271,6 +1345,9 @@ private[v2] class DelimDataWriter(
   // the job commit can write manifest lengths without statting files
   private val written =
     scala.collection.mutable.HashMap.empty[String, Long].withDefaultValue(0L)
+  // any quoted newline written → the committed manifest flags the table
+  // multiline and readers frame whole-file automatically
+  private var sawNewline = false
 
   private def fieldString(row: InternalRow, i: Int): String = types(i) match {
     case StringType => row.getUTF8String(i).toString
@@ -1334,9 +1411,12 @@ private[v2] class DelimDataWriter(
                 s"(column ${schema.fieldNames(i)}) and quoting is disabled " +
                 "(quote=none)")
           else {
-            // RFC 4180: wrap in quotes, double embedded quotes. A field
-            // with an embedded newline reads back only under
-            // multiLine=true (the documented split-ownership contract).
+            // RFC 4180: wrap in quotes, double embedded quotes. An
+            // embedded newline flags the commit so the manifest marks
+            // the table multiline and READERS auto-engage whole-file
+            // framing (the documented split-ownership contract; without
+            // the flag a default read would misframe silently).
+            if (s.indexOf('\n') >= 0 || s.indexOf('\r') >= 0) sawNewline = true
             sb.append(quote.toChar)
             var j = 0
             while (j < s.length) {
@@ -1363,7 +1443,8 @@ private[v2] class DelimDataWriter(
     // an empty flat task still stages its (empty) file lazily never —
     // emit the single flat file only if it was opened; partitioned
     // tasks stage only the values they saw
-    DelimCommit(staged.toSeq.map(sf => sf.copy(length = written(sf.subdir))))
+    DelimCommit(staged.toSeq.map(sf => sf.copy(length = written(sf.subdir))),
+      sawNewline)
   }
 
   override def abort(): Unit = {
@@ -1496,21 +1577,46 @@ private[graft] object DelimV2 {
     */
   val ManifestFile = "_manifest"
 
-  /** The committed snapshot's (length, relative path) entries, or None
-    * when the directory carries no manifest.
+  /** The committed snapshot: (length, relative path) entries plus the
+    * MULTILINE flag — true when any live file contains quoted newlines,
+    * so readers engage quote-aware whole-file framing automatically
+    * (no `multiLine` option needed; framing on single-line files is
+    * correct either way, the flag only trades split parallelism).
+    */
+  private[graft] final case class DelimManifest(
+      entries: Seq[(Long, String)], multiLine: Boolean)
+
+  /** The committed snapshot, or None when the directory carries no
+    * manifest. Malformed content (e.g. a FOREIGN file that happens to
+    * be named `_manifest`) fails loudly with the path in the message —
+    * silently treating it as an empty snapshot would hide the table.
     */
   private[graft] def readManifest(
-      fs: FileSystem, target: HPath): Option[Seq[(Long, String)]] = {
+      fs: FileSystem, target: HPath): Option[DelimManifest] = {
     val mf = new HPath(target, ManifestFile)
     if (!fs.exists(mf)) None
     else {
       val in = fs.open(mf)
       try {
         val src = scala.io.Source.fromInputStream(in, "UTF-8")
-        Some(src.getLines().filter(_.nonEmpty).map { l =>
-          val t = l.indexOf('\t')
-          (l.substring(0, t).toLong, l.substring(t + 1))
-        }.toList)
+        var multi = false
+        val entries = src.getLines().filter(_.nonEmpty).flatMap { l =>
+          if (l.startsWith("#")) {
+            if (l.contains("multiline=true")) multi = true
+            None
+          } else {
+            val t = l.indexOf('\t')
+            if (t <= 0) throw new IllegalStateException(
+              s"graft-delim: malformed manifest line in $mf: '${l.take(80)}'" +
+                " (a foreign file named _manifest?)")
+            try Some((l.substring(0, t).toLong, l.substring(t + 1)))
+            catch { case _: NumberFormatException =>
+              throw new IllegalStateException(
+                s"graft-delim: malformed manifest length in $mf: '${l.take(80)}'")
+            }
+          }
+        }.toList
+        Some(DelimManifest(entries, multi))
       } finally in.close()
     }
   }
@@ -1522,7 +1628,8 @@ private[graft] object DelimV2 {
     * and with it a mixed generation — between the two calls).
     */
   private[graft] def writeManifest(
-      fs: FileSystem, target: HPath, entries: Seq[(Long, String)]): Unit = {
+      fs: FileSystem, target: HPath, entries: Seq[(Long, String)],
+      multiLine: Boolean = false): Unit = {
     val tmp = new HPath(target,
       s"$ManifestFile.tmp-${java.util.UUID.randomUUID().toString.take(8)}")
     // FileContext for BOTH create and rename: the FileSystem facade is
@@ -1533,8 +1640,12 @@ private[graft] object DelimV2 {
     val out = fc.create(tmp,
       java.util.EnumSet.of(org.apache.hadoop.fs.CreateFlag.CREATE,
         org.apache.hadoop.fs.CreateFlag.OVERWRITE))
-    try entries.foreach { case (len, rel) =>
-      out.write(s"$len\t$rel\n".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    try {
+      out.write(s"#graft-delim-manifest v1 multiline=$multiLine\n"
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      entries.foreach { case (len, rel) =>
+        out.write(s"$len\t$rel\n".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      }
     } finally out.close()
     fc.rename(tmp, new HPath(target, ManifestFile),
       org.apache.hadoop.fs.Options.Rename.OVERWRITE)
@@ -1544,13 +1655,28 @@ private[graft] object DelimV2 {
     * manifest when present, else the recursive listing (the previous-
     * generation input to a committing writer).
     */
-  private[v2] def snapshotEntries(
-      fs: FileSystem, target: HPath, conf: Configuration): Seq[(Long, String)] =
+  private[v2] def snapshotManifest(
+      fs: FileSystem, target: HPath, conf: Configuration): DelimManifest =
     readManifest(fs, target).getOrElse {
       val root = fs.makeQualified(target).toUri
-      listFilesWithPartitions(Seq(target.toString), conf).map { case (st, _) =>
-        val rel = root.relativize(fs.makeQualified(st.getPath).toUri).getPath
-        (st.getLen, rel)
+      DelimManifest(
+        listFilesWithPartitions(Seq(target.toString), conf).map { case (st, _) =>
+          val rel = root.relativize(fs.makeQualified(st.getPath).toUri).getPath
+          (st.getLen, rel)
+        }, multiLine = false)
+    }
+
+  /** True when any listed root carries a manifest flagged multiline —
+    * the reader then engages quote-aware whole-file framing without
+    * any option (the WRITER knows it quoted a newline; forcing every
+    * reader to also know is how silent misframing happens).
+    */
+  private[v2] def manifestMultiLine(paths: Seq[String], conf: Configuration): Boolean =
+    paths.exists { p =>
+      val hp = new HPath(p)
+      val fs = hp.getFileSystem(conf)
+      Option(fs.globStatus(hp)).map(_.toSeq).getOrElse(Seq.empty).exists { st =>
+        st.isDirectory && readManifest(fs, st.getPath).exists(_.multiLine)
       }
     }
 
@@ -1602,7 +1728,7 @@ private[graft] object DelimV2 {
           val manifest =
             if (st.isDirectory) readManifest(fs, st.getPath) else None
           manifest match {
-            case Some(entries) => entries.map { case (len, rel) =>
+            case Some(m) => m.entries.map { case (len, rel) =>
               val pvals = rel.split('/').dropRight(1).toSeq.flatMap { seg =>
                 val eq = seg.indexOf('=')
                 if (eq <= 0) None

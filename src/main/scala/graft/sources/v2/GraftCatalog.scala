@@ -185,6 +185,13 @@ private[v2] class DelimPartitionedTable(
             java.time.LocalDate.ofEpochDay(d.toLong).toString
           case other => other.toString
         }
+      // the same layout guard the WRITER applies: a separator in a
+      // partition value would silently corrupt the k=v tree (ADD with
+      // pc='a/b' would mkdir a two-level path that lists as pc='a')
+      if (v.exists(c => c == '/' || c == '=' || c == '\n' || c == '\r'))
+        throw new IllegalArgumentException(
+          s"graft-delim: partition value '$v' (column ${f.name}) " +
+            "contains a path separator or '='")
       s"${f.name}=$v"
     }.mkString("/")
   }
@@ -205,9 +212,9 @@ private[v2] class DelimPartitionedTable(
     // manifest swap FIRST: readers stop seeing the partition's rows
     // atomically; the subtree delete that follows only reclaims bytes
     // no snapshot references anymore
-    DelimV2.readManifest(fs, root).foreach { entries =>
+    DelimV2.readManifest(fs, root).foreach { m =>
       DelimV2.writeManifest(fs, root,
-        entries.filterNot(_._2.startsWith(sub + "/")))
+        m.entries.filterNot(_._2.startsWith(sub + "/")), m.multiLine)
     }
     fs.delete(d, true)
   }

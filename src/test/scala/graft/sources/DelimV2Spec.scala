@@ -764,6 +764,13 @@ class DelimV2Spec extends SparkFunSuite {
     assert(counted.queryExecution.executedPlan.toString
       .contains("PushedAggregation: [count(*)]"))
     assert(counted.collect().head.getLong(0) === vals.size.toLong)
+    // a DEFAULT read (no multiLine option) must frame identically: the
+    // manifest's multiline flag auto-engages whole-file framing — the
+    // round-15 writer THREW on newline fields; quoting without the
+    // flag would have turned that loud failure into silent misframing
+    val auto = spark.read.format("graft-delim")
+      .schema("id BIGINT, s STRING").load(s"$dir/out")
+    assert(auto.orderBy($"id").collect().map(_.getString(1)).toSeq === vals)
     // and the documented contract: the writer's output IS readable by
     // Spark's CSV reader in its multiLine mode (same RFC dialect;
     // univocity normalizes \r\n to \n INSIDE quoted fields — a CSV-
@@ -798,6 +805,72 @@ class DelimV2Spec extends SparkFunSuite {
     assert(viaDelim.map(_.getString(1)).toSeq === rows.map(_._2))
   }
 
+  test("quoting fuzz: 500 adversarial strings round-trip bit-exact at adversarial split sizes") {
+    val dir = tempDir("delimv2-quotefuzz")
+    // deterministic generator biased toward the quoting grammar's edge
+    // cases: quotes at field boundaries, runs of quotes, delimiters
+    // adjacent to quotes, CR/LF mixes, empty-adjacent structure
+    val rnd = new scala.util.Random(421L)
+    val alphabet = Array("a", "|", "\"", "\n", "\r", "\"\"", "|\"", "\"|",
+      "x|y", "", "zz", "\r\n", "q\"q")
+    val vals = (0 until 500).map { i =>
+      (0 until rnd.nextInt(6)).map(_ => alphabet(rnd.nextInt(alphabet.length)))
+        .mkString
+    }
+    vals.zipWithIndex.map { case (s, i) => (i.toLong, s, s.length.toLong) }
+      .toDF("id", "s", "len")
+      .write.format("graft-delim").mode("overwrite").save(s"$dir/out")
+    // NO multiLine option: the committed manifest flags the quoted
+    // newlines and the reader auto-engages whole-file framing
+    for (splitBytes <- Seq(7, 64, 100000)) {
+      val back = spark.read.format("graft-delim")
+        .schema("id BIGINT, s STRING, len BIGINT")
+        .option("splitBytes", splitBytes.toString)
+        .load(s"$dir/out")
+        .orderBy($"id").collect()
+      assert(back.length === 500, s"splitBytes=$splitBytes")
+      back.foreach { r =>
+        val want = vals(r.getLong(0).toInt)
+        val got = r.getString(1)
+        // the one documented lossy edge: the format writes null and ""
+        // identically (empty field), both read back as ""
+        assert(got === want, s"id=${r.getLong(0)} splitBytes=$splitBytes: " +
+          s"${got.map(_.toInt)} != ${want.map(_.toInt)}")
+        assert(r.getLong(2) === want.length.toLong)
+      }
+    }
+  }
+
+  test("static overwrite sweeps crash-orphans and emptied partition directories") {
+    val dir = tempDir("delimv2-sweep")
+    Seq((1L, "a"), (2L, "b")).toDF("id", "pc")
+      .write.format("graft-delim").option("partitionBy", "pc")
+      .mode("overwrite").save(s"$dir/t")
+    // simulate a crashed commit's orphan: promoted but never listed in
+    // any manifest (generation-token names mean it never collides)
+    write(s"$dir/t/pc=a/part-00000-99-deadbeef.txt", "9\n")
+    Files.createDirectories(Paths.get(s"$dir/t/pc=stale"))
+    write(s"$dir/t/pc=stale/part-00000-98-cafebabe.txt", "8\n")
+    // overwrite with a generation that has NO pc=a/pc=stale rows
+    Seq((3L, "c")).toDF("id", "pc")
+      .write.format("graft-delim").option("partitionBy", "pc")
+      .mode("overwrite").save(s"$dir/t")
+    // the orphan files AND the emptied k=v dirs are gone — a
+    // directory-identity surface (SHOW PARTITIONS) must not keep
+    // listing partitions the overwrite deleted
+    assert(!Files.exists(Paths.get(s"$dir/t/pc=a")), "stale pc=a survived")
+    assert(!Files.exists(Paths.get(s"$dir/t/pc=stale")), "orphan dir survived")
+    val back = spark.read.format("graft-delim")
+      .schema("id BIGINT, pc STRING").load(s"$dir/t")
+    assert(back.collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+      === Seq((3L, "c")))
+    spark.sql("DROP TABLE IF EXISTS graft_cat.default.sweep_t")
+    spark.sql(s"""CREATE TABLE graft_cat.default.sweep_t (id BIGINT, pc STRING)
+      USING `graft-delim` PARTITIONED BY (pc) LOCATION '$dir/t'""")
+    assert(spark.sql("SHOW PARTITIONS graft_cat.default.sweep_t")
+      .collect().map(_.getString(0)).toSeq === Seq("pc=c"))
+  }
+
   test("quote=none restores the legacy contract: writer throws on delimiter-in-field") {
     val dir = tempDir("delimv2-quotenone")
     val err = intercept[org.apache.spark.SparkException] {
@@ -824,7 +897,7 @@ class DelimV2Spec extends SparkFunSuite {
     val fs = new org.apache.hadoop.fs.Path(s"$dir/out")
       .getFileSystem(spark.sessionState.newHadoopConf())
     val entries = graft.sources.v2.DelimV2.readManifest(
-      fs, new org.apache.hadoop.fs.Path(s"$dir/out")).get
+      fs, new org.apache.hadoop.fs.Path(s"$dir/out")).get.entries
     entries.foreach { case (len, rel) =>
       assert(len === new java.io.File(s"$dir/out/$rel").length(), rel)
     }
@@ -854,7 +927,7 @@ class DelimV2Spec extends SparkFunSuite {
     Seq((9L, 9.0)).toDF("id", "v")
       .write.format("graft-delim").mode("overwrite").save(s"$dir/out")
     assert(total() === 9.0)
-    val live = graft.sources.v2.DelimV2.readManifest(fs, hp).get.map(_._2)
+    val live = graft.sources.v2.DelimV2.readManifest(fs, hp).get.entries.map(_._2)
     assert(live.size === 1)
     // dead generations' files were deleted at commit
     assert(!new java.io.File(s"$dir/out/part-00000-777-deadbeef.txt").exists())
@@ -876,7 +949,7 @@ class DelimV2Spec extends SparkFunSuite {
     q.awaitTermination()
     val hp = new org.apache.hadoop.fs.Path(s"$dir/out")
     val fs = hp.getFileSystem(spark.sessionState.newHadoopConf())
-    val entries = graft.sources.v2.DelimV2.readManifest(fs, hp).get
+    val entries = graft.sources.v2.DelimV2.readManifest(fs, hp).get.entries
     assert(entries.size === entries.map(_._2).distinct.size)
     val back = spark.read.format("graft-delim")
       .schema("id BIGINT").load(s"$dir/out")

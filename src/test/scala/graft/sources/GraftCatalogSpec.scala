@@ -49,7 +49,7 @@ class GraftCatalogSpec extends SparkFunSuite {
     assert(spark.table("graft_cat.default.ddl_t").count() === 2)
     val hp = new org.apache.hadoop.fs.Path(s"$dir/t")
     val fs = hp.getFileSystem(spark.sessionState.newHadoopConf())
-    val manifest = DelimV2.readManifest(fs, hp).get.map(_._2)
+    val manifest = DelimV2.readManifest(fs, hp).get.entries.map(_._2)
     assert(!manifest.exists(_.startsWith("pc=a/")), manifest.mkString(","))
 
     // a subsequent partition-filtered scan file-prunes to the surviving
@@ -74,6 +74,31 @@ class GraftCatalogSpec extends SparkFunSuite {
     assert(parts("graft_cat.default.ins_t") === Seq("pc=a", "pc=b"))
     assert(spark.table("graft_cat.default.ins_t")
       .filter($"pc" === "b").collect().map(_.getLong(0)).toSeq === Seq(9L))
+  }
+
+  test("multi-level partition trees: SHOW/ADD/DROP walk both k=v levels") {
+    val dir = tempDir("graftcat-multi")
+    Seq((1L, "a", 10L), (2L, "a", 20L), (3L, "b", 10L))
+      .toDF("id", "p1", "p2")
+      .write.format("graft-delim").option("partitionBy", "p1,p2")
+      .mode("overwrite").save(s"$dir/t")
+    spark.sql("DROP TABLE IF EXISTS graft_cat.default.ml_t")
+    spark.sql(s"""CREATE TABLE graft_cat.default.ml_t
+      (id BIGINT, p1 STRING, p2 BIGINT)
+      USING `graft-delim` PARTITIONED BY (p1, p2) LOCATION '$dir/t'""")
+    assert(parts("graft_cat.default.ml_t")
+      === Seq("p1=a/p2=10", "p1=a/p2=20", "p1=b/p2=10"))
+    // the partial-spec form lists only the matching subtree
+    assert(spark.sql(
+      "SHOW PARTITIONS graft_cat.default.ml_t PARTITION (p1='a')")
+      .collect().map(_.getString(0)).sorted.toSeq
+      === Seq("p1=a/p2=10", "p1=a/p2=20"))
+    spark.sql("ALTER TABLE graft_cat.default.ml_t ADD PARTITION (p1='b', p2=99)")
+    assert(parts("graft_cat.default.ml_t").contains("p1=b/p2=99"))
+    spark.sql("ALTER TABLE graft_cat.default.ml_t DROP PARTITION (p1='a', p2=20)")
+    assert(parts("graft_cat.default.ml_t")
+      === Seq("p1=a/p2=10", "p1=b/p2=10", "p1=b/p2=99"))
+    assert(spark.table("graft_cat.default.ml_t").count() === 2)
   }
 
   test("typed partition columns list and drop with value semantics, not string ones") {

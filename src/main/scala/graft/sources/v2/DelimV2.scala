@@ -995,13 +995,22 @@ private[v2] class DelimWriteBuilder(
     // colN): when a partition column is missing from the query's
     // names but the declared table schema matches in arity, adopt the
     // table's names positionally — standard INSERT semantics
-    val schema =
-      if (partCols.nonEmpty && tableSchema.size == qSchema.size &&
+    val positionalAdopt =
+      partCols.nonEmpty && tableSchema.size == qSchema.size &&
         partCols.forall(tableSchema.fieldNames.contains) &&
-        !partCols.forall(qSchema.fieldNames.contains))
+        !partCols.forall(qSchema.fieldNames.contains)
+    val schema =
+      if (positionalAdopt)
         StructType(qSchema.fields.zip(tableSchema.fields)
           .map { case (q, t) => q.copy(name = t.name) })
       else qSchema
+    // the required distribution/ordering resolves against the QUERY's
+    // output names (before the positional adoption above renames them
+    // for the writer) — an INSERT VALUES arrives as col1..colN
+    val distCols =
+      if (positionalAdopt)
+        partCols.map(c => qSchema.fields(tableSchema.fieldIndex(c)).name)
+      else partCols
     partCols.foreach { c =>
       require(schema.fieldNames.contains(c),
         s"graft-delim: partitionBy column $c not in the write schema " +
@@ -1021,7 +1030,7 @@ private[v2] class DelimWriteBuilder(
       }
     new DelimWrite(schema, info.queryId(), DelimV2.paths(options).head,
       DelimV2.delimiter(options), doTruncate, partCols, dynamic,
-      DelimV2.quoteChar(options))
+      DelimV2.quoteChar(options), distCols)
   }
 }
 
@@ -1029,11 +1038,47 @@ private[v2] class DelimWrite(
     schema: StructType, queryId: String, path: String, delim: Char,
     truncate: Boolean, partCols: Seq[String] = Nil,
     dynamicOverwrite: Boolean = false,
-    quote: Int = -1)
+    quote: Int = -1,
+    /** Query-side names of the partition columns (differ from
+      * `partCols` only for the positional INSERT-VALUES adoption). */
+    distColsIn: Seq[String] = Nil)
     extends org.apache.spark.sql.connector.write.Write
-    with org.apache.spark.sql.connector.write.BatchWrite {
+    with org.apache.spark.sql.connector.write.BatchWrite
+    with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
 
   import org.apache.spark.sql.connector.write._
+
+  /** Partitioned writes CLUSTER and SORT rows by the partition columns
+    * before the writer sees them — Spark plans the shuffle+sort (the
+    * same move its own dynamic-partition InsertInto makes). This is
+    * what bounds the writer to ONE open stream per task: without it, a
+    * task writing a high-cardinality partitionBy holds one open file
+    * PER VALUE and dies of fd exhaustion (measured: 1024 values × 32
+    * tasks = "Too many open files" in the manifest-listing stress
+    * fixture build). Flat writes require nothing.
+    */
+  private def distCols: Seq[String] =
+    if (distColsIn.nonEmpty) distColsIn else partCols
+
+  override def requiredDistribution()
+      : org.apache.spark.sql.connector.distributions.Distribution =
+    if (partCols.isEmpty)
+      org.apache.spark.sql.connector.distributions.Distributions.unspecified()
+    else
+      org.apache.spark.sql.connector.distributions.Distributions.clustered(
+        distCols.map(c => org.apache.spark.sql.connector.expressions.Expressions
+          .column(c).asInstanceOf[org.apache.spark.sql.connector.expressions.Expression])
+          .toArray)
+
+  override def requiredOrdering()
+      : Array[org.apache.spark.sql.connector.expressions.SortOrder] =
+    if (partCols.isEmpty)
+      Array.empty
+    else distCols.map(c =>
+      org.apache.spark.sql.connector.expressions.Expressions.sort(
+        org.apache.spark.sql.connector.expressions.Expressions.column(c),
+        org.apache.spark.sql.connector.expressions.SortDirection.ASCENDING))
+      .toArray
 
   private def staging = new HPath(path, s"_staging_$queryId")
 
@@ -1296,7 +1341,8 @@ private[v2] class DelimWriterFactory(
     // them reaches commit()
     val tok = if (genToken.isEmpty) "" else s"-$genToken"
     new DelimDataWriter(stagingDir, f"part-$partitionId%05d-$taskId$tok",
-      schema, delim, confMap, partCols, quote = quote)
+      schema, delim, confMap, partCols, quote = quote,
+      singleOpenStream = partCols.nonEmpty)
   }
 }
 
@@ -1314,7 +1360,14 @@ private[v2] class DelimDataWriter(
     finalStem: String = null,
     /** Quote code point for RFC-4180 quoting of fields containing the
       * delimiter/quote/newline, or -1 (legacy: such fields throw). */
-    quote: Int = -1)
+    quote: Int = -1,
+    /** Batch partitioned writes arrive CLUSTERED+SORTED by partition
+      * columns (DelimWrite.requiredDistribution/Ordering), so the
+      * writer keeps ONE stream open and closes it on every subdir
+      * transition — the fd bound that lets a task own thousands of
+      * partition values. Streaming epochs (where the ordering is not
+      * guaranteed) keep the open-map behavior. */
+    singleOpenStream: Boolean = false)
     extends org.apache.spark.sql.connector.write.DataWriter[InternalRow] {
 
   private val finStem = Option(finalStem).getOrElse(fileStem)
@@ -1376,8 +1429,20 @@ private[v2] class DelimDataWriter(
       s"${partCols(i)}=$v"
     }.mkString("/")
 
+  private val closedSubs = scala.collection.mutable.HashSet.empty[String]
+
   private def streamFor(subdir: String): java.io.OutputStream =
-    streams.getOrElseUpdate(subdir, {
+    streams.getOrElse(subdir, {
+      if (closedSubs.contains(subdir))
+        throw new IllegalStateException(
+          "graft-delim: partition value revisited after its stream " +
+            "closed — batch partitioned rows must arrive clustered by " +
+            "the partition columns (the write plans that ordering)")
+      if (singleOpenStream)
+        streams.keys.toList.foreach { k =>
+          streams.remove(k).foreach(_.close())
+          closedSubs += k
+        }
       // the ordinal keeps STAGED names unique across this task's
       // partition values (they share one flat staging dir); the FINAL
       // name needs no suffix — it lands inside the k=v subdir, where
@@ -1388,8 +1453,10 @@ private[v2] class DelimDataWriter(
       val suffix = if (subdir.isEmpty) "" else f"-p${staged.size}%04d"
       val file = new HPath(stagingDir, s"$fileStem$suffix.txt")
       staged += DelimStagedFile(subdir, file.toString, s"$finStem.txt")
-      new java.io.BufferedOutputStream(
+      val out = new java.io.BufferedOutputStream(
         file.getFileSystem(conf()).create(file, true), 1 << 16)
+      streams(subdir) = out
+      out
     })
 
   override def write(row: InternalRow): Unit = {
@@ -1567,13 +1634,24 @@ private[graft] object DelimV2 {
   val HiveDefaultPartition = "__HIVE_DEFAULT_PARTITION__"
 
   /** SNAPSHOT MANIFEST: the committed-files list a writing job swaps in
-    * atomically at commit (`length<TAB>relative/path` lines). When
-    * present at a table root, readers list FROM it — a planning-time
-    * snapshot: a reader planned mid-overwrite sees exactly the old or
-    * the new generation, never a mix — and skip the recursive directory
-    * walk entirely (at 100 TB, one small-file read instead of a
-    * namespace crawl). Directories without one (legacy layouts, text
-    * fixtures) fall back to the recursive listing.
+    * atomically at commit (a `#graft-delim-manifest` header line, then
+    * `length<TAB>relative/path` lines). When present at a table root,
+    * readers list FROM it — a planning-time snapshot: a reader planned
+    * mid-overwrite sees exactly the old or the new generation, never a
+    * mix — and skip the recursive directory walk entirely (at 100 TB,
+    * one small-file read instead of a namespace crawl). Directories
+    * without one (legacy layouts, text fixtures) fall back to the
+    * recursive listing.
+    *
+    * CONCURRENCY CONTRACT: one committer at a time per table. The swap
+    * itself is atomic, but the commit sequence is read-modify-write on
+    * the previous snapshot — two simultaneous committers (two appends,
+    * a batch job racing a streaming epoch, a commit racing a DROP
+    * PARTITION) are last-writer-wins, and the loser's files end up
+    * unlisted. This is the same single-writer assumption Spark's own
+    * file sources make for a directory; multi-writer coordination needs
+    * an external lock or a CAS-capable metastore, deliberately out of
+    * scope for a landing-directory format.
     */
   val ManifestFile = "_manifest"
 
@@ -1676,7 +1754,22 @@ private[graft] object DelimV2 {
       val hp = new HPath(p)
       val fs = hp.getFileSystem(conf)
       Option(fs.globStatus(hp)).map(_.toSeq).getOrElse(Seq.empty).exists { st =>
-        st.isDirectory && readManifest(fs, st.getPath).exists(_.multiLine)
+        st.isDirectory && {
+          // header-only read: the flag is line 1 — parsing a large
+          // table's whole entry list for one bit would tax every scan
+          val mf = new HPath(st.getPath, ManifestFile)
+          fs.exists(mf) && {
+            val in = fs.open(mf)
+            try {
+              val br = new java.io.BufferedReader(
+                new java.io.InputStreamReader(in,
+                  java.nio.charset.StandardCharsets.UTF_8))
+              val first = br.readLine()
+              first != null && first.startsWith("#") &&
+                first.contains("multiline=true")
+            } finally in.close()
+          }
+        }
       }
     }
 

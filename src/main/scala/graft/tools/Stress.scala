@@ -742,6 +742,47 @@ object Stress {
             s"streamed_rows=${st.map(_.inputRows).sum}")
       }
     }
+
+    // 12. Manifest listing vs recursive namespace crawl (round 16): the
+    // snapshot manifest's metadata claim, measured. A table is laid out
+    // as `amp` k=v partitions × 32 files each; planning-time listing is
+    // timed (a) FROM the manifest and (b) with the manifest removed
+    // (the legacy recursive walk). Both must return the identical file
+    // set — this is a pure metadata race, no bytes read.
+    for (amp <- amps if sections("manifestlist")) {
+      val nParts = 64 * amp
+      val root = s"/tmp/graft_stress_manifest_$sfKey/p$amp"
+      graft.core.Scratch.rmTree(root)
+      spark.range(nParts.toLong * 32)
+        .selectExpr("id", s"concat('p', id % $nParts) AS pc")
+        .repartition(32)
+        .write.format("graft-delim").option("partitionBy", "pc")
+        .mode("overwrite").save(root)
+      val conf = spark.sessionState.newHadoopConf()
+      def listN(): Long =
+        graft.sources.v2.DelimV2.listFilesWithPartitions(Seq(root), conf).size
+      // warm the FS metadata cache once so both sides race warm
+      listN()
+      var manifestFiles = 0L
+      run("manifest_listing", amp, nParts.toLong) {
+        var n = 0L
+        for (_ <- 1 to 20) n = listN()
+        manifestFiles = n
+        (n, "mode=manifest|reps=20")
+      }
+      val hp = new org.apache.hadoop.fs.Path(root)
+      val fs = hp.getFileSystem(conf)
+      fs.delete(new org.apache.hadoop.fs.Path(hp,
+        graft.sources.v2.DelimV2.ManifestFile), false)
+      run("recursive_listing", amp, nParts.toLong) {
+        var n = 0L
+        for (_ <- 1 to 20) n = listN()
+        require(n == manifestFiles,
+          s"listing modes disagree: manifest=$manifestFiles recursive=$n")
+        (n, "mode=recursive|reps=20")
+      }
+      graft.core.Scratch.rmTree(root)
+    }
     spark.stop()
   }
 }

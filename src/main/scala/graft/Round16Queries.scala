@@ -146,6 +146,31 @@ object Round16Queries {
       s.sql("SHOW PARTITIONS graft_cat.default.show_parts_events")
     },
 
+    // CTAS through the catalog: CREATE TABLE ... USING graft-delim
+    // PARTITIONED BY ... AS SELECT — Spark's v2 CTAS (createTable +
+    // the connector's distribution-ordered partitioned write + the
+    // manifest commit) in one statement, then a pure-SQL aggregate
+    // over the created table vs the parquet oracle. REPLACE TABLE AS
+    // SELECT is spec-certified (GraftCatalogSpec; non-atomic in this
+    // catalog — drop-then-create — while individual writes stay
+    // manifest-atomic).
+    "delim_v2_ctas" -> { (s, dir) =>
+      val out = CoreQueries.scratchDir("delim_v2_ctas")
+      Tables.events(s, dir).createOrReplaceTempView("ctas16_events")
+      s.sql("DROP TABLE IF EXISTS graft_cat.default.ctas16_t")
+      // CTAS is CREATE + APPEND-write: clear the location (a previous
+      // run at another SF would otherwise stay live in the manifest)
+      graft.core.Scratch.rmTree(s"$out/t")
+      s.sql(s"""CREATE TABLE graft_cat.default.ctas16_t
+        USING `graft-delim` PARTITIONED BY (event_type) LOCATION '$out/t'
+        AS SELECT event_id, user_id, value, event_type FROM ctas16_events""")
+      s.sql("""SELECT event_type, count(*) AS n_events,
+        |       round(sum(value), 2) AS sum_value,
+        |       count(DISTINCT user_id) AS n_users
+        |FROM graft_cat.default.ctas16_t
+        |GROUP BY event_type""".stripMargin)
+    },
+
     // NEAREST-mode as-of (the third direction after backward/forward):
     // match the click minimizing |Δt| around each error event,
     // equidistant tie → the PRIOR row. Same O(1)-state single-pass
@@ -269,6 +294,13 @@ object Round16Queries {
         |       count(DISTINCT user_id) AS n_users
         |FROM events
         |GROUP BY 1""".stripMargin,
+
+    "delim_v2_ctas" ->
+      """SELECT event_type, count(*) AS n_events,
+        |       round(sum("value"), 2) AS sum_value,
+        |       count(DISTINCT user_id) AS n_users
+        |FROM events
+        |GROUP BY event_type""".stripMargin,
 
     // correlated min-|Δt| top-1 with the identical prior tie-break;
     // epoch arithmetic because DuckDB's interval abs and Spark's

@@ -101,6 +101,27 @@ class GraftCatalogSpec extends SparkFunSuite {
     assert(spark.table("graft_cat.default.ml_t").count() === 2)
   }
 
+  test("CTAS and REPLACE TABLE AS SELECT work through the catalog") {
+    val dir = tempDir("graftcat-ctas")
+    Seq((1L, "a"), (2L, "b"), (3L, "a")).toDF("id", "pc")
+      .createOrReplaceTempView("ctas_src")
+    spark.sql("DROP TABLE IF EXISTS graft_cat.default.ctas_t")
+    spark.sql(s"""CREATE TABLE graft_cat.default.ctas_t
+      USING `graft-delim` PARTITIONED BY (pc) LOCATION '$dir/t'
+      AS SELECT id, pc FROM ctas_src""")
+    assert(parts("graft_cat.default.ctas_t") === Seq("pc=a", "pc=b"))
+    assert(spark.table("graft_cat.default.ctas_t").count() === 3)
+    // RTAS replaces schema AND data (non-atomic in this catalog — a
+    // drop-then-create; the manifest still keeps individual WRITES
+    // atomic). The replaced table must carry only the new generation.
+    spark.sql(s"""REPLACE TABLE graft_cat.default.ctas_t
+      USING `graft-delim` LOCATION '$dir/t'
+      AS SELECT id FROM ctas_src WHERE pc = 'a'""")
+    val back = spark.table("graft_cat.default.ctas_t")
+    assert(back.columns.toSeq === Seq("id"))
+    assert(back.collect().map(_.getLong(0)).sorted.toSeq === Seq(1L, 3L))
+  }
+
   test("typed partition columns list and drop with value semantics, not string ones") {
     val dir = tempDir("graftcat-typed")
     Seq((1L, 10L), (2L, 20L)).toDF("id", "k")

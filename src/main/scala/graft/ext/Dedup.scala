@@ -873,21 +873,26 @@ object Dedup {
         * container's hash) — recall stays 1.0, unlike a df-cut.
         */
       hotTokenDf: Long = 0L, hotTokenSalts: Int = 16,
-      /** BROADCAST cutover for the candidate join (rep-group count at
-        * or below this broadcasts the prefix side): a BroadcastHashJoin
-        * probes from the POSTINGS side's uniform partitioning, so the
-        * candidate production parallelism follows data placement, not
-        * the token-key distribution — on a small-vocabulary corpus the
-        * shuffle join funnels all work through |distinct prefix tokens|
-        * tasks (measured 4.6 s → 1.5 s at sf0.1, 18 tokens on 32
-        * cores). Budget: ~5 prefix rows × ~400 B per rep ≈ 200 MB of
-        * broadcast at the default; at 100 TB the prefix side is
-        * corpus-sized and the shuffle join (+ hot-token lanes for
-        * clique skew) is the path. Same size-gated physical-strategy
+      /** BROADCAST cutover budget for the candidate join (ESTIMATED
+        * prefix-side bytes at or below this broadcast the prefix side):
+        * a BroadcastHashJoin probes from the POSTINGS side's uniform
+        * partitioning, so the candidate production parallelism follows
+        * data placement, not the token-key distribution — on a
+        * small-vocabulary corpus the shuffle join funnels all work
+        * through |distinct prefix tokens| tasks (measured 4.6 s → 1.5 s
+        * at sf0.1, 18 tokens on 32 cores). The estimate is MEASURED
+        * from the rep sets (Σ_reps prefixLen × (8·|set| + 8·prefixLen
+        * + row overhead)) in one metadata-cheap action over the cached
+        * group table — a doc-count cutover under-prices long documents
+        * (100 k reps of 100-token sets ≈ 200 MB of driver broadcast).
+        * At 100 TB the prefix side is corpus-sized, the estimate blows
+        * the budget, and the shuffle join (+ hot-token lanes for clique
+        * skew) is the path. Same size-gated physical-strategy
         * discipline as `MinHashParams.bruteForceMaxDocs`; 0 forces the
-        * shuffle join.
+        * shuffle join AND skips the sizing action entirely (the plan
+        * builder then launches no job at construction time).
         */
-      broadcastPrefixMaxDocs: Long = 100000L): DataFrame = {
+      broadcastPrefixMaxBytes: Long = 64L << 20): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0, s"threshold: $threshold")
     GraftFunctions.register(docs.sparkSession)
     import org.apache.spark.sql.expressions.Window
@@ -986,13 +991,19 @@ object Dedup {
     def orient = col("sz_x") < col("sz_y") ||
       (col("sz_x") === col("sz_y") && col("id_x") < col("id_y"))
     def verified = ver >= lit(threshold) * least(col("sz_x"), col("sz_y"))
-    // the broadcast cutover needs the rep count; groups is cached, so
-    // this is a metadata-cheap action (same move the LSH cutover makes)
-    // — skipped entirely when the cutover is disabled, so the 100 TB
-    // force-shuffle caller never pays a count pass for an unused answer
-    lazy val nReps = sets.count()
+    // the broadcast cutover needs the prefix side's size estimate;
+    // groups is cached, so this is a metadata-cheap action (same move
+    // the LSH cutover makes) — skipped entirely when the cutover is
+    // disabled, so the 100 TB force-shuffle caller never pays a sizing
+    // pass for an unused answer
+    lazy val estPrefixBytes: Long = {
+      val pl = (col("sz") - ceil(lit(threshold) * col("sz")).cast("int") + lit(2))
+        .cast("long")
+      Option(sets.agg(sum(pl * (col("sz").cast("long") * 8L + pl * 8L + lit(48L))))
+        .head.get(0)).map(_.asInstanceOf[Long]).getOrElse(0L)
+    }
     val joined =
-      if (broadcastPrefixMaxDocs > 0 && nReps <= broadcastPrefixMaxDocs) {
+      if (broadcastPrefixMaxBytes > 0 && estPrefixBytes <= broadcastPrefixMaxBytes) {
         // skew-free shape: probe-side partitioning (uniform round-robin)
         // carries the parallelism; lanes are pointless here
         val par = docs.sparkSession.sparkContext.defaultParallelism

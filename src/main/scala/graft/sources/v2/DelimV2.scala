@@ -367,10 +367,16 @@ class DelimScan(
   override def outputPartitioning()
       : org.apache.spark.sql.connector.read.partitioning.Partitioning =
     if (clustered && partFields.nonEmpty && aggCountCols == 0) {
-      val nKeys = staticKept.map { case (_, pv) =>
+      // count keys over the NON-EMPTY files only: planInputPartitions
+      // drops zero-length files, so a partition value whose files are
+      // all empty contributes no split group — declaring it would
+      // inflate the partitioning count above what is actually emitted
+      val nKeys = staticKept.filter(_._1.getLen > 0).map { case (_, pv) =>
         partFields.map(pf =>
           pv.collectFirst { case (k, v) if k == pf.name => v }.orNull).toSeq
       }.distinct.size
+      if (nKeys == 0)
+        return new org.apache.spark.sql.connector.read.partitioning.UnknownPartitioning(0)
       new org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning(
         partFields.map(f =>
           org.apache.spark.sql.connector.expressions.Expressions.identity(f.name)
@@ -1754,10 +1760,23 @@ private[graft] object DelimV2 {
       val hp = new HPath(p)
       val fs = hp.getFileSystem(conf)
       Option(fs.globStatus(hp)).map(_.toSeq).getOrElse(Seq.empty).exists { st =>
-        st.isDirectory && {
+        // a FILE or glob match (load("t/*.txt")) still belongs to its
+        // table: probe the enclosing table ROOT — the file's directory,
+        // walking up out of any k=v partition levels — so a file-level
+        // read of a multiline-flagged table frames correctly instead
+        // of silently misframing (the failure the flag exists to stop)
+        val dir: HPath =
+          if (st.isDirectory) st.getPath
+          else {
+            var d = st.getPath.getParent
+            while (d != null && d.getParent != null && d.getName.contains("="))
+              d = d.getParent
+            d
+          }
+        dir != null && {
           // header-only read: the flag is line 1 — parsing a large
           // table's whole entry list for one bit would tax every scan
-          val mf = new HPath(st.getPath, ManifestFile)
+          val mf = new HPath(dir, ManifestFile)
           fs.exists(mf) && {
             val in = fs.open(mf)
             try {

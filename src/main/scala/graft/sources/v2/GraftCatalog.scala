@@ -43,11 +43,14 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
 class GraftCatalog extends TableCatalog with SupportsNamespaces {
 
   private var catalogName: String = "graft_cat"
+  // keyed by (namespace COMPONENTS, table name) — a dot-joined string
+  // key would make listTables(["a"]) claim a table in namespace
+  // ["a","b"] (string-prefix aliasing) and collide names containing '.'
   private val tables =
-    new ConcurrentHashMap[String, (StructType, Seq[String], Map[String, String])]()
+    new ConcurrentHashMap[(Seq[String], String), (StructType, Seq[String], Map[String, String])]()
 
-  private def key(ident: Identifier): String =
-    (ident.namespace() :+ ident.name()).mkString(".")
+  private def key(ident: Identifier): (Seq[String], String) =
+    (ident.namespace().toSeq, ident.name())
 
   override def initialize(name: String, options: CaseInsensitiveStringMap): Unit =
     catalogName = name
@@ -55,9 +58,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
   override def name(): String = catalogName
 
   override def listTables(namespace: Array[String]): Array[Identifier] = {
-    val prefix = namespace.mkString(".") + "."
-    tables.keySet().asScala.toArray.filter(_.startsWith(prefix)).map { k =>
-      Identifier.of(namespace, k.stripPrefix(prefix))
+    val ns = namespace.toSeq
+    tables.keySet().asScala.toArray.collect {
+      case (kns, tname) if kns == ns => Identifier.of(namespace, tname)
     }
   }
 
@@ -131,7 +134,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
 
   override def namespaceExists(namespace: Array[String]): Boolean =
     namespace.isEmpty || namespace.sameElements(Array("default")) ||
-      tables.keySet().asScala.exists(_.startsWith(namespace.mkString(".") + "."))
+      tables.keySet().asScala.exists(_._1.startsWith(namespace.toSeq))
 
   override def createNamespace(
       namespace: Array[String], metadata: java.util.Map[String, String]): Unit = ()

@@ -1,0 +1,111 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+
+/** Round-17 depth queries.
+  *
+  * Headliner: the graft-delim manifest grows into a small table
+  * FORMAT — versioned snapshot manifests claimed with
+  * create-no-overwrite (a racing committer now fails loudly instead of
+  * silently unlisting the other job's files), TIME TRAVEL
+  * (`versionAsOf` over a `retainVersions` window), SCHEMA EVOLUTION
+  * (each generation's manifest records its writer schema; readers map
+  * columns to file positions BY NAME through it, so a column added
+  * later reads as null from older generations — where the reference
+  * treats every table as opaque `SELECT *` text,
+  * verizon_automation_script.sh:220, this keeps the typed model across
+  * generations), and small-file COMPACTION (OPTIMIZE) that rewrites a
+  * partition's accumulated files into one and swaps the manifest
+  * atomically.
+  */
+object Round17Queries {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // TIME TRAVEL over the retention window: generation 1 is
+    // overwritten by generation 2, yet `versionAsOf 1` still plans
+    // exactly the old snapshot (its manifest and files are retained by
+    // the `retainVersions=2` policy) while the default read sees only
+    // generation 2. The oracle recomputes both generations' aggregates
+    // from the parquet source — any leakage between generations breaks
+    // a row count, a revenue sum, or a key signature.
+    "delim_v2_time_travel" -> { (s, dir) =>
+      val out = CoreQueries.scratchDir("delim_v2_time_travel")
+      // deterministic generation numbers across harness runs: the
+      // table starts from scratch so gen 1/2 are exactly the two writes
+      graft.core.Scratch.rmTree(s"$out/t")
+      val orders = Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_totalprice"))
+      orders.filter(col("o_totalprice") <= 100000.0)
+        .write.format("graft-delim").option("retainVersions", "2")
+        .mode("overwrite").save(s"$out/t")
+      orders.filter(col("o_totalprice") > 100000.0)
+        .write.format("graft-delim").mode("overwrite").save(s"$out/t")
+      def snap(tag: String, opts: Map[String, String]): DataFrame = {
+        var r = s.read.format("graft-delim")
+          .schema("o_orderkey BIGINT, o_totalprice DOUBLE")
+        opts.foreach { case (k, v) => r = r.option(k, v) }
+        r.load(s"$out/t").agg(
+          count(lit(1)).as("n_rows"),
+          round(sum(col("o_totalprice")), 2).as("revenue"),
+          sum(col("o_orderkey")).as("key_sig"))
+          .select(lit(tag).as("gen"), col("n_rows"), col("revenue"),
+            col("key_sig"))
+      }
+      snap("v1", Map("versionAsOf" -> "1"))
+        .unionByName(snap("current", Map.empty))
+    },
+
+    // SCHEMA EVOLUTION across manifest generations: generation 1
+    // writes (c_custkey, c_name); generation 2 appends a WIDER schema
+    // (+ c_acctbal) with its columns REORDERED — the reader reconciles
+    // both through each generation's recorded writer schema, so gen-1
+    // rows read the added column as null and gen-2's reordered fields
+    // land by name. The oracle derives the same union from parquet
+    // (CASE-ing the added column to null for the gen-1 slice).
+    "delim_v2_schema_evolution" -> { (s, dir) =>
+      val out = CoreQueries.scratchDir("delim_v2_schema_evolution")
+      graft.core.Scratch.rmTree(s"$out/t")
+      val c = Tables.customer(s, dir)
+      c.filter(col("c_custkey") % 2 === 0)
+        .select(col("c_custkey"), col("c_name"))
+        .write.format("graft-delim").mode("overwrite").save(s"$out/t")
+      c.filter(col("c_custkey") % 2 === 1)
+        .select(col("c_name"), col("c_acctbal"), col("c_custkey")) // reordered
+        .write.format("graft-delim").mode("append").save(s"$out/t")
+      s.read.format("graft-delim")
+        .schema("c_custkey BIGINT, c_name STRING, c_acctbal DOUBLE")
+        .load(s"$out/t")
+        .agg(
+          count(lit(1)).as("n_rows"),
+          sum(col("c_custkey")).as("key_sig"),
+          sum(when(col("c_acctbal").isNull, 1L).otherwise(0L)).as("n_null_bal"),
+          round(sum(col("c_acctbal")), 2).as("sum_bal"),
+          sum(length(col("c_name"))).as("name_chars"))
+    })
+
+  def oracleSql: Map[String, String] = Map(
+
+    "delim_v2_time_travel" ->
+      """SELECT 'v1' AS gen, count(*) AS n_rows,
+        |       round(sum(o_totalprice), 2) AS revenue,
+        |       CAST(sum(o_orderkey) AS BIGINT) AS key_sig
+        |FROM orders WHERE o_totalprice <= 100000.0
+        |UNION ALL
+        |SELECT 'current', count(*), round(sum(o_totalprice), 2),
+        |       CAST(sum(o_orderkey) AS BIGINT)
+        |FROM orders WHERE o_totalprice > 100000.0""".stripMargin,
+
+    "delim_v2_schema_evolution" ->
+      """SELECT count(*) AS n_rows,
+        |       CAST(sum(c_custkey) AS BIGINT) AS key_sig,
+        |       CAST(sum(CASE WHEN c_custkey % 2 = 0 THEN 1 ELSE 0 END)
+        |         AS BIGINT) AS n_null_bal,
+        |       round(sum(CASE WHEN c_custkey % 2 = 1 THEN c_acctbal END), 2)
+        |         AS sum_bal,
+        |       CAST(sum(length(c_name)) AS BIGINT) AS name_chars
+        |FROM customer""".stripMargin)
+}

@@ -28,7 +28,8 @@ object SparkEntry {
       Round10Queries.queries ++ Round11Queries.queries ++
       Round12Queries.queries ++ Round13Queries.queries ++
       Round14Queries.queries ++ Round15Queries.queries ++
-      Round16Queries.queries ++ WarehouseQueries.queries
+      Round16Queries.queries ++ Round17Queries.queries ++
+      WarehouseQueries.queries
 
   def oracleSql: Map[String, String] =
     CoreQueries.oracleSql ++ ExtQueries.oracleSql ++ StreamQueries.oracleSql ++
@@ -37,7 +38,8 @@ object SparkEntry {
       Round10Queries.oracleSql ++ Round11Queries.oracleSql ++
       Round12Queries.oracleSql ++ Round13Queries.oracleSql ++
       Round14Queries.oracleSql ++ Round15Queries.oracleSql ++
-      Round16Queries.oracleSql ++ WarehouseQueries.oracleSql
+      Round16Queries.oracleSql ++ Round17Queries.oracleSql ++
+      WarehouseQueries.oracleSql
 }
 
 /** Event-window and multimodal queries (SURVEY.md §2b X5/X6). Windowed

@@ -64,7 +64,14 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    run(spark, sfDir, outDir, SparkEntry.queries, SparkEntry.oracleSql)
+    // SPARK_GRAFT_VERIFY_ONLY (comma-separated names): a DIAGNOSIS knob
+    // like Bench's — re-verify a subset in a fresh JVM without paying
+    // the full surface. Unset in driver runs.
+    val only = sys.env.get("SPARK_GRAFT_VERIFY_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    run(spark, sfDir, outDir,
+      SparkEntry.queries.filter { case (n, _) => only.forall(_.contains(n)) },
+      SparkEntry.oracleSql.filter { case (n, _) => only.forall(_.contains(n)) })
     spark.stop()
   }
 }

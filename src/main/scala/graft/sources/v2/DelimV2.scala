@@ -74,29 +74,48 @@ class DelimSource extends TableProvider with DataSourceRegister {
     * Hive-layout convention).
     */
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
-    val delim = DelimV2.delimiter(options)
-    val quote = DelimV2.quoteChar(options)
-    val framing =
-      if (DelimV2.multiLine(options) ||
-        DelimV2.manifestMultiLine(DelimV2.paths(options), DelimV2.driverConf()))
-        quote
-      else -1
-    val files =
-      DelimV2.listFilesWithPartitions(DelimV2.paths(options), DelimV2.driverConf())
-    val nCols = files.map(_._1).find(_.getLen > 0).map { f =>
-      val fs = f.getPath.getFileSystem(DelimV2.driverConf())
-      val in = fs.open(f.getPath)
-      try {
-        val line = new LineSplitReader(in, 0L, f.getLen, f.getLen, framing).nextLine()
-        if (line == null) 1 else DelimV2.countFields(line, delim, quote)
-      } finally in.close()
-    }.getOrElse(1)
-    // union partition keys across ALL files (first-seen path order):
-    // a flat file sorting ahead of the k=v dirs, or heterogeneous
-    // partition depths, must not silently drop directory columns
-    val partKeys = files.iterator.flatMap(_._2.map(_._1)).toSeq.distinct
-    StructType((1 to nCols).map(i => StructField(s"c$i", StringType, nullable = true)) ++
-      partKeys.map(k => StructField(k, StringType, nullable = true)))
+    val vAsOf = DelimV2.versionAsOf(options)
+    val conf = DelimV2.driverConf()
+    // a manifest-recorded writer schema for the listed generation IS
+    // the inference: names AND types for free (the typed contract the
+    // reference never had — its `SELECT *` treats every table as
+    // opaque text, verizon_automation_script.sh:220)
+    val recorded = DelimV2.paths(options).iterator.flatMap { p =>
+      val hp = new org.apache.hadoop.fs.Path(p)
+      val fs = hp.getFileSystem(conf)
+      Option(fs.globStatus(hp)).map(_.toSeq).getOrElse(Seq.empty)
+        .filter(_.isDirectory).flatMap { st =>
+          val m = vAsOf match {
+            case Some(g) => Some(DelimV2.readManifestVersion(fs, st.getPath, g))
+            case None => DelimV2.readManifest(fs, st.getPath)
+          }
+          m.flatMap(mm => mm.schemas.get(mm.gen).map(_.struct))
+        }
+    }.toSeq.headOption
+    recorded.getOrElse {
+      val delim = DelimV2.delimiter(options)
+      val quote = DelimV2.quoteChar(options)
+      val framing =
+        if (DelimV2.multiLine(options) ||
+          DelimV2.manifestMultiLine(DelimV2.paths(options), conf, vAsOf))
+          quote
+        else -1
+      val files = DelimV2.listFiles2(DelimV2.paths(options), conf, vAsOf)
+      val nCols = files.map(_.status).find(_.getLen > 0).map { f =>
+        val fs = f.getPath.getFileSystem(conf)
+        val in = fs.open(f.getPath)
+        try {
+          val line = new LineSplitReader(in, 0L, f.getLen, f.getLen, framing).nextLine()
+          if (line == null) 1 else DelimV2.countFields(line, delim, quote)
+        } finally in.close()
+      }.getOrElse(1)
+      // union partition keys across ALL files (first-seen path order):
+      // a flat file sorting ahead of the k=v dirs, or heterogeneous
+      // partition depths, must not silently drop directory columns
+      val partKeys = files.iterator.flatMap(_.pvals.map(_._1)).toSeq.distinct
+      StructType((1 to nCols).map(i => StructField(s"c$i", StringType, nullable = true)) ++
+        partKeys.map(k => StructField(k, StringType, nullable = true)))
+    }
   }
 
   override def getTable(
@@ -163,11 +182,13 @@ private[v2] class DelimScanBuilder(fullSchema: StructType, options: CaseInsensit
   private var aggCountCols: Int = 0
 
   // one listing per query, shared by the builder's partition-awareness
-  // and the scan (files + their k=v directory values)
+  // and the scan (files + their k=v directory values + per-generation
+  // field layouts)
   private lazy val filesWithParts =
-    DelimV2.listFilesWithPartitions(DelimV2.paths(options), DelimV2.driverConf())
+    DelimV2.listFiles2(DelimV2.paths(options), DelimV2.driverConf(),
+      DelimV2.versionAsOf(options))
   private lazy val partKeySet: Set[String] =
-    filesWithParts.flatMap(_._2.map(_._1)).toSet
+    filesWithParts.flatMap(_.pvals.map(_._1)).toSet
 
   /** PARTIAL COUNT(*) pushdown (supportCompletePushDown stays false):
     * each split returns ONE row with its owned-line count, found by
@@ -253,22 +274,26 @@ class DelimScan(
     limit: Int,
     options: CaseInsensitiveStringMap,
     aggCountCols: Int = 0,
-    filesWithParts: Seq[(FileStatus, Seq[(String, String)])] = null,
+    filesWithParts: Seq[DelimV2.ListedFile] = null,
     topN: Array[DelimSortKey] = Array.empty)
     extends Scan with Batch with SupportsReportStatistics with SupportsRuntimeFiltering
     with org.apache.spark.sql.connector.read.SupportsReportPartitioning {
 
-  private lazy val allFiles: Seq[(FileStatus, Seq[(String, String)])] =
+  private lazy val allFiles: Seq[DelimV2.ListedFile] =
     Option(filesWithParts).getOrElse(
-      DelimV2.listFilesWithPartitions(DelimV2.paths(options), DelimV2.driverConf()))
+      DelimV2.listFiles2(DelimV2.paths(options), DelimV2.driverConf(),
+        DelimV2.versionAsOf(options)))
 
   /** Partition columns = schema fields matching a discovered `k=v`
     * directory key; every other field maps POSITIONALLY (in schema
-    * order) to the file's delimited fields. Partition values come from
-    * the directory name, typed by the declared schema type.
+    * order) to the file's delimited fields — or BY NAME through the
+    * file's generation's recorded writer schema when the manifest
+    * carries one (schema evolution: a column the file's generation
+    * never wrote reads as null). Partition values come from the
+    * directory name, typed by the declared schema type.
     */
   private lazy val partKeySet: Set[String] =
-    allFiles.flatMap(_._2.map(_._1)).toSet.intersect(fullSchema.fieldNames.toSet)
+    allFiles.flatMap(_.pvals.map(_._1)).toSet.intersect(fullSchema.fieldNames.toSet)
   private lazy val partFields: Array[StructField] =
     fullSchema.fields.filter(f => partKeySet.contains(f.name))
 
@@ -302,10 +327,10 @@ class DelimScan(
     * the reference's own partition model (dt=/hr= trees), where the
     * 100 TB win is never opening the non-matching directories at all.
     */
-  private lazy val staticKept: Seq[(FileStatus, Seq[(String, String)])] = {
+  private lazy val staticKept: Seq[DelimV2.ListedFile] = {
     val preds = pushedFilters.filter(partitionOnly).map(partPredicate)
     if (preds.isEmpty) allFiles
-    else allFiles.filter { case (_, pv) => preds.forall(_(pv)) }
+    else allFiles.filter(f => preds.forall(_(f.pvals)))
   }
 
   /** Runtime (DPP-style) filters: Spark's PartitionPruning rule plugs a
@@ -344,7 +369,8 @@ class DelimScan(
   // writer recorded that it quoted newlines, so readers frame
   // whole-file automatically instead of silently misframing
   private val multiLine = DelimV2.multiLine(options) || {
-    val m = DelimV2.manifestMultiLine(paths, DelimV2.driverConf())
+    val m = DelimV2.manifestMultiLine(paths, DelimV2.driverConf(),
+      DelimV2.versionAsOf(options))
     if (m) require(DelimV2.quoteChar(options) >= 0,
       "graft-delim: this table's manifest flags quoted newlines; " +
         "it cannot be read with quote=none")
@@ -371,9 +397,9 @@ class DelimScan(
       // drops zero-length files, so a partition value whose files are
       // all empty contributes no split group — declaring it would
       // inflate the partitioning count above what is actually emitted
-      val nKeys = staticKept.filter(_._1.getLen > 0).map { case (_, pv) =>
+      val nKeys = staticKept.filter(_.status.getLen > 0).map { f =>
         partFields.map(pf =>
-          pv.collectFirst { case (k, v) if k == pf.name => v }.orNull).toSeq
+          f.pvals.collectFirst { case (k, v) if k == pf.name => v }.orNull).toSeq
       }.distinct.size
       if (nKeys == 0)
         return new org.apache.spark.sql.connector.read.partitioning.UnknownPartitioning(0)
@@ -404,7 +430,7 @@ class DelimScan(
     // spirit as FileScan: bytes on disk scaled by the fraction of
     // fields that survive pruning — so a one-partition slice of a huge
     // table is broadcast-eligible like any small table
-    private val total = staticKept.map(_._1.getLen).sum
+    private val total = staticKept.map(_.status.getLen).sum
     private val frac =
       if (fullSchema.isEmpty) 1.0
       else math.max(required.size, 1).toDouble / fullSchema.size
@@ -424,8 +450,10 @@ class DelimScan(
     val rtPreds = runtimeFilters.filter(partitionOnly).map(partPredicate)
     val kept =
       if (rtPreds.isEmpty) staticKept
-      else staticKept.filter { case (_, pv) => rtPreds.forall(_(pv)) }
-    val splits = kept.flatMap { case (f, pv) =>
+      else staticKept.filter(f => rtPreds.forall(_(f.pvals)))
+    val splits = kept.flatMap { lf =>
+      val f = lf.status
+      val pv = lf.pvals
       val len = f.getLen
       if (len == 0) Nil
       else {
@@ -449,7 +477,7 @@ class DelimScan(
         (0L until n).map { i =>
           val start = i * per
           DelimSplit(f.getPath.toString, start, math.min(per, len - start),
-            len, partVals, partKey)
+            len, partVals, partKey, lf.fileFields)
         }
       }
     }.toArray[InputPartition]
@@ -520,7 +548,13 @@ private[v2] case class DelimSplit(
       * the scan reports key-grouped partitioning — Spark groups splits
       * by this key so a groupBy/join on the layout key plans with no
       * Exchange. */
-    partKey: Array[Any] = null)
+    partKey: Array[Any] = null,
+    /** The file's POSITIONAL field names (its generation's recorded
+      * writer schema, non-partition fields in order) — the reader maps
+      * read-schema columns to file positions BY NAME through this, so
+      * files written before a column existed read it as null. Null =
+      * legacy positional contract. */
+    fileFields: Array[String] = null)
     extends InputPartition
     with org.apache.spark.sql.connector.read.HasPartitionKey {
 
@@ -582,20 +616,46 @@ private[v2] class DelimPartitionReader(
   private val types: Array[DataType] = fullSchema.fields.map(_.dataType)
 
   // schema-index → FILE field position: non-partition fields map
-  // positionally in schema order; partition fields have no file
-  // position (-1) — their values are split constants from the k=v
-  // directory, parsed once below
+  // positionally in schema order — or BY NAME through the file's
+  // generation's recorded field layout (split.fileFields), where a
+  // column the file's generation never wrote has no position (-1) and
+  // reads as null (schema evolution). Partition fields also carry -1 —
+  // their values are split constants from the k=v directory, parsed
+  // once below.
   private val partIdxSet: Set[Int] = partCols.map(idxOf).toSet
+  // by-name mapping engages only when the read schema SHARES a name
+  // with the file's recorded layout — a reader that renames every
+  // column (the legacy positional contract: arbitrary .schema names
+  // over any delimited file) keeps positional semantics instead of
+  // silently reading all-null
+  private val byName: Boolean = split.fileFields != null &&
+    fullSchema.fieldNames.zipWithIndex.exists { case (n, i) =>
+      !partIdxSet.contains(i) && split.fileFields.contains(n)
+    }
   private val filePos: Array[Int] = {
     val m = new Array[Int](fullSchema.size)
-    var fp = 0
-    var i = 0
-    while (i < m.length) {
-      if (partIdxSet.contains(i)) m(i) = -1 else { m(i) = fp; fp += 1 }
-      i += 1
+    if (!byName) {
+      var fp = 0
+      var i = 0
+      while (i < m.length) {
+        if (partIdxSet.contains(i)) m(i) = -1 else { m(i) = fp; fp += 1 }
+        i += 1
+      }
+    } else {
+      var i = 0
+      while (i < m.length) {
+        m(i) =
+          if (partIdxSet.contains(i)) -1
+          else split.fileFields.indexOf(fullSchema.fieldNames(i))
+        i += 1
+      }
     }
     m
   }
+  // file field-position count: an OLD generation may carry MORE fields
+  // than the current read schema (a later write narrowed it)
+  private val nFilePos: Int =
+    if (byName) split.fileFields.length else fullSchema.size
   // partition constants at their schema slots (typed via the same
   // parse path as file fields)
   private val partExt: Array[Any] = {
@@ -624,13 +684,13 @@ private[v2] class DelimPartitionReader(
   // narrow-projection scan over a 16-field line was ~1.7× CSV with
   // parse-all, at parity with the mask)
   private val needed: Array[Boolean] = {
-    val m = new Array[Boolean](fullSchema.size)
+    val m = new Array[Boolean](nFilePos)
     (outputIdx ++ filterCols).foreach(i => if (filePos(i) >= 0) m(filePos(i)) = true)
     m
   }
   // file position → schema index (for type lookup during the walk)
   private val schemaIdxAt: Array[Int] = {
-    val m = new Array[Int](fullSchema.size)
+    val m = new Array[Int](nFilePos)
     var i = 0
     while (i < filePos.length) { if (filePos(i) >= 0) m(filePos(i)) = i; i += 1 }
     m
@@ -1034,9 +1094,17 @@ private[v2] class DelimWriteBuilder(
         case other => throw new IllegalArgumentException(
           s"graft-delim: overwriteMode must be static or dynamic, got '$other'")
       }
+    val retain = Option(options.get("retainVersions")).map { v =>
+      val r = try v.trim.toInt catch {
+        case _: NumberFormatException => throw new IllegalArgumentException(
+          s"graft-delim: retainVersions must be a positive int, got '$v'")
+      }
+      require(r >= 1, s"graft-delim: retainVersions must be >= 1, got $r")
+      r
+    }
     new DelimWrite(schema, info.queryId(), DelimV2.paths(options).head,
       DelimV2.delimiter(options), doTruncate, partCols, dynamic,
-      DelimV2.quoteChar(options), distCols)
+      DelimV2.quoteChar(options), distCols, retain)
   }
 }
 
@@ -1047,7 +1115,12 @@ private[v2] class DelimWrite(
     quote: Int = -1,
     /** Query-side names of the partition columns (differ from
       * `partCols` only for the positional INSERT-VALUES adoption). */
-    distColsIn: Seq[String] = Nil)
+    distColsIn: Seq[String] = Nil,
+    /** Snapshot RETENTION override (`retainVersions` option): how many
+      * generations' manifests + files stay readable via `versionAsOf`.
+      * None inherits the table's current policy (manifest header),
+      * defaulting to 1 = current generation only. */
+    retainVersions: Option[Int] = None)
     extends org.apache.spark.sql.connector.write.Write
     with org.apache.spark.sql.connector.write.BatchWrite
     with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
@@ -1108,12 +1181,17 @@ private[v2] class DelimWrite(
   /** MANIFEST-SWAP commit — the snapshot-isolation sequence:
     *  1. promote the new generation's files (their names carry the
     *     job's generation token, so they coexist with the live files);
-    *  2. atomically swap `_manifest` to the new snapshot — the single
+    *  2. claim generation G+1 with a create-no-overwrite versioned
+    *     manifest, then atomically swap `_manifest` to it — the single
     *     visibility flip: a reader planning before it sees exactly the
-    *     old generation, after it exactly the new one, never a mix;
-    *  3. delete the files the new snapshot no longer references
-    *     (static overwrite: the whole previous generation; dynamic:
-    *     only the replaced partitions' files).
+    *     old generation, after it exactly the new one, never a mix. A
+    *     concurrent committer that also read generation G loses the
+    *     claim race and FAILS LOUDLY (its promoted files are rolled
+    *     back) instead of silently unlisting this job's files;
+    *  3. delete the files no RETAINED snapshot references (static
+    *     overwrite: the expired generations; dynamic: only the
+    *     replaced partitions' expired files) — inside the retention
+    *     window, replaced generations stay readable via `versionAsOf`.
     * A failure between 1 and 2 leaves orphan unreferenced files (and
     * the old snapshot intact); between 2 and 3 leaves the new snapshot
     * live with dead bytes on disk — both are garbage, never corruption.
@@ -1133,38 +1211,54 @@ private[v2] class DelimWrite(
     // previous snapshot: the manifest when present, else the legacy
     // recursive listing (first manifest-commit over a legacy layout)
     val prevM = DelimV2.snapshotManifest(fs, target, fs.getConf)
-    val prev = prevM.entries
+    val newGen = prevM.gen + 1
     val newEntries = newFiles.map(sf =>
-      (sf.length,
+      DelimV2.ManifestEntry(sf.length, newGen,
         if (sf.subdir.isEmpty) sf.finalName else s"${sf.subdir}/${sf.finalName}"))
-    val survivors: Seq[(Long, String)] =
+    val survivors: Seq[DelimV2.ManifestEntry] =
       if (truncate && dynamicOverwrite) {
         // replace ONLY the partitions this job wrote (INSERT OVERWRITE
         // ... PARTITION nightly-load semantics)
         val replaced = newFiles.map(_.subdir).filter(_.nonEmpty).toSet
-        prev.filterNot { case (_, rel) =>
-          replaced.exists(sd => rel.startsWith(sd + "/")) }
+        prevM.files.filterNot(e =>
+          replaced.exists(sd => e.rel.startsWith(sd + "/")))
       } else if (truncate) Nil
-      else prev
+      else prevM.files
     DelimWrite.promote(fs, target, messages)
-    val newSet = newEntries.map(_._2).toSet
-    val manifest = survivors.filterNot(e => newSet.contains(e._2)) ++ newEntries
+    val newSet = newEntries.map(_.rel).toSet
     // the multiline flag follows the LIVE files: a static overwrite
     // carries only the new generation's evidence, append/dynamic OR in
     // the previous flag (conservative — framing stays correct, only
     // split parallelism is traded)
     val flag = newMulti || (survivors.nonEmpty && prevM.multiLine)
-    DelimV2.writeManifest(fs, target, manifest, flag)
-    val live = manifest.map(_._2).toSet
+    val manifest = DelimV2.DelimManifest(
+      survivors.filterNot(e => newSet.contains(e.rel)) ++ newEntries,
+      flag, newGen, retainVersions.getOrElse(prevM.retain),
+      prevM.schemas + (newGen -> DelimV2.ManifestSchema(partCols, schema)))
+    val liveRetained =
+      try DelimV2.commitManifest(fs, target, manifest)
+      catch {
+        case e: java.util.ConcurrentModificationException =>
+          // roll back the promoted files: they are generation-token
+          // unique, so deleting them can never touch the winner's data
+          newFiles.foreach { sf =>
+            val dstDir =
+              if (sf.subdir.isEmpty) target else new HPath(target, sf.subdir)
+            fs.delete(new HPath(dstDir, sf.finalName), false)
+          }
+          fs.delete(staging, true)
+          throw e
+      }
     if (truncate && !dynamicOverwrite)
       // static overwrite sweeps EVERYTHING dead — not just the files
       // the previous snapshot listed: crash-orphans from failed
-      // commits die here (the pre-manifest overwrite's cleanup
-      // restored), and emptied k=v directories are pruned so
+      // commits die here, and emptied k=v directories are pruned so
       // directory-identity surfaces (SHOW PARTITIONS) don't keep
-      // listing partitions the overwrite deleted
-      DelimWrite.sweepDead(fs, target, live)
-    else prev.map(_._2).filterNot(live).foreach { rel =>
+      // listing partitions the overwrite deleted. "Dead" respects the
+      // retention window: files a retained snapshot still lists live on
+      // for versionAsOf readers.
+      DelimWrite.sweepDead(fs, target, liveRetained)
+    else prevM.files.map(_.rel).filterNot(liveRetained).foreach { rel =>
       fs.delete(new HPath(target, rel), false)
     }
     fs.delete(staging, true) // drops any uncommitted stray files with it
@@ -1190,6 +1284,15 @@ private[v2] class DelimWrite(
     new org.apache.spark.sql.connector.write.streaming.StreamingWrite {
       require(!truncate,
         "graft-delim streaming sink supports APPEND output mode only")
+
+      // stream (re)start: roll forward an orphan generation claim left
+      // by an epoch that crashed between its claim and the pointer
+      // swap — the stream is the table's single writer, so completing
+      // its own dead commit here is exactly the recovery the claim
+      // protocol documents (without it the next epoch's claim would
+      // collide forever)
+      DelimV2.recoverManifest(
+        staging.getFileSystem(DelimV2.driverConf()), new HPath(path))
 
       override def createStreamingWriterFactory(
           info: PhysicalWriteInfo)
@@ -1218,22 +1321,29 @@ private[v2] class DelimWrite(
         // manifest append, deduped by path: a REPLAYED epoch's files
         // carry the same (epoch, partition) final names, so its
         // entries REPLACE rather than duplicate — the manifest stays
-        // exactly-once like the landed bytes
+        // exactly-once like the landed bytes. Each epoch commits a new
+        // GENERATION through the same claim-race detector as batch
+        // jobs, so a batch writer racing the stream fails loudly
+        // instead of silently unlisting an epoch's files.
+        val prevM = DelimV2.snapshotManifest(fs, target, fs.getConf)
+        val newGen = prevM.gen + 1
         val newEntries = messages.toSeq.flatMap {
           case DelimCommit(staged, _) => staged.map(sf =>
-            (sf.length, if (sf.subdir.isEmpty) sf.finalName
-            else s"${sf.subdir}/${sf.finalName}"))
+            DelimV2.ManifestEntry(sf.length, newGen,
+              if (sf.subdir.isEmpty) sf.finalName
+              else s"${sf.subdir}/${sf.finalName}"))
           case _ => Nil
         }
         val newMulti = messages.exists {
           case DelimCommit(_, m) => m
           case _ => false
         }
-        val prevM = DelimV2.snapshotManifest(fs, target, fs.getConf)
-        val newSet = newEntries.map(_._2).toSet
-        DelimV2.writeManifest(fs, target,
-          prevM.entries.filterNot(e => newSet.contains(e._2)) ++ newEntries,
-          prevM.multiLine || newMulti)
+        val newSet = newEntries.map(_.rel).toSet
+        DelimV2.commitManifest(fs, target, DelimV2.DelimManifest(
+          prevM.files.filterNot(e => newSet.contains(e.rel)) ++ newEntries,
+          prevM.multiLine || newMulti, newGen,
+          retainVersions.getOrElse(prevM.retain),
+          prevM.schemas + (newGen -> DelimV2.ManifestSchema(partCols, schema))))
       }
 
       override def abort(epochId: Long,
@@ -1625,6 +1735,20 @@ private[graft] object DelimV2 {
     n
   }
 
+  /** TIME TRAVEL: `option("versionAsOf", <gen>)` plans the read from
+    * the retained snapshot `_manifest.v<gen>` instead of the current
+    * pointer — any generation inside the table's retention window
+    * (`retainVersions` write option) is readable while later
+    * generations are live.
+    */
+  def versionAsOf(options: CaseInsensitiveStringMap): Option[Long] =
+    Option(options.get("versionAsOf")).map { v =>
+      try v.trim.toLong catch {
+        case _: NumberFormatException => throw new IllegalArgumentException(
+          s"graft-delim: versionAsOf must be a generation number, got '$v'")
+      }
+    }
+
   def paths(options: CaseInsensitiveStringMap): Seq[String] = {
     val single = Option(options.get("path")).toSeq
     val multi = Option(options.get("paths")).toSeq.flatMap(_.split(",").map(_.trim))
@@ -1661,59 +1785,144 @@ private[graft] object DelimV2 {
     */
   val ManifestFile = "_manifest"
 
-  /** The committed snapshot: (length, relative path) entries plus the
-    * MULTILINE flag — true when any live file contains quoted newlines,
-    * so readers engage quote-aware whole-file framing automatically
-    * (no `multiLine` option needed; framing on single-line files is
-    * correct either way, the flag only trades split parallelism).
+  /** One committed data file: byte length, the GENERATION whose commit
+    * wrote it (keys the writer schema its lines were laid out under —
+    * the schema-evolution contract), and the table-root-relative path.
+    */
+  private[graft] final case class ManifestEntry(len: Long, gen: Long, rel: String)
+
+  /** The writer schema of one generation: the full write schema
+    * (including partition columns) plus which of its fields were
+    * partition columns — the non-partition fields, in schema order,
+    * are the file's POSITIONAL field layout.
+    */
+  private[graft] final case class ManifestSchema(
+      partCols: Seq[String], struct: StructType) {
+    def dataFieldNames: Array[String] =
+      struct.fieldNames.filterNot(partCols.contains)
+  }
+
+  /** The committed snapshot: file entries, the MULTILINE flag (true
+    * when any live file contains quoted newlines, so readers engage
+    * quote-aware whole-file framing automatically), the snapshot
+    * GENERATION (monotonic; each commit claims gen+1 via a
+    * create-no-overwrite versioned manifest — the conflict detector),
+    * the RETENTION policy (how many generations' manifests + files are
+    * kept for time travel; a table property carried forward by every
+    * commit), and the per-generation writer SCHEMAS for the
+    * generations that still own live files.
     */
   private[graft] final case class DelimManifest(
-      entries: Seq[(Long, String)], multiLine: Boolean)
+      files: Seq[ManifestEntry], multiLine: Boolean,
+      gen: Long = 0L, retain: Int = 1,
+      schemas: Map[Long, ManifestSchema] = Map.empty) {
+    def entries: Seq[(Long, String)] = files.map(e => (e.len, e.rel))
+  }
 
-  /** The committed snapshot, or None when the directory carries no
-    * manifest. Malformed content (e.g. a FOREIGN file that happens to
-    * be named `_manifest`) fails loudly with the path in the message —
-    * silently treating it as an empty snapshot would hide the table.
+  /** Parse one manifest FILE (current or versioned), or None when
+    * absent. Accepts both the v1 format (`len\trel` entries, no
+    * generations) and v2 (`len\tgen\trel` entries, `#schema` lines,
+    * gen/retain header attributes). Malformed content (e.g. a FOREIGN
+    * file that happens to be named `_manifest`) fails loudly with the
+    * path in the message — silently treating it as an empty snapshot
+    * would hide the table.
     */
-  private[graft] def readManifest(
-      fs: FileSystem, target: HPath): Option[DelimManifest] = {
-    val mf = new HPath(target, ManifestFile)
+  private[graft] def readManifestFile(
+      fs: FileSystem, mf: HPath): Option[DelimManifest] = {
     if (!fs.exists(mf)) None
     else {
       val in = fs.open(mf)
       try {
         val src = scala.io.Source.fromInputStream(in, "UTF-8")
         var multi = false
+        var gen = 0L
+        var retain = 1
+        var schemas = Map.empty[Long, ManifestSchema]
+        def bad(l: String, what: String): Nothing =
+          throw new IllegalStateException(
+            s"graft-delim: malformed manifest $what in $mf: '${l.take(80)}'" +
+              " (a foreign file named _manifest?)")
         val entries = src.getLines().filter(_.nonEmpty).flatMap { l =>
-          if (l.startsWith("#")) {
+          if (l.startsWith("#schema\t")) {
+            val parts = l.split('\t')
+            if (parts.length != 4) bad(l, "schema line")
+            val pc = parts(2).split(',').map(_.trim).filter(_.nonEmpty).toSeq
+            val st =
+              try DataType.fromJson(parts(3)).asInstanceOf[StructType]
+              catch { case scala.util.control.NonFatal(_) => bad(l, "schema json") }
+            schemas += (parts(1).toLong -> ManifestSchema(pc, st))
+            None
+          } else if (l.startsWith("#")) {
             if (l.contains("multiline=true")) multi = true
+            l.split(' ').foreach { a =>
+              if (a.startsWith("gen=")) gen = a.stripPrefix("gen=").toLong
+              if (a.startsWith("retain=")) retain = a.stripPrefix("retain=").toInt
+            }
             None
           } else {
-            val t = l.indexOf('\t')
-            if (t <= 0) throw new IllegalStateException(
-              s"graft-delim: malformed manifest line in $mf: '${l.take(80)}'" +
-                " (a foreign file named _manifest?)")
-            try Some((l.substring(0, t).toLong, l.substring(t + 1)))
-            catch { case _: NumberFormatException =>
-              throw new IllegalStateException(
-                s"graft-delim: malformed manifest length in $mf: '${l.take(80)}'")
-            }
+            val parts = l.split('\t')
+            try parts.length match {
+              case 2 => Some(ManifestEntry(parts(0).toLong, 0L, parts(1)))
+              case 3 => Some(ManifestEntry(parts(0).toLong, parts(1).toLong, parts(2)))
+              case _ => bad(l, "line")
+            } catch { case _: NumberFormatException => bad(l, "length") }
           }
         }.toList
-        Some(DelimManifest(entries, multi))
+        Some(DelimManifest(entries, multi, gen, retain, schemas))
       } finally in.close()
     }
   }
 
-  /** Atomically swap the manifest to `entries`: write a tmp file, then
-    * FileContext rename with OVERWRITE — atomic on HDFS and the local
-    * FS, so there is neither a partial-manifest nor a missing-manifest
-    * window (a delete+rename pair would expose the fallback listing —
-    * and with it a mixed generation — between the two calls).
+  /** The CURRENT committed snapshot at a table root, or None. */
+  private[graft] def readManifest(
+      fs: FileSystem, target: HPath): Option[DelimManifest] =
+    readManifestFile(fs, new HPath(target, ManifestFile))
+
+  /** A RETAINED historical snapshot: `_manifest.v<gen>`, kept for the
+    * table's retention window to serve `option("versionAsOf", gen)`
+    * reads. Fails loudly (listing what IS retained) rather than
+    * silently falling back to the live generation.
     */
-  private[graft] def writeManifest(
-      fs: FileSystem, target: HPath, entries: Seq[(Long, String)],
-      multiLine: Boolean = false): Unit = {
+  private[graft] def readManifestVersion(
+      fs: FileSystem, target: HPath, gen: Long): DelimManifest =
+    readManifestFile(fs, new HPath(target, s"$ManifestFile.v$gen")).getOrElse {
+      val have = retainedVersions(fs, target)
+      throw new IllegalArgumentException(
+        s"graft-delim: versionAsOf=$gen not retained at $target " +
+          s"(retained generations: ${if (have.isEmpty) "none" else have.mkString(", ")})")
+    }
+
+  /** Generations with a retained versioned manifest, ascending. */
+  private[graft] def retainedVersions(fs: FileSystem, target: HPath): Seq[Long] =
+    Option(fs.globStatus(new HPath(target, s"$ManifestFile.v*")))
+      .map(_.toSeq).getOrElse(Seq.empty)
+      .flatMap { st =>
+        val s = st.getPath.getName.stripPrefix(s"$ManifestFile.v")
+        try Some(s.toLong) catch { case _: NumberFormatException => None }
+      }.sorted
+
+  private def serializeManifest(m: DelimManifest): Array[Byte] = {
+    val sb = new java.lang.StringBuilder(64 + m.files.size * 48)
+    sb.append(s"#graft-delim-manifest v2 multiline=${m.multiLine}" +
+      s" gen=${m.gen} retain=${m.retain}\n")
+    val liveGens = m.files.map(_.gen).toSet
+    m.schemas.toSeq.sortBy(_._1).foreach { case (g, sch) =>
+      if (liveGens.contains(g) || g == m.gen) // GC schemas of dead generations
+        sb.append(s"#schema\t$g\t${sch.partCols.mkString(",")}\t${sch.struct.json}\n")
+    }
+    m.files.foreach(e => sb.append(s"${e.len}\t${e.gen}\t${e.rel}\n"))
+    sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+  }
+
+  /** Atomically swap the CURRENT manifest pointer: write a tmp file,
+    * then FileContext rename with OVERWRITE — atomic on HDFS and the
+    * local FS, so there is neither a partial-manifest nor a
+    * missing-manifest window (a delete+rename pair would expose the
+    * fallback listing — and with it a mixed generation — between the
+    * two calls).
+    */
+  private def swapCurrentManifest(
+      fs: FileSystem, target: HPath, m: DelimManifest): Unit = {
     val tmp = new HPath(target,
       s"$ManifestFile.tmp-${java.util.UUID.randomUUID().toString.take(8)}")
     // FileContext for BOTH create and rename: the FileSystem facade is
@@ -1724,20 +1933,80 @@ private[graft] object DelimV2 {
     val out = fc.create(tmp,
       java.util.EnumSet.of(org.apache.hadoop.fs.CreateFlag.CREATE,
         org.apache.hadoop.fs.CreateFlag.OVERWRITE))
-    try {
-      out.write(s"#graft-delim-manifest v1 multiline=$multiLine\n"
-        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      entries.foreach { case (len, rel) =>
-        out.write(s"$len\t$rel\n".getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      }
-    } finally out.close()
+    try out.write(serializeManifest(m)) finally out.close()
     fc.rename(tmp, new HPath(target, ManifestFile),
       org.apache.hadoop.fs.Options.Rename.OVERWRITE)
   }
 
-  /** (length, root-relative path) of every live data file — the
-    * manifest when present, else the recursive listing (the previous-
-    * generation input to a committing writer).
+  /** COMMIT a new generation — the concurrency-safe sequence:
+    *  1. CAS: create `_manifest.v<gen>` with create-NO-overwrite (an
+    *     atomic claim of the generation number). Two committers that
+    *     both read generation G race to create `.v(G+1)`; the loser's
+    *     create throws and its commit FAILS LOUDLY — never the silent
+    *     last-writer-wins file loss of a bare read-modify-write.
+    *  2. Swap the CURRENT `_manifest` pointer atomically (readers flip
+    *     from exactly the old snapshot to exactly the new one).
+    *  3. Retention: delete versioned manifests older than the window
+    *     (`retain` generations, counting this one).
+    * A crash between 1 and 2 leaves an orphan `.v(G+1)` that blocks
+    * the NEXT commit with the same loud error — recover with
+    * [[recoverManifest]] (roll the current pointer forward) once no
+    * writer is active. Returns the set of file paths referenced by ANY
+    * retained snapshot (the commit's must-not-delete set).
+    */
+  private[graft] def commitManifest(
+      fs: FileSystem, target: HPath, m: DelimManifest): Set[String] = {
+    val vf = new HPath(target, s"$ManifestFile.v${m.gen}")
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+      target.toUri, fs.getConf)
+    val out =
+      try fc.create(vf,
+        java.util.EnumSet.of(org.apache.hadoop.fs.CreateFlag.CREATE))
+      catch {
+        case _: org.apache.hadoop.fs.FileAlreadyExistsException |
+            _: java.nio.file.FileAlreadyExistsException =>
+          throw new java.util.ConcurrentModificationException(
+            s"graft-delim: generation ${m.gen} already claimed at $target — " +
+              "either a concurrent committer won the race (re-run this job " +
+              "against the new snapshot) or a previous commit crashed between " +
+              "its version claim and the pointer swap (run " +
+              "DelimV2.recoverManifest once no writer is active)")
+      }
+    try out.write(serializeManifest(m)) finally out.close()
+    swapCurrentManifest(fs, target, m)
+    val floor = m.gen - math.max(m.retain, 1) + 1
+    retainedVersions(fs, target).filter(_ < floor).foreach { g =>
+      fs.delete(new HPath(target, s"$ManifestFile.v$g"), false)
+    }
+    // must-not-delete set: every file some retained snapshot still
+    // references (time travel reads plan from those snapshots)
+    val retained = retainedVersions(fs, target).filter(_ != m.gen)
+      .flatMap(g => readManifestFile(fs, new HPath(target, s"$ManifestFile.v$g")))
+    (m.files.map(_.rel) ++ retained.flatMap(_.files.map(_.rel))).toSet
+  }
+
+  /** CRASH RECOVERY: a commit that died between its version claim
+    * (`_manifest.v<G+1>` exists) and the pointer swap (`_manifest`
+    * still at G) blocks subsequent commits loudly. Rolling FORWARD is
+    * always sound once no writer is active: the claimed version's
+    * files were already promoted before the claim, so swapping the
+    * current pointer onto it completes the dead commit exactly as it
+    * would have completed itself. Returns the recovered generation, or
+    * None when the table needs no recovery.
+    */
+  def recoverManifest(fs: FileSystem, target: HPath): Option[Long] = {
+    val cur = readManifest(fs, target).map(_.gen).getOrElse(0L)
+    val next = retainedVersions(fs, target).filter(_ > cur).sorted.headOption
+    next.map { g =>
+      swapCurrentManifest(fs, target,
+        readManifestFile(fs, new HPath(target, s"$ManifestFile.v$g")).get)
+      g
+    }
+  }
+
+  /** The live snapshot of every data file — the manifest when present,
+    * else the recursive listing (the previous-generation input to a
+    * committing writer; legacy files carry gen 0 = positional layout).
     */
   private[v2] def snapshotManifest(
       fs: FileSystem, target: HPath, conf: Configuration): DelimManifest =
@@ -1746,7 +2015,7 @@ private[graft] object DelimV2 {
       DelimManifest(
         listFilesWithPartitions(Seq(target.toString), conf).map { case (st, _) =>
           val rel = root.relativize(fs.makeQualified(st.getPath).toUri).getPath
-          (st.getLen, rel)
+          ManifestEntry(st.getLen, 0L, rel)
         }, multiLine = false)
     }
 
@@ -1755,7 +2024,8 @@ private[graft] object DelimV2 {
     * any option (the WRITER knows it quoted a newline; forcing every
     * reader to also know is how silent misframing happens).
     */
-  private[v2] def manifestMultiLine(paths: Seq[String], conf: Configuration): Boolean =
+  private[v2] def manifestMultiLine(paths: Seq[String], conf: Configuration,
+      versionAsOf: Option[Long] = None): Boolean =
     paths.exists { p =>
       val hp = new HPath(p)
       val fs = hp.getFileSystem(conf)
@@ -1776,7 +2046,8 @@ private[graft] object DelimV2 {
         dir != null && {
           // header-only read: the flag is line 1 — parsing a large
           // table's whole entry list for one bit would tax every scan
-          val mf = new HPath(dir, ManifestFile)
+          val mf = new HPath(dir,
+            versionAsOf.map(g => s"$ManifestFile.v$g").getOrElse(ManifestFile))
           fs.exists(mf) && {
             val in = fs.open(mf)
             try {
@@ -1801,6 +2072,21 @@ private[graft] object DelimV2 {
   def listFiles(paths: Seq[String], conf: Configuration): Seq[FileStatus] =
     listFilesWithPartitions(paths, conf).map(_._1)
 
+  def listFilesWithPartitions(
+      paths: Seq[String], conf: Configuration): Seq[(FileStatus, Seq[(String, String)])] =
+    listFiles2(paths, conf).map(f => (f.status, f.pvals))
+
+  /** One listed data file: its status, the `k=v` partition values on
+    * its path, and — when the manifest recorded a writer schema for
+    * its generation — the file's POSITIONAL field names (the writer
+    * schema's non-partition fields in order). `fileFields == null`
+    * means the legacy contract: fields map positionally to the read
+    * schema's non-partition fields.
+    */
+  private[v2] final case class ListedFile(
+      status: FileStatus, pvals: Seq[(String, String)],
+      fileFields: Array[String] = null)
+
   /** Recursive listing with `k=v` partition-directory discovery — the
     * reference's central table layout (dt=.../hr=... directories)
     * understood by the connector itself. Each data file carries the
@@ -1809,16 +2095,22 @@ private[graft] object DelimV2 {
     * subdirectory NOT in k=v form is ignored (like `_temporary`): the
     * layout contract is flat files or partition trees, never loose
     * nesting.
+    *
+    * `versionAsOf` lists from the RETAINED snapshot `_manifest.v<gen>`
+    * instead of the current one — time travel over the table's
+    * retention window (fails loudly when the generation is expired or
+    * the directory carries no manifest at all).
     */
-  def listFilesWithPartitions(
-      paths: Seq[String], conf: Configuration): Seq[(FileStatus, Seq[(String, String)])] = {
+  private[v2] def listFiles2(
+      paths: Seq[String], conf: Configuration,
+      versionAsOf: Option[Long] = None): Seq[ListedFile] = {
     def recurse(fs: FileSystem, st: FileStatus,
-        pvals: Seq[(String, String)]): Seq[(FileStatus, Seq[(String, String)])] =
-      if (st.isFile) Seq((st, pvals))
+        pvals: Seq[(String, String)]): Seq[ListedFile] =
+      if (st.isFile) Seq(ListedFile(st, pvals))
       else fs.listStatus(st.getPath).toSeq.flatMap { c =>
         val n = c.getPath.getName
         if (n.startsWith("_") || n.startsWith(".")) Nil
-        else if (c.isFile) Seq((c, pvals))
+        else if (c.isFile) Seq(ListedFile(c, pvals))
         else {
           val eq = n.indexOf('=')
           if (eq <= 0) Nil
@@ -1832,34 +2124,43 @@ private[graft] object DelimV2 {
     paths.flatMap { p =>
       val hp = new HPath(p)
       val fs = hp.getFileSystem(conf)
-      Option(fs.globStatus(hp)).map(_.toSeq).getOrElse(Seq.empty)
-        .flatMap { st =>
-          // a committed manifest at a directory root IS the listing
-          // (the snapshot-isolation and no-namespace-crawl contract);
-          // partition values parse from the entries' k=v path segments
-          val manifest =
-            if (st.isDirectory) readManifest(fs, st.getPath) else None
-          manifest match {
-            case Some(m) => m.entries.map { case (len, rel) =>
-              val pvals = rel.split('/').dropRight(1).toSeq.flatMap { seg =>
-                val eq = seg.indexOf('=')
-                if (eq <= 0) None
-                else {
-                  val v0 = seg.substring(eq + 1)
-                  Some(seg.substring(0, eq) ->
-                    (if (v0 == HiveDefaultPartition) null else v0))
-                }
-              }
-              (new FileStatus(len, false, 1, 0L, 0L,
-                new HPath(st.getPath, rel)), pvals)
-            }
-            case None => recurse(fs, st, Nil)
+      val matched = Option(fs.globStatus(hp)).map(_.toSeq).getOrElse(Seq.empty)
+      if (versionAsOf.isDefined && !matched.exists(_.isDirectory))
+        throw new IllegalArgumentException(
+          s"graft-delim: versionAsOf requires a manifest-bearing table " +
+            s"directory, got '$p'")
+      matched.flatMap { st =>
+        // a committed manifest at a directory root IS the listing
+        // (the snapshot-isolation and no-namespace-crawl contract);
+        // partition values parse from the entries' k=v path segments
+        val manifest =
+          if (!st.isDirectory) None
+          else versionAsOf match {
+            case Some(g) => Some(readManifestVersion(fs, st.getPath, g))
+            case None => readManifest(fs, st.getPath)
           }
+        manifest match {
+          case Some(m) => m.files.map { e =>
+            val pvals = e.rel.split('/').dropRight(1).toSeq.flatMap { seg =>
+              val eq = seg.indexOf('=')
+              if (eq <= 0) None
+              else {
+                val v0 = seg.substring(eq + 1)
+                Some(seg.substring(0, eq) ->
+                  (if (v0 == HiveDefaultPartition) null else v0))
+              }
+            }
+            ListedFile(new FileStatus(e.len, false, 1, 0L, 0L,
+              new HPath(st.getPath, e.rel)), pvals,
+              m.schemas.get(e.gen).map(_.dataFieldNames).orNull)
+          }
+          case None => recurse(fs, st, Nil)
         }
-    }.filterNot { case (st, _) =>
-      val n = st.getPath.getName
+      }
+    }.filterNot { f =>
+      val n = f.status.getPath.getName
       n.startsWith("_") || n.startsWith(".")
-    }.sortBy(_._1.getPath.toString)
+    }.sortBy(_.status.getPath.toString)
   }
 
   /** Test observability hook for FILE-level pruning, keyed per scan

@@ -10,7 +10,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog._
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
 /** A DataSource-V2 `TableCatalog` for `graft-delim` tables — the SQL
@@ -103,9 +103,39 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     loadTable(ident)
   }
 
-  override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    throw new UnsupportedOperationException(
-      "graft-delim catalog: ALTER TABLE column changes not supported")
+  /** Schema evolution DDL: `ALTER TABLE ... ADD COLUMN` appends a
+    * nullable column to the table schema. Existing data is untouched —
+    * each generation's manifest records the writer schema its files
+    * were laid out under, and the reader maps read columns to file
+    * positions BY NAME through it, so pre-evolution files read the new
+    * column as null. RENAME/DROP COLUMN are rejected: name-keyed
+    * mapping would silently orphan every already-written generation's
+    * data for that column (a field-id scheme is what a rename needs,
+    * out of scope for a landing-directory format).
+    */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    val e = Option(tables.get(key(ident)))
+      .getOrElse(throw new org.apache.spark.sql.catalyst.analysis
+        .NoSuchTableException(ident))
+    var (schema, partCols, props) = e
+    changes.foreach {
+      case add: TableChange.AddColumn =>
+        require(add.fieldNames.length == 1,
+          "graft-delim catalog: nested ADD COLUMN not supported")
+        val n = add.fieldNames.head
+        require(!schema.fieldNames.contains(n),
+          s"graft-delim catalog: column $n already exists")
+        require(add.position() == null,
+          "graft-delim catalog: ADD COLUMN position must be LAST " +
+            "(fields map positionally within a generation)")
+        schema = schema.add(StructField(n, add.dataType, nullable = true))
+      case _: TableChange.SetProperty | _: TableChange.RemoveProperty => ()
+      case other => throw new UnsupportedOperationException(
+        s"graft-delim catalog: unsupported ALTER TABLE change $other")
+    }
+    tables.put(key(ident), (schema, partCols, props))
+    loadTable(ident)
+  }
 
   override def dropTable(ident: Identifier): Boolean =
     tables.remove(key(ident)) != null
@@ -213,13 +243,30 @@ private[v2] class DelimPartitionedTable(
     val d = new HPath(root, sub)
     if (!fs.exists(d)) return false
     // manifest swap FIRST: readers stop seeing the partition's rows
-    // atomically; the subtree delete that follows only reclaims bytes
-    // no snapshot references anymore
-    DelimV2.readManifest(fs, root).foreach { m =>
-      DelimV2.writeManifest(fs, root,
-        m.entries.filterNot(_._2.startsWith(sub + "/")), m.multiLine)
+    // atomically; the delete that follows only reclaims bytes no
+    // RETAINED snapshot references anymore. The drop commits a new
+    // generation through the same claim-race detector as writes, so a
+    // DROP racing a commit fails loudly instead of silently resurrecting
+    // (or unlisting) files.
+    DelimV2.readManifest(fs, root) match {
+      case Some(m) =>
+        val live = DelimV2.commitManifest(fs, root, m.copy(
+          files = m.files.filterNot(_.rel.startsWith(sub + "/")),
+          gen = m.gen + 1))
+        // inside a retention window, a versionAsOf reader may still
+        // plan the dropped partition's files — delete only the expired
+        // ones, and the directory only once nothing retained remains
+        val retainedHere = live.filter(_.startsWith(sub + "/"))
+        if (retainedHere.isEmpty) fs.delete(d, true)
+        else {
+          Option(fs.listStatus(d)).getOrElse(Array.empty).foreach { st =>
+            val rel = s"$sub/${st.getPath.getName}"
+            if (st.isFile && !live.contains(rel)) fs.delete(st.getPath, false)
+          }
+          true
+        }
+      case None => fs.delete(d, true)
     }
-    fs.delete(d, true)
   }
 
   override def replacePartitionMetadata(

@@ -918,10 +918,15 @@ class DelimV2Spec extends SparkFunSuite {
     // readers still see exactly the old snapshot
     write(s"$dir/out/part-00000-777-deadbeef.txt", "3|100.0\n4|200.0\n")
     assert(total() === 3.0, "reader saw uncommitted generation")
-    // PHASE 2: the atomic manifest swap — readers now see exactly the
-    // new snapshot (old files still on disk until phase 3 deletes them)
-    graft.sources.v2.DelimV2.writeManifest(fs, hp,
-      Seq((18L, "part-00000-777-deadbeef.txt")))
+    // PHASE 2: the generation claim + atomic manifest swap — readers
+    // now see exactly the new snapshot (old files still on disk until
+    // phase 3 deletes them)
+    val gen1 = graft.sources.v2.DelimV2.readManifest(fs, hp).get.gen
+    graft.sources.v2.DelimV2.commitManifest(fs, hp,
+      graft.sources.v2.DelimV2.DelimManifest(
+        Seq(graft.sources.v2.DelimV2.ManifestEntry(
+          18L, gen1 + 1, "part-00000-777-deadbeef.txt")),
+        multiLine = false, gen = gen1 + 1))
     assert(total() === 300.0, "reader saw a mixed or stale generation")
     // and a REAL overwrite ends with only its own generation live
     Seq((9L, 9.0)).toDF("id", "v")

@@ -85,6 +85,57 @@ object Round17Queries {
           sum(when(col("c_acctbal").isNull, 1L).otherwise(0L)).as("n_null_bal"),
           round(sum(col("c_acctbal")), 2).as("sum_bal"),
           sum(length(col("c_name"))).as("name_chars"))
+    },
+
+    // Small-file COMPACTION (OPTIMIZE): real streaming epochs land one
+    // file per (epoch, partition) — the accumulation every streaming
+    // sink produces — then DelimCompact rewrites each partition's
+    // files into ONE (byte-level concatenation, no parse) and swaps
+    // the manifest through the claim-race-detected commit. The
+    // requires pin the before (more files than partitions) and after
+    // (exactly one file per partition) manifests; the aggregate over
+    // the compacted table must equal the parquet-derived oracle — a
+    // lost row, a duplicated file, or a partition routed wrong all
+    // hash-mismatch.
+    "delim_v2_compact" -> { (s, dir) =>
+      import graft.sources.v2.{DelimCompact, DelimV2}
+      val out = CoreQueries.scratchDir("delim_v2_compact")
+      val sink = s"$out/landed"
+      graft.core.Scratch.rmTree(sink)
+      graft.core.Scratch.rmTree(s"$out/ckpt")
+      val src = Round7Queries.eventsChunks(s, dir)
+      val q = src
+        .select(col("event_id"), col("user_id"), col("value"), col("event_type"))
+        .writeStream.format("graft-delim")
+        .option("path", sink)
+        .option("partitionBy", "event_type")
+        .option("checkpointLocation", s"$out/ckpt")
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val hp = new org.apache.hadoop.fs.Path(sink)
+      val fs = hp.getFileSystem(s.sessionState.newHadoopConf())
+      def parent(rel: String): String = {
+        val i = rel.lastIndexOf('/')
+        if (i < 0) "" else rel.substring(0, i)
+      }
+      val before = DelimV2.readManifest(fs, hp).get.files
+      val nParts = before.map(e => parent(e.rel)).distinct.size
+      require(before.size > nParts,
+        s"expected epoch-accumulated small files, got ${before.size} over " +
+          s"$nParts partitions")
+      DelimCompact.compact(s, sink)
+      val after = DelimV2.readManifest(fs, hp).get.files
+      require(after.size == nParts,
+        s"OPTIMIZE must leave one file per partition: ${after.size} vs $nParts")
+      s.read.format("graft-delim")
+        .schema("event_id BIGINT, user_id BIGINT, value DOUBLE, event_type STRING")
+        .load(sink)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          round(sum("value"), 2).as("sum_value"),
+          countDistinct(col("user_id")).as("n_users"))
     })
 
   def oracleSql: Map[String, String] = Map(
@@ -98,6 +149,15 @@ object Round17Queries {
         |SELECT 'current', count(*), round(sum(o_totalprice), 2),
         |       CAST(sum(o_orderkey) AS BIGINT)
         |FROM orders WHERE o_totalprice > 100000.0""".stripMargin,
+
+    // compaction is content-preserving: the oracle is the same
+    // per-partition rollup the stream-sink certification uses
+    "delim_v2_compact" ->
+      """SELECT event_type, count(*) AS n_events,
+        |       round(sum("value"), 2) AS sum_value,
+        |       count(DISTINCT user_id) AS n_users
+        |FROM events
+        |GROUP BY 1""".stripMargin,
 
     "delim_v2_schema_evolution" ->
       """SELECT count(*) AS n_rows,

@@ -230,6 +230,84 @@ class DelimV2SnapshotSpec extends SparkFunSuite {
     spark.sql("DROP TABLE graft_cat.default.evolve_t")
   }
 
+  test("compaction merges per-partition files; content identical; one file per partition") {
+    val dir = tempDir("delimv2-compact")
+    val t = s"$dir/t"
+    // three appends accumulate three files per partition value
+    for (g <- 0 until 3)
+      Seq((g * 2L, "a"), (g * 2L + 1L, "b")).toDF("id", "pc")
+        .repartition(1)
+        .write.format("graft-delim").option("partitionBy", "pc")
+        .mode(if (g == 0) "overwrite" else "append").save(t)
+    val fs = fsFor(t)
+    val hp = new HPath(t)
+    val before = DelimV2.readManifest(fs, hp).get
+    assert(before.files.size == 6, s"expected 6 files, got ${before.files}")
+    val beforeRows = spark.read.format("graft-delim")
+      .schema("id BIGINT, pc STRING").load(t)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val newGen = graft.sources.v2.DelimCompact.compact(spark, t)
+    val after = DelimV2.readManifest(fs, hp).get
+    assert(after.gen == newGen && newGen == before.gen + 1)
+    assert(after.files.size == 2,
+      s"one file per partition expected, got ${after.files}")
+    val afterRows = spark.read.format("graft-delim")
+      .schema("id BIGINT, pc STRING").load(t)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(afterRows == beforeRows)
+    // replaced small files physically reclaimed (default retention 1)
+    val disk = new java.io.File(s"$t/pc=a").listFiles()
+      .filter(f => !f.getName.startsWith(".")).map(_.getName)
+    assert(disk.length == 1, s"small files not reclaimed: ${disk.toSeq}")
+    // idempotent: nothing left to compact
+    assert(graft.sources.v2.DelimCompact.compact(spark, t) == newGen)
+  }
+
+  test("compaction respects layout boundaries across schema evolution") {
+    val dir = tempDir("delimv2-compactlayout")
+    val t = s"$dir/t"
+    Seq((1L, "a")).toDF("id", "name")
+      .write.format("graft-delim").mode("overwrite").save(t)
+    Seq((2L, "b")).toDF("id", "name")
+      .write.format("graft-delim").mode("append").save(t)
+    Seq((3L, "c", 3.5)).toDF("id", "name", "score")
+      .write.format("graft-delim").mode("append").save(t)
+    Seq((4L, "d", 4.5)).toDF("id", "name", "score")
+      .write.format("graft-delim").mode("append").save(t)
+    graft.sources.v2.DelimCompact.compact(spark, t)
+    val fs = fsFor(t)
+    val m = DelimV2.readManifest(fs, new HPath(t)).get
+    assert(m.files.size == 2,
+      s"expected one file per layout, got ${m.files}")
+    val got = spark.read.format("graft-delim")
+      .schema("id BIGINT, name STRING, score DOUBLE").load(t)
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) null else r.getDouble(2)))
+    assert(got.toSeq == Seq((1L, "a", null), (2L, "b", null),
+      (3L, "c", 3.5), (4L, "d", 4.5)))
+  }
+
+  test("pre-compaction snapshot still time-travels inside the retention window") {
+    val dir = tempDir("delimv2-compacttravel")
+    val t = s"$dir/t"
+    Seq((1L, "a")).toDF("id", "name")
+      .write.format("graft-delim").option("retainVersions", "2")
+      .mode("overwrite").save(t)
+    Seq((2L, "b")).toDF("id", "name")
+      .write.format("graft-delim").mode("append").save(t)
+    val preGen = DelimV2.readManifest(fsFor(t), new HPath(t)).get.gen
+    graft.sources.v2.DelimCompact.compact(spark, t)
+    val old = spark.read.format("graft-delim").schema("id BIGINT, name STRING")
+      .option("versionAsOf", preGen.toString).load(t)
+      .collect().map(_.getLong(0)).toSet
+    assert(old == Set(1L, 2L),
+      "pre-compaction snapshot must stay readable inside retention")
+    val cur = spark.read.format("graft-delim").schema("id BIGINT, name STRING")
+      .load(t).collect().map(_.getLong(0)).toSet
+    assert(cur == Set(1L, 2L))
+  }
+
   test("catalog listTables/namespaces key by components, not string prefixes") {
     val cat = spark.sessionState.catalogManager.catalog("graft_cat")
       .asInstanceOf[graft.sources.v2.GraftCatalog]

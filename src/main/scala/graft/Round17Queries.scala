@@ -87,6 +87,59 @@ object Round17Queries {
           sum(length(col("c_name"))).as("name_chars"))
     },
 
+    // SQL MERGE INTO front door — the Warehouse.mergeByKey partition
+    // discipline (WarehouseQueries.warehouse_merge_upsert) expressed
+    // as one SQL statement against a graft-delim catalog table,
+    // executed by Spark's group-based copy-on-write rewrite over the
+    // connector's row-level operation (DelimRowLevel): the runtime
+    // group filter delivers matched files as an `In(_file, ...)` the
+    // scan prunes at FILE level, so only the hot month's files are
+    // read and rewritten. The require pins the partition scoping the
+    // same way the API query does — the calm month's FILE survives
+    // (name, length, mtime) — and the oracle recomputes the upsert
+    // from parquet.
+    "warehouse_merge_sql" -> { (s, dir) =>
+      val out = CoreQueries.scratchDir("warehouse_merge_sql")
+      graft.core.Scratch.rmTree(s"$out/t")
+      s.sql("DROP TABLE IF EXISTS graft_cat.default.wm17_t")
+      s.sql(s"""CREATE TABLE graft_cat.default.wm17_t
+        (o_orderkey BIGINT, o_custkey BIGINT, o_orderstatus STRING,
+         o_totalprice DOUBLE, o_orderdate DATE, o_orderpriority STRING,
+         om STRING)
+        USING `graft-delim` PARTITIONED BY (om) LOCATION '$out/t'""")
+      val base = Tables.orders(s, dir)
+        .withColumn("om", date_format(col("o_orderdate"), "yyyy-MM"))
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+          col("o_totalprice"), col("o_orderdate").cast("date").as("o_orderdate"),
+          col("o_orderpriority"), col("om"))
+      base.writeTo("graft_cat.default.wm17_t").append()
+      val hot = "1995-03"
+      val calm = "1997-01"
+      val updates = base
+        .filter(col("om") === hot && col("o_orderkey") % 7 === 0)
+        .withColumn("o_orderpriority", lit("0-CORRECTED"))
+        .withColumn("o_totalprice", col("o_totalprice") + lit(1.0))
+      val inserts = base
+        .filter(col("om") === hot && col("o_orderkey") % 11 === 0)
+        .withColumn("o_orderkey", col("o_orderkey") + lit(100000000L))
+        .withColumn("o_orderstatus", lit("I"))
+      updates.unionByName(inserts).createOrReplaceTempView("wm17_delta")
+      val calmBefore =
+        graft.core.Warehouse.partitionFileSnapshot(s"$out/t", "om", calm)
+      require(calmBefore.nonEmpty, s"fixture must populate month $calm")
+      s.sql("""MERGE INTO graft_cat.default.wm17_t t
+        USING wm17_delta d ON t.o_orderkey = d.o_orderkey
+        WHEN MATCHED THEN UPDATE SET *
+        WHEN NOT MATCHED THEN INSERT *""")
+      require(
+        graft.core.Warehouse.partitionFileSnapshot(s"$out/t", "om", calm)
+          == calmBefore,
+        s"SQL MERGE must not rewrite the unaffected partition om=$calm")
+      s.sql("""SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+        |       o_orderdate, o_orderpriority, om
+        |FROM graft_cat.default.wm17_t""".stripMargin)
+    },
+
     // Small-file COMPACTION (OPTIMIZE): real streaming epochs land one
     // file per (epoch, partition) — the accumulation every streaming
     // sink produces — then DelimCompact rewrites each partition's
@@ -149,6 +202,31 @@ object Round17Queries {
         |SELECT 'current', count(*), round(sum(o_totalprice), 2),
         |       CAST(sum(o_orderkey) AS BIGINT)
         |FROM orders WHERE o_totalprice > 100000.0""".stripMargin,
+
+    // the warehouse_merge_upsert derivation with the DATE cast the
+    // delimited format's type set requires
+    "warehouse_merge_sql" ->
+      """WITH base AS (
+        |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+        |         CAST(o_orderdate AS DATE) AS o_orderdate, o_orderpriority,
+        |         strftime(o_orderdate, '%Y-%m') AS om
+        |  FROM orders),
+        |upd AS (
+        |  SELECT o_orderkey, o_custkey, o_orderstatus,
+        |         o_totalprice + 1.0 AS o_totalprice, o_orderdate,
+        |         '0-CORRECTED' AS o_orderpriority, om
+        |  FROM base WHERE om = '1995-03' AND o_orderkey % 7 = 0),
+        |ins AS (
+        |  SELECT o_orderkey + 100000000 AS o_orderkey, o_custkey,
+        |         'I' AS o_orderstatus, o_totalprice, o_orderdate,
+        |         o_orderpriority, om
+        |  FROM base WHERE om = '1995-03' AND o_orderkey % 11 = 0),
+        |changes AS (SELECT * FROM upd UNION ALL SELECT * FROM ins)
+        |SELECT * FROM base b
+        |WHERE NOT EXISTS (SELECT 1 FROM changes c
+        |                  WHERE c.o_orderkey = b.o_orderkey)
+        |UNION ALL
+        |SELECT * FROM changes""".stripMargin,
 
     // compaction is content-preserving: the oracle is the same
     // per-partition rollup the stream-sink certification uses

@@ -127,14 +127,40 @@ class DelimSource extends TableProvider with DataSourceRegister {
 
 private[v2] class DelimTable(tableSchema: StructType, options: CaseInsensitiveStringMap)
     extends Table with SupportsRead
-    with org.apache.spark.sql.connector.catalog.SupportsWrite {
+    with org.apache.spark.sql.connector.catalog.SupportsWrite
+    with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations
+    with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns {
+
+  /** `_file` METADATA COLUMN (the source file of each row): queryable
+    * like Iceberg's, and the GROUP KEY for row-level operations —
+    * Spark's runtime group filtering delivers the matched groups as an
+    * `In(_file, ...)` runtime filter, which the scan applies at FILE
+    * level, and the copy-on-write MERGE therefore reads and rewrites
+    * only the files that contain matches. Requesting a metadata
+    * attribute is also what routes the row-level write through
+    * Spark's projecting task (carry-over rows arrive tagged
+    * WRITE_WITH_METADATA_OPERATION with the data row projected out).
+    */
+  override def metadataColumns()
+      : Array[org.apache.spark.sql.connector.catalog.MetadataColumn] =
+    Array(new org.apache.spark.sql.connector.catalog.MetadataColumn {
+      override def name(): String = DelimV2.FileMetaCol
+      override def dataType(): DataType = StringType
+      override def isNullable: Boolean = false
+      override def comment(): String = "absolute path of the row's source file"
+    })
 
   override def name(): String = s"graft-delim ${DelimV2.paths(options).mkString(",")}"
   override def schema(): StructType = tableSchema
-  // ACCEPT_ANY_SCHEMA: on the write path the table is constructed from
-  // the (possibly nonexistent) target directory, so output resolution
-  // must take the QUERY's schema (LogicalWriteInfo.schema), not the
-  // inferred one
+  // ACCEPT_ANY_SCHEMA: on the PATH-based write path the table is
+  // constructed from the (possibly nonexistent) target directory, so
+  // output resolution must take the QUERY's schema
+  // (LogicalWriteInfo.schema), not the inferred one. CATALOG tables
+  // (DelimPartitionedTable) override this WITHOUT the capability: they
+  // have a real declared schema, Spark's own output alignment against
+  // it is strictly better — and MERGE INTO resolution skips resolving
+  // target columns for accept-any-schema tables, which would break the
+  // row-level SQL front door.
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
       TableCapability.TRUNCATE, TableCapability.ACCEPT_ANY_SCHEMA,
@@ -148,6 +174,15 @@ private[v2] class DelimTable(tableSchema: StructType, options: CaseInsensitiveSt
       : org.apache.spark.sql.connector.write.WriteBuilder =
     new DelimWriteBuilder(info,
       DelimTable.merged(options, info.options()), tableSchema)
+
+  /** SQL MERGE/UPDATE/DELETE via group-based copy-on-write — see
+    * [[DelimRowLevelOperation]].
+    */
+  override def newRowLevelOperationBuilder(
+      info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
+      : org.apache.spark.sql.connector.write.RowLevelOperationBuilder =
+    () => new DelimRowLevelOperation(info.command(), tableSchema,
+      DelimTable.merged(options, info.options()))
 }
 
 private[v2] object DelimTable {
@@ -187,7 +222,7 @@ private[v2] class DelimScanBuilder(fullSchema: StructType, options: CaseInsensit
   private lazy val filesWithParts =
     DelimV2.listFiles2(DelimV2.paths(options), DelimV2.driverConf(),
       DelimV2.versionAsOf(options))
-  private lazy val partKeySet: Set[String] =
+  protected lazy val partKeySet: Set[String] =
     filesWithParts.flatMap(_.pvals.map(_._1)).toSet
 
   /** PARTIAL COUNT(*) pushdown (supportCompletePushDown stays false):
@@ -344,23 +379,51 @@ class DelimScan(
     */
   private var runtimeFilters: Array[Filter] = Array.empty
 
+  /** Set by DelimRowLevelOperation on the scan it builds: the scan is
+    * a row-level (MERGE/UPDATE/DELETE) group scan, and runtime group
+    * filtering should key on `_file` ALONE — Spark builds ONE filter
+    * over every advertised attribute (`struct(attrs) IN subquery`),
+    * which is untranslatable to a source filter and would defeat the
+    * file-level pruning the group key exists for.
+    */
+  @volatile private[v2] var rowLevelGroupScan: Boolean = false
+
   // only columns that SURVIVE pruning: Spark resolves these references
   // against the scan's output — advertising a pruned-away column throws
   // "Unable to resolve ... given [...]" at planning (a runtime-filter
   // key is always in the output anyway, it feeds the join)
   override def filterAttributes(): Array[org.apache.spark.sql.connector.expressions.NamedReference] =
     if (aggCountCols > 0) Array.empty // a pushed-count scan has no row filters to honor
+    else if (rowLevelGroupScan &&
+      required.fieldNames.contains(DelimV2.FileMetaCol))
+      Array(org.apache.spark.sql.connector.expressions.Expressions
+        .column(DelimV2.FileMetaCol))
     else required.fields
       .filter(f => DelimV2.pushableType(f.dataType))
       .map(f => org.apache.spark.sql.connector.expressions.Expressions.column(f.name))
 
+  // fullSchema + the `_file` metadata column (unless shadowed by a
+  // data column of that name): the resolution scope for runtime
+  // filters, which may target `_file` (row-level group filtering)
+  private lazy val extendedSchema: StructType =
+    if (fullSchema.fieldNames.contains(DelimV2.FileMetaCol)) fullSchema
+    else StructType(fullSchema.fields :+
+      StructField(DelimV2.FileMetaCol, StringType, nullable = false))
+
   override def filter(filters: Array[Filter]): Unit = {
-    runtimeFilters = filters.filter(DelimV2.supportedFilter(_, fullSchema))
+    runtimeFilters = filters.filter(DelimV2.supportedFilter(_, extendedSchema))
     DelimV2.recordRuntimeFilters(paths.mkString(","), runtimeFilters)
   }
 
   /** What actually arrived at runtime — asserted by the DPP spec. */
   def runtimeAppliedFilters: Array[Filter] = runtimeFilters
+
+  /** The files this scan finally planned (post static + runtime
+    * pruning; absolute paths) — the copy-on-write replacement set for
+    * row-level operations (see DelimRowLevelOperation).
+    */
+  @volatile private var plannedFiles: Seq[String] = Nil
+  private[v2] def lastPlannedFiles: Seq[String] = plannedFiles
 
   private val paths = DelimV2.paths(options)
   private val delim = DelimV2.delimiter(options)
@@ -448,9 +511,25 @@ class DelimScan(
     // files here — their bytes are never read, the scale win row-level
     // pruning cannot give
     val rtPreds = runtimeFilters.filter(partitionOnly).map(partPredicate)
+    // `_file`-keyed runtime filters (row-level group filtering) prune
+    // WHOLE FILES: a file's `_file` value is a split constant, so the
+    // predicate is decided here and never re-evaluated per row — this
+    // is what makes a MERGE matching one partition's files read (and
+    // therefore copy-on-write) only those files
+    val filePreds = runtimeFilters
+      .filter(f => f.references.nonEmpty &&
+        f.references.forall(_ == DelimV2.FileMetaCol) &&
+        !fullSchema.fieldNames.contains(DelimV2.FileMetaCol))
+      .map(f => DelimV2.compileFilter(f,
+        Map(DelimV2.FileMetaCol -> 0), Array(StringType)))
     val kept =
-      if (rtPreds.isEmpty) staticKept
-      else staticKept.filter(f => rtPreds.forall(_(f.pvals)))
+      staticKept.filter { f =>
+        rtPreds.forall(_(f.pvals)) && {
+          lazy val fv: Array[Any] = Array(f.status.getPath.toString)
+          filePreds.forall(_(fv))
+        }
+      }
+    plannedFiles = kept.map(_.status.getPath.toString)
     val splits = kept.flatMap { lf =>
       val f = lf.status
       val pv = lf.pvals
@@ -498,9 +577,14 @@ class DelimScan(
       new DelimCountReaderFactory(aggCountCols, confMap,
         if (multiLine) quote else -1)
     else {
-      // partition-only filters were fully applied at FILE level above;
-      // re-evaluating them per row would be constant-true overhead
-      val rowFilters = (pushedFilters ++ runtimeFilters).filterNot(partitionOnly)
+      // partition-only and `_file`-only filters were fully applied at
+      // FILE level above; re-evaluating them per row would be
+      // constant-true overhead
+      val rowFilters = (pushedFilters ++ runtimeFilters)
+        .filterNot(partitionOnly)
+        .filterNot(f => f.references.nonEmpty &&
+          f.references.forall(_ == DelimV2.FileMetaCol) &&
+          !fullSchema.fieldNames.contains(DelimV2.FileMetaCol))
       new DelimReaderFactory(
         fullSchema, required, rowFilters, delim, limit, confMap,
         partFields.map(_.name), topN, quote, multiLine)
@@ -611,9 +695,16 @@ private[v2] class DelimPartitionReader(
     new LineSplitReader(in, split.start, split.start + split.length, split.fileLen,
       if (multiLine) quote else -1)
 
+  // internal field universe = data schema + the `_file` metadata
+  // column (a split constant, like partition values) unless shadowed
+  // by a data column of that name
+  private val allFields: Array[StructField] =
+    if (fullSchema.fieldNames.contains(DelimV2.FileMetaCol)) fullSchema.fields
+    else fullSchema.fields :+
+      StructField(DelimV2.FileMetaCol, StringType, nullable = false)
   private val idxOf: Map[String, Int] =
-    fullSchema.fieldNames.zipWithIndex.toMap
-  private val types: Array[DataType] = fullSchema.fields.map(_.dataType)
+    allFields.map(_.name).zipWithIndex.toMap
+  private val types: Array[DataType] = allFields.map(_.dataType)
 
   // schema-index → FILE field position: non-partition fields map
   // positionally in schema order — or BY NAME through the file's
@@ -633,19 +724,20 @@ private[v2] class DelimPartitionReader(
       !partIdxSet.contains(i) && split.fileFields.contains(n)
     }
   private val filePos: Array[Int] = {
-    val m = new Array[Int](fullSchema.size)
+    val m = new Array[Int](allFields.length)
     if (!byName) {
       var fp = 0
       var i = 0
       while (i < m.length) {
-        if (partIdxSet.contains(i)) m(i) = -1 else { m(i) = fp; fp += 1 }
+        if (partIdxSet.contains(i) || i >= fullSchema.size) m(i) = -1
+        else { m(i) = fp; fp += 1 }
         i += 1
       }
     } else {
       var i = 0
       while (i < m.length) {
         m(i) =
-          if (partIdxSet.contains(i)) -1
+          if (partIdxSet.contains(i) || i >= fullSchema.size) -1
           else split.fileFields.indexOf(fullSchema.fieldNames(i))
         i += 1
       }
@@ -655,17 +747,20 @@ private[v2] class DelimPartitionReader(
   // file field-position count: an OLD generation may carry MORE fields
   // than the current read schema (a later write narrowed it)
   private val nFilePos: Int =
-    if (byName) split.fileFields.length else fullSchema.size
+    if (byName) split.fileFields.length else allFields.length
   // partition constants at their schema slots (typed via the same
-  // parse path as file fields)
+  // parse path as file fields); the `_file` metadata slot is the
+  // split's path, another per-split constant
   private val partExt: Array[Any] = {
-    val ext = new Array[Any](fullSchema.size)
+    val ext = new Array[Any](allFields.length)
     var i = 0
     while (i < partCols.length) {
       val si = idxOf(partCols(i))
       ext(si) = DelimV2.parseExternal(split.partVals(i), types(si))
       i += 1
     }
+    if (allFields.length > fullSchema.size)
+      ext(allFields.length - 1) = split.path
     ext
   }
 
@@ -1120,7 +1215,14 @@ private[v2] class DelimWrite(
       * generations' manifests + files stay readable via `versionAsOf`.
       * None inherits the table's current policy (manifest header),
       * defaulting to 1 = current generation only. */
-    retainVersions: Option[Int] = None)
+    retainVersions: Option[Int] = None,
+    /** COPY-ON-WRITE replace mode (row-level operations): at commit,
+      * the thunk yields the absolute paths of the files the
+      * operation's scan planned — exactly those entries leave the
+      * manifest and the written rows take their place. Resolved at
+      * commit time because runtime group filtering prunes the scan's
+      * file set during execution. */
+    replaceScanned: Option[() => Seq[String]] = None)
     extends org.apache.spark.sql.connector.write.Write
     with org.apache.spark.sql.connector.write.BatchWrite
     with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
@@ -1215,15 +1317,25 @@ private[v2] class DelimWrite(
     val newEntries = newFiles.map(sf =>
       DelimV2.ManifestEntry(sf.length, newGen,
         if (sf.subdir.isEmpty) sf.finalName else s"${sf.subdir}/${sf.finalName}"))
-    val survivors: Seq[DelimV2.ManifestEntry] =
-      if (truncate && dynamicOverwrite) {
-        // replace ONLY the partitions this job wrote (INSERT OVERWRITE
-        // ... PARTITION nightly-load semantics)
-        val replaced = newFiles.map(_.subdir).filter(_.nonEmpty).toSet
-        prevM.files.filterNot(e =>
-          replaced.exists(sd => e.rel.startsWith(sd + "/")))
-      } else if (truncate) Nil
-      else prevM.files
+    val survivors: Seq[DelimV2.ManifestEntry] = replaceScanned match {
+      case Some(thunk) =>
+        // copy-on-write: drop exactly the files the operation's scan
+        // read — the written rows are their replacement
+        val root = fs.makeQualified(target).toUri
+        val rels = thunk().map { abs =>
+          root.relativize(fs.makeQualified(new HPath(abs)).toUri).getPath
+        }.toSet
+        prevM.files.filterNot(e => rels.contains(e.rel))
+      case None =>
+        if (truncate && dynamicOverwrite) {
+          // replace ONLY the partitions this job wrote (INSERT OVERWRITE
+          // ... PARTITION nightly-load semantics)
+          val replaced = newFiles.map(_.subdir).filter(_.nonEmpty).toSet
+          prevM.files.filterNot(e =>
+            replaced.exists(sd => e.rel.startsWith(sd + "/")))
+        } else if (truncate) Nil
+        else prevM.files
+    }
     DelimWrite.promote(fs, target, messages)
     val newSet = newEntries.map(_.rel).toSet
     // the multiline flag follows the LIVE files: a static overwrite
@@ -1575,6 +1687,12 @@ private[v2] class DelimDataWriter(
       out
     })
 
+  /** Row-level (copy-on-write) carry-over rows arrive through the
+    * two-arg form with their `_file` metadata projected alongside; the
+    * landed bytes don't depend on where a row came from.
+    */
+  override def write(metadata: InternalRow, row: InternalRow): Unit = write(row)
+
   override def write(row: InternalRow): Unit = {
     sb.setLength(0)
     var first = true
@@ -1762,6 +1880,9 @@ private[graft] object DelimV2 {
 
   /** Hive's null-partition directory token. */
   val HiveDefaultPartition = "__HIVE_DEFAULT_PARTITION__"
+
+  /** Name of the `_file` metadata column (see DelimTable.metadataColumns). */
+  val FileMetaCol = "_file"
 
   /** SNAPSHOT MANIFEST: the committed-files list a writing job swaps in
     * atomically at commit (a `#graft-delim-manifest` header line, then

@@ -196,6 +196,16 @@ private[v2] class DelimPartitionedTable(
     partCols: Seq[String])
     extends DelimTable(tableSchema, options) with SupportsPartitionManagement {
 
+  /** Catalog tables declare a REAL schema, so Spark's own output
+    * alignment (by name/position with casts) applies — and MERGE
+    * INTO / UPDATE resolution against the target works (both are
+    * disabled for ACCEPT_ANY_SCHEMA tables; see DelimTable).
+    */
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE,
+      TableCapability.STREAMING_WRITE)
+
   private def root = new HPath(DelimV2.paths(options).head)
   private def fs = root.getFileSystem(DelimV2.driverConf())
 

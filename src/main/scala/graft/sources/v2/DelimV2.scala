@@ -585,9 +585,17 @@ class DelimScan(
         .filterNot(f => f.references.nonEmpty &&
           f.references.forall(_ == DelimV2.FileMetaCol) &&
           !fullSchema.fieldNames.contains(DelimV2.FileMetaCol))
+      // VECTORIZED by default (see DelimColumnarReader): the row
+      // reader remains for pushed TopN (a k-bounded heap is row
+      // logic), non-ASCII delimiters, and the `columnar=false` escape
+      // hatch
+      val columnar = topN.isEmpty && delim < 128 &&
+        java.lang.Boolean.parseBoolean(options.getOrDefault("columnar", "true"))
       new DelimReaderFactory(
         fullSchema, required, rowFilters, delim, limit, confMap,
-        partFields.map(_.name), topN, quote, multiLine)
+        partFields.map(_.name), topN, quote, multiLine,
+        columnar = columnar,
+        batchSize = options.getInt("batchSize", 4096))
     }
   }
 }
@@ -656,19 +664,35 @@ private[v2] class DelimReaderFactory(
     partCols: Array[String] = Array.empty,
     topN: Array[DelimSortKey] = Array.empty,
     quote: Int = -1,
-    multiLine: Boolean = false)
+    multiLine: Boolean = false,
+    columnar: Boolean = false,
+    batchSize: Int = 4096)
     extends PartitionReaderFactory {
 
-  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+  private def open(partition: InputPartition): (DelimSplit, FSDataInputStream) = {
     val split = partition.asInstanceOf[DelimSplit]
     // defaults load executor-side (core-default.xml ships in the jars);
     // the driver's fs.*/hadoop.* entries overlay them
     val conf = new Configuration(true)
     confMap.foreach { case (k, v) => conf.set(k, v) }
     val p = new HPath(split.path)
-    val in = p.getFileSystem(conf).open(p)
+    (split, p.getFileSystem(conf).open(p))
+  }
+
+  override def supportColumnarReads(partition: InputPartition): Boolean = columnar
+
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val (split, in) = open(partition)
     new DelimPartitionReader(in, split, fullSchema, required, filters, delim,
       limit, partCols, topN, quote, multiLine)
+  }
+
+  override def createColumnarReader(
+      partition: InputPartition)
+      : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
+    val (split, in) = open(partition)
+    new DelimColumnarReader(in, split, fullSchema, required, filters, delim,
+      limit, partCols, quote, multiLine, batchSize)
   }
 }
 
@@ -996,8 +1020,32 @@ private[v2] final class LineSplitReader(
 
   /** Next complete line owned by this split, or null when exhausted. */
   def nextLine(): String = {
-    if (pos > end || pos >= fileLen) return null
-    readRaw()
+    if (!nextLineSpan()) return null
+    // the span already stripped the trailing '\r' — do NOT re-strip
+    // (a line ending "x\r\r\n" keeps its inner '\r')
+    new String(spanBuf, spanOff, spanLen, java.nio.charset.StandardCharsets.UTF_8)
+  }
+
+  // the current line as a BYTE SPAN into spanBuf (valid until the next
+  // nextLineSpan/nextLine call) — the columnar reader parses fields
+  // straight from these bytes, no per-line String
+  private var spanBuf: Array[Byte] = _
+  private var spanOff = 0
+  private var spanLen = 0
+
+  def lineBuf: Array[Byte] = spanBuf
+  def lineOff: Int = spanOff
+  def lineLen: Int = spanLen
+
+  /** Advance to the next owned line, exposing it as a byte span
+    * (trailing '\r' stripped). Returns false when the split is
+    * exhausted. Shares ALL framing logic (split ownership, spill,
+    * quote-aware record framing) with nextLine — there is exactly one
+    * implementation of the exactly-once contract.
+    */
+  def nextLineSpan(): Boolean = {
+    if (pos > end || pos >= fileLen) return false
+    readRawSpan()
   }
 
   /** Advance past the next owned line WITHOUT materializing it — the
@@ -1046,15 +1094,18 @@ private[v2] final class LineSplitReader(
     bufLen > 0
   }
 
-  /** Read one line (up to '\n' or EOF), strip trailing '\r', advance pos. */
-  private def readRaw(): String = {
+  /** Read one line (up to '\n' or EOF) as a span (trailing '\r'
+    * stripped), advance pos. Returns false at EOF with no bytes.
+    */
+  private def readRawSpan(): Boolean = {
     spillLen = 0
     var inQ = false
     while (true) {
       if (bufPos >= bufLen && !fill()) {
         // EOF: the spill (if any) is the final unterminated line
-        if (spillLen == 0) return null
-        return mkString(spill, 0, spillLen)
+        if (spillLen == 0) return false
+        setSpan(spill, 0, spillLen)
+        return true
       }
       var i = bufPos
       if (quote < 0) {
@@ -1066,22 +1117,28 @@ private[v2] final class LineSplitReader(
         }
       }
       if (i < bufLen) { // newline at i
-        val res =
-          if (spillLen == 0) mkString(buf, bufPos, i - bufPos)
-          else {
-            appendSpill(buf, bufPos, i - bufPos)
-            mkString(spill, 0, spillLen)
-          }
+        if (spillLen == 0) setSpan(buf, bufPos, i - bufPos)
+        else {
+          appendSpill(buf, bufPos, i - bufPos)
+          setSpan(spill, 0, spillLen)
+        }
         pos += (i - bufPos) + 1
         bufPos = i + 1
-        return res
+        return true
       }
       // no newline in this block: spill and refill
       appendSpill(buf, bufPos, bufLen - bufPos)
       pos += bufLen - bufPos
       bufPos = bufLen
     }
-    null // unreachable
+    false // unreachable
+  }
+
+  private def setSpan(src: Array[Byte], off: Int, len: Int): Unit = {
+    val n = if (len > 0 && src(off + len - 1) == '\r') len - 1 else len
+    spanBuf = src
+    spanOff = off
+    spanLen = n
   }
 
   private def appendSpill(src: Array[Byte], off: Int, len: Int): Unit = {
@@ -1094,10 +1151,6 @@ private[v2] final class LineSplitReader(
     spillLen += len
   }
 
-  private def mkString(src: Array[Byte], off: Int, len: Int): String = {
-    val n = if (len > 0 && src(off + len - 1) == '\r') len - 1 else len
-    new String(src, off, n, java.nio.charset.StandardCharsets.UTF_8)
-  }
 }
 
 /** Write side of the connector (K-tier as a connector instead of a

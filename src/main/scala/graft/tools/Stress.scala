@@ -783,6 +783,79 @@ object Stress {
       }
       graft.core.Scratch.rmTree(root)
     }
+
+    // 13. VECTORIZED scan vs the row reader vs Spark's CSV source
+    // (round-16 verdict ask #7): one pipe-delimited lineitem fixture
+    // (amp × sf rows, 11 typed columns), read three ways over the SAME
+    // files — graft-delim columnar (the default), graft-delim
+    // columnar=false (the round-16 row path), and Spark CSV with the
+    // same schema. Three query shapes: the WIDE scan (every column
+    // consumed by an aggregate), a NARROW 2-column projection, and a
+    // SELECTIVE pushed filter. Checksums must agree across all nine
+    // cells — a fast wrong reader is not a reader.
+    for (amp <- amps if sections("columnarscan")) {
+      val p = s"/tmp/graft_stress_colscan_$sfKey/a$amp"
+      graft.core.Scratch.rmTree(p)
+      val li0 = graft.core.Tables.lineitem(spark, sf)
+      val li = (1 to amp).map(i =>
+        li0.withColumn("l_orderkey", col("l_orderkey") + lit(i.toLong * 100000000L)))
+        .reduce(_ unionByName _)
+      li.select(concat_ws("|",
+          col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+          col("l_linenumber"), col("l_quantity"), col("l_extendedprice"),
+          col("l_discount"), col("l_tax"), col("l_returnflag"),
+          col("l_linestatus"), col("l_shipdate").cast("date")).as("line"))
+        .repartition(32)
+        .write.mode("overwrite").text(p)
+      val n = li0.count() * amp
+      val schema = "l_orderkey BIGINT, l_partkey BIGINT, l_suppkey BIGINT, " +
+        "l_linenumber INT, l_quantity DOUBLE, l_extendedprice DOUBLE, " +
+        "l_discount DOUBLE, l_tax DOUBLE, l_returnflag STRING, " +
+        "l_linestatus STRING, l_shipdate DATE"
+      def reader(mode: String) = mode match {
+        case "csv" => spark.read.format("csv")
+          .option("sep", "|").option("quote", "\"").schema(schema).load(p)
+        case m => spark.read.format("graft-delim")
+          .option("columnar", (m == "columnar").toString)
+          .schema(schema).load(p)
+      }
+      val checks = scala.collection.mutable.Map.empty[String, Seq[Any]]
+      for (mode <- Seq("columnar", "row", "csv")) {
+        // FRESH DataFrame per pass: re-collecting one DataFrame object
+        // reuses AQE's already-materialized shuffle stages, so only
+        // the final reduce re-runs and the "scan" measures nothing
+        // (observed: 9.6M text rows in 0.03s, tasks=1)
+        def shapeDf(shape: String) = shape match {
+          case "wide" => reader(mode).agg(
+            sum(col("l_orderkey")).as("k"),
+            round(sum(col("l_quantity") + col("l_extendedprice") +
+              col("l_discount") + col("l_tax")), 2).as("s"),
+            sum(col("l_partkey") + col("l_suppkey") + col("l_linenumber")).as("k2"),
+            sum(length(col("l_returnflag")) + length(col("l_linestatus"))).as("ls"),
+            max(col("l_shipdate")).as("d"),
+            count(lit(1)).as("n"))
+          case "narrow" => reader(mode)
+            .agg(sum(col("l_orderkey")).as("k"),
+              round(sum(col("l_quantity")), 2).as("q"))
+          case _ => reader(mode)
+            .filter(col("l_returnflag") === "R" && col("l_quantity") >= 49.0)
+            .agg(count(lit(1)).as("n"), sum(col("l_orderkey")).as("k"))
+        }
+        for (shape <- Seq("wide", "narrow", "selective")) {
+          shapeDf(shape).collect() // untimed warm pass (JIT + codegen)
+          run(s"colscan_${shape}_$mode", amp, n) {
+            val r = shapeDf(shape).collect().head.toSeq
+            checks.get(shape) match {
+              case Some(prev) => require(prev == r,
+                s"$shape checksum diverged for $mode: $r vs $prev")
+              case None => checks(shape) = r
+            }
+            (r.last match { case l: Long => l; case _ => n }, s"mode=$mode")
+          }
+        }
+      }
+      graft.core.Scratch.rmTree(p)
+    }
     spark.stop()
   }
 }

@@ -74,6 +74,18 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     new DelimPartitionedTable(schema, new CaseInsensitiveStringMap(m), partCols)
   }
 
+  /** SQL time travel: `SELECT ... FROM graft_cat.ns.t VERSION AS OF g`
+    * — the table loaded pinned to the retained snapshot
+    * `_manifest.v<g>`. The DECLARED (current) schema applies; columns
+    * added after generation g read null from its files via the
+    * per-generation by-name mapping, and an expired generation fails
+    * loudly at scan planning with the retained list.
+    */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    val t = loadTable(ident).asInstanceOf[DelimPartitionedTable]
+    t.withVersionAsOf(version)
+  }
+
   override def createTable(
       ident: Identifier, schema: StructType, partitions: Array[Transform],
       properties: java.util.Map[String, String]): Table = {
@@ -205,6 +217,14 @@ private[v2] class DelimPartitionedTable(
     java.util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.BATCH_WRITE, TableCapability.TRUNCATE,
       TableCapability.STREAMING_WRITE)
+
+  /** The same table pinned to a retained snapshot (SQL VERSION AS OF). */
+  private[v2] def withVersionAsOf(version: String): DelimPartitionedTable = {
+    val m = new java.util.HashMap[String, String]()
+    options.entrySet().forEach(e => m.put(e.getKey, e.getValue))
+    m.put("versionAsOf", version)
+    new DelimPartitionedTable(tableSchema, new CaseInsensitiveStringMap(m), partCols)
+  }
 
   private def root = new HPath(DelimV2.paths(options).head)
   private def fs = root.getFileSystem(DelimV2.driverConf())

@@ -57,6 +57,30 @@ class DelimMergeSpec extends SparkFunSuite {
     spark.sql("DROP TABLE graft_cat.default.merge_t")
   }
 
+  test("MERGE clause variants: conditional UPDATE, matched DELETE, NOT MATCHED BY SOURCE") {
+    val dir = tempDir("delim-merge-clauses")
+    val t = s"$dir/t"
+    spark.sql("DROP TABLE IF EXISTS graft_cat.default.mc_t")
+    spark.sql(s"""CREATE TABLE graft_cat.default.mc_t
+      (id BIGINT, v DOUBLE) USING `graft-delim` LOCATION '$t'""")
+    Seq((1L, 1.0), (2L, 2.0), (3L, 3.0), (4L, 4.0)).toDF("id", "v")
+      .writeTo("graft_cat.default.mc_t").append()
+    Seq((1L, 10.0), (2L, -1.0), (5L, 50.0)).toDF("id", "v")
+      .createOrReplaceTempView("mc_delta")
+    // matched + cond → update; matched + negative → delete;
+    // not matched → insert; not matched by source and id > 3 → delete
+    spark.sql("""MERGE INTO graft_cat.default.mc_t t
+      USING mc_delta d ON t.id = d.id
+      WHEN MATCHED AND d.v >= 0 THEN UPDATE SET t.v = d.v
+      WHEN MATCHED THEN DELETE
+      WHEN NOT MATCHED THEN INSERT *
+      WHEN NOT MATCHED BY SOURCE AND t.id > 3 THEN DELETE""")
+    val got = spark.sql("SELECT id, v FROM graft_cat.default.mc_t ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(got.toSeq == Seq((1L, 10.0), (3L, 3.0), (5L, 50.0)), got.toSeq)
+    spark.sql("DROP TABLE graft_cat.default.mc_t")
+  }
+
   test("UPDATE and DELETE run as copy-on-write row-level SQL") {
     val dir = tempDir("delim-updel")
     val t = s"$dir/t"

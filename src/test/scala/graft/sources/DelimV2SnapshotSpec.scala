@@ -308,6 +308,30 @@ class DelimV2SnapshotSpec extends SparkFunSuite {
     assert(cur == Set(1L, 2L))
   }
 
+  test("SQL VERSION AS OF reads a retained snapshot through the catalog") {
+    val dir = tempDir("delimv2-sqltravel")
+    val t = s"$dir/t"
+    spark.sql("DROP TABLE IF EXISTS graft_cat.default.travel_t")
+    spark.sql(s"""CREATE TABLE graft_cat.default.travel_t
+      (id BIGINT, name STRING)
+      USING `graft-delim` LOCATION '$t'
+      OPTIONS (retainVersions '3')""")
+    spark.sql("INSERT INTO graft_cat.default.travel_t VALUES (1, 'a')")
+    spark.sql("INSERT INTO graft_cat.default.travel_t VALUES (2, 'b')")
+    spark.sql("DELETE FROM graft_cat.default.travel_t WHERE id = 1")
+    def ids(q: String): Set[Long] =
+      spark.sql(q).collect().map(_.getLong(0)).toSet
+    assert(ids("SELECT id FROM graft_cat.default.travel_t") == Set(2L))
+    assert(ids(
+      "SELECT id FROM graft_cat.default.travel_t VERSION AS OF 1") == Set(1L))
+    assert(ids(
+      "SELECT id FROM graft_cat.default.travel_t VERSION AS OF 2") == Set(1L, 2L))
+    val e = intercept[Exception](ids(
+      "SELECT id FROM graft_cat.default.travel_t VERSION AS OF 99").size)
+    assert(e.getMessage.contains("versionAsOf"), e.getMessage)
+    spark.sql("DROP TABLE graft_cat.default.travel_t")
+  }
+
   test("catalog listTables/namespaces key by components, not string prefixes") {
     val cat = spark.sessionState.catalogManager.catalog("graft_cat")
       .asInstanceOf[graft.sources.v2.GraftCatalog]

@@ -140,6 +140,46 @@ object Round17Queries {
         |FROM graft_cat.default.wm17_t""".stripMargin)
     },
 
+    // graft-delim as a STREAMING SOURCE — manifest generations are the
+    // offsets (each commit = one offset increment), so a downstream
+    // pipeline can readStream the reference's landing directories with
+    // exactly-once progress across restarts (spec-certified; see
+    // DelimStreamSourceSpec for restart/live/loop/pruning). Here three
+    // batch commits land disjoint thirds of orders (gen 1..3 —
+    // require'd), the stream drains them through a real
+    // MicroBatchStream run, and the landed rollup must equal the
+    // parquet-derived oracle — a dropped generation, a duplicated
+    // replay, or a misplanned range all hash-mismatch.
+    "delim_v2_stream_source" -> { (s, dir) =>
+      val out = CoreQueries.scratchDir("delim_v2_stream_source")
+      graft.core.Scratch.rmTree(s"$out/t")
+      graft.core.Scratch.rmTree(s"$out/landed")
+      graft.core.Scratch.rmTree(s"$out/ckpt")
+      val orders = Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"))
+      for (slice <- 0 until 3)
+        orders.filter(col("o_orderkey") % 3 === slice)
+          .write.format("graft-delim").mode("append").save(s"$out/t")
+      val hp = new org.apache.hadoop.fs.Path(s"$out/t")
+      val fs = hp.getFileSystem(s.sessionState.newHadoopConf())
+      require(graft.sources.v2.DelimV2.readManifest(fs, hp).get.gen == 3L,
+        "fixture must land three generations")
+      val q = s.readStream.format("graft-delim")
+        .schema("o_orderkey BIGINT, o_totalprice DOUBLE, o_orderpriority STRING")
+        .load(s"$out/t")
+        .writeStream.format("parquet")
+        .option("path", s"$out/landed")
+        .option("checkpointLocation", s"$out/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.read.parquet(s"$out/landed")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"),
+          round(sum(col("o_totalprice")), 2).as("revenue"),
+          sum(col("o_orderkey")).as("key_sig"))
+    },
+
     // Small-file COMPACTION (OPTIMIZE): real streaming epochs land one
     // file per (epoch, partition) — the accumulation every streaming
     // sink produces — then DelimCompact rewrites each partition's
@@ -227,6 +267,13 @@ object Round17Queries {
         |                  WHERE c.o_orderkey = b.o_orderkey)
         |UNION ALL
         |SELECT * FROM changes""".stripMargin,
+
+    "delim_v2_stream_source" ->
+      """SELECT o_orderpriority, count(*) AS n_orders,
+        |       round(sum(o_totalprice), 2) AS revenue,
+        |       CAST(sum(o_orderkey) AS BIGINT) AS key_sig
+        |FROM orders
+        |GROUP BY 1""".stripMargin,
 
     // compaction is content-preserving: the oracle is the same
     // per-partition rollup the stream-sink certification uses

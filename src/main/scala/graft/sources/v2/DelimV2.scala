@@ -164,7 +164,7 @@ private[v2] class DelimTable(tableSchema: StructType, options: CaseInsensitiveSt
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
       TableCapability.TRUNCATE, TableCapability.ACCEPT_ANY_SCHEMA,
-      TableCapability.STREAMING_WRITE)
+      TableCapability.STREAMING_WRITE, TableCapability.MICRO_BATCH_READ)
 
   override def newScanBuilder(caseInsensitiveOptions: CaseInsensitiveStringMap): ScanBuilder =
     new DelimScanBuilder(tableSchema, DelimTable.merged(options, caseInsensitiveOptions))
@@ -300,6 +300,14 @@ private[v2] class DelimScanBuilder(fullSchema: StructType, options: CaseInsensit
 /** One pushed sort key: column, direction, null placement. */
 private[v2] case class DelimSortKey(
     col: String, desc: Boolean, nullsFirst: Boolean)
+
+/** Streaming-read offset: a manifest GENERATION number (the committed
+  * snapshot counter — see DelimScan.toMicroBatchStream).
+  */
+private[v2] case class DelimGenOffset(gen: Long)
+    extends org.apache.spark.sql.connector.read.streaming.Offset {
+  override def json(): String = gen.toString
+}
 
 // public: query constructions and the spec assert on readSchema/pushedFilters
 class DelimScan(
@@ -530,7 +538,18 @@ class DelimScan(
         }
       }
     plannedFiles = kept.map(_.status.getPath.toString)
-    val splits = kept.flatMap { lf =>
+    val splits = makeSplits(kept, splitBytes)
+    DelimV2.recordPlannedSplits(paths.mkString(","),
+      allFiles.size, kept.size, splits.length)
+    splits
+  }
+
+  /** Byte-range splits for a kept file set (shared by the batch plan
+    * and the streaming source's per-generation batches).
+    */
+  private def makeSplits(
+      kept: Seq[DelimV2.ListedFile], splitBytes: Long): Array[InputPartition] =
+    kept.flatMap { lf =>
       val f = lf.status
       val pv = lf.pvals
       val len = f.getLen
@@ -560,9 +579,77 @@ class DelimScan(
         }
       }
     }.toArray[InputPartition]
-    DelimV2.recordPlannedSplits(paths.mkString(","),
-      allFiles.size, kept.size, splits.length)
-    splits
+
+  /** STREAMING SOURCE: manifest GENERATIONS are the offsets — every
+    * commit (batch append, streaming epoch, catalog DDL) advances the
+    * generation, and a micro-batch reads exactly the files committed
+    * in `(startGen, endGen]`. This is the other half of the landing-
+    * directory loop the reference lives in: the connector already
+    * LANDS streams (DelimWrite.toStreaming); now a downstream pipeline
+    * can `readStream` the same table with exactly-once progress across
+    * restarts (the checkpointed offset is a generation number, and a
+    * replayed range replans the identical file set — per-generation
+    * file sets are immutable under the APPEND-ONLY contract this
+    * source targets; an overwrite or compaction rewrites history and
+    * is the documented caveat, same as every file-stream source over
+    * a mutable directory). Each batch prefers the RETAINED snapshot
+    * `_manifest.v<end>` (immutable) and falls back to the current
+    * manifest filtered by generation. Partition-only pushed filters
+    * prune files per batch like the batch scan.
+    */
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
+    import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+    require(paths.size == 1,
+      "graft-delim streaming read supports a single table root")
+    require(DelimV2.versionAsOf(options).isEmpty,
+      "graft-delim streaming read cannot combine with versionAsOf")
+    new MicroBatchStream {
+      private val root = new HPath(paths.head)
+      private def fs = root.getFileSystem(DelimV2.driverConf())
+      private val splitBytes = math.max(1L, options.getLong("splitBytes",
+        SparkSession.active.sessionState.conf.filesMaxPartitionBytes))
+
+      override def initialOffset(): Offset = DelimGenOffset(-1L)
+      override def latestOffset(): Offset =
+        DelimGenOffset(DelimV2.readManifest(fs, root).map(_.gen).getOrElse(-1L))
+      override def deserializeOffset(json: String): Offset =
+        DelimGenOffset(json.trim.toLong)
+      override def commit(end: Offset): Unit = ()
+      override def stop(): Unit = ()
+
+      override def planInputPartitions(
+          start: Offset, end: Offset): Array[InputPartition] = {
+        val s = start.asInstanceOf[DelimGenOffset].gen
+        val e = end.asInstanceOf[DelimGenOffset].gen
+        if (e <= s) return Array.empty
+        // prefer the immutable retained snapshot at `end`; else the
+        // current manifest (its (s, e] entries are identical under
+        // the append-only contract)
+        val m = DelimV2.readManifestFile(fs,
+            new HPath(root, s"${DelimV2.ManifestFile}.v$e"))
+          .orElse(DelimV2.readManifest(fs, root))
+          .getOrElse(return Array.empty)
+        val ranged = m.copy(files = m.files.filter(f => f.gen > s && f.gen <= e))
+        val preds = pushedFilters.filter(partitionOnly).map(partPredicate)
+        val files = DelimV2.listedFromManifest(root, ranged)
+          .filter(f => preds.forall(_(f.pvals)))
+        makeSplits(files, splitBytes)
+      }
+
+      override def createReaderFactory(): PartitionReaderFactory = {
+        val hc = DelimV2.driverConf()
+        val confMap = hc.iterator().asScala
+          .map(e => e.getKey -> e.getValue)
+          .filter { case (k, _) => k.startsWith("fs.") || k.startsWith("hadoop.") }
+          .toMap
+        // row readers: micro-batches are epoch-sized, and the
+        // streaming exec path is the row one
+        new DelimReaderFactory(fullSchema, required,
+          pushedFilters.filterNot(partitionOnly), delim, limit, confMap,
+          partFields.map(_.name), Array.empty, quote, multiLine)
+      }
+    }
   }
 
   override def createReaderFactory(): PartitionReaderFactory = {
@@ -2314,20 +2401,7 @@ private[graft] object DelimV2 {
             case None => readManifest(fs, st.getPath)
           }
         manifest match {
-          case Some(m) => m.files.map { e =>
-            val pvals = e.rel.split('/').dropRight(1).toSeq.flatMap { seg =>
-              val eq = seg.indexOf('=')
-              if (eq <= 0) None
-              else {
-                val v0 = seg.substring(eq + 1)
-                Some(seg.substring(0, eq) ->
-                  (if (v0 == HiveDefaultPartition) null else v0))
-              }
-            }
-            ListedFile(new FileStatus(e.len, false, 1, 0L, 0L,
-              new HPath(st.getPath, e.rel)), pvals,
-              m.schemas.get(e.gen).map(_.dataFieldNames).orNull)
-          }
+          case Some(m) => listedFromManifest(st.getPath, m)
           case None => recurse(fs, st, Nil)
         }
       }
@@ -2336,6 +2410,28 @@ private[graft] object DelimV2 {
       n.startsWith("_") || n.startsWith(".")
     }.sortBy(_.status.getPath.toString)
   }
+
+  /** Manifest entries as listed files: partition values parse from the
+    * entries' k=v path segments, field layouts from the entries'
+    * generations' recorded schemas. Shared by batch listing and the
+    * streaming source's per-generation batches.
+    */
+  private[v2] def listedFromManifest(
+      root: HPath, m: DelimManifest): Seq[ListedFile] =
+    m.files.map { e =>
+      val pvals = e.rel.split('/').dropRight(1).toSeq.flatMap { seg =>
+        val eq = seg.indexOf('=')
+        if (eq <= 0) None
+        else {
+          val v0 = seg.substring(eq + 1)
+          Some(seg.substring(0, eq) ->
+            (if (v0 == HiveDefaultPartition) null else v0))
+        }
+      }
+      ListedFile(new FileStatus(e.len, false, 1, 0L, 0L,
+        new HPath(root, e.rel)), pvals,
+        m.schemas.get(e.gen).map(_.dataFieldNames).orNull)
+    }
 
   /** Test observability hook for FILE-level pruning, keyed per scan
     * target like the runtime-filter log: (discovered files, files kept

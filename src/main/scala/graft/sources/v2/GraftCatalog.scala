@@ -216,7 +216,7 @@ private[v2] class DelimPartitionedTable(
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.BATCH_WRITE, TableCapability.TRUNCATE,
-      TableCapability.STREAMING_WRITE)
+      TableCapability.STREAMING_WRITE, TableCapability.MICRO_BATCH_READ)
 
   /** The same table pinned to a retained snapshot (SQL VERSION AS OF). */
   private[v2] def withVersionAsOf(version: String): DelimPartitionedTable = {

@@ -140,6 +140,38 @@ object Round17Queries {
         |FROM graft_cat.default.wm17_t""".stripMargin)
     },
 
+    // DATA SKIPPING via manifest file stats: the writer records
+    // per-file min/max/null-count for every pushable column, and the
+    // scan tests pushed DATA filters against them — a file whose stats
+    // prove no row matches is never opened. Here orders is written
+    // key-CLUSTERED (repartitionByRange + sortWithinPartitions, the
+    // layout discipline that makes key-range queries cheap at 100 TB),
+    // so an o_orderkey range keeps ~1 of 8 files — require'd via the
+    // planned-splits observability hook — while the aggregate must
+    // still equal the parquet-derived oracle exactly (skipping a file
+    // with a matching row would break all three columns).
+    "delim_v2_stats_skipping" -> { (s, dir) =>
+      val out = CoreQueries.scratchDir("delim_v2_stats_skipping")
+      val t = s"$out/t"
+      Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"))
+        .repartitionByRange(8, col("o_orderkey"))
+        .sortWithinPartitions("o_orderkey")
+        .write.format("graft-delim").mode("overwrite").save(t)
+      val df = s.read.format("graft-delim")
+        .schema("o_orderkey BIGINT, o_totalprice DOUBLE, o_orderpriority STRING")
+        .load(t)
+        .filter(col("o_orderkey") <= 3000L)
+        .agg(count(lit(1)).as("n_orders"),
+          round(sum(col("o_totalprice")), 2).as("revenue"),
+          sum(col("o_orderkey")).as("key_sig"))
+      df.collect()
+      val (disc, kept, _) = graft.sources.v2.DelimV2.plannedSplitsFor(t).get
+      require(kept < disc && kept >= 1,
+        s"file stats failed to skip clustered files: discovered=$disc kept=$kept")
+      df
+    },
+
     // graft-delim as a STREAMING SOURCE — manifest generations are the
     // offsets (each commit = one offset increment), so a downstream
     // pipeline can readStream the reference's landing directories with
@@ -267,6 +299,12 @@ object Round17Queries {
         |                  WHERE c.o_orderkey = b.o_orderkey)
         |UNION ALL
         |SELECT * FROM changes""".stripMargin,
+
+    "delim_v2_stats_skipping" ->
+      """SELECT count(*) AS n_orders,
+        |       round(sum(o_totalprice), 2) AS revenue,
+        |       CAST(sum(o_orderkey) AS BIGINT) AS key_sig
+        |FROM orders WHERE o_orderkey <= 3000""".stripMargin,
 
     "delim_v2_stream_source" ->
       """SELECT o_orderpriority, count(*) AS n_orders,

@@ -62,12 +62,36 @@ object DelimCompact {
     // group (the newest member with that layout) so readers keep
     // resolving its fields through the same recorded schema; legacy
     // entries (no recorded schema) group together under gen 0
+    // merged data-skipping stats: sound only when EVERY member carries
+    // stats (min of mins, max of maxes, null/row sums over the columns
+    // every member bounded) — any gap merges to "no stats"
+    def mergeStats(entries: Seq[DelimV2.ManifestEntry],
+        layout: Option[DelimV2.ManifestSchema]): String = {
+      val decoded = entries.map(e => DelimV2.decodeStats(e.stats, layout))
+      if (layout.isEmpty || decoded.exists(_.isEmpty)) return ""
+      val all = decoded.map(_.get)
+      val st = layout.get.struct
+      val common = all.map(_.cols.keySet).reduce(_ intersect _)
+      val cols = common.toSeq.sorted.map { c =>
+        val dt = st(c).dataType
+        val cs = all.map(_.cols(c))
+        val mins = cs.map(_.min).filter(_ != null)
+        val maxs = cs.map(_.max).filter(_ != null)
+        val mn = if (mins.isEmpty) null
+          else mins.reduce((a, b) => if (DelimV2.cmp(dt, a, b) <= 0) a else b)
+        val mx = if (maxs.isEmpty) null
+          else maxs.reduce((a, b) => if (DelimV2.cmp(dt, a, b) >= 0) a else b)
+        (c, DelimV2.externalToText(mn, dt), DelimV2.externalToText(mx, dt),
+          cs.map(_.nulls).sum)
+      }
+      DelimV2.encodeStats(all.map(_.rows).sum, cols)
+    }
     val groups = m.files.groupBy(e => (parentOf(e.rel), m.schemas.get(e.gen)))
       .filter(_._2.size >= math.max(minFilesPerGroup, 2))
       .toSeq
       .map { case ((sub, layout), entries) =>
         (sub, if (layout.isDefined) entries.map(_.gen).max else 0L,
-          entries.map(_.rel).sorted)
+          entries.map(_.rel).sorted, mergeStats(entries, layout))
       }
       .sortBy(t => (t._1, t._2))
     if (groups.isEmpty) return m.gen
@@ -79,7 +103,8 @@ object DelimCompact {
       .filter { case (k, _) => k.startsWith("fs.") || k.startsWith("hadoop.") }
       .toMap
     val targetStr = target.toString
-    val jobs = groups.zipWithIndex.map { case ((sub, gen, rels), i) =>
+    val statsByIdx = groups.map(_._4).toArray
+    val jobs = groups.zipWithIndex.map { case ((sub, gen, rels, _), i) =>
       (sub, gen, rels, i)
     }
     // one task per group; each concatenates its files byte-for-byte
@@ -115,17 +140,17 @@ object DelimCompact {
             if (last != '\n') { out.write('\n'); total += 1 }
           }
         } finally out.close()
-        (sub, gen, rels, outName, total)
+        (sub, gen, rels, outName, total, i)
       }.collect() // bounded: one row of names/lengths per group
     val replaced = compacted.flatMap(_._3).toSet
-    val newEntries = compacted.map { case (sub, gen, _, outName, len) =>
+    val newEntries = compacted.map { case (sub, gen, _, outName, len, gi) =>
       val dstDir = if (sub.isEmpty) target else new HPath(target, sub)
       if (sub.nonEmpty) fs.mkdirs(dstDir)
       if (!fs.rename(new HPath(staging, outName), new HPath(dstDir, outName)))
         throw new java.io.IOException(
           s"graft-delim: compaction promote failed for $outName")
       DelimV2.ManifestEntry(len, gen,
-        if (sub.isEmpty) outName else s"$sub/$outName")
+        if (sub.isEmpty) outName else s"$sub/$outName", statsByIdx(gi))
     }.toSeq
     val live =
       try DelimV2.commitManifest(fs, target, m.copy(

@@ -530,12 +530,26 @@ class DelimScan(
         !fullSchema.fieldNames.contains(DelimV2.FileMetaCol))
       .map(f => DelimV2.compileFilter(f,
         Map(DelimV2.FileMetaCol -> 0), Array(StringType)))
+    // DATA-SKIPPING: pushed + runtime DATA filters tested against each
+    // file's recorded min/max/null stats — a file whose stats PROVE no
+    // row can match is never opened (the manifest is the skip index;
+    // at 100 TB this is the non-partition-predicate analogue of
+    // directory pruning, e.g. a key-range query over key-clustered
+    // files). Conservative by construction: missing stats, unbounded
+    // columns, and unsupported filter shapes all keep the file.
+    val statFilters = (pushedFilters ++ runtimeFilters)
+      .filterNot(partitionOnly)
+      .filterNot(f => f.references.isEmpty ||
+        f.references.forall(_ == DelimV2.FileMetaCol))
+    val typeOfCol: String => Option[DataType] =
+      c => fullSchema.fields.find(_.name == c).map(_.dataType)
     val kept =
       staticKept.filter { f =>
         rtPreds.forall(_(f.pvals)) && {
           lazy val fv: Array[Any] = Array(f.status.getPath.toString)
           filePreds.forall(_(fv))
-        }
+        } && (f.stats == null ||
+          statFilters.forall(DelimV2.statsMayMatch(_, f.stats, typeOfCol)))
       }
     plannedFiles = kept.map(_.status.getPath.toString)
     val splits = makeSplits(kept, splitBytes)
@@ -611,8 +625,18 @@ class DelimScan(
         SparkSession.active.sessionState.conf.filesMaxPartitionBytes))
 
       override def initialOffset(): Offset = DelimGenOffset(-1L)
-      override def latestOffset(): Offset =
-        DelimGenOffset(DelimV2.readManifest(fs, root).map(_.gen).getOrElse(-1L))
+
+      // MONOTONIC: a concurrent committer's pointer swap can leave a
+      // sub-millisecond no-manifest window on rename-non-atomic
+      // filesystems (observed on local file:// — latestOffset read -1
+      // mid-append and the engine then treated it as the last
+      // committed position, re-reading from the start). The generation
+      // counter never decreases, so neither may the reported offset.
+      private val maxSeenGen = new java.util.concurrent.atomic.AtomicLong(-1L)
+      override def latestOffset(): Offset = {
+        val g = DelimV2.readManifest(fs, root).map(_.gen).getOrElse(-1L)
+        DelimGenOffset(maxSeenGen.accumulateAndGet(g, math.max))
+      }
       override def deserializeOffset(json: String): Offset =
         DelimGenOffset(json.trim.toLong)
       override def commit(end: Offset): Unit = ()
@@ -622,6 +646,9 @@ class DelimScan(
           start: Offset, end: Offset): Array[InputPartition] = {
         val s = start.asInstanceOf[DelimGenOffset].gen
         val e = end.asInstanceOf[DelimGenOffset].gen
+        if (sys.env.contains("GRAFT_DEBUG_STREAMSRC"))
+          System.err.println(
+            s"[streamsrc ${System.identityHashCode(this)}] plan ($s, $e]")
         if (e <= s) return Array.empty
         // prefer the immutable retained snapshot at `end`; else the
         // current manifest (its (s, e] entries are identical under
@@ -1456,7 +1483,8 @@ private[v2] class DelimWrite(
     val newGen = prevM.gen + 1
     val newEntries = newFiles.map(sf =>
       DelimV2.ManifestEntry(sf.length, newGen,
-        if (sf.subdir.isEmpty) sf.finalName else s"${sf.subdir}/${sf.finalName}"))
+        if (sf.subdir.isEmpty) sf.finalName else s"${sf.subdir}/${sf.finalName}",
+        sf.stats))
     val survivors: Seq[DelimV2.ManifestEntry] = replaceScanned match {
       case Some(thunk) =>
         // copy-on-write: drop exactly the files the operation's scan
@@ -1583,7 +1611,7 @@ private[v2] class DelimWrite(
           case DelimCommit(staged, _) => staged.map(sf =>
             DelimV2.ManifestEntry(sf.length, newGen,
               if (sf.subdir.isEmpty) sf.finalName
-              else s"${sf.subdir}/${sf.finalName}"))
+              else s"${sf.subdir}/${sf.finalName}", sf.stats))
           case _ => Nil
         }
         val newMulti = messages.exists {
@@ -1681,7 +1709,11 @@ private[v2] object DelimWrite {
   * data files).
   */
 private[v2] case class DelimStagedFile(
-    subdir: String, path: String, finalName: String, length: Long = -1L)
+    subdir: String, path: String, finalName: String, length: Long = -1L,
+    /** Encoded per-file column stats (DelimV2.encodeStats) — the
+      * data-skipping index recorded while the rows streamed through
+      * the writer; empty = none. */
+    stats: String = "")
 
 /** One task's staged output, one entry per partition value it saw,
   * plus whether any written field embedded a newline (drives the
@@ -1770,6 +1802,73 @@ private[v2] class DelimDataWriter(
   // multiline and readers frame whole-file automatically
   private var sawNewline = false
 
+  /** Per-column min/max/null tracking for one staged file — the
+    * data-skipping stats recorded into the manifest. A column the
+    * tracker cannot bound soundly (NaN doubles break ordering;
+    * >64-char strings would need truncation, and a truncated MAX is
+    * not an upper bound) is invalidated for the file — absence means
+    * "cannot skip", never wrongness.
+    */
+  private final class ColTracker(val dt: DataType) {
+    var nulls = 0L
+    var valid = true
+    var any = false
+    var lmin = Long.MaxValue; var lmax = Long.MinValue
+    var dmin = Double.PositiveInfinity; var dmax = Double.NegativeInfinity
+    var smin: String = null; var smax: String = null
+    def seenLong(v: Long): Unit = {
+      any = true
+      if (v < lmin) lmin = v
+      if (v > lmax) lmax = v
+    }
+    def seenDouble(v0: Double): Unit = {
+      if (java.lang.Double.isNaN(v0)) { valid = false; return }
+      val v = if (v0 == 0.0d) 0.0d else v0 // -0.0 == 0.0 (reader rule)
+      any = true
+      if (v < dmin) dmin = v
+      if (v > dmax) dmax = v
+    }
+    def seenString(v: String): Unit = {
+      if (v.length > 64) { valid = false; return }
+      any = true
+      if (smin == null || DelimV2.cmpCodePointsPub(v, smin) < 0) smin = v
+      if (smax == null || DelimV2.cmpCodePointsPub(v, smax) > 0) smax = v
+    }
+    /** (minText, maxText) in the same text forms parseExternal reads. */
+    def bounds: (String, String) =
+      if (!any) (null, null)
+      else dt match {
+        case IntegerType | LongType => (lmin.toString, lmax.toString)
+        case DateType =>
+          (LocalDate.ofEpochDay(lmin).toString, LocalDate.ofEpochDay(lmax).toString)
+        case DoubleType => (dmin.toString, dmax.toString)
+        case StringType => (smin, smax)
+        case _ => (null, null)
+      }
+  }
+  // trackable (non-partition, pushable-typed) schema indices
+  private val trackedIdx: Array[Int] =
+    types.indices.filter(i => !isPart(i) && DelimV2.pushableType(types(i))).toArray
+  private val trackers =
+    scala.collection.mutable.HashMap.empty[String, Array[ColTracker]]
+  private val rowsBySub =
+    scala.collection.mutable.HashMap.empty[String, Long].withDefaultValue(0L)
+
+  private def encodedStats(sub: String): String =
+    trackers.get(sub) match {
+      case None => ""
+      case Some(tr) =>
+        val cols = trackedIdx.indices.flatMap { j =>
+          val t = tr(j)
+          if (!t.valid) None
+          else {
+            val (mn, mx) = t.bounds
+            Some((schema.fieldNames(trackedIdx(j)), mn, mx, t.nulls))
+          }
+        }
+        DelimV2.encodeStats(rowsBySub(sub), cols)
+    }
+
   private def fieldString(row: InternalRow, i: Int): String = types(i) match {
     case StringType => row.getUTF8String(i).toString
     case IntegerType => row.getInt(i).toString
@@ -1834,15 +1933,33 @@ private[v2] class DelimDataWriter(
   override def write(metadata: InternalRow, row: InternalRow): Unit = write(row)
 
   override def write(row: InternalRow): Unit = {
+    val sub = if (partIdx.isEmpty) "" else partSubdir(row)
+    // stats tracking rides the serialization walk (strings reuse the
+    // materialized value; numerics re-read the primitive slot, no alloc)
+    val tr = trackers.getOrElseUpdate(sub,
+      trackedIdx.map(i => new ColTracker(types(i))))
+    rowsBySub(sub) += 1
+    var tj = 0
     sb.setLength(0)
     var first = true
     var i = 0
     while (i < types.length) {
+      val tracked = tj < trackedIdx.length && trackedIdx(tj) == i
       if (!isPart(i)) { // partition values live in the directory name
         if (!first) sb.append(delim)
         first = false
-        if (!row.isNullAt(i)) {
+        if (row.isNullAt(i)) {
+          if (tracked && tr(tj).valid) tr(tj).nulls += 1
+        } else {
           val s = fieldString(row, i)
+          if (tracked && tr(tj).valid) types(i) match {
+            case LongType => tr(tj).seenLong(row.getLong(i))
+            case IntegerType => tr(tj).seenLong(row.getInt(i).toLong)
+            case DateType => tr(tj).seenLong(row.getInt(i).toLong)
+            case DoubleType => tr(tj).seenDouble(row.getDouble(i))
+            case StringType => tr(tj).seenString(s)
+            case _ => tr(tj).valid = false
+          }
           val needsQ = s.indexOf(delim.toInt) >= 0 || s.indexOf('\n') >= 0 ||
             s.indexOf('\r') >= 0 || (quote >= 0 && s.indexOf(quote) >= 0)
           if (!needsQ) sb.append(s)
@@ -1870,10 +1987,10 @@ private[v2] class DelimDataWriter(
           }
         }
       }
+      if (tracked) tj += 1
       i += 1
     }
     sb.append('\n')
-    val sub = if (partIdx.isEmpty) "" else partSubdir(row)
     val bytes = sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8)
     streamFor(sub).write(bytes)
     written(sub) += bytes.length
@@ -1884,7 +2001,8 @@ private[v2] class DelimDataWriter(
     // an empty flat task still stages its (empty) file lazily never —
     // emit the single flat file only if it was opened; partitioned
     // tasks stage only the values they saw
-    DelimCommit(staged.toSeq.map(sf => sf.copy(length = written(sf.subdir))),
+    DelimCommit(staged.toSeq.map(sf => sf.copy(
+      length = written(sf.subdir), stats = encodedStats(sf.subdir))),
       sawNewline)
   }
 
@@ -2048,9 +2166,144 @@ private[graft] object DelimV2 {
 
   /** One committed data file: byte length, the GENERATION whose commit
     * wrote it (keys the writer schema its lines were laid out under —
-    * the schema-evolution contract), and the table-root-relative path.
+    * the schema-evolution contract), the table-root-relative path, and
+    * the file's encoded column STATS (min/max/null-count per pushable
+    * column, recorded by the writer — the data-skipping index; empty =
+    * none).
     */
-  private[graft] final case class ManifestEntry(len: Long, gen: Long, rel: String)
+  private[graft] final case class ManifestEntry(
+      len: Long, gen: Long, rel: String, stats: String = "")
+
+  /** Decoded per-file statistics: row count plus, per column, the
+    * EXTERNAL-typed min/max (null min = the column is all-null in this
+    * file) and null count. A column a writer could not bound (NaN
+    * doubles, >64-char strings) is simply absent — absence always
+    * means "cannot skip".
+    */
+  private[graft] final case class FileColStats(min: Any, max: Any, nulls: Long)
+  private[graft] final case class FileStats(
+      rows: Long, cols: Map[String, FileColStats])
+
+  // stats text encoding: `rows=N;<col>:<nulls>:<min>:<max>;...` with
+  // %-escaping of the separator characters; "%n" spells a null bound
+  // (all-null column) min/max
+  private def statEsc(s: String): String = {
+    val sb = new java.lang.StringBuilder(s.length)
+    s.foreach {
+      case '%' => sb.append("%25")
+      case ';' => sb.append("%3B")
+      case ':' => sb.append("%3A")
+      case '\t' => sb.append("%09")
+      case '\n' => sb.append("%0A")
+      case '\r' => sb.append("%0D")
+      case c => sb.append(c)
+    }
+    sb.toString
+  }
+  private def statUnesc(s: String): String = {
+    if (!s.contains('%')) return s
+    val sb = new java.lang.StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '%' && i + 3 <= s.length) {
+        sb.append(Integer.parseInt(s.substring(i + 1, i + 3), 16).toChar)
+        i += 3
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+  private val StatNull = "%n" // impossible escaper output: every real '%' encodes as %25
+
+  private[v2] def encodeStats(rows: Long,
+      cols: Seq[(String, String, String, Long)]): String = {
+    // (col, minText, maxText, nulls); minText null = all-null column
+    val sb = new java.lang.StringBuilder(32 + cols.size * 24)
+    sb.append(s"rows=$rows")
+    cols.foreach { case (c, mn, mx, nulls) =>
+      sb.append(';').append(statEsc(c)).append(':').append(nulls).append(':')
+        .append(Option(mn).map(statEsc).getOrElse(StatNull)).append(':')
+        .append(Option(mx).map(statEsc).getOrElse(StatNull))
+    }
+    sb.toString
+  }
+
+  /** Decode an entry's stats with its generation's writer schema (the
+    * values parse by the column's recorded type). Malformed or
+    * schema-less stats decode to None — "cannot skip", never an error.
+    */
+  private[graft] def decodeStats(
+      encoded: String, schema: Option[ManifestSchema]): Option[FileStats] = {
+    if (encoded == null || encoded.isEmpty || schema.isEmpty) return None
+    val st = schema.get.struct
+    try {
+      val parts = encoded.split(';')
+      if (!parts(0).startsWith("rows=")) return None
+      val rows = parts(0).stripPrefix("rows=").toLong
+      val cols = parts.iterator.drop(1).flatMap { p =>
+        val f = p.split(':')
+        if (f.length != 4) None
+        else {
+          val name = statUnesc(f(0))
+          if (!st.fieldNames.contains(name)) None
+          else {
+            val dt = st(name).dataType
+            Some(name -> FileColStats(
+              if (f(2) == StatNull) null else parseExternal(statUnesc(f(2)), dt),
+              if (f(3) == StatNull) null else parseExternal(statUnesc(f(3)), dt),
+              f(1).toLong))
+          }
+        }
+      }.toMap
+      Some(FileStats(rows, cols))
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** Conservative data-skipping test: false ONLY when the file's stats
+    * prove no row can satisfy the filter. `types` resolves the read
+    * schema's column types for literal normalization.
+    */
+  private[v2] def statsMayMatch(
+      f: Filter, fs: FileStats, typeOf: String => Option[DataType]): Boolean = {
+    def col(c: String): Option[(FileColStats, DataType)] =
+      fs.cols.get(c).flatMap(cs => typeOf(c).map(cs -> _))
+    def bounded(c: String)(test: (Any, Any, DataType) => Boolean): Boolean =
+      col(c) match {
+        case Some((cs, dt)) =>
+          if (cs.min == null) false // all-null column: no non-null can match
+          else test(cs.min, cs.max, dt)
+        case None => true
+      }
+    f match {
+      case EqualTo(c, v) => bounded(c) { (mn, mx, dt) =>
+        val nv = normValue(v, dt)
+        cmp(dt, nv, mn) >= 0 && cmp(dt, nv, mx) <= 0
+      }
+      case GreaterThan(c, v) => bounded(c) { (_, mx, dt) =>
+        cmp(dt, mx, normValue(v, dt)) > 0 }
+      case GreaterThanOrEqual(c, v) => bounded(c) { (_, mx, dt) =>
+        cmp(dt, mx, normValue(v, dt)) >= 0 }
+      case LessThan(c, v) => bounded(c) { (mn, _, dt) =>
+        cmp(dt, mn, normValue(v, dt)) < 0 }
+      case LessThanOrEqual(c, v) => bounded(c) { (mn, _, dt) =>
+        cmp(dt, mn, normValue(v, dt)) <= 0 }
+      case In(c, vs) => bounded(c) { (mn, mx, dt) =>
+        vs.exists { v =>
+          val nv = normValue(v, dt)
+          cmp(dt, nv, mn) >= 0 && cmp(dt, nv, mx) <= 0
+        }
+      }
+      case IsNull(c) =>
+        fs.cols.get(c).forall(_.nulls > 0)
+      case IsNotNull(c) =>
+        fs.cols.get(c).forall(cs => fs.rows - cs.nulls > 0)
+      case StringStartsWith(c, p) => bounded(c) { (_, mx, dt) =>
+        // a string with prefix p is >= p; skip only when max < p
+        cmp(dt, mx, p) >= 0
+      }
+      case _ => true
+    }
+  }
 
   /** The writer schema of one generation: the full write schema
     * (including partition columns) plus which of its fields were
@@ -2125,6 +2378,8 @@ private[graft] object DelimV2 {
             try parts.length match {
               case 2 => Some(ManifestEntry(parts(0).toLong, 0L, parts(1)))
               case 3 => Some(ManifestEntry(parts(0).toLong, parts(1).toLong, parts(2)))
+              case 4 => Some(ManifestEntry(parts(0).toLong, parts(1).toLong,
+                parts(2), parts(3)))
               case _ => bad(l, "line")
             } catch { case _: NumberFormatException => bad(l, "length") }
           }
@@ -2134,10 +2389,27 @@ private[graft] object DelimV2 {
     }
   }
 
-  /** The CURRENT committed snapshot at a table root, or None. */
+  /** The CURRENT committed snapshot at a table root, or None.
+    *
+    * SWAP-WINDOW GUARD: the pointer swap is a rename-with-overwrite,
+    * which on rename-non-atomic filesystems (local file://) exposes a
+    * sub-millisecond NO-POINTER window. A missing `_manifest` beside
+    * existing versioned manifests therefore means "mid-swap or crashed
+    * between claim and swap", never "not a manifest table" — fall back
+    * to the HIGHEST versioned manifest, which is always a consistent
+    * snapshot (a claimed generation's files are promoted before the
+    * claim), instead of degrading to the recursive listing (which
+    * would see a MIX of generations — the exact window the manifest
+    * exists to close). This also makes a crashed claim self-heal: the
+    * next committer reads the claimed snapshot, claims the successor,
+    * and its own pointer swap completes the dead commit.
+    */
   private[graft] def readManifest(
       fs: FileSystem, target: HPath): Option[DelimManifest] =
-    readManifestFile(fs, new HPath(target, ManifestFile))
+    readManifestFile(fs, new HPath(target, ManifestFile)).orElse {
+      retainedVersions(fs, target).maxOption.flatMap(g =>
+        readManifestFile(fs, new HPath(target, s"$ManifestFile.v$g")))
+    }
 
   /** A RETAINED historical snapshot: `_manifest.v<gen>`, kept for the
     * table's retention window to serve `option("versionAsOf", gen)`
@@ -2171,7 +2443,11 @@ private[graft] object DelimV2 {
       if (liveGens.contains(g) || g == m.gen) // GC schemas of dead generations
         sb.append(s"#schema\t$g\t${sch.partCols.mkString(",")}\t${sch.struct.json}\n")
     }
-    m.files.foreach(e => sb.append(s"${e.len}\t${e.gen}\t${e.rel}\n"))
+    m.files.foreach { e =>
+      sb.append(s"${e.len}\t${e.gen}\t${e.rel}")
+      if (e.stats.nonEmpty) sb.append('\t').append(e.stats)
+      sb.append('\n')
+    }
     sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8)
   }
 
@@ -2234,7 +2510,13 @@ private[graft] object DelimV2 {
               "DelimV2.recoverManifest once no writer is active)")
       }
     try out.write(serializeManifest(m)) finally out.close()
-    swapCurrentManifest(fs, target, m)
+    // never swap the pointer BACKWARD: if a higher generation is
+    // already claimed (a successor committer built on this snapshot
+    // through the swap-window fallback while this commit was between
+    // claim and swap), its pointer swap supersedes ours — writing ours
+    // would regress the pointer below a durable commit
+    if (retainedVersions(fs, target).max == m.gen)
+      swapCurrentManifest(fs, target, m)
     val floor = m.gen - math.max(m.retain, 1) + 1
     retainedVersions(fs, target).filter(_ < floor).foreach { g =>
       fs.delete(new HPath(target, s"$ManifestFile.v$g"), false)
@@ -2256,8 +2538,15 @@ private[graft] object DelimV2 {
     * None when the table needs no recovery.
     */
   def recoverManifest(fs: FileSystem, target: HPath): Option[Long] = {
-    val cur = readManifest(fs, target).map(_.gen).getOrElse(0L)
-    val next = retainedVersions(fs, target).filter(_ > cur).sorted.headOption
+    // the RAW pointer, not readManifest: its swap-window fallback
+    // already reports the claimed generation, which would mask the
+    // stale pointer this repair exists to fix
+    val cur = readManifestFile(fs, new HPath(target, ManifestFile))
+      .map(_.gen).getOrElse(0L)
+    // roll straight to the HIGHEST claim: every claimed generation's
+    // files were promoted before its claim, so the newest claim is the
+    // most complete durable snapshot
+    val next = retainedVersions(fs, target).filter(_ > cur).maxOption
     next.map { g =>
       swapCurrentManifest(fs, target,
         readManifestFile(fs, new HPath(target, s"$ManifestFile.v$g")).get)
@@ -2346,7 +2635,9 @@ private[graft] object DelimV2 {
     */
   private[v2] final case class ListedFile(
       status: FileStatus, pvals: Seq[(String, String)],
-      fileFields: Array[String] = null)
+      fileFields: Array[String] = null,
+      /** Decoded per-file column stats (data skipping), or null. */
+      stats: FileStats = null)
 
   /** Recursive listing with `k=v` partition-directory discovery — the
     * reference's central table layout (dt=.../hr=... directories)
@@ -2430,7 +2721,8 @@ private[graft] object DelimV2 {
       }
       ListedFile(new FileStatus(e.len, false, 1, 0L, 0L,
         new HPath(root, e.rel)), pvals,
-        m.schemas.get(e.gen).map(_.dataFieldNames).orNull)
+        m.schemas.get(e.gen).map(_.dataFieldNames).orNull,
+        decodeStats(e.stats, m.schemas.get(e.gen)).orNull)
     }
 
   /** Test observability hook for FILE-level pruning, keyed per scan
@@ -2506,6 +2798,16 @@ private[graft] object DelimV2 {
         throw new IllegalArgumentException(s"graft-delim: unsupported type $other")
     }
 
+  /** External value → the text form `parseExternal` reads back (stats
+    * bound serialization).
+    */
+  private[v2] def externalToText(v: Any, dt: DataType): String =
+    if (v == null) null
+    else dt match {
+      case DateType => LocalDate.ofEpochDay(v.asInstanceOf[Long]).toString
+      case _ => v.toString
+    }
+
   /** External → Catalyst internal representation. */
   def toInternal(ext: Any, dt: DataType): Any =
     if (ext == null) null
@@ -2543,6 +2845,8 @@ private[graft] object DelimV2 {
     * code-UNIT order, which diverges for supplementary-plane chars vs
     * U+E000–U+FFFF. Allocation-free (no UTF8String round-trip per row).
     */
+  private[v2] def cmpCodePointsPub(a: String, b: String): Int = cmpCodePoints(a, b)
+
   private def cmpCodePoints(a: String, b: String): Int = {
     var i = 0; var j = 0
     while (i < a.length && j < b.length) {

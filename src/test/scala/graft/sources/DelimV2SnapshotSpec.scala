@@ -128,7 +128,7 @@ class DelimV2SnapshotSpec extends SparkFunSuite {
       s"loser's promoted files leaked: ${filesAfter -- filesBefore}")
   }
 
-  test("crash recovery: an orphan claim blocks commits until roll-forward") {
+  test("crash recovery: a dead claim self-heals on the next commit; explicit repair works too") {
     val dir = tempDir("delimv2-crashrecover")
     val t = s"$dir/t"
     Seq((1L, 1.0)).toDF("id", "v")
@@ -136,7 +136,8 @@ class DelimV2SnapshotSpec extends SparkFunSuite {
     val fs = fsFor(t)
     val hp = new HPath(t)
     // simulate a commit that died between its claim and the pointer
-    // swap: the claimed version exists, `_manifest` is still at gen 1
+    // swap: the claimed version exists, the POINTER is gone (the crash
+    // landed inside the swap window)
     val prev = DelimV2.readManifest(fs, hp).get
     val claimed = prev.copy(gen = prev.gen + 1)
     val vf = s"$t/${DelimV2.ManifestFile}.v${claimed.gen}"
@@ -145,18 +146,25 @@ class DelimV2SnapshotSpec extends SparkFunSuite {
         s"gen=${claimed.gen} retain=1\n" +
         prev.files.map(e => s"${e.len}\t${e.gen}\t${e.rel}").mkString("\n") +
         "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    // a new commit must fail loudly (not silently lose either side)
-    intercept[Exception] {
-      Seq((2L, 2.0)).toDF("id", "v")
-        .write.format("graft-delim").mode("append").save(t)
-    }
-    // recovery completes the dead commit; the table is writable again
+    // ... and the pointer is GONE (mid-swap), with an uncommitted
+    // stray file on disk: readers must see the CLAIMED snapshot — a
+    // recursive-listing fallback would surface the stray
+    fs.delete(new HPath(t, DelimV2.ManifestFile), false)
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$t/stray.txt"),
+      "999|9.9\n".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    assert(spark.read.format("graft-delim").schema("id BIGINT, v DOUBLE")
+      .load(t).collect().map(_.getLong(0)).toSet == Set(1L))
+    // explicit repair rolls the stale pointer forward
     assert(DelimV2.recoverManifest(fs, hp).contains(claimed.gen))
+    assert(DelimV2.recoverManifest(fs, hp).isEmpty) // idempotent
+    // and the NEXT commit builds on the claimed snapshot and completes
+    // normally (self-healing: no operator intervention required)
     Seq((2L, 2.0)).toDF("id", "v")
       .write.format("graft-delim").mode("append").save(t)
     val back = spark.read.format("graft-delim").schema("id BIGINT, v DOUBLE")
       .load(t).collect().map(_.getLong(0)).toSet
     assert(back == Set(1L, 2L))
+    assert(DelimV2.readManifest(fs, hp).get.gen == claimed.gen + 1)
   }
 
   test("schema evolution: a column added later reads null from older generations") {

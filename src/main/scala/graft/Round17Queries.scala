@@ -158,10 +158,15 @@ object Round17Queries {
         .repartitionByRange(8, col("o_orderkey"))
         .sortWithinPartitions("o_orderkey")
         .write.format("graft-delim").mode("overwrite").save(t)
+      // SF-relative cutoff (a fixed literal matches every file at the
+      // smallest fixture): the bottom quarter of the key range keeps
+      // ~2 of the 8 range-clustered files at every SF
+      val cutoff = Tables.orders(s, dir)
+        .agg(max(col("o_orderkey"))).head.getLong(0) / 4
       val df = s.read.format("graft-delim")
         .schema("o_orderkey BIGINT, o_totalprice DOUBLE, o_orderpriority STRING")
         .load(t)
-        .filter(col("o_orderkey") <= 3000L)
+        .filter(col("o_orderkey") <= cutoff)
         .agg(count(lit(1)).as("n_orders"),
           round(sum(col("o_totalprice")), 2).as("revenue"),
           sum(col("o_orderkey")).as("key_sig"))
@@ -304,7 +309,8 @@ object Round17Queries {
       """SELECT count(*) AS n_orders,
         |       round(sum(o_totalprice), 2) AS revenue,
         |       CAST(sum(o_orderkey) AS BIGINT) AS key_sig
-        |FROM orders WHERE o_orderkey <= 3000""".stripMargin,
+        |FROM orders
+        |WHERE o_orderkey <= (SELECT max(o_orderkey) // 4 FROM orders)""".stripMargin,
 
     "delim_v2_stream_source" ->
       """SELECT o_orderpriority, count(*) AS n_orders,

@@ -618,7 +618,18 @@ class DelimScan(
       "graft-delim streaming read supports a single table root")
     require(DelimV2.versionAsOf(options).isEmpty,
       "graft-delim streaming read cannot combine with versionAsOf")
-    new MicroBatchStream {
+    // ADMISSION CONTROL: `maxGensPerTrigger` caps how many committed
+    // generations one micro-batch drains — the backlog-catchup governor
+    // every production stream needs (a reader restarted after a long
+    // outage otherwise plans the whole backlog as ONE batch)
+    val maxGens = Option(options.get("maxGensPerTrigger")).map { v =>
+      val n = v.trim.toLong
+      require(n >= 1, s"graft-delim: maxGensPerTrigger must be >= 1, got $n")
+      n
+    }
+    new MicroBatchStream
+        with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl
+        with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
       private val root = new HPath(paths.head)
       private def fs = root.getFileSystem(DelimV2.driverConf())
       private val splitBytes = math.max(1L, options.getLong("splitBytes",
@@ -637,6 +648,32 @@ class DelimScan(
         val g = DelimV2.readManifest(fs, root).map(_.gen).getOrElse(-1L)
         DelimGenOffset(maxSeenGen.accumulateAndGet(g, math.max))
       }
+
+      override def getDefaultReadLimit
+          : org.apache.spark.sql.connector.read.streaming.ReadLimit =
+        org.apache.spark.sql.connector.read.streaming.ReadLimit.allAvailable()
+
+      // Trigger.AvailableNow: capture the end ONCE, then let the
+      // per-batch pacing below walk toward it — without this, Spark's
+      // generic wrapper would take one PACED answer as the terminal
+      // offset and stop after a single batch (observed)
+      private val availableEnd = new java.util.concurrent.atomic.AtomicLong(-2L)
+      override def prepareForTriggerAvailableNow(): Unit =
+        availableEnd.set(latestOffset().asInstanceOf[DelimGenOffset].gen)
+
+      override def latestOffset(start: Offset,
+          limit: org.apache.spark.sql.connector.read.streaming.ReadLimit): Offset = {
+        val latest =
+          if (availableEnd.get >= -1L) availableEnd.get
+          else latestOffset().asInstanceOf[DelimGenOffset].gen
+        val s = start.asInstanceOf[DelimGenOffset].gen
+        DelimGenOffset(maxGens match {
+          case Some(n) => math.min(latest, s + n)
+          case None => latest
+        })
+      }
+
+      override def reportLatestOffset(): Offset = latestOffset()
       override def deserializeOffset(json: String): Offset =
         DelimGenOffset(json.trim.toLong)
       override def commit(end: Offset): Unit = ()
@@ -646,9 +683,6 @@ class DelimScan(
           start: Offset, end: Offset): Array[InputPartition] = {
         val s = start.asInstanceOf[DelimGenOffset].gen
         val e = end.asInstanceOf[DelimGenOffset].gen
-        if (sys.env.contains("GRAFT_DEBUG_STREAMSRC"))
-          System.err.println(
-            s"[streamsrc ${System.identityHashCode(this)}] plan ($s, $e]")
         if (e <= s) return Array.empty
         // prefer the immutable retained snapshot at `end`; else the
         // current manifest (its (s, e] entries are identical under

@@ -115,6 +115,30 @@ class DelimStreamSourceSpec extends SparkFunSuite {
     assert(got.sorted == (0L until 30L).toList, s"loop lost rows: ${got.size}")
   }
 
+  test("maxGensPerTrigger paces backlog catchup into per-generation batches") {
+    val dir = tempDir("delimsrc-pace")
+    val t = s"$dir/t"
+    for (g <- 0 until 4)
+      append(t, Seq((g * 10 + 1L) -> s"g$g", (g * 10 + 2L) -> s"g$g"))
+    val batches = scala.collection.mutable.ArrayBuffer.empty[Int]
+    val q = spark.readStream.format("graft-delim")
+      .schema("id BIGINT, name STRING")
+      .option("maxGensPerTrigger", "1")
+      .load(t)
+      .writeStream
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        batches.synchronized { batches += df.count().toInt }
+        ()
+      }
+      .option("checkpointLocation", s"$dir/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val got = batches.synchronized(batches.toList)
+    assert(got.count(_ > 0) == 4 && got.sum == 8,
+      s"expected 4 paced 2-row batches over the backlog, got $got")
+  }
+
   test("partition-pruned streaming read plans only the matching files") {
     val dir = tempDir("delimsrc-prune")
     val t = s"$dir/t"

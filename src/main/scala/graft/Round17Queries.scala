@@ -177,6 +177,39 @@ object Round17Queries {
       df
     },
 
+    // COMPLETE aggregate pushdown from manifest stats: MIN/MAX/COUNT
+    // over a stats-covered table are answered from the per-file bounds
+    // the writers recorded — the scan plans ONE precomputed row and
+    // reads ZERO data bytes (require'd: 0 files kept, 1 synthetic
+    // split). At 100 TB this is the difference between a metadata read
+    // and a full corpus scan for the reference's daily count/extent
+    // reconciliations. The oracle recomputes the same aggregates from
+    // parquet.
+    "delim_v2_stats_agg" -> { (s, dir) =>
+      val out = CoreQueries.scratchDir("delim_v2_stats_agg")
+      val t = s"$out/t"
+      Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"))
+        .write.format("graft-delim").mode("overwrite").save(t)
+      val df = s.read.format("graft-delim")
+        .schema("o_orderkey BIGINT, o_totalprice DOUBLE, o_orderpriority STRING")
+        .load(t)
+        .agg(min(col("o_orderkey")).as("min_key"),
+          max(col("o_orderkey")).as("max_key"),
+          count(lit(1)).as("n_rows"),
+          count(col("o_totalprice")).as("n_price"),
+          min(col("o_orderpriority")).as("min_prio"),
+          max(col("o_orderpriority")).as("max_prio"))
+      val plan = df.queryExecution.executedPlan.toString
+      require(plan.contains("PushedAggregation: [stats-complete]"),
+        s"aggregate not answered from manifest stats:\n$plan")
+      df.collect()
+      val (_, kept, splits) = graft.sources.v2.DelimV2.plannedSplitsFor(t).get
+      require(kept == 0 && splits == 1,
+        s"stats-complete aggregate opened data files: kept=$kept splits=$splits")
+      df
+    },
+
     // graft-delim as a STREAMING SOURCE — manifest generations are the
     // offsets (each commit = one offset increment), so a downstream
     // pipeline can readStream the reference's landing directories with
@@ -304,6 +337,13 @@ object Round17Queries {
         |                  WHERE c.o_orderkey = b.o_orderkey)
         |UNION ALL
         |SELECT * FROM changes""".stripMargin,
+
+    "delim_v2_stats_agg" ->
+      """SELECT min(o_orderkey) AS min_key, max(o_orderkey) AS max_key,
+        |       count(*) AS n_rows, count(o_totalprice) AS n_price,
+        |       min(o_orderpriority) AS min_prio,
+        |       max(o_orderpriority) AS max_prio
+        |FROM orders""".stripMargin,
 
     "delim_v2_stats_skipping" ->
       """SELECT count(*) AS n_orders,

@@ -215,6 +215,7 @@ private[v2] class DelimScanBuilder(fullSchema: StructType, options: CaseInsensit
   private var limit: Int = -1
   private var topN: Array[DelimSortKey] = Array.empty
   private var aggCountCols: Int = 0
+  private var completeAggRow: Array[Any] = null
 
   // one listing per query, shared by the builder's partition-awareness
   // and the scan (files + their k=v directory values + per-generation
@@ -237,6 +238,17 @@ private[v2] class DelimScanBuilder(fullSchema: StructType, options: CaseInsensit
     */
   override def pushAggregation(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
+    completeAggSpec(agg) match {
+      case Some((row, schema)) =>
+        // COMPLETE pushdown from manifest FILE STATS: MIN/MAX/COUNT
+        // answered from the per-file bounds the writers recorded — the
+        // scan emits ONE precomputed row and reads ZERO data bytes
+        // (the 100 TB form of the reference's stats-served counts)
+        completeAggRow = row
+        required = schema
+        return true
+      case None => ()
+    }
     if (pushed.exists(f => !f.references.forall(partKeySet.contains)) ||
       agg.groupByExpressions().nonEmpty ||
       agg.aggregateExpressions().isEmpty ||
@@ -247,6 +259,82 @@ private[v2] class DelimScanBuilder(fullSchema: StructType, options: CaseInsensit
     required = StructType((1 to aggCountCols).map(_ =>
       StructField("count(*)", LongType, nullable = false)))
     true
+  }
+
+  override def supportCompletePushDown(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
+    completeAggSpec(agg).isDefined
+
+  /** The precomputed answer row (internal representation) + its schema
+    * for a fully-stats-answerable aggregation: no filters, no GROUP BY,
+    * every aggregate a MIN/MAX/COUNT over a column every live file's
+    * stats bound (or a partition column), COUNT(*) from the recorded
+    * row counts. None = not answerable → the partial/normal paths.
+    */
+  private def completeAggSpec(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+      : Option[(Array[Any], StructType)] = {
+    import org.apache.spark.sql.connector.expressions.aggregate._
+    import org.apache.spark.sql.connector.expressions.NamedReference
+    if (pushed.nonEmpty || agg.groupByExpressions().nonEmpty ||
+      agg.aggregateExpressions().isEmpty) return None
+    val files = filesWithParts
+    // every live file must carry stats (legacy entries, listings
+    // without a manifest, and zero-length stat-less files all decline)
+    if (files.isEmpty || files.exists(_.stats == null)) return None
+    val partKeys = partKeySet
+    def colOf(e: org.apache.spark.sql.connector.expressions.Expression)
+        : Option[String] = e match {
+      case r: NamedReference if r.fieldNames.length == 1 =>
+        Some(r.fieldNames.head).filter(fullSchema.fieldNames.contains)
+      case _ => None
+    }
+    def dtOf(c: String): DataType = fullSchema(c).dataType
+    // a column is answerable when every file bounds it (tracked data
+    // column) or it is a partition column (directory values)
+    def statsOf(c: String): Option[Seq[(Any, Any, Long)]] =
+      if (partKeys.contains(c))
+        Some(files.map { f =>
+          val raw = f.pvals.collectFirst { case (k, v) if k == c => v }.orNull
+          val ext = DelimV2.parseExternal(raw, dtOf(c))
+          (ext, ext, if (ext == null) f.stats.rows else 0L)
+        })
+      else if (files.forall(_.stats.cols.contains(c)))
+        Some(files.map { f =>
+          val cs = f.stats.cols(c)
+          (cs.min, cs.max, cs.nulls)
+        })
+      else None
+    def fold(c: String, useMin: Boolean): Option[Any] = statsOf(c).map { ss =>
+      val dt = dtOf(c)
+      val vals = ss.map(s => if (useMin) s._1 else s._2).filter(_ != null)
+      if (vals.isEmpty) null
+      else vals.reduce((a, b) =>
+        if ((DelimV2.cmp(dt, a, b) <= 0) == useMin) a else b)
+    }
+    val totalRows = files.map(_.stats.rows).sum
+    val out = agg.aggregateExpressions().map {
+      case _: CountStar =>
+        (Some(totalRows: Any), LongType, false)
+      case m: Min =>
+        val c = colOf(m.column).getOrElse(return None)
+        (fold(c, useMin = true).map(v => DelimV2.toInternal(v, dtOf(c)))
+          .orElse(return None).map(identity), dtOf(c), true)
+      case m: Max =>
+        val c = colOf(m.column).getOrElse(return None)
+        (fold(c, useMin = false).map(v => DelimV2.toInternal(v, dtOf(c)))
+          .orElse(return None).map(identity), dtOf(c), true)
+      case cnt: Count if !cnt.isDistinct =>
+        val c = colOf(cnt.column).getOrElse(return None)
+        val ss = statsOf(c).getOrElse(return None)
+        (Some((totalRows - ss.map(_._3).sum): Any), LongType, false)
+      case _ => return None
+    }
+    val row = out.map(_._1.orNull)
+    val schema = StructType(out.zipWithIndex.map { case ((_, dt, nullable), i) =>
+      StructField(s"agg_$i", dt, nullable)
+    })
+    Some((row, schema))
   }
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
@@ -294,7 +382,7 @@ private[v2] class DelimScanBuilder(fullSchema: StructType, options: CaseInsensit
 
   override def build(): Scan =
     new DelimScan(fullSchema, required, pushed, limit, options, aggCountCols,
-      filesWithParts, topN)
+      filesWithParts, topN, completeAggRow)
 }
 
 /** One pushed sort key: column, direction, null placement. */
@@ -318,7 +406,11 @@ class DelimScan(
     options: CaseInsensitiveStringMap,
     aggCountCols: Int = 0,
     filesWithParts: Seq[DelimV2.ListedFile] = null,
-    topN: Array[DelimSortKey] = Array.empty)
+    topN: Array[DelimSortKey] = Array.empty,
+    /** Non-null = COMPLETE aggregate pushdown: the scan emits exactly
+      * this precomputed row (internal representation, one slot per
+      * aggregate), answered from manifest file stats — zero data reads. */
+    completeAggRow: Array[Any] = null)
     extends Scan with Batch with SupportsReportStatistics with SupportsRuntimeFiltering
     with org.apache.spark.sql.connector.read.SupportsReportPartitioning {
 
@@ -401,7 +493,7 @@ class DelimScan(
   // "Unable to resolve ... given [...]" at planning (a runtime-filter
   // key is always in the output anyway, it feeds the join)
   override def filterAttributes(): Array[org.apache.spark.sql.connector.expressions.NamedReference] =
-    if (aggCountCols > 0) Array.empty // a pushed-count scan has no row filters to honor
+    if (aggCountCols > 0 || completeAggRow != null) Array.empty // pushed-agg scans have no row filters to honor
     else if (rowLevelGroupScan &&
       required.fieldNames.contains(DelimV2.FileMetaCol))
       Array(org.apache.spark.sql.connector.expressions.Expressions
@@ -463,7 +555,8 @@ class DelimScan(
     */
   override def outputPartitioning()
       : org.apache.spark.sql.connector.read.partitioning.Partitioning =
-    if (clustered && partFields.nonEmpty && aggCountCols == 0) {
+    if (clustered && partFields.nonEmpty && aggCountCols == 0 &&
+      completeAggRow == null) {
       // count keys over the NON-EMPTY files only: planInputPartitions
       // drops zero-length files, so a partition value whose files are
       // all empty contributes no split group — declaring it would
@@ -494,7 +587,8 @@ class DelimScan(
         s", PushedTopN: ORDER BY [${topN.map(k => k.col +
           (if (k.desc) " DESC" else " ASC")).mkString(", ")}] LIMIT $limit"
       else if (limit >= 0) s", PushedLimit: $limit" else "") +
-      (if (aggCountCols > 0) s", PushedAggregation: [count(*)]" else "")
+      (if (aggCountCols > 0) s", PushedAggregation: [count(*)]" else "") +
+      (if (completeAggRow != null) s", PushedAggregation: [stats-complete]" else "")
 
   override def estimateStatistics(): Statistics = new Statistics {
     // pruned-width estimate over the STATICALLY-PRUNED file set, same
@@ -512,6 +606,12 @@ class DelimScan(
   override def toBatch: Batch = this
 
   override def planInputPartitions(): Array[InputPartition] = {
+    if (completeAggRow != null) {
+      // stats-answered aggregate: one partition, one precomputed row,
+      // zero file opens
+      DelimV2.recordPlannedSplits(paths.mkString(","), allFiles.size, 0, 1)
+      return Array(DelimConstRowPartition(completeAggRow))
+    }
     val splitBytes = math.max(1L, options.getLong("splitBytes",
       SparkSession.active.sessionState.conf.filesMaxPartitionBytes))
     // RUNTIME (DPP) file-level pruning: Spark re-plans input partitions
@@ -714,6 +814,7 @@ class DelimScan(
   }
 
   override def createReaderFactory(): PartitionReaderFactory = {
+    if (completeAggRow != null) return new DelimConstRowReaderFactory
     // ship only the hadoop entries the executor-side FileSystem needs;
     // Configuration itself is not Serializable
     val hc = DelimV2.driverConf()
@@ -777,6 +878,24 @@ private[v2] class DelimCountReaderFactory(nCols: Int, confMap: Map[String, Strin
       }
       override def get(): InternalRow = row
       override def close(): Unit = in.close()
+    }
+  }
+}
+
+/** One precomputed row (complete aggregate pushdown). Values are
+  * Catalyst-internal and serializable (UTF8String/Long/Int/Double).
+  */
+private[v2] case class DelimConstRowPartition(values: Array[Any])
+    extends InputPartition
+
+private[v2] class DelimConstRowReaderFactory extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val values = partition.asInstanceOf[DelimConstRowPartition].values
+    new PartitionReader[InternalRow] {
+      private var done = false
+      override def next(): Boolean = { val r = !done; done = true; r }
+      override def get(): InternalRow = new GenericInternalRow(values)
+      override def close(): Unit = ()
     }
   }
 }

@@ -113,6 +113,41 @@ class DelimStatsSpec extends SparkFunSuite {
     assert(keptOf(t)._2 == 1, "merged stats failed to skip the compacted file")
   }
 
+  test("complete MIN/MAX/COUNT pushdown answers from the manifest, zero data reads") {
+    val dir = tempDir("delimstats-fullagg")
+    val t = s"$dir/t"
+    Seq((5L, java.lang.Double.valueOf(1.5), "a"),
+        (1L, null.asInstanceOf[java.lang.Double], "b"),
+        (9L, java.lang.Double.valueOf(-2.0), "a"))
+      .toDF("id", "v", "pc").repartition(2)
+      .write.format("graft-delim").option("partitionBy", "pc")
+      .mode("overwrite").save(t)
+    def rd = spark.read.format("graft-delim")
+      .schema("id BIGINT, v DOUBLE, pc STRING").load(t)
+    val agg = rd.agg(min($"id").as("mn"), max($"id").as("mx"),
+      count(lit(1)).as("n"), count($"v").as("nv"),
+      min($"pc").as("pmin"), max($"pc").as("pmax"))
+    val plan = agg.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedAggregation: [stats-complete]"),
+      s"aggregate not answered from stats:\n$plan")
+    val r = agg.collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getString(4), r.getString(5)) == (1L, 9L, 3L, 2L, "a", "b"))
+    val (_, kept, splits) = DelimV2.plannedSplitsFor(t).get
+    assert(kept == 0 && splits == 1, s"stats agg opened files: $kept/$splits")
+    // a data filter disables the complete path; the answer stays exact
+    val filtered = rd.filter($"id" >= 2).agg(min($"id"), count(lit(1)))
+    val fplan = filtered.queryExecution.executedPlan.toString
+    assert(!fplan.contains("PushedAggregation: [stats-complete]"),
+      s"filtered aggregate must not answer from whole-file stats:\n$fplan")
+    val fr = filtered.collect().head
+    assert(fr.getLong(0) == 5L && fr.getLong(1) == 2L)
+    // distinct counts never push complete
+    val d = rd.agg(countDistinct($"id"))
+    assert(!d.queryExecution.executedPlan.toString.contains("PushedAggregation: [stats-complete]"))
+    assert(d.collect().head.getLong(0) == 3L)
+  }
+
   test("stats round-trip adversarial string bounds exactly") {
     val dir = tempDir("delimstats-esc")
     val t = s"$dir/t"

@@ -2002,24 +2002,35 @@ private[v2] class DelimDataWriter(
   // trackable (non-partition, pushable-typed) schema indices
   private val trackedIdx: Array[Int] =
     types.indices.filter(i => !isPart(i) && DelimV2.pushableType(types(i))).toArray
-  private val trackers =
-    scala.collection.mutable.HashMap.empty[String, Array[ColTracker]]
-  private val rowsBySub =
-    scala.collection.mutable.HashMap.empty[String, Long].withDefaultValue(0L)
+  private final class SubStats(val trackers: Array[ColTracker]) { var rows = 0L }
+  private val statsBySub =
+    scala.collection.mutable.HashMap.empty[String, SubStats]
+  // rows arrive clustered by partition value (flat writes have ONE
+  // value), so the current sub's stats are cached — no per-row map op
+  private var curSub: String = null
+  private var curStats: SubStats = _
+  private def statsFor(sub: String): SubStats = {
+    if (curStats == null || sub != curSub) {
+      curStats = statsBySub.getOrElseUpdate(sub,
+        new SubStats(trackedIdx.map(i => new ColTracker(types(i)))))
+      curSub = sub
+    }
+    curStats
+  }
 
   private def encodedStats(sub: String): String =
-    trackers.get(sub) match {
+    statsBySub.get(sub) match {
       case None => ""
-      case Some(tr) =>
+      case Some(ss) =>
         val cols = trackedIdx.indices.flatMap { j =>
-          val t = tr(j)
+          val t = ss.trackers(j)
           if (!t.valid) None
           else {
             val (mn, mx) = t.bounds
             Some((schema.fieldNames(trackedIdx(j)), mn, mx, t.nulls))
           }
         }
-        DelimV2.encodeStats(rowsBySub(sub), cols)
+        DelimV2.encodeStats(ss.rows, cols)
     }
 
   private def fieldString(row: InternalRow, i: Int): String = types(i) match {
@@ -2089,9 +2100,9 @@ private[v2] class DelimDataWriter(
     val sub = if (partIdx.isEmpty) "" else partSubdir(row)
     // stats tracking rides the serialization walk (strings reuse the
     // materialized value; numerics re-read the primitive slot, no alloc)
-    val tr = trackers.getOrElseUpdate(sub,
-      trackedIdx.map(i => new ColTracker(types(i))))
-    rowsBySub(sub) += 1
+    val subStats = statsFor(sub)
+    val tr = subStats.trackers
+    subStats.rows += 1
     var tj = 0
     sb.setLength(0)
     var first = true

@@ -637,19 +637,19 @@ class DelimScan(
     // directory pruning, e.g. a key-range query over key-clustered
     // files). Conservative by construction: missing stats, unbounded
     // columns, and unsupported filter shapes all keep the file.
-    val statFilters = (pushedFilters ++ runtimeFilters)
+    val typeOfCol: String => Option[DataType] =
+      c => fullSchema.fields.find(_.name == c).map(_.dataType)
+    val statPreds = (pushedFilters ++ runtimeFilters)
       .filterNot(partitionOnly)
       .filterNot(f => f.references.isEmpty ||
         f.references.forall(_ == DelimV2.FileMetaCol))
-    val typeOfCol: String => Option[DataType] =
-      c => fullSchema.fields.find(_.name == c).map(_.dataType)
+      .map(DelimV2.compileStatsPredicate(_, typeOfCol))
     val kept =
       staticKept.filter { f =>
         rtPreds.forall(_(f.pvals)) && {
           lazy val fv: Array[Any] = Array(f.status.getPath.toString)
           filePreds.forall(_(fv))
-        } && (f.stats == null ||
-          statFilters.forall(DelimV2.statsMayMatch(_, f.stats, typeOfCol)))
+        } && (f.stats == null || statPreds.forall(_(f.stats)))
       }
     plannedFiles = kept.map(_.status.getPath.toString)
     val splits = makeSplits(kept, splitBytes)
@@ -2423,49 +2423,73 @@ private[graft] object DelimV2 {
     } catch { case scala.util.control.NonFatal(_) => None }
   }
 
-  /** Conservative data-skipping test: false ONLY when the file's stats
-    * prove no row can satisfy the filter. `types` resolves the read
-    * schema's column types for literal normalization.
+  /** Conservative data-skipping predicate, COMPILED ONCE per filter
+    * (literal normalization — including a runtime DPP `In`'s thousands
+    * of keys — must not re-run per file: O(files × keys) planning is
+    * the inverse of the win): returns false ONLY when a file's stats
+    * prove no row can satisfy the filter. `typeOf` resolves the read
+    * schema's column types.
     */
-  private[v2] def statsMayMatch(
-      f: Filter, fs: FileStats, typeOf: String => Option[DataType]): Boolean = {
-    def col(c: String): Option[(FileColStats, DataType)] =
-      fs.cols.get(c).flatMap(cs => typeOf(c).map(cs -> _))
-    def bounded(c: String)(test: (Any, Any, DataType) => Boolean): Boolean =
-      col(c) match {
-        case Some((cs, dt)) =>
-          if (cs.min == null) false // all-null column: no non-null can match
-          else test(cs.min, cs.max, dt)
-        case None => true
-      }
-    f match {
-      case EqualTo(c, v) => bounded(c) { (mn, mx, dt) =>
-        val nv = normValue(v, dt)
-        cmp(dt, nv, mn) >= 0 && cmp(dt, nv, mx) <= 0
-      }
-      case GreaterThan(c, v) => bounded(c) { (_, mx, dt) =>
-        cmp(dt, mx, normValue(v, dt)) > 0 }
-      case GreaterThanOrEqual(c, v) => bounded(c) { (_, mx, dt) =>
-        cmp(dt, mx, normValue(v, dt)) >= 0 }
-      case LessThan(c, v) => bounded(c) { (mn, _, dt) =>
-        cmp(dt, mn, normValue(v, dt)) < 0 }
-      case LessThanOrEqual(c, v) => bounded(c) { (mn, _, dt) =>
-        cmp(dt, mn, normValue(v, dt)) <= 0 }
-      case In(c, vs) => bounded(c) { (mn, mx, dt) =>
-        vs.exists { v =>
-          val nv = normValue(v, dt)
-          cmp(dt, nv, mn) >= 0 && cmp(dt, nv, mx) <= 0
+  private[v2] def compileStatsPredicate(
+      f: Filter, typeOf: String => Option[DataType]): FileStats => Boolean = {
+    def bounded(c: String)(test: (Any, Any, DataType) => Boolean)
+        : FileStats => Boolean = typeOf(c) match {
+      case None => _ => true
+      case Some(dt) => fs =>
+        fs.cols.get(c) match {
+          case Some(cs) =>
+            if (cs.min == null) false // all-null column: nothing non-null matches
+            else test(cs.min, cs.max, dt)
+          case None => true
         }
+    }
+    def norm(c: String, v: Any): Option[Any] =
+      typeOf(c).map(dt => normValue(v, dt))
+    f match {
+      case EqualTo(c, v) =>
+        val nv = norm(c, v)
+        bounded(c) { (mn, mx, dt) =>
+          cmp(dt, nv.get, mn) >= 0 && cmp(dt, nv.get, mx) <= 0 }
+      case GreaterThan(c, v) =>
+        val nv = norm(c, v)
+        bounded(c) { (_, mx, dt) => cmp(dt, mx, nv.get) > 0 }
+      case GreaterThanOrEqual(c, v) =>
+        val nv = norm(c, v)
+        bounded(c) { (_, mx, dt) => cmp(dt, mx, nv.get) >= 0 }
+      case LessThan(c, v) =>
+        val nv = norm(c, v)
+        bounded(c) { (mn, _, dt) => cmp(dt, mn, nv.get) < 0 }
+      case LessThanOrEqual(c, v) =>
+        val nv = norm(c, v)
+        bounded(c) { (mn, _, dt) => cmp(dt, mn, nv.get) <= 0 }
+      case In(c, vs) => typeOf(c) match {
+        case None => _ => true
+        case Some(dt) =>
+          // normalize ONCE; the per-file test is a [min,max] overlap
+          // screen against the key set's own bounds, then (for small
+          // sets) an exact any-key-in-range walk — large DPP sets stop
+          // at the O(1) screen (conservative: overlap keeps the file)
+          val nvs = vs.filter(_ != null).map(v => normValue(v, dt))
+          if (nvs.isEmpty) { _ => false }
+          else {
+            val kMin = nvs.reduce((a, b) => if (cmp(dt, a, b) <= 0) a else b)
+            val kMax = nvs.reduce((a, b) => if (cmp(dt, a, b) >= 0) a else b)
+            val exact = if (nvs.length <= 64) nvs else null
+            bounded(c) { (mn, mx, dt2) =>
+              cmp(dt2, kMax, mn) >= 0 && cmp(dt2, kMin, mx) <= 0 &&
+                (exact == null || exact.exists(nv =>
+                  cmp(dt2, nv, mn) >= 0 && cmp(dt2, nv, mx) <= 0))
+            }
+          }
       }
       case IsNull(c) =>
-        fs.cols.get(c).forall(_.nulls > 0)
+        fs => fs.cols.get(c).forall(_.nulls > 0)
       case IsNotNull(c) =>
-        fs.cols.get(c).forall(cs => fs.rows - cs.nulls > 0)
-      case StringStartsWith(c, p) => bounded(c) { (_, mx, dt) =>
+        fs => fs.cols.get(c).forall(cs => fs.rows - cs.nulls > 0)
+      case StringStartsWith(c, p) =>
         // a string with prefix p is >= p; skip only when max < p
-        cmp(dt, mx, p) >= 0
-      }
-      case _ => true
+        bounded(c) { (_, mx, dt) => cmp(dt, mx, p) >= 0 }
+      case _ => _ => true
     }
   }
 
@@ -2506,6 +2530,26 @@ private[graft] object DelimV2 {
     * would hide the table.
     */
   private[graft] def readManifestFile(
+      fs: FileSystem, mf: HPath): Option[DelimManifest] = {
+    // the local ChecksumFs renames a file's data and its .crc sidecar
+    // SEPARATELY, so a reader racing the pointer swap can catch a torn
+    // pair (observed live: "Checksum error: .../_manifest" killing a
+    // stream's trigger). The tear is sub-millisecond by construction —
+    // retry briefly before treating it as real corruption.
+    var attempt = 0
+    while (true) {
+      try return readManifestFileOnce(fs, mf)
+      catch {
+        case e: org.apache.hadoop.fs.ChecksumException =>
+          attempt += 1
+          if (attempt >= 4) throw e
+          Thread.sleep(25L * attempt)
+      }
+    }
+    None // unreachable
+  }
+
+  private def readManifestFileOnce(
       fs: FileSystem, mf: HPath): Option[DelimManifest] = {
     if (!fs.exists(mf)) None
     else {
@@ -2660,20 +2704,29 @@ private[graft] object DelimV2 {
     val vf = new HPath(target, s"$ManifestFile.v${m.gen}")
     val fc = org.apache.hadoop.fs.FileContext.getFileContext(
       target.toUri, fs.getConf)
-    val out =
-      try fc.create(vf,
-        java.util.EnumSet.of(org.apache.hadoop.fs.CreateFlag.CREATE))
-      catch {
-        case _: org.apache.hadoop.fs.FileAlreadyExistsException |
-            _: java.nio.file.FileAlreadyExistsException =>
-          throw new java.util.ConcurrentModificationException(
-            s"graft-delim: generation ${m.gen} already claimed at $target — " +
-              "either a concurrent committer won the race (re-run this job " +
-              "against the new snapshot) or a previous commit crashed between " +
-              "its version claim and the pointer swap (run " +
-              "DelimV2.recoverManifest once no writer is active)")
-      }
+    // the claim lands as tmp + rename-NO-OVERWRITE: still an atomic
+    // compare-and-set on the generation number, but the claimed file
+    // is COMPLETE from its first visible instant — a bare create would
+    // expose a partially-written snapshot to the swap-window fallback
+    // readers
+    val tmp = new HPath(target,
+      s"$ManifestFile.claim-${java.util.UUID.randomUUID().toString.take(8)}")
+    val out = fc.create(tmp,
+      java.util.EnumSet.of(org.apache.hadoop.fs.CreateFlag.CREATE,
+        org.apache.hadoop.fs.CreateFlag.OVERWRITE))
     try out.write(serializeManifest(m)) finally out.close()
+    try fc.rename(tmp, vf)
+    catch {
+      case _: org.apache.hadoop.fs.FileAlreadyExistsException |
+          _: java.nio.file.FileAlreadyExistsException =>
+        fc.delete(tmp, false)
+        throw new java.util.ConcurrentModificationException(
+          s"graft-delim: generation ${m.gen} already claimed at $target — " +
+            "either a concurrent committer won the race (re-run this job " +
+            "against the new snapshot) or a previous commit crashed between " +
+            "its version claim and the pointer swap (run " +
+            "DelimV2.recoverManifest once no writer is active)")
+    }
     // never swap the pointer BACKWARD: if a higher generation is
     // already claimed (a successor committer built on this snapshot
     // through the swap-window fallback while this commit was between

@@ -77,7 +77,10 @@ class DelimStreamSourceSpec extends SparkFunSuite {
       waitBatches(2)
       append(t, Seq(4L -> "d")) // gen 3
       waitBatches(3)
-    } finally q.stop()
+    } finally {
+      q.exception.foreach(e => println("QEX>>>" + e.toString.take(500)))
+      q.stop()
+    }
     val batches = seen.synchronized(seen.toList)
     assert(batches.size >= 3, s"expected 3 data batches, got $batches")
     assert(batches.flatten.toSet == Set(1L, 2L, 3L, 4L))

@@ -207,6 +207,39 @@ private[v2] class DelimColumnarReader(
     while (fp <= maxIdx) { fStart(fp) = -1; fp += 1 }
   }
 
+  /** Strict UTF-8 validity (RFC 3629): rejects continuation-first
+    * bytes, overlongs, surrogate encodings, and > U+10FFFF — exactly
+    * the sequences java.lang.String's decoder replaces with U+FFFD.
+    */
+  private def validUtf8(b: Array[Byte], s: Int, e: Int): Boolean = {
+    var i = s
+    while (i < e) {
+      val c = b(i) & 0xFF
+      if (c < 0x80) i += 1
+      else if (c < 0xC2) return false // continuation byte or overlong lead
+      else if (c < 0xE0) {
+        if (i + 1 >= e || (b(i + 1) & 0xC0) != 0x80) return false
+        i += 2
+      } else if (c < 0xF0) {
+        if (i + 2 >= e) return false
+        val c1 = b(i + 1) & 0xFF
+        if ((c1 & 0xC0) != 0x80 || (b(i + 2) & 0xC0) != 0x80) return false
+        if (c == 0xE0 && c1 < 0xA0) return false // overlong
+        if (c == 0xED && c1 > 0x9F) return false // UTF-16 surrogate range
+        i += 3
+      } else if (c < 0xF5) {
+        if (i + 3 >= e) return false
+        val c1 = b(i + 1) & 0xFF
+        if ((c1 & 0xC0) != 0x80 || (b(i + 2) & 0xC0) != 0x80 ||
+          (b(i + 3) & 0xC0) != 0x80) return false
+        if (c == 0xF0 && c1 < 0x90) return false // overlong
+        if (c == 0xF4 && c1 > 0x8F) return false // above U+10FFFF
+        i += 4
+      } else return false
+    }
+    true
+  }
+
   /** Collapse doubled quotes; returns (buffer, length). */
   private def unescape(buf: Array[Byte], s: Int, e: Int): Int = {
     if (unesc.length < e - s) unesc = new Array[Byte](math.max(unesc.length * 2, e - s))
@@ -336,7 +369,20 @@ private[v2] class DelimColumnarReader(
     if (fEsc(fp)) { val n = unescape(buf, s, e); b = unesc; s = 0; e = n }
     types(si) match {
       case StringType =>
-        v.putByteArray(rowId, b, s, e - s)
+        // bit-identical contract with the row path: the row reader
+        // round-trips bytes through java.lang.String, whose UTF-8
+        // decoder replaces malformed sequences with U+FFFD — copying
+        // raw invalid bytes into the vector would make filter/group
+        // results diverge between columnar=true and columnar=false on
+        // non-UTF8 files. Valid spans (the overwhelming case — ASCII
+        // short-circuits per byte) still copy directly.
+        if (validUtf8(b, s, e)) v.putByteArray(rowId, b, s, e - s)
+        else {
+          val fixed = new String(b, s, e - s,
+            java.nio.charset.StandardCharsets.UTF_8)
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          v.putByteArray(rowId, fixed, 0, fixed.length)
+        }
       case LongType =>
         val x = parseLongBytes(b, s, e)
         if (parseOk) v.putLong(rowId, x) else v.putNull(rowId)

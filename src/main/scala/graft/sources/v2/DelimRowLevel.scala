@@ -47,6 +47,16 @@ private[v2] class DelimRowLevelOperation(
   private val builtScans =
     new java.util.concurrent.CopyOnWriteArrayList[DelimScan]()
 
+  /** The manifest generation the operation's FIRST scan planned from —
+    * the optimistic-concurrency base for the copy-on-write commit. A
+    * commit that finds the table at a different generation (a writer
+    * landed between this operation's scan and its commit — a window
+    * spanning the whole query execution, far wider than the
+    * generation-claim race) must abort instead of silently absorbing
+    * the interleaved commit (see DelimWrite.commit).
+    */
+  @volatile private var baseGen: Option[Long] = None
+
   override def command(): RowLevelOperation.Command = cmd
 
   override def newScanBuilder(opts: CaseInsensitiveStringMap): ScanBuilder =
@@ -74,6 +84,7 @@ private[v2] class DelimRowLevelOperation(
         val s = super.build().asInstanceOf[DelimScan]
         s.rowLevelGroupScan = true // group-filter on `_file` alone
         builtScans.add(s)
+        if (baseGen.isEmpty) baseGen = snapshotGen
         s
       }
     }
@@ -87,6 +98,7 @@ private[v2] class DelimRowLevelOperation(
           DelimV2.paths(options).head, DelimV2.delimiter(options),
           truncate = false, partCols, dynamicOverwrite = false,
           DelimV2.quoteChar(options),
+          replaceBaseGen = () => baseGen,
           replaceScanned = Some(() => {
             import scala.jdk.CollectionConverters._
             val dataCols = tableSchema.fieldNames.toSet

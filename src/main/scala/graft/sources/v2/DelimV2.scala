@@ -219,10 +219,15 @@ private[v2] class DelimScanBuilder(fullSchema: StructType, options: CaseInsensit
 
   // one listing per query, shared by the builder's partition-awareness
   // and the scan (files + their k=v directory values + per-generation
-  // field layouts)
-  private lazy val filesWithParts =
-    DelimV2.listFiles2(DelimV2.paths(options), DelimV2.driverConf(),
+  // field layouts + the committed manifest the listing planned from)
+  private lazy val snapshot =
+    DelimV2.listSnapshot(DelimV2.paths(options), DelimV2.driverConf(),
       DelimV2.versionAsOf(options))
+  private lazy val filesWithParts = snapshot.files
+  /** The manifest generation this builder's listing planned from —
+    * the optimistic-concurrency anchor for row-level (CoW) commits.
+    */
+  protected def snapshotGen: Option[Long] = snapshot.manifest.map(_.gen)
   protected lazy val partKeySet: Set[String] =
     filesWithParts.flatMap(_.pvals.map(_._1)).toSet
 
@@ -299,7 +304,14 @@ private[v2] class DelimScanBuilder(fullSchema: StructType, options: CaseInsensit
           val ext = DelimV2.parseExternal(raw, dtOf(c))
           (ext, ext, if (ext == null) f.stats.rows else 0L)
         })
-      else if (files.forall(_.stats.cols.contains(c)))
+      else if (files.forall { f =>
+        // bounds must carry the READ schema's representation — a stats
+        // value decoded under a different writer type declines the
+        // pushdown instead of CCE-ing in the fold below
+        f.stats.cols.get(c).exists(cs =>
+          DelimV2.statValueMatches(dtOf(c), cs.min) &&
+            DelimV2.statValueMatches(dtOf(c), cs.max))
+      })
         Some(files.map { f =>
           val cs = f.stats.cols(c)
           (cs.min, cs.max, cs.nulls)
@@ -840,11 +852,17 @@ class DelimScan(
       // hatch
       val columnar = topN.isEmpty && delim < 128 &&
         java.lang.Boolean.parseBoolean(options.getOrDefault("columnar", "true"))
+      // loud-failure option validation: batchSize <= 0 would make the
+      // columnar reader's fill loop exit immediately and return an
+      // EMPTY scan result instead of an error
+      val batchSize = options.getInt("batchSize", 4096)
+      require(batchSize > 0,
+        s"graft-delim: batchSize must be positive, got $batchSize")
       new DelimReaderFactory(
         fullSchema, required, rowFilters, delim, limit, confMap,
         partFields.map(_.name), topN, quote, multiLine,
         columnar = columnar,
-        batchSize = options.getInt("batchSize", 4096))
+        batchSize = batchSize)
     }
   }
 }
@@ -1542,7 +1560,13 @@ private[v2] class DelimWrite(
       * manifest and the written rows take their place. Resolved at
       * commit time because runtime group filtering prunes the scan's
       * file set during execution. */
-    replaceScanned: Option[() => Seq[String]] = None)
+    replaceScanned: Option[() => Seq[String]] = None,
+    /** The manifest generation the row-level operation's scan planned
+      * from (None = the table had no manifest, or not a row-level
+      * write). The commit validates the table is STILL at this
+      * generation — the optimistic-concurrency check closing the
+      * scan-to-commit window the generation-claim CAS cannot see. */
+    replaceBaseGen: () => Option[Long] = () => None)
     extends org.apache.spark.sql.connector.write.Write
     with org.apache.spark.sql.connector.write.BatchWrite
     with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
@@ -1641,11 +1665,33 @@ private[v2] class DelimWrite(
     val survivors: Seq[DelimV2.ManifestEntry] = replaceScanned match {
       case Some(thunk) =>
         // copy-on-write: drop exactly the files the operation's scan
-        // read — the written rows are their replacement
+        // read — the written rows are their replacement. VALIDATE the
+        // snapshot first: a commit that landed between this operation's
+        // scan and now (the window spans the whole query execution —
+        // the generation-claim CAS only catches committers racing from
+        // the same base) must ABORT, not be silently absorbed. Two
+        // overlapping row-level ops would otherwise both succeed, the
+        // second re-adding rewritten copies of rows the first already
+        // replaced or deleted (duplication / resurrection).
+        val base = replaceBaseGen()
         val root = fs.makeQualified(target).toUri
         val rels = thunk().map { abs =>
           root.relativize(fs.makeQualified(new HPath(abs)).toUri).getPath
         }.toSet
+        val live = prevM.files.map(_.rel).toSet
+        val gone = rels.filterNot(live)
+        if (base.exists(_ != prevM.gen) || gone.nonEmpty) {
+          fs.delete(staging, true) // nothing promoted yet
+          throw new java.util.ConcurrentModificationException(
+            s"graft-delim: row-level operation at $target scanned " +
+              s"generation ${base.map(_.toString).getOrElse("<none>")} but " +
+              s"the table is now at generation ${prevM.gen}" +
+              (if (gone.nonEmpty)
+                s" (${gone.size} scanned file(s) no longer listed, e.g. " +
+                  s"${gone.head})" else "") +
+              " — a concurrent commit landed between this operation's " +
+              "scan and its commit; re-run against the new snapshot")
+        }
         prevM.files.filterNot(e => rels.contains(e.rel))
       case None =>
         if (truncate && dynamicOverwrite) {
@@ -2430,6 +2476,23 @@ private[graft] object DelimV2 {
     * prove no row can satisfy the filter. `typeOf` resolves the read
     * schema's column types.
     */
+  /** Does a decoded stats bound carry the runtime representation the
+    * read schema's type compares with? Stats decode by the WRITER
+    * generation's recorded type; a path-based read may declare the
+    * same column with a DIFFERENT type (written LONG, read with
+    * .schema("id STRING")), and cmp's hard casts would then throw
+    * ClassCastException at planning. A mismatched bound simply means
+    * "no usable stats" — cannot skip, never an error.
+    */
+  private[v2] def statValueMatches(dt: DataType, v: Any): Boolean = v match {
+    case null => true
+    case _: String => dt == StringType
+    case _: Int => dt == IntegerType
+    case _: Long => dt == LongType || dt == DateType
+    case _: Double => dt == DoubleType
+    case _ => false
+  }
+
   private[v2] def compileStatsPredicate(
       f: Filter, typeOf: String => Option[DataType]): FileStats => Boolean = {
     def bounded(c: String)(test: (Any, Any, DataType) => Boolean)
@@ -2439,6 +2502,8 @@ private[graft] object DelimV2 {
         fs.cols.get(c) match {
           case Some(cs) =>
             if (cs.min == null) false // all-null column: nothing non-null matches
+            else if (!statValueMatches(dt, cs.min) ||
+              !statValueMatches(dt, cs.max)) true // writer type != read type
             else test(cs.min, cs.max, dt)
           case None => true
         }
@@ -2734,6 +2799,16 @@ private[graft] object DelimV2 {
     // would regress the pointer below a durable commit
     if (retainedVersions(fs, target).max == m.gen)
       swapCurrentManifest(fs, target, m)
+    // the guard above is check-then-act: a successor can claim (and
+    // swap) between our max-check and our rename, after which our
+    // rename regressed the pointer below a durable commit — re-check
+    // and roll the pointer forward onto the highest claim (the same
+    // self-heal recoverManifest performs after a crash). One pass
+    // shrinks the exposure from the whole swap duration to
+    // recoverManifest's own read-swap window; the successor's commit
+    // runs the same pass, so a residual regression heals at the next
+    // commit rather than wedging claim collisions forever.
+    recoverManifest(fs, target)
     val floor = m.gen - math.max(m.retain, 1) + 1
     retainedVersions(fs, target).filter(_ < floor).foreach { g =>
       fs.delete(new HPath(target, s"$ManifestFile.v$g"), false)
@@ -2872,7 +2947,22 @@ private[graft] object DelimV2 {
     */
   private[v2] def listFiles2(
       paths: Seq[String], conf: Configuration,
-      versionAsOf: Option[Long] = None): Seq[ListedFile] = {
+      versionAsOf: Option[Long] = None): Seq[ListedFile] =
+    listSnapshot(paths, conf, versionAsOf).files
+
+  /** A listing plus the MANIFEST it planned from (the first
+    * manifest-bearing root's — single-root for every table-format
+    * operation). The manifest generation anchors optimistic-concurrency
+    * validation for copy-on-write commits: a row-level operation's
+    * write must abort when the table advanced between its scan and its
+    * commit (see DelimWrite.commit).
+    */
+  private[v2] final case class ListingSnapshot(
+      files: Seq[ListedFile], manifest: Option[DelimManifest])
+
+  private[v2] def listSnapshot(
+      paths: Seq[String], conf: Configuration,
+      versionAsOf: Option[Long] = None): ListingSnapshot = {
     def recurse(fs: FileSystem, st: FileStatus,
         pvals: Seq[(String, String)]): Seq[ListedFile] =
       if (st.isFile) Seq(ListedFile(st, pvals))
@@ -2890,7 +2980,8 @@ private[graft] object DelimV2 {
           }
         }
       }
-    paths.flatMap { p =>
+    var firstManifest: Option[DelimManifest] = None
+    val files = paths.flatMap { p =>
       val hp = new HPath(p)
       val fs = hp.getFileSystem(conf)
       val matched = Option(fs.globStatus(hp)).map(_.toSeq).getOrElse(Seq.empty)
@@ -2908,6 +2999,7 @@ private[graft] object DelimV2 {
             case Some(g) => Some(readManifestVersion(fs, st.getPath, g))
             case None => readManifest(fs, st.getPath)
           }
+        if (firstManifest.isEmpty) firstManifest = manifest
         manifest match {
           case Some(m) => listedFromManifest(st.getPath, m)
           case None => recurse(fs, st, Nil)
@@ -2917,6 +3009,7 @@ private[graft] object DelimV2 {
       val n = f.status.getPath.getName
       n.startsWith("_") || n.startsWith(".")
     }.sortBy(_.status.getPath.toString)
+    ListingSnapshot(files, firstManifest)
   }
 
   /** Manifest entries as listed files: partition values parse from the

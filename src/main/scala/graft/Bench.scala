@@ -36,35 +36,20 @@ object Bench {
     // the heap across 70 queries).
     //
     // SPARK_GRAFT_BENCH_ONLY (comma-separated names) restricts the run —
-    // a DIAGNOSIS knob, unset in driver runs: re-measuring a prior
-    // round's query subset alone, in a fresh JVM, separates real plan
-    // regressions from accumulated-JVM pressure (round-12 postmortem).
+    // a DIAGNOSIS knob (and the child-JVM protocol of the stream-tier
+    // isolation below): re-measuring a query subset alone, in a fresh
+    // JVM, separates real plan regressions from accumulated-JVM
+    // pressure (round-12 postmortem).
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
-    // warm pass over the SELECTED set only (JMH-style): absorbs
-    // executor startup, parquet footers, and each query's Janino
-    // compile; restricting it to the selection keeps a diagnosis
-    // subset run from inheriting the full surface's in-JVM state —
-    // exactly the variable a subset run exists to isolate
-    selected.foreach { case (_, f) =>
-      try f(spark, sfDir).count() catch { case _: Throwable => () }
-      spark.catalog.clearCache()
-    }
-    // per-query GC seconds (delta of the JVM-wide collector totals):
-    // distinguishes "this query's work grew" from "this query paid
-    // another query's garbage" when comparing rounds
-    import scala.jdk.CollectionConverters._
-    def gcMillis: Long = java.lang.management.ManagementFactory
-      .getGarbageCollectorMXBeans.asScala.map(_.getCollectionTime).sum
-    // TIER classification (round-16 verdict ask #8): the streaming-cert
-    // tier's wall time is real trigger cadence and varies ±20-50% on a
-    // shared box, repeatedly masking (or faking) batch regressions in
-    // the round-over-round total. Observed, not hardcoded:
-    // onQueryStarted is delivered SYNCHRONOUSLY on the starting thread,
-    // so any query that executes a real StreamingQuery during its run
-    // is classified "stream" with no name list to rot.
+    // TIER classification (observed, not hardcoded): onQueryStarted is
+    // delivered SYNCHRONOUSLY on the starting thread, so any query that
+    // executes a real StreamingQuery during its run is classified
+    // "stream" with no name list to rot. Classified during the WARM
+    // pass because the stream tier is then MEASURED IN FRESH CHILD
+    // JVMs (below), not in this one.
     val sawStream = new java.util.concurrent.atomic.AtomicBoolean(false)
     spark.streams.addListener(
       new org.apache.spark.sql.streaming.StreamingQueryListener {
@@ -76,20 +61,126 @@ object Bench {
         override def onQueryTerminated(
             e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryTerminatedEvent): Unit = ()
       })
-    val results = selected.map { case (name, fn) =>
-      val g0 = gcMillis
-      val t0 = System.nanoTime()
+    // warm pass over the SELECTED set only (JMH-style): absorbs
+    // executor startup, parquet footers, and each query's Janino
+    // compile; restricting it to the selection keeps a diagnosis
+    // subset run from inheriting the full surface's in-JVM state —
+    // exactly the variable a subset run exists to isolate
+    val isStream = selected.map { case (name, f) =>
       sawStream.set(false)
-      // a failed query is NOT a fast query: record the error message so
-      // the bench json distinguishes the two, and exit nonzero below
-      val err = try { fn(spark, sfDir).count(); None } catch {
-        case e: Throwable => Some(Option(e.getMessage).getOrElse(e.getClass.getName))
-      }
-      val dt = (System.nanoTime() - t0) / 1e9
-      val gc = (gcMillis - g0) / 1e3
+      try f(spark, sfDir).count() catch { case _: Throwable => () }
       spark.catalog.clearCache()
-      (name, dt, err, gc, sawStream.get)
+      name -> sawStream.get
+    }.toMap
+    // per-query GC seconds (delta of the JVM-wide collector totals):
+    // distinguishes "this query's work grew" from "this query paid
+    // another query's garbage" when comparing rounds
+    import scala.jdk.CollectionConverters._
+    def gcMillis: Long = java.lang.management.ManagementFactory
+      .getGarbageCollectorMXBeans.asScala.map(_.getCollectionTime).sum
+    def measureHere(queries: Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)])
+        : Seq[(String, Double, Option[String], Double)] =
+      queries.map { case (name, fn) =>
+        val g0 = gcMillis
+        val t0 = System.nanoTime()
+        // a failed query is NOT a fast query: record the error message so
+        // the bench json distinguishes the two, and exit nonzero below
+        val err = try { fn(spark, sfDir).count(); None } catch {
+          case e: Throwable => Some(Option(e.getMessage).getOrElse(e.getClass.getName))
+        }
+        val dt = (System.nanoTime() - t0) / 1e9
+        val gc = (gcMillis - g0) / 1e3
+        spark.catalog.clearCache()
+        (name, dt, err, gc)
+      }
+    // STREAM-TIER ISOLATION (round-17 verdict ask #1): the streaming
+    // certifications execute real micro-batch StreamingQueries through
+    // RocksDB state, and their wall time in a long-lived shared JVM
+    // drifted ±20-50% on byte-identical code (225–275 s full-run spread
+    // on one HEAD; isolated fresh-JVM re-measures of the same queries
+    // read 2-4x lower). The acceptance bar compares s/q across rounds,
+    // so the MEASUREMENT — not the plans — had become the dominant
+    // noise term. Fix: measure the stream tier the way the trustworthy
+    // diagnosis runs already do — fork a fresh child JVM per small
+    // chunk of stream queries (SPARK_GRAFT_BENCH_ONLY protocol; each
+    // child does its own warm pass, so its numbers are steady-state),
+    // and adopt the children's per-query seconds. Batch queries are
+    // plan-governed and stable; they keep measuring in-process.
+    // Forking needs `run / fork := true` (the real classpath in
+    // java.class.path); SPARK_GRAFT_BENCH_NO_FORK=1 restores the old
+    // single-JVM behavior, and subset (child) runs never re-fork.
+    val noFork = sys.env.get("SPARK_GRAFT_BENCH_NO_FORK").contains("1")
+    val chunkSize = sys.env.get("SPARK_GRAFT_BENCH_STREAM_CHUNK")
+      .map(_.trim.toInt).filter(_ > 0).getOrElse(6)
+    val (streamSel, batchSel) = selected.partition(q => isStream(q._1))
+    val canFork = only.isEmpty && !noFork && streamSel.nonEmpty &&
+      new java.io.File(System.getProperty("java.home"), "bin/java").exists()
+
+    def forkChunk(names: Seq[String]): Option[Seq[(String, Double, Option[String], Double)]] = {
+      val javaBin = new java.io.File(System.getProperty("java.home"), "bin/java").getPath
+      val jvmOpts = java.lang.management.ManagementFactory.getRuntimeMXBean
+        .getInputArguments.asScala.toSeq
+        .filter(a => a.startsWith("--add-opens") || a.startsWith("--add-exports") ||
+          a.startsWith("-X") || a.startsWith("-D"))
+      val cmd = (Seq(javaBin) ++ jvmOpts ++
+        Seq("-cp", System.getProperty("java.class.path"), "graft.Bench")).asJava
+      val pb = new ProcessBuilder(cmd)
+      pb.environment().put("SPARK_GRAFT_BENCH_ONLY", names.mkString(","))
+      pb.environment().put("SPARK_GRAFT_SF_DIR", sfDir)
+      pb.environment().put("SPARK_GRAFT_CPUS", cpus)
+      pb.redirectErrorStream(false)
+      val errFile = java.io.File.createTempFile("graft-bench-child", ".err")
+      pb.redirectError(errFile)
+      try {
+        val p = pb.start()
+        val outBytes = p.getInputStream.readAllBytes()
+        val exit = p.waitFor()
+        val out = new String(outBytes, java.nio.charset.StandardCharsets.UTF_8)
+        val line = out.linesIterator.find(_.contains("\"metric\":\"total\""))
+        line match {
+          case Some(l) =>
+            val om = new com.fasterxml.jackson.databind.ObjectMapper()
+            val root = om.readTree(l)
+            val qs = root.get("queries"); val gcs = root.get("gc_sec")
+            val errs = root.get("errors")
+            val parsed = names.map { n =>
+              val q = Option(qs.get(n))
+              if (q.isEmpty) (n, 0.0, Some("missing from child bench output"), 0.0)
+              else (n, q.get.asDouble(),
+                Option(errs).flatMap(e => Option(e.get(n))).map(_.asText()),
+                Option(gcs).flatMap(g => Option(g.get(n))).map(_.asDouble()).getOrElse(0.0))
+            }
+            // exit != 0 with a parsed line = per-query errors already
+            // recorded above; trust the parsed values either way
+            Some(parsed)
+          case None =>
+            System.err.println(s"[bench] child JVM for ${names.mkString(",")} " +
+              s"exited $exit without a total line; stderr tail: " +
+              scala.util.Try(scala.io.Source.fromFile(errFile).getLines()
+                .toSeq.takeRight(5).mkString(" | ")).getOrElse("<unreadable>"))
+            None
+        }
+      } catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] fork failed for ${names.mkString(",")}: " +
+            Option(e.getMessage).getOrElse(e.getClass.getName))
+          None
+      } finally errFile.delete()
     }
+
+    val batchResults = measureHere(batchSel)
+    val streamResults: Seq[(String, Double, Option[String], Double)] =
+      if (!canFork) measureHere(streamSel)
+      else streamSel.map(_._1).grouped(chunkSize).toSeq.flatMap { chunk =>
+        forkChunk(chunk).getOrElse {
+          // fallback: a chunk whose child died measures in-process —
+          // worse isolation beats a hole in the bench surface
+          measureHere(streamSel.filter(q => chunk.contains(q._1)))
+        }
+      }
+    // merged, alphabetical (stable output regardless of tier routing)
+    val results = (batchResults ++ streamResults).sortBy(_._1)
+      .map { case (n, dt, err, gc) => (n, dt, err, gc, isStream(n)) }
     def jstr(s: String): String = "\"" + s.flatMap {
       case '"' => "\\\""
       case '\\' => "\\\\"
@@ -116,13 +207,13 @@ object Bench {
     val nq = results.length
     val spq = if (nq == 0) 0.0 else total / nq
     // per-tier split: round-over-round comparisons should track the
-    // batch tier (plan-governed, stable) separately from the
-    // streaming-cert tier (trigger-cadence wall time, ±20-50% on a
-    // shared box)
+    // batch tier (plan-governed, measured in this JVM) separately from
+    // the streaming-cert tier (trigger-cadence wall time, measured in
+    // fresh child JVMs — `isolated` says whether forking was active)
     val (streamQ, batchQ) = results.partition(_._5)
     val batchSec = batchQ.map(_._2).sum
     val streamSec = streamQ.map(_._2).sum
-    println(f"""{"metric":"bench_summary","total_sec":$total%.1f,"n_queries":$nq,"sec_per_query":$spq%.3f,"batch_sec":$batchSec%.1f,"n_batch":${batchQ.length},"stream_sec":$streamSec%.1f,"n_stream":${streamQ.length},"slowest":$slowest,"n_errors":${results.count(_._3.isDefined)},"sf":"$sfDir"}""")
+    println(f"""{"metric":"bench_summary","total_sec":$total%.1f,"n_queries":$nq,"sec_per_query":$spq%.3f,"batch_sec":$batchSec%.1f,"n_batch":${batchQ.length},"stream_sec":$streamSec%.1f,"n_stream":${streamQ.length},"stream_isolated":$canFork,"slowest":$slowest,"n_errors":${results.count(_._3.isDefined)},"sf":"$sfDir"}""")
     spark.stop()
     if (results.exists(_._3.isDefined)) sys.exit(1)
   }

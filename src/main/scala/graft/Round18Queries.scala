@@ -1,0 +1,224 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+
+/** Round-18 queries: table-format maturity for the graft-delim
+  * connector — size-targeted (bin-packed) compaction, CBO row counts
+  * from manifest stats, timestamp time travel, and merge-on-read
+  * deletes. Each closes a 100 TB scale gap the round-17 audit named:
+  * one-file-per-partition compaction makes hot partitions stragglers
+  * and re-compaction quadratic; missing numRows makes broadcast
+  * decisions guess from bytes; copy-on-write DELETE rewrites every
+  * matched file for a 10-row correction.
+  */
+object Round18Queries {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // SIZE-TARGETED compaction (OPTIMIZE ... targetFileSize): six
+    // appends land six files per partition; compaction bin-packs each
+    // partition's files into bins of cumulative size <= target (one
+    // rewrite task per bin) instead of one unbounded file — at 100 TB
+    // the one-file form makes a hot partition a single task streaming
+    // terabytes, and every later compaction rewrites it all again.
+    // The requires pin the exact bin layout: per partition, the file
+    // count after must equal the greedy packing of the before-entries
+    // (computed independently here with the same rule), and at least
+    // ceil(partitionBytes/target) bins. Content oracle unchanged.
+    "delim_v2_compact_binned" -> { (s, dir) =>
+      import graft.sources.v2.{DelimCompact, DelimV2}
+      val out = CoreQueries.scratchDir("delim_v2_compact_binned")
+      val t = s"$out/t"
+      graft.core.Scratch.rmTree(t)
+      val orders = Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+      for (slice <- 0 until 6)
+        orders.filter(col("o_orderkey") % 6 === slice)
+          .write.format("graft-delim")
+          .option("partitionBy", "o_orderstatus")
+          .mode("append").save(t)
+      val hp = new org.apache.hadoop.fs.Path(t)
+      val fs = hp.getFileSystem(s.sessionState.newHadoopConf())
+      def parent(rel: String): String = {
+        val i = rel.lastIndexOf('/')
+        if (i < 0) "" else rel.substring(0, i)
+      }
+      val before = DelimV2.readManifest(fs, hp).get.files
+      val byPart = before.groupBy(e => parent(e.rel))
+      require(byPart.values.forall(_.size == 6),
+        s"fixture must land 6 files per partition, got " +
+          byPart.view.mapValues(_.size).toMap)
+      // target ~2.5x the mean file size: greedy pairs files two per
+      // bin for near-uniform sizes, and the expected layout below
+      // replicates compact's exact packing rule for any skew
+      val target = before.map(_.len).sum * 5 / (before.size * 2)
+      def greedyBins(lens: Seq[Long]): Int = {
+        var bins = 0; var cur = 0L
+        lens.foreach { l =>
+          if (cur > 0 && cur + l > target) { bins += 1; cur = 0L }
+          cur += l
+        }
+        if (cur > 0) bins += 1
+        bins
+      }
+      val expected = byPart.view.mapValues(es =>
+        greedyBins(es.sortBy(_.rel).map(_.len))).toMap
+      DelimCompact.compact(s, t, targetFileSize = target)
+      val after = DelimV2.readManifest(fs, hp).get.files
+        .groupBy(e => parent(e.rel)).view.mapValues(_.size).toMap
+      expected.foreach { case (p, exp) =>
+        require(after.getOrElse(p, 0) == exp,
+          s"partition $p: expected $exp bin-packed files, got " +
+            s"${after.getOrElse(p, 0)} (target=$target)")
+        val bytes = byPart(p).map(_.len).sum
+        require(exp >= math.ceil(bytes.toDouble / target).toInt,
+          s"partition $p: $exp bins under the ceil(bytes/target) floor")
+      }
+      require(after.values.sum < before.size,
+        "bin-packed compaction must reduce the file count")
+      s.read.format("graft-delim")
+        .schema("o_orderkey BIGINT, o_totalprice DOUBLE, o_orderstatus STRING")
+        .load(t)
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_orders"),
+          round(sum(col("o_totalprice")), 2).as("revenue"),
+          sum(col("o_orderkey")).as("key_sig"))
+    },
+
+    // TIMESTAMP time travel: every commit records its wall-clock in
+    // the manifest header, and `timestampAsOf` (option) / `TIMESTAMP
+    // AS OF` (SQL, through TableCatalog.loadTable(ident, micros))
+    // resolves an instant to the NEWEST retained generation committed
+    // at or before it — operators reason in wall-clock ("the table as
+    // of last night's load"), not in generation numbers. Gen 1 writes
+    // the low-price half, gen 2 appends the rest; reading AS OF gen
+    // 1's exact commit instant must see only the first half (the >=
+    // boundary), and the SQL form must agree with the option form.
+    "delim_v2_time_travel_ts" -> { (s, dir) =>
+      import graft.sources.v2.DelimV2
+      val out = CoreQueries.scratchDir("delim_v2_time_travel_ts")
+      val t = s"$out/t"
+      graft.core.Scratch.rmTree(t)
+      val orders = Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_totalprice"))
+      orders.filter(col("o_totalprice") <= 100000.0)
+        .write.format("graft-delim").option("retainVersions", "2")
+        .mode("overwrite").save(t)
+      // commit times are millis: force gen 2 strictly after gen 1 so
+      // "as of gen 1's instant" is unambiguous
+      Thread.sleep(15L)
+      orders.filter(col("o_totalprice") > 100000.0)
+        .write.format("graft-delim").mode("append").save(t)
+      val hp = new org.apache.hadoop.fs.Path(t)
+      val fs = hp.getFileSystem(s.sessionState.newHadoopConf())
+      val ts1 = DelimV2.readManifestFile(
+        fs, new org.apache.hadoop.fs.Path(hp, "_manifest.v1")).get.ts
+      val ts2 = DelimV2.readManifestFile(
+        fs, new org.apache.hadoop.fs.Path(hp, "_manifest.v2")).get.ts
+      require(ts1 > 0 && ts2 > ts1,
+        s"commits must carry increasing timestamps, got $ts1 then $ts2")
+      def snap(tag: String, opts: Map[String, String]): DataFrame = {
+        var r = s.read.format("graft-delim")
+          .schema("o_orderkey BIGINT, o_totalprice DOUBLE")
+        opts.foreach { case (k, v) => r = r.option(k, v) }
+        r.load(t).agg(
+          count(lit(1)).as("n_rows"),
+          round(sum(col("o_totalprice")), 2).as("revenue"),
+          sum(col("o_orderkey")).as("key_sig"))
+          .select(lit(tag).as("gen"), col("n_rows"), col("revenue"),
+            col("key_sig"))
+      }
+      val v1Rows = snap("v1", Map("timestampAsOf" -> ts1.toString))
+        .collect()(0).getLong(1)
+      // SQL form through the catalog: the literal lands as micros in
+      // loadTable(ident, timestamp) and must resolve identically
+      s.sql("DROP TABLE IF EXISTS graft_cat.default.tt18_t")
+      s.sql(s"""CREATE TABLE graft_cat.default.tt18_t
+        (o_orderkey BIGINT, o_totalprice DOUBLE)
+        USING `graft-delim` LOCATION '$t'""")
+      val lit1 = java.time.format.DateTimeFormatter
+        .ofPattern("yyyy-MM-dd HH:mm:ss.SSS")
+        .withZone(java.time.ZoneOffset.UTC)
+        .format(java.time.Instant.ofEpochMilli(ts1))
+      val sqlV1 = s.sql(
+        s"""SELECT count(*) AS n FROM graft_cat.default.tt18_t
+           |TIMESTAMP AS OF TIMESTAMP'$lit1'""".stripMargin)
+        .collect()(0).getLong(0)
+      require(sqlV1 == v1Rows,
+        s"SQL TIMESTAMP AS OF read $sqlV1 rows, option form read $v1Rows")
+      snap("v1", Map("timestampAsOf" -> ts1.toString))
+        .unionByName(snap("current", Map.empty))
+    },
+
+    // CBO ROW COUNTS from manifest stats (SupportsReportStatistics
+    // .numRows): a partition-pruned graft-delim dimension reports the
+    // EXACT post-pruning row count recorded by its writers, so the
+    // planner sizes the join on real cardinality — the pruned slice
+    // broadcasts with NO hint. The requires pin both halves: the
+    // scan's reported numRows equals the parquet-derived truth for
+    // the pruned partition, and the join plans as BroadcastHashJoin.
+    "delim_v2_broadcast_stats" -> { (s, dir) =>
+      import graft.sources.v2.DelimScan
+      val out = CoreQueries.scratchDir("delim_v2_broadcast_stats")
+      val t = s"$out/cust"
+      graft.core.Scratch.rmTree(t)
+      Tables.customer(s, dir)
+        .select(col("c_custkey"), col("c_acctbal"), col("c_mktsegment"))
+        .write.format("graft-delim")
+        .option("partitionBy", "c_mktsegment")
+        .mode("overwrite").save(t)
+      val dim = s.read.format("graft-delim")
+        .schema("c_custkey BIGINT, c_acctbal DOUBLE, c_mktsegment STRING")
+        .load(t)
+        .filter(col("c_mktsegment") === "BUILDING")
+      val truth = Tables.customer(s, dir)
+        .filter(col("c_mktsegment") === "BUILDING").count()
+      val scans = dim.queryExecution.executedPlan.collect {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b.scan
+      }
+      require(scans.nonEmpty, "no BatchScanExec under the dim plan")
+      val nr = scans.head.asInstanceOf[DelimScan].estimateStatistics().numRows()
+      require(nr.isPresent && nr.getAsLong == truth,
+        s"pruned scan must report exact numRows=$truth from manifest " +
+          s"stats, got ${if (nr.isPresent) nr.getAsLong.toString else "<absent>"}")
+      val joined = Tables.orders(s, dir)
+        .join(dim, col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_orders"),
+          round(sum(col("o_totalprice")), 2).as("revenue"))
+      val plan = joined.queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+      require(plan.contains("BroadcastHashJoin"),
+        s"pruned delim dim under the threshold must broadcast unhinted:\n$plan")
+      joined
+    })
+
+  def oracleSql: Map[String, String] = Map(
+
+    "delim_v2_compact_binned" ->
+      """SELECT o_orderstatus, count(*) AS n_orders,
+        |       round(sum(o_totalprice), 2) AS revenue,
+        |       CAST(sum(o_orderkey) AS BIGINT) AS key_sig
+        |FROM orders GROUP BY 1""".stripMargin,
+
+    "delim_v2_time_travel_ts" ->
+      """SELECT 'v1' AS gen, count(*) AS n_rows,
+        |       round(sum(o_totalprice), 2) AS revenue,
+        |       CAST(sum(o_orderkey) AS BIGINT) AS key_sig
+        |FROM orders WHERE o_totalprice <= 100000.0
+        |UNION ALL
+        |SELECT 'current', count(*),
+        |       round(sum(o_totalprice), 2),
+        |       CAST(sum(o_orderkey) AS BIGINT)
+        |FROM orders""".stripMargin,
+
+    "delim_v2_broadcast_stats" ->
+      """SELECT c_mktsegment, count(*) AS n_orders,
+        |       round(sum(o_totalprice), 2) AS revenue
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |GROUP BY 1""".stripMargin)
+}

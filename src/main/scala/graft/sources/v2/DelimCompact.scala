@@ -39,13 +39,26 @@ import org.apache.spark.sql.SparkSession
   */
 object DelimCompact {
 
-  /** Compact every (partition, generation) group of at least
+  /** Compact every (partition, layout) group of at least
     * `minFilesPerGroup` files; returns the new manifest generation
     * (unchanged when nothing qualified). The table must carry a
     * committed manifest (compaction is a table-format operation).
+    *
+    * `targetFileSize` > 0 BIN-PACKS each group instead of merging it
+    * into one file: members (in deterministic rel order) fill bins of
+    * cumulative size <= target (one greedy pass; a single oversized
+    * file is its own bin), one rewrite task per bin. This is the
+    * 100 TB form — one-file-per-partition makes a hot partition a
+    * single task streaming terabytes through one output stream, and
+    * every future compaction of that partition rewrites everything
+    * again; size-bounded bins keep tasks uniform and re-compaction
+    * incremental (a bin already at target is a single file next time
+    * and is left in place). 0 keeps the legacy whole-group merge.
+    * Single-file bins are never rewritten — copying one file achieves
+    * nothing but write amplification.
     */
   def compact(spark: SparkSession, tablePath: String,
-      minFilesPerGroup: Int = 2): Long = {
+      minFilesPerGroup: Int = 2, targetFileSize: Long = 0L): Long = {
     val target = new HPath(tablePath)
     val conf = DelimV2.driverConf()
     val fs = target.getFileSystem(conf)
@@ -86,14 +99,36 @@ object DelimCompact {
       }
       DelimV2.encodeStats(all.map(_.rows).sum, cols)
     }
+    // greedy size-bounded binning over the group's entries in
+    // deterministic rel order; target <= 0 = one bin (legacy merge)
+    def bins(entries: Seq[DelimV2.ManifestEntry])
+        : Seq[Seq[DelimV2.ManifestEntry]] = {
+      val sorted = entries.sortBy(_.rel)
+      if (targetFileSize <= 0L) return Seq(sorted)
+      val out = Seq.newBuilder[Seq[DelimV2.ManifestEntry]]
+      var cur = Vector.empty[DelimV2.ManifestEntry]
+      var curLen = 0L
+      sorted.foreach { e =>
+        if (cur.nonEmpty && curLen + e.len > targetFileSize) {
+          out += cur; cur = Vector.empty; curLen = 0L
+        }
+        cur :+= e; curLen += e.len
+      }
+      if (cur.nonEmpty) out += cur
+      out.result()
+    }
     val groups = m.files.groupBy(e => (parentOf(e.rel), m.schemas.get(e.gen)))
       .filter(_._2.size >= math.max(minFilesPerGroup, 2))
       .toSeq
-      .map { case ((sub, layout), entries) =>
-        (sub, if (layout.isDefined) entries.map(_.gen).max else 0L,
-          entries.map(_.rel).sorted, mergeStats(entries, layout))
+      .flatMap { case ((sub, layout), entries) =>
+        bins(entries)
+          .filter(_.size >= 2) // rewriting a lone file is pure write amplification
+          .map { bin =>
+            (sub, if (layout.isDefined) bin.map(_.gen).max else 0L,
+              bin.map(_.rel).sorted, mergeStats(bin, layout))
+          }
       }
-      .sortBy(t => (t._1, t._2))
+      .sortBy(t => (t._1, t._3.head))
     if (groups.isEmpty) return m.gen
     val stagingName = s"_staging_compact_$newGen"
     val staging = new HPath(target, stagingName)

@@ -74,7 +74,7 @@ class DelimSource extends TableProvider with DataSourceRegister {
     * Hive-layout convention).
     */
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
-    val vAsOf = DelimV2.versionAsOf(options)
+    val vAsOf = DelimV2.asOfGen(options)
     val conf = DelimV2.driverConf()
     // a manifest-recorded writer schema for the listed generation IS
     // the inference: names AND types for free (the typed contract the
@@ -222,7 +222,7 @@ private[v2] class DelimScanBuilder(fullSchema: StructType, options: CaseInsensit
   // field layouts + the committed manifest the listing planned from)
   private lazy val snapshot =
     DelimV2.listSnapshot(DelimV2.paths(options), DelimV2.driverConf(),
-      DelimV2.versionAsOf(options))
+      DelimV2.asOfGen(options))
   private lazy val filesWithParts = snapshot.files
   /** The manifest generation this builder's listing planned from —
     * the optimistic-concurrency anchor for row-level (CoW) commits.
@@ -429,7 +429,7 @@ class DelimScan(
   private lazy val allFiles: Seq[DelimV2.ListedFile] =
     Option(filesWithParts).getOrElse(
       DelimV2.listFiles2(DelimV2.paths(options), DelimV2.driverConf(),
-        DelimV2.versionAsOf(options)))
+        DelimV2.asOfGen(options)))
 
   /** Partition columns = schema fields matching a discovered `k=v`
     * directory key; every other field maps POSITIONALLY (in schema
@@ -545,7 +545,7 @@ class DelimScan(
   // whole-file automatically instead of silently misframing
   private val multiLine = DelimV2.multiLine(options) || {
     val m = DelimV2.manifestMultiLine(paths, DelimV2.driverConf(),
-      DelimV2.versionAsOf(options))
+      DelimV2.asOfGen(options))
     if (m) require(DelimV2.quoteChar(options) >= 0,
       "graft-delim: this table's manifest flags quoted newlines; " +
         "it cannot be read with quote=none")
@@ -612,7 +612,16 @@ class DelimScan(
       if (fullSchema.isEmpty) 1.0
       else math.max(required.size, 1).toDouble / fullSchema.size
     override def sizeInBytes(): OptionalLong = OptionalLong.of((total * frac).toLong max 1L)
-    override def numRows(): OptionalLong = OptionalLong.empty()
+    // exact POST-PRUNING row count from the manifest's per-file stats
+    // (an upper bound when data filters are also pushed — standard
+    // stats semantics): the CBO then sizes broadcast/join decisions on
+    // the real cardinality of the pruned slice instead of guessing
+    // from bytes alone. Declined when any kept file lacks recorded
+    // stats — a wrong row count misleads worse than none.
+    override def numRows(): OptionalLong =
+      if (staticKept.nonEmpty && staticKept.forall(_.stats != null))
+        OptionalLong.of(staticKept.map(_.stats.rows).sum)
+      else OptionalLong.empty()
   }
 
   override def toBatch: Batch = this
@@ -728,8 +737,8 @@ class DelimScan(
     import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
     require(paths.size == 1,
       "graft-delim streaming read supports a single table root")
-    require(DelimV2.versionAsOf(options).isEmpty,
-      "graft-delim streaming read cannot combine with versionAsOf")
+    require(DelimV2.asOfGen(options).isEmpty,
+      "graft-delim streaming read cannot combine with versionAsOf/timestampAsOf")
     // ADMISSION CONTROL: `maxGensPerTrigger` caps how many committed
     // generations one micro-batch drains — the backlog-catchup governor
     // every production stream needs (a reader restarted after a long
@@ -2335,6 +2344,68 @@ private[graft] object DelimV2 {
       }
     }
 
+  /** `timestampAsOf` option → epoch millis. Accepts epoch millis
+    * digits, an ISO-8601 instant (`2026-08-16T01:00:00Z`), an ISO
+    * local date-time (UTC assumed — the session convention), or a
+    * bare date (midnight UTC).
+    */
+  def timestampAsOfMillis(options: CaseInsensitiveStringMap): Option[Long] =
+    Option(options.get("timestampAsOf")).map { raw =>
+      val v = raw.trim
+      try {
+        if (v.matches("-?\\d+")) v.toLong
+        else if (v.contains("T") || v.contains(" ")) {
+          val iso = v.replace(' ', 'T')
+          try java.time.Instant.parse(iso).toEpochMilli
+          catch {
+            case _: java.time.format.DateTimeParseException =>
+              java.time.LocalDateTime.parse(iso)
+                .toInstant(java.time.ZoneOffset.UTC).toEpochMilli
+          }
+        } else
+          java.time.LocalDate.parse(v).atStartOfDay(java.time.ZoneOffset.UTC)
+            .toInstant.toEpochMilli
+      } catch {
+        case _: java.time.format.DateTimeParseException |
+            _: NumberFormatException =>
+          throw new IllegalArgumentException(
+            "graft-delim: timestampAsOf must be epoch millis or an " +
+              s"ISO timestamp/date, got '$raw'")
+      }
+    }
+
+  /** The generation a read is pinned to — `versionAsOf` directly, or
+    * `timestampAsOf` resolved against the retained snapshots' recorded
+    * commit times (the NEWEST generation committed at or before the
+    * given instant — the Iceberg/Delta time-travel rule). The two
+    * options are mutually exclusive; a timestamp older than every
+    * retained snapshot fails loudly with the available window.
+    */
+  def asOfGen(options: CaseInsensitiveStringMap): Option[Long] = {
+    val v = versionAsOf(options)
+    val t = timestampAsOfMillis(options)
+    require(v.isEmpty || t.isEmpty,
+      "graft-delim: versionAsOf and timestampAsOf are mutually exclusive")
+    v.orElse(t.map { ts =>
+      val root = new HPath(paths(options).head)
+      val fs = root.getFileSystem(driverConf())
+      val candidates = retainedVersions(fs, root).flatMap { g =>
+        readManifestFile(fs, new HPath(root, s"$ManifestFile.v$g"))
+          .map(m => (g, m.ts))
+      }
+      if (candidates.isEmpty)
+        throw new IllegalArgumentException(
+          s"graft-delim: timestampAsOf requires a manifest-bearing table, " +
+            s"and ${root} retains no versioned snapshots")
+      candidates.filter(_._2 <= ts).map(_._1).maxOption.getOrElse {
+        throw new IllegalArgumentException(
+          s"graft-delim: timestampAsOf=$ts predates every retained " +
+            s"snapshot of $root (earliest retained commit: " +
+            s"${candidates.map(_._2).min})")
+      }
+    })
+  }
+
   def paths(options: CaseInsensitiveStringMap): Seq[String] = {
     val single = Option(options.get("path")).toSeq
     val multi = Option(options.get("paths")).toSeq.flatMap(_.split(",").map(_.trim))
@@ -2582,7 +2653,10 @@ private[graft] object DelimV2 {
   private[graft] final case class DelimManifest(
       files: Seq[ManifestEntry], multiLine: Boolean,
       gen: Long = 0L, retain: Int = 1,
-      schemas: Map[Long, ManifestSchema] = Map.empty) {
+      schemas: Map[Long, ManifestSchema] = Map.empty,
+      /** Commit wall-clock (epoch millis; 0 = pre-timestamp manifest) —
+        * stamped by commitManifest, resolved by `timestampAsOf`. */
+      ts: Long = 0L) {
     def entries: Seq[(Long, String)] = files.map(e => (e.len, e.rel))
   }
 
@@ -2624,6 +2698,7 @@ private[graft] object DelimV2 {
         var multi = false
         var gen = 0L
         var retain = 1
+        var ts = 0L
         var schemas = Map.empty[Long, ManifestSchema]
         def bad(l: String, what: String): Nothing =
           throw new IllegalStateException(
@@ -2644,6 +2719,7 @@ private[graft] object DelimV2 {
             l.split(' ').foreach { a =>
               if (a.startsWith("gen=")) gen = a.stripPrefix("gen=").toLong
               if (a.startsWith("retain=")) retain = a.stripPrefix("retain=").toInt
+              if (a.startsWith("ts=")) ts = a.stripPrefix("ts=").toLong
             }
             None
           } else {
@@ -2657,7 +2733,7 @@ private[graft] object DelimV2 {
             } catch { case _: NumberFormatException => bad(l, "length") }
           }
         }.toList
-        Some(DelimManifest(entries, multi, gen, retain, schemas))
+        Some(DelimManifest(entries, multi, gen, retain, schemas, ts))
       } finally in.close()
     }
   }
@@ -2710,7 +2786,8 @@ private[graft] object DelimV2 {
   private def serializeManifest(m: DelimManifest): Array[Byte] = {
     val sb = new java.lang.StringBuilder(64 + m.files.size * 48)
     sb.append(s"#graft-delim-manifest v2 multiline=${m.multiLine}" +
-      s" gen=${m.gen} retain=${m.retain}\n")
+      s" gen=${m.gen} retain=${m.retain}" +
+      (if (m.ts > 0) s" ts=${m.ts}" else "") + "\n")
     val liveGens = m.files.map(_.gen).toSet
     m.schemas.toSeq.sortBy(_._1).foreach { case (g, sch) =>
       if (liveGens.contains(g) || g == m.gen) // GC schemas of dead generations
@@ -2765,7 +2842,12 @@ private[graft] object DelimV2 {
     * retained snapshot (the commit's must-not-delete set).
     */
   private[graft] def commitManifest(
-      fs: FileSystem, target: HPath, m: DelimManifest): Set[String] = {
+      fs: FileSystem, target: HPath, m0: DelimManifest): Set[String] = {
+    // stamp the commit wall-clock: timestampAsOf resolves against it.
+    // Clamped monotonic per table would need the previous ts threaded
+    // through every caller; millis skew between successive commits on
+    // one box is below the resolution story's granularity.
+    val m = m0.copy(ts = math.max(System.currentTimeMillis(), 1L))
     val vf = new HPath(target, s"$ManifestFile.v${m.gen}")
     val fc = org.apache.hadoop.fs.FileContext.getFileContext(
       target.toUri, fs.getConf)

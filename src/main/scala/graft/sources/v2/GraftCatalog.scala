@@ -86,6 +86,18 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     t.withVersionAsOf(version)
   }
 
+  /** SQL time travel by wall-clock: `SELECT ... FROM graft_cat.ns.t
+    * TIMESTAMP AS OF ts` — Spark hands the instant as MICROSECONDS
+    * since epoch (the TableCatalog contract); the read resolves it to
+    * the newest retained generation whose recorded commit time is at
+    * or before it (see DelimV2.asOfGen).
+    */
+  override def loadTable(ident: Identifier, timestamp: Long): Table = {
+    val t = loadTable(ident).asInstanceOf[DelimPartitionedTable]
+    t.withReadOption("timestampAsOf",
+      java.lang.Math.floorDiv(timestamp, 1000L).toString)
+  }
+
   override def createTable(
       ident: Identifier, schema: StructType, partitions: Array[Transform],
       properties: java.util.Map[String, String]): Table = {
@@ -219,10 +231,14 @@ private[v2] class DelimPartitionedTable(
       TableCapability.STREAMING_WRITE, TableCapability.MICRO_BATCH_READ)
 
   /** The same table pinned to a retained snapshot (SQL VERSION AS OF). */
-  private[v2] def withVersionAsOf(version: String): DelimPartitionedTable = {
+  private[v2] def withVersionAsOf(version: String): DelimPartitionedTable =
+    withReadOption("versionAsOf", version)
+
+  /** The same table with one extra read option (time-travel pins). */
+  private[v2] def withReadOption(k: String, v: String): DelimPartitionedTable = {
     val m = new java.util.HashMap[String, String]()
     options.entrySet().forEach(e => m.put(e.getKey, e.getValue))
-    m.put("versionAsOf", version)
+    m.put(k, v)
     new DelimPartitionedTable(tableSchema, new CaseInsensitiveStringMap(m), partCols)
   }
 

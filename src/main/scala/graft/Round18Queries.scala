@@ -153,6 +153,63 @@ object Round18Queries {
         .unionByName(snap("current", Map.empty))
     },
 
+    // MERGE-ON-READ DELETE (deletion tombstones): a DELETE whose
+    // condition is fully pushable routes through SupportsDelete
+    // (Spark's OptimizeMetadataOnlyDeleteFromTable) instead of the
+    // copy-on-write rewrite — a tombstone lands in the manifest and
+    // every matched data file SURVIVES BYTE-IDENTICAL (require'd:
+    // same rel/len/gen set), the CoW write-amplification fix for
+    // small corrections at 100 TB. Tombstones are generation-scoped:
+    // rows re-inserted AFTER the delete match its predicate but must
+    // survive (require'd via the oracle). A partition-only DELETE
+    // takes the stronger form — matched entries leave the manifest
+    // outright, no tombstone debt.
+    "delim_v2_delete_mor" -> { (s, dir) =>
+      import graft.sources.v2.DelimV2
+      val out = CoreQueries.scratchDir("delim_v2_delete_mor")
+      val t = s"$out/t"
+      graft.core.Scratch.rmTree(t)
+      s.sql("DROP TABLE IF EXISTS graft_cat.default.mor18_t")
+      s.sql(s"""CREATE TABLE graft_cat.default.mor18_t
+        (o_orderkey BIGINT, o_totalprice DOUBLE, o_orderstatus STRING)
+        USING `graft-delim` PARTITIONED BY (o_orderstatus) LOCATION '$t'""")
+      val base = Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+      base.writeTo("graft_cat.default.mor18_t").append()
+      val hp = new org.apache.hadoop.fs.Path(t)
+      val fs = hp.getFileSystem(s.sessionState.newHadoopConf())
+      def snap() = DelimV2.readManifest(fs, hp).get
+      val before = snap()
+      val beforeSet = before.files.map(e => (e.rel, e.len, e.gen)).toSet
+      // 1) data-column DELETE → tombstone; every data file survives
+      s.sql("DELETE FROM graft_cat.default.mor18_t WHERE o_totalprice > 100000.0")
+      val afterTomb = snap()
+      require(afterTomb.files.map(e => (e.rel, e.len, e.gen)).toSet == beforeSet,
+        "merge-on-read DELETE must leave every data file byte-identical " +
+          s"(before=${beforeSet.size} files, after=${afterTomb.files.size})")
+      require(afterTomb.tombstones.size == 1 && afterTomb.gen == before.gen + 1,
+        s"expected exactly one tombstone at gen ${before.gen + 1}, got " +
+          s"${afterTomb.tombstones.size} at gen ${afterTomb.gen}")
+      // 2) partition-only DELETE → matched entries leave the manifest
+      s.sql("DELETE FROM graft_cat.default.mor18_t WHERE o_orderstatus = 'P'")
+      val afterPart = snap()
+      require(afterPart.tombstones.size == 1,
+        "partition-only DELETE must not add a tombstone")
+      require(afterPart.files.forall(!_.rel.startsWith("o_orderstatus=P/")) &&
+        afterPart.files.map(e => (e.rel, e.len, e.gen)).toSet ==
+          beforeSet.filterNot(_._1.startsWith("o_orderstatus=P/")),
+        "partition-only DELETE must drop exactly the matched partition's entries")
+      // 3) rows matching the OLD tombstone predicate, inserted after
+      // it, must survive (generation-scoped applicability)
+      base.filter(col("o_totalprice") > 100000.0)
+        .withColumn("o_orderkey", col("o_orderkey") + lit(1000000000L))
+        .writeTo("graft_cat.default.mor18_t").append()
+      s.sql("""SELECT o_orderstatus, count(*) AS n_rows,
+        round(sum(o_totalprice), 2) AS revenue,
+        sum(o_orderkey) AS key_sig
+        FROM graft_cat.default.mor18_t GROUP BY o_orderstatus""")
+    },
+
     // CBO ROW COUNTS from manifest stats (SupportsReportStatistics
     // .numRows): a partition-pruned graft-delim dimension reports the
     // EXACT post-pruning row count recorded by its writers, so the
@@ -214,6 +271,20 @@ object Round18Queries {
         |       round(sum(o_totalprice), 2),
         |       CAST(sum(o_orderkey) AS BIGINT)
         |FROM orders""".stripMargin,
+
+    "delim_v2_delete_mor" ->
+      """WITH kept AS (
+        |  SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders
+        |  WHERE NOT (o_totalprice > 100000.0) AND o_orderstatus <> 'P'),
+        |reinserted AS (
+        |  SELECT o_orderkey + 1000000000 AS o_orderkey, o_totalprice,
+        |         o_orderstatus
+        |  FROM orders WHERE o_totalprice > 100000.0)
+        |SELECT o_orderstatus, count(*) AS n_rows,
+        |       round(sum(o_totalprice), 2) AS revenue,
+        |       CAST(sum(o_orderkey) AS BIGINT) AS key_sig
+        |FROM (SELECT * FROM kept UNION ALL SELECT * FROM reinserted)
+        |GROUP BY 1""".stripMargin,
 
     "delim_v2_broadcast_stats" ->
       """SELECT c_mktsegment, count(*) AS n_orders,

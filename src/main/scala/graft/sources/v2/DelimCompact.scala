@@ -117,10 +117,18 @@ object DelimCompact {
       if (cur.nonEmpty) out += cur
       out.result()
     }
-    val groups = m.files.groupBy(e => (parentOf(e.rel), m.schemas.get(e.gen)))
+    // group ALSO by the applicable delete-tombstone set: a tombstone
+    // applies to files at or before its generation, and a compacted
+    // entry carries ONE representative gen (the group max) — merging
+    // files on opposite sides of a tombstone boundary would either
+    // resurrect deleted rows (max side) or delete post-delete inserts
+    // (min side). Equal signatures make the representative exact: every
+    // signature tombstone has gen >= all members >= none outside it.
+    val groups = m.files.groupBy(e => (parentOf(e.rel), m.schemas.get(e.gen),
+        m.tombstones.filter(_._1 >= e.gen).toSet))
       .filter(_._2.size >= math.max(minFilesPerGroup, 2))
       .toSeq
-      .flatMap { case ((sub, layout), entries) =>
+      .flatMap { case ((sub, layout, _), entries) =>
         bins(entries)
           .filter(_.size >= 2) // rewriting a lone file is pure write amplification
           .map { bin =>

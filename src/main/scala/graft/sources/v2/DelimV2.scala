@@ -129,6 +129,7 @@ private[v2] class DelimTable(tableSchema: StructType, options: CaseInsensitiveSt
     extends Table with SupportsRead
     with org.apache.spark.sql.connector.catalog.SupportsWrite
     with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations
+    with org.apache.spark.sql.connector.catalog.SupportsDelete
     with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns {
 
   /** `_file` METADATA COLUMN (the source file of each row): queryable
@@ -183,6 +184,92 @@ private[v2] class DelimTable(tableSchema: StructType, options: CaseInsensitiveSt
       : org.apache.spark.sql.connector.write.RowLevelOperationBuilder =
     () => new DelimRowLevelOperation(info.command(), tableSchema,
       DelimTable.merged(options, info.options()))
+
+  // ---- MERGE-ON-READ DELETE (SupportsDelete): when the whole DELETE
+  // condition translates to pushable filters, Spark's
+  // OptimizeMetadataOnlyDeleteFromTable routes here INSTEAD of the
+  // copy-on-write rewrite — at 100 TB a 10-row correction must not
+  // rewrite every matched file. Partition-only conjunctions drop the
+  // matched entries from the manifest outright (a true metadata
+  // delete); data-column conditions commit a TOMBSTONE the scans
+  // apply per row to files at or before its generation. Untranslatable
+  // conditions decline and fall back to the CoW rewrite.
+
+  private def tableRoot: HPath = new HPath(DelimV2.paths(options).head)
+  private def rootFs: org.apache.hadoop.fs.FileSystem =
+    tableRoot.getFileSystem(DelimV2.driverConf())
+
+  override def canDeleteWhere(filters: Array[Filter]): Boolean =
+    tableSchema.nonEmpty && filters.nonEmpty &&
+      DelimV2.paths(options).size == 1 &&
+      filters.forall(f => DelimV2.supportedFilter(f, tableSchema)) &&
+      DelimV2.readManifest(rootFs, tableRoot).isDefined
+
+  override def deleteWhere(filters: Array[Filter]): Unit = {
+    require(canDeleteWhere(filters),
+      "graft-delim: deleteWhere called with a condition canDeleteWhere " +
+        s"rejected: ${filters.mkString(", ")}")
+    val fs = rootFs
+    val root = tableRoot
+    val m = DelimV2.readManifest(fs, root).get
+    val newGen = m.gen + 1
+    val partKeys = DelimV2.listedFromManifest(root, m)
+      .flatMap(_.pvals.map(_._1)).toSet
+    val next =
+      if (filters.forall(_.references.forall(partKeys.contains))) {
+        // partition-only: the matched files leave the manifest (their
+        // bytes stay for retained versionAsOf snapshots and die with
+        // retention) — zero data reads, zero tombstone debt
+        val partFields = tableSchema.fields.filter(f => partKeys.contains(f.name))
+        val idxOf = partFields.map(_.name).zipWithIndex.toMap
+        val types = partFields.map(_.dataType)
+        val preds = filters.map(DelimV2.compileFilter(_, idxOf, types))
+        def matches(pvals: Seq[(String, String)]): Boolean = {
+          val ext = partFields.map(pf => DelimV2.parseExternal(
+            pvals.collectFirst { case (k, v) if k == pf.name => v }.orNull,
+            pf.dataType)).toArray[Any]
+          preds.forall(_(ext))
+        }
+        m.copy(gen = newGen, files = m.files.filterNot { e =>
+          val pvals = e.rel.split('/').dropRight(1).toSeq.flatMap { seg =>
+            val eq = seg.indexOf('=')
+            if (eq <= 0) None
+            else Some(seg.substring(0, eq) -> {
+              val v = seg.substring(eq + 1)
+              if (v == DelimV2.HiveDefaultPartition) null else v
+            })
+          }
+          matches(pvals)
+        })
+      } else
+        m.copy(gen = newGen, tombstones = m.tombstones :+
+          (newGen -> DelimV2.encodeTombstone(filters.toSeq, tableSchema)))
+    val liveRetained = DelimV2.commitManifest(fs, root, next)
+    // files no retained snapshot references die with the commit (the
+    // partition-only branch; the tombstone branch removes nothing)
+    m.files.map(_.rel).filterNot(liveRetained).foreach { rel =>
+      fs.delete(new HPath(root, rel), false)
+    }
+  }
+
+  /** TRUNCATE TABLE (TruncatableTable default routes here): an empty
+    * snapshot through the same commit protocol; expired files die,
+    * retained ones stay readable via versionAsOf.
+    */
+  override def truncateTable(): Boolean = {
+    val fs = rootFs
+    val root = tableRoot
+    DelimV2.readManifest(fs, root) match {
+      case None => false // no manifest: nothing this table format manages
+      case Some(m) =>
+        val liveRetained = DelimV2.commitManifest(fs, root,
+          m.copy(gen = m.gen + 1, files = Nil))
+        m.files.map(_.rel).filterNot(liveRetained).foreach { rel =>
+          fs.delete(new HPath(root, rel), false)
+        }
+        true
+    }
+  }
 }
 
 private[v2] object DelimTable {
@@ -257,6 +344,9 @@ private[v2] class DelimScanBuilder(fullSchema: StructType, options: CaseInsensit
     if (pushed.exists(f => !f.references.forall(partKeySet.contains)) ||
       agg.groupByExpressions().nonEmpty ||
       agg.aggregateExpressions().isEmpty ||
+      // MoR tombstones: the zero-parse newline count would include
+      // deleted rows — the normal (filter-evaluating) path must run
+      snapshot.manifest.exists(_.tombstones.nonEmpty) ||
       !agg.aggregateExpressions().forall(
         _.isInstanceOf[org.apache.spark.sql.connector.expressions.aggregate.CountStar]))
       return false
@@ -283,6 +373,8 @@ private[v2] class DelimScanBuilder(fullSchema: StructType, options: CaseInsensit
     import org.apache.spark.sql.connector.expressions.NamedReference
     if (pushed.nonEmpty || agg.groupByExpressions().nonEmpty ||
       agg.aggregateExpressions().isEmpty) return None
+    // MoR tombstones: recorded stats still count deleted rows
+    if (snapshot.manifest.exists(_.tombstones.nonEmpty)) return None
     val files = filesWithParts
     // every live file must carry stats (legacy entries, listings
     // without a manifest, and zero-length stat-less files all decline)
@@ -394,7 +486,8 @@ private[v2] class DelimScanBuilder(fullSchema: StructType, options: CaseInsensit
 
   override def build(): Scan =
     new DelimScan(fullSchema, required, pushed, limit, options, aggCountCols,
-      filesWithParts, topN, completeAggRow)
+      filesWithParts, topN, completeAggRow,
+      snapshot.manifest.map(_.tombstones).getOrElse(Nil))
 }
 
 /** One pushed sort key: column, direction, null placement. */
@@ -422,7 +515,11 @@ class DelimScan(
     /** Non-null = COMPLETE aggregate pushdown: the scan emits exactly
       * this precomputed row (internal representation, one slot per
       * aggregate), answered from manifest file stats — zero data reads. */
-    completeAggRow: Array[Any] = null)
+    completeAggRow: Array[Any] = null,
+    /** Merge-on-read delete tombstones from the snapshot's manifest
+      * ((recorded generation, encoded predicate)); applied per file at
+      * split planning (see makeSplits). */
+    tombstones: Seq[(Long, String)] = Nil)
     extends Scan with Batch with SupportsReportStatistics with SupportsRuntimeFiltering
     with org.apache.spark.sql.connector.read.SupportsReportPartitioning {
 
@@ -619,7 +716,9 @@ class DelimScan(
     // from bytes alone. Declined when any kept file lacks recorded
     // stats — a wrong row count misleads worse than none.
     override def numRows(): OptionalLong =
-      if (staticKept.nonEmpty && staticKept.forall(_.stats != null))
+      // tombstones: recorded per-file counts still include deleted rows
+      if (staticKept.nonEmpty && tombstones.isEmpty &&
+        staticKept.forall(_.stats != null))
         OptionalLong.of(staticKept.map(_.stats.rows).sum)
       else OptionalLong.empty()
   }
@@ -673,23 +772,39 @@ class DelimScan(
         } && (f.stats == null || statPreds.forall(_(f.stats)))
       }
     plannedFiles = kept.map(_.status.getPath.toString)
-    val splits = makeSplits(kept, splitBytes)
+    val splits = makeSplits(kept, splitBytes, tombstones)
     DelimV2.recordPlannedSplits(paths.mkString(","),
       allFiles.size, kept.size, splits.length)
     splits
   }
 
   /** Byte-range splits for a kept file set (shared by the batch plan
-    * and the streaming source's per-generation batches).
+    * and the streaming source's per-generation batches). `tombs` are
+    * the snapshot's delete tombstones: each file gets the complement
+    * filters of the tombstones recorded AT OR AFTER its generation
+    * (rows written after a delete are never re-deleted), decoded once
+    * per tombstone under the read schema — a tombstone that cannot be
+    * decoded fails the plan loudly rather than resurrecting rows.
     */
   private def makeSplits(
-      kept: Seq[DelimV2.ListedFile], splitBytes: Long): Array[InputPartition] =
+      kept: Seq[DelimV2.ListedFile], splitBytes: Long,
+      tombs: Seq[(Long, String)]): Array[InputPartition] = {
+    val tombFilters: Seq[(Long, Filter)] =
+      if (tombs.isEmpty || kept.isEmpty) Nil
+      else tombs.map { case (g, enc) =>
+        (g, DelimV2.tombstoneFilter(enc, fullSchema))
+      }
     kept.flatMap { lf =>
       val f = lf.status
       val pv = lf.pvals
       val len = f.getLen
       if (len == 0) Nil
       else {
+        val fileTombs: Array[Filter] =
+          if (tombFilters.isEmpty) Array.empty
+          else tombFilters.collect {
+            case (g, flt) if lf.gen <= g => flt
+          }.toArray
         val partVals = partFields.map(pf =>
           pv.collectFirst { case (k, v) if k == pf.name => v }.orNull)
         val partKey =
@@ -710,10 +825,11 @@ class DelimScan(
         (0L until n).map { i =>
           val start = i * per
           DelimSplit(f.getPath.toString, start, math.min(per, len - start),
-            len, partVals, partKey, lf.fileFields)
+            len, partVals, partKey, lf.fileFields, fileTombs)
         }
       }
     }.toArray[InputPartition]
+  }
 
   /** STREAMING SOURCE: manifest GENERATIONS are the offsets — every
     * commit (batch append, streaming epoch, catalog DDL) advances the
@@ -816,7 +932,11 @@ class DelimScan(
         val preds = pushedFilters.filter(partitionOnly).map(partPredicate)
         val files = DelimV2.listedFromManifest(root, ranged)
           .filter(f => preds.forall(_(f.pvals)))
-        makeSplits(files, splitBytes)
+        // tombstones apply per file generation like the batch scan; a
+        // delete recorded AFTER rows already streamed cannot retract
+        // them (append-only contract), but replays and fresh streams
+        // honor every tombstone at `end`
+        makeSplits(files, splitBytes, m.tombstones)
       }
 
       override def createReaderFactory(): PartitionReaderFactory = {
@@ -940,7 +1060,13 @@ private[v2] case class DelimSplit(
       * read-schema columns to file positions BY NAME through this, so
       * files written before a column existed read it as null. Null =
       * legacy positional contract. */
-    fileFields: Array[String] = null)
+    fileFields: Array[String] = null,
+    /** Merge-on-read delete complements applicable to THIS file (its
+      * generation is at or before each tombstone's): per-row filters
+      * the readers AND into their pushed-filter evaluation. Per-split
+      * because applicability is per file generation — rows written
+      * after a delete must never be re-deleted. */
+    tombstones: Array[Filter] = Array.empty)
     extends InputPartition
     with org.apache.spark.sql.connector.read.HasPartitionKey {
 
@@ -977,7 +1103,8 @@ private[v2] class DelimReaderFactory(
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val (split, in) = open(partition)
-    new DelimPartitionReader(in, split, fullSchema, required, filters, delim,
+    new DelimPartitionReader(in, split, fullSchema, required,
+      filters ++ split.tombstones, delim,
       limit, partCols, topN, quote, multiLine)
   }
 
@@ -985,7 +1112,8 @@ private[v2] class DelimReaderFactory(
       partition: InputPartition)
       : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
     val (split, in) = open(partition)
-    new DelimColumnarReader(in, split, fullSchema, required, filters, delim,
+    new DelimColumnarReader(in, split, fullSchema, required,
+      filters ++ split.tombstones, delim,
       limit, partCols, quote, multiLine, batchSize)
   }
 }
@@ -1722,7 +1850,11 @@ private[v2] class DelimWrite(
     val manifest = DelimV2.DelimManifest(
       survivors.filterNot(e => newSet.contains(e.rel)) ++ newEntries,
       flag, newGen, retainVersions.getOrElse(prevM.retain),
-      prevM.schemas + (newGen -> DelimV2.ManifestSchema(partCols, schema)))
+      prevM.schemas + (newGen -> DelimV2.ManifestSchema(partCols, schema)),
+      // delete tombstones ride every commit (a truncate drops the
+      // files they applied to, and serialization GCs them then);
+      // the new generation's own files are never subject to them
+      tombstones = prevM.tombstones)
     val liveRetained =
       try DelimV2.commitManifest(fs, target, manifest)
       catch {
@@ -1831,7 +1963,8 @@ private[v2] class DelimWrite(
           prevM.files.filterNot(e => newSet.contains(e.rel)) ++ newEntries,
           prevM.multiLine || newMulti, newGen,
           retainVersions.getOrElse(prevM.retain),
-          prevM.schemas + (newGen -> DelimV2.ManifestSchema(partCols, schema))))
+          prevM.schemas + (newGen -> DelimV2.ManifestSchema(partCols, schema)),
+          tombstones = prevM.tombstones))
       }
 
       override def abort(epochId: Long,
@@ -2656,7 +2789,19 @@ private[graft] object DelimV2 {
       schemas: Map[Long, ManifestSchema] = Map.empty,
       /** Commit wall-clock (epoch millis; 0 = pre-timestamp manifest) —
         * stamped by commitManifest, resolved by `timestampAsOf`. */
-      ts: Long = 0L) {
+      ts: Long = 0L,
+      /** MERGE-ON-READ delete TOMBSTONES: (generation recorded,
+        * encoded predicate conjunction). A DELETE whose condition is
+        * fully pushable commits one of these instead of rewriting the
+        * matched files (copy-on-write amplifies a 10-row correction
+        * into a full-file rewrite at 100 TB); scans apply the
+        * complement per row, but ONLY to files whose generation is at
+        * or before the tombstone's — rows written after the delete are
+        * never affected (the resurrection/re-delete hazard). Encoding:
+        * `;`-joined leaves, each `op:col:value...` with %-escaping
+        * (see encodeTombstone).
+        */
+      tombstones: Seq[(Long, String)] = Nil) {
     def entries: Seq[(Long, String)] = files.map(e => (e.len, e.rel))
   }
 
@@ -2700,6 +2845,7 @@ private[graft] object DelimV2 {
         var retain = 1
         var ts = 0L
         var schemas = Map.empty[Long, ManifestSchema]
+        var tombs = Vector.empty[(Long, String)]
         def bad(l: String, what: String): Nothing =
           throw new IllegalStateException(
             s"graft-delim: malformed manifest $what in $mf: '${l.take(80)}'" +
@@ -2713,6 +2859,11 @@ private[graft] object DelimV2 {
               try DataType.fromJson(parts(3)).asInstanceOf[StructType]
               catch { case scala.util.control.NonFatal(_) => bad(l, "schema json") }
             schemas += (parts(1).toLong -> ManifestSchema(pc, st))
+            None
+          } else if (l.startsWith("#tombstone\t")) {
+            val parts = l.split('\t')
+            if (parts.length != 3) bad(l, "tombstone line")
+            tombs :+= (parts(1).toLong -> parts(2))
             None
           } else if (l.startsWith("#")) {
             if (l.contains("multiline=true")) multi = true
@@ -2733,7 +2884,7 @@ private[graft] object DelimV2 {
             } catch { case _: NumberFormatException => bad(l, "length") }
           }
         }.toList
-        Some(DelimManifest(entries, multi, gen, retain, schemas, ts))
+        Some(DelimManifest(entries, multi, gen, retain, schemas, ts, tombs))
       } finally in.close()
     }
   }
@@ -2792,6 +2943,14 @@ private[graft] object DelimV2 {
     m.schemas.toSeq.sortBy(_._1).foreach { case (g, sch) =>
       if (liveGens.contains(g) || g == m.gen) // GC schemas of dead generations
         sb.append(s"#schema\t$g\t${sch.partCols.mkString(",")}\t${sch.struct.json}\n")
+    }
+    // GC tombstones no live file can still match: a tombstone applies
+    // only to files at or before its generation, so once every live
+    // file is newer it is inert forever (static overwrite and full
+    // compaction cycles clear them automatically)
+    m.tombstones.foreach { case (g, enc) =>
+      if (m.files.exists(_.gen <= g))
+        sb.append(s"#tombstone\t$g\t$enc\n")
     }
     m.files.foreach { e =>
       sb.append(s"${e.len}\t${e.gen}\t${e.rel}")
@@ -3011,7 +3170,10 @@ private[graft] object DelimV2 {
       status: FileStatus, pvals: Seq[(String, String)],
       fileFields: Array[String] = null,
       /** Decoded per-file column stats (data skipping), or null. */
-      stats: FileStats = null)
+      stats: FileStats = null,
+      /** The generation whose commit wrote the file (0 = legacy/
+        * listing without a manifest) — delete-tombstone applicability. */
+      gen: Long = 0L)
 
   /** Recursive listing with `k=v` partition-directory discovery — the
     * reference's central table layout (dt=.../hr=... directories)
@@ -3114,7 +3276,8 @@ private[graft] object DelimV2 {
       ListedFile(new FileStatus(e.len, false, 1, 0L, 0L,
         new HPath(root, e.rel)), pvals,
         m.schemas.get(e.gen).map(_.dataFieldNames).orNull,
-        decodeStats(e.stats, m.schemas.get(e.gen)).orNull)
+        decodeStats(e.stats, m.schemas.get(e.gen)).orNull,
+        e.gen)
     }
 
   /** Test observability hook for FILE-level pruning, keyed per scan
@@ -3260,9 +3423,94 @@ private[graft] object DelimV2 {
       throw new IllegalArgumentException(s"graft-delim: unsupported type $other")
   }
 
+  /** Serialize a DELETE condition (conjunction of pushable V1 filters)
+    * as a manifest tombstone: `;`-joined leaves, each
+    * `op:col:value...` with every field %-escaped (statEsc — the same
+    * escaping as file stats). Values serialize in their EXTERNAL text
+    * form, typed by the table schema at delete time; `decodeTombstone`
+    * re-types them by the read schema and fails LOUDLY on a mismatch —
+    * silently skipping an unapplicable tombstone would resurrect
+    * deleted rows.
+    */
+  private[graft] def encodeTombstone(
+      filters: Seq[Filter], schema: StructType): String = {
+    def vtxt(c: String, v: Any): String = {
+      val dt = schema(c).dataType
+      statEsc(externalToText(normValue(v, dt), dt))
+    }
+    filters.map {
+      case EqualTo(c, v) => s"eq:${statEsc(c)}:${vtxt(c, v)}"
+      case GreaterThan(c, v) => s"gt:${statEsc(c)}:${vtxt(c, v)}"
+      case GreaterThanOrEqual(c, v) => s"ge:${statEsc(c)}:${vtxt(c, v)}"
+      case LessThan(c, v) => s"lt:${statEsc(c)}:${vtxt(c, v)}"
+      case LessThanOrEqual(c, v) => s"le:${statEsc(c)}:${vtxt(c, v)}"
+      case In(c, vs) =>
+        (s"in:${statEsc(c)}" +: vs.toSeq.map(v => vtxt(c, v))).mkString(":")
+      case IsNull(c) => s"isnull:${statEsc(c)}"
+      case IsNotNull(c) => s"notnull:${statEsc(c)}"
+      case StringStartsWith(c, p) => s"sw:${statEsc(c)}:${statEsc(p)}"
+      case other => throw new IllegalArgumentException(
+        s"graft-delim: filter not tombstone-encodable: $other")
+    }.mkString(";")
+  }
+
+  /** Decode a tombstone back to its filter conjunction under the READ
+    * schema. Any gap — unknown column, unparseable value under the
+    * read type, malformed text — throws: a tombstone that cannot be
+    * applied must stop the read, not silently resurrect deleted rows.
+    */
+  private[graft] def decodeTombstone(
+      encoded: String, schema: StructType): Seq[Filter] = {
+    def bad(what: String): Nothing = throw new IllegalStateException(
+      s"graft-delim: cannot apply delete tombstone '$encoded' under read " +
+        s"schema ${schema.simpleString}: $what")
+    def col(c0: String): String = {
+      val c = statUnesc(c0)
+      if (!schema.fieldNames.contains(c)) bad(s"no column '$c'")
+      c
+    }
+    def value(c: String, v0: String): Any = {
+      val v = parseExternal(statUnesc(v0), schema(c).dataType)
+      if (v == null) bad(s"value '${statUnesc(v0)}' unparseable as " +
+        s"${schema(c).dataType.simpleString} for column '$c'")
+      v
+    }
+    encoded.split(';').toSeq.map { leaf =>
+      val f = leaf.split(':')
+      f(0) match {
+        case "eq" if f.length == 3 => EqualTo(col(f(1)), value(col(f(1)), f(2)))
+        case "gt" if f.length == 3 => GreaterThan(col(f(1)), value(col(f(1)), f(2)))
+        case "ge" if f.length == 3 => GreaterThanOrEqual(col(f(1)), value(col(f(1)), f(2)))
+        case "lt" if f.length == 3 => LessThan(col(f(1)), value(col(f(1)), f(2)))
+        case "le" if f.length == 3 => LessThanOrEqual(col(f(1)), value(col(f(1)), f(2)))
+        case "in" if f.length >= 2 =>
+          val c = col(f(1))
+          In(c, f.drop(2).map(v => value(c, v)).toArray[Any])
+        case "isnull" if f.length == 2 => IsNull(col(f(1)))
+        case "notnull" if f.length == 2 => IsNotNull(col(f(1)))
+        case "sw" if f.length == 3 => StringStartsWith(col(f(1)), statUnesc(f(2)))
+        case _ => bad(s"malformed leaf '$leaf'")
+      }
+    }
+  }
+
+  /** A decoded tombstone as ONE row filter: the complement of its
+    * conjunction. Built from the standard V1 Not/And shapes so it
+    * rides the readers' existing filter plumbing (references, scratch
+    * columns, compileFilter).
+    */
+  private[graft] def tombstoneFilter(
+      encoded: String, schema: StructType): Filter =
+    Not(decodeTombstone(encoded, schema).reduce[Filter]((a, b) => And(a, b)))
+
   /** Compile a pushed filter to a predicate over the parsed external
     * field array. SQL comparison semantics: anything vs null → false
-    * (only IsNull admits nulls).
+    * (only IsNull admits nulls). And/Or/Not compile TWO-VALUED
+    * (null-valued leaves are plain false, so Not(leaf) is true on
+    * null) — never produced by pushdown (supportedFilter rejects
+    * compounds); they exist for delete-tombstone complements, where
+    * "the DELETE did not match this row" (null = no match = keep) is
+    * exactly the required semantics.
     */
   def compileFilter(
       f: Filter, idxOf: Map[String, Int], types: Array[DataType]): Array[Any] => Boolean = {
@@ -3296,6 +3544,17 @@ private[graft] object DelimV2 {
       case StringStartsWith(c, prefix) =>
         val i = at(c)
         row => row(i) != null && row(i).asInstanceOf[String].startsWith(prefix)
+      case And(l, r) =>
+        val cl = compileFilter(l, idxOf, types)
+        val cr = compileFilter(r, idxOf, types)
+        row => cl(row) && cr(row)
+      case Or(l, r) =>
+        val cl = compileFilter(l, idxOf, types)
+        val cr = compileFilter(r, idxOf, types)
+        row => cl(row) || cr(row)
+      case Not(c) =>
+        val cc = compileFilter(c, idxOf, types)
+        row => !cc(row)
       case other =>
         throw new IllegalArgumentException(s"graft-delim: filter not pushable: $other")
     }

@@ -210,6 +210,51 @@ object Round18Queries {
         FROM graft_cat.default.mor18_t GROUP BY o_orderstatus""")
     },
 
+    // MERGE SCHEMA EVOLUTION: `MERGE WITH SCHEMA EVOLUTION` against a
+    // WIDER source auto-adds the missing column (Spark's
+    // ResolveMergeIntoSchemaEvolution → GraftCatalog.alterTable ADD
+    // COLUMN) and the row-level write lands it across generations —
+    // pre-evolution files read the new column as null through the
+    // per-generation by-name mapping the connector already certifies
+    // for ALTER TABLE. Matched rows get updated price + the new
+    // column; untouched rows carry over with null; NOT MATCHED rows
+    // insert with it.
+    "warehouse_merge_evolve" -> { (s, dir) =>
+      val out = CoreQueries.scratchDir("warehouse_merge_evolve")
+      val t = s"$out/t"
+      graft.core.Scratch.rmTree(t)
+      s.sql("DROP TABLE IF EXISTS graft_cat.default.me18_t")
+      s.sql(s"""CREATE TABLE graft_cat.default.me18_t
+        (o_orderkey BIGINT, o_totalprice DOUBLE)
+        USING `graft-delim` LOCATION '$t'""")
+      val base = Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_totalprice"))
+      base.writeTo("graft_cat.default.me18_t").append()
+      // wider source: +o_orderpriority; updates every %3 key (exact
+      // +1.0 reprice) and inserts shifted copies of the %101 keys
+      val src = Tables.orders(s, dir)
+        .filter(col("o_orderkey") % 3 === 0)
+        .select(col("o_orderkey"),
+          (col("o_totalprice") + lit(1.0)).as("o_totalprice"),
+          col("o_orderpriority"))
+        .unionByName(Tables.orders(s, dir)
+          .filter(col("o_orderkey") % 101 === 0)
+          .select((col("o_orderkey") + lit(1000000000L)).as("o_orderkey"),
+            col("o_totalprice"), col("o_orderpriority")))
+      src.createOrReplaceTempView("me18_src")
+      s.sql("""MERGE WITH SCHEMA EVOLUTION INTO graft_cat.default.me18_t t
+        USING me18_src d ON t.o_orderkey = d.o_orderkey
+        WHEN MATCHED THEN UPDATE SET *
+        WHEN NOT MATCHED THEN INSERT *""")
+      val widened = s.table("graft_cat.default.me18_t")
+      require(widened.schema.fieldNames.toSeq ==
+        Seq("o_orderkey", "o_totalprice", "o_orderpriority"),
+        s"schema evolution must add o_orderpriority: ${widened.schema.simpleString}")
+      widened.select(col("o_orderkey"),
+        round(col("o_totalprice"), 2).as("price"),
+        col("o_orderpriority").as("prio"))
+    },
+
     // CBO ROW COUNTS from manifest stats (SupportsReportStatistics
     // .numRows): a partition-pruned graft-delim dimension reports the
     // EXACT post-pruning row count recorded by its writers, so the
@@ -271,6 +316,18 @@ object Round18Queries {
         |       round(sum(o_totalprice), 2),
         |       CAST(sum(o_orderkey) AS BIGINT)
         |FROM orders""".stripMargin,
+
+    "warehouse_merge_evolve" ->
+      """SELECT o_orderkey,
+        |       round(CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice + 1.0
+        |                  ELSE o_totalprice END, 2) AS price,
+        |       CASE WHEN o_orderkey % 3 = 0 THEN o_orderpriority
+        |            ELSE NULL END AS prio
+        |FROM orders
+        |UNION ALL
+        |SELECT o_orderkey + 1000000000, round(o_totalprice, 2),
+        |       o_orderpriority
+        |FROM orders WHERE o_orderkey % 101 = 0""".stripMargin,
 
     "delim_v2_delete_mor" ->
       """WITH kept AS (

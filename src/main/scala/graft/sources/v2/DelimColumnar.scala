@@ -366,6 +366,11 @@ private[v2] class DelimColumnarReader(
     var s = fStart(fp)
     var e = fEnd(fp)
     var b = buf
+    // unquoted \N = the writer's null token (Hive convention; the row
+    // path decodes it identically)
+    if (!fQuoted(fp) && e - s == 2 && buf(s) == '\\' && buf(s + 1) == 'N') {
+      v.putNull(rowId); return
+    }
     if (fEsc(fp)) { val n = unescape(buf, s, e); b = unesc; s = 0; e = n }
     types(si) match {
       case StringType =>
@@ -434,6 +439,8 @@ private[v2] class DelimColumnarReader(
     var s = fStart(fp)
     var e = fEnd(fp)
     var b = buf
+    if (!fQuoted(fp) && e - s == 2 && buf(s) == '\\' && buf(s + 1) == 'N')
+      return null
     if (fEsc(fp)) { val n = unescape(buf, s, e); b = unesc; s = 0; e = n }
     types(si) match {
       case StringType =>

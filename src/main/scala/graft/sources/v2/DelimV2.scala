@@ -1345,7 +1345,9 @@ private[v2] class DelimPartitionReader(
         if (needed(fp)) {
           val si = schemaIdxAt(fp)
           val raw = if (i < 0) line.substring(fieldStart) else line.substring(fieldStart, i)
-          ext(si) = DelimV2.parseExternal(raw, types(si))
+          // unquoted \N = the writer's null token (Hive convention)
+          ext(si) = if (raw == "\\N") null
+            else DelimV2.parseExternal(raw, types(si))
         }
         fp += 1
         fieldStart = if (i < 0) n + 1 else i + 1
@@ -1392,7 +1394,9 @@ private[v2] class DelimPartitionReader(
             val si = schemaIdxAt(fp)
             val raw =
               if (i < 0) line.substring(fieldStart) else line.substring(fieldStart, i)
-            ext(si) = DelimV2.parseExternal(raw, types(si))
+            // unquoted \N = the writer's null token (Hive convention)
+            ext(si) = if (raw == "\\N") null
+              else DelimV2.parseExternal(raw, types(si))
           }
           fieldStart = if (i < 0) n + 1 else i + 1
         }
@@ -2301,6 +2305,13 @@ private[v2] class DelimDataWriter(
         if (!first) sb.append(delim)
         first = false
         if (row.isNullAt(i)) {
+          // Hive's delimited-text null token: an empty field is
+          // indistinguishable from an empty STRING, so nulls must
+          // carry a marker to survive a write→read round trip (the
+          // CoW rewrite of a schema-evolved table materializes the
+          // added column's nulls). Readers decode an UNQUOTED \N as
+          // null for every type; a quoted "\N" stays literal.
+          sb.append('\\').append('N')
           if (tracked && tr(tj).valid) tr(tj).nulls += 1
         } else {
           val s = fieldString(row, i)

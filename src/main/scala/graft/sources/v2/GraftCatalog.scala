@@ -226,9 +226,14 @@ private[v2] class DelimPartitionedTable(
     * disabled for ACCEPT_ANY_SCHEMA tables; see DelimTable).
     */
   override def capabilities(): java.util.Set[TableCapability] =
+    // AUTOMATIC_SCHEMA_EVOLUTION: `MERGE WITH SCHEMA EVOLUTION` may
+    // widen the table through the catalog's ADD COLUMN path — the
+    // same per-generation by-name mapping that serves ALTER TABLE
+    // (catalog tables only: evolution needs alterTable)
     java.util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.BATCH_WRITE, TableCapability.TRUNCATE,
-      TableCapability.STREAMING_WRITE, TableCapability.MICRO_BATCH_READ)
+      TableCapability.STREAMING_WRITE, TableCapability.MICRO_BATCH_READ,
+      TableCapability.AUTOMATIC_SCHEMA_EVOLUTION)
 
   /** The same table pinned to a retained snapshot (SQL VERSION AS OF). */
   private[v2] def withVersionAsOf(version: String): DelimPartitionedTable =

@@ -419,7 +419,7 @@ class DelimV2Spec extends SparkFunSuite {
       .schema("id BIGINT, g STRING").load(s"$dir/out").count() === 10)
   }
 
-  test("write path: nulls write as empty fields; delimiter in data throws, framing intact") {
+  test("write path: nulls write as the \\N token and round-trip; delimiter in data throws, framing intact") {
     val dir = tempDir("delimv2-nulls")
     val src = Seq((1L, Some("a"), Some(2.5)), (2L, None, None), (3L, Some("c"), Some(7.0)))
       .toDF("id", "s", "v")
@@ -427,10 +427,18 @@ class DelimV2Spec extends SparkFunSuite {
     val back = spark.read.format("graft-delim")
       .schema("id BIGINT, s STRING, v DOUBLE").load(s"$dir/out")
       .orderBy("id").collect()
-    // typed null roundtrips; a string null comes back "" (documented
-    // asymmetry: the unquoted format cannot tell them apart)
-    assert(back(1).getString(1) === "" && back(1).isNullAt(2))
+    // nulls round-trip through the Hive \N token for EVERY type —
+    // including strings, where an empty field would otherwise be
+    // indistinguishable from "" (the CoW rewrite of a schema-evolved
+    // table materializes added-column nulls, so the write→read trip
+    // must preserve them); an empty string stays an empty string
+    assert(back(1).isNullAt(1) && back(1).isNullAt(2))
     assert(back(0).getString(1) === "a" && back(2).getDouble(2) === 7.0)
+    val empt = Seq((1L, "")).toDF("id", "s")
+    empt.write.format("graft-delim").mode("overwrite").save(s"$dir/empty")
+    val backE = spark.read.format("graft-delim")
+      .schema("id BIGINT, s STRING").load(s"$dir/empty").collect()
+    assert(backE(0).getString(1) === "")
     // with quoting DISABLED a field carrying the delimiter must throw,
     // not corrupt (the legacy raw contract; default quoting handles it)
     val bad = Seq((1L, "oops|pipe")).toDF("id", "s")

@@ -45,7 +45,12 @@ private[v2] class DelimColumnarReader(
     partCols: Array[String],
     quote: Int,
     multiLine: Boolean,
-    batchSize: Int)
+    batchSize: Int,
+    /** Pushed `ORDER BY ... LIMIT k`: the split drains through a
+      * k-bounded heap (same contract as the row reader's nextTopN) but
+      * parses VECTORIZED — the byte-span walk replaces the per-line
+      * String materialization on ranked exports. Empty = plain scan. */
+    topN: Array[DelimSortKey] = Array.empty)
     extends PartitionReader[ColumnarBatch] {
 
   private val lines =
@@ -451,13 +456,17 @@ private[v2] class DelimColumnarReader(
     }
   }
 
-  override def next(): Boolean = {
-    if (finished) return false
+  /** Fill one internal batch (filters applied); returns the row count
+    * and sets `finished` when the split is drained. `cap` disables the
+    * pushed-limit early exit in TopN mode (the heap must see every
+    * row).
+    */
+  private def fillBatch(cap: Int): Int = {
     writable.foreach(_.reset())
     var n = 0
     var more = true
     while (n < batchSize && more) {
-      if (limit >= 0 && emitted >= limit) more = false
+      if (cap >= 0 && emitted >= cap) more = false
       else if (!lines.nextLineSpan()) more = false
       else {
         val buf = lines.lineBuf
@@ -488,14 +497,229 @@ private[v2] class DelimColumnarReader(
       }
     }
     if (!more) finished = true
+    n
+  }
+
+  // ---- TopN mode: (vector position, desc, nullsFirst, type) per key;
+  // heap rows are INTERNAL values extracted per vector position
+  private val topNKeys: Array[(Int, Boolean, Boolean, DataType)] =
+    topN.map { k =>
+      val vi = required.fieldNames.indexOf(k.col)
+      require(vi >= 0, s"graft-delim: TopN key ${k.col} not in read schema")
+      (vi, k.desc, k.nullsFirst, types(idxOf(k.col)))
+    }
+
+  private def cmpInternal(dt: DataType, a: Any, b: Any): Int = dt match {
+    case StringType =>
+      a.asInstanceOf[UTF8String].compareTo(b.asInstanceOf[UTF8String])
+    case IntegerType | DateType =>
+      Integer.compare(a.asInstanceOf[Int], b.asInstanceOf[Int])
+    case LongType => java.lang.Long.compare(a.asInstanceOf[Long], b.asInstanceOf[Long])
+    case DoubleType =>
+      java.lang.Double.compare(a.asInstanceOf[Double], b.asInstanceOf[Double])
+    case other =>
+      throw new IllegalArgumentException(s"graft-delim: unsupported sort type $other")
+  }
+
+  private val topNCmp: java.util.Comparator[Array[Any]] =
+    new java.util.Comparator[Array[Any]] {
+      override def compare(a: Array[Any], b: Array[Any]): Int = {
+        var i = 0
+        while (i < topNKeys.length) {
+          val (vi, desc, nullsFirst, dt) = topNKeys(i)
+          val x = a(vi); val y = b(vi)
+          val c =
+            if (x == null && y == null) 0
+            else if (x == null) { if (nullsFirst) -1 else 1 }
+            else if (y == null) { if (nullsFirst) 1 else -1 }
+            else {
+              val base = cmpInternal(dt, x, y)
+              if (desc) -base else base
+            }
+          if (c != 0) return c
+          i += 1
+        }
+        0
+      }
+    }
+
+  /** INTERNAL-typed value of one field straight from its byte span —
+    * the TopN hot path: no vector write, no String for the common
+    * (valid-UTF8 / fast-number) cases. Mirrors writeField's rules
+    * exactly (null token, malformed → null, -0.0 normalization,
+    * U+FFFD sanitation). A VIEW for strings — callers copy on keep.
+    */
+  private def internalOf(si: Int, fp: Int, buf: Array[Byte]): Any = {
+    if (fStart(fp) < 0) return null
+    var s = fStart(fp)
+    var e = fEnd(fp)
+    var b = buf
+    if (!fQuoted(fp) && e - s == 2 && buf(s) == '\\' && buf(s + 1) == 'N')
+      return null
+    if (fEsc(fp)) { val n = unescape(buf, s, e); b = unesc; s = 0; e = n }
+    types(si) match {
+      case StringType =>
+        if (validUtf8(b, s, e)) UTF8String.fromBytes(b, s, e - s)
+        else UTF8String.fromString(
+          new String(b, s, e - s, java.nio.charset.StandardCharsets.UTF_8))
+      case LongType =>
+        val x = parseLongBytes(b, s, e)
+        if (parseOk) x else null
+      case IntegerType =>
+        val x = parseLongBytes(b, s, e)
+        if (parseOk && x >= Int.MinValue && x <= Int.MaxValue) x.toInt else null
+      case DoubleType =>
+        val ts = trimStart(b, s, e)
+        val te = trimEnd(b, ts, e)
+        if (ts >= te) null
+        else {
+          val fast = parseDoubleBytes(b, ts, te)
+          if (dblFast) { if (fast == 0.0d) 0.0d else fast }
+          else try {
+            val d = java.lang.Double.parseDouble(
+              new String(b, ts, te - ts, java.nio.charset.StandardCharsets.US_ASCII))
+            if (d == 0.0d) 0.0d else d
+          } catch { case _: NumberFormatException => null }
+        }
+      case DateType =>
+        val ts = trimStart(b, s, e)
+        val te = trimEnd(b, ts, e)
+        if (ts >= te) null
+        else {
+          val fast = parseDateBytes(b, ts, te)
+          if (dateFast) fast
+          else try LocalDate.parse(
+            new String(b, ts, te - ts, java.nio.charset.StandardCharsets.US_ASCII))
+            .toEpochDay.toInt
+          catch { case _: java.time.format.DateTimeParseException => null }
+        }
+      case other =>
+        throw new IllegalArgumentException(s"graft-delim: unsupported type $other")
+    }
+  }
+
+  private var topNBatch: ColumnarBatch = null
+  private var topNDone = false
+
+  /** TopN drain: per line, parse ONLY the sort keys from their byte
+    * spans and reject against the heap's worst; the remaining output
+    * fields are parsed only for the rows that ENTER the heap (≤ k
+    * accepts over the whole split, vs every column for every row on
+    * the naive path — on a selective LIMIT that is the entire scan
+    * cost). String keys are zero-copy views during the compare and
+    * copied only on accept.
+    */
+  private def nextTopN(): Boolean = {
+    if (topNDone) return false
+    val k = math.max(1, limit)
+    val heap = new java.util.PriorityQueue[Array[Any]](k, topNCmp.reversed())
+    def buildRow(buf: Array[Byte]): Array[Any] = {
+      val out = new Array[Any](outputIdx.length)
+      var vi = 0
+      while (vi < outputIdx.length) {
+        val si = outputIdx(vi)
+        out(vi) =
+          if (filePos(si) >= 0) internalOf(si, filePos(si), buf) match {
+            case u: UTF8String => u.copy() // span view → owned bytes
+            case v => v
+          }
+          else DelimV2.toInternal(constExt(si), types(si))
+        vi += 1
+      }
+      out
+    }
+    if (limit > 0) while (!finished) {
+      if (!lines.nextLineSpan()) finished = true
+      else {
+        val buf = lines.lineBuf
+        walkFields(buf, lines.lineOff, lines.lineLen)
+        var pass = true
+        if (predicates.nonEmpty) {
+          var i = 0
+          while (i < filterIdx.length) {
+            val si = filterIdx(i)
+            if (filePos(si) >= 0) scratch(si) = externalOf(si, filePos(si), buf)
+            i += 1
+          }
+          var p = 0
+          while (pass && p < predicates.length) {
+            pass = predicates(p)(scratch); p += 1
+          }
+        }
+        if (pass) {
+          if (heap.size < k) heap.add(buildRow(buf))
+          else {
+            // key-only parse + reject against the worst (strict-better
+            // enters, ties rejected — the row reader's rule)
+            val worst = heap.peek()
+            var better = false
+            var decided = false
+            var i = 0
+            while (!decided && i < topNKeys.length) {
+              val (vpos, desc, nullsFirst, dt) = topNKeys(i)
+              val si = outputIdx(vpos)
+              val x =
+                if (filePos(si) >= 0) internalOf(si, filePos(si), buf)
+                else DelimV2.toInternal(constExt(si), types(si))
+              val y = worst(vpos)
+              val c =
+                if (x == null && y == null) 0
+                else if (x == null) { if (nullsFirst) -1 else 1 }
+                else if (y == null) { if (nullsFirst) 1 else -1 }
+                else { val base = cmpInternal(dt, x, y); if (desc) -base else base }
+              if (c != 0) { better = c < 0; decided = true }
+              i += 1
+            }
+            if (decided && better) { heap.poll(); heap.add(buildRow(buf)) }
+          }
+        }
+      }
+    }
+    // final emission batch: one small batch of the k survivors (order
+    // irrelevant — Spark's TakeOrderedAndProject re-sorts the merge)
+    val rows = heap.toArray(Array.empty[Array[Any]])
+    val outVecs: Array[ColumnVector] = outputIdx.map { si =>
+      new OnHeapColumnVector(math.max(rows.length, 1), types(si))
+    }.toArray[ColumnVector]
+    var r = 0
+    while (r < rows.length) {
+      var vi = 0
+      while (vi < outVecs.length) {
+        val v = outVecs(vi).asInstanceOf[OnHeapColumnVector]
+        rows(r)(vi) match {
+          case null => v.putNull(r)
+          case u: UTF8String =>
+            val b = u.getBytes
+            v.putByteArray(r, b, 0, b.length)
+          case x: Int => v.putInt(r, x)
+          case x: Long => v.putLong(r, x)
+          case x: Double => v.putDouble(r, x)
+          case other => throw new IllegalArgumentException(
+            s"graft-delim: unsupported type ${other.getClass}")
+        }
+        vi += 1
+      }
+      r += 1
+    }
+    topNBatch = new ColumnarBatch(outVecs, rows.length)
+    topNDone = true
+    rows.nonEmpty
+  }
+
+  override def next(): Boolean = {
+    if (topN.nonEmpty) return nextTopN()
+    if (finished) return false
+    val n = fillBatch(limit)
     batch.setNumRows(n)
     n > 0
   }
 
-  override def get(): ColumnarBatch = batch
+  override def get(): ColumnarBatch =
+    if (topNBatch != null) topNBatch else batch
 
   override def close(): Unit = {
     batch.close()
+    if (topNBatch != null) topNBatch.close()
     in.close()
   }
 }

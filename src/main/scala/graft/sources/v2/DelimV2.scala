@@ -975,11 +975,14 @@ class DelimScan(
         .filterNot(f => f.references.nonEmpty &&
           f.references.forall(_ == DelimV2.FileMetaCol) &&
           !fullSchema.fieldNames.contains(DelimV2.FileMetaCol))
-      // VECTORIZED by default (see DelimColumnarReader): the row
-      // reader remains for pushed TopN (a k-bounded heap is row
-      // logic), non-ASCII delimiters, and the `columnar=false` escape
-      // hatch
-      val columnar = topN.isEmpty && delim < 128 &&
+      // VECTORIZED by default (see DelimColumnarReader), including
+      // pushed TopN (a per-split heap over the parsed batches — the
+      // byte-span parse is the win on ranked exports); the row reader
+      // remains for non-ASCII delimiters, a TopN key outside the read
+      // schema (cannot extract from the output vectors), and the
+      // `columnar=false` escape hatch
+      val columnar = delim < 128 &&
+        topN.forall(k => required.fieldNames.contains(k.col)) &&
         java.lang.Boolean.parseBoolean(options.getOrDefault("columnar", "true"))
       // loud-failure option validation: batchSize <= 0 would make the
       // columnar reader's fill loop exit immediately and return an
@@ -1114,7 +1117,7 @@ private[v2] class DelimReaderFactory(
     val (split, in) = open(partition)
     new DelimColumnarReader(in, split, fullSchema, required,
       filters ++ split.tombstones, delim,
-      limit, partCols, quote, multiLine, batchSize)
+      limit, partCols, quote, multiLine, batchSize, topN)
   }
 }
 
@@ -2640,7 +2643,7 @@ private[graft] object DelimV2 {
   }
   private val StatNull = "%n" // impossible escaper output: every real '%' encodes as %25
 
-  private[v2] def encodeStats(rows: Long,
+  private[graft] def encodeStats(rows: Long,
       cols: Seq[(String, String, String, Long)]): String = {
     // (col, minText, maxText, nulls); minText null = all-null column
     val sb = new java.lang.StringBuilder(32 + cols.size * 24)
@@ -2708,7 +2711,7 @@ private[graft] object DelimV2 {
     case _ => false
   }
 
-  private[v2] def compileStatsPredicate(
+  private[graft] def compileStatsPredicate(
       f: Filter, typeOf: String => Option[DataType]): FileStats => Boolean = {
     def bounded(c: String)(test: (Any, Any, DataType) => Boolean)
         : FileStats => Boolean = typeOf(c) match {
@@ -3272,7 +3275,7 @@ private[graft] object DelimV2 {
     * generations' recorded schemas. Shared by batch listing and the
     * streaming source's per-generation batches.
     */
-  private[v2] def listedFromManifest(
+  private[graft] def listedFromManifest(
       root: HPath, m: DelimManifest): Seq[ListedFile] =
     m.files.map { e =>
       val pvals = e.rel.split('/').dropRight(1).toSeq.flatMap { seg =>

@@ -856,6 +856,114 @@ object Stress {
       }
       graft.core.Scratch.rmTree(p)
     }
+
+    // 14. Pushed-TopN scan: VECTORIZED heap vs the row reader (round-18
+    // verdict ask #8): same lineitem fixture as §13, `ORDER BY
+    // l_extendedprice DESC LIMIT 100` + a tiebreaker so the result set
+    // is deterministic; both paths must return identical rows.
+    for (amp <- amps if sections("topnscan")) {
+      val p = s"/tmp/graft_stress_topn_$sfKey/a$amp"
+      graft.core.Scratch.rmTree(p)
+      val li0 = graft.core.Tables.lineitem(spark, sf)
+      val li = (1 to amp).map(i =>
+        li0.withColumn("l_orderkey", col("l_orderkey") + lit(i.toLong * 100000000L)))
+        .reduce(_ unionByName _)
+      li.select(concat_ws("|",
+          col("l_orderkey"), col("l_partkey"), col("l_quantity"),
+          col("l_extendedprice"), col("l_returnflag")).as("line"))
+        .repartition(32)
+        .write.mode("overwrite").text(p)
+      val n = li0.count() * amp
+      val schema = "l_orderkey BIGINT, l_partkey BIGINT, " +
+        "l_quantity DOUBLE, l_extendedprice DOUBLE, l_returnflag STRING"
+      def topn(columnar: Boolean) = spark.read.format("graft-delim")
+        .option("columnar", columnar.toString)
+        .schema(schema).load(p)
+        .orderBy(col("l_extendedprice").desc, col("l_orderkey").asc)
+        .limit(100)
+      var expect: Seq[Seq[Any]] = null
+      for (mode <- Seq("columnar", "row")) {
+        val colMode = mode == "columnar"
+        val plan = topn(colMode).queryExecution.executedPlan.toString
+        require(plan.contains("PushedTopN"),
+          s"TopN must stay pushed on the $mode path:\n$plan")
+        topn(colMode).collect() // warm
+        run(s"topn_scan_$mode", amp, n) {
+          val r = topn(colMode).collect().map(_.toSeq).toSeq
+          if (expect == null) expect = r
+          else require(r == expect, s"TopN rows diverged on $mode")
+          (r.size.toLong, s"mode=$mode|k=100")
+        }
+      }
+      graft.core.Scratch.rmTree(p)
+    }
+
+    // 15. MANIFEST SCALE ENVELOPE (round-18 verdict ask #3): the
+    // `_manifest` is ONE document carrying every file entry + its
+    // stats — the driver parses the whole list per planning and every
+    // commit rewrites it. This sweep prices exactly those two driver
+    // paths at 1k/10k/100k entries with FABRICATED entries (metadata
+    // costs need no data bytes): commit (serialize + claim + swap),
+    // parse (readManifestFile), and the planning proxy
+    // (listedFromManifest + a selective stats-skipping pass over every
+    // entry). The curve decides when Iceberg-style manifest
+    // segmentation becomes mandatory — see STRESS.md.
+    for (nEntries <- Seq(1000, 10000, 100000)
+        if sections("manifestscale") && amps.contains(1)) {
+      import graft.sources.v2.DelimV2
+      val root = s"/tmp/graft_stress_manifest_scale/n$nEntries"
+      graft.core.Scratch.rmTree(root)
+      val hp = new org.apache.hadoop.fs.Path(root)
+      val conf = spark.sessionState.newHadoopConf()
+      val fs = hp.getFileSystem(conf)
+      fs.mkdirs(hp)
+      val struct = org.apache.spark.sql.types.StructType.fromDDL(
+        "id BIGINT, v DOUBLE, s STRING, pc STRING")
+      val schema = DelimV2.ManifestSchema(Seq("pc"), struct)
+      val entries = (0 until nEntries).map { i =>
+        val lo = i.toLong * 1000
+        DelimV2.ManifestEntry(1L << 27, 1L, f"pc=p${i % 1000}%04d/part-$i%07d.txt",
+          DelimV2.encodeStats(50000L, Seq(
+            ("id", lo.toString, (lo + 999).toString, 0L),
+            ("v", "0.0", "1.0", 10L),
+            ("s", "aaaa", "zzzz", 0L))))
+      }
+      val m = DelimV2.DelimManifest(entries, multiLine = false, gen = 1L,
+        retain = 1, schemas = Map(1L -> schema))
+      var mGen = 1L
+      run("manifest_commit", nEntries, nEntries.toLong) {
+        for (_ <- 1 to 5) {
+          DelimV2.commitManifest(fs, hp, m.copy(gen = mGen))
+          mGen += 1
+        }
+        (nEntries.toLong, "reps=5")
+      }
+      run("manifest_parse", nEntries, nEntries.toLong) {
+        var parsed = 0L
+        for (_ <- 1 to 5)
+          parsed = DelimV2.readManifest(fs, hp).get.files.size.toLong
+        require(parsed == nEntries)
+        (parsed, "reps=5")
+      }
+      run("manifest_plan_prune", nEntries, nEntries.toLong) {
+        // the per-planning driver walk: decode every entry's stats and
+        // evaluate a selective predicate against its bounds (what
+        // planInputPartitions does after pruning)
+        var kept = 0L
+        for (_ <- 1 to 5) {
+          val mm = DelimV2.readManifest(fs, hp).get
+          val listed = DelimV2.listedFromManifest(hp, mm)
+          val pred = DelimV2.compileStatsPredicate(
+            org.apache.spark.sql.sources.GreaterThanOrEqual(
+              "id", (nEntries.toLong - 2) * 1000),
+            c => struct.fields.find(_.name == c).map(_.dataType))
+          kept = listed.count(f => f.stats != null && pred(f.stats)).toLong
+        }
+        require(kept == 2, s"stats skipping kept $kept of $nEntries")
+        (kept, "reps=5|selective_ge")
+      }
+      graft.core.Scratch.rmTree(root)
+    }
     spark.stop()
   }
 }

@@ -153,6 +153,48 @@ object Round18Queries {
         .unionByName(snap("current", Map.empty))
     },
 
+    // SQL MAINTENANCE procedures (`CALL graft_cat.system.optimize`,
+    // Spark 4's connector procedure API — the Iceberg convention):
+    // the reference's nightly cron loop as ONE schedulable statement.
+    // Six appends land six files; the CALL bin-packs them under a
+    // target size and reports (generation, files_before, files_after)
+    // as its one-row result — require'd against the manifest truth —
+    // and the compacted table must still hash-match the oracle.
+    "delim_v2_call_optimize" -> { (s, dir) =>
+      import graft.sources.v2.DelimV2
+      val out = CoreQueries.scratchDir("delim_v2_call_optimize")
+      val t = s"$out/t"
+      graft.core.Scratch.rmTree(t)
+      s.sql("DROP TABLE IF EXISTS graft_cat.default.opt18_t")
+      s.sql(s"""CREATE TABLE graft_cat.default.opt18_t
+        (o_orderkey BIGINT, o_totalprice DOUBLE, o_orderpriority STRING)
+        USING `graft-delim` LOCATION '$t'""")
+      val orders = Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"))
+      for (slice <- 0 until 6)
+        orders.filter(col("o_orderkey") % 6 === slice).coalesce(1)
+          .writeTo("graft_cat.default.opt18_t").append()
+      val hp = new org.apache.hadoop.fs.Path(t)
+      val fs = hp.getFileSystem(s.sessionState.newHadoopConf())
+      val before = DelimV2.readManifest(fs, hp).get.files
+      require(before.size == 6, s"fixture must land 6 files, got ${before.size}")
+      val target = before.map(_.len).sum * 5 / (before.size * 2)
+      val r = s.sql("CALL graft_cat.system.optimize(" +
+        s"table => 'default.opt18_t', target_file_size => ${target}L)")
+        .collect()(0)
+      val after = DelimV2.readManifest(fs, hp).get
+      require(r.getInt(1) == 6 && r.getInt(2) == after.files.size &&
+        r.getLong(0) == after.gen,
+        s"CALL summary (${r.toSeq}) disagrees with the manifest " +
+          s"(gen=${after.gen}, files=${after.files.size})")
+      require(after.files.size == 3,
+        s"expected 3 bins of 2 under target=$target, got ${after.files.size}")
+      s.sql("""SELECT o_orderpriority, count(*) AS n_orders,
+        round(sum(o_totalprice), 2) AS revenue,
+        sum(o_orderkey) AS key_sig
+        FROM graft_cat.default.opt18_t GROUP BY o_orderpriority""")
+    },
+
     // MERGE-ON-READ DELETE (deletion tombstones): a DELETE whose
     // condition is fully pushable routes through SupportsDelete
     // (Spark's OptimizeMetadataOnlyDeleteFromTable) instead of the
@@ -316,6 +358,12 @@ object Round18Queries {
         |       round(sum(o_totalprice), 2),
         |       CAST(sum(o_orderkey) AS BIGINT)
         |FROM orders""".stripMargin,
+
+    "delim_v2_call_optimize" ->
+      """SELECT o_orderpriority, count(*) AS n_orders,
+        |       round(sum(o_totalprice), 2) AS revenue,
+        |       CAST(sum(o_orderkey) AS BIGINT) AS key_sig
+        |FROM orders GROUP BY 1""".stripMargin,
 
     "warehouse_merge_evolve" ->
       """SELECT o_orderkey,

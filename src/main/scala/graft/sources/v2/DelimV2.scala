@@ -1999,7 +1999,15 @@ private[v2] object DelimWrite {
     */
   private[v2] def sweepDead(
       fs: FileSystem, target: HPath, live: Set[String]): Unit = {
+    sweepDeadCount(fs, target, live); ()
+  }
+
+  /** sweepDead returning how many data files died (the
+    * expire_snapshots procedure's summary row). */
+  private[v2] def sweepDeadCount(
+      fs: FileSystem, target: HPath, live: Set[String]): Long = {
     val root = fs.makeQualified(target).toUri
+    var deleted = 0L
     def walk(dir: HPath, isRoot: Boolean): Boolean = { // true = keep dir
       var keep = false
       Option(fs.listStatus(dir)).getOrElse(Array.empty).foreach { st =>
@@ -2016,12 +2024,13 @@ private[v2] object DelimWrite {
         } else {
           val rel = root.relativize(fs.makeQualified(st.getPath).toUri).getPath
           if (live.contains(rel)) keep = true
-          else fs.delete(st.getPath, false)
+          else { fs.delete(st.getPath, false); deleted += 1 }
         }
       }
       keep
     }
     walk(target, isRoot = true)
+    deleted
   }
 
   /** Promote staged files to their final names (shared by the batch

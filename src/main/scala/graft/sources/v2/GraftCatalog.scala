@@ -40,7 +40,8 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * file tree + manifest, so a re-created table over the same location
   * sees the same partitions.
   */
-class GraftCatalog extends TableCatalog with SupportsNamespaces {
+class GraftCatalog extends TableCatalog with SupportsNamespaces
+    with ProcedureCatalog {
 
   private var catalogName: String = "graft_cat"
   // keyed by (namespace COMPONENTS, table name) — a dot-joined string
@@ -169,6 +170,54 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     if (e == null)
       throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(oldIdent)
     tables.put(key(newIdent), e)
+  }
+
+  // ------------------------------------------------------ procedures
+
+  /** Table-MAINTENANCE stored procedures (Spark 4's connector
+    * procedure API — the Iceberg `CALL` convention): the operations a
+    * 100 TB table needs on a schedule, reachable from pure SQL so the
+    * reference's cron-driven shell loops become one statement each.
+    *
+    * {{{
+    *   CALL graft_cat.system.optimize(table => 'default.t',
+    *                                  target_file_size => 134217728)
+    *   CALL graft_cat.system.expire_snapshots(table => 'default.t',
+    *                                          retain => 1)
+    *   CALL graft_cat.system.recover_manifest(table => 'default.t')
+    * }}}
+    */
+  override def loadProcedure(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure = {
+    if (!ident.namespace().sameElements(Array("system")))
+      throw new IllegalArgumentException(
+        s"graft-delim catalog: procedures live in the `system` namespace, " +
+          s"got ${ident.namespace().mkString(".")}.${ident.name()}")
+    GraftProcedures.byName.getOrElse(ident.name(),
+      throw new IllegalArgumentException(
+        s"graft-delim catalog: unknown procedure ${ident.name()} " +
+          s"(available: ${GraftProcedures.byName.keys.toSeq.sorted.mkString(", ")})"))
+      .apply(this)
+  }
+
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    if (namespace.isEmpty || namespace.sameElements(Array("system")))
+      GraftProcedures.byName.keys.toSeq.sorted
+        .map(n => Identifier.of(Array("system"), n)).toArray
+    else Array.empty
+
+  /** Resolve a procedure's `table` argument ('ns.name' or bare name →
+    * default namespace) to the table's root path.
+    */
+  private[v2] def tableRootOf(tableArg: String): HPath = {
+    val parts = tableArg.split('.')
+    val (ns, name) =
+      if (parts.length == 1) (Seq("default"), parts(0))
+      else (parts.dropRight(1).toSeq, parts.last)
+    val e = Option(tables.get((ns, name))).getOrElse(
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(
+        Identifier.of(ns.toArray, name)))
+    new HPath(e._3("path"))
   }
 
   // ------------------------------------------------------- namespaces

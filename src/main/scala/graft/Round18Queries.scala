@@ -195,6 +195,35 @@ object Round18Queries {
         FROM graft_cat.default.opt18_t GROUP BY o_orderpriority""")
     },
 
+    // SNAPSHOT HISTORY (`CALL graft_cat.system.snapshots` — DESCRIBE
+    // HISTORY): one row per retained generation with commit time,
+    // file/row counts (rows from the manifest's recorded stats — zero
+    // data reads), and live tombstones. Gen 1 lands the low-price
+    // half (1 file), gen 2 appends the rest (+1 file); the recorded
+    // row counts must equal the parquet-derived truth.
+    "delim_v2_snapshots" -> { (s, dir) =>
+      val out = CoreQueries.scratchDir("delim_v2_snapshots")
+      val t = s"$out/t"
+      graft.core.Scratch.rmTree(t)
+      s.sql("DROP TABLE IF EXISTS graft_cat.default.snap18_t")
+      s.sql(s"""CREATE TABLE graft_cat.default.snap18_t
+        (o_orderkey BIGINT, o_totalprice DOUBLE)
+        USING `graft-delim` OPTIONS (retainVersions '3') LOCATION '$t'""")
+      val orders = Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_totalprice"))
+      orders.filter(col("o_totalprice") <= 100000.0).coalesce(1)
+        .writeTo("graft_cat.default.snap18_t").append()
+      orders.filter(col("o_totalprice") > 100000.0).coalesce(1)
+        .writeTo("graft_cat.default.snap18_t").append()
+      val hist = s.sql(
+        "CALL graft_cat.system.snapshots(table => 'default.snap18_t')")
+      require(hist.schema.fieldNames.contains("committed_at") &&
+        hist.filter(col("committed_at").isNull).count() == 0,
+        "every retained snapshot must carry its commit time")
+      hist.select(col("generation"), col("n_files"), col("n_rows"),
+        col("n_tombstones"))
+    },
+
     // MERGE-ON-READ DELETE (deletion tombstones): a DELETE whose
     // condition is fully pushable routes through SupportsDelete
     // (Spark's OptimizeMetadataOnlyDeleteFromTable) instead of the
@@ -358,6 +387,13 @@ object Round18Queries {
         |       round(sum(o_totalprice), 2),
         |       CAST(sum(o_orderkey) AS BIGINT)
         |FROM orders""".stripMargin,
+
+    "delim_v2_snapshots" ->
+      """SELECT CAST(1 AS BIGINT) AS generation, 1 AS n_files,
+        |       count(*) AS n_rows, 0 AS n_tombstones
+        |FROM orders WHERE o_totalprice <= 100000.0
+        |UNION ALL
+        |SELECT CAST(2 AS BIGINT), 2, count(*), 0 FROM orders""".stripMargin,
 
     "delim_v2_call_optimize" ->
       """SELECT o_orderpriority, count(*) AS n_orders,

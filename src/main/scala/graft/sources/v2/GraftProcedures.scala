@@ -30,7 +30,8 @@ private[v2] object GraftProcedures {
   val byName: Map[String, GraftCatalog => UnboundProcedure] = Map(
     "optimize" -> (cat => new OptimizeProcedure(cat)),
     "expire_snapshots" -> (cat => new ExpireSnapshotsProcedure(cat)),
-    "recover_manifest" -> (cat => new RecoverManifestProcedure(cat)))
+    "recover_manifest" -> (cat => new RecoverManifestProcedure(cat)),
+    "snapshots" -> (cat => new SnapshotsProcedure(cat)))
 
   /** One-row result relation for a maintenance call. */
   private[v2] final case class SummaryScan(
@@ -38,6 +39,14 @@ private[v2] object GraftProcedures {
     override def readSchema(): StructType = schema
     override def rows(): Array[InternalRow] =
       Array(new GenericInternalRow(row))
+  }
+
+  /** Multi-row result relation (snapshot history). */
+  private[v2] final case class RowsScan(
+      schema: StructType, data: Seq[Array[Any]]) extends LocalScan {
+    override def readSchema(): StructType = schema
+    override def rows(): Array[InternalRow] =
+      data.map(r => new GenericInternalRow(r): InternalRow).toArray
   }
 
   private[v2] def param(name: String, dt: DataType,
@@ -117,6 +126,46 @@ private[v2] class ExpireSnapshotsProcedure(cat: GraftCatalog)
       StructType.fromDDL(
         "generation BIGINT, retained INT, deleted_files BIGINT"),
       Array(m.gen + 1, retain, removed)))
+  }
+}
+
+private[v2] class SnapshotsProcedure(cat: GraftCatalog)
+    extends GraftProcedure("snapshots") {
+
+  override def parameters(): Array[ProcedureParameter] = Array(
+    GraftProcedures.param("table", StringType))
+
+  override def description(): String =
+    "The table's retained snapshot history (DESCRIBE HISTORY): one row " +
+      "per retained generation — commit time, file count, recorded row " +
+      "count (null when any file lacks stats), live tombstones"
+
+  override def call(input: InternalRow): java.util.Iterator[Scan] = {
+    val root = cat.tableRootOf(input.getUTF8String(0).toString)
+    val fs = root.getFileSystem(DelimV2.driverConf())
+    val gens = DelimV2.retainedVersions(fs, root)
+    if (gens.isEmpty)
+      throw new IllegalArgumentException(
+        s"graft-delim: no retained snapshots at $root")
+    val rows = gens.map { g =>
+      val m = DelimV2.readManifestVersion(fs, root, g)
+      val stats = m.files.map(e =>
+        DelimV2.decodeStats(e.stats, m.schemas.get(e.gen)))
+      val nRows: Any =
+        if (m.files.nonEmpty && stats.forall(_.isDefined))
+          stats.map(_.get.rows).sum
+        else if (m.files.isEmpty) 0L
+        else null
+      Array[Any](g,
+        if (m.ts > 0) m.ts * 1000L else null, // micros (TimestampType)
+        m.files.size, nRows, m.tombstones.size,
+        m.files.map(_.len).sum)
+    }
+    GraftProcedures.single(GraftProcedures.RowsScan(
+      StructType.fromDDL(
+        "generation BIGINT, committed_at TIMESTAMP, n_files INT, " +
+          "n_rows BIGINT, n_tombstones INT, total_bytes BIGINT"),
+      rows))
   }
 }
 

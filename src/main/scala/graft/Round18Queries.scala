@@ -195,6 +195,46 @@ object Round18Queries {
         FROM graft_cat.default.opt18_t GROUP BY o_orderpriority""")
     },
 
+    // SORTED WRITES (`sortBy` — the Iceberg sort-order move): an
+    // unpartitioned write takes a GLOBAL ordered distribution, so
+    // Spark range-partitions the job and every output file carries a
+    // DISJOINT key range; the writer's recorded min/max bounds are
+    // then tight and a key-range query's stats skipping opens only
+    // the overlapping files — require'd via the planned-splits hook
+    // (kept ≤ discovered/4), the non-partition-directory analogue of
+    // partition pruning that key-clustered 100 TB tables live on.
+    "delim_v2_sorted_skipping" -> { (s, dir) =>
+      import graft.sources.v2.DelimV2
+      val out = CoreQueries.scratchDir("delim_v2_sorted_skipping")
+      val t = s"$out/t"
+      graft.core.Scratch.rmTree(t)
+      Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"))
+        .write.format("graft-delim")
+        .option("sortBy", "o_orderkey")
+        .option("writePartitions", "16")
+        .mode("overwrite").save(t)
+      val hp = new org.apache.hadoop.fs.Path(t)
+      val fs = hp.getFileSystem(s.sessionState.newHadoopConf())
+      val files = DelimV2.readManifest(fs, hp).get.files
+      require(files.size >= 8,
+        s"fixture must range-partition into many files, got ${files.size}")
+      val df = s.read.format("graft-delim")
+        .schema("o_orderkey BIGINT, o_totalprice DOUBLE, o_orderpriority STRING")
+        .load(t)
+        .filter(col("o_orderkey") >= 1000L && col("o_orderkey") <= 4000L)
+        .agg(count(lit(1)).as("n_rows"),
+          round(sum(col("o_totalprice")), 2).as("revenue"),
+          min(col("o_orderkey")).as("min_key"),
+          max(col("o_orderkey")).as("max_key"))
+      df.collect() // plan + execute so the hook records this query's pruning
+      val (discovered, kept, _) = DelimV2.plannedSplitsFor(t).get
+      require(kept >= 1 && kept * 4 <= discovered,
+        s"sorted write must make the key-range query skip most files: " +
+          s"kept=$kept of discovered=$discovered")
+      df
+    },
+
     // SNAPSHOT HISTORY (`CALL graft_cat.system.snapshots` — DESCRIBE
     // HISTORY): one row per retained generation with commit time,
     // file/row counts (rows from the manifest's recorded stats — zero
@@ -387,6 +427,11 @@ object Round18Queries {
         |       round(sum(o_totalprice), 2),
         |       CAST(sum(o_orderkey) AS BIGINT)
         |FROM orders""".stripMargin,
+
+    "delim_v2_sorted_skipping" ->
+      """SELECT count(*) AS n_rows, round(sum(o_totalprice), 2) AS revenue,
+        |       min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+        |FROM orders WHERE o_orderkey BETWEEN 1000 AND 4000""".stripMargin,
 
     "delim_v2_snapshots" ->
       """SELECT CAST(1 AS BIGINT) AS generation, 1 AS n_files,

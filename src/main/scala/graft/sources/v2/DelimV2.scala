@@ -1679,9 +1679,37 @@ private[v2] class DelimWriteBuilder(
       require(r >= 1, s"graft-delim: retainVersions must be >= 1, got $r")
       r
     }
+    // SORT ORDER (`sortBy=a,b`): rows cluster by these columns before
+    // the writer sees them, so each file's recorded min/max bounds are
+    // TIGHT and stats skipping prunes key-range queries to the few
+    // files that overlap — the Iceberg sort-order move. Unpartitioned
+    // writes take a GLOBAL ordered distribution (Spark range-partitions
+    // the job: files carry disjoint key ranges); partitioned writes
+    // keep the partition clustering and sort within it (each partition
+    // lands as one fully-sorted file per task).
+    val sortBy = Option(options.get("sortBy")).toSeq
+      .flatMap(_.split(",").map(_.trim)).filter(_.nonEmpty)
+    sortBy.foreach { c =>
+      require(schema.fieldNames.contains(c),
+        s"graft-delim: sortBy column $c not in the write schema " +
+          s"${schema.fieldNames.mkString("[", ", ", "]")}")
+      require(!partCols.contains(c),
+        s"graft-delim: sortBy column $c is a partition column " +
+          "(partition values are constant within a file)")
+    }
+    // `writePartitions`: pin the write's shuffle partition count (the
+    // RequiresDistributionAndOrdering contract) — N sorted output
+    // files regardless of AQE coalescing; 0 lets Spark decide
+    val writeParts = Option(options.get("writePartitions")).map { v =>
+      val n = v.trim.toInt
+      require(n >= 1,
+        s"graft-delim: writePartitions must be >= 1, got $n")
+      n
+    }.getOrElse(0)
     new DelimWrite(schema, info.queryId(), DelimV2.paths(options).head,
       DelimV2.delimiter(options), doTruncate, partCols, dynamic,
-      DelimV2.quoteChar(options), distCols, retain)
+      DelimV2.quoteChar(options), distCols, retain, sortBy = sortBy,
+      writePartitions = writeParts)
   }
 }
 
@@ -1710,7 +1738,13 @@ private[v2] class DelimWrite(
       * write). The commit validates the table is STILL at this
       * generation — the optimistic-concurrency check closing the
       * scan-to-commit window the generation-claim CAS cannot see. */
-    replaceBaseGen: () => Option[Long] = () => None)
+    replaceBaseGen: () => Option[Long] = () => None,
+    /** Sort-order columns (`sortBy` option): rows arrive clustered by
+      * these, so per-file stats bounds are tight — see
+      * DelimWriteBuilder. */
+    sortBy: Seq[String] = Nil,
+    /** Pinned write shuffle partition count (0 = Spark decides). */
+    writePartitions: Int = 0)
     extends org.apache.spark.sql.connector.write.Write
     with org.apache.spark.sql.connector.write.BatchWrite
     with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
@@ -1729,9 +1763,19 @@ private[v2] class DelimWrite(
   private def distCols: Seq[String] =
     if (distColsIn.nonEmpty) distColsIn else partCols
 
+  private def asc(c: String): org.apache.spark.sql.connector.expressions.SortOrder =
+    org.apache.spark.sql.connector.expressions.Expressions.sort(
+      org.apache.spark.sql.connector.expressions.Expressions.column(c),
+      org.apache.spark.sql.connector.expressions.SortDirection.ASCENDING)
+
   override def requiredDistribution()
       : org.apache.spark.sql.connector.distributions.Distribution =
-    if (partCols.isEmpty)
+    if (partCols.isEmpty && sortBy.nonEmpty)
+      // GLOBAL sort distribution: Spark range-partitions the job, so
+      // output files carry DISJOINT key ranges — maximal stats skipping
+      org.apache.spark.sql.connector.distributions.Distributions.ordered(
+        sortBy.map(asc).toArray)
+    else if (partCols.isEmpty)
       org.apache.spark.sql.connector.distributions.Distributions.unspecified()
     else
       org.apache.spark.sql.connector.distributions.Distributions.clustered(
@@ -1741,13 +1785,10 @@ private[v2] class DelimWrite(
 
   override def requiredOrdering()
       : Array[org.apache.spark.sql.connector.expressions.SortOrder] =
-    if (partCols.isEmpty)
-      Array.empty
-    else distCols.map(c =>
-      org.apache.spark.sql.connector.expressions.Expressions.sort(
-        org.apache.spark.sql.connector.expressions.Expressions.column(c),
-        org.apache.spark.sql.connector.expressions.SortDirection.ASCENDING))
-      .toArray
+    if (partCols.isEmpty) sortBy.map(asc).toArray
+    else (distCols ++ sortBy).map(asc).toArray
+
+  override def requiredNumPartitions(): Int = writePartitions
 
   private def staging = new HPath(path, s"_staging_$queryId")
 

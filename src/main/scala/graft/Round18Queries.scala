@@ -235,6 +235,47 @@ object Round18Queries {
       df
     },
 
+    // TIMESTAMP columns end-to-end (the event-log landing shape the
+    // reference lives on): TimestampType is now a first-class
+    // connector type — written as the Hive text form
+    // (`yyyy-MM-dd HH:mm:ss.SSSSSS`, UTC), parsed byte-wise on the
+    // columnar path, filter-pushable, stats-tracked, and sortable.
+    // Events land sorted by ts into 12 range-disjoint files; a 3-day
+    // ts-range scan must SKIP the non-overlapping files (require'd
+    // kept*3 <= discovered) and the per-type rollup must match the
+    // parquet-derived oracle to the microsecond.
+    "delim_v2_timestamp_landing" -> { (s, dir) =>
+      import graft.sources.v2.DelimV2
+      val out = CoreQueries.scratchDir("delim_v2_timestamp_landing")
+      val t = s"$out/t"
+      graft.core.Scratch.rmTree(t)
+      Tables.events(s, dir)
+        .select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"), col("value"))
+        .write.format("graft-delim")
+        .option("sortBy", "ts")
+        .option("writePartitions", "12")
+        .mode("overwrite").save(t)
+      val df = s.read.format("graft-delim")
+        .schema("event_id BIGINT, ts TIMESTAMP, user_id BIGINT, " +
+          "event_type STRING, value DOUBLE")
+        .load(t)
+        .filter(col("ts") >= lit("2024-01-10 00:00:00") &&
+          col("ts") < lit("2024-01-13 00:00:00"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          round(sum(col("value")), 2).as("sum_value"),
+          countDistinct(col("user_id")).as("n_users"),
+          min(col("ts")).as("first_ts"),
+          max(col("ts")).as("last_ts"))
+      df.collect() // execute so the planned-splits hook records pruning
+      val (discovered, kept, _) = DelimV2.plannedSplitsFor(t).get
+      require(discovered >= 10 && kept >= 1 && kept * 3 <= discovered,
+        s"ts-sorted landing must skip non-overlapping files: " +
+          s"kept=$kept of discovered=$discovered")
+      df
+    },
+
     // SNAPSHOT HISTORY (`CALL graft_cat.system.snapshots` — DESCRIBE
     // HISTORY): one row per retained generation with commit time,
     // file/row counts (rows from the manifest's recorded stats — zero
@@ -427,6 +468,16 @@ object Round18Queries {
         |       round(sum(o_totalprice), 2),
         |       CAST(sum(o_orderkey) AS BIGINT)
         |FROM orders""".stripMargin,
+
+    "delim_v2_timestamp_landing" ->
+      """SELECT event_type, count(*) AS n_events,
+        |       round(sum(value), 2) AS sum_value,
+        |       count(DISTINCT user_id) AS n_users,
+        |       min(ts) AS first_ts, max(ts) AS last_ts
+        |FROM events
+        |WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+        |  AND ts < TIMESTAMP '2024-01-13 00:00:00'
+        |GROUP BY 1""".stripMargin,
 
     "delim_v2_sorted_skipping" ->
       """SELECT count(*) AS n_rows, round(sum(o_totalprice), 2) AS revenue,

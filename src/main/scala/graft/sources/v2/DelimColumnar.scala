@@ -362,6 +362,44 @@ private[v2] class DelimColumnarReader(
     } catch { case _: java.time.DateTimeException => 0 }
   }
 
+  /** `yyyy-MM-dd HH:mm:ss[.f{1,6}]` (or 'T' separator) fast path —
+    * the only form the connector writes; anything else falls back to
+    * the String round trip through parseExternal.
+    */
+  private var tsFast = false
+  private def parseTimestampBytes(b: Array[Byte], s: Int, e: Int): Long = {
+    tsFast = false
+    if (e - s < 19) return 0L
+    val day = parseDateBytes(b, s, s + 10)
+    if (!dateFast) return 0L
+    val sep = b(s + 10)
+    if (sep != ' ' && sep != 'T') return 0L
+    if (b(s + 13) != ':' || b(s + 16) != ':') return 0L
+    var i = s + 11
+    while (i < s + 19) {
+      if (i != s + 13 && i != s + 16 && (b(i) < '0' || b(i) > '9')) return 0L
+      i += 1
+    }
+    def n2(o: Int) = (b(o) - '0') * 10 + (b(o + 1) - '0')
+    val hh = n2(s + 11); val mm = n2(s + 14); val ss = n2(s + 17)
+    if (hh > 23 || mm > 59 || ss > 59) return 0L
+    var frac = 0L
+    if (e > s + 19) {
+      if (b(s + 19) != '.' || e - (s + 20) < 1 || e - (s + 20) > 6) return 0L
+      var j = s + 20
+      var scale = 100000L
+      while (j < e) {
+        val c = b(j)
+        if (c < '0' || c > '9') return 0L
+        frac += (c - '0') * scale
+        scale /= 10
+        j += 1
+      }
+    }
+    tsFast = true
+    (day.toLong * 86400L + hh * 3600L + mm * 60L + ss) * 1000000L + frac
+  }
+
   /** Write one parsed field into its vector (null on malformed, the
     * row path's permissive contract).
     */
@@ -429,6 +467,20 @@ private[v2] class DelimColumnarReader(
               new String(b, ts, te - ts, java.nio.charset.StandardCharsets.US_ASCII))
               .toEpochDay.toInt)
             catch { case _: java.time.format.DateTimeParseException => v.putNull(rowId) }
+          }
+        }
+      case TimestampType =>
+        val ts = trimStart(b, s, e)
+        val te = trimEnd(b, ts, e)
+        if (ts >= te) v.putNull(rowId)
+        else {
+          val fast = parseTimestampBytes(b, ts, te)
+          if (tsFast) v.putLong(rowId, fast)
+          else DelimV2.parseExternal(
+            new String(b, ts, te - ts, java.nio.charset.StandardCharsets.US_ASCII),
+            TimestampType) match {
+            case null => v.putNull(rowId)
+            case us: Long => v.putLong(rowId, us)
           }
         }
       case other =>
@@ -514,7 +566,8 @@ private[v2] class DelimColumnarReader(
       a.asInstanceOf[UTF8String].compareTo(b.asInstanceOf[UTF8String])
     case IntegerType | DateType =>
       Integer.compare(a.asInstanceOf[Int], b.asInstanceOf[Int])
-    case LongType => java.lang.Long.compare(a.asInstanceOf[Long], b.asInstanceOf[Long])
+    case LongType | TimestampType =>
+      java.lang.Long.compare(a.asInstanceOf[Long], b.asInstanceOf[Long])
     case DoubleType =>
       java.lang.Double.compare(a.asInstanceOf[Double], b.asInstanceOf[Double])
     case other =>
@@ -592,6 +645,17 @@ private[v2] class DelimColumnarReader(
             new String(b, ts, te - ts, java.nio.charset.StandardCharsets.US_ASCII))
             .toEpochDay.toInt
           catch { case _: java.time.format.DateTimeParseException => null }
+        }
+      case TimestampType =>
+        val ts = trimStart(b, s, e)
+        val te = trimEnd(b, ts, e)
+        if (ts >= te) null
+        else {
+          val fast = parseTimestampBytes(b, ts, te)
+          if (tsFast) fast
+          else DelimV2.parseExternal(
+            new String(b, ts, te - ts, java.nio.charset.StandardCharsets.US_ASCII),
+            TimestampType)
         }
       case other =>
         throw new IllegalArgumentException(s"graft-delim: unsupported type $other")

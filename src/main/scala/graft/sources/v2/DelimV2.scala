@@ -2239,6 +2239,8 @@ private[v2] class DelimDataWriter(
         case IntegerType | LongType => (lmin.toString, lmax.toString)
         case DateType =>
           (LocalDate.ofEpochDay(lmin).toString, LocalDate.ofEpochDay(lmax).toString)
+        case TimestampType =>
+          (DelimV2.microsToText(lmin), DelimV2.microsToText(lmax))
         case DoubleType => (dmin.toString, dmax.toString)
         case StringType => (smin, smax)
         case _ => (null, null)
@@ -2284,6 +2286,7 @@ private[v2] class DelimDataWriter(
     case LongType => row.getLong(i).toString
     case DoubleType => row.getDouble(i).toString
     case DateType => LocalDate.ofEpochDay(row.getInt(i).toLong).toString
+    case TimestampType => DelimV2.microsToText(row.getLong(i))
     case other =>
       throw new IllegalArgumentException(s"graft-delim: unsupported write type $other")
   }
@@ -2369,7 +2372,7 @@ private[v2] class DelimDataWriter(
         } else {
           val s = fieldString(row, i)
           if (tracked && tr(tj).valid) types(i) match {
-            case LongType => tr(tj).seenLong(row.getLong(i))
+            case LongType | TimestampType => tr(tj).seenLong(row.getLong(i))
             case IntegerType => tr(tj).seenLong(row.getInt(i).toLong)
             case DateType => tr(tj).seenLong(row.getInt(i).toLong)
             case DoubleType => tr(tj).seenDouble(row.getDouble(i))
@@ -2756,7 +2759,7 @@ private[graft] object DelimV2 {
     case null => true
     case _: String => dt == StringType
     case _: Int => dt == IntegerType
-    case _: Long => dt == LongType || dt == DateType
+    case _: Long => dt == LongType || dt == DateType || dt == TimestampType
     case _: Double => dt == DoubleType
     case _ => false
   }
@@ -3363,7 +3366,8 @@ private[graft] object DelimV2 {
     plannedSplitsLog.keySet().asScala.toSeq.sorted
 
   private val pushableTypes: Set[DataType] =
-    Set(StringType, IntegerType, LongType, DoubleType, DateType)
+    Set(StringType, IntegerType, LongType, DoubleType, DateType,
+      TimestampType)
 
   def pushableType(dt: DataType): Boolean = pushableTypes.contains(dt)
 
@@ -3413,6 +3417,16 @@ private[graft] object DelimV2 {
       case DateType =>
         try LocalDate.parse(raw.trim).toEpochDay
         catch { case _: java.time.format.DateTimeParseException => null }
+      case TimestampType =>
+        // `yyyy-MM-dd HH:mm:ss[.f{1,6}]` (the Hive text form this
+        // connector writes) or the ISO 'T' variant -> epoch MICROS
+        // under the session's UTC convention; malformed -> null
+        try {
+          val t = raw.trim.replace(' ', 'T')
+          val ldt = java.time.LocalDateTime.parse(t)
+          ldt.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L +
+            ldt.getNano / 1000L
+        } catch { case _: java.time.format.DateTimeParseException => null }
       case other =>
         throw new IllegalArgumentException(s"graft-delim: unsupported type $other")
     }
@@ -3424,8 +3438,21 @@ private[graft] object DelimV2 {
     if (v == null) null
     else dt match {
       case DateType => LocalDate.ofEpochDay(v.asInstanceOf[Long]).toString
+      case TimestampType => microsToText(v.asInstanceOf[Long])
       case _ => v.toString
     }
+
+  /** Epoch micros -> `yyyy-MM-dd HH:mm:ss.SSSSSS` (UTC) — the Hive
+    * timestamp text form, full fraction for a deterministic round trip.
+    */
+  private[v2] def microsToText(us: Long): String = {
+    val sec = java.lang.Math.floorDiv(us, 1000000L)
+    val frac = java.lang.Math.floorMod(us, 1000000L)
+    val ldt = java.time.LocalDateTime.ofEpochSecond(
+      sec, frac.toInt * 1000, java.time.ZoneOffset.UTC)
+    f"${ldt.getYear}%04d-${ldt.getMonthValue}%02d-${ldt.getDayOfMonth}%02d " +
+      f"${ldt.getHour}%02d:${ldt.getMinute}%02d:${ldt.getSecond}%02d.$frac%06d"
+  }
 
   /** External → Catalyst internal representation. */
   def toInternal(ext: Any, dt: DataType): Any =
@@ -3433,7 +3460,7 @@ private[graft] object DelimV2 {
     else dt match {
       case StringType => UTF8String.fromString(ext.asInstanceOf[String])
       case DateType => ext.asInstanceOf[Long].toInt // epoch days
-      case _ => ext
+      case _ => ext // TimestampType: external micros == internal micros
     }
 
   private def normValue(v: Any, dt: DataType): Any = dt match {
@@ -3444,6 +3471,20 @@ private[graft] object DelimV2 {
       case u: UTF8String => LocalDate.parse(u.toString).toEpochDay
       case other => throw new IllegalArgumentException(
         s"graft-delim: cannot compare DATE column to $other")
+    }
+    case TimestampType => v match {
+      case t: java.sql.Timestamp =>
+        java.lang.Math.floorDiv(t.getTime, 1000L) * 1000000L +
+          (t.getNanos / 1000L)
+      case i: java.time.Instant => i.getEpochSecond * 1000000L + i.getNano / 1000L
+      case l: Long => l
+      case s: String => parseExternal(s, TimestampType) match {
+        case null => throw new IllegalArgumentException(
+          s"graft-delim: cannot compare TIMESTAMP column to '$s'")
+        case us => us
+      }
+      case other => throw new IllegalArgumentException(
+        s"graft-delim: cannot compare TIMESTAMP column to $other")
     }
     case DoubleType =>
       val d = v.asInstanceOf[Number].doubleValue()
@@ -3479,7 +3520,7 @@ private[graft] object DelimV2 {
   private[v2] def cmp(dt: DataType, a: Any, b: Any): Int = dt match {
     case StringType => cmpCodePoints(a.asInstanceOf[String], b.asInstanceOf[String])
     case IntegerType => Integer.compare(a.asInstanceOf[Int], b.asInstanceOf[Int])
-    case LongType | DateType =>
+    case LongType | DateType | TimestampType =>
       java.lang.Long.compare(a.asInstanceOf[Long], b.asInstanceOf[Long])
     case DoubleType =>
       java.lang.Double.compare(a.asInstanceOf[Double], b.asInstanceOf[Double])

@@ -276,6 +276,45 @@ object Round18Queries {
       df
     },
 
+    // Z-ORDER clustering (ext.ZOrder — the OPTIMIZE ZORDER BY move):
+    // a single-column sort prunes range queries on that column only;
+    // Morton-interleaving two columns' bucketed bits makes each of the
+    // 16 files a small RECTANGLE of the (custkey, totalprice) space,
+    // so stats skipping prunes narrow range queries on EITHER column
+    // (require'd: each one-dimensional slice keeps at most half the
+    // files; the combined slice at most a quarter). Content oracle:
+    // both slices' aggregates, tagged and unioned.
+    "delim_v2_zorder_skipping" -> { (s, dir) =>
+      import graft.sources.v2.DelimV2
+      val out = CoreQueries.scratchDir("delim_v2_zorder_skipping")
+      val t = s"$out/t"
+      graft.core.Scratch.rmTree(t)
+      graft.ext.ZOrder.writeDelim(
+        Tables.orders(s, dir)
+          .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice")),
+        t, Seq("o_custkey", "o_totalprice"), nFiles = 16)
+      val schema = "o_orderkey BIGINT, o_custkey BIGINT, o_totalprice DOUBLE"
+      def slice(tag: String, f: org.apache.spark.sql.Column): DataFrame = {
+        val df = s.read.format("graft-delim").schema(schema).load(t)
+          .filter(f)
+          .agg(count(lit(1)).as("n_rows"),
+            round(sum(col("o_totalprice")), 2).as("revenue"),
+            sum(col("o_orderkey")).as("key_sig"))
+          .select(lit(tag).as("slice"), col("n_rows"), col("revenue"),
+            col("key_sig"))
+        df.collect() // execute so the hook records this slice's pruning
+        val (discovered, kept, _) = DelimV2.plannedSplitsFor(t).get
+        require(discovered >= 12 && kept >= 1 && kept * 2 <= discovered,
+          s"z-order must prune the $tag slice: kept=$kept of $discovered")
+        df
+      }
+      val byCust = slice("cust",
+        col("o_custkey") >= 100L && col("o_custkey") <= 200L)
+      val byPrice = slice("price",
+        col("o_totalprice") >= 400000.0 && col("o_totalprice") <= 450000.0)
+      byCust.unionByName(byPrice)
+    },
+
     // SNAPSHOT HISTORY (`CALL graft_cat.system.snapshots` — DESCRIBE
     // HISTORY): one row per retained generation with commit time,
     // file/row counts (rows from the manifest's recorded stats — zero
@@ -468,6 +507,16 @@ object Round18Queries {
         |       round(sum(o_totalprice), 2),
         |       CAST(sum(o_orderkey) AS BIGINT)
         |FROM orders""".stripMargin,
+
+    "delim_v2_zorder_skipping" ->
+      """SELECT 'cust' AS slice, count(*) AS n_rows,
+        |       round(sum(o_totalprice), 2) AS revenue,
+        |       CAST(sum(o_orderkey) AS BIGINT) AS key_sig
+        |FROM orders WHERE o_custkey BETWEEN 100 AND 200
+        |UNION ALL
+        |SELECT 'price', count(*), round(sum(o_totalprice), 2),
+        |       CAST(sum(o_orderkey) AS BIGINT)
+        |FROM orders WHERE o_totalprice BETWEEN 400000.0 AND 450000.0""".stripMargin,
 
     "delim_v2_timestamp_landing" ->
       """SELECT event_type, count(*) AS n_events,

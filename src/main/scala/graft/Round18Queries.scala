@@ -219,18 +219,28 @@ object Round18Queries {
       val files = DelimV2.readManifest(fs, hp).get.files
       require(files.size >= 8,
         s"fixture must range-partition into many files, got ${files.size}")
+      // SCALE-INDEPENDENT bounds: a fixed 10% slice of the key span
+      // (integer arithmetic, mirrored exactly in the oracle SQL) — a
+      // fixed literal range is half the table at sf0.001 and nothing
+      // at sf10, which is how the PlanAuditSpec run caught the first
+      // cut of this require
+      val Array(mn, mx) = Tables.orders(s, dir)
+        .agg(min(col("o_orderkey")), max(col("o_orderkey")))
+        .collect()(0).toSeq.map(_.asInstanceOf[Long]).toArray
+      val lo = mn + (mx - mn) / 20
+      val hi = mn + 3 * (mx - mn) / 20
       val df = s.read.format("graft-delim")
         .schema("o_orderkey BIGINT, o_totalprice DOUBLE, o_orderpriority STRING")
         .load(t)
-        .filter(col("o_orderkey") >= 1000L && col("o_orderkey") <= 4000L)
+        .filter(col("o_orderkey") >= lo && col("o_orderkey") < hi)
         .agg(count(lit(1)).as("n_rows"),
           round(sum(col("o_totalprice")), 2).as("revenue"),
           min(col("o_orderkey")).as("min_key"),
           max(col("o_orderkey")).as("max_key"))
       df.collect() // plan + execute so the hook records this query's pruning
       val (discovered, kept, _) = DelimV2.plannedSplitsFor(t).get
-      require(kept >= 1 && kept * 4 <= discovered,
-        s"sorted write must make the key-range query skip most files: " +
+      require(kept >= 1 && kept * 3 <= discovered,
+        s"sorted write must make the 10%-span query skip most files: " +
           s"kept=$kept of discovered=$discovered")
       df
     },
@@ -529,9 +539,13 @@ object Round18Queries {
         |GROUP BY 1""".stripMargin,
 
     "delim_v2_sorted_skipping" ->
-      """SELECT count(*) AS n_rows, round(sum(o_totalprice), 2) AS revenue,
+      """WITH b AS (SELECT min(o_orderkey) AS mn, max(o_orderkey) AS mx
+        |           FROM orders)
+        |SELECT count(*) AS n_rows, round(sum(o_totalprice), 2) AS revenue,
         |       min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
-        |FROM orders WHERE o_orderkey BETWEEN 1000 AND 4000""".stripMargin,
+        |FROM orders, b
+        |WHERE o_orderkey >= mn + (mx - mn) // 20
+        |  AND o_orderkey <  mn + 3 * (mx - mn) // 20""".stripMargin,
 
     "delim_v2_snapshots" ->
       """SELECT CAST(1 AS BIGINT) AS generation, 1 AS n_files,

@@ -325,6 +325,53 @@ object Round18Queries {
       byCust.unionByName(byPrice)
     },
 
+    // BLOOM-SIDECAR equality skipping (`bloomFor` — parquet's
+    // footer-bloom move for a format without footers): ids land HASH-
+    // SHUFFLED across 12 files, so every file's [min,max] spans the
+    // whole domain and stats cannot prune an `=` probe — the 100 TB
+    // full-scan-for-one-row trap. Each file carries a 32 KB
+    // `<file>.bloom` sidecar (NOT in the manifest: 32 KB × 100k files
+    // would blow STRESS §15's metadata envelope); readers test it at
+    // task start and never open non-matching data bytes. The require
+    // drives the verdicts per file: an absent key skips ≥ 11 of 12,
+    // a present key keeps its file. Content oracle: hit + miss probes.
+    "delim_v2_bloom_skipping" -> { (s, dir) =>
+      import graft.sources.v2.{DelimBloom, DelimV2}
+      val out = CoreQueries.scratchDir("delim_v2_bloom_skipping")
+      val t = s"$out/t"
+      graft.core.Scratch.rmTree(t)
+      Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_totalprice"))
+        .repartition(12) // hash-shuffle: min/max useless by design
+        .write.format("graft-delim")
+        .option("bloomFor", "o_orderkey")
+        .mode("overwrite").save(t)
+      val hp = new org.apache.hadoop.fs.Path(t)
+      val fs = hp.getFileSystem(s.sessionState.newHadoopConf())
+      val m = DelimV2.readManifest(fs, hp).get
+      require(m.files.size == 12 && m.bloomCols == Seq("o_orderkey"),
+        s"fixture: ${m.files.size} files, bloomCols=${m.bloomCols}")
+      val Array(mn, mx) = Tables.orders(s, dir)
+        .agg(min(col("o_orderkey")), max(col("o_orderkey")))
+        .collect()(0).toSeq.map(_.asInstanceOf[Long]).toArray
+      def skips(key: Long): Int = m.files.count(e =>
+        DelimBloom.fileSkips(fs, new org.apache.hadoop.fs.Path(hp, e.rel),
+          Seq(("o_orderkey", Seq(key.toString)))))
+      require(skips(mx + 12345L) >= m.files.size - 1,
+        s"absent key must skip ~every file, skipped ${skips(mx + 12345L)}")
+      require(skips(mn) < m.files.size,
+        "the file holding the min key must not skip")
+      val delim = s.read.format("graft-delim")
+        .schema("o_orderkey BIGINT, o_totalprice DOUBLE").load(t)
+      delim.createOrReplaceTempView("bloom18_t")
+      s.sql(s"""SELECT 'hit' AS probe, count(*) AS n_rows,
+          round(sum(o_totalprice), 2) AS revenue
+        FROM bloom18_t WHERE o_orderkey = $mn
+        UNION ALL
+        SELECT 'miss', count(*), round(sum(o_totalprice), 2)
+        FROM bloom18_t WHERE o_orderkey = ${mn - 1L}""")
+    },
+
     // SNAPSHOT HISTORY (`CALL graft_cat.system.snapshots` — DESCRIBE
     // HISTORY): one row per retained generation with commit time,
     // file/row counts (rows from the manifest's recorded stats — zero
@@ -517,6 +564,16 @@ object Round18Queries {
         |       round(sum(o_totalprice), 2),
         |       CAST(sum(o_orderkey) AS BIGINT)
         |FROM orders""".stripMargin,
+
+    "delim_v2_bloom_skipping" ->
+      """SELECT 'hit' AS probe, count(*) AS n_rows,
+        |       round(sum(o_totalprice), 2) AS revenue
+        |FROM orders
+        |WHERE o_orderkey = (SELECT min(o_orderkey) FROM orders)
+        |UNION ALL
+        |SELECT 'miss', count(*), round(sum(o_totalprice), 2)
+        |FROM orders
+        |WHERE o_orderkey = (SELECT min(o_orderkey) - 1 FROM orders)""".stripMargin,
 
     "delim_v2_zorder_skipping" ->
       """SELECT 'cust' AS slice, count(*) AS n_rows,

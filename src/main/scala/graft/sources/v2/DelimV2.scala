@@ -249,6 +249,7 @@ private[v2] class DelimTable(tableSchema: StructType, options: CaseInsensitiveSt
     // partition-only branch; the tombstone branch removes nothing)
     m.files.map(_.rel).filterNot(liveRetained).foreach { rel =>
       fs.delete(new HPath(root, rel), false)
+      fs.delete(new HPath(root, rel + DelimBloom.Suffix), false)
     }
   }
 
@@ -266,6 +267,7 @@ private[v2] class DelimTable(tableSchema: StructType, options: CaseInsensitiveSt
           m.copy(gen = m.gen + 1, files = Nil))
         m.files.map(_.rel).filterNot(liveRetained).foreach { rel =>
           fs.delete(new HPath(root, rel), false)
+          fs.delete(new HPath(root, rel + DelimBloom.Suffix), false)
         }
         true
     }
@@ -487,7 +489,8 @@ private[v2] class DelimScanBuilder(fullSchema: StructType, options: CaseInsensit
   override def build(): Scan =
     new DelimScan(fullSchema, required, pushed, limit, options, aggCountCols,
       filesWithParts, topN, completeAggRow,
-      snapshot.manifest.map(_.tombstones).getOrElse(Nil))
+      snapshot.manifest.map(_.tombstones).getOrElse(Nil),
+      snapshot.manifest.map(_.bloomCols).getOrElse(Nil))
 }
 
 /** One pushed sort key: column, direction, null placement. */
@@ -519,7 +522,10 @@ class DelimScan(
     /** Merge-on-read delete tombstones from the snapshot's manifest
       * ((recorded generation, encoded predicate)); applied per file at
       * split planning (see makeSplits). */
-    tombstones: Seq[(Long, String)] = Nil)
+    tombstones: Seq[(Long, String)] = Nil,
+    /** Bloom-sidecar columns from the snapshot's manifest header —
+      * readers probe `<file>.bloom` for equality filters on these. */
+    bloomCols: Seq[String] = Nil)
     extends Scan with Batch with SupportsReportStatistics with SupportsRuntimeFiltering
     with org.apache.spark.sql.connector.read.SupportsReportPartitioning {
 
@@ -772,7 +778,7 @@ class DelimScan(
         } && (f.stats == null || statPreds.forall(_(f.stats)))
       }
     plannedFiles = kept.map(_.status.getPath.toString)
-    val splits = makeSplits(kept, splitBytes, tombstones)
+    val splits = makeSplits(kept, splitBytes, tombstones, bloomCols)
     DelimV2.recordPlannedSplits(paths.mkString(","),
       allFiles.size, kept.size, splits.length)
     splits
@@ -788,12 +794,20 @@ class DelimScan(
     */
   private def makeSplits(
       kept: Seq[DelimV2.ListedFile], splitBytes: Long,
-      tombs: Seq[(Long, String)]): Array[InputPartition] = {
+      tombs: Seq[(Long, String)],
+      blooms: Seq[String] = Nil): Array[InputPartition] = {
     val tombFilters: Seq[(Long, Filter)] =
       if (tombs.isEmpty || kept.isEmpty) Nil
       else tombs.map { case (g, enc) =>
         (g, DelimV2.tombstoneFilter(enc, fullSchema))
       }
+    // bloom probes resolve ONCE per scan: (column, canonical texts)
+    // for the pushed/runtime equality filters on bloomed columns
+    val bloomProbes: Array[(String, Seq[String])] =
+      if (blooms.isEmpty || kept.isEmpty) Array.empty
+      else DelimBloom.probes(
+        (pushedFilters ++ runtimeFilters).toSeq, blooms.toSet,
+        c => fullSchema.fields.find(_.name == c).map(_.dataType)).toArray
     kept.flatMap { lf =>
       val f = lf.status
       val pv = lf.pvals
@@ -825,7 +839,7 @@ class DelimScan(
         (0L until n).map { i =>
           val start = i * per
           DelimSplit(f.getPath.toString, start, math.min(per, len - start),
-            len, partVals, partKey, lf.fileFields, fileTombs)
+            len, partVals, partKey, lf.fileFields, fileTombs, bloomProbes)
         }
       }
     }.toArray[InputPartition]
@@ -936,7 +950,7 @@ class DelimScan(
         // delete recorded AFTER rows already streamed cannot retract
         // them (append-only contract), but replays and fresh streams
         // honor every tombstone at `end`
-        makeSplits(files, splitBytes, m.tombstones)
+        makeSplits(files, splitBytes, m.tombstones, m.bloomCols)
       }
 
       override def createReaderFactory(): PartitionReaderFactory = {
@@ -1069,7 +1083,12 @@ private[v2] case class DelimSplit(
       * the readers AND into their pushed-filter evaluation. Per-split
       * because applicability is per file generation — rows written
       * after a delete must never be re-deleted. */
-    tombstones: Array[Filter] = Array.empty)
+    tombstones: Array[Filter] = Array.empty,
+    /** Pre-resolved bloom probes ((column, probe texts)) — nonEmpty
+      * only when the table has bloom sidecars AND the scan pushed an
+      * equality filter on a bloomed column; the reader tests
+      * `<path>.bloom` before touching data bytes (DelimBloom). */
+    bloomProbes: Array[(String, Seq[String])] = Array.empty)
     extends InputPartition
     with org.apache.spark.sql.connector.read.HasPartitionKey {
 
@@ -1092,21 +1111,40 @@ private[v2] class DelimReaderFactory(
     batchSize: Int = 4096)
     extends PartitionReaderFactory {
 
-  private def open(partition: InputPartition): (DelimSplit, FSDataInputStream) = {
-    val split = partition.asInstanceOf[DelimSplit]
+  private def hconf(): Configuration = {
     // defaults load executor-side (core-default.xml ships in the jars);
     // the driver's fs.*/hadoop.* entries overlay them
     val conf = new Configuration(true)
     confMap.foreach { case (k, v) => conf.set(k, v) }
+    conf
+  }
+
+  /** Executor-side BLOOM gate: when the split carries probes and the
+    * file's sidecar proves no equality key can match, the task never
+    * opens the data bytes (DelimBloom — the footer-bloom move).
+    */
+  private def bloomSkips(split: DelimSplit, conf: Configuration): Boolean =
+    split.bloomProbes.nonEmpty && DelimBloom.fileSkips(
+      new HPath(split.path).getFileSystem(conf), new HPath(split.path),
+      split.bloomProbes.toSeq)
+
+  private def open(split: DelimSplit, conf: Configuration): FSDataInputStream = {
     val p = new HPath(split.path)
-    (split, p.getFileSystem(conf).open(p))
+    p.getFileSystem(conf).open(p)
   }
 
   override def supportColumnarReads(partition: InputPartition): Boolean = columnar
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
-    val (split, in) = open(partition)
-    new DelimPartitionReader(in, split, fullSchema, required,
+    val split = partition.asInstanceOf[DelimSplit]
+    val conf = hconf()
+    if (bloomSkips(split, conf))
+      return new PartitionReader[InternalRow] {
+        override def next(): Boolean = false
+        override def get(): InternalRow = throw new NoSuchElementException
+        override def close(): Unit = ()
+      }
+    new DelimPartitionReader(open(split, conf), split, fullSchema, required,
       filters ++ split.tombstones, delim,
       limit, partCols, topN, quote, multiLine)
   }
@@ -1114,8 +1152,16 @@ private[v2] class DelimReaderFactory(
   override def createColumnarReader(
       partition: InputPartition)
       : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
-    val (split, in) = open(partition)
-    new DelimColumnarReader(in, split, fullSchema, required,
+    val split = partition.asInstanceOf[DelimSplit]
+    val conf = hconf()
+    if (bloomSkips(split, conf))
+      return new PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
+        override def next(): Boolean = false
+        override def get(): org.apache.spark.sql.vectorized.ColumnarBatch =
+          throw new NoSuchElementException
+        override def close(): Unit = ()
+      }
+    new DelimColumnarReader(open(split, conf), split, fullSchema, required,
       filters ++ split.tombstones, delim,
       limit, partCols, quote, multiLine, batchSize, topN)
   }
@@ -1706,10 +1752,21 @@ private[v2] class DelimWriteBuilder(
         s"graft-delim: writePartitions must be >= 1, got $n")
       n
     }.getOrElse(0)
+    // `bloomFor=a,b`: per-file bloom sidecars for equality skipping
+    // on columns the layout does not cluster (see DelimBloom)
+    val bloomFor = Option(options.get("bloomFor")).toSeq
+      .flatMap(_.split(",").map(_.trim)).filter(_.nonEmpty)
+    bloomFor.foreach { c =>
+      require(schema.fieldNames.contains(c),
+        s"graft-delim: bloomFor column $c not in the write schema")
+      require(!partCols.contains(c),
+        s"graft-delim: bloomFor column $c is a partition column " +
+          "(partition values prune at file level already)")
+    }
     new DelimWrite(schema, info.queryId(), DelimV2.paths(options).head,
       DelimV2.delimiter(options), doTruncate, partCols, dynamic,
       DelimV2.quoteChar(options), distCols, retain, sortBy = sortBy,
-      writePartitions = writeParts)
+      writePartitions = writeParts, bloomFor = bloomFor)
   }
 }
 
@@ -1744,7 +1801,9 @@ private[v2] class DelimWrite(
       * DelimWriteBuilder. */
     sortBy: Seq[String] = Nil,
     /** Pinned write shuffle partition count (0 = Spark decides). */
-    writePartitions: Int = 0)
+    writePartitions: Int = 0,
+    /** Columns to write bloom sidecars for (DelimBloom). */
+    bloomFor: Seq[String] = Nil)
     extends org.apache.spark.sql.connector.write.Write
     with org.apache.spark.sql.connector.write.BatchWrite
     with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
@@ -1806,7 +1865,7 @@ private[v2] class DelimWrite(
       .filter { case (k, _) => k.startsWith("fs.") || k.startsWith("hadoop.") }
       .toMap
     new DelimWriterFactory(schema, delim, staging.toString, confMap, partCols, quote,
-      genToken = queryId.replace("-", "").take(8))
+      genToken = queryId.replace("-", "").take(8), bloomFor = bloomFor)
   }
 
   /** MANIFEST-SWAP commit — the snapshot-isolation sequence:
@@ -1843,7 +1902,7 @@ private[v2] class DelimWrite(
     // recursive listing (first manifest-commit over a legacy layout)
     val prevM = DelimV2.snapshotManifest(fs, target, fs.getConf)
     val newGen = prevM.gen + 1
-    val newEntries = newFiles.map(sf =>
+    val newEntries = newFiles.filterNot(_.sidecar).map(sf =>
       DelimV2.ManifestEntry(sf.length, newGen,
         if (sf.subdir.isEmpty) sf.finalName else s"${sf.subdir}/${sf.finalName}",
         sf.stats))
@@ -1902,7 +1961,12 @@ private[v2] class DelimWrite(
       // delete tombstones ride every commit (a truncate drops the
       // files they applied to, and serialization GCs them then);
       // the new generation's own files are never subject to them
-      tombstones = prevM.tombstones)
+      tombstones = prevM.tombstones,
+      // a static overwrite starts the bloom-column list fresh (the
+      // old generation's sidecars die with its files)
+      bloomCols =
+        if (truncate && !dynamicOverwrite) bloomFor.distinct
+        else (prevM.bloomCols ++ bloomFor).distinct)
     val liveRetained =
       try DelimV2.commitManifest(fs, target, manifest)
       catch {
@@ -1928,6 +1992,7 @@ private[v2] class DelimWrite(
       DelimWrite.sweepDead(fs, target, liveRetained)
     else prevM.files.map(_.rel).filterNot(liveRetained).foreach { rel =>
       fs.delete(new HPath(target, rel), false)
+      fs.delete(new HPath(target, rel + DelimBloom.Suffix), false) // sidecar, if any
     }
     fs.delete(staging, true) // drops any uncommitted stray files with it
   }
@@ -2064,7 +2129,10 @@ private[v2] object DelimWrite {
           if (isRoot) keep = true
         } else {
           val rel = root.relativize(fs.makeQualified(st.getPath).toUri).getPath
-          if (live.contains(rel)) keep = true
+          val liveHere = live.contains(rel) ||
+            (rel.endsWith(DelimBloom.Suffix) &&
+              live.contains(rel.stripSuffix(DelimBloom.Suffix)))
+          if (liveHere) keep = true
           else { fs.delete(st.getPath, false); deleted += 1 }
         }
       }
@@ -2111,7 +2179,10 @@ private[v2] case class DelimStagedFile(
     /** Encoded per-file column stats (DelimV2.encodeStats) — the
       * data-skipping index recorded while the rows streamed through
       * the writer; empty = none. */
-    stats: String = "")
+    stats: String = "",
+    /** True = a bloom SIDECAR: promoted beside its data file but
+      * never listed in the manifest (see DelimBloom). */
+    sidecar: Boolean = false)
 
 /** One task's staged output, one entry per partition value it saw,
   * plus whether any written field embedded a newline (drives the
@@ -2129,7 +2200,8 @@ private[v2] class DelimWriterFactory(
       * manifest-swap commit promotes the new generation alongside the
       * old one before flipping visibility, which is only sound if the
       * promote cannot overwrite live old-generation bytes. */
-    genToken: String = "")
+    genToken: String = "",
+    bloomFor: Seq[String] = Nil)
     extends org.apache.spark.sql.connector.write.DataWriterFactory {
 
   override def createWriter(partitionId: Int, taskId: Long)
@@ -2140,7 +2212,7 @@ private[v2] class DelimWriterFactory(
     val tok = if (genToken.isEmpty) "" else s"-$genToken"
     new DelimDataWriter(stagingDir, f"part-$partitionId%05d-$taskId$tok",
       schema, delim, confMap, partCols, quote = quote,
-      singleOpenStream = partCols.nonEmpty)
+      singleOpenStream = partCols.nonEmpty, bloomFor = bloomFor)
   }
 }
 
@@ -2165,7 +2237,10 @@ private[v2] class DelimDataWriter(
       * transition — the fd bound that lets a task own thousands of
       * partition values. Streaming epochs (where the ordering is not
       * guaranteed) keep the open-map behavior. */
-    singleOpenStream: Boolean = false)
+    singleOpenStream: Boolean = false,
+    /** Columns to build per-file bloom SIDECARS for (DelimBloom):
+      * equality skipping on unclustered keys. */
+    bloomFor: Seq[String] = Nil)
     extends org.apache.spark.sql.connector.write.DataWriter[InternalRow] {
 
   private val finStem = Option(finalStem).getOrElse(fileStem)
@@ -2250,6 +2325,20 @@ private[v2] class DelimDataWriter(
   private val trackedIdx: Array[Int] =
     types.indices.filter(i => !isPart(i) && DelimV2.pushableType(types(i))).toArray
   private final class SubStats(val trackers: Array[ColTracker]) { var rows = 0L }
+  // bloom sidecar builders: schema index -> probe position (-1 = none)
+  private val bloomSchemaIdx: Array[Int] = bloomFor.distinct
+    .filter(c => schema.fieldNames.contains(c) && !partCols.contains(c))
+    .map(schema.fieldIndex).toArray
+  private val bloomPosOf: Array[Int] = {
+    val m = Array.fill(schema.size)(-1)
+    bloomSchemaIdx.zipWithIndex.foreach { case (si, j) => m(si) = j }
+    m
+  }
+  private val bloomsBySub =
+    scala.collection.mutable.HashMap.empty[String, Array[DelimBloom.Builder]]
+  private def bloomsFor(sub: String): Array[DelimBloom.Builder] =
+    bloomsBySub.getOrElseUpdate(sub,
+      bloomSchemaIdx.map(_ => new DelimBloom.Builder))
   private val statsBySub =
     scala.collection.mutable.HashMap.empty[String, SubStats]
   // rows arrive clustered by partition value (flat writes have ONE
@@ -2371,6 +2460,8 @@ private[v2] class DelimDataWriter(
           if (tracked && tr(tj).valid) tr(tj).nulls += 1
         } else {
           val s = fieldString(row, i)
+          if (bloomSchemaIdx.nonEmpty && bloomPosOf(i) >= 0)
+            bloomsFor(sub)(bloomPosOf(i)).add(s)
           if (tracked && tr(tj).valid) types(i) match {
             case LongType | TimestampType => tr(tj).seenLong(row.getLong(i))
             case IntegerType => tr(tj).seenLong(row.getInt(i).toLong)
@@ -2420,9 +2511,30 @@ private[v2] class DelimDataWriter(
     // an empty flat task still stages its (empty) file lazily never —
     // emit the single flat file only if it was opened; partitioned
     // tasks stage only the values they saw
-    DelimCommit(staged.toSeq.map(sf => sf.copy(
-      length = written(sf.subdir), stats = encodedStats(sf.subdir))),
-      sawNewline)
+    val dataStaged = staged.toSeq.map(sf => sf.copy(
+      length = written(sf.subdir), stats = encodedStats(sf.subdir)))
+    // bloom sidecars: one per staged data file, staged beside it and
+    // promoted to `<finalName>.bloom` (never a manifest entry)
+    val sidecars =
+      if (bloomSchemaIdx.isEmpty) Nil
+      else {
+        val c = conf()
+        dataStaged.flatMap { sf =>
+          bloomsBySub.get(sf.subdir).map { builders =>
+            val bytes = DelimBloom.serialize(
+              bloomSchemaIdx.zip(builders).map { case (si, b) =>
+                (schema.fieldNames(si), b.bits)
+              })
+            val side = new HPath(sf.path + DelimBloom.Suffix)
+            val out = side.getFileSystem(c).create(side, true)
+            try out.write(bytes) finally out.close()
+            DelimStagedFile(sf.subdir, side.toString,
+              sf.finalName + DelimBloom.Suffix, bytes.length.toLong,
+              sidecar = true)
+          }
+        }
+      }
+    DelimCommit(dataStaged ++ sidecars, sawNewline)
   }
 
   override def abort(): Unit = {
@@ -2868,7 +2980,12 @@ private[graft] object DelimV2 {
         * `;`-joined leaves, each `op:col:value...` with %-escaping
         * (see encodeTombstone).
         */
-      tombstones: Seq[(Long, String)] = Nil) {
+      tombstones: Seq[(Long, String)] = Nil,
+      /** Columns some generation wrote bloom sidecars for — readers
+        * probe `<file>.bloom` for equality filters on these (a file
+        * written without one simply cannot skip). Header-level so
+        * un-bloomed tables never pay a sidecar existence check. */
+      bloomCols: Seq[String] = Nil) {
     def entries: Seq[(Long, String)] = files.map(e => (e.len, e.rel))
   }
 
@@ -2913,6 +3030,7 @@ private[graft] object DelimV2 {
         var ts = 0L
         var schemas = Map.empty[Long, ManifestSchema]
         var tombs = Vector.empty[(Long, String)]
+        var bloomCols = Seq.empty[String]
         def bad(l: String, what: String): Nothing =
           throw new IllegalStateException(
             s"graft-delim: malformed manifest $what in $mf: '${l.take(80)}'" +
@@ -2938,6 +3056,9 @@ private[graft] object DelimV2 {
               if (a.startsWith("gen=")) gen = a.stripPrefix("gen=").toLong
               if (a.startsWith("retain=")) retain = a.stripPrefix("retain=").toInt
               if (a.startsWith("ts=")) ts = a.stripPrefix("ts=").toLong
+              if (a.startsWith("bloomcols=")) bloomCols =
+                a.stripPrefix("bloomcols=").split(',').toSeq
+                  .map(statUnesc).filter(_.nonEmpty)
             }
             None
           } else {
@@ -2951,7 +3072,8 @@ private[graft] object DelimV2 {
             } catch { case _: NumberFormatException => bad(l, "length") }
           }
         }.toList
-        Some(DelimManifest(entries, multi, gen, retain, schemas, ts, tombs))
+        Some(DelimManifest(entries, multi, gen, retain, schemas, ts, tombs,
+          bloomCols))
       } finally in.close()
     }
   }
@@ -3005,7 +3127,10 @@ private[graft] object DelimV2 {
     val sb = new java.lang.StringBuilder(64 + m.files.size * 48)
     sb.append(s"#graft-delim-manifest v2 multiline=${m.multiLine}" +
       s" gen=${m.gen} retain=${m.retain}" +
-      (if (m.ts > 0) s" ts=${m.ts}" else "") + "\n")
+      (if (m.ts > 0) s" ts=${m.ts}" else "") +
+      (if (m.bloomCols.nonEmpty)
+        s" bloomcols=${m.bloomCols.map(statEsc).mkString(",")}" else "") +
+      "\n")
     val liveGens = m.files.map(_.gen).toSet
     m.schemas.toSeq.sortBy(_._1).foreach { case (g, sch) =>
       if (liveGens.contains(g) || g == m.gen) // GC schemas of dead generations
@@ -3318,7 +3443,7 @@ private[graft] object DelimV2 {
       }
     }.filterNot { f =>
       val n = f.status.getPath.getName
-      n.startsWith("_") || n.startsWith(".")
+      n.startsWith("_") || n.startsWith(".") || n.endsWith(DelimBloom.Suffix)
     }.sortBy(_.status.getPath.toString)
     ListingSnapshot(files, firstManifest)
   }
@@ -3506,6 +3631,9 @@ private[graft] object DelimV2 {
     * U+E000–U+FFFF. Allocation-free (no UTF8String round-trip per row).
     */
   private[v2] def cmpCodePointsPub(a: String, b: String): Int = cmpCodePoints(a, b)
+
+  /** normValue for the bloom-probe canonicalization (DelimBloom). */
+  private[graft] def normValuePub(v: Any, dt: DataType): Any = normValue(v, dt)
 
   private def cmpCodePoints(a: String, b: String): Int = {
     var i = 0; var j = 0

@@ -1,0 +1,94 @@
+package graft.sources.v2
+
+import org.apache.hadoop.fs.{Path => HPath}
+
+import graft.SparkFunSuite
+
+/** Bloom sidecar certification: equality skipping on unclustered
+  * columns — the sidecar mechanism itself (fileSkips verdicts per
+  * file), reader-path correctness on both columnar and row paths,
+  * manifest header carriage, compaction interplay (a compacted file
+  * has no sidecar and simply cannot skip), and overwrite cleanup.
+  */
+class DelimBloomSpec extends SparkFunSuite {
+  import spark.implicits._
+
+  private def fs(t: String) =
+    new HPath(t).getFileSystem(spark.sessionState.newHadoopConf())
+
+  private def mk(t: String, n: Long = 2000L, files: Int = 8): Unit = {
+    // ids SHUFFLED across files (hash repartition): every file's
+    // [min,max] spans nearly the whole domain, so min/max stats CANNOT
+    // prune an equality probe — exactly the gap blooms close
+    spark.range(1L, n + 1L).select($"id", ($"id" * 1.5).as("v"))
+      .repartition(files)
+      .write.format("graft-delim")
+      .option("bloomFor", "id")
+      .mode("overwrite").save(t)
+  }
+
+  test("sidecars land beside every data file and the header records the column") {
+    val t = s"${tempDir("bloom-land")}/t"
+    mk(t)
+    val m = DelimV2.readManifest(fs(t), new HPath(t)).get
+    assert(m.bloomCols == Seq("id"))
+    m.files.foreach { e =>
+      assert(fs(t).exists(new HPath(t, e.rel + DelimBloom.Suffix)),
+        s"missing sidecar for ${e.rel}")
+      assert(!e.rel.endsWith(DelimBloom.Suffix)) // never a manifest entry
+    }
+  }
+
+  test("an absent key's probe skips every file; a present key's keeps its file") {
+    val t = s"${tempDir("bloom-skip")}/t"
+    mk(t)
+    val m = DelimV2.readManifest(fs(t), new HPath(t)).get
+    def skips(key: Long): Int = m.files.count { e =>
+      DelimBloom.fileSkips(fs(t), new HPath(t, e.rel),
+        Seq(("id", Seq(key.toString))))
+    }
+    assert(skips(999999L) >= m.files.size - 1, // <=1 false positive in 8
+      s"absent key skipped only ${skips(999999L)} of ${m.files.size}")
+    assert(skips(1000L) < m.files.size,
+      "the file holding key 1000 must not skip")
+  }
+
+  test("equality reads stay correct through the bloom gate on both paths") {
+    val t = s"${tempDir("bloom-read")}/t"
+    mk(t)
+    for (columnar <- Seq(true, false)) {
+      val df = spark.read.format("graft-delim")
+        .schema("id BIGINT, v DOUBLE")
+        .option("columnar", columnar.toString).load(t)
+      assert(df.filter($"id" === 1000L).collect().map(_.getDouble(1)).toSeq
+        == Seq(1500.0))
+      assert(df.filter($"id" === 999999L).count() == 0L)
+      assert(df.filter($"id".isin(7L, 999999L, 1234L)).count() == 2L)
+    }
+  }
+
+  test("compaction drops sidecars with the replaced files; reads stay correct") {
+    val t = s"${tempDir("bloom-compact")}/t"
+    mk(t)
+    DelimCompact.compact(spark, t)
+    val m = DelimV2.readManifest(fs(t), new HPath(t)).get
+    assert(m.files.size == 1 && m.bloomCols == Seq("id"))
+    // the compacted file has no sidecar — it simply cannot skip
+    assert(!fs(t).exists(new HPath(t, m.files.head.rel + DelimBloom.Suffix)))
+    val df = spark.read.format("graft-delim").schema("id BIGINT, v DOUBLE").load(t)
+    assert(df.filter($"id" === 1000L).count() == 1L)
+    assert(df.count() == 2000L)
+  }
+
+  test("a static overwrite without bloomFor clears the header and the sidecars") {
+    val t = s"${tempDir("bloom-clear")}/t"
+    mk(t)
+    spark.range(1L, 11L).select($"id", ($"id" * 1.0).as("v"))
+      .write.format("graft-delim").mode("overwrite").save(t)
+    val m = DelimV2.readManifest(fs(t), new HPath(t)).get
+    assert(m.bloomCols.isEmpty)
+    val leftover = fs(t).listStatus(new HPath(t))
+      .map(_.getPath.getName).filter(_.endsWith(DelimBloom.Suffix))
+    assert(leftover.isEmpty, s"swept overwrite left sidecars: ${leftover.toSeq}")
+  }
+}

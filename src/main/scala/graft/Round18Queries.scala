@@ -340,8 +340,12 @@ object Round18Queries {
       val out = CoreQueries.scratchDir("delim_v2_bloom_skipping")
       val t = s"$out/t"
       graft.core.Scratch.rmTree(t)
+      // keys DOUBLED: the fixture's orderkeys are dense, and an
+      // out-of-range miss would be caught by min/max stats before the
+      // bloom ever ran — odd keys are in-range-but-absent, the exact
+      // case only a bloom can skip
       Tables.orders(s, dir)
-        .select(col("o_orderkey"), col("o_totalprice"))
+        .select((col("o_orderkey") * 2).as("o_orderkey"), col("o_totalprice"))
         .repartition(12) // hash-shuffle: min/max useless by design
         .write.format("graft-delim")
         .option("bloomFor", "o_orderkey")
@@ -353,12 +357,14 @@ object Round18Queries {
         s"fixture: ${m.files.size} files, bloomCols=${m.bloomCols}")
       val Array(mn, mx) = Tables.orders(s, dir)
         .agg(min(col("o_orderkey")), max(col("o_orderkey")))
-        .collect()(0).toSeq.map(_.asInstanceOf[Long]).toArray
+        .collect()(0).toSeq.map(v => v.asInstanceOf[Long] * 2).toArray
+      val absent = mn + 1L // odd: inside [min,max], in no file
       def skips(key: Long): Int = m.files.count(e =>
         DelimBloom.fileSkips(fs, new org.apache.hadoop.fs.Path(hp, e.rel),
           Seq(("o_orderkey", Seq(key.toString)))))
-      require(skips(mx + 12345L) >= m.files.size - 1,
-        s"absent key must skip ~every file, skipped ${skips(mx + 12345L)}")
+      require(skips(absent) >= m.files.size - 1,
+        s"in-range absent key must skip ~every file, skipped ${skips(absent)}" +
+          s" of ${m.files.size}")
       require(skips(mn) < m.files.size,
         "the file holding the min key must not skip")
       val delim = s.read.format("graft-delim")
@@ -369,7 +375,7 @@ object Round18Queries {
         FROM bloom18_t WHERE o_orderkey = $mn
         UNION ALL
         SELECT 'miss', count(*), round(sum(o_totalprice), 2)
-        FROM bloom18_t WHERE o_orderkey = ${mn - 1L}""")
+        FROM bloom18_t WHERE o_orderkey = $absent""")
     },
 
     // SNAPSHOT HISTORY (`CALL graft_cat.system.snapshots` — DESCRIBE
@@ -569,11 +575,11 @@ object Round18Queries {
       """SELECT 'hit' AS probe, count(*) AS n_rows,
         |       round(sum(o_totalprice), 2) AS revenue
         |FROM orders
-        |WHERE o_orderkey = (SELECT min(o_orderkey) FROM orders)
+        |WHERE o_orderkey * 2 = (SELECT min(o_orderkey) * 2 FROM orders)
         |UNION ALL
         |SELECT 'miss', count(*), round(sum(o_totalprice), 2)
         |FROM orders
-        |WHERE o_orderkey = (SELECT min(o_orderkey) - 1 FROM orders)""".stripMargin,
+        |WHERE o_orderkey * 2 = (SELECT min(o_orderkey) * 2 + 1 FROM orders)""".stripMargin,
 
     "delim_v2_zorder_skipping" ->
       """SELECT 'cust' AS slice, count(*) AS n_rows,

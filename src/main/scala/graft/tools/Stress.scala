@@ -898,6 +898,55 @@ object Stress {
       graft.core.Scratch.rmTree(p)
     }
 
+    // 14b. BLOOM-SIDECAR equality probe: the same hash-shuffled fixture
+    // written with and without `bloomFor` — an absent-key `=` probe on
+    // the bloomed table opens 32 sidecars (32 KB each) and ZERO data
+    // bytes; the unbloomed table scans everything. A present-key probe
+    // prices the true-positive path (one file survives the gate).
+    for (amp <- amps if sections("bloomscan")) {
+      val p = s"/tmp/graft_stress_bloom_$sfKey/a$amp"
+      graft.core.Scratch.rmTree(p)
+      // keys DOUBLED: odd keys are in-range-but-absent — only the
+      // bloom can skip them (an out-of-range key is min/max-skipped
+      // at planning and never exercises the sidecar)
+      val li0 = graft.core.Tables.lineitem(spark, sf)
+        .select((col("l_orderkey") * 2).as("l_orderkey"),
+          col("l_extendedprice"), col("l_shipdate").cast("string").as("l_note"))
+      val li = (1 to amp).map(i =>
+        li0.withColumn("l_orderkey", col("l_orderkey") + lit(i.toLong * 100000000L)))
+        .reduce(_ unionByName _)
+      val n = li0.count() * amp
+      for (mode <- Seq("bloom", "plain")) {
+        // 8 files (~20 MB each at amp=8): the probe-vs-scan crossover is
+        // per-file SIZE — a 32 KB probe against a few-MB file is a wash,
+        // against a 128 MB production file it is the whole win
+        val nf = math.max(4, 32 / math.max(amp / 8, 1)) // bigger amp -> fewer, LARGER files
+        var w = li.repartition(nf).write.format("graft-delim").mode("overwrite")
+        if (mode == "bloom") w = w.option("bloomFor", "l_orderkey")
+        w.save(s"$p/$mode")
+        val schema = "l_orderkey BIGINT, l_extendedprice DOUBLE, l_note STRING"
+        def probe(key: Long) = spark.read.format("graft-delim")
+          .schema(schema).load(s"$p/$mode")
+          .filter(col("l_orderkey") === key)
+          .agg(count(lit(1)).as("n"), sum(col("l_extendedprice")).as("s"))
+        probe(1L).collect() // warm
+        run(s"bloom_probe_absent_$mode", amp, n) {
+          var hits = 0L
+          for (_ <- 1 to 5)
+            hits = probe(4L * 100000000L + 2001L).collect()(0).getLong(0) // odd: in range, absent
+          require(hits == 0L)
+          (hits, s"mode=$mode|reps=5")
+        }
+        run(s"bloom_probe_present_$mode", amp, n) {
+          var hits = 0L
+          for (_ <- 1 to 5) hits = probe(100000002L).collect()(0).getLong(0)
+          require(hits >= 1L, s"present key missing under $mode")
+          (hits, s"mode=$mode|reps=5")
+        }
+      }
+      graft.core.Scratch.rmTree(p)
+    }
+
     // 15. MANIFEST SCALE ENVELOPE (round-18 verdict ask #3): the
     // `_manifest` is ONE document carrying every file entry + its
     // stats — the driver parses the whole list per planning and every

@@ -67,6 +67,25 @@ class DelimBloomSpec extends SparkFunSuite {
     }
   }
 
+  test("the reader GATE fires before the data file is opened") {
+    val t = s"${tempDir("bloom-gate")}/t"
+    spark.range(1L, 101L).select($"id", ($"id" * 1.5).as("v"))
+      .coalesce(1)
+      .write.format("graft-delim").option("bloomFor", "id")
+      .mode("overwrite").save(t)
+    val m = DelimV2.readManifest(fs(t), new HPath(t)).get
+    assert(m.files.size == 1)
+    // delete the DATA bytes, keep manifest + sidecar: a gated read of
+    // an absent key returns empty without ever opening the file; an
+    // ungated read (present key) must fail on the missing bytes
+    fs(t).delete(new HPath(t, m.files.head.rel), false)
+    val df = spark.read.format("graft-delim")
+      .schema("id BIGINT, v DOUBLE").load(t)
+    assert(df.filter($"id" === 999999L).count() == 0L,
+      "absent-key probe must skip without touching the data file")
+    intercept[Exception] { df.filter($"id" === 50L).count() }
+  }
+
   test("compaction drops sidecars with the replaced files; reads stay correct") {
     val t = s"${tempDir("bloom-compact")}/t"
     mk(t)

@@ -29,7 +29,8 @@ object SparkEntry {
       Round12Queries.queries ++ Round13Queries.queries ++
       Round14Queries.queries ++ Round15Queries.queries ++
       Round16Queries.queries ++ Round17Queries.queries ++
-      Round18Queries.queries ++ WarehouseQueries.queries
+      Round18Queries.queries ++ Round19Queries.queries ++
+      WarehouseQueries.queries
 
   def oracleSql: Map[String, String] =
     CoreQueries.oracleSql ++ ExtQueries.oracleSql ++ StreamQueries.oracleSql ++
@@ -39,7 +40,8 @@ object SparkEntry {
       Round12Queries.oracleSql ++ Round13Queries.oracleSql ++
       Round14Queries.oracleSql ++ Round15Queries.oracleSql ++
       Round16Queries.oracleSql ++ Round17Queries.oracleSql ++
-      Round18Queries.oracleSql ++ WarehouseQueries.oracleSql
+      Round18Queries.oracleSql ++ Round19Queries.oracleSql ++
+      WarehouseQueries.oracleSql
 }
 
 /** Event-window and multimodal queries (SURVEY.md §2b X5/X6). Windowed

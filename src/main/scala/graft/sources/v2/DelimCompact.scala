@@ -58,7 +58,12 @@ object DelimCompact {
     * nothing but write amplification.
     */
   def compact(spark: SparkSession, tablePath: String,
-      minFilesPerGroup: Int = 2, targetFileSize: Long = 0L): Long = {
+      minFilesPerGroup: Int = 2, targetFileSize: Long = 0L,
+      /** Line format of the table's files — needed only when
+        * tombstone retirement rewrites through the parse path;
+        * byte-level concatenation never inspects fields. Defaults
+        * match the connector's (`delimiter='|'`, `quote='"'`). */
+      delimiter: Char = '|', quote: Int = '"'.toInt): Long = {
     val target = new HPath(tablePath)
     val conf = DelimV2.driverConf()
     val fs = target.getFileSystem(conf)
@@ -117,18 +122,31 @@ object DelimCompact {
       if (cur.nonEmpty) out += cur
       out.result()
     }
-    // group ALSO by the applicable delete-tombstone set: a tombstone
-    // applies to files at or before its generation, and a compacted
-    // entry carries ONE representative gen (the group max) — merging
-    // files on opposite sides of a tombstone boundary would either
-    // resurrect deleted rows (max side) or delete post-delete inserts
-    // (min side). Equal signatures make the representative exact: every
-    // signature tombstone has gen >= all members >= none outside it.
-    val groups = m.files.groupBy(e => (parentOf(e.rel), m.schemas.get(e.gen),
-        m.tombstones.filter(_._1 >= e.gen).toSet))
+    // TOMBSTONE RETIREMENT: files any delete tombstone still applies
+    // to are rewritten through the PARSE path — the reader applies
+    // the tombstones' complement per row (exactly as every scan
+    // does), the writer re-lands the survivors under the CURRENT
+    // schema — and the committed manifest then carries no file old
+    // enough for any tombstone, so serialization GCs them all. At
+    // 100 TB a tombstone is a per-row predicate tax on every scan of
+    // every affected file, and it suppresses the count-star/stats
+    // pushdowns table-wide; compaction is where that debt is repaid.
+    val (tombFiles, plainFiles) =
+      m.files.partition(e => m.tombstones.exists(_._1 >= e.gen))
+    val curSchema: Option[DelimV2.ManifestSchema] =
+      m.schemas.get(m.gen)
+        .orElse(m.schemas.toSeq.sortBy(_._1).lastOption.map(_._2))
+    if (tombFiles.nonEmpty && curSchema.isEmpty)
+      throw new IllegalStateException(
+        s"graft-delim: tombstones at $tablePath but no recorded schema " +
+          "to rewrite under")
+    // plain files byte-concatenate as before, grouped per (partition
+    // directory, recorded field LAYOUT) — layouts must match for a
+    // byte-level merge to stay parseable per file schema mapping
+    val groups = plainFiles.groupBy(e => (parentOf(e.rel), m.schemas.get(e.gen)))
       .filter(_._2.size >= math.max(minFilesPerGroup, 2))
       .toSeq
-      .flatMap { case ((sub, layout, _), entries) =>
+      .flatMap { case ((sub, layout), entries) =>
         bins(entries)
           .filter(_.size >= 2) // rewriting a lone file is pure write amplification
           .map { bin =>
@@ -137,7 +155,12 @@ object DelimCompact {
           }
       }
       .sortBy(t => (t._1, t._3.head))
-    if (groups.isEmpty) return m.gen
+    // tombstoned groups always rewrite (even a lone file: the rewrite
+    // physically drops deleted rows — real work, not amplification)
+    val tombJobs = tombFiles.groupBy(e => parentOf(e.rel)).toSeq.sortBy(_._1)
+      .flatMap { case (sub, es) => bins(es).map(bin => (sub, bin)) }
+      .zipWithIndex
+    if (groups.isEmpty && tombJobs.isEmpty) return m.gen
     val stagingName = s"_staging_compact_$newGen"
     val staging = new HPath(target, stagingName)
     fs.mkdirs(staging)
@@ -154,7 +177,9 @@ object DelimCompact {
     // (inserting a newline only after a file whose final line is
     // unterminated — legacy fixtures; the connector's own writers
     // always terminate) and returns ONLY metadata
-    val compacted = spark.sparkContext
+    val compacted = if (jobs.isEmpty)
+      Array.empty[(String, Long, Seq[String], String, Long, Int, Boolean)]
+    else spark.sparkContext
       .parallelize(jobs, math.min(jobs.size,
         math.max(1, spark.sparkContext.defaultParallelism)))
       .map { case (sub, gen, rels, i) =>
@@ -183,32 +208,160 @@ object DelimCompact {
             if (last != '\n') { out.write('\n'); total += 1 }
           }
         } finally out.close()
-        (sub, gen, rels, outName, total, i)
+        // BLOOM SIDECAR OR-MERGE: the bin's bytes are exactly its
+        // members' bytes, and the sidecar geometry is fixed (256 Kbit,
+        // 5 murmur3 hashes over written text), so the union file's
+        // bloom is the bitwise OR of the members' bitsets — a 32 KB
+        // metadata pass, no data re-parse. Sound only over columns
+        // EVERY member bounded: a column one member never bloomed
+        // would falsely skip that member's rows, so it merges to
+        // "absent" (cannot skip), like stats merging declines on gaps.
+        val sides = rels.map { rel =>
+          val sp = new HPath(root, rel + DelimBloom.Suffix)
+          try {
+            if (!fsx.exists(sp)) None
+            else {
+              val len = fsx.getFileStatus(sp).getLen.toInt
+              val raw = new Array[Byte](len)
+              val in = fsx.open(sp)
+              try in.readFully(0, raw) finally in.close()
+              DelimBloom.deserialize(raw)
+            }
+          } catch { case scala.util.control.NonFatal(_) => None }
+        }
+        val mergedSide: Boolean =
+          if (sides.exists(_.isEmpty)) false
+          else {
+            val maps = sides.map(_.get)
+            val common = maps.map(_.keySet).reduce(_ intersect _)
+            if (common.isEmpty) false
+            else {
+              val cols = common.toSeq.sorted.map { cl =>
+                val acc = new Array[Long](DelimBloom.Bits / 64)
+                maps.foreach { mp =>
+                  val b = mp(cl)
+                  var j = 0
+                  while (j < acc.length) { acc(j) |= b(j); j += 1 }
+                }
+                (cl, acc)
+              }
+              val so = fsx.create(new HPath(new HPath(root, stagingName),
+                outName + DelimBloom.Suffix), true)
+              try so.write(DelimBloom.serialize(cols)) finally so.close()
+              true
+            }
+          }
+        (sub, gen, rels, outName, total, i, mergedSide)
       }.collect() // bounded: one row of names/lengths per group
-    val replaced = compacted.flatMap(_._3).toSet
-    val newEntries = compacted.map { case (sub, gen, _, outName, len, gi) =>
+    // parse-path rewrite of tombstoned bins: one task per bin, each
+    // draining its members through the certified reader (tombstone
+    // complements applied per member generation, schema evolution
+    // mapped per member layout) into the certified writer (stats and
+    // bloom sidecars recorded like any write). Only metadata returns.
+    val retireMsgs: Seq[DelimCommit] =
+      if (tombJobs.isEmpty) Nil
+      else {
+        val struct = curSchema.get.struct
+        val pCols = curSchema.get.partCols
+        val bloomFor = m.bloomCols.filter(c =>
+          struct.fieldNames.contains(c) && !pCols.contains(c))
+        val multi = m.multiLine
+        val dChar = delimiter
+        val qInt = quote
+        val jobs = tombJobs.map { case ((sub, bin), i) =>
+          val partVals: Array[String] = pCols.map { pc =>
+            sub.split('/').collectFirst {
+              case seg if seg.startsWith(pc + "=") =>
+                val v = seg.substring(pc.length + 1)
+                if (v == DelimV2.HiveDefaultPartition) null else v
+            }.orNull
+          }.toArray
+          val members = bin.sortBy(_.rel).map { e =>
+            (e.rel, e.len,
+              m.schemas.get(e.gen).map(_.dataFieldNames).orNull,
+              m.tombstones.filter(_._1 >= e.gen)
+                .map(t => DelimV2.tombstoneFilter(t._2, struct)).toArray)
+          }
+          (partVals, members, i)
+        }
+        spark.sparkContext
+          .parallelize(jobs, math.min(jobs.size,
+            math.max(1, spark.sparkContext.defaultParallelism)))
+          .map { case (partVals, members, i) =>
+            val c = new Configuration(true)
+            confMap.foreach { case (k, v) => c.set(k, v) }
+            val root = new HPath(targetStr)
+            val fsx = root.getFileSystem(c)
+            val writer = new DelimDataWriter(
+              s"$targetStr/$stagingName", f"retire-$newGen-$i%05d",
+              struct, dChar, confMap, pCols, quote = qInt,
+              singleOpenStream = false, bloomFor = bloomFor)
+            members.foreach { case (rel, len, fields, tombs) =>
+              val p = new HPath(root, rel)
+              val split = DelimSplit(p.toString, 0L, len, len, partVals,
+                null, fields, Array.empty, Array.empty)
+              val rdr = new DelimPartitionReader(fsx.open(p), split, struct,
+                struct, tombs, dChar, -1, pCols.toArray,
+                Array.empty, qInt, multi)
+              try while (rdr.next()) writer.write(rdr.get())
+              finally rdr.close()
+            }
+            writer.commit().asInstanceOf[DelimCommit]
+          }.collect().toSeq
+      }
+    if (retireMsgs.nonEmpty)
+      DelimWrite.promote(fs, target, retireMsgs.toArray)
+    val retireEntries = retireMsgs.flatMap { dc =>
+      dc.staged.filterNot(_.sidecar).map(sf =>
+        DelimV2.ManifestEntry(sf.length, newGen,
+          if (sf.subdir.isEmpty) sf.finalName
+          else s"${sf.subdir}/${sf.finalName}", sf.stats))
+    }
+    val replaced = compacted.flatMap(_._3).toSet ++ tombFiles.map(_.rel)
+    val newEntries0 = compacted.map { case (sub, gen, _, outName, len, gi, side) =>
       val dstDir = if (sub.isEmpty) target else new HPath(target, sub)
       if (sub.nonEmpty) fs.mkdirs(dstDir)
       if (!fs.rename(new HPath(staging, outName), new HPath(dstDir, outName)))
         throw new java.io.IOException(
           s"graft-delim: compaction promote failed for $outName")
+      // the OR-merged sidecar rides along: promotion failure degrades
+      // to "no sidecar" (cannot skip), never to a wrong skip
+      if (side)
+        fs.rename(new HPath(staging, outName + DelimBloom.Suffix),
+          new HPath(dstDir, outName + DelimBloom.Suffix))
       DelimV2.ManifestEntry(len, gen,
         if (sub.isEmpty) outName else s"$sub/$outName", statsByIdx(gi))
     }.toSeq
+    val newEntries = newEntries0 ++ retireEntries
     val live =
       try DelimV2.commitManifest(fs, target, m.copy(
         files = m.files.filterNot(e => replaced.contains(e.rel)) ++ newEntries,
-        gen = newGen))
+        gen = newGen,
+        // retired entries were written NOW, under the current schema:
+        // record it for the new generation. The commit still carries
+        // m.tombstones verbatim — serialization GCs every tombstone no
+        // live file is old enough for, which after full retirement is
+        // ALL of them.
+        schemas =
+          if (tombJobs.nonEmpty) m.schemas + (newGen -> curSchema.get)
+          else m.schemas,
+        multiLine = m.multiLine || retireMsgs.exists(_.multiLine)))
       catch {
         case e: java.util.ConcurrentModificationException =>
           // a real writer won the race: roll back the compacted files —
           // the table keeps the writer's snapshot, nothing is lost
-          newEntries.foreach(ne => fs.delete(new HPath(target, ne.rel), false))
+          newEntries.foreach { ne =>
+            fs.delete(new HPath(target, ne.rel), false)
+            fs.delete(new HPath(target, ne.rel + DelimBloom.Suffix), false)
+          }
           fs.delete(staging, true)
           throw e
       }
     replaced.filterNot(live).foreach { rel =>
       fs.delete(new HPath(target, rel), false)
+      // a replaced member's sidecar dies with it (the merged sidecar
+      // on the compacted file carries its bits forward)
+      fs.delete(new HPath(target, rel + DelimBloom.Suffix), false)
     }
     fs.delete(staging, true)
     newGen

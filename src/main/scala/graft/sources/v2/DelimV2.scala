@@ -261,7 +261,15 @@ private[v2] class DelimTable(tableSchema: StructType, options: CaseInsensitiveSt
     val fs = rootFs
     val root = tableRoot
     DelimV2.readManifest(fs, root) match {
-      case None => false // no manifest: nothing this table format manages
+      case None =>
+        // Spark's TruncateTableExec treats a false return as SUCCESS
+        // (it only skips cache refresh) — returning false here would
+        // make TRUNCATE on a legacy/manifest-less directory silently
+        // do nothing. Fail loudly instead.
+        throw new UnsupportedOperationException(
+          s"graft-delim: TRUNCATE TABLE requires a manifest-bearing " +
+            s"table; '$root' has no _manifest (legacy directory) — " +
+            "overwrite it with an empty dataset instead")
       case Some(m) =>
         val liveRetained = DelimV2.commitManifest(fs, root,
           m.copy(gen = m.gen + 1, files = Nil))
@@ -308,10 +316,47 @@ private[v2] class DelimScanBuilder(fullSchema: StructType, options: CaseInsensit
 
   // one listing per query, shared by the builder's partition-awareness
   // and the scan (files + their k=v directory values + per-generation
-  // field layouts + the committed manifest the listing planned from)
+  // field layouts + the committed manifest the listing planned from).
+  // Materialized lazily AFTER filter pushdown (Spark's V2 pushdown
+  // order: filters, then aggregates, then build), so a SEGMENTED
+  // manifest can skip loading the segments a pushed partition
+  // equality excludes — the listing itself prunes, not just the
+  // split planning.
   private lazy val snapshot =
     DelimV2.listSnapshot(DelimV2.paths(options), DelimV2.driverConf(),
-      DelimV2.asOfGen(options))
+      DelimV2.asOfGen(options), segPruneCands)
+
+  /** Pushed equality/In conjuncts as (column → candidate partition
+    * DIRECTORY values) — the values formatted exactly as the writer
+    * names k=v directories. Only types whose external filter value
+    * prints identically to the writer's field text qualify; a value
+    * the writer could never have used as a partition value (path
+    * separators, '=', the Hive null token) disqualifies its conjunct
+    * rather than risking a mismatched prune.
+    */
+  private def segPruneCands: Seq[(String, Seq[String])] = {
+    def dirValue(v: Any): Option[String] = v match {
+      case s: String
+          if s != DelimV2.HiveDefaultPartition &&
+            !s.exists(c => c == '/' || c == '=' || c == '\n' || c == '\r') =>
+        Some(s)
+      case i: java.lang.Integer => Some(i.toString)
+      case l: java.lang.Long => Some(l.toString)
+      case _ => None
+    }
+    pushed.toSeq.flatMap {
+      case org.apache.spark.sql.sources.EqualTo(c, v) if v != null =>
+        dirValue(v).map(s => c -> Seq(s))
+      case org.apache.spark.sql.sources.EqualNullSafe(c, v) if v != null =>
+        dirValue(v).map(s => c -> Seq(s))
+      case org.apache.spark.sql.sources.In(c, vs)
+          if vs != null && vs.nonEmpty && vs.forall(_ != null) &&
+            vs.length <= 64 =>
+        val svs = vs.toSeq.flatMap(dirValue(_).toSeq)
+        if (svs.length == vs.length) Some(c -> svs) else None
+      case _ => None
+    }
+  }
   private lazy val filesWithParts = snapshot.files
   /** The manifest generation this builder's listing planned from —
     * the optimistic-concurrency anchor for row-level (CoW) commits.
@@ -348,7 +393,8 @@ private[v2] class DelimScanBuilder(fullSchema: StructType, options: CaseInsensit
       agg.aggregateExpressions().isEmpty ||
       // MoR tombstones: the zero-parse newline count would include
       // deleted rows — the normal (filter-evaluating) path must run
-      snapshot.manifest.exists(_.tombstones.nonEmpty) ||
+      // (anyTombstones: EVERY listed root's manifest, not just the first)
+      snapshot.anyTombstones ||
       !agg.aggregateExpressions().forall(
         _.isInstanceOf[org.apache.spark.sql.connector.expressions.aggregate.CountStar]))
       return false
@@ -376,7 +422,8 @@ private[v2] class DelimScanBuilder(fullSchema: StructType, options: CaseInsensit
     if (pushed.nonEmpty || agg.groupByExpressions().nonEmpty ||
       agg.aggregateExpressions().isEmpty) return None
     // MoR tombstones: recorded stats still count deleted rows
-    if (snapshot.manifest.exists(_.tombstones.nonEmpty)) return None
+    // (checked across EVERY listed root's manifest)
+    if (snapshot.anyTombstones) return None
     val files = filesWithParts
     // every live file must carry stats (legacy entries, listings
     // without a manifest, and zero-length stat-less files all decline)
@@ -489,8 +536,11 @@ private[v2] class DelimScanBuilder(fullSchema: StructType, options: CaseInsensit
   override def build(): Scan =
     new DelimScan(fullSchema, required, pushed, limit, options, aggCountCols,
       filesWithParts, topN, completeAggRow,
-      snapshot.manifest.map(_.tombstones).getOrElse(Nil),
-      snapshot.manifest.map(_.bloomCols).getOrElse(Nil))
+      // tombstones: single-root guaranteed whenever nonEmpty (listSnapshot
+      // rejects multi-root tombstone reads), so the first manifest IS the
+      // only one carrying any; bloom headers UNION safely across roots
+      snapshot.manifests.flatMap(_.tombstones).distinct,
+      snapshot.unionBloomCols)
 }
 
 /** One pushed sort key: column, direction, null placement. */
@@ -1725,6 +1775,19 @@ private[v2] class DelimWriteBuilder(
       require(r >= 1, s"graft-delim: retainVersions must be >= 1, got $r")
       r
     }
+    // `manifestSegmentSize=N`: segment the committed manifest once it
+    // holds >= N entries (see DelimManifest.segSize) — the 100 TB
+    // manifest posture. 0 disables; absent inherits the table's
+    // current policy from the manifest header.
+    val segSize = Option(options.get("manifestSegmentSize")).map { v =>
+      val n = try v.trim.toInt catch {
+        case _: NumberFormatException => throw new IllegalArgumentException(
+          s"graft-delim: manifestSegmentSize must be an int >= 0, got '$v'")
+      }
+      require(n == 0 || n >= 2,
+        s"graft-delim: manifestSegmentSize must be 0 (off) or >= 2, got $n")
+      n
+    }
     // SORT ORDER (`sortBy=a,b`): rows cluster by these columns before
     // the writer sees them, so each file's recorded min/max bounds are
     // TIGHT and stats skipping prunes key-range queries to the few
@@ -1766,7 +1829,8 @@ private[v2] class DelimWriteBuilder(
     new DelimWrite(schema, info.queryId(), DelimV2.paths(options).head,
       DelimV2.delimiter(options), doTruncate, partCols, dynamic,
       DelimV2.quoteChar(options), distCols, retain, sortBy = sortBy,
-      writePartitions = writeParts, bloomFor = bloomFor)
+      writePartitions = writeParts, bloomFor = bloomFor,
+      segmentSize = segSize)
   }
 }
 
@@ -1803,7 +1867,11 @@ private[v2] class DelimWrite(
     /** Pinned write shuffle partition count (0 = Spark decides). */
     writePartitions: Int = 0,
     /** Columns to write bloom sidecars for (DelimBloom). */
-    bloomFor: Seq[String] = Nil)
+    bloomFor: Seq[String] = Nil,
+    /** Manifest segmentation threshold override
+      * (`manifestSegmentSize` option); None inherits the table's
+      * current policy from the manifest header. */
+    segmentSize: Option[Int] = None)
     extends org.apache.spark.sql.connector.write.Write
     with org.apache.spark.sql.connector.write.BatchWrite
     with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
@@ -1957,7 +2025,8 @@ private[v2] class DelimWrite(
     val manifest = DelimV2.DelimManifest(
       survivors.filterNot(e => newSet.contains(e.rel)) ++ newEntries,
       flag, newGen, retainVersions.getOrElse(prevM.retain),
-      prevM.schemas + (newGen -> DelimV2.ManifestSchema(partCols, schema)),
+      prevM.schemas + (newGen -> DelimV2.ManifestSchema(partCols,
+        DelimV2.assignFieldIds(schema, prevM.schemas))),
       // delete tombstones ride every commit (a truncate drops the
       // files they applied to, and serialization GCs them then);
       // the new generation's own files are never subject to them
@@ -1966,7 +2035,8 @@ private[v2] class DelimWrite(
       // old generation's sidecars die with its files)
       bloomCols =
         if (truncate && !dynamicOverwrite) bloomFor.distinct
-        else (prevM.bloomCols ++ bloomFor).distinct)
+        else (prevM.bloomCols ++ bloomFor).distinct,
+      segSize = segmentSize.getOrElse(prevM.segSize))
     val liveRetained =
       try DelimV2.commitManifest(fs, target, manifest)
       catch {
@@ -2076,8 +2146,14 @@ private[v2] class DelimWrite(
           prevM.files.filterNot(e => newSet.contains(e.rel)) ++ newEntries,
           prevM.multiLine || newMulti, newGen,
           retainVersions.getOrElse(prevM.retain),
-          prevM.schemas + (newGen -> DelimV2.ManifestSchema(partCols, schema)),
-          tombstones = prevM.tombstones))
+          prevM.schemas + (newGen -> DelimV2.ManifestSchema(partCols,
+            DelimV2.assignFieldIds(schema, prevM.schemas))),
+          tombstones = prevM.tombstones,
+          // the bloom-column header must survive a streaming epoch:
+          // dropping it would silently stop probing every existing
+          // .bloom sidecar after the first stream write
+          bloomCols = prevM.bloomCols,
+          segSize = prevM.segSize))
       }
 
       override def abort(epochId: Long,
@@ -2104,14 +2180,14 @@ private[v2] object DelimWrite {
     * left untouched.
     */
   private[v2] def sweepDead(
-      fs: FileSystem, target: HPath, live: Set[String]): Unit = {
+      fs: FileSystem, target: HPath, live: DelimV2.LiveFileSet): Unit = {
     sweepDeadCount(fs, target, live); ()
   }
 
   /** sweepDead returning how many data files died (the
     * expire_snapshots procedure's summary row). */
   private[v2] def sweepDeadCount(
-      fs: FileSystem, target: HPath, live: Set[String]): Long = {
+      fs: FileSystem, target: HPath, live: DelimV2.LiveFileSet): Long = {
     val root = fs.makeQualified(target).toUri
     var deleted = 0L
     def walk(dir: HPath, isRoot: Boolean): Boolean = { // true = keep dir
@@ -2289,6 +2365,11 @@ private[v2] class DelimDataWriter(
     var lmin = Long.MaxValue; var lmax = Long.MinValue
     var dmin = Double.PositiveInfinity; var dmax = Double.NegativeInfinity
     var smin: String = null; var smax: String = null
+    /** Per-file NDV sketch over the written text (DelimNdv): the CBO
+      * join-ordering signal. 256 one-byte registers per tracked
+      * column — memory only; the manifest records the ESTIMATE (one
+      * long per column), never the sketch. */
+    val ndv = new DelimNdv
     def seenLong(v: Long): Unit = {
       any = true
       if (v < lmin) lmin = v
@@ -2363,10 +2444,11 @@ private[v2] class DelimDataWriter(
           if (!t.valid) None
           else {
             val (mn, mx) = t.bounds
-            Some((schema.fieldNames(trackedIdx(j)), mn, mx, t.nulls))
+            Some((schema.fieldNames(trackedIdx(j)), mn, mx, t.nulls,
+              t.ndv.estimate))
           }
         }
-        DelimV2.encodeStats(ss.rows, cols)
+        DelimV2.encodeStatsNdv(ss.rows, cols)
     }
 
   private def fieldString(row: InternalRow, i: Int): String = types(i) match {
@@ -2461,23 +2543,36 @@ private[v2] class DelimDataWriter(
         } else {
           val s = fieldString(row, i)
           if (bloomSchemaIdx.nonEmpty && bloomPosOf(i) >= 0)
-            bloomsFor(sub)(bloomPosOf(i)).add(s)
-          if (tracked && tr(tj).valid) types(i) match {
-            case LongType | TimestampType => tr(tj).seenLong(row.getLong(i))
-            case IntegerType => tr(tj).seenLong(row.getInt(i).toLong)
-            case DateType => tr(tj).seenLong(row.getInt(i).toLong)
-            case DoubleType => tr(tj).seenDouble(row.getDouble(i))
-            case StringType => tr(tj).seenString(s)
-            case _ => tr(tj).valid = false
+            // hash the PROBE-side canonical text: equality probes
+            // normalize -0.0 to 0.0 (normValue) before externalToText,
+            // so a file whose only match is -0.0 must not bloom-skip
+            // a pushed `col = 0.0`
+            bloomsFor(sub)(bloomPosOf(i)).add(
+              if (types(i) == DoubleType && s == "-0.0") "0.0" else s)
+          if (tracked) {
+            tr(tj).ndv.add(s) // distinct-count sketch over written text
+            if (tr(tj).valid) types(i) match {
+              case LongType | TimestampType => tr(tj).seenLong(row.getLong(i))
+              case IntegerType => tr(tj).seenLong(row.getInt(i).toLong)
+              case DateType => tr(tj).seenLong(row.getInt(i).toLong)
+              case DoubleType => tr(tj).seenDouble(row.getDouble(i))
+              case StringType => tr(tj).seenString(s)
+              case _ => tr(tj).valid = false
+            }
           }
+          // a literal two-character "\N" string must be QUOTED on the
+          // way out: readers decode an unquoted \N as the null token,
+          // so an unquoted write would corrupt the value to NULL on
+          // the round trip (a quoted "\N" stays literal by contract)
           val needsQ = s.indexOf(delim.toInt) >= 0 || s.indexOf('\n') >= 0 ||
-            s.indexOf('\r') >= 0 || (quote >= 0 && s.indexOf(quote) >= 0)
+            s.indexOf('\r') >= 0 || (quote >= 0 && s.indexOf(quote) >= 0) ||
+            (s.length == 2 && s.charAt(0) == '\\' && s.charAt(1) == 'N')
           if (!needsQ) sb.append(s)
           else if (quote < 0)
             throw new IllegalArgumentException(
-              s"graft-delim: field value contains delimiter or newline " +
-                s"(column ${schema.fieldNames(i)}) and quoting is disabled " +
-                "(quote=none)")
+              s"graft-delim: field value contains delimiter, newline, " +
+                s"or the \\N null token (column ${schema.fieldNames(i)}) " +
+                "and quoting is disabled (quote=none)")
           else {
             // RFC 4180: wrap in quotes, double embedded quotes. An
             // embedded newline flags the commit so the manifest marks
@@ -2773,7 +2868,10 @@ private[graft] object DelimV2 {
     * doubles, >64-char strings) is simply absent — absence always
     * means "cannot skip".
     */
-  private[graft] final case class FileColStats(min: Any, max: Any, nulls: Long)
+  private[graft] final case class FileColStats(min: Any, max: Any, nulls: Long,
+      /** Approximate distinct count recorded by the writer (DelimNdv);
+        * -1 = not recorded (legacy stats). */
+      ndv: Long = -1L)
   private[graft] final case class FileStats(
       rows: Long, cols: Map[String, FileColStats])
 
@@ -2809,14 +2907,21 @@ private[graft] object DelimV2 {
   private val StatNull = "%n" // impossible escaper output: every real '%' encodes as %25
 
   private[graft] def encodeStats(rows: Long,
-      cols: Seq[(String, String, String, Long)]): String = {
-    // (col, minText, maxText, nulls); minText null = all-null column
+      cols: Seq[(String, String, String, Long)]): String =
+    encodeStatsNdv(rows, cols.map(c => (c._1, c._2, c._3, c._4, -1L)))
+
+  private[graft] def encodeStatsNdv(rows: Long,
+      cols: Seq[(String, String, String, Long, Long)]): String = {
+    // (col, minText, maxText, nulls, ndv); minText null = all-null
+    // column; ndv -1 = not recorded (omitted — format-compatible with
+    // pre-NDV readers, which split on exactly 4 fields)
     val sb = new java.lang.StringBuilder(32 + cols.size * 24)
     sb.append(s"rows=$rows")
-    cols.foreach { case (c, mn, mx, nulls) =>
+    cols.foreach { case (c, mn, mx, nulls, ndv) =>
       sb.append(';').append(statEsc(c)).append(':').append(nulls).append(':')
         .append(Option(mn).map(statEsc).getOrElse(StatNull)).append(':')
         .append(Option(mx).map(statEsc).getOrElse(StatNull))
+      if (ndv >= 0L) sb.append(':').append(ndv)
     }
     sb.toString
   }
@@ -2835,7 +2940,7 @@ private[graft] object DelimV2 {
       val rows = parts(0).stripPrefix("rows=").toLong
       val cols = parts.iterator.drop(1).flatMap { p =>
         val f = p.split(':')
-        if (f.length != 4) None
+        if (f.length != 4 && f.length != 5) None
         else {
           val name = statUnesc(f(0))
           if (!st.fieldNames.contains(name)) None
@@ -2844,7 +2949,8 @@ private[graft] object DelimV2 {
             Some(name -> FileColStats(
               if (f(2) == StatNull) null else parseExternal(statUnesc(f(2)), dt),
               if (f(3) == StatNull) null else parseExternal(statUnesc(f(3)), dt),
-              f(1).toLong))
+              f(1).toLong,
+              if (f.length == 5) f(4).toLong else -1L))
           }
         }
       }.toMap
@@ -2985,7 +3091,25 @@ private[graft] object DelimV2 {
         * probe `<file>.bloom` for equality filters on these (a file
         * written without one simply cannot skip). Header-level so
         * un-bloomed tables never pay a sidecar existence check. */
-      bloomCols: Seq[String] = Nil) {
+      bloomCols: Seq[String] = Nil,
+      /** Manifest SEGMENTATION threshold (0 = single-document). When
+        * set and the snapshot holds >= segSize entries, the committed
+        * `_manifest.v<gen>` is a small INDEX of immutable
+        * content-addressed SEGMENT files (entries grouped per leaf
+        * partition directory, chunked every segSize) — a commit
+        * writes only the segments whose membership changed plus the
+        * index, and planning loads only the segments partition
+        * pruning keeps. The single-document design serializes every
+        * live entry on every commit, which caps the table at ~100k
+        * entries while 100 TB implies ~800k (STRESS §15). A table
+        * property carried forward by every commit like `retain`. */
+      segSize: Int = 0,
+      /** True when this instance was loaded with SEGMENT PRUNING
+        * (files = only the entries from the segments a scan's
+        * partition predicate kept). A pruned snapshot is a planning
+        * artifact — committing it would silently drop the
+        * pruned-away files, so commitManifest rejects it. */
+      pruned: Boolean = false) {
     def entries: Seq[(Long, String)] = files.map(e => (e.len, e.rel))
   }
 
@@ -2997,8 +3121,48 @@ private[graft] object DelimV2 {
     * path in the message — silently treating it as an empty snapshot
     * would hide the table.
     */
+  /** One segment reference in a segmented manifest INDEX: immutable
+    * content-addressed file name, entry count, and the lexicographic
+    * [minRel, maxRel] range of its entries — the per-segment metadata
+    * partition pruning decides on without loading the segment.
+    */
+  private[graft] final case class SegRef(
+      name: String, count: Int, minRel: String, maxRel: String)
+
+  /** Parsed-segment cache: content-addressed segment files are
+    * immutable, so a (qualified path → entries) mapping can never go
+    * stale — repeated plans and append commits re-read only the index
+    * and any segments they have not seen. Crudely bounded: a full
+    * clear past the cap beats an LRU's locking here.
+    */
+  private val segCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[ManifestEntry]]()
+  private val SegCacheCap = 4096
+  /** Segment files this JVM knows exist on disk (written or read) —
+    * skips one fs.exists per unchanged segment per commit. Entries
+    * are removed when segment GC deletes the file. */
+  private val segKnown =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** Observability: per table root (qualified URI path), (total
+    * segments in the index, segments actually loaded) for the most
+    * recent segmented read — the `delim_v2_manifest_segmented` oracle
+    * query's "planning reads < 20% of segments" mechanism pin.
+    */
+  private val segmentReadLog =
+    new java.util.concurrent.ConcurrentHashMap[String, (Int, Int)]()
+  private[graft] def segmentReads(rootPath: String): Option[(Int, Int)] =
+    Option(segmentReadLog.get(rootPath))
+  private[graft] def clearSegmentReads(): Unit = segmentReadLog.clear()
+  /** Drop the parsed-segment and known-on-disk caches — the stress
+    * sweep's cold-path protocol (a fresh driver pays the disk parse). */
+  private[graft] def clearSegCaches(): Unit = {
+    segCache.clear(); segKnown.clear(); runChunkCache.clear()
+  }
+
   private[graft] def readManifestFile(
-      fs: FileSystem, mf: HPath): Option[DelimManifest] = {
+      fs: FileSystem, mf: HPath,
+      prune: Seq[(String, Seq[String])] = Nil): Option[DelimManifest] = {
     // the local ChecksumFs renames a file's data and its .crc sidecar
     // SEPARATELY, so a reader racing the pointer swap can catch a torn
     // pair (observed live: "Checksum error: .../_manifest" killing a
@@ -3006,7 +3170,7 @@ private[graft] object DelimV2 {
     // retry briefly before treating it as real corruption.
     var attempt = 0
     while (true) {
-      try return readManifestFileOnce(fs, mf)
+      try return readManifestFileOnce(fs, mf, prune)
       catch {
         case e: org.apache.hadoop.fs.ChecksumException =>
           attempt += 1
@@ -3017,8 +3181,21 @@ private[graft] object DelimV2 {
     None // unreachable
   }
 
+  private def parseEntryLine(
+      l: String, bad: (String, String) => Nothing): ManifestEntry = {
+    val parts = l.split('\t')
+    try parts.length match {
+      case 2 => ManifestEntry(parts(0).toLong, 0L, parts(1))
+      case 3 => ManifestEntry(parts(0).toLong, parts(1).toLong, parts(2))
+      case 4 => ManifestEntry(parts(0).toLong, parts(1).toLong,
+        parts(2), parts(3))
+      case _ => bad(l, "line")
+    } catch { case _: NumberFormatException => bad(l, "length") }
+  }
+
   private def readManifestFileOnce(
-      fs: FileSystem, mf: HPath): Option[DelimManifest] = {
+      fs: FileSystem, mf: HPath,
+      prune: Seq[(String, Seq[String])] = Nil): Option[DelimManifest] = {
     if (!fs.exists(mf)) None
     else {
       val in = fs.open(mf)
@@ -3028,9 +3205,11 @@ private[graft] object DelimV2 {
         var gen = 0L
         var retain = 1
         var ts = 0L
+        var segSize = 0
         var schemas = Map.empty[Long, ManifestSchema]
         var tombs = Vector.empty[(Long, String)]
         var bloomCols = Seq.empty[String]
+        var segRefs = Vector.empty[SegRef]
         def bad(l: String, what: String): Nothing =
           throw new IllegalStateException(
             s"graft-delim: malformed manifest $what in $mf: '${l.take(80)}'" +
@@ -3050,30 +3229,81 @@ private[graft] object DelimV2 {
             if (parts.length != 3) bad(l, "tombstone line")
             tombs :+= (parts(1).toLong -> parts(2))
             None
+          } else if (l.startsWith("#segment\t")) {
+            val parts = l.split('\t')
+            if (parts.length != 5) bad(l, "segment line")
+            try segRefs :+= SegRef(parts(1), parts(2).toInt, parts(3), parts(4))
+            catch { case _: NumberFormatException => bad(l, "segment count") }
+            None
           } else if (l.startsWith("#")) {
             if (l.contains("multiline=true")) multi = true
             l.split(' ').foreach { a =>
               if (a.startsWith("gen=")) gen = a.stripPrefix("gen=").toLong
               if (a.startsWith("retain=")) retain = a.stripPrefix("retain=").toInt
               if (a.startsWith("ts=")) ts = a.stripPrefix("ts=").toLong
+              if (a.startsWith("segsize=")) segSize = a.stripPrefix("segsize=").toInt
               if (a.startsWith("bloomcols=")) bloomCols =
                 a.stripPrefix("bloomcols=").split(',').toSeq
                   .map(statUnesc).filter(_.nonEmpty)
             }
             None
           } else {
-            val parts = l.split('\t')
-            try parts.length match {
-              case 2 => Some(ManifestEntry(parts(0).toLong, 0L, parts(1)))
-              case 3 => Some(ManifestEntry(parts(0).toLong, parts(1).toLong, parts(2)))
-              case 4 => Some(ManifestEntry(parts(0).toLong, parts(1).toLong,
-                parts(2), parts(3)))
-              case _ => bad(l, "line")
-            } catch { case _: NumberFormatException => bad(l, "length") }
+            Some(parseEntryLine(l, bad))
           }
         }.toList
-        Some(DelimManifest(entries, multi, gen, retain, schemas, ts, tombs,
-          bloomCols))
+        if (segRefs.isEmpty)
+          Some(DelimManifest(entries, multi, gen, retain, schemas, ts, tombs,
+            bloomCols, segSize))
+        else {
+          // SEGMENTED index: load entries from the referenced segment
+          // files — only those whose [minRel, maxRel] range can hold a
+          // rel under one of the prune candidates' partition prefixes.
+          // A candidate applies only when EVERY recorded writer schema
+          // leads its partitioning with the candidate's column (then
+          // every live rel starts `col=value/` and the lexicographic
+          // range test is decisive); schema disagreement loads all.
+          val root = mf.getParent
+          val prefixes: Seq[String] =
+            if (prune.isEmpty || tombs.nonEmpty) Nil
+            else {
+              val heads = schemas.values.map(_.partCols.headOption).toSet
+              heads.toSeq match {
+                case Seq(Some(first)) =>
+                  prune.collectFirst { case (c, vs) if c == first =>
+                    vs.map(v => s"$first=$v/") }.getOrElse(Nil)
+                case _ => Nil
+              }
+            }
+          val selected =
+            if (prefixes.isEmpty) segRefs
+            else segRefs.filter(r => prefixes.exists(p =>
+              r.maxRel.compareTo(p) >= 0 &&
+                r.minRel.compareTo(p + "\uFFFF") <= 0))
+          segmentReadLog.put(
+            fs.makeQualified(root).toUri.getPath,
+            (segRefs.size, selected.size))
+          val segEntries = selected.flatMap { r =>
+            val sp = new HPath(root, r.name)
+            val key = fs.makeQualified(sp).toUri.toString
+            Option(segCache.get(key)).getOrElse {
+              val sin = fs.open(sp)
+              val es =
+                try scala.io.Source.fromInputStream(sin, "UTF-8")
+                  .getLines().filter(_.nonEmpty)
+                  .map(parseEntryLine(_, bad)).toList
+                finally sin.close()
+              if (es.size != r.count)
+                bad(r.name, s"segment (expected ${r.count} entries, read ${es.size})")
+              if (segCache.size > SegCacheCap) segCache.clear()
+              segCache.put(key, es)
+              segKnown.add(key)
+              es
+            }
+          }
+          Some(DelimManifest(entries ++ segEntries, multi, gen, retain,
+            schemas, ts, tombs, bloomCols, segSize,
+            pruned = selected.size != segRefs.size))
+        }
       } finally in.close()
     }
   }
@@ -3094,10 +3324,11 @@ private[graft] object DelimV2 {
     * and its own pointer swap completes the dead commit.
     */
   private[graft] def readManifest(
-      fs: FileSystem, target: HPath): Option[DelimManifest] =
-    readManifestFile(fs, new HPath(target, ManifestFile)).orElse {
+      fs: FileSystem, target: HPath,
+      prune: Seq[(String, Seq[String])] = Nil): Option[DelimManifest] =
+    readManifestFile(fs, new HPath(target, ManifestFile), prune).orElse {
       retainedVersions(fs, target).maxOption.flatMap(g =>
-        readManifestFile(fs, new HPath(target, s"$ManifestFile.v$g")))
+        readManifestFile(fs, new HPath(target, s"$ManifestFile.v$g"), prune))
     }
 
   /** A RETAINED historical snapshot: `_manifest.v<gen>`, kept for the
@@ -3106,8 +3337,10 @@ private[graft] object DelimV2 {
     * silently falling back to the live generation.
     */
   private[graft] def readManifestVersion(
-      fs: FileSystem, target: HPath, gen: Long): DelimManifest =
-    readManifestFile(fs, new HPath(target, s"$ManifestFile.v$gen")).getOrElse {
+      fs: FileSystem, target: HPath, gen: Long,
+      prune: Seq[(String, Seq[String])] = Nil): DelimManifest =
+    readManifestFile(fs, new HPath(target, s"$ManifestFile.v$gen"), prune)
+      .getOrElse {
       val have = retainedVersions(fs, target)
       throw new IllegalArgumentException(
         s"graft-delim: versionAsOf=$gen not retained at $target " +
@@ -3123,11 +3356,19 @@ private[graft] object DelimV2 {
         try Some(s.toLong) catch { case _: NumberFormatException => None }
       }.sorted
 
-  private def serializeManifest(m: DelimManifest): Array[Byte] = {
+  private def appendEntryLine(
+      sb: java.lang.StringBuilder, e: ManifestEntry): Unit = {
+    sb.append(s"${e.len}\t${e.gen}\t${e.rel}")
+    if (e.stats.nonEmpty) sb.append('\t').append(e.stats)
+    sb.append('\n')
+  }
+
+  private def headerAndMeta(m: DelimManifest): java.lang.StringBuilder = {
     val sb = new java.lang.StringBuilder(64 + m.files.size * 48)
     sb.append(s"#graft-delim-manifest v2 multiline=${m.multiLine}" +
       s" gen=${m.gen} retain=${m.retain}" +
       (if (m.ts > 0) s" ts=${m.ts}" else "") +
+      (if (m.segSize > 0) s" segsize=${m.segSize}" else "") +
       (if (m.bloomCols.nonEmpty)
         s" bloomcols=${m.bloomCols.map(statEsc).mkString(",")}" else "") +
       "\n")
@@ -3144,13 +3385,119 @@ private[graft] object DelimV2 {
       if (m.files.exists(_.gen <= g))
         sb.append(s"#tombstone\t$g\t$enc\n")
     }
-    m.files.foreach { e =>
-      sb.append(s"${e.len}\t${e.gen}\t${e.rel}")
-      if (e.stats.nonEmpty) sb.append('\t').append(e.stats)
-      sb.append('\n')
-    }
+    sb
+  }
+
+  private def serializeManifest(m: DelimManifest): Array[Byte] = {
+    val sb = headerAndMeta(m)
+    m.files.foreach(appendEntryLine(sb, _))
     sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8)
   }
+
+  /** Prefix a segment file name must carry — underscore-prefixed so
+    * listings ignore segments like the manifest itself. */
+  private[graft] val SegPrefix = s"$ManifestFile.seg-"
+
+  /** Per-RUN chunking memo: (table, partition dir) → the run's exact
+    * entry list and its segment refs from the last commit in this
+    * JVM. A nightly-load commit changes one or two partitions; every
+    * other run's membership is EXACTLY the previous commit's, so its
+    * chunks need no re-serialization, no hashing, and no existence
+    * probes — the equality check against the cached entries (cheap:
+    * case-class equality, reference-equal fast path) is what makes
+    * commits O(changed partitions) instead of O(table). Entries are
+    * stored by reference; the memory cost is pointers, not copies.
+    */
+  private val runChunkCache = new java.util.concurrent.ConcurrentHashMap[
+    String, (Seq[ManifestEntry], Seq[SegRef])]()
+  private val RunCacheCap = 131072
+
+  /** Deterministic, append-localized chunking: entries grouped into
+    * RUNS per leaf partition directory, each run sorted by rel and
+    * split every segSize entries. A commit touching one partition
+    * changes only that partition's chunks; every other run hits the
+    * memo (or, cache-cold, serializes to identical bytes → identical
+    * content hash → the already-landed segment file is reused without
+    * a write). Returns the index's segment references in run order
+    * (runs sorted by directory, entries sorted within each run — so
+    * each SegRef's [minRel, maxRel] brackets its entries exactly).
+    */
+  private def ensureSegments(
+      fs: FileSystem, target: HPath, m: DelimManifest): Seq[SegRef] = {
+    val tableKey = fs.makeQualified(target).toUri.toString
+    def dirOf(rel: String): String = {
+      val i = rel.lastIndexOf('/')
+      if (i < 0) "" else rel.substring(0, i)
+    }
+    // group by leaf partition directory WITHOUT a global sort: the
+    // memo is checked against each run's ARRIVAL order (stable across
+    // commits -- a snapshot's entries are the previous index's order
+    // plus appended entries), so an unchanged run pays one O(n)
+    // equality walk and nothing else: no sort, no serialization, no
+    // hashing, no filesystem probes. Only changed runs sort + chunk.
+    val byDir = m.files.groupBy(e => dirOf(e.rel))
+    val refs = Vector.newBuilder[SegRef]
+    byDir.keys.toSeq.sorted.foreach { runDir =>
+      val es0 = byDir(runDir)
+      val memoKey = tableKey + "\u0000" + runDir
+      val memo = runChunkCache.get(memoKey)
+      if (memo != null && memo._1 == es0) refs ++= memo._2
+      else {
+        val es = es0.sortBy(_.rel)(Ordering.String)
+        val runRefs = Vector.newBuilder[SegRef]
+        es.grouped(m.segSize).foreach { chunk =>
+          val sb = new java.lang.StringBuilder(chunk.size * 48)
+          chunk.foreach(appendEntryLine(sb, _))
+          val bytes = sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          val md = java.security.MessageDigest.getInstance("MD5").digest(bytes)
+          val hex = md.take(8).map(b => f"${b & 0xff}%02x").mkString
+          val name = s"$SegPrefix$hex-${chunk.size}"
+          val sp = new HPath(target, name)
+          val key = fs.makeQualified(sp).toUri.toString
+          if (!segKnown.contains(key) && !fs.exists(sp)) {
+            // create-no-overwrite via tmp + rename: a concurrent commit
+            // writing the SAME content races benignly (identical bytes)
+            val tmp = new HPath(target,
+              s"$name.tmp-${java.util.UUID.randomUUID().toString.take(8)}")
+            val out = fs.create(tmp, false)
+            try out.write(bytes) finally out.close()
+            try {
+              if (!fs.rename(tmp, sp) && !fs.exists(sp))
+                throw new java.io.IOException(
+                  s"graft-delim: could not land manifest segment $sp")
+            } finally fs.delete(tmp, false)
+          }
+          segKnown.add(key)
+          if (segCache.size > SegCacheCap) segCache.clear()
+          segCache.put(key, chunk)
+          runRefs += SegRef(name, chunk.size, chunk.head.rel, chunk.last.rel)
+        }
+        val rr = runRefs.result()
+        if (runChunkCache.size > RunCacheCap) runChunkCache.clear()
+        runChunkCache.put(memoKey, (es0, rr))
+        refs ++= rr
+      }
+    }
+    refs.result()
+  }
+
+  private def serializeIndex(
+      m: DelimManifest, refs: Seq[SegRef]): Array[Byte] = {
+    val sb = headerAndMeta(m)
+    refs.foreach(r =>
+      sb.append(s"#segment\t${r.name}\t${r.count}\t${r.minRel}\t${r.maxRel}\n"))
+    sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+  }
+
+  /** The committed document for this snapshot: the segmented INDEX
+    * (landing any missing segment files as a side effect) once the
+    * table is past its threshold, else the single inline document.
+    */
+  private def manifestBytes(
+      fs: FileSystem, target: HPath, m: DelimManifest): Array[Byte] =
+    if (m.segSize > 0 && m.files.size >= m.segSize)
+      serializeIndex(m, ensureSegments(fs, target, m))
+    else serializeManifest(m)
 
   /** Atomically swap the CURRENT manifest pointer: write a tmp file,
     * then FileContext rename with OVERWRITE — atomic on HDFS and the
@@ -3160,7 +3507,7 @@ private[graft] object DelimV2 {
     * two calls).
     */
   private def swapCurrentManifest(
-      fs: FileSystem, target: HPath, m: DelimManifest): Unit = {
+      fs: FileSystem, target: HPath, bytes: Array[Byte]): Unit = {
     val tmp = new HPath(target,
       s"$ManifestFile.tmp-${java.util.UUID.randomUUID().toString.take(8)}")
     // FileContext for BOTH create and rename: the FileSystem facade is
@@ -3171,9 +3518,20 @@ private[graft] object DelimV2 {
     val out = fc.create(tmp,
       java.util.EnumSet.of(org.apache.hadoop.fs.CreateFlag.CREATE,
         org.apache.hadoop.fs.CreateFlag.OVERWRITE))
-    try out.write(serializeManifest(m)) finally out.close()
+    try out.write(bytes) finally out.close()
     fc.rename(tmp, new HPath(target, ManifestFile),
       org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+  }
+
+  /** Raw bytes of an existing manifest document — the pointer swap and
+    * crash recovery copy the claimed version VERBATIM (re-serializing
+    * a parsed snapshot would inline a segmented index). */
+  private def readRawManifest(fs: FileSystem, mf: HPath): Array[Byte] = {
+    val len = fs.getFileStatus(mf).getLen.toInt
+    val buf = new Array[Byte](len)
+    val in = fs.open(mf)
+    try in.readFully(0, buf) finally in.close()
+    buf
   }
 
   /** COMMIT a new generation — the concurrency-safe sequence:
@@ -3192,13 +3550,36 @@ private[graft] object DelimV2 {
     * writer is active. Returns the set of file paths referenced by ANY
     * retained snapshot (the commit's must-not-delete set).
     */
+  /** Must-not-delete set returned by commitManifest, materialized
+    * LAZILY: building a Set over every live rel is an O(table) driver
+    * pass per commit, and append commits never consult the result —
+    * only overwrite sweeps, truncates, and compaction's replaced-file
+    * cleanup do (they pay the build exactly when they need it).
+    */
+  final class LiveFileSet(thunk: () => Set[String])
+      extends (String => Boolean) {
+    lazy val toSet: Set[String] = thunk()
+    def contains(rel: String): Boolean = toSet.contains(rel)
+    override def apply(rel: String): Boolean = toSet.contains(rel)
+  }
+
   private[graft] def commitManifest(
-      fs: FileSystem, target: HPath, m0: DelimManifest): Set[String] = {
+      fs: FileSystem, target: HPath, m0: DelimManifest): LiveFileSet = {
     // stamp the commit wall-clock: timestampAsOf resolves against it.
     // Clamped monotonic per table would need the previous ts threaded
     // through every caller; millis skew between successive commits on
     // one box is below the resolution story's granularity.
+    require(!m0.pruned,
+      "graft-delim: refusing to commit a SEGMENT-PRUNED snapshot — " +
+        "it lists only the files a partition predicate kept; " +
+        "committing it would silently unlist the rest of the table")
     val m = m0.copy(ts = math.max(System.currentTimeMillis(), 1L))
+    // the claimed document and the pointer carry IDENTICAL bytes; for
+    // a segmented table this also lands any new segment files first
+    // (unreferenced until the claim succeeds — a failed claim leaves
+    // only unreferenced content-addressed files the next commit's
+    // segment GC sweeps)
+    val bytes = manifestBytes(fs, target, m)
     val vf = new HPath(target, s"$ManifestFile.v${m.gen}")
     val fc = org.apache.hadoop.fs.FileContext.getFileContext(
       target.toUri, fs.getConf)
@@ -3212,7 +3593,7 @@ private[graft] object DelimV2 {
     val out = fc.create(tmp,
       java.util.EnumSet.of(org.apache.hadoop.fs.CreateFlag.CREATE,
         org.apache.hadoop.fs.CreateFlag.OVERWRITE))
-    try out.write(serializeManifest(m)) finally out.close()
+    try out.write(bytes) finally out.close()
     try fc.rename(tmp, vf)
     catch {
       case _: org.apache.hadoop.fs.FileAlreadyExistsException |
@@ -3231,7 +3612,7 @@ private[graft] object DelimV2 {
     // claim and swap), its pointer swap supersedes ours — writing ours
     // would regress the pointer below a durable commit
     if (retainedVersions(fs, target).max == m.gen)
-      swapCurrentManifest(fs, target, m)
+      swapCurrentManifest(fs, target, bytes)
     // the guard above is check-then-act: a successor can claim (and
     // swap) between our max-check and our rename, after which our
     // rename regressed the pointer below a durable commit — re-check
@@ -3247,11 +3628,86 @@ private[graft] object DelimV2 {
       fs.delete(new HPath(target, s"$ManifestFile.v$g"), false)
     }
     // must-not-delete set: every file some retained snapshot still
-    // references (time travel reads plan from those snapshots)
-    val retained = retainedVersions(fs, target).filter(_ != m.gen)
+    // references (time travel reads plan from those snapshots) —
+    // resolved lazily inside the LiveFileSet below
+    lazy val retained = retainedVersions(fs, target).filter(_ != m.gen)
       .flatMap(g => readManifestFile(fs, new HPath(target, s"$ManifestFile.v$g")))
-    (m.files.map(_.rel) ++ retained.flatMap(_.files.map(_.rel))).toSet
+    // SEGMENT GC: a content-addressed segment referenced by NO
+    // retained snapshot is dead — a replaced chunk whose last
+    // referencing generation just expired, or a crash-orphaned claim's
+    // leftovers. Safe against concurrent committers: any commit in
+    // flight right now either bases on a retained snapshot (and so
+    // reuses only segments that snapshot references — kept here) or
+    // will lose the generation-claim CAS and recompute from scratch.
+    if (m.segSize > 0) {
+      val referenced = retainedVersions(fs, target)
+        .map(g => new HPath(target, s"$ManifestFile.v$g"))
+        .flatMap(segmentNamesOf(fs, _)).toSet
+      val swept = scala.collection.mutable.HashSet.empty[String]
+      Option(fs.globStatus(new HPath(target, s"$SegPrefix*")))
+        .map(_.toSeq).getOrElse(Nil).foreach { st =>
+          val n = st.getPath.getName
+          if (!referenced.contains(n) && !n.contains(".tmp-")) {
+            fs.delete(st.getPath, false)
+            val key = fs.makeQualified(st.getPath).toUri.toString
+            segKnown.remove(key)
+            segCache.remove(key)
+            swept += n
+          }
+        }
+      // the run memo may still point at a swept chunk (a run whose
+      // membership reverts to an expired state would otherwise reuse
+      // a deleted file) — drop EXACTLY the memo entries referencing
+      // one; the untouched partitions' memos survive, which is what
+      // keeps commits O(changed partitions)
+      if (swept.nonEmpty) {
+        val pfx = fs.makeQualified(target).toUri.toString + "\u0000"
+        runChunkCache.entrySet().removeIf(e =>
+          e.getKey.startsWith(pfx) &&
+            e.getValue._2.exists(r => swept.contains(r.name)))
+      }
+    }
+    new LiveFileSet(() =>
+      (m.files.map(_.rel) ++ retained.flatMap(_.files.map(_.rel))).toSet)
   }
+
+  /** The generation in a manifest document's header — a one-line
+    * read, never loading segments. None when absent or unreadable
+    * (a torn pointer mid-swap reads as "needs recovery", which the
+    * caller's roll-forward handles). */
+  private def manifestGenOf(fs: FileSystem, mf: HPath): Option[Long] =
+    try {
+      if (!fs.exists(mf)) None
+      else {
+        val in = fs.open(mf)
+        try {
+          val br = new java.io.BufferedReader(
+            new java.io.InputStreamReader(in,
+              java.nio.charset.StandardCharsets.UTF_8))
+          val first = br.readLine()
+          if (first == null || !first.startsWith("#")) None
+          else first.split(' ').collectFirst {
+            case a if a.startsWith("gen=") => a.stripPrefix("gen=").toLong
+          }
+        } finally in.close()
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** segmentNamesOf for the maintenance procedures. */
+  private[v2] def segmentNamesPub(fs: FileSystem, mf: HPath): Seq[String] =
+    segmentNamesOf(fs, mf)
+
+  /** The segment file names a manifest document references — a
+    * line-scan of the (small) index, never loading the segments. */
+  private def segmentNamesOf(fs: FileSystem, mf: HPath): Seq[String] =
+    if (!fs.exists(mf)) Nil
+    else {
+      val in = fs.open(mf)
+      try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+        .filter(_.startsWith("#segment\t"))
+        .flatMap(_.split('\t').lift(1)).toList
+      finally in.close()
+    }
 
   /** CRASH RECOVERY: a commit that died between its version claim
     * (`_manifest.v<G+1>` exists) and the pointer swap (`_manifest`
@@ -3265,16 +3721,21 @@ private[graft] object DelimV2 {
   def recoverManifest(fs: FileSystem, target: HPath): Option[Long] = {
     // the RAW pointer, not readManifest: its swap-window fallback
     // already reports the claimed generation, which would mask the
-    // stale pointer this repair exists to fix
-    val cur = readManifestFile(fs, new HPath(target, ManifestFile))
-      .map(_.gen).getOrElse(0L)
+    // stale pointer this repair exists to fix. Header-only read: this
+    // probe runs on EVERY commit, and parsing a segmented index here
+    // would load every segment just to read one number. An unreadable
+    // pointer degrades to gen 0 — the roll-forward below then swaps
+    // onto the highest claim, which IS the repair.
+    val cur = manifestGenOf(fs, new HPath(target, ManifestFile)).getOrElse(0L)
     // roll straight to the HIGHEST claim: every claimed generation's
     // files were promoted before its claim, so the newest claim is the
     // most complete durable snapshot
     val next = retainedVersions(fs, target).filter(_ > cur).maxOption
     next.map { g =>
+      // VERBATIM byte copy of the claimed document: re-serializing a
+      // parsed snapshot would inline a segmented index
       swapCurrentManifest(fs, target,
-        readManifestFile(fs, new HPath(target, s"$ManifestFile.v$g")).get)
+        readRawManifest(fs, new HPath(target, s"$ManifestFile.v$g")))
       g
     }
   }
@@ -3394,11 +3855,31 @@ private[graft] object DelimV2 {
     * commit (see DelimWrite.commit).
     */
   private[v2] final case class ListingSnapshot(
-      files: Seq[ListedFile], manifest: Option[DelimManifest])
+      files: Seq[ListedFile], manifest: Option[DelimManifest],
+      /** EVERY manifest-bearing root's manifest, in path order — a
+        * multi-root read (paths=a,b or a glob over several table
+        * roots) must not apply the first root's tombstones/bloom
+        * header to the other roots' files. Tombstone-bearing tables
+        * reject multi-root reads outright (enforced in listSnapshot);
+        * bloom headers UNION safely (sidecars are per-file truth — a
+        * probe against a file lacking the column never skips).
+        */
+      manifests: Seq[DelimManifest] = Nil) {
+    /** Gates that must consider every listed root, not just the first
+      * manifest-bearing one (count-star/stats pushdown suppression).
+      */
+    def anyTombstones: Boolean = manifests.exists(_.tombstones.nonEmpty)
+    def unionBloomCols: Seq[String] = manifests.flatMap(_.bloomCols).distinct
+  }
 
   private[v2] def listSnapshot(
       paths: Seq[String], conf: Configuration,
-      versionAsOf: Option[Long] = None): ListingSnapshot = {
+      versionAsOf: Option[Long] = None,
+      /** Partition-equality candidates (column → directory-value
+        * strings) a SEGMENTED manifest may prune its segment loads
+        * by. Purely an optimization: pruned-away files are exactly
+        * files the pushed filters exclude at file level anyway. */
+      segPrune: Seq[(String, Seq[String])] = Nil): ListingSnapshot = {
     def recurse(fs: FileSystem, st: FileStatus,
         pvals: Seq[(String, String)]): Seq[ListedFile] =
       if (st.isFile) Seq(ListedFile(st, pvals))
@@ -3417,6 +3898,8 @@ private[graft] object DelimV2 {
         }
       }
     var firstManifest: Option[DelimManifest] = None
+    val allManifests = scala.collection.mutable.ArrayBuffer.empty[DelimManifest]
+    var matchedRoots = 0
     val files = paths.flatMap { p =>
       val hp = new HPath(p)
       val fs = hp.getFileSystem(conf)
@@ -3426,16 +3909,18 @@ private[graft] object DelimV2 {
           s"graft-delim: versionAsOf requires a manifest-bearing table " +
             s"directory, got '$p'")
       matched.flatMap { st =>
+        matchedRoots += 1
         // a committed manifest at a directory root IS the listing
         // (the snapshot-isolation and no-namespace-crawl contract);
         // partition values parse from the entries' k=v path segments
         val manifest =
           if (!st.isDirectory) None
           else versionAsOf match {
-            case Some(g) => Some(readManifestVersion(fs, st.getPath, g))
-            case None => readManifest(fs, st.getPath)
+            case Some(g) => Some(readManifestVersion(fs, st.getPath, g, segPrune))
+            case None => readManifest(fs, st.getPath, segPrune)
           }
         if (firstManifest.isEmpty) firstManifest = manifest
+        manifest.foreach(allManifests += _)
         manifest match {
           case Some(m) => listedFromManifest(st.getPath, m)
           case None => recurse(fs, st, Nil)
@@ -3445,7 +3930,18 @@ private[graft] object DelimV2 {
       val n = f.status.getPath.getName
       n.startsWith("_") || n.startsWith(".") || n.endsWith(DelimBloom.Suffix)
     }.sortBy(_.status.getPath.toString)
-    ListingSnapshot(files, firstManifest)
+    // Tombstones apply to files by GENERATION number, which is only
+    // meaningful within one root's manifest lineage: a multi-root read
+    // would resurrect root B's MoR-deleted rows (its tombstones
+    // ignored) while mis-applying root A's tombstones to B's files.
+    // Reject loudly, like streaming and deleteWhere require one root.
+    if (matchedRoots > 1 && allManifests.exists(_.tombstones.nonEmpty))
+      throw new IllegalArgumentException(
+        "graft-delim: multi-root read over a table with merge-on-read " +
+          "delete tombstones is unsupported — read the roots singly, " +
+          "or OPTIMIZE the tombstone-bearing table to retire its " +
+          "tombstones first")
+    ListingSnapshot(files, firstManifest, allManifests.toSeq)
   }
 
   /** Manifest entries as listed files: partition values parse from the
@@ -3453,8 +3949,80 @@ private[graft] object DelimV2 {
     * generations' recorded schemas. Shared by batch listing and the
     * streaming source's per-generation batches.
     */
+  // ------------------------------------------------- stable field IDs
+  //
+  // RENAME/DROP COLUMN need identity that survives the name: each
+  // recorded generation schema carries a per-field ID in StructField
+  // metadata (persisted through the schema's JSON — no manifest format
+  // change). Writers INHERIT IDs by name from the latest recorded
+  // schema and mint fresh ones for new names; a rename keeps the ID
+  // under the new name; a drop removes the name but old generations
+  // keep theirs. At LISTING time each file's positional field names
+  // are TRANSLATED to the current schema's names through the IDs, so
+  // the readers' by-name mapping needs no changes at all: a renamed
+  // column reads from every generation, a dropped-then-re-added name
+  // never captures the old column's bytes (the old ID maps to an
+  // inert `__dropped_<id>` name).
+
+  private[graft] val FieldIdKey = "graft.field.id"
+
+  private[graft] def fieldId(f: StructField): Option[Long] =
+    if (f.metadata.contains(FieldIdKey)) Some(f.metadata.getLong(FieldIdKey))
+    else None
+
+  private[graft] def withFieldId(f: StructField, id: Long): StructField =
+    f.copy(metadata = new org.apache.spark.sql.types.MetadataBuilder()
+      .withMetadata(f.metadata).putLong(FieldIdKey, id).build())
+
+  /** Attach stable field IDs to a committing generation's schema:
+    * names inherit their ID from the latest recorded schema, genuinely
+    * new names get fresh IDs above every ID any recorded schema ever
+    * used (a dropped-and-re-added name therefore gets a NEW identity).
+    */
+  private[graft] def assignFieldIds(
+      schema: StructType,
+      schemas: Map[Long, ManifestSchema]): StructType = {
+    val latest = schemas.toSeq.sortBy(_._1).lastOption.map(_._2.struct)
+    val byName: Map[String, Long] = latest
+      .map(_.fields.flatMap(f => fieldId(f).map(f.name -> _)).toMap)
+      .getOrElse(Map.empty)
+    var maxId = schemas.values.flatMap(_.struct.fields)
+      .flatMap(fieldId).foldLeft(0L)(math.max)
+    StructType(schema.fields.map { f =>
+      byName.get(f.name) match {
+        case Some(id) => withFieldId(f, id)
+        case None => maxId += 1; withFieldId(f, maxId)
+      }
+    })
+  }
+
   private[graft] def listedFromManifest(
-      root: HPath, m: DelimManifest): Seq[ListedFile] =
+      root: HPath, m: DelimManifest): Seq[ListedFile] = {
+    // field-ID translation context: recorded names → current names
+    val cur = m.schemas.get(m.gen)
+      .orElse(m.schemas.toSeq.sortBy(_._1).lastOption.map(_._2))
+    val curById: Map[Long, String] = cur
+      .map(_.struct.fields.flatMap(f => fieldId(f).map(_ -> f.name)).toMap)
+      .getOrElse(Map.empty)
+    val layoutCache =
+      scala.collection.mutable.Map.empty[Long, (Array[String], Map[String, String])]
+    def layout(gen: Long): Option[(Array[String], Map[String, String])] =
+      m.schemas.get(gen).map { ms =>
+        layoutCache.getOrElseUpdate(gen, {
+          val dataFields =
+            ms.struct.fields.filterNot(f => ms.partCols.contains(f.name))
+          val pairs = dataFields.map { f =>
+            val tn =
+              if (curById.isEmpty) f.name
+              else fieldId(f)
+                .map(id => curById.getOrElse(id, s"__dropped_$id"))
+                .getOrElse(f.name)
+            (f.name, tn)
+          }
+          (pairs.map(_._2),
+            pairs.filter(p => p._1 != p._2).toMap)
+        })
+      }
     m.files.map { e =>
       val pvals = e.rel.split('/').dropRight(1).toSeq.flatMap { seg =>
         val eq = seg.indexOf('=')
@@ -3465,12 +4033,23 @@ private[graft] object DelimV2 {
             (if (v0 == HiveDefaultPartition) null else v0))
         }
       }
+      val lay = layout(e.gen)
+      val stats0 = decodeStats(e.stats, m.schemas.get(e.gen)).orNull
+      // stats were recorded under the WRITE-TIME names: translate the
+      // keys too, so skipping keeps working across a rename
+      val stats = lay match {
+        case Some((_, renames)) if stats0 != null && renames.nonEmpty =>
+          stats0.copy(cols = stats0.cols.map { case (k, v) =>
+            renames.getOrElse(k, k) -> v })
+        case _ => stats0
+      }
       ListedFile(new FileStatus(e.len, false, 1, 0L, 0L,
         new HPath(root, e.rel)), pvals,
-        m.schemas.get(e.gen).map(_.dataFieldNames).orNull,
-        decodeStats(e.stats, m.schemas.get(e.gen)).orNull,
+        lay.map(_._1).orNull,
+        stats,
         e.gen)
     }
+  }
 
   /** Test observability hook for FILE-level pruning, keyed per scan
     * target like the runtime-filter log: (discovered files, files kept

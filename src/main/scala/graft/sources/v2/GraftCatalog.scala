@@ -128,21 +128,65 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     loadTable(ident)
   }
 
-  /** Schema evolution DDL: `ALTER TABLE ... ADD COLUMN` appends a
-    * nullable column to the table schema. Existing data is untouched —
-    * each generation's manifest records the writer schema its files
-    * were laid out under, and the reader maps read columns to file
-    * positions BY NAME through it, so pre-evolution files read the new
-    * column as null. RENAME/DROP COLUMN are rejected: name-keyed
-    * mapping would silently orphan every already-written generation's
-    * data for that column (a field-id scheme is what a rename needs,
-    * out of scope for a landing-directory format).
+  /** Schema evolution DDL.
+    *
+    * `ADD COLUMN` appends a nullable column; existing data is
+    * untouched — each generation's manifest records the writer schema
+    * its files were laid out under, and readers map read columns to
+    * file positions through it, so pre-evolution files read the new
+    * column as null.
+    *
+    * `RENAME COLUMN` / `DROP COLUMN` ride STABLE FIELD IDS
+    * (DelimV2.FieldIdKey in the recorded schemas): the change commits
+    * a new manifest generation whose schema carries the renamed/
+    * dropped field lineage — IDs retro-assigned by name inheritance
+    * across the already-recorded generations when the table predates
+    * the scheme — and listing-time translation maps every older
+    * file's recorded names onto the current ones, so a renamed column
+    * reads from every generation with ZERO rewrites and a dropped
+    * column's bytes become unreachable (a later re-add of the same
+    * name gets a NEW id and never captures them). Partition columns
+    * reject both (the k=v directory layout carries the name on
+    * disk), and a live tombstone referencing the column demands
+    * OPTIMIZE first (its encoded predicate is name-keyed).
     */
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     val e = Option(tables.get(key(ident)))
       .getOrElse(throw new org.apache.spark.sql.catalyst.analysis
         .NoSuchTableException(ident))
     var (schema, partCols, props) = e
+    // commit a schema-lineage generation for a rename/drop: the
+    // manifest is where field identity lives
+    def commitSchemaChange(change: StructType => StructType,
+        touched: String): Unit = {
+      val root = new HPath(props("path"))
+      val fs = root.getFileSystem(DelimV2.driverConf())
+      DelimV2.readManifest(fs, root).foreach { m =>
+        m.tombstones.foreach { case (_, enc) =>
+          val refs = DelimV2.tombstoneFilter(enc, schema).references
+          if (refs.contains(touched))
+            throw new UnsupportedOperationException(
+              s"graft-delim catalog: column $touched is referenced by a " +
+                "live merge-on-read delete tombstone — run OPTIMIZE " +
+                "(tombstone retirement) first")
+        }
+        // retro-assign field IDs across the recorded lineage by
+        // ascending-generation name inheritance (tables written
+        // before the ID scheme), then apply the change to the latest
+        var acc = Map.empty[Long, DelimV2.ManifestSchema]
+        m.schemas.toSeq.sortBy(_._1).foreach { case (g, ms) =>
+          acc += (g -> DelimV2.ManifestSchema(ms.partCols,
+            DelimV2.assignFieldIds(ms.struct, acc)))
+        }
+        val latest = acc.toSeq.sortBy(_._1).lastOption.map(_._2)
+          .getOrElse(DelimV2.ManifestSchema(partCols,
+            DelimV2.assignFieldIds(schema, Map.empty)))
+        val changed = DelimV2.ManifestSchema(latest.partCols,
+          change(latest.struct))
+        DelimV2.commitManifest(fs, root, m.copy(gen = m.gen + 1,
+          schemas = acc + ((m.gen + 1) -> changed)))
+      }
+    }
     changes.foreach {
       case add: TableChange.AddColumn =>
         require(add.fieldNames.length == 1,
@@ -154,6 +198,35 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           "graft-delim catalog: ADD COLUMN position must be LAST " +
             "(fields map positionally within a generation)")
         schema = schema.add(StructField(n, add.dataType, nullable = true))
+      case rn: TableChange.RenameColumn =>
+        require(rn.fieldNames.length == 1,
+          "graft-delim catalog: nested RENAME COLUMN not supported")
+        val from = rn.fieldNames.head
+        val to = rn.newName
+        require(schema.fieldNames.contains(from),
+          s"graft-delim catalog: no such column $from")
+        require(!schema.fieldNames.contains(to),
+          s"graft-delim catalog: column $to already exists")
+        require(!partCols.contains(from),
+          s"graft-delim catalog: cannot rename partition column $from " +
+            "(the k=v directory layout carries the name on disk)")
+        commitSchemaChange(st => StructType(st.fields.map(f =>
+          if (f.name == from) f.copy(name = to) else f)), from)
+        schema = StructType(schema.fields.map(f =>
+          if (f.name == from) f.copy(name = to) else f))
+      case del: TableChange.DeleteColumn =>
+        require(del.fieldNames.length == 1,
+          "graft-delim catalog: nested DROP COLUMN not supported")
+        val n = del.fieldNames.head
+        require(schema.fieldNames.contains(n),
+          s"graft-delim catalog: no such column $n")
+        require(!partCols.contains(n),
+          s"graft-delim catalog: cannot drop partition column $n")
+        require(schema.fields.count(f => !partCols.contains(f.name)) > 1,
+          "graft-delim catalog: cannot drop the last data column")
+        commitSchemaChange(st =>
+          StructType(st.fields.filterNot(_.name == n)), n)
+        schema = StructType(schema.fields.filterNot(_.name == n))
       case _: TableChange.SetProperty | _: TableChange.RemoveProperty => ()
       case other => throw new UnsupportedOperationException(
         s"graft-delim catalog: unsupported ALTER TABLE change $other")
@@ -356,7 +429,7 @@ private[v2] class DelimPartitionedTable(
         // inside a retention window, a versionAsOf reader may still
         // plan the dropped partition's files — delete only the expired
         // ones, and the directory only once nothing retained remains
-        val retainedHere = live.filter(_.startsWith(sub + "/"))
+        val retainedHere = live.toSet.filter(_.startsWith(sub + "/"))
         if (retainedHere.isEmpty) fs.delete(d, true)
         else {
           Option(fs.listStatus(d)).getOrElse(Array.empty).foreach { st =>

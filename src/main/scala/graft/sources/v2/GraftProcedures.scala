@@ -31,7 +31,8 @@ private[v2] object GraftProcedures {
     "optimize" -> (cat => new OptimizeProcedure(cat)),
     "expire_snapshots" -> (cat => new ExpireSnapshotsProcedure(cat)),
     "recover_manifest" -> (cat => new RecoverManifestProcedure(cat)),
-    "snapshots" -> (cat => new SnapshotsProcedure(cat)))
+    "snapshots" -> (cat => new SnapshotsProcedure(cat)),
+    "remove_orphans" -> (cat => new RemoveOrphansProcedure(cat)))
 
   /** One-row result relation for a maintenance call. */
   private[v2] final case class SummaryScan(
@@ -166,6 +167,93 @@ private[v2] class SnapshotsProcedure(cat: GraftCatalog)
         "generation BIGINT, committed_at TIMESTAMP, n_files INT, " +
           "n_rows BIGINT, n_tombstones INT, total_bytes BIGINT"),
       rows))
+  }
+}
+
+/** `CALL graft_cat.system.remove_orphans(table, older_than_ms)` —
+  * delete every file under the table root that NO retained snapshot
+  * references: data files from crashed commits (promoted but never
+  * manifest-listed), dead `_staging_*` directories, unclaimed
+  * `_manifest.claim-*`/`.tmp-*` leftovers, and unreferenced manifest
+  * segments. `older_than_ms` is the safety window (default 1 hour):
+  * anything younger is presumed in-flight — a concurrent writer's
+  * staged or freshly-promoted files must never be swept from under
+  * its commit. Pass 0 only when no writer can be active.
+  */
+private[v2] class RemoveOrphansProcedure(cat: GraftCatalog)
+    extends GraftProcedure("remove_orphans") {
+  import org.apache.hadoop.fs.{Path => HPath}
+
+  override def parameters(): Array[ProcedureParameter] = Array(
+    GraftProcedures.param("table", StringType),
+    GraftProcedures.param("older_than_ms", LongType, Some("3600000")))
+
+  override def description(): String =
+    "Delete files no retained snapshot references (crash orphans, dead " +
+      "staging, unclaimed manifest leftovers) older than the safety window"
+
+  override def call(input: InternalRow): java.util.Iterator[Scan] = {
+    val root = cat.tableRootOf(input.getUTF8String(0).toString)
+    val grace = if (input.isNullAt(1)) 3600000L else input.getLong(1)
+    require(grace >= 0L,
+      s"graft-delim: remove_orphans older_than_ms must be >= 0, got $grace")
+    val cutoff = System.currentTimeMillis() - grace
+    val fs = root.getFileSystem(DelimV2.driverConf())
+    val m = DelimV2.readManifest(fs, root).getOrElse(
+      throw new IllegalArgumentException(
+        s"graft-delim: no committed manifest at $root — remove_orphans " +
+          "operates on manifest-committed tables"))
+    // the must-not-delete universe: every rel ANY retained snapshot
+    // lists, every segment file any retained index references, and
+    // the manifest documents themselves
+    val gens = DelimV2.retainedVersions(fs, root)
+    val referencedRels: Set[String] =
+      (m.files.map(_.rel) ++ gens.flatMap(g =>
+        DelimV2.readManifestVersion(fs, root, g).files.map(_.rel))).toSet
+    val referencedSegs: Set[String] =
+      ((new HPath(root, DelimV2.ManifestFile)) +:
+        gens.map(g => new HPath(root, s"${DelimV2.ManifestFile}.v$g")))
+        .flatMap(DelimV2.segmentNamesPub(fs, _)).toSet
+    val rootUri = fs.makeQualified(root).toUri
+    var deleted = 0L
+    var freed = 0L
+    def old(st: org.apache.hadoop.fs.FileStatus): Boolean =
+      st.getModificationTime <= cutoff
+    def drop(st: org.apache.hadoop.fs.FileStatus, recursive: Boolean): Unit = {
+      freed += (if (st.isFile) st.getLen else 0L)
+      fs.delete(st.getPath, recursive)
+      deleted += 1
+    }
+    def walk(dir: HPath, isRoot: Boolean): Unit =
+      Option(fs.listStatus(dir)).getOrElse(Array.empty).foreach { st =>
+        val n = st.getPath.getName
+        if (st.isDirectory) {
+          if (n.startsWith("_staging")) {
+            // a dead write's staging tree — in-flight ones are younger
+            // than the grace window
+            if (old(st)) drop(st, recursive = true)
+          } else if (!n.startsWith("_") && !n.startsWith(".") &&
+            n.contains("="))
+            walk(st.getPath, isRoot = false)
+        } else if (isRoot && n.startsWith(DelimV2.ManifestFile)) {
+          val isSeg = n.startsWith(s"${DelimV2.ManifestFile}.seg-")
+          if (isSeg && !n.contains(".tmp-") && !referencedSegs.contains(n) &&
+            old(st)) drop(st, recursive = false)
+          else if ((n.contains(".claim-") || n.contains(".tmp-")) && old(st))
+            drop(st, recursive = false)
+        } else if (!n.startsWith("_") && !n.startsWith(".")) {
+          val rel = rootUri.relativize(
+            fs.makeQualified(st.getPath).toUri).getPath
+          val live = referencedRels.contains(rel) ||
+            (rel.endsWith(DelimBloom.Suffix) &&
+              referencedRels.contains(rel.stripSuffix(DelimBloom.Suffix)))
+          if (!live && old(st)) drop(st, recursive = false)
+        }
+      }
+    walk(root, isRoot = true)
+    GraftProcedures.single(GraftProcedures.SummaryScan(
+      StructType.fromDDL("deleted BIGINT, freed_bytes BIGINT"),
+      Array(deleted, freed)))
   }
 }
 

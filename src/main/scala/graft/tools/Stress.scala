@@ -1013,6 +1013,113 @@ object Stress {
       }
       graft.core.Scratch.rmTree(root)
     }
+
+    // 15b. SEGMENTED MANIFEST RE-SWEEP (round-19 verdict ask #1): the
+    // same fabricated-entry protocol with `manifestSegmentSize`
+    // engaged, extended to 1M entries — the curve segmentation exists
+    // to flatten. Timed paths per size: COLD commit (first
+    // segmentation: every chunk written once), INCREMENTAL commit (a
+    // one-partition append — re-chunks one run, rewrites one segment
+    // + the index; the nightly-load shape), cold/warm full parse, and
+    // PRUNED planning (a pushed partition equality loads only that
+    // partition's segments from a cold cache). At 1M entries the
+    // inline design is also priced once for the direct comparison.
+    for (nEntries <- Seq(100000, 300000, 1000000)
+        if sections("manifestscale") && amps.contains(1)) {
+      import graft.sources.v2.DelimV2
+      val root = s"/tmp/graft_stress_manifest_seg/n$nEntries"
+      graft.core.Scratch.rmTree(root)
+      val hp = new org.apache.hadoop.fs.Path(root)
+      val conf = spark.sessionState.newHadoopConf()
+      val fs = hp.getFileSystem(conf)
+      fs.mkdirs(hp)
+      val struct = org.apache.spark.sql.types.StructType.fromDDL(
+        "id BIGINT, v DOUBLE, s STRING, pc STRING")
+      val schema = DelimV2.ManifestSchema(Seq("pc"), struct)
+      def mkStats(i: Int): String = {
+        val lo = i.toLong * 1000
+        DelimV2.encodeStats(50000L, Seq(
+          ("id", lo.toString, (lo + 999).toString, 0L),
+          ("v", "0.0", "1.0", 10L),
+          ("s", "aaaa", "zzzz", 0L)))
+      }
+      val entries = (0 until nEntries).map { i =>
+        DelimV2.ManifestEntry(1L << 27, 1L,
+          f"pc=p${i % 1000}%04d/part-$i%07d.txt", mkStats(i))
+      }
+      val perPart = nEntries / 1000
+      val m = DelimV2.DelimManifest(entries, multiLine = false, gen = 1L,
+        retain = 1, schemas = Map(1L -> schema), segSize = 2048)
+      if (nEntries == 1000000) {
+        // the inline document at 1M entries, priced once: the number
+        // the DESIGN NOTE extrapolated — now measured
+        val rootI = s"/tmp/graft_stress_manifest_seg/inline$nEntries"
+        graft.core.Scratch.rmTree(rootI)
+        val hpI = new org.apache.hadoop.fs.Path(rootI)
+        fs.mkdirs(hpI)
+        var g = 1L
+        run("manifest_inline_commit", nEntries, nEntries.toLong) {
+          for (_ <- 1 to 2) {
+            DelimV2.commitManifest(fs, hpI, m.copy(gen = g, segSize = 0))
+            g += 1
+          }
+          (nEntries.toLong, "reps=2|segsize=0")
+        }
+        run("manifest_inline_parse", nEntries, nEntries.toLong) {
+          var parsed = 0L
+          for (_ <- 1 to 2)
+            parsed = DelimV2.readManifest(fs, hpI).get.files.size.toLong
+          require(parsed == nEntries)
+          (parsed, "reps=2|segsize=0")
+        }
+        graft.core.Scratch.rmTree(rootI)
+      }
+      run("manifest_seg_commit_cold", nEntries, nEntries.toLong) {
+        DelimV2.clearSegCaches()
+        DelimV2.commitManifest(fs, hp, m)
+        (nEntries.toLong, "reps=1|segsize=2048")
+      }
+      run("manifest_seg_parse_cold", nEntries, nEntries.toLong) {
+        var parsed = 0L
+        for (_ <- 1 to 5) {
+          DelimV2.clearSegCaches()
+          parsed = DelimV2.readManifest(fs, hp).get.files.size.toLong
+        }
+        require(parsed == nEntries)
+        (parsed, "reps=5|segsize=2048")
+      }
+      run("manifest_seg_parse_warm", nEntries, nEntries.toLong) {
+        var parsed = 0L
+        for (_ <- 1 to 5)
+          parsed = DelimV2.readManifest(fs, hp).get.files.size.toLong
+        require(parsed == nEntries)
+        (parsed, "reps=5|segsize=2048")
+      }
+      run("manifest_seg_plan_pruned", nEntries, nEntries.toLong) {
+        var kept = 0L
+        for (_ <- 1 to 5) {
+          DelimV2.clearSegCaches()
+          kept = DelimV2.readManifest(fs, hp,
+            prune = Seq(("pc", Seq("p0500")))).get.files.size.toLong
+        }
+        require(kept == perPart, s"pruned plan kept $kept, expected $perPart")
+        (kept, "reps=5|segsize=2048|pruned_to_1_of_1000_partitions")
+      }
+      var all = entries
+      var mGen = 1L
+      run("manifest_seg_commit_incr", nEntries, nEntries.toLong) {
+        // warm driver (segKnown primed): each rep appends ONE file to
+        // one partition — the re-chunk touches that partition's run
+        for (_ <- 1 to 5) {
+          mGen += 1
+          all = all :+ DelimV2.ManifestEntry(1L << 27, mGen,
+            f"pc=p0001/part-x$mGen%07d.txt", mkStats(nEntries + mGen.toInt))
+          DelimV2.commitManifest(fs, hp, m.copy(gen = mGen, files = all))
+        }
+        (nEntries.toLong, "reps=5|segsize=2048|one_partition_append")
+      }
+      graft.core.Scratch.rmTree(root)
+    }
     spark.stop()
   }
 }

@@ -63,7 +63,7 @@ class DelimMorSpec extends SparkFunSuite {
     assert(got.count(_._2 > 100.0) == 5)
   }
 
-  test("compaction never merges files across a tombstone boundary") {
+  test("compaction retires tombstones; post-delete files byte-concat apart") {
     val t = s"${tempDir("mor-compact")}/t"
     mkTable("mor_compact", t)
     def land(lo: Long, hi: Long): Unit =
@@ -76,11 +76,15 @@ class DelimMorSpec extends SparkFunSuite {
     assert(beforeGens == Set(1L, 2L, 4L, 5L))
     DelimCompact.compact(spark, t)
     val after = manifest(t)
-    // two groups: {gen1,gen2} (tombstone applies) and {gen4,gen5} (not)
+    // two rewrite pipelines, one output each: {gen1,gen2} went through
+    // the PARSE path (tombstone complement applied, landed as the new
+    // generation 6 — row 5 physically gone, debt retired); {gen4,gen5}
+    // byte-concatenated under their representative gen 5
     assert(after.files.size == 2,
       s"expected 2 compacted files, got ${after.files.map(_.rel)}")
-    assert(after.files.map(_.gen).toSet == Set(2L, 5L))
-    assert(after.tombstones.size == 1)
+    assert(after.files.map(_.gen).toSet == Set(5L, 6L))
+    assert(after.tombstones.isEmpty,
+      "compaction must retire a fully-satisfied tombstone")
     val ids = spark.read.format("graft-delim")
       .schema("id BIGINT, v DOUBLE, pc STRING")
       .load(t).select("id").as[Long].collect().sorted.toSeq
@@ -122,6 +126,48 @@ class DelimMorSpec extends SparkFunSuite {
     val ids = spark.read.parquet(s"$dir/landed")
       .select("id").as[Long].collect().sorted.toSeq
     assert(ids == (1L to 40L))
+  }
+
+  test("OPTIMIZE retires tombstones; retired files keep bloom sidecars") {
+    val t = s"${tempDir("mor-retire")}/t"
+    // bloomed, quoted, schema'd table written by path (delimiter '|')
+    spark.range(1L, 201L)
+      .selectExpr("id", "cast(id * 1.5 as double) as v",
+        "case when id % 2 = 0 then 'a' else 'b' end as pc")
+      .coalesce(1).write.format("graft-delim")
+      .option("partitionBy", "pc").option("bloomFor", "id")
+      .mode("overwrite").save(t)
+    spark.sql("DROP TABLE IF EXISTS graft_cat.default.mor_retire")
+    spark.sql(s"""CREATE TABLE graft_cat.default.mor_retire
+      (id BIGINT, v DOUBLE, pc STRING)
+      USING `graft-delim` PARTITIONED BY (pc)
+      OPTIONS (bloomFor 'id') LOCATION '$t'""")
+    spark.sql("DELETE FROM graft_cat.default.mor_retire WHERE v > 270.0")
+    assert(manifest(t).tombstones.size == 1)
+    graft.sources.v2.DelimCompact.compact(spark, t,
+      minFilesPerGroup = Int.MaxValue)
+    val m = manifest(t)
+    assert(m.tombstones.isEmpty, "tombstone not retired")
+    // every retired file carries an OR... a freshly built sidecar: an
+    // absent key still skips, a surviving key keeps
+    import graft.sources.v2.DelimBloom
+    m.files.foreach { e =>
+      val p = new HPath(t, e.rel)
+      assert(fs(t).exists(new HPath(t, e.rel + DelimBloom.Suffix)),
+        s"retired file ${e.rel} lost its bloom sidecar")
+      assert(DelimBloom.fileSkips(fs(t), p, Seq(("id", Seq("999999")))),
+        s"retired sidecar on ${e.rel} does not skip an absent key")
+    }
+    // deleted rows physically gone; survivors intact on both paths
+    for (columnar <- Seq(true, false)) {
+      val df = spark.read.format("graft-delim")
+        .schema("id BIGINT, v DOUBLE, pc STRING")
+        .option("columnar", columnar.toString).load(t)
+      assert(df.count() == 180L)
+      assert(df.agg(org.apache.spark.sql.functions.max($"v")).head.getDouble(0)
+        == 270.0)
+      assert(df.filter($"id" === 150L).count() == 1L)
+    }
   }
 
   test("TRUNCATE TABLE commits an empty snapshot through the manifest") {

@@ -86,17 +86,53 @@ class DelimBloomSpec extends SparkFunSuite {
     intercept[Exception] { df.filter($"id" === 50L).count() }
   }
 
-  test("compaction drops sidecars with the replaced files; reads stay correct") {
+  test("compaction OR-merges member sidecars; the compacted file still skips") {
     val t = s"${tempDir("bloom-compact")}/t"
     mk(t)
     DelimCompact.compact(spark, t)
     val m = DelimV2.readManifest(fs(t), new HPath(t)).get
     assert(m.files.size == 1 && m.bloomCols == Seq("id"))
-    // the compacted file has no sidecar — it simply cannot skip
-    assert(!fs(t).exists(new HPath(t, m.files.head.rel + DelimBloom.Suffix)))
+    // the merged sidecar rides the compacted file: OR of the members'
+    // bitsets (fixed geometry), so an absent-key probe STILL skips and
+    // a present-key probe still keeps
+    val cf = new HPath(t, m.files.head.rel)
+    assert(fs(t).exists(new HPath(t, m.files.head.rel + DelimBloom.Suffix)),
+      "compaction must carry the members' blooms forward")
+    assert(DelimBloom.fileSkips(fs(t), cf, Seq(("id", Seq("999999")))),
+      "merged sidecar must prove the absent key away")
+    assert(!DelimBloom.fileSkips(fs(t), cf, Seq(("id", Seq("1000")))),
+      "merged sidecar must keep a present key")
+    // the replaced members' sidecars died with them
+    val leftover = m.files.map(_.rel).toSet
+    val onDisk = fs(t).listStatus(new HPath(t))
+      .map(_.getPath.getName).filter(_.endsWith(DelimBloom.Suffix)).toSeq
+    assert(onDisk == Seq(m.files.head.rel + DelimBloom.Suffix),
+      s"stale sidecars: ${onDisk.filterNot(n => leftover.contains(
+        n.stripSuffix(DelimBloom.Suffix)))}")
     val df = spark.read.format("graft-delim").schema("id BIGINT, v DOUBLE").load(t)
     assert(df.filter($"id" === 1000L).count() == 1L)
+    assert(df.filter($"id" === 999999L).count() == 0L)
     assert(df.count() == 2000L)
+  }
+
+  test("OR-merge declines when a member lacks a sidecar") {
+    val t = s"${tempDir("bloom-partial")}/t"
+    // gen 1 bloomed, gen 2 appended WITHOUT bloomFor: the group's
+    // merge must decline (a merged id-bloom would falsely skip the
+    // unbloomed member's keys) — compacted file carries no sidecar
+    spark.range(1L, 101L).select($"id", ($"id" * 1.5).as("v"))
+      .coalesce(1).write.format("graft-delim")
+      .option("bloomFor", "id").mode("overwrite").save(t)
+    spark.range(101L, 201L).select($"id", ($"id" * 1.5).as("v"))
+      .coalesce(1).write.format("graft-delim").mode("append").save(t)
+    DelimCompact.compact(spark, t)
+    val m = DelimV2.readManifest(fs(t), new HPath(t)).get
+    assert(m.files.size == 1)
+    assert(!fs(t).exists(new HPath(t, m.files.head.rel + DelimBloom.Suffix)),
+      "a partial group must not merge a lying sidecar")
+    val df = spark.read.format("graft-delim").schema("id BIGINT, v DOUBLE").load(t)
+    assert(df.filter($"id" === 150L).count() == 1L)
+    assert(df.count() == 200L)
   }
 
   test("a static overwrite without bloomFor clears the header and the sidecars") {

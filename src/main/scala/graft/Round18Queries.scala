@@ -367,6 +367,23 @@ object Round18Queries {
           s" of ${m.files.size}")
       require(skips(mn) < m.files.size,
         "the file holding the min key must not skip")
+      // POST-OPTIMIZE (round 19): compaction OR-merges the members'
+      // sidecars (fixed geometry, bitwise union), so the compacted
+      // files STILL prove the absent key away — the skipping survives
+      // maintenance instead of silently degrading to full scans
+      graft.sources.v2.DelimCompact.compact(s, t,
+        targetFileSize = m.files.map(_.len).sum / 4)
+      val m2 = DelimV2.readManifest(fs, hp).get
+      require(m2.files.size < m.files.size && m2.bloomCols == Seq("o_orderkey"),
+        s"compaction fixture: ${m2.files.size} files")
+      def skips2(key: Long): Int = m2.files.count(e =>
+        DelimBloom.fileSkips(fs, new org.apache.hadoop.fs.Path(hp, e.rel),
+          Seq(("o_orderkey", Seq(key.toString)))))
+      require(skips2(absent) >= m2.files.size - 1,
+        s"post-OPTIMIZE probe: merged sidecars must still skip the " +
+          s"absent key (skipped ${skips2(absent)} of ${m2.files.size})")
+      require(skips2(mn) < m2.files.size,
+        "post-OPTIMIZE probe: the min key's compacted file must not skip")
       val delim = s.read.format("graft-delim")
         .schema("o_orderkey BIGINT, o_totalprice DOUBLE").load(t)
       delim.createOrReplaceTempView("bloom18_t")

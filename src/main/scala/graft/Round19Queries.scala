@@ -326,6 +326,191 @@ object Round19Queries {
         round(sum(o_totalprice), 2) AS revenue,
         sum(o_orderkey) AS key_sig
         FROM graft_cat.default.cr19_t GROUP BY o_orderstatus""")
+    },
+
+    // CBO COLUMN STATISTICS: writers record a per-file per-column
+    // distinct-count estimate (256-register HLL over the written
+    // text) in the manifest stats; the scan surfaces table-level
+    // distinct counts (min(Σ per-file ndv, rows)) through
+    // SupportsReportStatistics.columnStats. The requires pin the
+    // causal chain: (1) every scan's logical-plan stats carry
+    // attributeStats with the recorded NDVs; (2) with CBO join
+    // reordering on and NO hints, a 3-table join written with the
+    // UNSELECTIVE dimension first is reordered to join the SELECTIVE
+    // dimension (1% of customers — provably small output via the
+    // o_custkey distinct count) innermost. Oracle = the same join in
+    // DuckDB.
+    "delim_v2_cbo_ndv" -> { (s, dir) =>
+      val out = CoreQueries.scratchDir("delim_v2_cbo_ndv")
+      graft.core.Scratch.rmTree(out)
+      Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"))
+        .coalesce(1).write.format("graft-delim").mode("overwrite")
+        .save(s"$out/fact")
+      Tables.customer(s, dir)
+        .filter(col("c_custkey") % 100 === 0)
+        .select(col("c_custkey"), col("c_acctbal"))
+        .coalesce(1).write.format("graft-delim").mode("overwrite")
+        .save(s"$out/dima")
+      import s.implicits._
+      Seq(("F", 1.0), ("O", 2.0), ("P", 3.0)).toDF("st", "w")
+        .coalesce(1).write.format("graft-delim").mode("overwrite")
+        .save(s"$out/dimb")
+      def rd(name: String, ddl: String) =
+        s.read.format("graft-delim").schema(ddl).load(s"$out/$name")
+      val confs = Seq("spark.sql.cbo.enabled" -> "true",
+        "spark.sql.cbo.joinReorder.enabled" -> "true",
+        "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+      val saved = confs.map { case (k, _) => k -> s.conf.getOption(k) }
+      confs.foreach { case (k, v) => s.conf.set(k, v) }
+      try {
+        val fact = rd("fact", "o_orderkey BIGINT, o_custkey BIGINT, o_orderstatus STRING")
+        val dima = rd("dima", "c_custkey BIGINT, c_acctbal DOUBLE")
+        val dimb = rd("dimb", "st STRING, w DOUBLE")
+        // syntactically the UNSELECTIVE dimension joins first
+        val probe = fact
+          .join(dimb, fact("o_orderstatus") === dimb("st"))
+          .join(dima, fact("o_custkey") === dima("c_custkey"))
+          .agg(count(lit(1)), sum(col("c_acctbal")), sum(col("w")))
+        val optimized = probe.queryExecution.optimizedPlan
+        import org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation
+        val scans = optimized.collect { case r: DataSourceV2ScanRelation => r }
+        require(scans.size == 3, s"expected 3 scans, got ${scans.size}")
+        scans.foreach { r =>
+          require(r.stats.rowCount.isDefined && r.stats.attributeStats.nonEmpty,
+            s"NDV column stats did not reach the plan for ${r.scan}")
+        }
+        val joins = optimized.collect {
+          case j: org.apache.spark.sql.catalyst.plans.logical.Join => j }
+        require(joins.size == 2, s"expected 2 joins\n$optimized")
+        val innerOutputs = joins.last.collect {
+          case r: DataSourceV2ScanRelation => r }
+          .flatMap(_.output.map(_.name)).toSet
+        require(innerOutputs.contains("c_acctbal"),
+          "CBO must reorder the SELECTIVE customer join innermost " +
+            s"(inner join outputs: $innerOutputs)\n$optimized")
+      } finally saved.foreach { case (k, v) =>
+        v match {
+          case Some(x) => s.conf.set(k, x)
+          case None => s.conf.unset(k)
+        }
+      }
+      // the certified result, recomputed under the session's normal
+      // configuration (same rows either join order)
+      val fact = rd("fact", "o_orderkey BIGINT, o_custkey BIGINT, o_orderstatus STRING")
+      val dima = rd("dima", "c_custkey BIGINT, c_acctbal DOUBLE")
+      val dimb = rd("dimb", "st STRING, w DOUBLE")
+      fact.join(dimb, fact("o_orderstatus") === dimb("st"))
+        .join(dima, fact("o_custkey") === dima("c_custkey"))
+        .agg(count(lit(1)).as("n_rows"),
+          round(sum(col("c_acctbal")), 2).as("bal_sum"),
+          round(sum(col("w")), 2).as("w_sum"))
+    },
+
+    // PERSISTED ANN INDEX: centroids, PQ codebook, corpus cell
+    // assignments, and corpus codes are built ONCE and stored as
+    // parquet artifacts; queries answer from the artifacts alone. The
+    // requires pin the artifact contract: TWO query batches run
+    // against the stored index with recall >= 0.9 vs the exact
+    // baseline, and the query path bumps the training counter ZERO
+    // times (no k-means, no codebook job — at 100 TB the per-query
+    // rebuild re-reads the corpus every call, which is the reflex
+    // this closes).
+    "similarity_ivf_persisted" -> { (s, dir) =>
+      val out = CoreQueries.scratchDir("similarity_ivf_persisted")
+      graft.core.Scratch.rmTree(out)
+      val e = ext.SimSearch.clusteredView(Tables.embeddings(s, dir),
+        "vec_id", "embedding",
+        nClusters = Round2Queries.IvfNClusters,
+        mix = Round2Queries.IvfMix.toDouble)
+      ext.SimSearch.buildIvfPqIndex(e, "vec_id", "embedding", s"$out/idx",
+        nCentroids = 64, lloydIters = 0, pqLloydIters = 1)
+      val trainedBefore = ext.SimSearch.trainJobCount
+      // two independent query batches against the SAME stored index
+      val r1 = ext.SimSearch.ivfPqTopKWith(e, "vec_id", "embedding", 3,
+        s"$out/idx", e.filter(col("vec_id") < 50),
+        probeFrac = 0.1, rerank = 16)
+      val r2 = ext.SimSearch.ivfPqTopKWith(e, "vec_id", "embedding", 3,
+        s"$out/idx", e.filter(col("vec_id") >= 50 && col("vec_id") < 100),
+        probeFrac = 0.1, rerank = 16)
+      val ipq = r1.unionByName(r2)
+        .select(col("id_q"), col("neighbor_id"), lit(1L).as("hit"))
+      val row = ext.SimSearch.topKBruteForce(
+          e.filter(col("vec_id") < 100), e, "vec_id", "embedding", 3)
+        .join(ipq, Seq("id_q", "neighbor_id"), "left_outer")
+        .agg(count(lit(1)).as("n_exact"),
+          round(sum(col("cos")), 2).as("sum_cos"),
+          (sum(coalesce(col("hit"), lit(0L))).cast("double")
+            >= count(lit(1)) * 0.9).as("recall_ok"))
+        .collect()(0)
+      require(ext.SimSearch.trainJobCount == trainedBefore,
+        "the persisted-index QUERY path must launch no training jobs")
+      require(row.getBoolean(2),
+        s"recall below 0.9 against the exact baseline")
+      import s.implicits._
+      Seq((row.getLong(0), row.getDouble(1), row.getBoolean(2), true))
+        .toDF("n_exact", "sum_cos", "recall_ok", "train_free_ok")
+    },
+
+    // MERGE-ON-READ MERGE (delta mode): a table declaring
+    // `mergeMode 'merge-on-read'` + a `rowId` key answers a narrow
+    // MERGE with exactly two artifacts — insert files for the updated
+    // and new rows, and ONE key-equality tombstone at the previous
+    // generation — instead of the copy-on-write rewrite of every
+    // matched file. The requires pin the mechanism: every pre-merge
+    // data file survives BYTE-IDENTICAL ((rel, len, gen) set, the
+    // same pin as delim_v2_delete_mor), the manifest carries exactly
+    // one In(rowId, keys) tombstone, and the read result matches the
+    // copy-on-write semantics exactly (the oracle).
+    "warehouse_merge_mor" -> { (s, dir) =>
+      import graft.sources.v2.DelimV2
+      val out = CoreQueries.scratchDir("warehouse_merge_mor")
+      val t = s"$out/t"
+      graft.core.Scratch.rmTree(t)
+      s.sql("DROP TABLE IF EXISTS graft_cat.default.wm19_t")
+      s.sql(s"""CREATE TABLE graft_cat.default.wm19_t
+        (o_orderkey BIGINT NOT NULL, o_totalprice DOUBLE, o_orderstatus STRING)
+        USING `graft-delim` PARTITIONED BY (o_orderstatus)
+        OPTIONS (mergeMode 'merge-on-read', rowId 'o_orderkey')
+        LOCATION '$t'""")
+      val base = Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+      base.writeTo("graft_cat.default.wm19_t").append()
+      val hp = new org.apache.hadoop.fs.Path(t)
+      val fs = hp.getFileSystem(s.sessionState.newHadoopConf())
+      def snap() = DelimV2.readManifest(fs, hp).get
+      val before = snap()
+      val beforeSet = before.files.map(e => (e.rel, e.len, e.gen)).toSet
+      // the narrow source: updates for keys % 1000 == 0, brand-new
+      // inserts with shifted keys into a fresh partition
+      val matched = base.filter(col("o_orderkey") % 1000 === 0)
+      matched.select(col("o_orderkey"),
+          (col("o_totalprice") + 1000000.0).as("o_totalprice"),
+          col("o_orderstatus"))
+        .unionByName(matched.select(
+          (col("o_orderkey") + 2000000000L).as("o_orderkey"),
+          (col("o_totalprice") * 2.0).as("o_totalprice"),
+          lit("X").as("o_orderstatus")))
+        .createOrReplaceTempView("wm19_src")
+      s.sql("""MERGE INTO graft_cat.default.wm19_t t
+        USING wm19_src s ON t.o_orderkey = s.o_orderkey
+        WHEN MATCHED THEN UPDATE SET o_totalprice = s.o_totalprice
+        WHEN NOT MATCHED THEN INSERT *""")
+      val m = snap()
+      require(beforeSet.subsetOf(m.files.map(e => (e.rel, e.len, e.gen)).toSet),
+        "a merge-on-read MERGE must leave every matched data file " +
+          "byte-identical")
+      require(m.gen == before.gen + 1 && m.files.size > beforeSet.size,
+        "the delta's insert files must land as the new generation")
+      require(m.tombstones.size == 1 && m.tombstones.head._1 == before.gen,
+        s"expected ONE key-equality tombstone at gen ${before.gen}, " +
+          s"got ${m.tombstones}")
+      require(m.tombstones.head._2.startsWith("in:"),
+        s"tombstone must be the key-equality form: ${m.tombstones.head._2}")
+      s.sql("""SELECT o_orderstatus, count(*) AS n_rows,
+        round(sum(o_totalprice), 2) AS revenue,
+        sum(o_orderkey) AS key_sig
+        FROM graft_cat.default.wm19_t GROUP BY o_orderstatus""")
     })
 
   def oracleSql: Map[String, String] = Map(
@@ -364,5 +549,54 @@ object Round19Queries {
       """SELECT o_orderstatus, count(*) AS n_rows,
         |       round(sum(o_totalprice), 2) AS revenue,
         |       CAST(sum(o_orderkey) AS BIGINT) AS key_sig
-        |FROM orders GROUP BY 1""".stripMargin)
+        |FROM orders GROUP BY 1""".stripMargin,
+
+    "delim_v2_cbo_ndv" ->
+      """SELECT count(*) AS n_rows,
+        |       round(sum(c_acctbal), 2) AS bal_sum,
+        |       round(sum(CASE o_orderstatus WHEN 'F' THEN 1.0
+        |                 WHEN 'O' THEN 2.0 ELSE 3.0 END), 2) AS w_sum
+        |FROM orders JOIN customer
+        |  ON o_custkey = c_custkey AND c_custkey % 100 = 0""".stripMargin,
+
+    // identical exact-baseline relation to similarity_ivfpq_topk's
+    // oracle (same clustered view, same ranking); recall and the
+    // no-training pin are literal-true verdicts the engine must match
+    "similarity_ivf_persisted" ->
+      s"""WITH ctr AS (
+         |  SELECT vec_id AS cid, embedding AS cemb
+         |  FROM embeddings WHERE vec_id < ${Round2Queries.IvfNClusters}),
+         |v AS (
+         |  SELECT e.vec_id, list_transform(range(len(cemb)),
+         |           i -> CAST(cemb[i + 1] + ${Round2Queries.IvfMix} * e.embedding[i + 1] AS REAL)) AS emb
+         |  FROM embeddings e JOIN ctr ON e.vec_id % ${Round2Queries.IvfNClusters} = ctr.cid),
+         |s AS (
+         |  SELECT q.vec_id AS id_q, c.vec_id AS neighbor_id,
+         |         round(list_cosine_similarity(q.emb, c.emb), 6) AS cos
+         |  FROM v q JOIN v c ON q.vec_id <> c.vec_id
+         |  WHERE q.vec_id < 100)
+         |SELECT count(*) AS n_exact, round(sum(cos), 2) AS sum_cos,
+         |       true AS recall_ok, true AS train_free_ok FROM (
+         |  SELECT cos, row_number() OVER (PARTITION BY id_q
+         |           ORDER BY cos DESC, neighbor_id) AS rank
+         |  FROM s)
+         |WHERE rank <= 3""".stripMargin,
+
+    // the exact COPY-ON-WRITE semantics of the same MERGE — the
+    // merge-on-read path must be read-indistinguishable from it
+    "warehouse_merge_mor" ->
+      """SELECT o_orderstatus, count(*) AS n_rows,
+        |       round(sum(o_totalprice), 2) AS revenue,
+        |       CAST(sum(o_orderkey) AS BIGINT) AS key_sig
+        |FROM (
+        |  SELECT o_orderkey,
+        |         CASE WHEN o_orderkey % 1000 = 0
+        |              THEN o_totalprice + 1000000.0
+        |              ELSE o_totalprice END AS o_totalprice,
+        |         o_orderstatus
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT o_orderkey + 2000000000, o_totalprice * 2.0, 'X'
+        |  FROM orders WHERE o_orderkey % 1000 = 0
+        |) GROUP BY 1""".stripMargin)
 }

@@ -232,6 +232,7 @@ object SimSearch {
     */
   private[ext] def buildCentroids(
       vecs: DataFrame, nCells: Int, lloydIters: Int, trainSample: Int): DataFrame = {
+    noteTraining()
     val init = vecs.orderBy(xxhash64(col("id")), col("id")).limit(nCells)
       .select(col("id").as("cell"), col("v").as("cv"), col("n").as("cn"))
     broadcast(refineCentroids(vecs, init, lloydIters, trainSample))
@@ -382,6 +383,97 @@ object SimSearch {
     ranked
   }
 
+  /** Training-path observability: buildCentroids / buildPqCodebook
+    * bump this. The persisted-index certification requires the QUERY
+    * path to leave it untouched — at 100 TB the index is an ARTIFACT
+    * (built once, queried many times), not a per-query subexpression.
+    */
+  private val trainJobs = new java.util.concurrent.atomic.AtomicLong
+  def trainJobCount: Long = trainJobs.get()
+  private[ext] def noteTraining(): Unit = { trainJobs.incrementAndGet(); () }
+
+  /** BUILD + PERSIST the IVF-PQ index artifacts under `indexPath`
+    * (parquet): `centroids` (cell, cv, cn), `codebook` (j, code, cw),
+    * `cells` (id_c, cell — the corpus assignments), `codes` (id_c, j,
+    * code — the PQ-compressed corpus), and a one-row `meta` pinning
+    * the geometry. [[ivfPqTopKWith]] then answers queries from these
+    * artifacts alone: no k-means, no codebook training, no corpus
+    * assignment pass per query — the build cost amortizes across
+    * every query batch, which is the 100 TB posture (rebuilding
+    * centroids inside every query re-reads the corpus each time).
+    */
+  def buildIvfPqIndex(
+      emb: DataFrame, idCol: String, vecCol: String, indexPath: String,
+      nCentroids: Int = 0, nProbe: Int = 4, lloydIters: Int = 2,
+      trainSample: Int = 4096, m: Int = 8, k: Int = 16, dim: Int = 64,
+      pqLloydIters: Int = 1, pqTrainSample: Int = 2048,
+      corpusCount: Long = -1L): Unit = {
+    require(dim % m == 0, s"dim $dim must split into $m subspaces")
+    val sub = dim / m
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val vecs = CacheScope.cached(withNorm(emb, idCol, vecCol, ""))
+    val nCells =
+      if (nCentroids > 0) nCentroids
+      else {
+        val n = if (corpusCount >= 0) corpusCount else vecs.count()
+        math.max(8, math.ceil(math.sqrt(
+          math.max(1.0, nProbe.toDouble) * n)).toInt)
+      }
+    val centroids = buildCentroids(vecs, nCells, lloydIters, trainSample)
+    val codebook = buildPqCodebook(vecs, m, k, sub, pqLloydIters, pqTrainSample)
+    centroids.write.mode("overwrite").parquet(s"$indexPath/centroids")
+    codebook.write.mode("overwrite").parquet(s"$indexPath/codebook")
+    nearestCells(vecs, centroids, 1, "id_c")
+      .write.mode("overwrite").parquet(s"$indexPath/cells")
+    pqEncode(vecs, codebook, "id_c", m, sub)
+      .write.mode("overwrite").parquet(s"$indexPath/codes")
+    Seq((m, k, sub, dim, nCells)).toDF("m", "k", "sub", "dim", "n_cells")
+      .coalesce(1).write.mode("overwrite").parquet(s"$indexPath/meta")
+  }
+
+  /** IVF-PQ top-k FROM A PERSISTED INDEX (see [[buildIvfPqIndex]]):
+    * the query path touches the corpus vectors only for the exact
+    * re-rank of the few surviving candidates; routing uses the stored
+    * centroids + assignments, scoring uses the stored codes — and it
+    * launches NO training (trainJobCount is untouched, the
+    * certification's mechanism pin).
+    */
+  def ivfPqTopKWith(
+      emb: DataFrame, idCol: String, vecCol: String, topK: Int,
+      indexPath: String, queries: DataFrame,
+      nProbe: Int = 4, probeFrac: Double = 0.0, rerank: Int = 16,
+      withScanCount: Boolean = false): DataFrame = {
+    val spark = emb.sparkSession
+    val meta = spark.read.parquet(s"$indexPath/meta").collect()(0)
+    val m = meta.getInt(0); val sub = meta.getInt(2)
+    val nCells = meta.getInt(4)
+    val centroids = broadcast(spark.read.parquet(s"$indexPath/centroids"))
+    val codebook = broadcast(spark.read.parquet(s"$indexPath/codebook"))
+    val cells = spark.read.parquet(s"$indexPath/cells")
+    val codes = spark.read.parquet(s"$indexPath/codes")
+    val vecs = CacheScope.cached(withNorm(emb, idCol, vecCol, ""))
+    val qVecs = withNorm(queries, idCol, vecCol, "")
+    val probe =
+      if (probeFrac > 0) math.max(1, math.ceil(probeFrac * nCells).toInt)
+      else nProbe
+    val routed = nearestCells(qVecs, centroids, probe, "id_q")
+      .join(cells, Seq("cell"))
+      .filter(col("id_q") =!= col("id_c"))
+      .select(col("id_q"), col("id_c"))
+    val lut = pqLut(qVecs, codebook, m, sub)
+    val approx = routed.join(codes, Seq("id_c"))
+      .join(lut, Seq("id_q", "j", "code"))
+      .groupBy(col("id_q"), col("id_c"))
+      .agg(sum(col("pdot")).as("adot"))
+    val counted =
+      if (!withScanCount) approx
+      else approx.withColumn("n_scored",
+        count(lit(1)).over(Window.partitionBy(col("id_q"))))
+    pqRerank(counted, qVecs, vecs, topK, rerank,
+      extra = if (withScanCount) Seq("n_scored") else Nil)
+  }
+
   /** Sub-vector explosion: (outId, j, sv) — slice is 1-based. */
   private def subVecs(src: DataFrame, outId: String, m: Int, sub: Int): DataFrame =
     src.select(col("id").as(outId), explode(sequence(lit(0), lit(m - 1))).as("j"),
@@ -397,6 +489,7 @@ object SimSearch {
   private[ext] def buildPqCodebook(
       vecs: DataFrame, m: Int, k: Int, sub: Int,
       lloydIters: Int, trainSample: Int): DataFrame = {
+    noteTraining()
     val anchors = vecs.orderBy(xxhash64(col("id")), col("id")).limit(k)
       .select(col("id"), col("v"),
         row_number().over(Window.orderBy(xxhash64(col("id")), col("id")))

@@ -176,14 +176,40 @@ private[v2] class DelimTable(tableSchema: StructType, options: CaseInsensitiveSt
     new DelimWriteBuilder(info,
       DelimTable.merged(options, info.options()), tableSchema)
 
-  /** SQL MERGE/UPDATE/DELETE via group-based copy-on-write — see
-    * [[DelimRowLevelOperation]].
+  /** SQL MERGE/UPDATE/DELETE: group-based copy-on-write by default
+    * ([[DelimRowLevelOperation]]); DELTA-BASED merge-on-read
+    * ([[DelimDeltaOperation]]) when the table declares
+    * `mergeMode 'merge-on-read'` plus a `rowId` key column — a narrow
+    * MERGE then leaves every matched data file byte-identical and
+    * commits one key-equality tombstone + the delta's insert files.
     */
   override def newRowLevelOperationBuilder(
       info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
       : org.apache.spark.sql.connector.write.RowLevelOperationBuilder =
-    () => new DelimRowLevelOperation(info.command(), tableSchema,
-      DelimTable.merged(options, info.options()))
+    () => {
+      val merged = DelimTable.merged(options, info.options())
+      val mode = Option(merged.get("mergeMode")).getOrElse("copy-on-write")
+      if (mode.equalsIgnoreCase("merge-on-read")) {
+        val rid = Option(merged.get("rowId")).getOrElse(
+          throw new IllegalArgumentException(
+            "graft-delim: mergeMode 'merge-on-read' requires a " +
+              "rowId '<key column>' table option"))
+        require(tableSchema.fieldNames.contains(rid),
+          s"graft-delim: rowId column $rid not in the table schema")
+        require(DelimV2.pushableType(tableSchema(rid).dataType),
+          s"graft-delim: rowId column $rid has untombstoneable type " +
+            tableSchema(rid).dataType.simpleString)
+        require(!tableSchema(rid).nullable,
+          s"graft-delim: rowId column $rid must be declared NOT NULL " +
+            "(a null key cannot be tombstoned by equality)")
+        new DelimDeltaOperation(info.command(), tableSchema, merged, rid)
+      } else {
+        require(mode.equalsIgnoreCase("copy-on-write"),
+          s"graft-delim: mergeMode must be copy-on-write or " +
+            s"merge-on-read, got '$mode'")
+        new DelimRowLevelOperation(info.command(), tableSchema, merged)
+      }
+    }
 
   // ---- MERGE-ON-READ DELETE (SupportsDelete): when the whole DELETE
   // condition translates to pushable filters, Spark's
@@ -777,6 +803,41 @@ class DelimScan(
         staticKept.forall(_.stats != null))
         OptionalLong.of(staticKept.map(_.stats.rows).sum)
       else OptionalLong.empty()
+
+    // COLUMN statistics for the CBO: per-column null counts and
+    // distinct counts derived from the manifest's per-file stats.
+    // The table-level distinct count is min(Σ per-file ndv, rows) —
+    // exact-ish for keys (files partition the key space), an upper
+    // bound for low-cardinality columns; a bound preserves the
+    // ORDERING join reordering consumes. Declined per column when any
+    // kept file lacks a recorded ndv (legacy stats), and entirely
+    // under tombstones (counts include deleted rows).
+    override def columnStats(): java.util.Map[
+        org.apache.spark.sql.connector.expressions.NamedReference,
+        org.apache.spark.sql.connector.read.colstats.ColumnStatistics] = {
+      val out = new java.util.HashMap[
+        org.apache.spark.sql.connector.expressions.NamedReference,
+        org.apache.spark.sql.connector.read.colstats.ColumnStatistics]()
+      if (staticKept.isEmpty || tombstones.nonEmpty ||
+        staticKept.exists(_.stats == null)) return out
+      val rows = staticKept.map(_.stats.rows).sum
+      required.fieldNames.foreach { c =>
+        val per = staticKept.map(_.stats.cols.get(c))
+        if (per.forall(_.exists(_.ndv >= 0L))) {
+          val nulls = per.map(_.get.nulls).sum
+          val distinct = math.min(per.map(_.get.ndv).sum,
+            math.max(rows - nulls, 1L))
+          out.put(
+            org.apache.spark.sql.connector.expressions.Expressions.column(c),
+            new org.apache.spark.sql.connector.read.colstats.ColumnStatistics {
+              override def distinctCount(): OptionalLong =
+                OptionalLong.of(distinct)
+              override def nullCount(): OptionalLong = OptionalLong.of(nulls)
+            })
+        }
+      }
+      out
+    }
   }
 
   override def toBatch: Batch = this

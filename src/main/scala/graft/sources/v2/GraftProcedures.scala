@@ -24,6 +24,11 @@ import org.apache.spark.unsafe.types.UTF8String
   *    references.
   *  - `recover_manifest(table)` — roll a crashed commit's claimed
   *    generation forward (DelimV2.recoverManifest).
+  *  - `snapshots(table)` — retained snapshot history (DESCRIBE
+  *    HISTORY shape).
+  *  - `remove_orphans(table, older_than_ms)` — delete files no
+  *    retained snapshot references (crash orphans, dead staging,
+  *    unclaimed manifest leftovers) behind an age guard.
   */
 private[v2] object GraftProcedures {
 

@@ -231,10 +231,14 @@ class DelimV2SnapshotSpec extends SparkFunSuite {
       .map(r => (r.getLong(0), r.getString(1),
         if (r.isNullAt(2)) null else r.getDouble(2)))
     assert(got.toSeq == Seq((1L, "a", null), (2L, "b", null), (3L, "c", 30.5)))
-    // rename/drop would orphan written generations' data — rejected
-    val e = intercept[Exception](spark.sql(
-      "ALTER TABLE graft_cat.default.evolve_t RENAME COLUMN name TO label"))
-    assert(e.getMessage != null)
+    // rename rides the stable field IDs (round 19): zero rewrites,
+    // and EVERY generation answers under the new name
+    spark.sql(
+      "ALTER TABLE graft_cat.default.evolve_t RENAME COLUMN name TO label")
+    val renamed = spark.sql(
+      "SELECT id, label FROM graft_cat.default.evolve_t ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(renamed == Seq((1L, "a"), (2L, "b"), (3L, "c")))
     spark.sql("DROP TABLE graft_cat.default.evolve_t")
   }
 

@@ -166,6 +166,43 @@ class ManifestSegmentSpec extends SparkFunSuite {
     assert(spark.table("graft_cat.default.seg_maint").count() == 0L)
   }
 
+  test("streaming epochs commit through the segment policy; the stream source reads them back") {
+    val dir = tempDir("seg-stream")
+    val t = s"$dir/t"
+    build(t) // segmented batch history (segsize=8, 32 entries)
+    for (b <- 0 until 2)
+      spark.range(1000L + b * 10, 1000L + (b + 1) * 10)
+        .selectExpr("id", "'p00' as pc")
+        .coalesce(1).write.parquet(s"$dir/src/b$b")
+    val q = spark.readStream.schema("id BIGINT, pc STRING")
+      .option("maxFilesPerTrigger", "1").parquet(s"$dir/src/b*")
+      .writeStream.format("graft-delim")
+      .option("path", t).option("partitionBy", "pc")
+      .option("checkpointLocation", s"$dir/ckpt")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val m = manifest(t)
+    assert(m.segSize == 8, "streaming epochs dropped the segment policy")
+    assert(m.files.size == 34, s"files=${m.files.size}")
+    assert(rawPointer(t).contains("#segment\t"),
+      "epoch commits past the threshold must stay segmented")
+    // batch read sees everything; the streaming SOURCE replays the
+    // per-generation snapshots (each a segmented index) faithfully
+    assert(spark.read.format("graft-delim").schema("id BIGINT, pc STRING")
+      .load(t).count() == 276L)
+    val outQ = spark.readStream.format("graft-delim")
+      .schema("id BIGINT, pc STRING").load(t)
+      .writeStream.format("parquet")
+      .option("path", s"$dir/landed")
+      .option("checkpointLocation", s"$dir/ckpt2")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    outQ.awaitTermination()
+    assert(spark.read.parquet(s"$dir/landed").count() == 276L)
+  }
+
   test("a concurrent claim still fails loudly on a segmented table") {
     val t = s"${tempDir("seg-race")}/t"
     build(t)

@@ -90,6 +90,7 @@ object DelimCompact {
       val all = decoded.map(_.get)
       val st = layout.get.struct
       val common = all.map(_.cols.keySet).reduce(_ intersect _)
+      val rows = all.map(_.rows).sum
       val cols = common.toSeq.sorted.map { c =>
         val dt = st(c).dataType
         val cs = all.map(_.cols(c))
@@ -99,10 +100,17 @@ object DelimCompact {
           else mins.reduce((a, b) => if (DelimV2.cmp(dt, a, b) <= 0) a else b)
         val mx = if (maxs.isEmpty) null
           else maxs.reduce((a, b) => if (DelimV2.cmp(dt, a, b) >= 0) a else b)
+        // NDV merges as min(Σ members, rows) — an upper bound (members
+        // may share values), which is the CBO ordering contract the
+        // table-level derivation already uses; any member without a
+        // recorded ndv merges to "unknown" rather than a lying number
+        val ndv =
+          if (cs.exists(_.ndv < 0L)) -1L
+          else math.min(cs.map(_.ndv).sum, math.max(rows - cs.map(_.nulls).sum, 1L))
         (c, DelimV2.externalToText(mn, dt), DelimV2.externalToText(mx, dt),
-          cs.map(_.nulls).sum)
+          cs.map(_.nulls).sum, ndv)
       }
-      DelimV2.encodeStats(all.map(_.rows).sum, cols)
+      DelimV2.encodeStatsNdv(rows, cols)
     }
     // greedy size-bounded binning over the group's entries in
     // deterministic rel order; target <= 0 = one bin (legacy merge)

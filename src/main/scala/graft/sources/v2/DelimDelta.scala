@@ -117,6 +117,14 @@ private[v2] class DelimDeltaWrite(
     val schema = info.schema()
     val d = delim; val q = quote; val pc = partCols
     val idT = rowIdType; val cap = maxKeys
+    // the delta's insert files carry the table's bloom sidecars like
+    // any write — a key lookup after a MERGE must keep skipping
+    val bloomFor = {
+      val fs0 = staging.getFileSystem(DelimV2.driverConf())
+      DelimV2.readManifest(fs0, new HPath(path)).toSeq
+        .flatMap(_.bloomCols)
+        .filter(c => schema.fieldNames.contains(c) && !partCols.contains(c))
+    }
     val confMap = DelimV2.driverConf().iterator()
     import scala.jdk.CollectionConverters._
     val cm = confMap.asScala.map(e => e.getKey -> e.getValue)
@@ -130,7 +138,7 @@ private[v2] class DelimDeltaWrite(
           new DelimDataWriter(stagingDir,
             f"delta-$partitionId%05d-$taskId-$token",
             schema, d, cm, pc, quote = q,
-            singleOpenStream = false),
+            singleOpenStream = false, bloomFor = bloomFor),
           idT, cap)
     }
   }

@@ -87,4 +87,33 @@ class CboNdvSpec extends SparkFunSuite {
       v match { case Some(x) => spark.conf.set(k, x)
                 case None => spark.conf.unset(k) } }
   }
+
+  test("compaction merges NDV, so column stats survive OPTIMIZE") {
+    val t = s"${tempDir("cbo-compact")}/t"
+    for (b <- 0 until 4)
+      spark.range(b * 500L, (b + 1) * 500L)
+        .selectExpr("id", "id % 10 as k")
+        .coalesce(1).write.format("graft-delim")
+        .mode(if (b == 0) "overwrite" else "append").save(t)
+    DelimCompact.compact(spark, t)
+    val fs = new org.apache.hadoop.fs.Path(t)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val m = DelimV2.readManifest(fs, new org.apache.hadoop.fs.Path(t)).get
+    assert(m.files.size == 1)
+    val listed = DelimV2.listedFromManifest(
+      new org.apache.hadoop.fs.Path(t), m)
+    val cs = listed.head.stats.cols
+    assert(cs("id").ndv >= 0L && cs("k").ndv >= 0L,
+      s"compaction dropped the NDV estimates: $cs")
+    // merged bound: id near-unique (<= rows), k capped by the sum rule
+    assert(math.abs(cs("id").ndv - 2000L) < 300L, s"id ndv ${cs("id").ndv}")
+    assert(cs("k").ndv <= 40L && cs("k").ndv >= 10L, s"k ndv ${cs("k").ndv}")
+    val df = spark.read.format("graft-delim").schema("id BIGINT, k BIGINT")
+      .load(t)
+    import org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation
+    val scan = df.queryExecution.optimizedPlan.collect {
+      case r: DataSourceV2ScanRelation => r }.head
+    assert(scan.stats.attributeStats.nonEmpty,
+      "column stats must survive OPTIMIZE")
+  }
 }

@@ -83,6 +83,31 @@ class DelimDeltaSpec extends SparkFunSuite {
       .filter($"id" === 2L).head.getDouble(1) == 1002.0)
   }
 
+  test("delta insert files carry the table's bloom sidecars") {
+    val t = s"${tempDir("delta-bloom")}/t"
+    spark.sql(s"DROP TABLE IF EXISTS graft_cat.default.db_t")
+    spark.sql(s"""CREATE TABLE graft_cat.default.db_t
+      (id BIGINT NOT NULL, v DOUBLE)
+      USING `graft-delim`
+      OPTIONS (mergeMode 'merge-on-read', rowId 'id', bloomFor 'id')
+      LOCATION '$t'""")
+    (1L to 100L).map(i => (i, i.toDouble)).toDF("id", "v")
+      .coalesce(1).writeTo("graft_cat.default.db_t").append()
+    spark.sql("UPDATE graft_cat.default.db_t SET v = 0.0 WHERE id = 7")
+    val m = manifest(t)
+    val deltaFiles = m.files.filter(_.gen == m.gen)
+    assert(deltaFiles.nonEmpty)
+    deltaFiles.foreach { e =>
+      val p = new HPath(t, e.rel)
+      assert(fs(t).exists(new HPath(t, e.rel + DelimBloom.Suffix)),
+        s"delta file ${e.rel} missing its bloom sidecar")
+      assert(DelimBloom.fileSkips(fs(t), p, Seq(("id", Seq("999999")))),
+        "delta sidecar must prove an absent key away")
+    }
+    assert(spark.table("graft_cat.default.db_t")
+      .filter($"id" === 7L).head.getDouble(1) == 0.0)
+  }
+
   test("a wide MERGE past deltaMaxKeys fails loudly") {
     val t = s"${tempDir("delta-wide")}/t"
     spark.sql(s"DROP TABLE IF EXISTS graft_cat.default.dw_t")

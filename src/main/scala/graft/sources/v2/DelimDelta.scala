@@ -115,7 +115,12 @@ private[v2] class DelimDeltaWrite(
       pinfo: PhysicalWriteInfo): DeltaWriterFactory = {
     val stagingDir = staging.toString
     val schema = info.schema()
-    val d = delim; val q = quote; val pc = partCols
+    // a deletes-only plan (DELETE in delta mode) carries NO row
+    // columns: insert() is never called, so the inner writer needs no
+    // partition routing (an empty schema cannot resolve partCols)
+    val pc =
+      if (partCols.forall(schema.fieldNames.contains)) partCols else Nil
+    val d = delim; val q = quote
     val idT = rowIdType; val cap = maxKeys
     // the delta's insert files carry the table's bloom sidecars like
     // any write — a key lookup after a MERGE must keep skipping

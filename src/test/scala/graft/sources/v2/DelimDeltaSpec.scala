@@ -108,6 +108,23 @@ class DelimDeltaSpec extends SparkFunSuite {
       .filter($"id" === 7L).head.getDouble(1) == 0.0)
   }
 
+  test("a non-pushable DELETE routes delta: tombstone only, no new files") {
+    val t = s"${tempDir("delta-del")}/t"
+    mk("dd_t", t)
+    val before = fileSet(t)
+    // v + v is not a pushable filter shape: SupportsDelete declines,
+    // the rewrite plans WriteDelta, and the commit is deletes-only —
+    // zero insert files, one key-equality tombstone
+    spark.sql("DELETE FROM graft_cat.default.dd_t WHERE v + v > 190.0")
+    val m = manifest(t)
+    assert(fileSet(t) == before,
+      "a delta DELETE must land no files and rewrite none")
+    assert(m.tombstones.size == 1 && m.tombstones.head._2.startsWith("in:"))
+    assert(spark.table("graft_cat.default.dd_t").count() == 95L)
+    assert(spark.table("graft_cat.default.dd_t")
+      .agg(org.apache.spark.sql.functions.max($"v")).head.getDouble(0) == 95.0)
+  }
+
   test("a wide MERGE past deltaMaxKeys fails loudly") {
     val t = s"${tempDir("delta-wide")}/t"
     spark.sql(s"DROP TABLE IF EXISTS graft_cat.default.dw_t")

@@ -55,18 +55,25 @@ object Round19Queries {
       val m0 = DelimV2.readManifest(fs, hp).get
       require(m0.files.size == 64,
         s"fixture must land 64 entries, got ${m0.files.size}")
-      val before = segs()
-      require(before.size == 16,
-        s"expected 16 per-partition segments, got ${before.size}")
-      // the pointer is an INDEX: no inline entry lines past threshold
-      val doc = {
+      // the pointer is an INDEX: no inline entry lines past threshold.
+      // REFERENCED segments count 16 (one per partition run); replaced
+      // chunks from earlier appends may still breathe on disk inside
+      // the GC grace window (readers mid-plan on an old index), so the
+      // structural requires read the INDEX, not the directory.
+      def pointerDoc(): String = {
         val in = fs.open(new org.apache.hadoop.fs.Path(t, DelimV2.ManifestFile))
         try scala.io.Source.fromInputStream(in, "UTF-8").mkString
         finally in.close()
       }
+      val doc = pointerDoc()
       require(doc.contains("#segment\t") && !doc.linesIterator.exists(l =>
         l.nonEmpty && !l.startsWith("#")),
         "past the threshold the committed manifest must be a segment index")
+      val refBefore = doc.linesIterator.filter(_.startsWith("#segment\t"))
+        .map(_.split('\t')(1)).toSet
+      require(refBefore.size == 16,
+        s"expected 16 per-partition segments, got ${refBefore.size}")
+      val before = segs()
       // (1) narrow append -> exactly one new segment + the new index
       orders.filter(col("o_orderkey") % 128 === 7)
         .select((col("o_orderkey") + 100000000L).as("o_orderkey"), col("pc"))

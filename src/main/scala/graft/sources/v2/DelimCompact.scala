@@ -172,10 +172,7 @@ object DelimCompact {
     val stagingName = s"_staging_compact_$newGen"
     val staging = new HPath(target, stagingName)
     fs.mkdirs(staging)
-    val confMap = conf.iterator().asScala
-      .map(e => e.getKey -> e.getValue)
-      .filter { case (k, _) => k.startsWith("fs.") || k.startsWith("hadoop.") }
-      .toMap
+    val confMap = DelimV2.shippableConf(conf)
     val targetStr = target.toString
     val statsByIdx = groups.map(_._4).toArray
     val jobs = groups.zipWithIndex.map { case ((sub, gen, rels, _), i) =>
@@ -276,6 +273,11 @@ object DelimCompact {
         val multi = m.multiLine
         val dChar = delimiter
         val qInt = quote
+        // members' positional field names TRANSLATED through the field
+        // IDs (like every scan's listing): the rewrite must resolve a
+        // renamed column from its recorded position, not read it as
+        // absent and null it out
+        val layout = DelimV2.layoutTranslations(m)
         val jobs = tombJobs.map { case ((sub, bin), i) =>
           val partVals: Array[String] = pCols.map { pc =>
             sub.split('/').collectFirst {
@@ -286,7 +288,7 @@ object DelimCompact {
           }.toArray
           val members = bin.sortBy(_.rel).map { e =>
             (e.rel, e.len,
-              m.schemas.get(e.gen).map(_.dataFieldNames).orNull,
+              layout(e.gen).map(_._1).orNull,
               m.tombstones.filter(_._1 >= e.gen)
                 .map(t => DelimV2.tombstoneFilter(t._2, struct)).toArray)
           }

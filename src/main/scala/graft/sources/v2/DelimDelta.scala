@@ -130,11 +130,7 @@ private[v2] class DelimDeltaWrite(
         .flatMap(_.bloomCols)
         .filter(c => schema.fieldNames.contains(c) && !partCols.contains(c))
     }
-    val confMap = DelimV2.driverConf().iterator()
-    import scala.jdk.CollectionConverters._
-    val cm = confMap.asScala.map(e => e.getKey -> e.getValue)
-      .filter { case (k, _) => k.startsWith("fs.") || k.startsWith("hadoop.") }
-      .toMap
+    val cm = DelimV2.shippableConf(DelimV2.driverConf())
     val token = info.queryId().replace("-", "").take(8)
     new DeltaWriterFactory {
       override def createWriter(partitionId: Int, taskId: Long)
@@ -189,12 +185,21 @@ private[v2] class DelimDeltaWrite(
       else prevM.tombstones :+ ((prevM.gen,
         DelimV2.encodeTombstone(
           Seq(In(rowIdCol, keys.toArray[Any])), tableSchema)))
+    // record a generation schema ONLY when the delta landed files (it
+    // describes their layout). A deletes-only commit has an EMPTY
+    // write schema — recording it would become the "latest" schema and
+    // poison the field-ID lineage (translation, inheritance, and
+    // tombstone retirement all resolve against the latest recorded
+    // schema); with no entry, the previous generation's stays latest.
+    val schemas =
+      if (newEntries.isEmpty) prevM.schemas
+      else prevM.schemas + (newGen -> DelimV2.ManifestSchema(partCols,
+        DelimV2.assignFieldIds(info.schema(), prevM.schemas)))
     val manifest = DelimV2.DelimManifest(
       prevM.files ++ newEntries,
       prevM.multiLine || deltas.exists(_.multiLine),
       newGen, prevM.retain,
-      prevM.schemas + (newGen -> DelimV2.ManifestSchema(partCols,
-        DelimV2.assignFieldIds(info.schema(), prevM.schemas))),
+      schemas,
       tombstones = tombs,
       bloomCols = prevM.bloomCols,
       segSize = prevM.segSize)

@@ -1066,10 +1066,7 @@ class DelimScan(
 
       override def createReaderFactory(): PartitionReaderFactory = {
         val hc = DelimV2.driverConf()
-        val confMap = hc.iterator().asScala
-          .map(e => e.getKey -> e.getValue)
-          .filter { case (k, _) => k.startsWith("fs.") || k.startsWith("hadoop.") }
-          .toMap
+        val confMap = DelimV2.shippableConf(hc)
         // row readers: micro-batches are epoch-sized, and the
         // streaming exec path is the row one
         new DelimReaderFactory(fullSchema, required,
@@ -1084,10 +1081,7 @@ class DelimScan(
     // ship only the hadoop entries the executor-side FileSystem needs;
     // Configuration itself is not Serializable
     val hc = DelimV2.driverConf()
-    val confMap = hc.iterator().asScala
-      .map(e => e.getKey -> e.getValue)
-      .filter { case (k, _) => k.startsWith("fs.") || k.startsWith("hadoop.") }
-      .toMap
+    val confMap = DelimV2.shippableConf(hc)
     if (aggCountCols > 0)
       new DelimCountReaderFactory(aggCountCols, confMap,
         if (multiLine) quote else -1)
@@ -1989,10 +1983,7 @@ private[v2] class DelimWrite(
     val hc = DelimV2.driverConf()
     val fs = staging.getFileSystem(hc)
     fs.mkdirs(staging)
-    val confMap = hc.iterator().asScala
-      .map(e => e.getKey -> e.getValue)
-      .filter { case (k, _) => k.startsWith("fs.") || k.startsWith("hadoop.") }
-      .toMap
+    val confMap = DelimV2.shippableConf(hc)
     new DelimWriterFactory(schema, delim, staging.toString, confMap, partCols, quote,
       genToken = queryId.replace("-", "").take(8), bloomFor = bloomFor)
   }
@@ -2163,10 +2154,7 @@ private[v2] class DelimWrite(
           : org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory = {
         val hc = DelimV2.driverConf()
         staging.getFileSystem(hc).mkdirs(staging)
-        val confMap = hc.iterator().asScala
-          .map(e => e.getKey -> e.getValue)
-          .filter { case (k, _) => k.startsWith("fs.") || k.startsWith("hadoop.") }
-          .toMap
+        val confMap = DelimV2.shippableConf(hc)
         val stagingDir = staging.toString
         val s = schema; val d = delim; val pc = partCols; val q = quote
         (partitionId: Int, taskId: Long, epochId: Long) =>
@@ -2214,7 +2202,10 @@ private[v2] class DelimWrite(
           // dropping it would silently stop probing every existing
           // .bloom sidecar after the first stream write
           bloomCols = prevM.bloomCols,
-          segSize = prevM.segSize))
+          // the sink's own manifestSegmentSize option must ENGAGE the
+          // policy too (a fresh landing directory fed by a stream
+          // would otherwise never segment)
+          segSize = segmentSize.getOrElse(prevM.segSize)))
       }
 
       override def abort(epochId: Long,
@@ -2885,6 +2876,16 @@ private[graft] object DelimV2 {
   def driverConf(): Configuration =
     SparkSession.active.sessionState.newHadoopConf()
 
+  /** The fs./hadoop. entries executor tasks rebuild a Configuration
+    * from (defaults load executor-side; these overlay them) — ONE
+    * definition for every task-shipping site. */
+  private[v2] def shippableConf(conf: Configuration): Map[String, String] = {
+    import scala.jdk.CollectionConverters._
+    conf.iterator().asScala.map(e => e.getKey -> e.getValue)
+      .filter { case (k, _) => k.startsWith("fs.") || k.startsWith("hadoop.") }
+      .toMap
+  }
+
   /** Hive's null-partition directory token. */
   val HiveDefaultPartition = "__HIVE_DEFAULT_PARTITION__"
 
@@ -3199,11 +3200,6 @@ private[graft] object DelimV2 {
   private val segCache =
     new java.util.concurrent.ConcurrentHashMap[String, Seq[ManifestEntry]]()
   private val SegCacheCap = 4096
-  /** Segment files this JVM knows exist on disk (written or read) —
-    * skips one fs.exists per unchanged segment per commit. Entries
-    * are removed when segment GC deletes the file. */
-  private val segKnown =
-    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
   /** Observability: per table root (qualified URI path), (total
     * segments in the index, segments actually loaded) for the most
@@ -3218,7 +3214,7 @@ private[graft] object DelimV2 {
   /** Drop the parsed-segment and known-on-disk caches — the stress
     * sweep's cold-path protocol (a fresh driver pays the disk parse). */
   private[graft] def clearSegCaches(): Unit = {
-    segCache.clear(); segKnown.clear(); runChunkCache.clear()
+    segCache.clear(); runChunkCache.clear()
   }
 
   private[graft] def readManifestFile(
@@ -3357,7 +3353,6 @@ private[graft] object DelimV2 {
                 bad(r.name, s"segment (expected ${r.count} entries, read ${es.size})")
               if (segCache.size > SegCacheCap) segCache.clear()
               segCache.put(key, es)
-              segKnown.add(key)
               es
             }
           }
@@ -3472,6 +3467,24 @@ private[graft] object DelimV2 {
   private val runChunkCache = new java.util.concurrent.ConcurrentHashMap[
     String, (Seq[ManifestEntry], Seq[SegRef])]()
   private val RunCacheCap = 131072
+  /** Last generation this JVM committed per table root — the
+    * lineage-reset detector (see commitManifest). */
+  private val lastGenSeen =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+
+  /** Cache eviction for EXTERNAL segment deletions (remove_orphans):
+    * drop the parsed entries and any run memo vouching for a deleted
+    * chunk — a later commit must re-prove existence, not trust a
+    * memo of a file that is gone. */
+  private[v2] def noteSegmentsDeleted(
+      fs: FileSystem, target: HPath, names: Set[String]): Unit = {
+    if (names.isEmpty) return
+    val tableKey = fs.makeQualified(target).toUri.toString
+    names.foreach(n => segCache.remove(s"$tableKey/$n"))
+    runChunkCache.entrySet().removeIf(e =>
+      e.getKey.startsWith(tableKey + "\u0000") &&
+        e.getValue._2.exists(r => names.contains(r.name)))
+  }
 
   /** Deterministic, append-localized chunking: entries grouped into
     * RUNS per leaf partition directory, each run sorted by rel and
@@ -3515,7 +3528,7 @@ private[graft] object DelimV2 {
           val name = s"$SegPrefix$hex-${chunk.size}"
           val sp = new HPath(target, name)
           val key = fs.makeQualified(sp).toUri.toString
-          if (!segKnown.contains(key) && !fs.exists(sp)) {
+          if (!fs.exists(sp)) {
             // create-no-overwrite via tmp + rename: a concurrent commit
             // writing the SAME content races benignly (identical bytes)
             val tmp = new HPath(target,
@@ -3528,7 +3541,6 @@ private[graft] object DelimV2 {
                   s"graft-delim: could not land manifest segment $sp")
             } finally fs.delete(tmp, false)
           }
-          segKnown.add(key)
           if (segCache.size > SegCacheCap) segCache.clear()
           segCache.put(key, chunk)
           runRefs += SegRef(name, chunk.size, chunk.head.rel, chunk.last.rel)
@@ -3635,6 +3647,15 @@ private[graft] object DelimV2 {
         "it lists only the files a partition predicate kept; " +
         "committing it would silently unlist the rest of the table")
     val m = m0.copy(ts = math.max(System.currentTimeMillis(), 1L))
+    // LINEAGE-RESET detector: a commit whose generation is not above
+    // the last one this JVM committed for the same root means the
+    // table was recreated externally (rmTree + rebuild restarts at
+    // gen 1) — the per-run chunk memo would then vouch for segment
+    // files that no longer exist. Purge the table's memo entries.
+    val tableKey = fs.makeQualified(target).toUri.toString
+    val lastGen = lastGenSeen.put(tableKey, m.gen)
+    if (lastGen != null && m.gen <= lastGen)
+      runChunkCache.keySet.removeIf(_.startsWith(tableKey + "\u0000"))
     // the claimed document and the pointer carry IDENTICAL bytes; for
     // a segmented table this also lands any new segment files first
     // (unreferenced until the claim succeeds — a failed claim leaves
@@ -3704,15 +3725,23 @@ private[graft] object DelimV2 {
       val referenced = retainedVersions(fs, target)
         .map(g => new HPath(target, s"$ManifestFile.v$g"))
         .flatMap(segmentNamesOf(fs, _)).toSet
+      // GRACE WINDOW: a reader that opened the pointer just before
+      // this commit may still be loading the OLD index's segments —
+      // deleting them instantly would turn a bounded snapshot race
+      // into a FileNotFound mid-plan. Unreferenced chunks linger for
+      // the window (harmless garbage), then the next commit or
+      // remove_orphans sweeps them. Tests/stress pin it to 0.
+      val graceMs = sys.props.get("graft.segment.gc.graceMs")
+        .map(_.toLong).getOrElse(600000L)
+      val cutoff = System.currentTimeMillis() - graceMs
       val swept = scala.collection.mutable.HashSet.empty[String]
       Option(fs.globStatus(new HPath(target, s"$SegPrefix*")))
         .map(_.toSeq).getOrElse(Nil).foreach { st =>
           val n = st.getPath.getName
-          if (!referenced.contains(n) && !n.contains(".tmp-")) {
+          if (!referenced.contains(n) && !n.contains(".tmp-") &&
+            st.getModificationTime <= cutoff) {
             fs.delete(st.getPath, false)
-            val key = fs.makeQualified(st.getPath).toUri.toString
-            segKnown.remove(key)
-            segCache.remove(key)
+            segCache.remove(fs.makeQualified(st.getPath).toUri.toString)
             swept += n
           }
         }
@@ -4057,9 +4086,16 @@ private[graft] object DelimV2 {
     })
   }
 
-  private[graft] def listedFromManifest(
-      root: HPath, m: DelimManifest): Seq[ListedFile] = {
-    // field-ID translation context: recorded names → current names
+  /** Per-generation layout TRANSLATION for a manifest: recorded
+    * positional field names → the current schema's names through the
+    * stable field IDs (dropped IDs become inert `__dropped_<id>`
+    * names), plus the stat-key renames. Shared by the listing (every
+    * scan) and by compaction's tombstone-retirement rewrite — a
+    * rewrite that read recorded names directly would NULL any column
+    * renamed after the member was written.
+    */
+  private[graft] def layoutTranslations(m: DelimManifest)
+      : Long => Option[(Array[String], Map[String, String])] = {
     val cur = m.schemas.get(m.gen)
       .orElse(m.schemas.toSeq.sortBy(_._1).lastOption.map(_._2))
     val curById: Map[Long, String] = cur
@@ -4067,23 +4103,27 @@ private[graft] object DelimV2 {
       .getOrElse(Map.empty)
     val layoutCache =
       scala.collection.mutable.Map.empty[Long, (Array[String], Map[String, String])]
-    def layout(gen: Long): Option[(Array[String], Map[String, String])] =
-      m.schemas.get(gen).map { ms =>
-        layoutCache.getOrElseUpdate(gen, {
-          val dataFields =
-            ms.struct.fields.filterNot(f => ms.partCols.contains(f.name))
-          val pairs = dataFields.map { f =>
-            val tn =
-              if (curById.isEmpty) f.name
-              else fieldId(f)
-                .map(id => curById.getOrElse(id, s"__dropped_$id"))
-                .getOrElse(f.name)
-            (f.name, tn)
-          }
-          (pairs.map(_._2),
-            pairs.filter(p => p._1 != p._2).toMap)
-        })
-      }
+    gen => m.schemas.get(gen).map { ms =>
+      layoutCache.getOrElseUpdate(gen, {
+        val dataFields =
+          ms.struct.fields.filterNot(f => ms.partCols.contains(f.name))
+        val pairs = dataFields.map { f =>
+          val tn =
+            if (curById.isEmpty) f.name
+            else fieldId(f)
+              .map(id => curById.getOrElse(id, s"__dropped_$id"))
+              .getOrElse(f.name)
+          (f.name, tn)
+        }
+        (pairs.map(_._2),
+          pairs.filter(p => p._1 != p._2).toMap)
+      })
+    }
+  }
+
+  private[graft] def listedFromManifest(
+      root: HPath, m: DelimManifest): Seq[ListedFile] = {
+    val layout = layoutTranslations(m)
     m.files.map { e =>
       val pvals = e.rel.split('/').dropRight(1).toSeq.flatMap { seg =>
         val eq = seg.indexOf('=')

@@ -282,7 +282,14 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   /** Resolve a procedure's `table` argument ('ns.name' or bare name →
     * default namespace) to the table's root path.
     */
-  private[v2] def tableRootOf(tableArg: String): HPath = {
+  private[v2] def tableRootOf(tableArg: String): HPath =
+    new HPath(tablePropsOf(tableArg)("path"))
+
+  /** The table's stored properties (path, delimiter, quote, ...) — the
+    * maintenance procedures resolve the on-disk FORMAT from these (a
+    * parse-path rewrite under the wrong delimiter would corrupt the
+    * rewritten files). */
+  private[v2] def tablePropsOf(tableArg: String): Map[String, String] = {
     val parts = tableArg.split('.')
     val (ns, name) =
       if (parts.length == 1) (Seq("default"), parts(0))
@@ -290,7 +297,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     val e = Option(tables.get((ns, name))).getOrElse(
       throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(
         Identifier.of(ns.toArray, name)))
-    new HPath(e._3("path"))
+    e._3
   }
 
   // ------------------------------------------------------- namespaces

@@ -86,13 +86,23 @@ private[v2] class OptimizeProcedure(cat: GraftCatalog)
       "(target_file_size=0 merges each (partition, layout) group whole)"
 
   override def call(input: InternalRow): java.util.Iterator[Scan] = {
-    val root = cat.tableRootOf(input.getUTF8String(0).toString)
+    val tableArg = input.getUTF8String(0).toString
+    val root = cat.tableRootOf(tableArg)
     val target = if (input.isNullAt(1)) 0L else input.getLong(1)
     val minFiles = if (input.isNullAt(2)) 2 else input.getInt(2)
     val fs = root.getFileSystem(DelimV2.driverConf())
     val before = DelimV2.readManifest(fs, root).map(_.files.size).getOrElse(0)
+    // the TABLE's line format, not the defaults: tombstone retirement
+    // rewrites through the parse path, and parsing a ','-delimited
+    // table with the default '|' would re-land garbage
+    val opts = {
+      import scala.jdk.CollectionConverters._
+      new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+        cat.tablePropsOf(tableArg).asJava)
+    }
     val gen = DelimCompact.compact(SparkSession.active, root.toString,
-      minFilesPerGroup = minFiles, targetFileSize = target)
+      minFilesPerGroup = minFiles, targetFileSize = target,
+      delimiter = DelimV2.delimiter(opts), quote = DelimV2.quoteChar(opts))
     val after = DelimV2.readManifest(fs, root).map(_.files.size).getOrElse(0)
     GraftProcedures.single(GraftProcedures.SummaryScan(
       StructType.fromDDL(
@@ -212,8 +222,10 @@ private[v2] class RemoveOrphansProcedure(cat: GraftCatalog)
     // lists, every segment file any retained index references, and
     // the manifest documents themselves
     val gens = DelimV2.retainedVersions(fs, root)
+    // the current generation is already parsed in `m` — only the
+    // OLDER retained snapshots need their own read
     val referencedRels: Set[String] =
-      (m.files.map(_.rel) ++ gens.flatMap(g =>
+      (m.files.map(_.rel) ++ gens.filter(_ != m.gen).flatMap(g =>
         DelimV2.readManifestVersion(fs, root, g).files.map(_.rel))).toSet
     val referencedSegs: Set[String] =
       ((new HPath(root, DelimV2.ManifestFile)) +:
@@ -222,6 +234,7 @@ private[v2] class RemoveOrphansProcedure(cat: GraftCatalog)
     val rootUri = fs.makeQualified(root).toUri
     var deleted = 0L
     var freed = 0L
+    val sweptSegs = scala.collection.mutable.HashSet.empty[String]
     def old(st: org.apache.hadoop.fs.FileStatus): Boolean =
       st.getModificationTime <= cutoff
     def drop(st: org.apache.hadoop.fs.FileStatus, recursive: Boolean): Unit = {
@@ -243,7 +256,7 @@ private[v2] class RemoveOrphansProcedure(cat: GraftCatalog)
         } else if (isRoot && n.startsWith(DelimV2.ManifestFile)) {
           val isSeg = n.startsWith(s"${DelimV2.ManifestFile}.seg-")
           if (isSeg && !n.contains(".tmp-") && !referencedSegs.contains(n) &&
-            old(st)) drop(st, recursive = false)
+            old(st)) { sweptSegs += n; drop(st, recursive = false) }
           else if ((n.contains(".claim-") || n.contains(".tmp-")) && old(st))
             drop(st, recursive = false)
         } else if (!n.startsWith("_") && !n.startsWith(".")) {
@@ -256,6 +269,9 @@ private[v2] class RemoveOrphansProcedure(cat: GraftCatalog)
         }
       }
     walk(root, isRoot = true)
+    // a swept segment must leave the JVM caches too, or a later run
+    // memo could vouch for a file that is gone
+    DelimV2.noteSegmentsDeleted(fs, root, sweptSegs.toSet)
     GraftProcedures.single(GraftProcedures.SummaryScan(
       StructType.fromDDL("deleted BIGINT, freed_bytes BIGINT"),
       Array(deleted, freed)))

@@ -100,4 +100,31 @@ class GraftProceduresSpec extends SparkFunSuite {
     assert(e1.getMessage.contains("FAILED_TO_LOAD_ROUTINE") ||
       e1.getMessage.contains("unknown procedure"))
   }
+  test("CALL optimize retires tombstones under the TABLE's delimiter") {
+    val t = s"${tempDir("proc-delim")}/t"
+    spark.sql("DROP TABLE IF EXISTS graft_cat.default.proc_delim")
+    spark.sql(s"""CREATE TABLE graft_cat.default.proc_delim
+      (id BIGINT, v DOUBLE, s STRING)
+      USING `graft-delim` OPTIONS (delimiter ',') LOCATION '$t'""")
+    import spark.implicits._
+    (1L to 20L).map(i => (i, i.toDouble, s"txt$i")).toDF("id", "v", "s")
+      .coalesce(1).writeTo("graft_cat.default.proc_delim").append()
+    spark.sql("DELETE FROM graft_cat.default.proc_delim WHERE v > 15.0")
+    // the retirement rewrite PARSES rows: running it under the default
+    // '|' would re-land garbage — the procedure must pass the table's
+    // ',' through
+    spark.sql("CALL graft_cat.system.optimize(" +
+      "table => 'default.proc_delim', min_files => 2147483647)")
+    val fsx = new org.apache.hadoop.fs.Path(t)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val m = graft.sources.v2.DelimV2.readManifest(fsx,
+      new org.apache.hadoop.fs.Path(t)).get
+    assert(m.tombstones.isEmpty, "CALL optimize must retire the tombstone")
+    val got = spark.sql(
+      "SELECT id, v, s FROM graft_cat.default.proc_delim ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getString(2))).toSeq
+    assert(got == (1L to 15L).map(i => (i, i.toDouble, s"txt$i")),
+      s"retirement corrupted a ','-delimited table: ${got.take(3)}")
+  }
+
 }

@@ -57,6 +57,27 @@ class ColumnDdlSpec extends SparkFunSuite {
     assert(got.getLong(0) == 15L && got.getDouble(1) == (1 to 15).sum.toDouble)
   }
 
+  test("tombstone retirement translates renamed columns (no silent nulls)") {
+    val t = s"${tempDir("ddl-retire")}/t"
+    spark.sql("DROP TABLE IF EXISTS graft_cat.default.ddl_retire")
+    spark.sql(s"""CREATE TABLE graft_cat.default.ddl_retire
+      (id BIGINT, v DOUBLE, s STRING) USING `graft-delim` LOCATION '$t'""")
+    (1L to 20L).map(i => (i, i.toDouble, s"name$i")).toDF("id", "v", "s")
+      .coalesce(1).writeTo("graft_cat.default.ddl_retire").append()
+    spark.sql("DELETE FROM graft_cat.default.ddl_retire WHERE v > 15.0")
+    // renaming a column the tombstone does NOT reference is allowed —
+    // the retirement rewrite must then resolve the renamed column
+    // through its field ID, not null it out
+    spark.sql("ALTER TABLE graft_cat.default.ddl_retire RENAME COLUMN s TO label")
+    DelimCompact.compact(spark, t, minFilesPerGroup = Int.MaxValue)
+    val m = DelimV2.readManifest(fs(t), new HPath(t)).get
+    assert(m.tombstones.isEmpty)
+    val got = spark.sql("SELECT id, label FROM graft_cat.default.ddl_retire ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(got == (1L to 15L).map(i => (i, s"name$i")),
+      s"retirement nulled or lost the renamed column: ${got.take(3)}")
+  }
+
   test("stats skipping survives a rename (translated stat keys)") {
     val t = s"${tempDir("ddl-stats")}/t"
     spark.sql("DROP TABLE IF EXISTS graft_cat.default.ddl_stats")

@@ -123,6 +123,15 @@ class DelimDeltaSpec extends SparkFunSuite {
     assert(spark.table("graft_cat.default.dd_t").count() == 95L)
     assert(spark.table("graft_cat.default.dd_t")
       .agg(org.apache.spark.sql.functions.max($"v")).head.getDouble(0) == 95.0)
+    // a deletes-only commit records NO generation schema (its write
+    // schema is empty) — the previous schema stays latest, so
+    // retirement can still resolve the rowId column and repay the debt
+    assert(!m.schemas.contains(m.gen),
+      "a deletes-only delta must not poison the schema lineage")
+    DelimCompact.compact(spark, t, minFilesPerGroup = Int.MaxValue)
+    assert(manifest(t).tombstones.isEmpty,
+      "OPTIMIZE must retire a delta DELETE's tombstone")
+    assert(spark.table("graft_cat.default.dd_t").count() == 95L)
   }
 
   test("a wide MERGE past deltaMaxKeys fails loudly") {

@@ -17,6 +17,11 @@ import graft.SparkFunSuite
 class ManifestSegmentSpec extends SparkFunSuite {
   import spark.implicits._
 
+  // the GC-observing tests below assert immediate sweeping; production
+  // default is a 10-minute grace window (readers mid-plan on the old
+  // index must not lose their segments underfoot)
+  sys.props("graft.segment.gc.graceMs") = "0"
+
   private def fs(t: String) =
     new HPath(t).getFileSystem(spark.sessionState.newHadoopConf())
   private def manifest(t: String) =
@@ -201,6 +206,76 @@ class ManifestSegmentSpec extends SparkFunSuite {
       .start()
     outQ.awaitTermination()
     assert(spark.read.parquet(s"$dir/landed").count() == 276L)
+  }
+
+  test("the GC grace window keeps a replaced chunk breathing") {
+    val t = s"${tempDir("seg-grace")}/t"
+    build(t)
+    val before = segFiles(t)
+    val saved = sys.props("graft.segment.gc.graceMs")
+    sys.props("graft.segment.gc.graceMs") = "3600000"
+    try {
+      Seq((777L, "p02")).toDF("id", "pc")
+        .coalesce(1).write.format("graft-delim").option("partitionBy", "pc")
+        .mode("append").save(t)
+      // p02's replaced chunk is unreferenced but YOUNG: it survives
+      // (a reader that planned on the old index can still load it)
+      assert(before.subsetOf(segFiles(t)),
+        s"grace window violated: ${before -- segFiles(t)} swept early")
+    } finally sys.props("graft.segment.gc.graceMs") = saved
+    // with the window off, the next commit sweeps it
+    Seq((778L, "p02")).toDF("id", "pc")
+      .coalesce(1).write.format("graft-delim").option("partitionBy", "pc")
+      .mode("append").save(t)
+    val referenced = rawPointer(t).linesIterator
+      .filter(_.startsWith("#segment	")).map(_.split('	')(1)).toSet
+    assert(segFiles(t) == referenced)
+  }
+
+  test("a table recreated at the same path never reuses a stale run memo") {
+    val dir = tempDir("seg-reborn")
+    val t = s"$dir/t"
+    // STREAMING names are deterministic (part-<epoch>-<partition>), so
+    // a rebuilt table reproduces identical entries — the exact case a
+    // stale memo would vouch for segment files rmTree deleted
+    def landStream(srcSub: String): Unit = {
+      spark.range(0L, 64L).selectExpr("id", "'p00' as pc")
+        .coalesce(1).write.parquet(s"$dir/$srcSub")
+      val q = spark.readStream.schema("id BIGINT, pc STRING")
+        .parquet(s"$dir/$srcSub")
+        .writeStream.format("graft-delim")
+        .option("path", t).option("partitionBy", "pc")
+        .option("manifestSegmentSize", "2")
+        .option("checkpointLocation", s"$dir/ckpt-$srcSub")
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    landStream("src1")
+    // force segmentation by appends
+    for (i <- 0 until 3)
+      spark.range(100L + i, 101L + i).selectExpr("id", "'p00' as pc")
+        .coalesce(1).write.format("graft-delim").option("partitionBy", "pc")
+        .mode("append").save(t)
+    assert(rawPointer(t).contains("#segment	"))
+    // WIPE the table and rebuild it identically
+    graft.core.Scratch.rmTree(t)
+    landStream("src2")
+    for (i <- 0 until 3)
+      spark.range(100L + i, 101L + i).selectExpr("id", "'p00' as pc")
+        .coalesce(1).write.format("graft-delim").option("partitionBy", "pc")
+        .mode("append").save(t)
+    // every referenced segment must EXIST (a stale memo would have
+    // skipped the re-write), and the read must see the rebuilt data
+    val referenced = rawPointer(t).linesIterator
+      .filter(_.startsWith("#segment	")).map(_.split('	')(1)).toSet
+    referenced.foreach { n =>
+      assert(fs(t).exists(new HPath(t, n)),
+        s"index references a segment that is not on disk: $n")
+    }
+    assert(spark.read.format("graft-delim").schema("id BIGINT, pc STRING")
+      .load(t).count() == 67L)
   }
 
   test("a concurrent claim still fails loudly on a segmented table") {

@@ -206,8 +206,13 @@ private[v2] class DelimDeltaWrite(
     try DelimV2.commitManifest(fs, target, manifest)
     catch {
       case e: java.util.ConcurrentModificationException =>
-        newEntries.foreach(ne =>
-          fs.delete(new HPath(target, ne.rel), false))
+        newEntries.foreach { ne =>
+          fs.delete(new HPath(target, ne.rel), false)
+          // the promoted bloom sidecar too, or the rollback leaves an
+          // orphan .bloom next to a deleted data file (DelimCompact's
+          // CME handler deletes both)
+          fs.delete(new HPath(target, ne.rel + DelimBloom.Suffix), false)
+        }
         fs.delete(staging, true)
         throw e
     }

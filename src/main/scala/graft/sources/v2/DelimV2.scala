@@ -825,8 +825,11 @@ class DelimScan(
         val per = staticKept.map(_.stats.cols.get(c))
         if (per.forall(_.exists(_.ndv >= 0L))) {
           val nulls = per.map(_.get.nulls).sum
-          val distinct = math.min(per.map(_.get.ndv).sum,
-            math.max(rows - nulls, 1L))
+          // clamp >= 1: an all-null column sums ndv 0, and a reported
+          // distinctCount of 0 risks degenerate selectivity/division
+          // paths in the CBO's join estimation
+          val distinct = math.max(1L, math.min(per.map(_.get.ndv).sum,
+            math.max(rows - nulls, 1L)))
           out.put(
             org.apache.spark.sql.connector.expressions.Expressions.column(c),
             new org.apache.spark.sql.connector.read.colstats.ColumnStatistics {
@@ -3662,6 +3665,12 @@ private[graft] object DelimV2 {
     // only unreferenced content-addressed files the next commit's
     // segment GC sweeps)
     val bytes = manifestBytes(fs, target, m)
+    // stamp when the segments finished landing: until the generation
+    // claim below succeeds they are UNREFERENCED, and a concurrent
+    // commit's segment GC (or remove_orphans) sweeps unreferenced
+    // chunks older than the grace window — a commit that stalls past
+    // it between here and its claim must re-verify (below)
+    val tLand = System.currentTimeMillis()
     val vf = new HPath(target, s"$ManifestFile.v${m.gen}")
     val fc = org.apache.hadoop.fs.FileContext.getFileContext(
       target.toUri, fs.getConf)
@@ -3687,6 +3696,33 @@ private[graft] object DelimV2 {
             "against the new snapshot) or a previous commit crashed between " +
             "its version claim and the pointer swap (run " +
             "DelimV2.recoverManifest once no writer is active)")
+    }
+    // GC-RACE RE-VERIFY: the claim above now references this commit's
+    // segments (protected from every future sweep), but a sweep that
+    // ran while they were still unreferenced — this commit stalled
+    // past the grace window between landing them and claiming, or a
+    // cross-process remove_orphans whose memo eviction we never saw —
+    // already deleted them, and the claimed index would point at
+    // missing files. Gated on elapsed time so the common fast commit
+    // pays ZERO extra I/O; on the rare slow path, fs.exists-walk the
+    // claimed refs and re-land any missing chunk (content-addressed →
+    // the rebuild is byte-identical and deterministic).
+    if (m.segSize > 0 && m.files.size >= m.segSize) {
+      val graceMs = sys.props.get("graft.segment.gc.graceMs")
+        .map(_.toLong).getOrElse(600000L)
+      if (System.currentTimeMillis() - tLand >= graceMs / 2) {
+        val refs = segmentNamesOf(fs, vf)
+        if (refs.exists(n => !fs.exists(new HPath(target, n)))) {
+          runChunkCache.keySet.removeIf(_.startsWith(tableKey + "\u0000"))
+          refs.foreach(n => segCache.remove(
+            fs.makeQualified(new HPath(target, n)).toUri.toString))
+          val relanded = ensureSegments(fs, target, m).map(_.name).toSet
+          require(refs.forall(relanded.contains),
+            s"graft-delim: segment re-land after a GC race produced a " +
+              s"different chunk set at $target — claimed " +
+              s"${refs.mkString(",")} vs relanded ${relanded.mkString(",")}")
+        }
+      }
     }
     // never swap the pointer BACKWARD: if a higher generation is
     // already claimed (a successor committer built on this snapshot
@@ -4068,18 +4104,30 @@ private[graft] object DelimV2 {
     * names inherit their ID from the latest recorded schema, genuinely
     * new names get fresh IDs above every ID any recorded schema ever
     * used (a dropped-and-re-added name therefore gets a NEW identity).
+    *
+    * `preferRecorded` (the catalog's retro pass ONLY) keeps an ID a
+    * field already carries instead of re-deriving it by name: a schema
+    * committed by a prior RENAME holds the renamed field under its new
+    * name, which name inheritance cannot reach — re-minting would
+    * orphan every pre-rename generation's column as `__dropped_<id>`.
+    * Write commits must NOT prefer recorded IDs: a dataframe read from
+    * table A and written to table B would smuggle A's IDs into B's
+    * lineage and break B's own translation.
     */
   private[graft] def assignFieldIds(
       schema: StructType,
-      schemas: Map[Long, ManifestSchema]): StructType = {
+      schemas: Map[Long, ManifestSchema],
+      preferRecorded: Boolean = false): StructType = {
     val latest = schemas.toSeq.sortBy(_._1).lastOption.map(_._2.struct)
     val byName: Map[String, Long] = latest
       .map(_.fields.flatMap(f => fieldId(f).map(f.name -> _)).toMap)
       .getOrElse(Map.empty)
-    var maxId = schemas.values.flatMap(_.struct.fields)
+    var maxId = (schemas.values.flatMap(_.struct.fields) ++
+      (if (preferRecorded) schema.fields.toSeq else Nil))
       .flatMap(fieldId).foldLeft(0L)(math.max)
     StructType(schema.fields.map { f =>
-      byName.get(f.name) match {
+      (if (preferRecorded) fieldId(f) else None)
+        .orElse(byName.get(f.name)) match {
         case Some(id) => withFieldId(f, id)
         case None => maxId += 1; withFieldId(f, maxId)
       }

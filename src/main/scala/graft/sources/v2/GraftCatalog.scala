@@ -172,11 +172,16 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         }
         // retro-assign field IDs across the recorded lineage by
         // ascending-generation name inheritance (tables written
-        // before the ID scheme), then apply the change to the latest
+        // before the ID scheme), then apply the change to the latest.
+        // preferRecorded: a schema that already carries IDs (committed
+        // by a prior RENAME/DROP or a write under the scheme) keeps
+        // them verbatim — name inheritance cannot cross a rename, and
+        // re-minting would silently orphan every pre-rename
+        // generation's column as __dropped_<id> (NULL on read)
         var acc = Map.empty[Long, DelimV2.ManifestSchema]
         m.schemas.toSeq.sortBy(_._1).foreach { case (g, ms) =>
           acc += (g -> DelimV2.ManifestSchema(ms.partCols,
-            DelimV2.assignFieldIds(ms.struct, acc)))
+            DelimV2.assignFieldIds(ms.struct, acc, preferRecorded = true)))
         }
         val latest = acc.toSeq.sortBy(_._1).lastOption.map(_._2)
           .getOrElse(DelimV2.ManifestSchema(partCols,

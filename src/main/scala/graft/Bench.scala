@@ -44,6 +44,37 @@ object Bench {
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
+    // TIER CACHE (round-20 ask #1, contended-box robustness): the
+    // parent's warm pass used to EXECUTE every streaming certification
+    // once purely to classify it — ~2 minutes of wall per run whose
+    // only output is a boolean, and whose box load inflates every
+    // measurement that follows. The observed classification persists
+    // across runs in target/bench-tiers.json; any cached name skips
+    // the warm pass (its first measured pass warms it, and min()
+    // discards that sample). SELF-HEALING, not a name list: unknown
+    // names classify by execution exactly as before, a cached-batch
+    // query that turns stream is caught live by the listener during
+    // its measurement, and each fork re-observes and reports its
+    // children's tier, so a stale entry corrects itself on the next
+    // run. Subset (child) runs never consult the cache — they
+    // classify by running, which they must do anyway.
+    val tierCachePath = java.nio.file.Paths.get(
+      sys.props.getOrElse("user.dir", "."), "target", "bench-tiers.json")
+    val cachedTier: Map[String, Boolean] =
+      if (only.nonEmpty || !java.nio.file.Files.exists(tierCachePath)) Map.empty
+      else try {
+        val om = new com.fasterxml.jackson.databind.ObjectMapper()
+        val root = om.readTree(java.nio.file.Files.readAllBytes(tierCachePath))
+        val names = SparkEntry.queries.keySet
+        val it = root.fields()
+        val b = Map.newBuilder[String, Boolean]
+        while (it.hasNext) {
+          val e = it.next()
+          if (names.contains(e.getKey))
+            b += (e.getKey -> e.getValue.asBoolean(false))
+        }
+        b.result()
+      } catch { case _: Throwable => Map.empty }
     // TIER classification (observed, not hardcoded): onQueryStarted is
     // delivered SYNCHRONOUSLY on the starting thread, so any query that
     // executes a real StreamingQuery during its run is classified
@@ -61,16 +92,25 @@ object Bench {
         override def onQueryTerminated(
             e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryTerminatedEvent): Unit = ()
       })
-    // warm pass over the SELECTED set only (JMH-style): absorbs
+    // warm pass over the UNKNOWN names only (JMH-style): absorbs
     // executor startup, parquet footers, and each query's Janino
-    // compile; restricting it to the selection keeps a diagnosis
+    // compile, and CLASSIFIES the query's tier by observation. A
+    // tier-cached query skips it — its first measured pass below
+    // doubles as its warm run, and the per-query min() discards that
+    // sample — so every query still executes exactly twice per run,
+    // the round-19 cost envelope, with a second contention sample for
+    // free. Restricting the pass to the selection keeps a diagnosis
     // subset run from inheriting the full surface's in-JVM state —
-    // exactly the variable a subset run exists to isolate
-    val isStream = selected.map { case (name, f) =>
-      sawStream.set(false)
-      try f(spark, sfDir).count() catch { case _: Throwable => () }
-      spark.catalog.clearCache()
-      name -> sawStream.get
+    // exactly the variable a subset run exists to isolate.
+    var isStream = selected.map { case (name, f) =>
+      cachedTier.get(name) match {
+        case Some(tier) => name -> tier
+        case None =>
+          sawStream.set(false)
+          try f(spark, sfDir).count() catch { case _: Throwable => () }
+          spark.catalog.clearCache()
+          name -> sawStream.get
+      }
     }.toMap
     // per-query GC seconds (delta of the JVM-wide collector totals):
     // distinguishes "this query's work grew" from "this query paid
@@ -81,6 +121,7 @@ object Bench {
     def measureHere(queries: Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)])
         : Seq[(String, Double, Option[String], Double)] =
       queries.map { case (name, fn) =>
+        sawStream.set(false)
         val g0 = gcMillis
         val t0 = System.nanoTime()
         // a failed query is NOT a fast query: record the error message so
@@ -91,8 +132,37 @@ object Bench {
         val dt = (System.nanoTime() - t0) / 1e9
         val gc = (gcMillis - g0) / 1e3
         spark.catalog.clearCache()
+        // live tier correction: a cached-batch query that now runs a
+        // StreamingQuery reclassifies on the spot (the cache is an
+        // optimization, never an authority)
+        if (sawStream.get && !isStream.getOrElse(name, false))
+          isStream = isStream + (name -> true)
         (name, dt, err, gc)
       }
+    // MIN-OF-N PASSES (round-20 ask #1): one measured pass is one
+    // sample of the shared box, and a load>2 contention phase inflated
+    // the round-19 driver reading to 2.50x baseline on byte-identical
+    // plans (quiet band 1.67-1.69x). Two FULL passes — separated in
+    // time by the length of a pass, so they sample different phases —
+    // with the per-query MIN is the standard least-noise estimator:
+    // a query's floor is plan-governed, its excursions are the box's.
+    // The first pass doubles as the JIT warm for anything the warm
+    // pass skipped, which min() then discards.
+    val passes = sys.env.get("SPARK_GRAFT_BENCH_PASSES")
+      .map(_.trim.toInt).filter(_ > 0).getOrElse(2)
+    def measureMin(queries: Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)])
+        : Seq[(String, Double, Option[String], Double)] =
+      (1 to passes).map(_ => measureHere(queries))
+        .reduce { (a, b) =>
+          a.zip(b).map { case ((n, dt1, e1, g1), (_, dt2, e2, g2)) =>
+            // prefer a pass that succeeded; among successes, the faster
+            (e1, e2) match {
+              case (None, Some(_)) => (n, dt1, e1, g1)
+              case (Some(_), None) => (n, dt2, e2, g2)
+              case _ => if (dt1 <= dt2) (n, dt1, e1, g1) else (n, dt2, e2, g2)
+            }
+          }
+        }
     // STREAM-TIER ISOLATION (round-17 verdict ask #1): the streaming
     // certifications execute real micro-batch StreamingQueries through
     // RocksDB state, and their wall time in a long-lived shared JVM
@@ -109,9 +179,13 @@ object Bench {
     // Forking needs `run / fork := true` (the real classpath in
     // java.class.path); SPARK_GRAFT_BENCH_NO_FORK=1 restores the old
     // single-JVM behavior, and subset (child) runs never re-fork.
+    // chunk 12 (was 6): halves the number of fresh-JVM Spark startups
+    // — the fixed cost a contended box amplifies ~2x — while a chunk
+    // is still small enough that shared-JVM drift cannot accumulate
+    // (the round-17 failure mode needed a 200+-query JVM lifetime)
     val noFork = sys.env.get("SPARK_GRAFT_BENCH_NO_FORK").contains("1")
     val chunkSize = sys.env.get("SPARK_GRAFT_BENCH_STREAM_CHUNK")
-      .map(_.trim.toInt).filter(_ > 0).getOrElse(6)
+      .map(_.trim.toInt).filter(_ > 0).getOrElse(12)
     val (streamSel, batchSel) = selected.partition(q => isStream(q._1))
     val canFork = only.isEmpty && !noFork && streamSel.nonEmpty &&
       new java.io.File(System.getProperty("java.home"), "bin/java").exists()
@@ -143,6 +217,15 @@ object Bench {
             val root = om.readTree(l)
             val qs = root.get("queries"); val gcs = root.get("gc_sec")
             val errs = root.get("errors")
+            // adopt the child's OBSERVED tier per query: the fork ran
+            // each query and knows whether it started a StreamingQuery
+            // — this is what keeps the parent's tier cache self-healing
+            Option(root.get("stream")).foreach { sm =>
+              names.foreach { n =>
+                Option(sm.get(n)).foreach(v =>
+                  isStream = isStream + (n -> v.asBoolean(true)))
+              }
+            }
             val parsed = names.map { n =>
               val q = Option(qs.get(n))
               if (q.isEmpty) (n, 0.0, Some("missing from child bench output"), 0.0)
@@ -168,14 +251,14 @@ object Bench {
       } finally errFile.delete()
     }
 
-    val batchResults = measureHere(batchSel)
+    val batchResults = measureMin(batchSel)
     val streamResults: Seq[(String, Double, Option[String], Double)] =
-      if (!canFork) measureHere(streamSel)
+      if (!canFork) measureMin(streamSel)
       else streamSel.map(_._1).grouped(chunkSize).toSeq.flatMap { chunk =>
         forkChunk(chunk).getOrElse {
           // fallback: a chunk whose child died measures in-process —
           // worse isolation beats a hole in the bench surface
-          measureHere(streamSel.filter(q => chunk.contains(q._1)))
+          measureMin(streamSel.filter(q => chunk.contains(q._1)))
         }
       }
     // merged, alphabetical (stable output regardless of tier routing)
@@ -193,8 +276,19 @@ object Bench {
       .mkString("{", ",", "}")
     val gcs = results.map { case (k, _, _, g, _) => s"\"" + k + "\":" + g }
       .mkString("{", ",", "}")
+    // observed tier per query: a fork's parent adopts these, and the
+    // parent's own line feeds the cross-run tier cache
+    val tiers = results.map { case (k, _, _, _, s) => s"\"" + k + "\":" + s }
+      .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"gc_sec":$gcs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"gc_sec":$gcs,"stream":$tiers,"sf":"$sfDir"}""")
+    // persist the tier observations for the next run's warm-pass skip
+    // (full runs only: a subset run sees a sliver of the surface)
+    if (only.isEmpty) try {
+      java.nio.file.Files.createDirectories(tierCachePath.getParent)
+      java.nio.file.Files.write(tierCachePath,
+        tiers.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    } catch { case _: Throwable => () }
     // Compact headline line, printed LAST: the driver keeps only a
     // 2000-char tail of this stdout, and the full per-query maps above
     // overflow it (round 13's artifact carried only the gc_sec tail —
@@ -213,7 +307,13 @@ object Bench {
     val (streamQ, batchQ) = results.partition(_._5)
     val batchSec = batchQ.map(_._2).sum
     val streamSec = streamQ.map(_._2).sum
-    println(f"""{"metric":"bench_summary","total_sec":$total%.1f,"n_queries":$nq,"sec_per_query":$spq%.3f,"batch_sec":$batchSec%.1f,"n_batch":${batchQ.length},"stream_sec":$streamSec%.1f,"n_stream":${streamQ.length},"stream_isolated":$canFork,"slowest":$slowest,"n_errors":${results.count(_._3.isDefined)},"sf":"$sfDir"}""")
+    // box-load transparency: the 1-minute load average at the end of
+    // the run, so a contaminated reading is diagnosable from the
+    // artifact alone (round-19 postmortem: a load>2 phase inflated the
+    // driver reading 2.5-3.9x on shuffle tails with zero plan change)
+    val loadAvg = java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage
+    println(f"""{"metric":"bench_summary","total_sec":$total%.1f,"n_queries":$nq,"sec_per_query":$spq%.3f,"batch_sec":$batchSec%.1f,"n_batch":${batchQ.length},"stream_sec":$streamSec%.1f,"n_stream":${streamQ.length},"stream_isolated":$canFork,"passes":$passes,"load_avg":$loadAvg%.2f,"slowest":$slowest,"n_errors":${results.count(_._3.isDefined)},"sf":"$sfDir"}""")
     spark.stop()
     if (results.exists(_._3.isDefined)) sys.exit(1)
   }

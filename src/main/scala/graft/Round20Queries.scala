@@ -1,0 +1,120 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Round-20 queries: maturity items on the round-19 machinery. The
+  * persisted ANN index gains incremental maintenance (append-only
+  * encode against the frozen quantizers, plus a loud staleness guard),
+  * closing the build-once/read-many gap: at 100 TB the corpus grows
+  * daily while retraining is a scheduled event, so appends must cost
+  * O(delta) — never a k-means pass, never a full-corpus re-encode.
+  */
+object Round20Queries {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // INCREMENTAL ANN INDEX MAINTENANCE: build the persisted IVF-PQ
+    // index over 90% of the corpus, append the remaining 10% by
+    // encoding ONLY the delta against the STORED centroids/codebook,
+    // then answer a query batch from the maintained index. The
+    // requires pin each mechanism: (1) the append and the queries
+    // launch ZERO training jobs (trainJobCount frozen after build);
+    // (2) the append touched exactly the delta — the cells artifact
+    // grew by |delta| rows and the codes artifact by m·|delta|
+    // (appendToIvfPqIndex never receives the corpus, and the artifact
+    // row deltas prove no re-encode happened); (3) BEFORE the append
+    // the staleness guard fails LOUDLY (10% of the corpus un-indexed
+    // silently depresses recall — the round-19 gap); (4) recall >= 0.9
+    // against the in-engine exact baseline over the full corpus.
+    "similarity_ivf_incremental" -> { (s, dir) =>
+      val out = CoreQueries.scratchDir("similarity_ivf_incremental")
+      graft.core.Scratch.rmTree(out)
+      val e = ext.SimSearch.clusteredView(
+        core.Tables.embeddings(s, dir), "vec_id", "embedding",
+        nClusters = Round2Queries.IvfNClusters,
+        mix = Round2Queries.IvfMix.toDouble)
+      val base = e.filter(col("vec_id") % 10 =!= 0)
+      val delta = e.filter(col("vec_id") % 10 === 0)
+      ext.SimSearch.buildIvfPqIndex(base, "vec_id", "embedding",
+        s"$out/idx", nCentroids = 64, lloydIters = 0, pqLloydIters = 1)
+      val trainedAfterBuild = ext.SimSearch.trainJobCount
+      // (3) staleness: 10% of the corpus is not in the index — a
+      // query demanding 95% coverage must refuse, naming the fix
+      val stale =
+        try {
+          ext.SimSearch.ivfPqTopKWith(e, "vec_id", "embedding", 3,
+            s"$out/idx", e.filter(col("vec_id") < 100),
+            probeFrac = 0.1, rerank = 16, maxStaleFrac = 0.05).count()
+          false
+        } catch {
+          case ex: IllegalArgumentException =>
+            Option(ex.getMessage).exists(_.contains("STALE"))
+        }
+      require(stale,
+        "the staleness guard must reject a query against an index " +
+          "missing 10% of the corpus")
+      // (2) delta-only encode: artifact growth == |delta| exactly
+      val cellsBefore = s.read.parquet(s"$out/idx/cells").count()
+      val codesBefore = s.read.parquet(s"$out/idx/codes").count()
+      val appended = ext.SimSearch.appendToIvfPqIndex(
+        delta, "vec_id", "embedding", s"$out/idx")
+      val nDelta = delta.count()
+      require(appended == nDelta,
+        s"append encoded $appended rows, delta holds $nDelta")
+      val cellsGrew = s.read.parquet(s"$out/idx/cells").count() - cellsBefore
+      val codesGrew = s.read.parquet(s"$out/idx/codes").count() - codesBefore
+      require(cellsGrew == nDelta && codesGrew == 8L * nDelta,
+        s"append re-encoded beyond the delta: cells +$cellsGrew, " +
+          s"codes +$codesGrew for |delta|=$nDelta (m=8)")
+      // (1) no training anywhere past the build
+      require(ext.SimSearch.trainJobCount == trainedAfterBuild,
+        "incremental append/query must launch no training jobs")
+      // (4) the maintained index answers with recall >= 0.9; the
+      // guard now passes (n_indexed covers the full corpus)
+      val r = ext.SimSearch.ivfPqTopKWith(e, "vec_id", "embedding", 3,
+        s"$out/idx", e.filter(col("vec_id") < 100),
+        probeFrac = 0.1, rerank = 16, maxStaleFrac = 0.05)
+        .select(col("id_q"), col("neighbor_id"), lit(1L).as("hit"))
+      val row = ext.SimSearch.topKBruteForce(
+          e.filter(col("vec_id") < 100), e, "vec_id", "embedding", 3)
+        .join(r, Seq("id_q", "neighbor_id"), "left_outer")
+        .agg(count(lit(1)).as("n_exact"),
+          round(sum(col("cos")), 2).as("sum_cos"),
+          (sum(coalesce(col("hit"), lit(0L))).cast("double")
+            >= count(lit(1)) * 0.9).as("recall_ok"))
+        .collect()(0)
+      require(ext.SimSearch.trainJobCount == trainedAfterBuild,
+        "the maintained-index QUERY path must launch no training jobs")
+      require(row.getBoolean(2), "recall below 0.9 after the append")
+      import s.implicits._
+      Seq((row.getLong(0), row.getDouble(1), row.getBoolean(2), true, true))
+        .toDF("n_exact", "sum_cos", "recall_ok", "train_free_ok",
+          "delta_only_ok")
+    })
+
+  def oracleSql: Map[String, String] = Map(
+    // identical exact-baseline relation to similarity_ivf_persisted's
+    // oracle (same clustered view, same ranking); recall, train-free
+    // and delta-only are literal-true verdicts the engine must match
+    "similarity_ivf_incremental" ->
+      s"""WITH ctr AS (
+         |  SELECT vec_id AS cid, embedding AS cemb
+         |  FROM embeddings WHERE vec_id < ${Round2Queries.IvfNClusters}),
+         |v AS (
+         |  SELECT e.vec_id, list_transform(range(len(cemb)),
+         |           i -> CAST(cemb[i + 1] + ${Round2Queries.IvfMix} * e.embedding[i + 1] AS REAL)) AS emb
+         |  FROM embeddings e JOIN ctr ON e.vec_id % ${Round2Queries.IvfNClusters} = ctr.cid),
+         |s AS (
+         |  SELECT q.vec_id AS id_q, c.vec_id AS neighbor_id,
+         |         round(list_cosine_similarity(q.emb, c.emb), 6) AS cos
+         |  FROM v q JOIN v c ON q.vec_id <> c.vec_id
+         |  WHERE q.vec_id < 100)
+         |SELECT count(*) AS n_exact, round(sum(cos), 2) AS sum_cos,
+         |       true AS recall_ok, true AS train_free_ok,
+         |       true AS delta_only_ok FROM (
+         |  SELECT cos, row_number() OVER (PARTITION BY id_q
+         |           ORDER BY cos DESC, neighbor_id) AS rank
+         |  FROM s)
+         |WHERE rank <= 3""".stripMargin)
+}

@@ -30,7 +30,7 @@ object SparkEntry {
       Round14Queries.queries ++ Round15Queries.queries ++
       Round16Queries.queries ++ Round17Queries.queries ++
       Round18Queries.queries ++ Round19Queries.queries ++
-      WarehouseQueries.queries
+      Round20Queries.queries ++ WarehouseQueries.queries
 
   def oracleSql: Map[String, String] =
     CoreQueries.oracleSql ++ ExtQueries.oracleSql ++ StreamQueries.oracleSql ++
@@ -41,7 +41,7 @@ object SparkEntry {
       Round14Queries.oracleSql ++ Round15Queries.oracleSql ++
       Round16Queries.oracleSql ++ Round17Queries.oracleSql ++
       Round18Queries.oracleSql ++ Round19Queries.oracleSql ++
-      WarehouseQueries.oracleSql
+      Round20Queries.oracleSql ++ WarehouseQueries.oracleSql
 }
 
 /** Event-window and multimodal queries (SURVEY.md §2b X5/X6). Windowed

@@ -428,8 +428,59 @@ object SimSearch {
       .write.mode("overwrite").parquet(s"$indexPath/cells")
     pqEncode(vecs, codebook, "id_c", m, sub)
       .write.mode("overwrite").parquet(s"$indexPath/codes")
-    Seq((m, k, sub, dim, nCells)).toDF("m", "k", "sub", "dim", "n_cells")
+    val nIndexed = vecs.count()
+    Seq((m, k, sub, dim, nCells, nIndexed))
+      .toDF("m", "k", "sub", "dim", "n_cells", "n_indexed")
       .coalesce(1).write.mode("overwrite").parquet(s"$indexPath/meta")
+  }
+
+  /** INCREMENTAL index maintenance (round-20): append a vector DELTA
+    * to a persisted IVF-PQ index by encoding ONLY the new vectors
+    * against the STORED centroids and codebook — no k-means, no
+    * codebook training, no full-corpus pass (trainJobCount is
+    * untouched, same pin as the query path). The stored quantizers
+    * stay frozen, which is the production shape: cell geometry and
+    * codewords drift slowly relative to corpus growth, and a frozen
+    * quantizer's recall degrades gracefully while a retrain is a
+    * scheduled (not per-append) event. The meta row's `n_indexed`
+    * advances so [[ivfPqTopKWith]]'s staleness guard can vouch the
+    * index still covers the corpus. Returns the number of delta
+    * vectors encoded — by construction the ONLY rows the append's
+    * jobs ever touch (the function never sees the corpus).
+    */
+  def appendToIvfPqIndex(
+      delta: DataFrame, idCol: String, vecCol: String,
+      indexPath: String): Long = {
+    val spark = delta.sparkSession
+    import spark.implicits._
+    val meta = spark.read.parquet(s"$indexPath/meta").collect()(0)
+    val m = meta.getInt(0); val k = meta.getInt(1)
+    val sub = meta.getInt(2); val dim = meta.getInt(3)
+    val nCells = meta.getInt(4)
+    val nIndexed =
+      if (meta.schema.fieldNames.contains("n_indexed"))
+        meta.getLong(meta.fieldIndex("n_indexed"))
+      else 0L
+    val centroids = broadcast(spark.read.parquet(s"$indexPath/centroids"))
+    val codebook = broadcast(spark.read.parquet(s"$indexPath/codebook"))
+    val dVecs = CacheScope.cached(withNorm(delta, idCol, vecCol, ""))
+    nearestCells(dVecs, centroids, 1, "id_c")
+      .write.mode("append").parquet(s"$indexPath/cells")
+    pqEncode(dVecs, codebook, "id_c", m, sub)
+      .write.mode("append").parquet(s"$indexPath/codes")
+    val appended = dVecs.count()
+    // meta is a one-row bookkeeping artifact: land the advanced count
+    // beside the old file, then swap (parquet overwrite of the path we
+    // just read from would race a concurrent reader's footer fetch)
+    Seq((m, k, sub, dim, nCells, nIndexed + appended))
+      .toDF("m", "k", "sub", "dim", "n_cells", "n_indexed")
+      .coalesce(1).write.mode("overwrite").parquet(s"$indexPath/meta_next")
+    val conf = spark.sessionState.newHadoopConf()
+    val fs = new org.apache.hadoop.fs.Path(indexPath).getFileSystem(conf)
+    val cur = new org.apache.hadoop.fs.Path(s"$indexPath/meta")
+    fs.delete(cur, true)
+    fs.rename(new org.apache.hadoop.fs.Path(s"$indexPath/meta_next"), cur)
+    appended
   }
 
   /** IVF-PQ top-k FROM A PERSISTED INDEX (see [[buildIvfPqIndex]]):
@@ -438,16 +489,34 @@ object SimSearch {
     * centroids + assignments, scoring uses the stored codes — and it
     * launches NO training (trainJobCount is untouched, the
     * certification's mechanism pin).
+    *
+    * STALENESS GUARD (round-20): vectors appended to the corpus but
+    * never [[appendToIvfPqIndex]]-encoded are invisible to the index
+    * and silently depress recall. When the index's `n_indexed` covers
+    * less than `1 - maxStaleFrac` of the corpus, the query fails
+    * LOUDLY naming the fix. `corpusCount` skips the count job when
+    * the caller already knows it; `maxStaleFrac < 0` disables the
+    * guard (a deliberately partial index is a legitimate tool).
     */
   def ivfPqTopKWith(
       emb: DataFrame, idCol: String, vecCol: String, topK: Int,
       indexPath: String, queries: DataFrame,
       nProbe: Int = 4, probeFrac: Double = 0.0, rerank: Int = 16,
-      withScanCount: Boolean = false): DataFrame = {
+      withScanCount: Boolean = false,
+      maxStaleFrac: Double = 0.1, corpusCount: Long = -1L): DataFrame = {
     val spark = emb.sparkSession
     val meta = spark.read.parquet(s"$indexPath/meta").collect()(0)
     val m = meta.getInt(0); val sub = meta.getInt(2)
     val nCells = meta.getInt(4)
+    if (maxStaleFrac >= 0 && meta.schema.fieldNames.contains("n_indexed")) {
+      val nIndexed = meta.getLong(meta.fieldIndex("n_indexed"))
+      val n = if (corpusCount >= 0) corpusCount else emb.count()
+      require(nIndexed >= math.ceil((1.0 - maxStaleFrac) * n).toLong,
+        s"graft: persisted IVF-PQ index at $indexPath is STALE — it " +
+          s"covers $nIndexed of $n corpus vectors (> ${maxStaleFrac * 100}%" +
+          " missing would silently depress recall); run " +
+          "appendToIvfPqIndex with the un-indexed delta, or rebuild")
+    }
     val centroids = broadcast(spark.read.parquet(s"$indexPath/centroids"))
     val codebook = broadcast(spark.read.parquet(s"$indexPath/codebook"))
     val cells = spark.read.parquet(s"$indexPath/cells")

@@ -123,11 +123,12 @@ private[v2] class DelimDeltaWrite(
     val d = delim; val q = quote
     val idT = rowIdType; val cap = maxKeys
     // the delta's insert files carry the table's bloom sidecars like
-    // any write — a key lookup after a MERGE must keep skipping
+    // any write — a key lookup after a MERGE must keep skipping.
+    // Header-only read: the factory needs just the bloom config, not
+    // the full (possibly segmented) manifest commit() re-reads anyway
     val bloomFor = {
       val fs0 = staging.getFileSystem(DelimV2.driverConf())
-      DelimV2.readManifest(fs0, new HPath(path)).toSeq
-        .flatMap(_.bloomCols)
+      DelimV2.headerBloomCols(fs0, new HPath(path))
         .filter(c => schema.fieldNames.contains(c) && !partCols.contains(c))
     }
     val cm = DelimV2.shippableConf(DelimV2.driverConf())

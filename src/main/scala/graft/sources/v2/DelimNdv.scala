@@ -1,13 +1,13 @@
 package graft.sources.v2
 
-import java.nio.charset.StandardCharsets
-
 /** Minimal HyperLogLog distinct-count sketch for the per-file column
   * NDV the manifest records (256 registers ≈ ±6.5% standard error —
   * plenty for the CBO's join-ORDERING decisions, which only need the
-  * orders of magnitude right). Hash canon mirrors DelimBloom: murmur3
-  * over the field's WRITTEN TEXT bytes, so the estimate is a property
-  * of the landed bytes, not of any runtime type.
+  * orders of magnitude right). Hashes the field's WRITTEN TEXT
+  * (murmur3 over the String's chars — ZERO allocation on the write
+  * hot path; the earlier getBytes(UTF_8) copy per field value was a
+  * measured ~6% write tax at round 19), so the estimate is a property
+  * of the landed text, not of any runtime type.
   *
   * The manifest stores only the ESTIMATE (one long per tracked column
   * per file, appended to the existing stats text) — sketch bytes never
@@ -24,9 +24,8 @@ private[graft] final class DelimNdv {
 
   def add(text: String): Unit = {
     touched = true
-    val b = text.getBytes(StandardCharsets.UTF_8)
-    val h1 = scala.util.hashing.MurmurHash3.bytesHash(b, 0x9747b28c)
-    val h2 = scala.util.hashing.MurmurHash3.bytesHash(b, 0x85ebca6b)
+    val h1 = scala.util.hashing.MurmurHash3.stringHash(text, 0x9747b28c)
+    val h2 = scala.util.hashing.MurmurHash3.stringHash(text, 0x85ebca6b)
     val h = (h1.toLong << 32) | (h2.toLong & 0xffffffffL)
     val idx = (h & (M - 1)).toInt
     val w = h >>> P // remaining 56 bits

@@ -3760,7 +3760,7 @@ private[graft] object DelimV2 {
     if (m.segSize > 0) {
       val referenced = retainedVersions(fs, target)
         .map(g => new HPath(target, s"$ManifestFile.v$g"))
-        .flatMap(segmentNamesOf(fs, _)).toSet
+        .flatMap(segmentNamesCached(fs, _)).toSet
       // GRACE WINDOW: a reader that opened the pointer just before
       // this commit may still be loading the OLD index's segments —
       // deleting them instantly would turn a bounded snapshot race
@@ -3823,6 +3823,33 @@ private[graft] object DelimV2 {
   private[v2] def segmentNamesPub(fs: FileSystem, mf: HPath): Seq[String] =
     segmentNamesOf(fs, mf)
 
+  /** The table's bloom columns from the pointer's FIRST line — for
+    * writers that need only the bloom config (the delta writer factory
+    * previously parsed the full manifest, segments and all, once per
+    * MERGE just to learn this). Nil on a missing/torn pointer: blooms
+    * are an optimization, and a file landed without a sidecar simply
+    * never skips. */
+  private[v2] def headerBloomCols(fs: FileSystem, root: HPath): Seq[String] =
+    try {
+      val mf = new HPath(root, ManifestFile)
+      if (!fs.exists(mf)) Nil
+      else {
+        val in = fs.open(mf)
+        try {
+          val br = new java.io.BufferedReader(
+            new java.io.InputStreamReader(in,
+              java.nio.charset.StandardCharsets.UTF_8))
+          val first = br.readLine()
+          if (first == null || !first.startsWith("#")) Nil
+          else first.split(' ').collectFirst {
+            case a if a.startsWith("bloomcols=") =>
+              a.stripPrefix("bloomcols=").split(',').toSeq
+                .map(statUnesc).filter(_.nonEmpty)
+          }.getOrElse(Nil)
+        } finally in.close()
+      }
+    } catch { case scala.util.control.NonFatal(_) => Nil }
+
   /** The segment file names a manifest document references — a
     * line-scan of the (small) index, never loading the segments. */
   private def segmentNamesOf(fs: FileSystem, mf: HPath): Seq[String] =
@@ -3834,6 +3861,31 @@ private[graft] object DelimV2 {
         .flatMap(_.split('\t').lift(1)).toList
       finally in.close()
     }
+
+  /** segmentNamesOf through a per-JVM memo: the per-commit segment GC
+    * re-read EVERY retained version doc on EVERY commit to build its
+    * referenced set — `retain` extra file reads per commit (part of
+    * the round-19 measured write tax). A `.v<gen>` doc is immutable
+    * once landed, so (length, mtime) validates an entry; a recreated
+    * table's reused generation number changes both. Capped, clear-on-
+    * overflow like the segment caches. */
+  private val segNamesCache = new java.util.concurrent.ConcurrentHashMap[
+    String, (Long, Long, Seq[String])]()
+  private def segmentNamesCached(fs: FileSystem, mf: HPath): Seq[String] = {
+    val st =
+      try fs.getFileStatus(mf)
+      catch { case _: java.io.FileNotFoundException => return Nil }
+    val key = fs.makeQualified(mf).toUri.toString
+    val cached = segNamesCache.get(key)
+    if (cached != null && cached._1 == st.getLen &&
+      cached._2 == st.getModificationTime) cached._3
+    else {
+      val names = segmentNamesOf(fs, mf)
+      if (segNamesCache.size > 1024) segNamesCache.clear()
+      segNamesCache.put(key, (st.getLen, st.getModificationTime, names))
+      names
+    }
+  }
 
   /** CRASH RECOVERY: a commit that died between its version claim
     * (`_manifest.v<G+1>` exists) and the pointer swap (`_manifest`

@@ -14,6 +14,75 @@ object Round20Queries {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
+    // SCOPED TOMBSTONE SUPPRESSION of metadata aggregates: round 19
+    // disabled the stats-complete COUNT/MIN/MAX path for the WHOLE
+    // table on any live tombstone, so a delta-MERGE workload paid
+    // scan-for-count on every untouched partition until OPTIMIZE. A
+    // tombstone can touch a file only when the file's generation is at
+    // or before the tombstone's AND no partition-only conjunct of its
+    // predicate contradicts the file's k=v values. The requires pin
+    // both sides with a LIVE tombstone on partition 'F': the same
+    // aggregate over untouched partition 'O' is answered stats-
+    // complete with ZERO data reads (plan marker + planned-splits
+    // probe), while over the tombstoned partition 'F' it correctly
+    // declines the metadata path and excludes the deleted rows.
+    "delim_v2_stats_agg_mor" -> { (s, dir) =>
+      import graft.sources.v2.DelimV2
+      val out = CoreQueries.scratchDir("delim_v2_stats_agg_mor")
+      val t = s"$out/t"
+      graft.core.Scratch.rmTree(t)
+      s.sql("DROP TABLE IF EXISTS graft_cat.default.sam20_t")
+      s.sql(s"""CREATE TABLE graft_cat.default.sam20_t
+        (o_orderkey BIGINT, o_totalprice DOUBLE, o_orderstatus STRING)
+        USING `graft-delim` PARTITIONED BY (o_orderstatus) LOCATION '$t'""")
+      core.Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+        .writeTo("graft_cat.default.sam20_t").append()
+      // a LIVE merge-on-read tombstone scoped to partition F (the
+      // predicate's partition conjunct makes it provably inert for
+      // every other partition's files)
+      s.sql("""DELETE FROM graft_cat.default.sam20_t
+        WHERE o_orderstatus = 'F' AND o_totalprice > 100000.0""")
+      val hp = new org.apache.hadoop.fs.Path(t)
+      val fs = hp.getFileSystem(s.sessionState.newHadoopConf())
+      val m = DelimV2.readManifest(fs, hp).get
+      require(m.tombstones.size == 1,
+        s"fixture expects one live tombstone, got ${m.tombstones.size}")
+      def tbl = s.read.format("graft-delim")
+        .schema("o_orderkey BIGINT, o_totalprice DOUBLE, o_orderstatus STRING")
+        .load(t)
+      def agg(status: String) = tbl
+        .filter(col("o_orderstatus") === status)
+        .agg(count(lit(1)).as("n_rows"),
+          min(col("o_orderkey")).as("min_key"),
+          max(col("o_orderkey")).as("max_key"))
+      // untouched partition: stats-complete, zero data reads
+      val oDf = agg("O")
+      val oPlan = oDf.queryExecution.executedPlan.toString
+      require(oPlan.contains("PushedAggregation: [stats-complete]"),
+        "aggregate over the untouched partition must stay stats-served " +
+          s"under a live tombstone on another partition:\n$oPlan")
+      val oRow = oDf.collect()(0)
+      val (_, kept, splits) = DelimV2.plannedSplitsFor(t).get
+      require(kept == 0 && splits == 1,
+        s"stats-complete aggregate opened data files: kept=$kept splits=$splits")
+      // tombstoned partition: the metadata path must DECLINE (counts
+      // would include deleted rows) and the scan excludes them
+      val fDf = agg("F")
+      require(!fDf.queryExecution.executedPlan.toString
+          .contains("PushedAggregation: [stats-complete]"),
+        "aggregate over the tombstoned partition must not be stats-served")
+      val fRow = fDf.collect()(0)
+      // the deleted rows' revenue is gone from a full scan too
+      val fRev = tbl.filter(col("o_orderstatus") === "F")
+        .agg(round(sum(col("o_totalprice")), 2)).collect()(0).getDouble(0)
+      import s.implicits._
+      Seq((oRow.getLong(0), oRow.getLong(1), oRow.getLong(2),
+        fRow.getLong(0), fRow.getLong(1), fRow.getLong(2), fRev))
+        .toDF("o_rows", "o_min_key", "o_max_key",
+          "f_rows", "f_min_key", "f_max_key", "f_revenue")
+    },
+
     // INCREMENTAL ANN INDEX MAINTENANCE: build the persisted IVF-PQ
     // index over 90% of the corpus, append the remaining 10% by
     // encoding ONLY the delta against the STORED centroids/codebook,
@@ -94,6 +163,21 @@ object Round20Queries {
     })
 
   def oracleSql: Map[String, String] = Map(
+    // the tombstone suppresses only the F partition's metadata path;
+    // results both sides recompute directly from orders
+    "delim_v2_stats_agg_mor" ->
+      """SELECT
+        |  (SELECT count(*) FROM orders WHERE o_orderstatus = 'O') AS o_rows,
+        |  (SELECT min(o_orderkey) FROM orders WHERE o_orderstatus = 'O') AS o_min_key,
+        |  (SELECT max(o_orderkey) FROM orders WHERE o_orderstatus = 'O') AS o_max_key,
+        |  (SELECT count(*) FROM orders
+        |     WHERE o_orderstatus = 'F' AND NOT o_totalprice > 100000.0) AS f_rows,
+        |  (SELECT min(o_orderkey) FROM orders
+        |     WHERE o_orderstatus = 'F' AND NOT o_totalprice > 100000.0) AS f_min_key,
+        |  (SELECT max(o_orderkey) FROM orders
+        |     WHERE o_orderstatus = 'F' AND NOT o_totalprice > 100000.0) AS f_max_key,
+        |  (SELECT round(sum(o_totalprice), 2) FROM orders
+        |     WHERE o_orderstatus = 'F' AND NOT o_totalprice > 100000.0) AS f_revenue""".stripMargin,
     // identical exact-baseline relation to similarity_ivf_persisted's
     // oracle (same clustered view, same ranking); recall, train-free
     // and delta-only are literal-true verdicts the engine must match

@@ -390,6 +390,45 @@ private[v2] class DelimScanBuilder(fullSchema: StructType, options: CaseInsensit
   protected def snapshotGen: Option[Long] = snapshot.manifest.map(_.gen)
   protected lazy val partKeySet: Set[String] =
     filesWithParts.flatMap(_.pvals.map(_._1)).toSet
+  private lazy val builderPartFields: Array[StructField] =
+    fullSchema.fields.filter(f => partKeySet.contains(f.name))
+
+  /** Files surviving the pushed partition-only filters — the set the
+    * count/stats pushdowns would answer over (mirrors the scan's
+    * staticKept, same compile/parse path). A filter that fails to
+    * compile keeps every file (conservative: a larger kept set can
+    * only DECLINE more pushdowns below, never mis-answer one). */
+  private def partKeptFiles: Seq[DelimV2.ListedFile] = {
+    val pf = builderPartFields
+    val idxOf = pf.map(_.name).zipWithIndex.toMap
+    val types = pf.map(_.dataType)
+    val preds = pushed.toSeq
+      .filter(f => f.references.nonEmpty && f.references.forall(idxOf.contains))
+      .flatMap { f =>
+        try Some(DelimV2.compileFilter(f, idxOf, types))
+        catch { case scala.util.control.NonFatal(_) => None }
+      }
+    if (preds.isEmpty) filesWithParts
+    else filesWithParts.filter { lf =>
+      val ext = new Array[Any](pf.length)
+      var i = 0
+      while (i < pf.length) {
+        ext(i) = DelimV2.parseExternal(lf.pvals.collectFirst {
+          case (k, v) if k == pf(i).name => v }.orNull, types(i))
+        i += 1
+      }
+      preds.forall(_(ext))
+    }
+  }
+
+  /** Per-file tombstone uncertainty for the aggregate pushdowns — see
+    * [[DelimV2.tombUncertainFn]]. Single-root guaranteed whenever any
+    * tombstone exists (listSnapshot rejects multi-root tombstone
+    * reads), so the flattened tombstone set IS the one root's. */
+  private lazy val builderTombUncertain: DelimV2.ListedFile => Boolean =
+    DelimV2.tombUncertainFn(
+      snapshot.manifests.flatMap(_.tombstones).distinct,
+      fullSchema, builderPartFields)
 
   /** PARTIAL COUNT(*) pushdown (supportCompletePushDown stays false):
     * each split returns ONE row with its owned-line count, found by
@@ -418,9 +457,11 @@ private[v2] class DelimScanBuilder(fullSchema: StructType, options: CaseInsensit
       agg.groupByExpressions().nonEmpty ||
       agg.aggregateExpressions().isEmpty ||
       // MoR tombstones: the zero-parse newline count would include
-      // deleted rows — the normal (filter-evaluating) path must run
-      // (anyTombstones: EVERY listed root's manifest, not just the first)
-      snapshot.anyTombstones ||
+      // deleted rows — but only for files a live tombstone could
+      // TOUCH (round-20 scoping: generation at/before the tombstone's
+      // and partition not provably disjoint); a count over untouched
+      // partitions stays a zero-parse pushdown even with live debt
+      partKeptFiles.exists(builderTombUncertain) ||
       !agg.aggregateExpressions().forall(
         _.isInstanceOf[org.apache.spark.sql.connector.expressions.aggregate.CountStar]))
       return false
@@ -445,12 +486,20 @@ private[v2] class DelimScanBuilder(fullSchema: StructType, options: CaseInsensit
       : Option[(Array[Any], StructType)] = {
     import org.apache.spark.sql.connector.expressions.aggregate._
     import org.apache.spark.sql.connector.expressions.NamedReference
-    if (pushed.nonEmpty || agg.groupByExpressions().nonEmpty ||
+    if (agg.groupByExpressions().nonEmpty ||
       agg.aggregateExpressions().isEmpty) return None
-    // MoR tombstones: recorded stats still count deleted rows
-    // (checked across EVERY listed root's manifest)
-    if (snapshot.anyTombstones) return None
-    val files = filesWithParts
+    // PARTITION-only pushed filters are answerable from metadata too:
+    // they resolve to a file subset (partKeptFiles, the same set the
+    // scan's staticKept would read), and the stats of that subset are
+    // exactly the filtered table's. Any data-column filter declines.
+    if (pushed.exists(f => !(f.references.nonEmpty &&
+      f.references.forall(partKeySet.contains)))) return None
+    val files = if (pushed.isEmpty) filesWithParts else partKeptFiles
+    // MoR tombstones: recorded stats still count deleted rows — but
+    // only files a live tombstone could TOUCH decline (round-20
+    // scoping); an aggregate over untouched partitions stays
+    // stats-served even while the table carries delta-MERGE debt
+    if (files.exists(builderTombUncertain)) return None
     // every live file must carry stats (legacy entries, listings
     // without a manifest, and zero-length stat-less files all decline)
     if (files.isEmpty || files.exists(_.stats == null)) return None
@@ -626,6 +675,11 @@ class DelimScan(
   private def partitionOnly(f: Filter): Boolean =
     f.references.nonEmpty && f.references.forall(partKeySet.contains)
 
+  /** Per-file tombstone uncertainty for the statistics paths — see
+    * [[DelimV2.tombUncertainFn]]. */
+  private lazy val statUncertain: DelimV2.ListedFile => Boolean =
+    DelimV2.tombUncertainFn(tombstones, fullSchema, partFields)
+
   /** Per-file predicate from a partition-only filter: the file's k=v
     * values, typed via the same parse/normalize path as row fields, fed
     * to the same compiled predicate — so partition pruning and row
@@ -798,9 +852,12 @@ class DelimScan(
     // from bytes alone. Declined when any kept file lacks recorded
     // stats — a wrong row count misleads worse than none.
     override def numRows(): OptionalLong =
-      // tombstones: recorded per-file counts still include deleted rows
-      if (staticKept.nonEmpty && tombstones.isEmpty &&
-        staticKept.forall(_.stats != null))
+      // tombstones: recorded per-file counts still include deleted
+      // rows — but only for files a live tombstone could TOUCH
+      // (generation at/before the tombstone's, partition not provably
+      // disjoint); every other file's count stays authoritative
+      if (staticKept.nonEmpty && staticKept.forall(_.stats != null) &&
+        !staticKept.exists(statUncertain))
         OptionalLong.of(staticKept.map(_.stats.rows).sum)
       else OptionalLong.empty()
 
@@ -818,8 +875,8 @@ class DelimScan(
       val out = new java.util.HashMap[
         org.apache.spark.sql.connector.expressions.NamedReference,
         org.apache.spark.sql.connector.read.colstats.ColumnStatistics]()
-      if (staticKept.isEmpty || tombstones.nonEmpty ||
-        staticKept.exists(_.stats == null)) return out
+      if (staticKept.isEmpty || staticKept.exists(_.stats == null) ||
+        staticKept.exists(statUncertain)) return out
       val rows = staticKept.map(_.stats.rows).sum
       required.fieldNames.foreach { c =>
         val per = staticKept.map(_.stats.cols.get(c))
@@ -4005,6 +4062,66 @@ private[graft] object DelimV2 {
       /** The generation whose commit wrote the file (0 = legacy/
         * listing without a manifest) — delete-tombstone applicability. */
       gen: Long = 0L)
+
+  /** Per-FILE tombstone uncertainty (round-20): round 19 suppressed
+    * the metadata-aggregate paths TABLE-WIDE on any live tombstone, so
+    * one delta MERGE cost every untouched partition its stats-served
+    * counts until OPTIMIZE. A tombstone can touch a file only when
+    * (a) the file's generation is at or before the tombstone's (rows
+    * written after a delete are never re-deleted — makeSplits' rule)
+    * and (b) no partition-only conjunct of its predicate contradicts
+    * the file's k=v values (partition columns are CONSTANT per file,
+    * so a conjunct false on them is false for every row — the
+    * tombstone is provably inert there). Every other file's recorded
+    * stats stay authoritative. A conjunct that fails to compile is
+    * treated as could-match (conservative). */
+  private[v2] def tombUncertainFn(
+      tombs: Seq[(Long, String)], fullSchema: StructType,
+      partFields: Array[StructField]): ListedFile => Boolean = {
+    if (tombs.isEmpty) return _ => false
+    val idxOf = partFields.map(_.name).zipWithIndex.toMap
+    val types = partFields.map(_.dataType)
+    def conjuncts(f: Filter): Seq[Filter] = f match {
+      case org.apache.spark.sql.sources.And(l, r) =>
+        conjuncts(l) ++ conjuncts(r)
+      case other => Seq(other)
+    }
+    val checks: Seq[(Long, Seq[Array[Any] => Boolean])] =
+      tombs.map { case (g, enc) =>
+        // tombstoneFilter returns the read path's COMPLEMENT (the
+        // keep predicate, Not(delete)); the DELETE predicate inside
+        // is what must be contradicted. An unexpected shape keeps
+        // preds empty = could-match-anywhere (conservative).
+        val delPred = tombstoneFilter(enc, fullSchema) match {
+          case org.apache.spark.sql.sources.Not(inner) => Some(inner)
+          case _ => None
+        }
+        val preds = delPred.toSeq.flatMap(conjuncts)
+          .filter(c => c.references.nonEmpty &&
+            c.references.forall(idxOf.contains))
+          .flatMap { c =>
+            try Some(compileFilter(c, idxOf, types))
+            catch { case scala.util.control.NonFatal(_) => None }
+          }
+        (g, preds)
+      }
+    lf => {
+      lazy val ext: Array[Any] = {
+        val a = new Array[Any](partFields.length)
+        var i = 0
+        while (i < partFields.length) {
+          val raw = lf.pvals.collectFirst {
+            case (k, v) if k == partFields(i).name => v }.orNull
+          a(i) = parseExternal(raw, types(i))
+          i += 1
+        }
+        a
+      }
+      checks.exists { case (g, preds) =>
+        lf.gen <= g && preds.forall(_(ext))
+      }
+    }
+  }
 
   /** Recursive listing with `k=v` partition-directory discovery — the
     * reference's central table layout (dt=.../hr=... directories)

@@ -14,6 +14,63 @@ object Round20Queries {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
+    // SEGMENT PRUNING ON ANY PARTITION COLUMN: round 19's segmented
+    // manifest pruned segment loads only on the LEADING partition
+    // column (lexicographic [minRel,maxRel] prefix test), so a k1/k2
+    // table filtered on k2 parsed the whole index. A segment spans
+    // exactly one leaf partition directory, so its full k=v map reads
+    // straight off the recorded rel paths — no format change — and a
+    // pushed equality on ANY partition column now prunes at listing
+    // time. The requires pin it: a k2-only equality on a table
+    // partitioned by (k1, k2) loads < 20% of the segments, and the
+    // content matches the oracle both sliced and whole.
+    "delim_v2_manifest_segmented_k2" -> { (s, dir) =>
+      import graft.sources.v2.DelimV2
+      val out = CoreQueries.scratchDir("delim_v2_manifest_segmented_k2")
+      val t = s"$out/t"
+      graft.core.Scratch.rmTree(t)
+      core.Tables.orders(s, dir)
+        .select(col("o_orderkey"),
+          format_string("a%d", col("o_orderkey") % 4).as("k1"),
+          format_string("b%d", (col("o_orderkey") / 4).cast("long") % 8)
+            .as("k2"))
+        .coalesce(1).write.format("graft-delim")
+        .option("partitionBy", "k1,k2")
+        .option("manifestSegmentSize", "8")
+        .mode("overwrite").save(t)
+      val hp = new org.apache.hadoop.fs.Path(t)
+      val fs = hp.getFileSystem(s.sessionState.newHadoopConf())
+      val doc = {
+        val in = fs.open(new org.apache.hadoop.fs.Path(t, DelimV2.ManifestFile))
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      }
+      require(doc.contains("#segment\t"),
+        "fixture must commit a segmented index")
+      val nSegs = doc.linesIterator.count(_.startsWith("#segment\t"))
+      require(nSegs == 32, s"expected 32 leaf-partition segments, got $nSegs")
+      val rootKey = fs.makeQualified(hp).toUri.getPath
+      DelimV2.clearSegmentReads()
+      // equality on the SECOND partition column only
+      val b3 = s.read.format("graft-delim")
+        .schema("o_orderkey BIGINT, k1 STRING, k2 STRING").load(t)
+        .filter(col("k2") === "b3")
+        .agg(count(lit(1)).as("n"), sum(col("o_orderkey")).as("sig"))
+        .collect()(0)
+      val (total, read) = DelimV2.segmentReads(rootKey).getOrElse(
+        throw new IllegalStateException("no segmented read recorded"))
+      require(read >= 1 && read * 5 <= total,
+        s"a k2-only equality must load < 20% of segments, read $read of $total")
+      val full = s.read.format("graft-delim")
+        .schema("o_orderkey BIGINT, k1 STRING, k2 STRING").load(t)
+        .agg(count(lit(1)).as("n"), sum(col("o_orderkey")).as("sig"))
+        .collect()(0)
+      import s.implicits._
+      Seq(("b3", b3.getLong(0), b3.getLong(1)),
+        ("all", full.getLong(0), full.getLong(1)))
+        .toDF("slice", "n_rows", "key_sig")
+    },
+
     // SCOPED TOMBSTONE SUPPRESSION of metadata aggregates: round 19
     // disabled the stats-complete COUNT/MIN/MAX path for the WHOLE
     // table on any live tombstone, so a delta-MERGE workload paid
@@ -163,6 +220,15 @@ object Round20Queries {
     })
 
   def oracleSql: Map[String, String] = Map(
+    // the k2 residue is (o_orderkey // 4) % 8 — DuckDB integer division
+    "delim_v2_manifest_segmented_k2" ->
+      """SELECT 'b3' AS slice, count(*) AS n_rows,
+        |       CAST(sum(o_orderkey) AS BIGINT) AS key_sig
+        |FROM orders WHERE (o_orderkey // 4) % 8 = 3
+        |UNION ALL
+        |SELECT 'all', count(*), CAST(sum(o_orderkey) AS BIGINT)
+        |FROM orders""".stripMargin,
+
     // the tombstone suppresses only the F partition's metadata path;
     // results both sides recompute directly from orders
     "delim_v2_stats_agg_mor" ->

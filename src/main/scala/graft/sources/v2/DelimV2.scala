@@ -3373,29 +3373,40 @@ private[graft] object DelimV2 {
             bloomCols, segSize))
         else {
           // SEGMENTED index: load entries from the referenced segment
-          // files — only those whose [minRel, maxRel] range can hold a
-          // rel under one of the prune candidates' partition prefixes.
-          // A candidate applies only when EVERY recorded writer schema
-          // leads its partitioning with the candidate's column (then
-          // every live rel starts `col=value/` and the lexicographic
-          // range test is decisive); schema disagreement loads all.
+          // files — only those a pushed partition equality keeps. A
+          // segment spans exactly ONE leaf partition directory
+          // (ensureSegments chunks per-dir runs), so its full k=v map
+          // reads straight off the rel paths and ANY candidate
+          // column prunes — not just the leading one (round-20;
+          // round 19's lexicographic range test was first-column-
+          // only, so a k1=/k2= table filtered on k2 loaded every
+          // segment). A segment whose min/max dirs differ (foreign
+          // layout) or whose dir lacks the candidate column is KEPT
+          // (conservative: file-level pruning still applies); the
+          // candidate value strings are the same raw dir-text forms
+          // the file-level compare uses, so pruning here can never
+          // drop a file the pushed filters would keep.
           val root = mf.getParent
-          val prefixes: Seq[String] =
-            if (prune.isEmpty || tombs.nonEmpty) Nil
-            else {
-              val heads = schemas.values.map(_.partCols.headOption).toSet
-              heads.toSeq match {
-                case Seq(Some(first)) =>
-                  prune.collectFirst { case (c, vs) if c == first =>
-                    vs.map(v => s"$first=$v/") }.getOrElse(Nil)
-                case _ => Nil
+          def dirOf(rel: String): String = {
+            val i = rel.lastIndexOf('/')
+            if (i < 0) "" else rel.substring(0, i)
+          }
+          val selected =
+            if (prune.isEmpty || tombs.nonEmpty) segRefs
+            else segRefs.filter { r =>
+              val d = dirOf(r.minRel)
+              if (d != dirOf(r.maxRel)) true
+              else {
+                val kv = d.split('/').flatMap { seg =>
+                  val eq = seg.indexOf('=')
+                  if (eq <= 0) None
+                  else Some(seg.substring(0, eq) -> seg.substring(eq + 1))
+                }.toMap
+                prune.forall { case (c, vs) =>
+                  kv.get(c).forall(vs.contains)
+                }
               }
             }
-          val selected =
-            if (prefixes.isEmpty) segRefs
-            else segRefs.filter(r => prefixes.exists(p =>
-              r.maxRel.compareTo(p) >= 0 &&
-                r.minRel.compareTo(p + "\uFFFF") <= 0))
           segmentReadLog.put(
             fs.makeQualified(root).toUri.getPath,
             (segRefs.size, selected.size))

@@ -14,6 +14,54 @@ object Round20Queries {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
+    // PER-ROOT MANIFESTS FOR MULTI-ROOT READS: round 19 rejected a
+    // union over table roots when any carried a live merge-on-read
+    // tombstone (generation numbers are only meaningful within one
+    // lineage — a flattened tombstone set would delete the wrong
+    // rows). Round 20 implements it: every listed file carries its
+    // root, and each root's tombstones apply to exactly its own
+    // files. The requires pin the mechanism: the listing tracks the
+    // tombstone under ONE root only, the even-key table keeps rows the
+    // odd-key table's delete predicate ALSO matches (same generation
+    // number on both lineages — the flattened design's failure case),
+    // and the union matches the oracle.
+    "delim_v2_multiroot_mor" -> { (s, dir) =>
+      import graft.sources.v2.DelimV2
+      val out = CoreQueries.scratchDir("delim_v2_multiroot_mor")
+      graft.core.Scratch.rmTree(out)
+      val orders = core.Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_totalprice"))
+      def mk(name: String, t: String, residue: Int): Unit = {
+        s.sql(s"DROP TABLE IF EXISTS graft_cat.default.$name")
+        s.sql(s"""CREATE TABLE graft_cat.default.$name
+          (o_orderkey BIGINT, o_totalprice DOUBLE)
+          USING `graft-delim` LOCATION '$t'""")
+        orders.filter(col("o_orderkey") % 2 === residue)
+          .writeTo(s"graft_cat.default.$name").append()
+      }
+      mk("mra20_t", s"$out/a", 0)
+      mk("mrb20_t", s"$out/b", 1)
+      // the delete predicate matches rows in BOTH tables, at the SAME
+      // generation number in both lineages — only B's rows may go
+      s.sql("""DELETE FROM graft_cat.default.mrb20_t
+        WHERE o_totalprice > 100000.0""")
+      val snap = DelimV2.listSnapshot(Seq(s"$out/a", s"$out/b"),
+        s.sessionState.newHadoopConf())
+      require(snap.rootTombstones.size == 1 &&
+        snap.rootTombstones.head._1.endsWith("/b"),
+        s"the tombstone must stay scoped to root b: ${snap.rootTombstones
+          .map(_._1)}")
+      require(snap.files.forall(_.root != null) &&
+        snap.files.map(_.root).distinct.size == 2,
+        "every listed file must carry its root")
+      s.read.format("graft-delim")
+        .schema("o_orderkey BIGINT, o_totalprice DOUBLE")
+        .option("paths", s"$out/a,$out/b").load()
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("o_orderkey")).as("key_sig"),
+          round(sum(col("o_totalprice")), 2).as("revenue"))
+    },
+
     // SEGMENT PRUNING ON ANY PARTITION COLUMN: round 19's segmented
     // manifest pruned segment loads only on the LEADING partition
     // column (lexicographic [minRel,maxRel] prefix test), so a k1/k2
@@ -220,6 +268,15 @@ object Round20Queries {
     })
 
   def oracleSql: Map[String, String] = Map(
+    // even keys all survive; odd keys lose the delete predicate's rows
+    "delim_v2_multiroot_mor" ->
+      """SELECT count(*) AS n_rows,
+        |       CAST(sum(o_orderkey) AS BIGINT) AS key_sig,
+        |       round(sum(o_totalprice), 2) AS revenue
+        |FROM orders
+        |WHERE o_orderkey % 2 = 0
+        |   OR (o_orderkey % 2 = 1 AND NOT o_totalprice > 100000.0)""".stripMargin,
+
     // the k2 residue is (o_orderkey // 4) % 8 — DuckDB integer division
     "delim_v2_manifest_segmented_k2" ->
       """SELECT 'b3' AS slice, count(*) AS n_rows,

@@ -422,13 +422,11 @@ private[v2] class DelimScanBuilder(fullSchema: StructType, options: CaseInsensit
   }
 
   /** Per-file tombstone uncertainty for the aggregate pushdowns — see
-    * [[DelimV2.tombUncertainFn]]. Single-root guaranteed whenever any
-    * tombstone exists (listSnapshot rejects multi-root tombstone
-    * reads), so the flattened tombstone set IS the one root's. */
+    * [[DelimV2.tombUncertainFn]]; applied per root like every
+    * tombstone consumer. */
   private lazy val builderTombUncertain: DelimV2.ListedFile => Boolean =
     DelimV2.tombUncertainFn(
-      snapshot.manifests.flatMap(_.tombstones).distinct,
-      fullSchema, builderPartFields)
+      snapshot.rootTombstones, fullSchema, builderPartFields)
 
   /** PARTIAL COUNT(*) pushdown (supportCompletePushDown stays false):
     * each split returns ONE row with its owned-line count, found by
@@ -611,10 +609,10 @@ private[v2] class DelimScanBuilder(fullSchema: StructType, options: CaseInsensit
   override def build(): Scan =
     new DelimScan(fullSchema, required, pushed, limit, options, aggCountCols,
       filesWithParts, topN, completeAggRow,
-      // tombstones: single-root guaranteed whenever nonEmpty (listSnapshot
-      // rejects multi-root tombstone reads), so the first manifest IS the
-      // only one carrying any; bloom headers UNION safely across roots
-      snapshot.manifests.flatMap(_.tombstones).distinct,
+      // tombstones PER ROOT: each root's tombstones apply only to its
+      // own files (generation numbers are per-lineage); bloom headers
+      // UNION safely across roots
+      snapshot.rootTombstones,
       snapshot.unionBloomCols)
 }
 
@@ -644,10 +642,12 @@ class DelimScan(
       * this precomputed row (internal representation, one slot per
       * aggregate), answered from manifest file stats — zero data reads. */
     completeAggRow: Array[Any] = null,
-    /** Merge-on-read delete tombstones from the snapshot's manifest
-      * ((recorded generation, encoded predicate)); applied per file at
-      * split planning (see makeSplits). */
-    tombstones: Seq[(Long, String)] = Nil,
+    /** Merge-on-read delete tombstones, PER ROOT: (root key, (recorded
+      * generation, encoded predicate) list). Applied per file at split
+      * planning (see makeSplits) — only to files the same root listed;
+      * a null root key (the streaming source's single-root batches)
+      * applies to every file. */
+    rootTombs: Seq[(String, Seq[(Long, String)])] = Nil,
     /** Bloom-sidecar columns from the snapshot's manifest header —
       * readers probe `<file>.bloom` for equality filters on these. */
     bloomCols: Seq[String] = Nil)
@@ -678,7 +678,7 @@ class DelimScan(
   /** Per-file tombstone uncertainty for the statistics paths — see
     * [[DelimV2.tombUncertainFn]]. */
   private lazy val statUncertain: DelimV2.ListedFile => Boolean =
-    DelimV2.tombUncertainFn(tombstones, fullSchema, partFields)
+    DelimV2.tombUncertainFn(rootTombs, fullSchema, partFields)
 
   /** Per-file predicate from a partition-only filter: the file's k=v
     * values, typed via the same parse/normalize path as row fields, fed
@@ -949,7 +949,7 @@ class DelimScan(
         } && (f.stats == null || statPreds.forall(_(f.stats)))
       }
     plannedFiles = kept.map(_.status.getPath.toString)
-    val splits = makeSplits(kept, splitBytes, tombstones, bloomCols)
+    val splits = makeSplits(kept, splitBytes, rootTombs, bloomCols)
     DelimV2.recordPlannedSplits(paths.mkString(","),
       allFiles.size, kept.size, splits.length)
     splits
@@ -965,12 +965,14 @@ class DelimScan(
     */
   private def makeSplits(
       kept: Seq[DelimV2.ListedFile], splitBytes: Long,
-      tombs: Seq[(Long, String)],
+      tombs: Seq[(String, Seq[(Long, String)])],
       blooms: Seq[String] = Nil): Array[InputPartition] = {
-    val tombFilters: Seq[(Long, Filter)] =
+    val tombFilters: Seq[(String, Long, Filter)] =
       if (tombs.isEmpty || kept.isEmpty) Nil
-      else tombs.map { case (g, enc) =>
-        (g, DelimV2.tombstoneFilter(enc, fullSchema))
+      else tombs.flatMap { case (r, ts) =>
+        ts.map { case (g, enc) =>
+          (r, g, DelimV2.tombstoneFilter(enc, fullSchema))
+        }
       }
     // bloom probes resolve ONCE per scan: (column, canonical texts)
     // for the pushed/runtime equality filters on bloomed columns
@@ -988,7 +990,10 @@ class DelimScan(
         val fileTombs: Array[Filter] =
           if (tombFilters.isEmpty) Array.empty
           else tombFilters.collect {
-            case (g, flt) if lf.gen <= g => flt
+            // per-root application: a tombstone touches only its own
+            // root's files (null root = single-root streaming batches)
+            case (r, g, flt) if (r == null || r == lf.root) && lf.gen <= g =>
+              flt
           }.toArray
         val partVals = partFields.map(pf =>
           pv.collectFirst { case (k, v) if k == pf.name => v }.orNull)
@@ -1121,7 +1126,11 @@ class DelimScan(
         // delete recorded AFTER rows already streamed cannot retract
         // them (append-only contract), but replays and fresh streams
         // honor every tombstone at `end`
-        makeSplits(files, splitBytes, m.tombstones, m.bloomCols)
+        // single-root by construction (streaming requires one root):
+        // the null root key applies the tombstones to every file
+        makeSplits(files, splitBytes,
+          if (m.tombstones.isEmpty) Nil else Seq((null, m.tombstones)),
+          m.bloomCols)
       }
 
       override def createReaderFactory(): PartitionReaderFactory = {
@@ -4065,14 +4074,19 @@ private[graft] object DelimV2 {
     * means the legacy contract: fields map positionally to the read
     * schema's non-partition fields.
     */
-  private[v2] final case class ListedFile(
+  private[graft] final case class ListedFile(
       status: FileStatus, pvals: Seq[(String, String)],
       fileFields: Array[String] = null,
       /** Decoded per-file column stats (data skipping), or null. */
       stats: FileStats = null,
       /** The generation whose commit wrote the file (0 = legacy/
         * listing without a manifest) — delete-tombstone applicability. */
-      gen: Long = 0L)
+      gen: Long = 0L,
+      /** The manifest-bearing root that listed this file (null =
+        * legacy listing). Generations — and so tombstones — are only
+        * meaningful within ONE root's lineage; a multi-root read
+        * applies each root's tombstones to exactly its own files. */
+      root: String = null)
 
   /** Per-FILE tombstone uncertainty (round-20): round 19 suppressed
     * the metadata-aggregate paths TABLE-WIDE on any live tombstone, so
@@ -4087,9 +4101,9 @@ private[graft] object DelimV2 {
     * stats stay authoritative. A conjunct that fails to compile is
     * treated as could-match (conservative). */
   private[v2] def tombUncertainFn(
-      tombs: Seq[(Long, String)], fullSchema: StructType,
+      rootTombs: Seq[(String, Seq[(Long, String)])], fullSchema: StructType,
       partFields: Array[StructField]): ListedFile => Boolean = {
-    if (tombs.isEmpty) return _ => false
+    if (rootTombs.forall(_._2.isEmpty)) return _ => false
     val idxOf = partFields.map(_.name).zipWithIndex.toMap
     val types = partFields.map(_.dataType)
     def conjuncts(f: Filter): Seq[Filter] = f match {
@@ -4097,24 +4111,26 @@ private[graft] object DelimV2 {
         conjuncts(l) ++ conjuncts(r)
       case other => Seq(other)
     }
-    val checks: Seq[(Long, Seq[Array[Any] => Boolean])] =
-      tombs.map { case (g, enc) =>
-        // tombstoneFilter returns the read path's COMPLEMENT (the
-        // keep predicate, Not(delete)); the DELETE predicate inside
-        // is what must be contradicted. An unexpected shape keeps
-        // preds empty = could-match-anywhere (conservative).
-        val delPred = tombstoneFilter(enc, fullSchema) match {
-          case org.apache.spark.sql.sources.Not(inner) => Some(inner)
-          case _ => None
-        }
-        val preds = delPred.toSeq.flatMap(conjuncts)
-          .filter(c => c.references.nonEmpty &&
-            c.references.forall(idxOf.contains))
-          .flatMap { c =>
-            try Some(compileFilter(c, idxOf, types))
-            catch { case scala.util.control.NonFatal(_) => None }
+    val checks: Seq[(String, Long, Seq[Array[Any] => Boolean])] =
+      rootTombs.flatMap { case (root, tombs) =>
+        tombs.map { case (g, enc) =>
+          // tombstoneFilter returns the read path's COMPLEMENT (the
+          // keep predicate, Not(delete)); the DELETE predicate inside
+          // is what must be contradicted. An unexpected shape keeps
+          // preds empty = could-match-anywhere (conservative).
+          val delPred = tombstoneFilter(enc, fullSchema) match {
+            case org.apache.spark.sql.sources.Not(inner) => Some(inner)
+            case _ => None
           }
-        (g, preds)
+          val preds = delPred.toSeq.flatMap(conjuncts)
+            .filter(c => c.references.nonEmpty &&
+              c.references.forall(idxOf.contains))
+            .flatMap { c =>
+              try Some(compileFilter(c, idxOf, types))
+              catch { case scala.util.control.NonFatal(_) => None }
+            }
+          (root, g, preds)
+        }
       }
     lf => {
       lazy val ext: Array[Any] = {
@@ -4128,8 +4144,8 @@ private[graft] object DelimV2 {
         }
         a
       }
-      checks.exists { case (g, preds) =>
-        lf.gen <= g && preds.forall(_(ext))
+      checks.exists { case (r, g, preds) =>
+        (r == null || r == lf.root) && lf.gen <= g && preds.forall(_(ext))
       }
     }
   }
@@ -4160,25 +4176,33 @@ private[graft] object DelimV2 {
     * write must abort when the table advanced between its scan and its
     * commit (see DelimWrite.commit).
     */
-  private[v2] final case class ListingSnapshot(
+  private[graft] final case class ListingSnapshot(
       files: Seq[ListedFile], manifest: Option[DelimManifest],
-      /** EVERY manifest-bearing root's manifest, in path order — a
-        * multi-root read (paths=a,b or a glob over several table
-        * roots) must not apply the first root's tombstones/bloom
-        * header to the other roots' files. Tombstone-bearing tables
-        * reject multi-root reads outright (enforced in listSnapshot);
-        * bloom headers UNION safely (sidecars are per-file truth — a
+      /** EVERY manifest-bearing root's (root key, manifest), in path
+        * order — a multi-root read (paths=a,b or a glob over several
+        * table roots) must not apply the first root's tombstones/bloom
+        * header to the other roots' files. Tombstones apply PER ROOT
+        * (round-20; round 19 rejected multi-root tombstone reads
+        * outright): every listed file carries its root key, and the
+        * generation test runs only against its own root's tombstones.
+        * Bloom headers UNION safely (sidecars are per-file truth — a
         * probe against a file lacking the column never skips).
         */
-      manifests: Seq[DelimManifest] = Nil) {
+      rootManifests: Seq[(String, DelimManifest)] = Nil) {
+    def manifests: Seq[DelimManifest] = rootManifests.map(_._2)
     /** Gates that must consider every listed root, not just the first
       * manifest-bearing one (count-star/stats pushdown suppression).
       */
     def anyTombstones: Boolean = manifests.exists(_.tombstones.nonEmpty)
     def unionBloomCols: Seq[String] = manifests.flatMap(_.bloomCols).distinct
+    /** (root key, that root's tombstones) for roots that carry any. */
+    def rootTombstones: Seq[(String, Seq[(Long, String)])] =
+      rootManifests.collect {
+        case (r, m) if m.tombstones.nonEmpty => (r, m.tombstones)
+      }
   }
 
-  private[v2] def listSnapshot(
+  private[graft] def listSnapshot(
       paths: Seq[String], conf: Configuration,
       versionAsOf: Option[Long] = None,
       /** Partition-equality candidates (column → directory-value
@@ -4204,8 +4228,8 @@ private[graft] object DelimV2 {
         }
       }
     var firstManifest: Option[DelimManifest] = None
-    val allManifests = scala.collection.mutable.ArrayBuffer.empty[DelimManifest]
-    var matchedRoots = 0
+    val allManifests =
+      scala.collection.mutable.ArrayBuffer.empty[(String, DelimManifest)]
     val files = paths.flatMap { p =>
       val hp = new HPath(p)
       val fs = hp.getFileSystem(conf)
@@ -4215,7 +4239,6 @@ private[graft] object DelimV2 {
           s"graft-delim: versionAsOf requires a manifest-bearing table " +
             s"directory, got '$p'")
       matched.flatMap { st =>
-        matchedRoots += 1
         // a committed manifest at a directory root IS the listing
         // (the snapshot-isolation and no-namespace-crawl contract);
         // partition values parse from the entries' k=v path segments
@@ -4226,9 +4249,16 @@ private[graft] object DelimV2 {
             case None => readManifest(fs, st.getPath, segPrune)
           }
         if (firstManifest.isEmpty) firstManifest = manifest
-        manifest.foreach(allManifests += _)
         manifest match {
-          case Some(m) => listedFromManifest(st.getPath, m)
+          case Some(m) =>
+            // tombstone generations are only meaningful within one
+            // root's lineage: tag every listed file with its root so
+            // downstream tombstone application stays per-root (a
+            // flattened set would resurrect this root's MoR-deleted
+            // rows elsewhere and mis-delete other roots' rows here)
+            val key = st.getPath.toString
+            allManifests += ((key, m))
+            listedFromManifest(st.getPath, m).map(_.copy(root = key))
           case None => recurse(fs, st, Nil)
         }
       }
@@ -4236,17 +4266,6 @@ private[graft] object DelimV2 {
       val n = f.status.getPath.getName
       n.startsWith("_") || n.startsWith(".") || n.endsWith(DelimBloom.Suffix)
     }.sortBy(_.status.getPath.toString)
-    // Tombstones apply to files by GENERATION number, which is only
-    // meaningful within one root's manifest lineage: a multi-root read
-    // would resurrect root B's MoR-deleted rows (its tombstones
-    // ignored) while mis-applying root A's tombstones to B's files.
-    // Reject loudly, like streaming and deleteWhere require one root.
-    if (matchedRoots > 1 && allManifests.exists(_.tombstones.nonEmpty))
-      throw new IllegalArgumentException(
-        "graft-delim: multi-root read over a table with merge-on-read " +
-          "delete tombstones is unsupported — read the roots singly, " +
-          "or OPTIMIZE the tombstone-bearing table to retire its " +
-          "tombstones first")
     ListingSnapshot(files, firstManifest, allManifests.toSeq)
   }
 

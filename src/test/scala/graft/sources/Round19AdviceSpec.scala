@@ -57,7 +57,11 @@ class Round19AdviceSpec extends SparkFunSuite {
     }
   }
 
-  test("multi-root reads reject tombstones loudly, work without them") {
+  test("multi-root reads apply each root's tombstones to its own files") {
+    // round 19 rejected a multi-root read over any tombstone-bearing
+    // table loudly; round 20 implements it — per-root manifests, each
+    // root's tombstones scoped to exactly its own files (generation
+    // numbers are only meaningful within one lineage)
     val dir = tempDir("advice-multiroot")
     def mk(name: String, t: String, lo: Long, hi: Long): Unit = {
       spark.sql(s"DROP TABLE IF EXISTS graft_cat.default.$name")
@@ -75,16 +79,21 @@ class Round19AdviceSpec extends SparkFunSuite {
     assert(both.load().count() == 100L)
     assert(both.load().agg(org.apache.spark.sql.functions.sum($"id"))
       .head.getLong(0) == (1L to 100L).sum)
-    // root B gains a tombstone: the combined read must refuse rather
-    // than resurrect B's deleted rows / misapply tombstones to A
+    // root B gains a tombstone whose predicate ALSO matches rows in A
+    // (id > 40 covers A's 41..50 at the same generation number): the
+    // union must delete B's matched rows and NONE of A's
     spark.sql("DELETE FROM graft_cat.default.mr_b WHERE id > 90")
-    val e = intercept[Exception] { both.load().count() }
-    val msg = Option(e.getMessage).getOrElse("") +
-      Option(e.getCause).flatMap(c => Option(c.getMessage)).getOrElse("")
-    assert(msg.contains("multi-root"), s"unexpected error: $e")
+    spark.sql("DELETE FROM graft_cat.default.mr_b WHERE id > 40 AND id < 55")
+    val got = both.load().select($"id").as[Long].collect().sorted.toSeq
+    val expect = ((1L to 50L) ++ (55L to 90L)).sorted
+    assert(got == expect,
+      s"per-root tombstone application broken: missing=" +
+        s"${expect.diff(got)} resurrected=${got.diff(expect)}")
     // each root alone still reads exactly its own snapshot
     assert(spark.read.format("graft-delim").schema("id BIGINT, v DOUBLE")
-      .load(s"$dir/b").count() == 40L)
+      .load(s"$dir/b").count() == 36L)
+    assert(spark.read.format("graft-delim").schema("id BIGINT, v DOUBLE")
+      .load(s"$dir/a").count() == 50L)
   }
 
   test("a streaming epoch commit preserves the bloom-column header") {

@@ -105,6 +105,12 @@ object Bench {
     var isStream = selected.map { case (name, f) =>
       cachedTier.get(name) match {
         case Some(tier) => name -> tier
+        // child/diagnosis (BENCH_ONLY) runs measure in-process either
+        // way, so tier ROUTING is irrelevant there: skip the warm pass
+        // (the first measured pass warms; min() discards it) and let
+        // the live listener correction during measurement set the tier
+        // the parent/cache adopt
+        case None if only.nonEmpty => name -> false
         case None =>
           sawStream.set(false)
           try f(spark, sfDir).count() catch { case _: Throwable => () }
@@ -263,7 +269,8 @@ object Bench {
       }
     // merged, alphabetical (stable output regardless of tier routing)
     val results = (batchResults ++ streamResults).sortBy(_._1)
-      .map { case (n, dt, err, gc) => (n, dt, err, gc, isStream(n)) }
+      .map { case (n, dt, err, gc) =>
+        (n, dt, err, gc, isStream.getOrElse(n, false)) }
     def jstr(s: String): String = "\"" + s.flatMap {
       case '"' => "\\\""
       case '\\' => "\\\\"

@@ -60,21 +60,37 @@ object Bench {
     // classify by running, which they must do anyway.
     val tierCachePath = java.nio.file.Paths.get(
       sys.props.getOrElse("user.dir", "."), "target", "bench-tiers.json")
+    // fall back to the repo-committed seed (bench/bench-tiers.json)
+    // when target/ is fresh (clean checkout, sbt clean): without it a
+    // cold run warm-classifies all 200+ queries — a third execution of
+    // each on top of the two measured passes. Only names still in
+    // SparkEntry.queries are trusted either way; new queries classify
+    // by execution once and refresh the target copy.
+    val seedPath = java.nio.file.Paths.get(
+      sys.props.getOrElse("user.dir", "."), "bench", "bench-tiers.json")
     val cachedTier: Map[String, Boolean] =
-      if (only.nonEmpty || !java.nio.file.Files.exists(tierCachePath)) Map.empty
-      else try {
-        val om = new com.fasterxml.jackson.databind.ObjectMapper()
-        val root = om.readTree(java.nio.file.Files.readAllBytes(tierCachePath))
-        val names = SparkEntry.queries.keySet
-        val it = root.fields()
-        val b = Map.newBuilder[String, Boolean]
-        while (it.hasNext) {
-          val e = it.next()
-          if (names.contains(e.getKey))
-            b += (e.getKey -> e.getValue.asBoolean(false))
-        }
-        b.result()
-      } catch { case _: Throwable => Map.empty }
+      if (only.nonEmpty) Map.empty
+      else {
+        val src =
+          if (java.nio.file.Files.exists(tierCachePath)) Some(tierCachePath)
+          else if (java.nio.file.Files.exists(seedPath)) Some(seedPath)
+          else None
+        src.map { p =>
+          try {
+            val om = new com.fasterxml.jackson.databind.ObjectMapper()
+            val root = om.readTree(java.nio.file.Files.readAllBytes(p))
+            val names = SparkEntry.queries.keySet
+            val it = root.fields()
+            val b = Map.newBuilder[String, Boolean]
+            while (it.hasNext) {
+              val e = it.next()
+              if (names.contains(e.getKey))
+                b += (e.getKey -> e.getValue.asBoolean(false))
+            }
+            b.result()
+          } catch { case _: Throwable => Map.empty[String, Boolean] }
+        }.getOrElse(Map.empty)
+      }
     // TIER classification (observed, not hardcoded): onQueryStarted is
     // delivered SYNCHRONOUSLY on the starting thread, so any query that
     // executes a real StreamingQuery during its run is classified
@@ -97,9 +113,11 @@ object Bench {
     // compile, and CLASSIFIES the query's tier by observation. A
     // tier-cached query skips it — its first measured pass below
     // doubles as its warm run, and the per-query min() discards that
-    // sample — so every query still executes exactly twice per run,
-    // the round-19 cost envelope, with a second contention sample for
-    // free. Restricting the pass to the selection keeps a diagnosis
+    // sample — so a cached query executes exactly twice per run, the
+    // round-19 cost envelope, with a second contention sample for
+    // free (an UNKNOWN name pays one extra classification run the
+    // first time it appears; the committed seed makes that rare).
+    // Restricting the pass to the selection keeps a diagnosis
     // subset run from inheriting the full surface's in-JVM state —
     // exactly the variable a subset run exists to isolate.
     var isStream = selected.map { case (name, f) =>
@@ -178,10 +196,11 @@ object Bench {
     // so the MEASUREMENT — not the plans — had become the dominant
     // noise term. Fix: measure the stream tier the way the trustworthy
     // diagnosis runs already do — fork a fresh child JVM per small
-    // chunk of stream queries (SPARK_GRAFT_BENCH_ONLY protocol; each
-    // child does its own warm pass, so its numbers are steady-state),
-    // and adopt the children's per-query seconds. Batch queries are
-    // plan-governed and stable; they keep measuring in-process.
+    // chunk of stream queries (SPARK_GRAFT_BENCH_ONLY protocol; the
+    // child runs two measured passes and reports per-query mins, the
+    // first pass doubling as its warm run), and adopt the children's
+    // per-query seconds. Batch queries are plan-governed and stable;
+    // they keep measuring in-process.
     // Forking needs `run / fork := true` (the real classpath in
     // java.class.path); SPARK_GRAFT_BENCH_NO_FORK=1 restores the old
     // single-JVM behavior, and subset (child) runs never re-fork.

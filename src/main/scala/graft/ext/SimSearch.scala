@@ -453,14 +453,18 @@ object SimSearch {
       indexPath: String): Long = {
     val spark = delta.sparkSession
     import spark.implicits._
-    val meta = spark.read.parquet(s"$indexPath/meta").collect()(0)
+    val meta = readIndexMeta(spark, indexPath)
     val m = meta.getInt(0); val k = meta.getInt(1)
     val sub = meta.getInt(2); val dim = meta.getInt(3)
     val nCells = meta.getInt(4)
+    // a pre-round-20 index has no n_indexed: BACKFILL from the cells
+    // artifact (one row per indexed vector) — recording the delta
+    // alone would permanently trip the staleness guard on an index
+    // that actually covers the corpus
     val nIndexed =
       if (meta.schema.fieldNames.contains("n_indexed"))
         meta.getLong(meta.fieldIndex("n_indexed"))
-      else 0L
+      else spark.read.parquet(s"$indexPath/cells").count()
     val centroids = broadcast(spark.read.parquet(s"$indexPath/centroids"))
     val codebook = broadcast(spark.read.parquet(s"$indexPath/codebook"))
     val dVecs = CacheScope.cached(withNorm(delta, idCol, vecCol, ""))
@@ -470,8 +474,11 @@ object SimSearch {
       .write.mode("append").parquet(s"$indexPath/codes")
     val appended = dVecs.count()
     // meta is a one-row bookkeeping artifact: land the advanced count
-    // beside the old file, then swap (parquet overwrite of the path we
-    // just read from would race a concurrent reader's footer fetch)
+    // beside the old one, then swap. A directory cannot rename-over
+    // (unlike the manifest pointer's FileContext OVERWRITE), so the
+    // swap is delete + CHECKED rename; the missing-meta window between
+    // the two is closed on the READ side (readIndexMeta completes a
+    // crashed swap from meta_next).
     Seq((m, k, sub, dim, nCells, nIndexed + appended))
       .toDF("m", "k", "sub", "dim", "n_cells", "n_indexed")
       .coalesce(1).write.mode("overwrite").parquet(s"$indexPath/meta_next")
@@ -479,8 +486,27 @@ object SimSearch {
     val fs = new org.apache.hadoop.fs.Path(indexPath).getFileSystem(conf)
     val cur = new org.apache.hadoop.fs.Path(s"$indexPath/meta")
     fs.delete(cur, true)
-    fs.rename(new org.apache.hadoop.fs.Path(s"$indexPath/meta_next"), cur)
+    if (!fs.rename(new org.apache.hadoop.fs.Path(s"$indexPath/meta_next"), cur))
+      throw new java.io.IOException(
+        s"graft: could not swap $indexPath/meta_next into place — the " +
+          "index meta is at meta_next (readIndexMeta self-heals, or " +
+          "rename it manually)")
     appended
+  }
+
+  /** The index's one-row meta, completing a crashed append's
+    * delete+rename swap if only `meta_next` survives. */
+  private def readIndexMeta(
+      spark: org.apache.spark.sql.SparkSession, indexPath: String)
+      : org.apache.spark.sql.Row = {
+    val conf = spark.sessionState.newHadoopConf()
+    val cur = new org.apache.hadoop.fs.Path(s"$indexPath/meta")
+    val fs = cur.getFileSystem(conf)
+    if (!fs.exists(cur)) {
+      val next = new org.apache.hadoop.fs.Path(s"$indexPath/meta_next")
+      if (fs.exists(next)) fs.rename(next, cur)
+    }
+    spark.read.parquet(s"$indexPath/meta").collect()(0)
   }
 
   /** IVF-PQ top-k FROM A PERSISTED INDEX (see [[buildIvfPqIndex]]):
@@ -494,9 +520,11 @@ object SimSearch {
     * never [[appendToIvfPqIndex]]-encoded are invisible to the index
     * and silently depress recall. When the index's `n_indexed` covers
     * less than `1 - maxStaleFrac` of the corpus, the query fails
-    * LOUDLY naming the fix. `corpusCount` skips the count job when
-    * the caller already knows it; `maxStaleFrac < 0` disables the
-    * guard (a deliberately partial index is a legitimate tool).
+    * LOUDLY naming the fix. The guard needs the corpus size: pass
+    * `corpusCount` on hot paths (the default runs one count job per
+    * call — cheap next to the routing/ADC/rerank joins, but a known
+    * count is free); `maxStaleFrac < 0` disables the guard entirely
+    * (a deliberately partial index is a legitimate tool).
     */
   def ivfPqTopKWith(
       emb: DataFrame, idCol: String, vecCol: String, topK: Int,
@@ -505,7 +533,7 @@ object SimSearch {
       withScanCount: Boolean = false,
       maxStaleFrac: Double = 0.1, corpusCount: Long = -1L): DataFrame = {
     val spark = emb.sparkSession
-    val meta = spark.read.parquet(s"$indexPath/meta").collect()(0)
+    val meta = readIndexMeta(spark, indexPath)
     val m = meta.getInt(0); val sub = meta.getInt(2)
     val nCells = meta.getInt(4)
     if (maxStaleFrac >= 0 && meta.schema.fieldNames.contains("n_indexed")) {

@@ -3741,13 +3741,15 @@ private[graft] object DelimV2 {
     // (unreferenced until the claim succeeds — a failed claim leaves
     // only unreferenced content-addressed files the next commit's
     // segment GC sweeps)
-    val bytes = manifestBytes(fs, target, m)
-    // stamp when the segments finished landing: until the generation
+    // stamp BEFORE the segments start landing: until the generation
     // claim below succeeds they are UNREFERENCED, and a concurrent
     // commit's segment GC (or remove_orphans) sweeps unreferenced
-    // chunks older than the grace window — a commit that stalls past
-    // it between here and its claim must re-verify (below)
+    // chunks older than the grace window — the vulnerable window opens
+    // when the FIRST chunk lands (a slow ensureSegments can itself
+    // outlive the grace), so the re-verify gate below measures from
+    // here, not from when landing finished
     val tLand = System.currentTimeMillis()
+    val bytes = manifestBytes(fs, target, m)
     val vf = new HPath(target, s"$ManifestFile.v${m.gen}")
     val fc = org.apache.hadoop.fs.FileContext.getFileContext(
       target.toUri, fs.getConf)
@@ -4111,7 +4113,7 @@ private[graft] object DelimV2 {
         conjuncts(l) ++ conjuncts(r)
       case other => Seq(other)
     }
-    val checks: Seq[(String, Long, Seq[Array[Any] => Boolean])] =
+    val checks: Seq[(String, Long, Seq[(Array[String], Array[Any] => Boolean)])] =
       rootTombs.flatMap { case (root, tombs) =>
         tombs.map { case (g, enc) =>
           // tombstoneFilter returns the read path's COMPLEMENT (the
@@ -4126,7 +4128,7 @@ private[graft] object DelimV2 {
             .filter(c => c.references.nonEmpty &&
               c.references.forall(idxOf.contains))
             .flatMap { c =>
-              try Some(compileFilter(c, idxOf, types))
+              try Some((c.references, compileFilter(c, idxOf, types)))
               catch { case scala.util.control.NonFatal(_) => None }
             }
           (root, g, preds)
@@ -4144,8 +4146,20 @@ private[graft] object DelimV2 {
         }
         a
       }
+      // a conjunct contradicts the file ONLY when the file actually
+      // RECORDS a value for every referenced partition column and the
+      // compiled test is false on those values. A column ABSENT from
+      // this file's pvals (a data column for this root — the global
+      // partKeySet unions every listed root's keys) says nothing
+      // about the rows: compileFilter would read null and return
+      // false, silently classing a tombstone-touched file as certain.
+      // A recorded null (k=__HIVE_DEFAULT_PARTITION__) is a real
+      // per-file constant and contradicts equality normally.
       checks.exists { case (r, g, preds) =>
-        (r == null || r == lf.root) && lf.gen <= g && preds.forall(_(ext))
+        (r == null || r == lf.root) && lf.gen <= g &&
+          preds.forall { case (refs, p) =>
+            refs.exists(c => !lf.pvals.exists(_._1 == c)) || p(ext)
+          }
       }
     }
   }
@@ -4190,10 +4204,6 @@ private[graft] object DelimV2 {
         */
       rootManifests: Seq[(String, DelimManifest)] = Nil) {
     def manifests: Seq[DelimManifest] = rootManifests.map(_._2)
-    /** Gates that must consider every listed root, not just the first
-      * manifest-bearing one (count-star/stats pushdown suppression).
-      */
-    def anyTombstones: Boolean = manifests.exists(_.tombstones.nonEmpty)
     def unionBloomCols: Seq[String] = manifests.flatMap(_.bloomCols).distinct
     /** (root key, that root's tombstones) for roots that carry any. */
     def rootTombstones: Seq[(String, Seq[(Long, String)])] =
@@ -4230,6 +4240,7 @@ private[graft] object DelimV2 {
     var firstManifest: Option[DelimManifest] = None
     val allManifests =
       scala.collection.mutable.ArrayBuffer.empty[(String, DelimManifest)]
+    val rootKeySets = scala.collection.mutable.ArrayBuffer.empty[Set[String]]
     val files = paths.flatMap { p =>
       val hp = new HPath(p)
       val fs = hp.getFileSystem(conf)
@@ -4249,7 +4260,7 @@ private[graft] object DelimV2 {
             case None => readManifest(fs, st.getPath, segPrune)
           }
         if (firstManifest.isEmpty) firstManifest = manifest
-        manifest match {
+        val listed = manifest match {
           case Some(m) =>
             // tombstone generations are only meaningful within one
             // root's lineage: tag every listed file with its root so
@@ -4261,11 +4272,30 @@ private[graft] object DelimV2 {
             listedFromManifest(st.getPath, m).map(_.copy(root = key))
           case None => recurse(fs, st, Nil)
         }
+        if (listed.nonEmpty)
+          rootKeySets += listed.flatMap(_.pvals.map(_._1)).toSet
+        listed
       }
     }.filterNot { f =>
       val n = f.status.getPath.getName
       n.startsWith("_") || n.startsWith(".") || n.endsWith(DelimBloom.Suffix)
     }.sortBy(_.status.getPath.toString)
+    // MIXED LAYOUTS across roots reject LOUDLY: partition columns
+    // resolve per SCAN (a schema field matching any discovered k=v
+    // key), so a column that is a partition directory in one root but
+    // a data column in another would silently read NULL for the
+    // second root's rows — and a tombstone referencing it would
+    // silently resurrect that root's MoR-deleted rows. Within one
+    // root the legacy mixed-depth listing keeps its documented
+    // missing-value-reads-null behavior.
+    if (rootKeySets.distinct.size > 1)
+      throw new IllegalArgumentException(
+        "graft-delim: multi-root read over roots with DIFFERENT " +
+          "partition layouts is unsupported (partition keys " +
+          rootKeySets.distinct.map(_.mkString("{", ",", "}")).mkString(" vs ") +
+          ") — a column that is a partition directory in one root and " +
+          "a data column in another would silently read NULL; read " +
+          "the roots singly or align their layouts")
     ListingSnapshot(files, firstManifest, allManifests.toSeq)
   }
 
@@ -4312,21 +4342,33 @@ private[graft] object DelimV2 {
     * Write commits must NOT prefer recorded IDs: a dataframe read from
     * table A and written to table B would smuggle A's IDs into B's
     * lineage and break B's own translation.
+    *
+    * `fallbackByName` / `reservedMax` (retro pass only): a PRE-SCHEME
+    * generation processed before any ID-bearing one has no earlier
+    * inheritance source, but a LATER generation may already record the
+    * same name (a write under the scheme minted it) — the fallback map
+    * links them, and fresh mints start above the whole lineage's
+    * maximum so a pre-scheme field can never collide with an ID a
+    * later generation keeps verbatim (two different columns sharing
+    * one ID would alias their bytes across generations).
     */
   private[graft] def assignFieldIds(
       schema: StructType,
       schemas: Map[Long, ManifestSchema],
-      preferRecorded: Boolean = false): StructType = {
+      preferRecorded: Boolean = false,
+      fallbackByName: Map[String, Long] = Map.empty,
+      reservedMax: Long = 0L): StructType = {
     val latest = schemas.toSeq.sortBy(_._1).lastOption.map(_._2.struct)
     val byName: Map[String, Long] = latest
       .map(_.fields.flatMap(f => fieldId(f).map(f.name -> _)).toMap)
       .getOrElse(Map.empty)
     var maxId = (schemas.values.flatMap(_.struct.fields) ++
       (if (preferRecorded) schema.fields.toSeq else Nil))
-      .flatMap(fieldId).foldLeft(0L)(math.max)
+      .flatMap(fieldId).foldLeft(reservedMax)(math.max)
     StructType(schema.fields.map { f =>
       (if (preferRecorded) fieldId(f) else None)
-        .orElse(byName.get(f.name)) match {
+        .orElse(byName.get(f.name))
+        .orElse(fallbackByName.get(f.name)) match {
         case Some(id) => withFieldId(f, id)
         case None => maxId += 1; withFieldId(f, maxId)
       }

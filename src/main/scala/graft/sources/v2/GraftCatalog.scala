@@ -177,11 +177,24 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         // by a prior RENAME/DROP or a write under the scheme) keeps
         // them verbatim — name inheritance cannot cross a rename, and
         // re-minting would silently orphan every pre-rename
-        // generation's column as __dropped_<id> (NULL on read)
+        // generation's column as __dropped_<id> (NULL on read).
+        // fallback/reservedMax: a pre-scheme generation may precede an
+        // ID-bearing one — its names link FORWARD to the IDs later
+        // generations recorded (latest wins), and fresh mints start
+        // above the whole lineage's max so they can never collide with
+        // an ID a later generation keeps verbatim
+        val recordedByName: Map[String, Long] =
+          m.schemas.toSeq.sortBy(_._1).flatMap { case (_, ms) =>
+            ms.struct.fields.flatMap(f =>
+              DelimV2.fieldId(f).map(f.name -> _))
+          }.toMap
+        val lineageMax = m.schemas.values.flatMap(_.struct.fields)
+          .flatMap(DelimV2.fieldId).foldLeft(0L)(math.max)
         var acc = Map.empty[Long, DelimV2.ManifestSchema]
         m.schemas.toSeq.sortBy(_._1).foreach { case (g, ms) =>
           acc += (g -> DelimV2.ManifestSchema(ms.partCols,
-            DelimV2.assignFieldIds(ms.struct, acc, preferRecorded = true)))
+            DelimV2.assignFieldIds(ms.struct, acc, preferRecorded = true,
+              fallbackByName = recordedByName, reservedMax = lineageMax)))
         }
         val latest = acc.toSeq.sortBy(_._1).lastOption.map(_._2)
           .getOrElse(DelimV2.ManifestSchema(partCols,

@@ -1,6 +1,7 @@
 package graft.sources.v2
 
 import org.apache.hadoop.fs.{Path => HPath}
+import org.apache.spark.sql.functions.{count, lit, max}
 
 import graft.SparkFunSuite
 
@@ -103,6 +104,113 @@ class Round20AdviceSpec extends SparkFunSuite {
         case None => sys.props.remove("graft.segment.gc.graceMs")
       }
     }
+  }
+
+  test("a mixed-layout multi-root read rejects loudly; same-layout unions stay exact") {
+    // review finding (deepened here): partition columns resolve per
+    // SCAN, so a column that is a partition directory in one root but
+    // a data column in another silently read NULL for the second
+    // root's rows — and a tombstone referencing it silently
+    // resurrected that root's MoR-deleted rows (a stats-certainty
+    // mis-class was just the visible symptom). Mixed layouts now
+    // reject at LISTING; same-layout tombstone-bearing unions stay
+    // exact and per-root.
+    val dir = tempDir("advice20-nullpv")
+    // root A: PARTITIONED by pc
+    (1L to 20L).map(i => (i, i.toDouble, if (i % 2 == 0) "x" else "y"))
+      .toDF("id", "v", "pc").coalesce(1)
+      .write.format("graft-delim").option("partitionBy", "pc")
+      .mode("overwrite").save(s"$dir/a")
+    // root B: UNPARTITIONED, pc is a data column, with a live
+    // tombstone whose predicate references pc
+    spark.sql("DROP TABLE IF EXISTS graft_cat.default.npv20_b")
+    spark.sql(s"""CREATE TABLE graft_cat.default.npv20_b
+      (id BIGINT, v DOUBLE, pc STRING)
+      USING `graft-delim` LOCATION '$dir/b'""")
+    (21L to 40L).map(i => (i, i.toDouble, if (i % 2 == 0) "x" else "y"))
+      .toDF("id", "v", "pc").coalesce(1)
+      .writeTo("graft_cat.default.npv20_b").append()
+    spark.sql("""DELETE FROM graft_cat.default.npv20_b
+      WHERE pc = 'x' AND v > 25.0""")
+    val e = intercept[Exception] {
+      spark.read.format("graft-delim")
+        .schema("id BIGINT, v DOUBLE, pc STRING")
+        .option("paths", s"$dir/a,$dir/b").load().count()
+    }
+    val chain = Iterator.iterate(e: Throwable)(_.getCause)
+      .takeWhile(_ != null).map(x => Option(x.getMessage).getOrElse(""))
+      .mkString("|")
+    assert(chain.contains("partition layouts"), s"unexpected error: $e")
+    // SAME layout (both partitioned by pc): the union works, applies
+    // B's tombstone to B's files only, and counts exactly
+    spark.sql("DROP TABLE IF EXISTS graft_cat.default.npv20_c")
+    spark.sql(s"""CREATE TABLE graft_cat.default.npv20_c
+      (id BIGINT, v DOUBLE, pc STRING)
+      USING `graft-delim` PARTITIONED BY (pc) LOCATION '$dir/c'""")
+    (21L to 40L).map(i => (i, i.toDouble, if (i % 2 == 0) "x" else "y"))
+      .toDF("id", "v", "pc").coalesce(1)
+      .writeTo("graft_cat.default.npv20_c").append()
+    spark.sql("""DELETE FROM graft_cat.default.npv20_c
+      WHERE pc = 'x' AND v > 25.0""")
+    def both = spark.read.format("graft-delim")
+      .schema("id BIGINT, v DOUBLE, pc STRING")
+      .option("paths", s"$dir/a,$dir/c").load()
+    // C deleted ids 26,28,...,40 (8 rows): 40 - 8 = 32 remain
+    assert(both.groupBy().count().collect()(0).getLong(0) == 32L)
+    val r = both.agg(count(lit(1)).as("n"), max($"id").as("mx")).collect()(0)
+    assert((r.getLong(0), r.getLong(1)) == (32L, 39L))
+    // root A's own pc='x' partition is untouched by C's tombstone
+    assert(both.filter($"pc" === "x").count() == 10L + 2L)
+  }
+
+  test("the retro pass never mints an ID a later generation already records") {
+    // review finding: a pre-scheme generation processed first minted
+    // IDs from the max over EARLIER generations only, colliding with
+    // IDs a later (scheme-era) generation keeps verbatim — two
+    // different columns aliasing one field ID reads the old column's
+    // bytes under the new column's name.
+    val t = s"${tempDir("advice20-presch")}/t"
+    // gen 1: (id, a) — then strip its recorded field IDs to simulate a
+    // pre-ID-scheme table
+    (1L to 5L).map(i => (i, i * 1.1)).toDF("id", "a")
+      .coalesce(1).write.format("graft-delim").mode("overwrite").save(t)
+    val m1 = DelimV2.readManifest(fs(t), new HPath(t)).get
+    val stripped = m1.schemas.map { case (g, ms) =>
+      g -> DelimV2.ManifestSchema(ms.partCols,
+        org.apache.spark.sql.types.StructType(ms.struct.fields.map(
+          _.copy(metadata = org.apache.spark.sql.types.Metadata.empty))))
+    }
+    DelimV2.commitManifest(fs(t), new HPath(t),
+      m1.copy(gen = m1.gen + 1, schemas = stripped))
+    // a scheme-era append with a DIFFERENT column set: its write
+    // records {id->1, q->2} (minted against the ID-less lineage)
+    (6L to 10L).map(i => (i, s"s$i")).toDF("id", "q")
+      .coalesce(1).write.format("graft-delim").mode("append").save(t)
+    // the ALTER triggers the retro pass over the mixed lineage
+    spark.sql("DROP TABLE IF EXISTS graft_cat.default.presch20_t")
+    spark.sql(s"""CREATE TABLE graft_cat.default.presch20_t
+      (id BIGINT, q STRING) USING `graft-delim` LOCATION '$t'""")
+    spark.sql("ALTER TABLE graft_cat.default.presch20_t RENAME COLUMN q TO r")
+    // no two schemas may record the same ID for different names
+    val m = DelimV2.readManifest(fs(t), new HPath(t)).get
+    val idToNames = m.schemas.values.flatMap(_.struct.fields)
+      .flatMap(f => DelimV2.fieldId(f).map(_ -> f.name)).toSeq
+      .groupBy(_._1).map { case (i, ns) => i -> ns.map(_._2).distinct }
+    val collided = idToNames.filter { case (i, ns) =>
+      // a rename legitimately moves one column's ID to its new name;
+      // a COLLISION is two names alive in the SAME generation family
+      // (here: 'a' vs 'q'/'r')
+      ns.contains("a") && (ns.contains("q") || ns.contains("r"))
+    }
+    assert(collided.isEmpty, s"field-ID collision across columns: $idToNames")
+    // pre-scheme rows read id correctly and NULL under the renamed
+    // scheme-era column (never 'a's bytes)
+    val got = spark.table("graft_cat.default.presch20_t").orderBy("id")
+      .collect().map(row => (row.getLong(0),
+        if (row.isNullAt(1)) null else row.getString(1))).toSeq
+    assert(got == ((1L to 5L).map(i => (i, null)) ++
+      (6L to 10L).map(i => (i, s"s$i"))),
+      s"pre-scheme generation aliased into the renamed column: $got")
   }
 
   test("an all-null tracked column reports distinctCount >= 1 to the CBO") {

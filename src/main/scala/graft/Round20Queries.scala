@@ -14,6 +14,86 @@ object Round20Queries {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
+    // SNAPSHOT TAGS: a named, retention-EXEMPT pin on a generation
+    // (Iceberg's tags, re-expressed for the graft manifest): `CALL
+    // create_tag` records tag->generation in the manifest header, the
+    // tagged versioned manifest survives retention expiry (and with it
+    // every file/segment it references — the sweeps all key off the
+    // versioned manifests present on disk), `option("tagAsOf", name)`
+    // reads the pinned snapshot, and `drop_tag` releases it back to
+    // ordinary retention. The requires pin the lifecycle: the tagged
+    // .v file SURVIVES an overwrite + expire_snapshots(retain=1) while
+    // its untagged siblings expire; the tagAsOf read returns the
+    // ORIGINAL overwritten data; an unknown tag fails loudly; and
+    // after drop_tag + expire the pinned manifest is actually
+    // reclaimed (a tag that never releases is a storage leak).
+    "delim_v2_snapshot_tag" -> { (s, dir) =>
+      import graft.sources.v2.DelimV2
+      val out = CoreQueries.scratchDir("delim_v2_snapshot_tag")
+      val t = s"$out/t"
+      graft.core.Scratch.rmTree(t)
+      def intercept(body: => Any): Option[String] =
+        try { body; None } catch {
+          case e: Throwable => Some(Iterator.iterate(e: Throwable)(_.getCause)
+            .takeWhile(_ != null)
+            .map(x => Option(x.getMessage).getOrElse("")).mkString("|"))
+        }
+      s.sql("DROP TABLE IF EXISTS graft_cat.default.tag20_t")
+      s.sql(s"""CREATE TABLE graft_cat.default.tag20_t
+        (o_orderkey BIGINT, o_totalprice DOUBLE)
+        USING `graft-delim` LOCATION '$t'""")
+      val orders = core.Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_totalprice"))
+      orders.filter(col("o_orderkey") % 3 === 0)
+        .writeTo("graft_cat.default.tag20_t").append() // gen 1
+      s.sql("""CALL graft_cat.system.create_tag(
+        table => 'default.tag20_t', tag => 'baseline')""") // gen 2
+      // OVERWRITE: gen 1's files die for every purpose EXCEPT the tag
+      orders.filter(col("o_orderkey") % 3 === 1)
+        .write.format("graft-delim").mode("overwrite").save(t) // gen 3
+      s.sql("""CALL graft_cat.system.expire_snapshots(
+        table => 'default.tag20_t', retain => 1)""") // gen 4
+      val hp = new org.apache.hadoop.fs.Path(t)
+      val fs = hp.getFileSystem(s.sessionState.newHadoopConf())
+      def vExists(g: Long) =
+        fs.exists(new org.apache.hadoop.fs.Path(t, s"_manifest.v$g"))
+      require(vExists(1L),
+        "the TAGGED generation must survive retention expiry")
+      require(!vExists(2L) && !vExists(3L),
+        "untagged generations must expire normally")
+      def slice(df: org.apache.spark.sql.DataFrame) = df
+        .agg(count(lit(1)).as("n"), sum(col("o_orderkey")).as("sig"))
+        .collect()(0)
+      val base = slice(s.read.format("graft-delim")
+        .schema("o_orderkey BIGINT, o_totalprice DOUBLE")
+        .option("tagAsOf", "baseline").load(t))
+      val cur = slice(s.read.format("graft-delim")
+        .schema("o_orderkey BIGINT, o_totalprice DOUBLE").load(t))
+      val eUnknown = intercept(
+        s.read.format("graft-delim")
+          .schema("o_orderkey BIGINT, o_totalprice DOUBLE")
+          .option("tagAsOf", "nope").load(t).count())
+      require(eUnknown.exists(_.contains("no snapshot tag")),
+        s"unknown tag must fail loudly, got $eUnknown")
+      // release: drop_tag + expire reclaims the pinned manifest
+      s.sql("""CALL graft_cat.system.drop_tag(
+        table => 'default.tag20_t', tag => 'baseline')""") // gen 5
+      s.sql("""CALL graft_cat.system.expire_snapshots(
+        table => 'default.tag20_t', retain => 1)""") // gen 6
+      require(!vExists(1L),
+        "a dropped tag's generation must rejoin ordinary retention")
+      val eDropped = intercept(
+        s.read.format("graft-delim")
+          .schema("o_orderkey BIGINT, o_totalprice DOUBLE")
+          .option("tagAsOf", "baseline").load(t).count())
+      require(eDropped.exists(_.contains("no snapshot tag")),
+        s"a dropped tag must fail loudly, got $eDropped")
+      import s.implicits._
+      Seq(("baseline", base.getLong(0), base.getLong(1)),
+        ("current", cur.getLong(0), cur.getLong(1)))
+        .toDF("slice", "n_rows", "key_sig")
+    },
+
     // PER-ROOT MANIFESTS FOR MULTI-ROOT READS: round 19 rejected a
     // union over table roots when any carried a live merge-on-read
     // tombstone (generation numbers are only meaningful within one
@@ -268,6 +348,16 @@ object Round20Queries {
     })
 
   def oracleSql: Map[String, String] = Map(
+    // the tagged snapshot is the %3=0 slice as originally written; the
+    // current table is the %3=1 overwrite
+    "delim_v2_snapshot_tag" ->
+      """SELECT 'baseline' AS slice, count(*) AS n_rows,
+        |       CAST(sum(o_orderkey) AS BIGINT) AS key_sig
+        |FROM orders WHERE o_orderkey % 3 = 0
+        |UNION ALL
+        |SELECT 'current', count(*), CAST(sum(o_orderkey) AS BIGINT)
+        |FROM orders WHERE o_orderkey % 3 = 1""".stripMargin,
+
     // even keys all survive; odd keys lose the delete predicate's rows
     "delim_v2_multiroot_mor" ->
       """SELECT count(*) AS n_rows,

@@ -203,7 +203,8 @@ private[v2] class DelimDeltaWrite(
       schemas,
       tombstones = tombs,
       bloomCols = prevM.bloomCols,
-      segSize = prevM.segSize)
+      segSize = prevM.segSize,
+      tags = prevM.tags)
     try DelimV2.commitManifest(fs, target, manifest)
     catch {
       case e: java.util.ConcurrentModificationException =>

@@ -2157,7 +2157,11 @@ private[v2] class DelimWrite(
       bloomCols =
         if (truncate && !dynamicOverwrite) bloomFor.distinct
         else (prevM.bloomCols ++ bloomFor).distinct,
-      segSize = segmentSize.getOrElse(prevM.segSize))
+      segSize = segmentSize.getOrElse(prevM.segSize),
+      // tags survive every commit — INCLUDING a static overwrite: the
+      // tagged generations' retained manifests (and their files) are
+      // exactly what the tag pins against replacement
+      tags = prevM.tags)
     val liveRetained =
       try DelimV2.commitManifest(fs, target, manifest)
       catch {
@@ -2274,7 +2278,8 @@ private[v2] class DelimWrite(
           // the sink's own manifestSegmentSize option must ENGAGE the
           // policy too (a fresh landing directory fed by a stream
           // would otherwise never segment)
-          segSize = segmentSize.getOrElse(prevM.segSize)))
+          segSize = segmentSize.getOrElse(prevM.segSize),
+          tags = prevM.tags))
       }
 
       override def abort(epochId: Long,
@@ -2902,18 +2907,35 @@ private[graft] object DelimV2 {
       }
     }
 
-  /** The generation a read is pinned to — `versionAsOf` directly, or
+  /** The generation a read is pinned to — `versionAsOf` directly,
+    * `tagAsOf` resolved through the current manifest's tag map (a
+    * NAMED pinned snapshot — see DelimManifest.tags), or
     * `timestampAsOf` resolved against the retained snapshots' recorded
     * commit times (the NEWEST generation committed at or before the
-    * given instant — the Iceberg/Delta time-travel rule). The two
-    * options are mutually exclusive; a timestamp older than every
-    * retained snapshot fails loudly with the available window.
+    * given instant — the Iceberg/Delta time-travel rule). The options
+    * are mutually exclusive; an unknown tag or a timestamp older than
+    * every retained snapshot fails loudly with what IS available.
     */
   def asOfGen(options: CaseInsensitiveStringMap): Option[Long] = {
     val v = versionAsOf(options)
     val t = timestampAsOfMillis(options)
-    require(v.isEmpty || t.isEmpty,
-      "graft-delim: versionAsOf and timestampAsOf are mutually exclusive")
+    val tag = Option(options.get("tagAsOf")).map(_.trim).filter(_.nonEmpty)
+    require(Seq(v, t, tag).count(_.isDefined) <= 1,
+      "graft-delim: versionAsOf, timestampAsOf and tagAsOf are " +
+        "mutually exclusive")
+    tag.foreach { name =>
+      val root = new HPath(paths(options).head)
+      val fs = root.getFileSystem(driverConf())
+      val m = readManifest(fs, root).getOrElse(
+        throw new IllegalArgumentException(
+          s"graft-delim: tagAsOf requires a manifest-bearing table, " +
+            s"$root has none"))
+      return Some(m.tags.getOrElse(name,
+        throw new IllegalArgumentException(
+          s"graft-delim: no snapshot tag '$name' on $root (tags: " +
+            s"${if (m.tags.isEmpty) "<none>"
+            else m.tags.keys.toSeq.sorted.mkString(", ")})")))
+    }
     v.orElse(t.map { ts =>
       val root = new HPath(paths(options).head)
       val fs = root.getFileSystem(driverConf())
@@ -3240,7 +3262,15 @@ private[graft] object DelimV2 {
         * partition predicate kept). A pruned snapshot is a planning
         * artifact — committing it would silently drop the
         * pruned-away files, so commitManifest rejects it. */
-      pruned: Boolean = false) {
+      pruned: Boolean = false,
+      /** Named snapshot TAGS (tag → generation): a tagged generation's
+        * versioned manifest — and with it every file and segment that
+        * snapshot references — is EXEMPT from retention expiry and the
+        * sweeps that key off it, pinning the snapshot for audits and
+        * reproducible reads (`tagAsOf` resolves a tag to its
+        * generation). A table property carried forward by every
+        * commit like `retain`; CALL create_tag/drop_tag manage it. */
+      tags: Map[String, Long] = Map.empty) {
     def entries: Seq[(Long, String)] = files.map(e => (e.len, e.rel))
   }
 
@@ -3335,6 +3365,7 @@ private[graft] object DelimV2 {
         var schemas = Map.empty[Long, ManifestSchema]
         var tombs = Vector.empty[(Long, String)]
         var bloomCols = Seq.empty[String]
+        var tags = Map.empty[String, Long]
         var segRefs = Vector.empty[SegRef]
         def bad(l: String, what: String): Nothing =
           throw new IllegalStateException(
@@ -3371,6 +3402,15 @@ private[graft] object DelimV2 {
               if (a.startsWith("bloomcols=")) bloomCols =
                 a.stripPrefix("bloomcols=").split(',').toSeq
                   .map(statUnesc).filter(_.nonEmpty)
+              if (a.startsWith("tags=")) tags =
+                a.stripPrefix("tags=").split(',').toSeq
+                  .flatMap { t =>
+                    val c = t.lastIndexOf(':')
+                    if (c <= 0) None
+                    else try Some(statUnesc(t.substring(0, c)) ->
+                      t.substring(c + 1).toLong)
+                    catch { case _: NumberFormatException => None }
+                  }.toMap
             }
             None
           } else {
@@ -3379,7 +3419,7 @@ private[graft] object DelimV2 {
         }.toList
         if (segRefs.isEmpty)
           Some(DelimManifest(entries, multi, gen, retain, schemas, ts, tombs,
-            bloomCols, segSize))
+            bloomCols, segSize, tags = tags))
         else {
           // SEGMENTED index: load entries from the referenced segment
           // files — only those a pushed partition equality keeps. A
@@ -3438,7 +3478,7 @@ private[graft] object DelimV2 {
           }
           Some(DelimManifest(entries ++ segEntries, multi, gen, retain,
             schemas, ts, tombs, bloomCols, segSize,
-            pruned = selected.size != segRefs.size))
+            pruned = selected.size != segRefs.size, tags = tags))
         }
       } finally in.close()
     }
@@ -3507,6 +3547,10 @@ private[graft] object DelimV2 {
       (if (m.segSize > 0) s" segsize=${m.segSize}" else "") +
       (if (m.bloomCols.nonEmpty)
         s" bloomcols=${m.bloomCols.map(statEsc).mkString(",")}" else "") +
+      (if (m.tags.nonEmpty)
+        s" tags=${m.tags.toSeq.sortBy(_._1)
+          .map { case (n, g) => s"${statEsc(n)}:$g" }.mkString(",")}"
+      else "") +
       "\n")
     val liveGens = m.files.map(_.gen).toSet
     m.schemas.toSeq.sortBy(_._1).foreach { case (g, sch) =>
@@ -3821,9 +3865,16 @@ private[graft] object DelimV2 {
     // commit rather than wedging claim collisions forever.
     recoverManifest(fs, target)
     val floor = m.gen - math.max(m.retain, 1) + 1
-    retainedVersions(fs, target).filter(_ < floor).foreach { g =>
-      fs.delete(new HPath(target, s"$ManifestFile.v$g"), false)
-    }
+    // TAGGED generations are exempt from retention expiry: keeping the
+    // versioned manifest is what pins the snapshot — the LiveFileSet,
+    // the dead-file sweeps, and the segment GC all derive their
+    // must-keep sets from the versioned manifests present on disk, so
+    // sparing the one file spares everything it references
+    val tagged = m.tags.values.toSet
+    retainedVersions(fs, target)
+      .filter(g => g < floor && !tagged.contains(g)).foreach { g =>
+        fs.delete(new HPath(target, s"$ManifestFile.v$g"), false)
+      }
     // must-not-delete set: every file some retained snapshot still
     // references (time travel reads plan from those snapshots) —
     // resolved lazily inside the LiveFileSet below

@@ -29,6 +29,9 @@ import org.apache.spark.unsafe.types.UTF8String
   *  - `remove_orphans(table, older_than_ms)` — delete files no
   *    retained snapshot references (crash orphans, dead staging,
   *    unclaimed manifest leftovers) behind an age guard.
+  *  - `create_tag(table, tag[, version])` / `drop_tag(table, tag)` —
+  *    pin a retained snapshot under a name (retention-exempt,
+  *    readable via `option("tagAsOf", name)`) and release it.
   */
 private[v2] object GraftProcedures {
 
@@ -37,7 +40,9 @@ private[v2] object GraftProcedures {
     "expire_snapshots" -> (cat => new ExpireSnapshotsProcedure(cat)),
     "recover_manifest" -> (cat => new RecoverManifestProcedure(cat)),
     "snapshots" -> (cat => new SnapshotsProcedure(cat)),
-    "remove_orphans" -> (cat => new RemoveOrphansProcedure(cat)))
+    "remove_orphans" -> (cat => new RemoveOrphansProcedure(cat)),
+    "create_tag" -> (cat => new CreateTagProcedure(cat)),
+    "drop_tag" -> (cat => new DropTagProcedure(cat)))
 
   /** One-row result relation for a maintenance call. */
   private[v2] final case class SummaryScan(
@@ -295,5 +300,90 @@ private[v2] class RecoverManifestProcedure(cat: GraftCatalog)
     GraftProcedures.single(GraftProcedures.SummaryScan(
       StructType.fromDDL("recovered_generation BIGINT"),
       Array(recovered.map(Long.box).orNull)))
+  }
+}
+
+/** `CALL graft_cat.system.create_tag(table, tag[, version])` — pin a
+  * retained snapshot under a NAME: the tagged generation's versioned
+  * manifest (and with it every file and segment it references) is
+  * exempt from retention expiry and the sweeps that key off it, and
+  * `option("tagAsOf", name)` reads the pinned snapshot. Defaults to
+  * the CURRENT generation. The tag map is a table property committed
+  * through the ordinary claim/swap protocol (a racing writer aborts
+  * one side loudly — never a silently half-applied tag).
+  */
+private[v2] class CreateTagProcedure(cat: GraftCatalog)
+    extends GraftProcedure("create_tag") {
+
+  override def parameters(): Array[ProcedureParameter] = Array(
+    GraftProcedures.param("table", StringType),
+    GraftProcedures.param("tag", StringType),
+    GraftProcedures.param("version", LongType, Some("CAST(NULL AS BIGINT)")))
+
+  override def description(): String =
+    "Pin a retained snapshot under a name: exempt from retention " +
+      "expiry, readable via option(\"tagAsOf\", name)"
+
+  override def call(input: InternalRow): java.util.Iterator[Scan] = {
+    val root = cat.tableRootOf(input.getUTF8String(0).toString)
+    val tag = input.getUTF8String(1).toString.trim
+    require(tag.nonEmpty && !tag.contains(',') && !tag.contains(':') &&
+      !tag.exists(_.isWhitespace),
+      s"graft-delim: tag names must be non-empty with no ',', ':' or " +
+        s"whitespace, got '$tag'")
+    val fs = root.getFileSystem(DelimV2.driverConf())
+    val m = DelimV2.readManifest(fs, root).getOrElse(
+      throw new IllegalArgumentException(
+        s"graft-delim: no committed manifest at $root"))
+    val gen = if (input.isNullAt(2)) m.gen else input.getLong(2)
+    require(gen == m.gen || DelimV2.retainedVersions(fs, root).contains(gen),
+      s"graft-delim: generation $gen is not retained at $root — a tag " +
+        "can only pin a snapshot that still exists (retained: " +
+        s"${DelimV2.retainedVersions(fs, root).mkString(", ")})")
+    require(!m.tags.contains(tag),
+      s"graft-delim: tag '$tag' already exists (at generation " +
+        s"${m.tags(tag)}) — drop_tag it first")
+    DelimV2.commitManifest(fs, root,
+      m.copy(gen = m.gen + 1, tags = m.tags + (tag -> gen)))
+    GraftProcedures.single(GraftProcedures.SummaryScan(
+      StructType.fromDDL("tag STRING, pinned_generation BIGINT, " +
+        "committed_generation BIGINT"),
+      Array(org.apache.spark.unsafe.types.UTF8String.fromString(tag),
+        gen, m.gen + 1)))
+  }
+}
+
+/** `CALL graft_cat.system.drop_tag(table, tag)` — release a snapshot
+  * tag; the generation it pinned becomes subject to ordinary
+  * retention at the NEXT commit (nothing is deleted here).
+  */
+private[v2] class DropTagProcedure(cat: GraftCatalog)
+    extends GraftProcedure("drop_tag") {
+
+  override def parameters(): Array[ProcedureParameter] = Array(
+    GraftProcedures.param("table", StringType),
+    GraftProcedures.param("tag", StringType))
+
+  override def description(): String =
+    "Release a snapshot tag (the pinned generation rejoins ordinary " +
+      "retention at the next commit)"
+
+  override def call(input: InternalRow): java.util.Iterator[Scan] = {
+    val root = cat.tableRootOf(input.getUTF8String(0).toString)
+    val tag = input.getUTF8String(1).toString.trim
+    val fs = root.getFileSystem(DelimV2.driverConf())
+    val m = DelimV2.readManifest(fs, root).getOrElse(
+      throw new IllegalArgumentException(
+        s"graft-delim: no committed manifest at $root"))
+    val gen = m.tags.getOrElse(tag,
+      throw new IllegalArgumentException(
+        s"graft-delim: no snapshot tag '$tag' on $root (tags: " +
+          s"${if (m.tags.isEmpty) "<none>"
+          else m.tags.keys.toSeq.sorted.mkString(", ")})"))
+    DelimV2.commitManifest(fs, root,
+      m.copy(gen = m.gen + 1, tags = m.tags - tag))
+    GraftProcedures.single(GraftProcedures.SummaryScan(
+      StructType.fromDDL("tag STRING, released_generation BIGINT"),
+      Array(org.apache.spark.unsafe.types.UTF8String.fromString(tag), gen)))
   }
 }

@@ -422,16 +422,54 @@ object SimSearch {
       }
     val centroids = buildCentroids(vecs, nCells, lloydIters, trainSample)
     val codebook = buildPqCodebook(vecs, m, k, sub, pqLloydIters, pqTrainSample)
-    centroids.write.mode("overwrite").parquet(s"$indexPath/centroids")
-    codebook.write.mode("overwrite").parquet(s"$indexPath/codebook")
-    nearestCells(vecs, centroids, 1, "id_c")
-      .write.mode("overwrite").parquet(s"$indexPath/cells")
-    pqEncode(vecs, codebook, "id_c", m, sub)
-      .write.mode("overwrite").parquet(s"$indexPath/codes")
+    // Two independent artifact chains (coarse quantizer → assignments,
+    // PQ codebook → codes) plus the coverage count: run them as
+    // concurrent jobs so the corpus-assignment pass back-fills the
+    // cluster while the (driver-light) quantizer write commits —
+    // a build was measured fully serial (job-time sum ≈ wall). Each
+    // chain first WRITES its quantizer, then encodes against the
+    // READ-BACK parquet rather than the training plan: the k-means
+    // refinement subtree otherwise re-executes inside every encode
+    // job's broadcast (training is deterministic, so the bytes are
+    // identical either way, but it runs once instead of twice).
+    inParallel(
+      () => {
+        centroids.write.mode("overwrite").parquet(s"$indexPath/centroids")
+        val stored = broadcast(spark.read.parquet(s"$indexPath/centroids"))
+        nearestCells(vecs, stored, 1, "id_c")
+          .write.mode("overwrite").parquet(s"$indexPath/cells")
+      },
+      () => {
+        codebook.write.mode("overwrite").parquet(s"$indexPath/codebook")
+        val stored = broadcast(spark.read.parquet(s"$indexPath/codebook"))
+        pqEncode(vecs, stored, "id_c", m, sub)
+          .write.mode("overwrite").parquet(s"$indexPath/codes")
+      })
     val nIndexed = vecs.count()
     Seq((m, k, sub, dim, nCells, nIndexed))
       .toDF("m", "k", "sub", "dim", "n_cells", "n_indexed")
       .coalesce(1).write.mode("overwrite").parquet(s"$indexPath/meta")
+  }
+
+  /** Run independent Spark ACTIONS concurrently from a bounded pool and
+    * propagate the first failure with its original exception type. The
+    * scheduler runs concurrent jobs FIFO, so a later action's tasks
+    * back-fill executors freed by the earlier action's stragglers —
+    * the standard overlap-independent-jobs pattern. Used where an
+    * operator must materialize several independent artifacts (index
+    * build/append) that were measured executing strictly serially.
+    */
+  private def inParallel(tasks: (() => Unit)*): Unit = {
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(tasks.size)
+    try {
+      val fs = tasks.map(t => pool.submit(new java.util.concurrent.Callable[Unit] {
+        def call(): Unit = t()
+      }))
+      fs.foreach { f =>
+        try f.get()
+        catch { case e: java.util.concurrent.ExecutionException => throw e.getCause }
+      }
+    } finally pool.shutdown()
   }
 
   /** INCREMENTAL index maintenance (round-20): append a vector DELTA
@@ -468,11 +506,19 @@ object SimSearch {
     val centroids = broadcast(spark.read.parquet(s"$indexPath/centroids"))
     val codebook = broadcast(spark.read.parquet(s"$indexPath/codebook"))
     val dVecs = CacheScope.cached(withNorm(delta, idCol, vecCol, ""))
-    nearestCells(dVecs, centroids, 1, "id_c")
-      .write.mode("append").parquet(s"$indexPath/cells")
-    pqEncode(dVecs, codebook, "id_c", m, sub)
-      .write.mode("append").parquet(s"$indexPath/codes")
-    val appended = dVecs.count()
+    // delta-assignment, delta-encode and the delta count are three
+    // independent actions over the same (cached) delta projection: run
+    // them concurrently (same serial-jobs measurement as the build).
+    // Crash atomicity is unchanged — the meta swap below still only
+    // happens after BOTH appends landed, and a torn append (one side
+    // written) was already reachable serially between the two writes.
+    var appended = 0L
+    inParallel(
+      () => nearestCells(dVecs, centroids, 1, "id_c")
+        .write.mode("append").parquet(s"$indexPath/cells"),
+      () => pqEncode(dVecs, codebook, "id_c", m, sub)
+        .write.mode("append").parquet(s"$indexPath/codes"),
+      () => appended = dVecs.count())
     // meta is a one-row bookkeeping artifact: land the advanced count
     // beside the old one, then swap. A directory cannot rename-over
     // (unlike the manifest pointer's FileContext OVERWRITE), so the

@@ -171,7 +171,7 @@ object DelimCompact {
     if (groups.isEmpty && tombJobs.isEmpty) return m.gen
     val stagingName = s"_staging_compact_$newGen"
     val staging = new HPath(target, stagingName)
-    fs.mkdirs(staging)
+    DelimV2.fastMkdirs(fs, staging)
     val confMap = DelimV2.shippableConf(conf)
     val targetStr = target.toString
     val statsByIdx = groups.map(_._4).toArray
@@ -194,7 +194,7 @@ object DelimCompact {
         val fsx = root.getFileSystem(c)
         val outName = f"compact-$newGen-$i%05d.txt"
         val outPath = new HPath(new HPath(root, stagingName), outName)
-        val out = fsx.create(outPath, true)
+        val out = DelimV2.fastCreate(fsx, outPath, overwrite = true)
         var total = 0L
         try {
           val buf = new Array[Byte](1 << 16)
@@ -250,8 +250,9 @@ object DelimCompact {
                 }
                 (cl, acc)
               }
-              val so = fsx.create(new HPath(new HPath(root, stagingName),
-                outName + DelimBloom.Suffix), true)
+              val so = DelimV2.fastCreate(fsx, new HPath(
+                new HPath(root, stagingName), outName + DelimBloom.Suffix),
+                overwrite = true)
               try so.write(DelimBloom.serialize(cols)) finally so.close()
               true
             }
@@ -330,7 +331,7 @@ object DelimCompact {
     val replaced = compacted.flatMap(_._3).toSet ++ tombFiles.map(_.rel)
     val newEntries0 = compacted.map { case (sub, gen, _, outName, len, gi, side) =>
       val dstDir = if (sub.isEmpty) target else new HPath(target, sub)
-      if (sub.nonEmpty) fs.mkdirs(dstDir)
+      if (sub.nonEmpty) DelimV2.fastMkdirs(fs, dstDir)
       if (!fs.rename(new HPath(staging, outName), new HPath(dstDir, outName)))
         throw new java.io.IOException(
           s"graft-delim: compaction promote failed for $outName")

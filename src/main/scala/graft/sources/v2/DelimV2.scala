@@ -2051,7 +2051,7 @@ private[v2] class DelimWrite(
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
     val hc = DelimV2.driverConf()
     val fs = staging.getFileSystem(hc)
-    fs.mkdirs(staging)
+    DelimV2.fastMkdirs(fs, staging)
     val confMap = DelimV2.shippableConf(hc)
     new DelimWriterFactory(schema, delim, staging.toString, confMap, partCols, quote,
       genToken = queryId.replace("-", "").take(8), bloomFor = bloomFor)
@@ -2226,7 +2226,7 @@ private[v2] class DelimWrite(
           info: PhysicalWriteInfo)
           : org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory = {
         val hc = DelimV2.driverConf()
-        staging.getFileSystem(hc).mkdirs(staging)
+        DelimV2.fastMkdirs(staging.getFileSystem(hc), staging)
         val confMap = DelimV2.shippableConf(hc)
         val stagingDir = staging.toString
         val s = schema; val d = delim; val pc = partCols; val q = quote
@@ -2356,7 +2356,7 @@ private[v2] object DelimWrite {
       case DelimCommit(staged, _) => staged.foreach { sf =>
         val src = new HPath(sf.path)
         val dstDir = if (sf.subdir.isEmpty) target else new HPath(target, sf.subdir)
-        if (sf.subdir.nonEmpty) fs.mkdirs(dstDir)
+        if (sf.subdir.nonEmpty) DelimV2.fastMkdirs(fs, dstDir)
         val dst = new HPath(dstDir, sf.finalName)
         if (fs.exists(dst)) fs.delete(dst, false)
         if (!fs.rename(src, dst))
@@ -2630,7 +2630,8 @@ private[v2] class DelimDataWriter(
       val file = new HPath(stagingDir, s"$fileStem$suffix.txt")
       staged += DelimStagedFile(subdir, file.toString, s"$finStem.txt")
       val out = new java.io.BufferedOutputStream(
-        file.getFileSystem(conf()).create(file, true), 1 << 16)
+        DelimV2.fastCreate(file.getFileSystem(conf()), file, overwrite = true),
+        1 << 16)
       streams(subdir) = out
       out
     })
@@ -2747,7 +2748,7 @@ private[v2] class DelimDataWriter(
                 (schema.fieldNames(si), b.bits)
               })
             val side = new HPath(sf.path + DelimBloom.Suffix)
-            val out = side.getFileSystem(c).create(side, true)
+            val out = DelimV2.fastCreate(side.getFileSystem(c), side, overwrite = true)
             try out.write(bytes) finally out.close()
             DelimStagedFile(sf.subdir, side.toString,
               sf.finalName + DelimBloom.Suffix, bytes.length.toLong,
@@ -3578,6 +3579,52 @@ private[graft] object DelimV2 {
     * listings ignore segments like the manifest itself. */
   private[graft] val SegPrefix = s"$ManifestFile.seg-"
 
+  // ------------------------------------------------ local-fs fast path
+  //
+  // On file:// the Hadoop facade FORKS A PROCESS per created file
+  // (RawLocalFileSystem.setPermission shells `chmod` when the native
+  // lib is absent) and per FileContext status probe (`readlink`) —
+  // sampled at roughly half the non-job driver time of commit-heavy
+  // certifications (~10-25 ms per fork, several per commit). java.nio
+  // issues the same create/move as plain syscalls. Only the file
+  // scheme takes these branches; HDFS and object stores keep the
+  // Hadoop semantics unchanged — and at cluster scale the forks never
+  // happen anyway (native lib present or remote scheme).
+
+  private[v2] def isLocalFs(fs: FileSystem): Boolean = {
+    val s = fs.getUri.getScheme
+    s == null || s == "file"
+  }
+
+  private[v2] def localPath(p: HPath): java.nio.file.Path =
+    java.nio.file.Paths.get(p.toUri.getPath)
+
+  /** `fs.mkdirs` minus the per-directory fork on file:// (the Hadoop
+    * local fs shells `chmod` once per created level). */
+  private[v2] def fastMkdirs(fs: FileSystem, dir: HPath): Unit =
+    if (isLocalFs(fs)) { java.nio.file.Files.createDirectories(localPath(dir)); () }
+    else { fs.mkdirs(dir); () }
+
+  /** `fs.create` minus the per-file fork on file://: parents created,
+    * any stale checksum sidecar removed (a checksummed reader must not
+    * verify new bytes against an old `.crc`); other schemes delegate.
+    */
+  private[v2] def fastCreate(
+      fs: FileSystem, file: HPath, overwrite: Boolean): java.io.OutputStream =
+    if (!isLocalFs(fs)) fs.create(file, overwrite)
+    else {
+      import java.nio.file.{Files, StandardOpenOption => O}
+      val p = localPath(file)
+      val dir = p.getParent
+      if (dir != null) {
+        Files.createDirectories(dir)
+        if (overwrite)
+          Files.deleteIfExists(dir.resolve("." + p.getFileName + ".crc"))
+      }
+      if (overwrite) Files.newOutputStream(p, O.CREATE, O.TRUNCATE_EXISTING, O.WRITE)
+      else Files.newOutputStream(p, O.CREATE_NEW, O.WRITE)
+    }
+
   /** Per-RUN chunking memo: (table, partition dir) → the run's exact
     * entry list and its segment refs from the last commit in this
     * JVM. A nightly-load commit changes one or two partitions; every
@@ -3657,13 +3704,23 @@ private[graft] object DelimV2 {
             // writing the SAME content races benignly (identical bytes)
             val tmp = new HPath(target,
               s"$name.tmp-${java.util.UUID.randomUUID().toString.take(8)}")
-            val out = fs.create(tmp, false)
-            try out.write(bytes) finally out.close()
-            try {
-              if (!fs.rename(tmp, sp) && !fs.exists(sp))
-                throw new java.io.IOException(
-                  s"graft-delim: could not land manifest segment $sp")
-            } finally fs.delete(tmp, false)
+            if (isLocalFs(fs)) {
+              import java.nio.file.{Files, StandardCopyOption => C}
+              val t = localPath(tmp)
+              Files.write(t, bytes)
+              try Files.move(t, localPath(sp), C.ATOMIC_MOVE)
+              catch { // lost a benign same-content race
+                case _: java.nio.file.FileAlreadyExistsException => ()
+              } finally Files.deleteIfExists(t)
+            } else {
+              val out = fs.create(tmp, false)
+              try out.write(bytes) finally out.close()
+              try {
+                if (!fs.rename(tmp, sp) && !fs.exists(sp))
+                  throw new java.io.IOException(
+                    s"graft-delim: could not land manifest segment $sp")
+              } finally fs.delete(tmp, false)
+            }
           }
           if (segCache.size > SegCacheCap) segCache.clear()
           segCache.put(key, chunk)
@@ -3707,6 +3764,22 @@ private[graft] object DelimV2 {
       fs: FileSystem, target: HPath, bytes: Array[Byte]): Unit = {
     val tmp = new HPath(target,
       s"$ManifestFile.tmp-${java.util.UUID.randomUUID().toString.take(8)}")
+    if (isLocalFs(fs)) {
+      // same tmp-then-atomic-replace shape, via java.nio (rename(2) is
+      // the atomic-overwrite primitive; no forks, no .crc sidecars).
+      // A pointer landed by an earlier checksummed writer may carry a
+      // `.crc` sidecar; it must go BEFORE the swap or a checksummed
+      // reader verifies the new bytes against the old sum (between the
+      // two steps the pointer is simply unchecksummed — still the old
+      // complete document).
+      import java.nio.file.{Files, StandardCopyOption => C}
+      val t = localPath(tmp)
+      Files.write(t, bytes)
+      val dst = localPath(new HPath(target, ManifestFile))
+      Files.deleteIfExists(dst.getParent.resolve(s".$ManifestFile.crc"))
+      Files.move(t, dst, C.ATOMIC_MOVE)
+      return
+    }
     // FileContext for BOTH create and rename: the FileSystem facade is
     // checksum-wrapped on file:// and would leave orphan .crc sidecars
     // behind the raw rename
@@ -3795,8 +3868,6 @@ private[graft] object DelimV2 {
     val tLand = System.currentTimeMillis()
     val bytes = manifestBytes(fs, target, m)
     val vf = new HPath(target, s"$ManifestFile.v${m.gen}")
-    val fc = org.apache.hadoop.fs.FileContext.getFileContext(
-      target.toUri, fs.getConf)
     // the claim lands as tmp + rename-NO-OVERWRITE: still an atomic
     // compare-and-set on the generation number, but the claimed file
     // is COMPLETE from its first visible instant — a bare create would
@@ -3804,21 +3875,43 @@ private[graft] object DelimV2 {
     // readers
     val tmp = new HPath(target,
       s"$ManifestFile.claim-${java.util.UUID.randomUUID().toString.take(8)}")
-    val out = fc.create(tmp,
-      java.util.EnumSet.of(org.apache.hadoop.fs.CreateFlag.CREATE,
-        org.apache.hadoop.fs.CreateFlag.OVERWRITE))
-    try out.write(bytes) finally out.close()
-    try fc.rename(tmp, vf)
-    catch {
-      case _: org.apache.hadoop.fs.FileAlreadyExistsException |
-          _: java.nio.file.FileAlreadyExistsException =>
-        fc.delete(tmp, false)
-        throw new java.util.ConcurrentModificationException(
-          s"graft-delim: generation ${m.gen} already claimed at $target — " +
-            "either a concurrent committer won the race (re-run this job " +
-            "against the new snapshot) or a previous commit crashed between " +
-            "its version claim and the pointer swap (run " +
-            "DelimV2.recoverManifest once no writer is active)")
+    def claimLost(): Nothing =
+      throw new java.util.ConcurrentModificationException(
+        s"graft-delim: generation ${m.gen} already claimed at $target — " +
+          "either a concurrent committer won the race (re-run this job " +
+          "against the new snapshot) or a previous commit crashed between " +
+          "its version claim and the pointer swap (run " +
+          "DelimV2.recoverManifest once no writer is active)")
+    if (isLocalFs(fs)) {
+      // java.nio move-no-replace: the same existence-check-then-rename
+      // the Hadoop facade performs, minus its per-call forks
+      import java.nio.file.Files
+      val t = localPath(tmp)
+      Files.write(t, bytes)
+      val dst = localPath(vf)
+      // a retention-deleted older claim of this generation may have
+      // left a checksum sidecar behind a non-checksummed delete
+      Files.deleteIfExists(dst.getParent.resolve(s".${vf.getName}.crc"))
+      try Files.move(t, dst)
+      catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          Files.deleteIfExists(t)
+          claimLost()
+      }
+    } else {
+      val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+        target.toUri, fs.getConf)
+      val out = fc.create(tmp,
+        java.util.EnumSet.of(org.apache.hadoop.fs.CreateFlag.CREATE,
+          org.apache.hadoop.fs.CreateFlag.OVERWRITE))
+      try out.write(bytes) finally out.close()
+      try fc.rename(tmp, vf)
+      catch {
+        case _: org.apache.hadoop.fs.FileAlreadyExistsException |
+            _: java.nio.file.FileAlreadyExistsException =>
+          fc.delete(tmp, false)
+          claimLost()
+      }
     }
     // GC-RACE RE-VERIFY: the claim above now references this commit's
     // segments (protected from every future sweep), but a sweep that

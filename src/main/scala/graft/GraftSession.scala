@@ -72,6 +72,20 @@ object GraftSession {
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
       .config("spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
         "true")
+      // Forkless checkpoint I/O on file:// (offset/commit logs, state
+      // changelogs): the stock FileContext manager forks a process per
+      // local create/probe when the Hadoop native lib is absent —
+      // measured at ~half the wall of bounded streaming certifications.
+      // Non-local checkpoint schemes delegate to the stock manager
+      // inside this class, so cluster deployments are untouched.
+      .config("spark.sql.streaming.checkpointFileManagerClass",
+        "graft.stream.LocalCheckpointFileManager")
+      // file:// minus the per-file chmod fork (see BareLocalFileSystem):
+      // every local create/mkdirs otherwise forks a process to chmod the
+      // file to the permission it was just created with. Scheme-scoped —
+      // hdfs/s3 untouched; clusters with the native lib never fork here.
+      .config("spark.hadoop.fs.file.impl",
+        classOf[graft.core.BareLocalFileSystem].getName)
       // runtime bloom-filter join filtering: when one side of a shuffle
       // join carries a selective predicate, inject a bloom filter into
       // the other side's scan — at warehouse scale this drops

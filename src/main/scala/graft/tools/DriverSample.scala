@@ -23,25 +23,33 @@ object DriverSample {
     spark.range(1000).selectExpr("sum(id)").collect()
 
     val main = Thread.currentThread()
+    val allThreads = args.length > 3 && args(3) == "all"
     val counts = mutable.Map.empty[String, Int].withDefaultValue(0)
     @volatile var sampling = false
     val sampler = new Thread(() => {
       while (true) {
         if (sampling) {
-          val st = main.getStackTrace
-          // leaf-most interesting frame: first graft/spark frame below
-          // the JDK noise, plus the top graft frame anywhere in stack
-          val frames = st.map(f => s"${f.getClassName}.${f.getMethodName}")
-          frames.find(f => !f.startsWith("java.") && !f.startsWith("jdk.") &&
-              !f.startsWith("scala.")).foreach(f => counts(f) += 1)
-          frames.find(_.startsWith("graft.")).foreach(f => counts("GRAFT " + f) += 1)
-          // attribute shell-exec time to the first graft/spark caller
-          val sh = frames.indexWhere(_.startsWith("org.apache.hadoop.util.Shell"))
-          if (sh >= 0) {
-            val caller = frames.drop(sh).filter(f =>
-              !f.startsWith("org.apache.hadoop.util.Shell") &&
-              !f.startsWith("java.") && !f.startsWith("jdk.")).take(4).mkString(" < ")
-            counts("SHELL " + caller) += 1
+          import scala.jdk.CollectionConverters._
+          val stacks: Seq[Array[StackTraceElement]] =
+            if (allThreads) Thread.getAllStackTraces.asScala.values.toSeq
+            else Seq(main.getStackTrace)
+          stacks.foreach { st =>
+            // leaf-most interesting frame: first graft/spark frame below
+            // the JDK noise, plus the top graft frame anywhere in stack
+            val frames = st.map(f => s"${f.getClassName}.${f.getMethodName}")
+            if (!allThreads) {
+              frames.find(f => !f.startsWith("java.") && !f.startsWith("jdk.") &&
+                  !f.startsWith("scala.")).foreach(f => counts(f) += 1)
+              frames.find(_.startsWith("graft.")).foreach(f => counts("GRAFT " + f) += 1)
+            }
+            // attribute shell-exec time to the first graft/spark caller
+            val sh = frames.indexWhere(_.startsWith("org.apache.hadoop.util.Shell"))
+            if (sh >= 0) {
+              val caller = frames.drop(sh).filter(f =>
+                !f.startsWith("org.apache.hadoop.util.Shell") &&
+                !f.startsWith("java.") && !f.startsWith("jdk.")).take(4).mkString(" < ")
+              counts("SHELL " + caller) += 1
+            }
           }
         }
         Thread.sleep(5)

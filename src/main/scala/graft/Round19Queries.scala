@@ -426,10 +426,14 @@ object Round19Queries {
     "similarity_ivf_persisted" -> { (s, dir) =>
       val out = CoreQueries.scratchDir("similarity_ivf_persisted")
       graft.core.Scratch.rmTree(out)
-      val e = ext.SimSearch.clusteredView(Tables.embeddings(s, dir),
-        "vec_id", "embedding",
+      // cached once: the view feeds the build, two query batches (each
+      // with a staleness-guard corpus count) and both sides of the
+      // exact-recall baseline (round-22, same measurement as
+      // similarity_ivf_incremental)
+      val e = core.CacheScope.cached(ext.SimSearch.clusteredView(
+        Tables.embeddings(s, dir), "vec_id", "embedding",
         nClusters = Round2Queries.IvfNClusters,
-        mix = Round2Queries.IvfMix.toDouble)
+        mix = Round2Queries.IvfMix.toDouble))
       ext.SimSearch.buildIvfPqIndex(e, "vec_id", "embedding", s"$out/idx",
         nCentroids = 64, lloydIters = 0, pqLloydIters = 1)
       val trainedBefore = ext.SimSearch.trainJobCount

@@ -284,10 +284,16 @@ object Round20Queries {
     "similarity_ivf_incremental" -> { (s, dir) =>
       val out = CoreQueries.scratchDir("similarity_ivf_incremental")
       graft.core.Scratch.rmTree(out)
-      val e = ext.SimSearch.clusteredView(
+      // the clustered view feeds MANY independent branches (index build,
+      // staleness-guard counts, append delta, the recall join's query
+      // and corpus sides) — each withNorm/count otherwise re-executes
+      // the embeddings⨝centers view per branch (round-22: measured 95
+      // serial jobs ≈ wall; caching the view once removes the repeated
+      // view recomputation from every downstream job)
+      val e = core.CacheScope.cached(ext.SimSearch.clusteredView(
         core.Tables.embeddings(s, dir), "vec_id", "embedding",
         nClusters = Round2Queries.IvfNClusters,
-        mix = Round2Queries.IvfMix.toDouble)
+        mix = Round2Queries.IvfMix.toDouble))
       val base = e.filter(col("vec_id") % 10 =!= 0)
       val delta = e.filter(col("vec_id") % 10 === 0)
       ext.SimSearch.buildIvfPqIndex(base, "vec_id", "embedding",

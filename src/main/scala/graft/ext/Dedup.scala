@@ -620,32 +620,23 @@ object Dedup {
     }
     val edges = p.select(col("id_a").as("src"), col("id_b").as("dst"))
       .unionByName(p.select(col("id_b").as("src"), col("id_a").as("dst")))
-    // Only nodes with at least one edge can ever change label — isolated
-    // nodes skip the loop entirely and come back as singletons at the
-    // end. On a near-dup graph most docs ARE singletons, so this shrinks
-    // every per-round shuffle to the (much smaller) connected subgraph.
-    val active = edges.select(col("src").as("id")).distinct().localCheckpoint(true)
-    val nActive = active.count()
-    if (nActive == 0) {
-      p.unpersist(blocking = false)
-      active.unpersist(blocking = false)
-      return (nodes.select(col("id"), col("id").as("cluster_rep")),
-        CcStats(0, converged = true, nEdges, 0L))
-    }
     // Size the iteration's parallelism to the WORKING SET, not the
     // session default: AQE cannot coalesce through localCheckpoint's
     // materialization, and below ~500k rows/partition the per-round
     // scheduler + codegen fixed costs dominate the actual work
     // (measured: 32-partition rounds were 3x slower than 1-partition
-    // rounds on a 4k-node graph). The loop runs on a CLONED session
-    // carrying the reduced setting — mutating the shared session conf
-    // would shrink every concurrent query's shuffles for the duration of
-    // the loop. The final (lazy) expansion join runs on the caller's
-    // session at full width.
+    // rounds on a 4k-node graph). Sized from the EDGE count (known for
+    // free from the materialized p; the hop join's shuffle volume is
+    // edge-sized — 2·nEdges rows — so edges, not nodes, are the right
+    // unit). The loop runs on a CLONED session carrying the reduced
+    // setting — mutating the shared session conf would shrink every
+    // concurrent query's shuffles for the duration of the loop. The
+    // final (lazy) expansion join runs on the caller's session at full
+    // width.
     val sessParts = scala.util.Try(
       spark.conf.get("spark.sql.shuffle.partitions").toLong)
       .getOrElse(spark.sparkContext.defaultParallelism.toLong)
-    val nParts = math.max(1L, math.min(sessParts, nActive / 500000L + 1L))
+    val nParts = math.max(1L, math.min(sessParts, 2L * nEdges / 500000L + 1L))
     val loop = spark.newSession()
     loop.conf.set("spark.sql.shuffle.partitions", nParts.toString)
     // one Row-conversion pass moves a frame into the loop session; the
@@ -658,17 +649,34 @@ object Dedup {
     // against the neighbor minima. The `orig` column (label at the
     // start of the current round) rides through the self row so the
     // change flag needs no extra join.
+    //
+    // Only nodes with at least one edge can ever change label — isolated
+    // nodes skip the loop entirely and come back as singletons at the
+    // end. On a near-dup graph most docs ARE singletons, so this shrinks
+    // every per-round shuffle to the (much smaller) connected subgraph.
+    // The active-node set is FOLDED INTO this one checkpoint as the
+    // self rows (round-22: it was previously its own localCheckpoint +
+    // count + session conversion — three driver actions whose only
+    // consumer was this union and the label seed, both of which read
+    // the materialized withSelf for free).
     val withSelf = inLoop(
       edges.select(col("src"), col("dst"), lit(false).as("self"))
-        .unionByName(active.select(
-          col("id").as("src"), col("id").as("dst"), lit(true).as("self"))))
+        .unionByName(edges.select(col("src")).distinct().select(
+          col("src"), col("src").as("dst"), lit(true).as("self"))))
       .localCheckpoint(true)
-    // every consumer of the raw edge list (active, withSelf) is now
-    // materialized — free its checkpoint immediately. Checkpoint blocks
-    // are NOT SQL cache: spark.catalog.clearCache() leaves them pinned
-    // until the RDD is GC'd, and an iterative loop that leaks one per
-    // round measurably degrades everything running after it.
+    // every consumer of the raw edge list is now materialized — free its
+    // checkpoint immediately. Checkpoint blocks are NOT SQL cache:
+    // spark.catalog.clearCache() leaves them pinned until the RDD is
+    // GC'd, and an iterative loop that leaks one per round measurably
+    // degrades everything running after it.
     p.unpersist(blocking = false)
+    val selfRows = withSelf.filter(col("self"))
+    val nActive = selfRows.count()
+    if (nActive == 0) {
+      withSelf.unpersist(blocking = false)
+      return (nodes.select(col("id"), col("id").as("cluster_rep")),
+        CcStats(0, converged = true, nEdges, 0L))
+    }
     // one min-propagation hop + one pointer jump through the label
     // table (label(label(x)) is in the same component, so the
     // min-of-component invariant holds — chains converge in
@@ -686,7 +694,10 @@ object Dedup {
           least(col("cand"), coalesce(col("j"), col("cand"))).as("label"),
           col("orig"))
     }
-    var labels = inLoop(active).select(col("id"), col("id").as("label"))
+    // label seed = the self rows of the materialized withSelf (no extra
+    // checkpoint or session conversion — withSelf already lives in the
+    // loop session)
+    var labels = selfRows.select(col("src").as("id"), col("src").as("label"))
     var prevCkpt: Option[DataFrame] = None
     var iters = 0
     var converged = false
@@ -695,16 +706,19 @@ object Dedup {
       // convergence probe are the expensive fixed costs per round, so
       // batching steps halves them; labels only ever decrease, so
       // `label < orig` detects a change anywhere in the batch, and the
-      // half-step past fixpoint is a no-op.
+      // half-step past fixpoint is a no-op. (Round-22 measured FOUR
+      // steps per materialization — one fewer round (3→2) on the
+      // certification graph but a SLOWER wall (5.1 s vs 3.9 s warm):
+      // the per-step plan execution, not the checkpoint/probe, is the
+      // per-round cost at fixture scale, so deeper batches lose.)
       val next = step(step(labels.withColumn("orig", col("label"))))
         .select(col("id"), col("label"), (col("label") < col("orig")).as("chg"))
         .localCheckpoint(true)
       converged = next.filter(col("chg")).limit(1).count() == 0
       // `next` is materialized: the round that produced the previous
-      // label checkpoint (and, after round one, the active-node seed) is
-      // fully consumed — release those blocks now, not at GC time
+      // label checkpoint is fully consumed — release those blocks now,
+      // not at GC time
       prevCkpt.foreach(_.unpersist(blocking = false))
-      if (iters == 0) active.unpersist(blocking = false)
       prevCkpt = Some(next)
       labels = next.select("id", "label")
       iters += 1

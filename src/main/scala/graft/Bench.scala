@@ -172,10 +172,44 @@ object Bench {
     // a query's floor is plan-governed, its excursions are the box's.
     // The first pass doubles as the JIT warm for anything the warm
     // pass skipped, which min() then discards.
+    // Default passes: 2 (min-of-2, contended-box robustness). LOW-CORE
+    // runs (≤ 8 cores) default to ONE pass: the driver's 8-core scaling
+    // bench was killed at its time budget in round 21 (BENCH_r21_c8
+    // rc 124 — a 233-query double-pass run that takes 250 s at 32 cores
+    // cannot fit the same budget at 8), and a completed single-pass run
+    // beats a killed double-pass run for scaling evidence. The 32-core
+    // headline methodology is unchanged, and SPARK_GRAFT_BENCH_PASSES
+    // still overrides in both directions.
     val passes = sys.env.get("SPARK_GRAFT_BENCH_PASSES")
-      .map(_.trim.toInt).filter(_ > 0).getOrElse(2)
+      .map(_.trim.toInt).filter(_ > 0)
+      .getOrElse(if (cpus.toInt <= 8) 1 else 2)
+    // Single-pass runs have no second pass to absorb codegen/JIT costs
+    // (min-of-2 discards the cold sample; a tier-cached query also skips
+    // the classification warm). To keep a passes=1 budget run's numbers
+    // plan-governed rather than Janino-governed, warm each query ONCE at
+    // the smallest sibling scale factor (sf0.001 when the bench runs a
+    // larger SF): the plans — and therefore the generated-code cache
+    // entries — are scale-independent, while the warm data pass costs
+    // milliseconds per query. The measured pass still computes entirely
+    // from the bench SF's parquet; nothing about it is cached (the JVM
+    // codegen cache is the same steady state the 2-pass protocol keeps).
+    val warmSfDir: Option[String] =
+      if (passes > 1) None
+      else {
+        val d = new java.io.File(sfDir)
+        Option(d.getParentFile)
+          .map(p => new java.io.File(p, "sf0.001"))
+          .filter(w => w.isDirectory && w.getPath != d.getPath)
+          .map(_.getPath)
+      }
     def measureMin(queries: Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)])
-        : Seq[(String, Double, Option[String], Double)] =
+        : Seq[(String, Double, Option[String], Double)] = {
+      warmSfDir.foreach { w =>
+        queries.foreach { case (_, fn) =>
+          try f2count(fn, w) catch { case _: Throwable => () }
+          spark.catalog.clearCache()
+        }
+      }
       (1 to passes).map(_ => measureHere(queries))
         .reduce { (a, b) =>
           a.zip(b).map { case ((n, dt1, e1, g1), (_, dt2, e2, g2)) =>
@@ -187,6 +221,9 @@ object Bench {
             }
           }
         }
+    }
+    def f2count(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
+        dir: String): Unit = { fn(spark, dir).count(); () }
     // STREAM-TIER ISOLATION (round-17 verdict ask #1): the streaming
     // certifications execute real micro-batch StreamingQueries through
     // RocksDB state, and their wall time in a long-lived shared JVM
@@ -227,6 +264,11 @@ object Bench {
       pb.environment().put("SPARK_GRAFT_BENCH_ONLY", names.mkString(","))
       pb.environment().put("SPARK_GRAFT_SF_DIR", sfDir)
       pb.environment().put("SPARK_GRAFT_CPUS", cpus)
+      // the children inherit the parent's env (ProcessBuilder copies
+      // it), so a PASSES override reaches them implicitly; pin the
+      // RESOLVED value explicitly so a low-core parent's passes=1
+      // default (below) also governs its stream-tier children
+      pb.environment().put("SPARK_GRAFT_BENCH_PASSES", passes.toString)
       pb.redirectErrorStream(false)
       val errFile = java.io.File.createTempFile("graft-bench-child", ".err")
       pb.redirectError(errFile)

@@ -132,14 +132,27 @@ object Round13Queries {
         .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
       val tbl = JdbcWarehouse.publish(orders, "graft_jdbc_orders")
       val bounds = orders.agg(min("o_orderkey"), max("o_orderkey")).head
+      // Client slice count derived from the SCHEDULER SIZE (round 22):
+      // the in-process endpoint executes each slice's statement as Spark
+      // jobs in THIS scheduler, so client scan tasks that fill every
+      // task slot starve the server side of slots — a hard resource
+      // DEADLOCK, hit by the driver's 8-core scaling bench with the
+      // previous constant 8 (BENCH_r21_c8 rc 124 died hung inside a
+      // thrift statement; thread dump: 8 JDBCRDD tasks parked in
+      // waitForOperationToComplete, 8 server statements queued with zero
+      // free slots). A quarter of the pool keeps the 32-core value at
+      // the certified 8 slices and leaves the server side headroom at
+      // any size; on a real two-warehouse deployment the server runs
+      // elsewhere and the constraint disappears.
+      val parts = math.min(8, math.max(1, s.sparkContext.defaultParallelism / 4))
       val remote = JdbcWarehouse.readTable(s, port, tbl,
-          "o_orderkey", bounds.getLong(0), bounds.getLong(1) + 1, 8)
+          "o_orderkey", bounds.getLong(0), bounds.getLong(1) + 1, parts)
         .filter(col("o_custkey") < 500)
       val plan = remote.queryExecution.explainString(FormattedMode)
       require("PushedFilters: \\[[^\\]]*o_custkey"
           .r.findFirstIn(plan).isDefined,
         s"o_custkey predicate not pushed into the JDBC scan:\n$plan")
-      require(plan.contains("numPartitions=8"),
+      require(plan.contains(s"numPartitions=$parts"),
         s"JDBC scan is not range-partitioned:\n$plan")
       val a = remote.select(col("o_orderkey").as("ak"),
         col("o_orderstatus").as("a_status"), col("o_totalprice").as("a_price"))

@@ -234,9 +234,15 @@ object Round14Queries {
             bounds.getLong(0), bounds.getLong(1) + 1, parts,
             user = user, password = user)
           .filter(col("o_custkey") < 500)
-      val a = remote(tblA, "warehouse_a", 8)
-      val b = remote(tblB, "warehouse_b", 6)
-      for ((df, parts, side) <- Seq((a, 8, "A"), (b, 6, "B"))) {
+      // slice counts derived from the scheduler size (round 22 — see
+      // reconcile_jdbc: client tasks that fill the pool deadlock the
+      // in-process server side; 32 cores keeps the certified 8 vs 6)
+      val pool = s.sparkContext.defaultParallelism
+      val partsA = math.min(8, math.max(1, pool / 4))
+      val partsB = math.min(6, math.max(1, pool * 3 / 16))
+      val a = remote(tblA, "warehouse_a", partsA)
+      val b = remote(tblB, "warehouse_b", partsB)
+      for ((df, parts, side) <- Seq((a, partsA, "A"), (b, partsB, "B"))) {
         val plan = df.queryExecution.explainString(FormattedMode)
         require("PushedFilters: \\[[^\\]]*o_custkey".r.findFirstIn(plan)
             .isDefined, s"side $side predicate not pushed:\n$plan")

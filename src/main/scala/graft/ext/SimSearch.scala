@@ -465,11 +465,29 @@ object SimSearch {
       val fs = tasks.map(t => pool.submit(new java.util.concurrent.Callable[Unit] {
         def call(): Unit = t()
       }))
+      // collect EVERY failure before rethrowing (round-22 advice): with
+      // await-in-submission-order + first-throw, a failed early task
+      // left later tasks running — still appending to index artifacts
+      // while the caller unwound — and their own failures were silently
+      // dropped, leaving a torn append only partially reported. On the
+      // first failure, cancel what has not started (running Spark jobs
+      // are not killed, but no new ones begin) and drain the rest.
+      val failures = Seq.newBuilder[Throwable]
       fs.foreach { f =>
         try f.get()
-        catch { case e: java.util.concurrent.ExecutionException => throw e.getCause }
+        catch {
+          case e: java.util.concurrent.ExecutionException =>
+            failures += e.getCause
+            fs.foreach(_.cancel(false))
+          case e: java.util.concurrent.CancellationException => ()
+        }
       }
-    } finally pool.shutdown()
+      val errs = failures.result()
+      errs.headOption.foreach { primary =>
+        errs.drop(1).foreach(primary.addSuppressed)
+        throw primary
+      }
+    } finally pool.shutdownNow()
   }
 
   /** INCREMENTAL index maintenance (round-20): append a vector DELTA

@@ -3618,7 +3618,14 @@ private[graft] object DelimV2 {
       val dir = p.getParent
       if (dir != null) {
         Files.createDirectories(dir)
-        if (overwrite)
+        // BOTH branches clear a stale checksum sidecar (round-22
+        // advice): a file once written by the checksummed facade,
+        // deleted via a raw/nio path (orphaning its .crc), then
+        // recreated here would otherwise fail checksum verification on
+        // its next checksummed read. The non-overwrite branch clears it
+        // only when the destination is absent — if CREATE_NEW is about
+        // to fail on an existing file, its live sidecar must survive.
+        if (overwrite || !Files.exists(p))
           Files.deleteIfExists(dir.resolve("." + p.getFileName + ".crc"))
       }
       if (overwrite) Files.newOutputStream(p, O.CREATE, O.TRUNCATE_EXISTING, O.WRITE)
@@ -3883,8 +3890,13 @@ private[graft] object DelimV2 {
           "its version claim and the pointer swap (run " +
           "DelimV2.recoverManifest once no writer is active)")
     if (isLocalFs(fs)) {
-      // java.nio move-no-replace: the same existence-check-then-rename
-      // the Hadoop facade performs, minus its per-call forks
+      // java.nio claim via link(2): createLink fails with EEXIST
+      // ATOMICALLY, a genuine kernel-level compare-and-set on the
+      // generation file (round-22 advice: Files.move without
+      // REPLACE_EXISTING is an existence check followed by rename(2),
+      // which overwrites — two racing committers could both believe
+      // they won). Filesystems without hard links fall back to the
+      // move form, which matches the Hadoop facade's own TOCTOU.
       import java.nio.file.Files
       val t = localPath(tmp)
       Files.write(t, bytes)
@@ -3892,11 +3904,20 @@ private[graft] object DelimV2 {
       // a retention-deleted older claim of this generation may have
       // left a checksum sidecar behind a non-checksummed delete
       Files.deleteIfExists(dst.getParent.resolve(s".${vf.getName}.crc"))
-      try Files.move(t, dst)
-      catch {
+      try {
+        Files.createLink(dst, t)
+        Files.deleteIfExists(t)
+      } catch {
         case _: java.nio.file.FileAlreadyExistsException =>
           Files.deleteIfExists(t)
           claimLost()
+        case _: UnsupportedOperationException =>
+          try Files.move(t, dst)
+          catch {
+            case _: java.nio.file.FileAlreadyExistsException =>
+              Files.deleteIfExists(t)
+              claimLost()
+          }
       }
     } else {
       val fc = org.apache.hadoop.fs.FileContext.getFileContext(

@@ -34,8 +34,17 @@ import org.apache.spark.sql.execution.streaming.checkpointing.CheckpointFileMana
 class LocalCheckpointFileManager(path: HPath, conf: Configuration)
     extends CheckpointFileManager {
 
-  private val scheme = path.toUri.getScheme
-  private val local = scheme == null || scheme == "file"
+  // Locality is resolved from the FILESYSTEM the path binds to, not the
+  // raw URI: a scheme-less checkpoint path inherits fs.defaultFS, and on
+  // a cluster whose default is hdfs/s3 classifying it "local" would
+  // silently write offset/commit logs and state files to the driver's
+  // local disk (round-22 advice). Only a resolved `file` scheme is local.
+  private val local = {
+    val raw = path.toUri.getScheme
+    if (raw != null) raw == "file"
+    else scala.util.Try(
+      path.getFileSystem(conf).getUri.getScheme == "file").getOrElse(false)
+  }
   private lazy val delegate = new FileContextBasedCheckpointFileManager(path, conf)
   private lazy val rawFs: RawLocalFileSystem = {
     val fs = new RawLocalFileSystem()

@@ -313,8 +313,12 @@ object Dedup {
       params: MinHashParams = MinHashParams()): DataFrame = {
     GraftFunctions.register(docs.sparkSession)
     // size-based physical strategy: exact blocked all-pairs under the
-    // cutover (same output — LSH candidates are exactly verified anyway)
-    if (docs.count() <= params.bruteForceMaxDocs)
+    // cutover (same output — LSH candidates are exactly verified anyway).
+    // A disabled cutover (bruteForceMaxDocs <= 0, the force-LSH
+    // certifications) skips the corpus count entirely — at 100 TB that
+    // count is a full metadata pass paid for an answer that cannot
+    // matter (round 22).
+    if (params.bruteForceMaxDocs > 0 && docs.count() <= params.bruteForceMaxDocs)
       return jaccardPairsExact(docs, idCol, textCol, threshold, params.shingleN)
     val cand = minhashCandidatePairs(docs, idCol, textCol, params)
     // cached: both verification join sides consume the shingle sets, and
